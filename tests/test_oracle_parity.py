@@ -1,0 +1,91 @@
+"""Local replica of the driver's t2 correctness gate: run every
+``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB over the
+same parquet tables, compare row count, column names, and an
+order-insensitive value hash.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+from tests.conftest import SF_DIR
+
+TABLES = entry_mod.TABLES
+
+
+def _duck(sf_dir: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"create view {t} as select * from '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def _norm_cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # normalize -0.0 and represent with fixed precision
+        if v == 0:
+            v = 0.0
+        return f"{v:.9g}"
+    if isinstance(v, bool):
+        return str(int(v))
+    return str(v)
+
+
+def _value_hash(rows, colnames) -> str:
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    lines = sorted(
+        "\x01".join(_norm_cell(r[i]) for i in order) for r in rows
+    )
+    return hashlib.md5("\n".join(lines).encode()).hexdigest()
+
+
+QUERY_NAMES = sorted(entry_mod.queries().keys())
+
+
+@pytest.mark.parametrize("name", QUERY_NAMES)
+def test_query_matches_oracle(spark, name):
+    q = entry_mod.queries()[name]
+    oracles = entry_mod.oracle_sql()
+    sdf = q(spark, SF_DIR)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    if name not in oracles:
+        # rows-only contract: must run and have a stable schema
+        assert scols, f"{name} produced no columns"
+        return
+    con = _duck(SF_DIR)
+    drel = con.sql(oracles[name])
+    dcols = [d[0] for d in drel.description]
+    drows = drel.fetchall()
+    assert sorted(scols) == sorted(dcols), f"{name} column mismatch: {scols} vs {dcols}"
+    assert len(srows) == len(drows), f"{name} row count {len(srows)} vs {len(drows)}"
+    # align spark row order of columns to oracle's by name
+    sidx = {c: i for i, c in enumerate(scols)}
+    srows_aligned = [tuple(r[sidx[c]] for c in dcols) for r in srows]
+    sh = _value_hash(srows_aligned, dcols)
+    dh = _value_hash(drows, dcols)
+    if sh != dh:
+        sset = sorted("\x01".join(map(_norm_cell, r)) for r in srows_aligned)
+        dset = sorted("\x01".join(map(_norm_cell, r)) for r in drows)
+        diff = [
+            (a, b) for a, b in zip(sset, dset) if a != b
+        ][:5]
+        pytest.fail(f"{name} value hash mismatch; first diffs: {diff}")
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert df.columns

@@ -1,0 +1,19 @@
+"""unstructured_spark — a PySpark-native document-ETL + analytics engine.
+
+Brand-new engine with the query/data-processing capabilities of
+Unstructured-IO/unstructured (reference studied at /root/reference),
+re-expressed Spark-first: DataFrame/SQL plans optimized by Catalyst,
+pandas UDFs only where per-document sequential semantics demand it.
+
+Layout:
+  schema      — canonical element DataFrame schema (SURVEY §1.5)
+  functions   — scalar column function library (cleaners, classifiers, extract)
+  operators   — partitioners, chunking, metadata enrichment, dedup, similarity
+  sources     — document ingest (binaryFile batch + streaming)
+  streaming   — structured-streaming pipelines
+  plans       — plan-inspection helpers (pushdown/codegen assertions)
+"""
+
+__version__ = "0.1.0"
+
+from unstructured_spark.session import get_spark  # noqa: F401

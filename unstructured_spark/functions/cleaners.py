@@ -1,0 +1,154 @@
+"""Cleaner column functions (semantics of reference ``cleaners/core.py``).
+
+Each function takes and returns a pyspark ``Column`` so cleaners compose
+the way the reference composes them via ``Text.apply(*cleaners)``
+(reference elements.py:903-916), but JVM-side: ``df.withColumn("text",
+clean(col("text"), extra_whitespace=True, bullets=True))``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from unstructured_spark.functions.patterns import _BULLET_CLASS
+
+# Ligature -> expansion map (reference cleaners/core.py:76-104 semantics).
+LIGATURES: dict[str, str] = {
+    "\u00e6": "ae",
+    "\u00c6": "AE",
+    "\ufb00": "ff",
+    "\ufb01": "fi",
+    "\ufb02": "fl",
+    "\ufb03": "ffi",
+    "\ufb04": "ffl",
+    "\ufb05": "ft",
+    "\u02aa": "ls",
+    "\u0153": "oe",
+    "\u0152": "OE",
+    "\u0239": "qp",
+    "\ufb06": "st",
+    "\u02a6": "ts",
+}
+
+# cp1252/unicode quote artifacts -> standard forms
+# (reference cleaners/core.py:271-303 semantics).
+UNICODE_QUOTE_FIXES: dict[str, str] = {
+    "\x91": "\u2018",
+    "\x92": "\u2019",
+    "\x93": "\u201c",
+    "\x94": "\u201d",
+    "&apos;": "'",
+    "\u00e2\x80\x99": "'",
+    "\u00e2\x80\x93": "\u2014",
+    "\u00e2\x80\x94": "\u2013",
+    "\u00e2\x80\x98": "\u2018",
+    "\u00e2\x80\xa6": "\u2026",
+    "\u00e2\x80\xa2": "\u2022",
+    "\u00e2\x80\x9c": "\u201c",
+    "\u00e2\x80\x9d": "\u201d",
+    "\u00e2\x80\xa8": "\n",
+    "\u00e2\x80\x8e": "",
+    "\u00e2\x80\x82": "",
+    "\u00e2\x80\x89": "",
+    "\u00e2\x80\x8b": "",
+}
+
+
+def clean_extra_whitespace(col: Column) -> Column:
+    """NBSP/newlines -> space, collapse runs, trim (core.py:325-334)."""
+    c = F.regexp_replace(col, "[\\xa0\\n]", " ")
+    c = F.regexp_replace(c, " {2,}", " ")
+    return F.trim(c)
+
+
+def clean_bullets(col: Column) -> Column:
+    """Strip one leading bullet char + following spaces (core.py:37-53)."""
+    return F.ltrim(F.regexp_replace(col, f"^[{_BULLET_CLASS}] *", ""))
+
+
+def clean_dashes(col: Column) -> Column:
+    """Dashes (incl. unicode en-dash) -> space, then trim (core.py:337-348)."""
+    return F.trim(F.regexp_replace(col, "[-\u2013]", " "))
+
+
+def clean_trailing_punctuation(col: Column) -> Column:
+    """Strip trailing ASCII punctuation (core.py:351-360)."""
+    return F.regexp_replace(col, "[.,:;]+$", "")
+
+
+def clean_non_ascii_chars(col: Column) -> Column:
+    """Drop all non-ASCII codepoints (core.py:25-34)."""
+    return F.regexp_replace(col, "[^\\x00-\\x7F]", "")
+
+
+def clean_ligatures(col: Column) -> Column:
+    """Expand typographic ligatures (core.py:76-104)."""
+    for lig, rep in LIGATURES.items():
+        col = F.replace(col, F.lit(lig), F.lit(rep))
+    return col
+
+
+def replace_unicode_quotes(col: Column) -> Column:
+    """Normalize cp1252 mojibake quotes (core.py:271-303)."""
+    for bad, good in UNICODE_QUOTE_FIXES.items():
+        col = F.replace(col, F.lit(bad), F.lit(good))
+    return col
+
+
+def remove_punctuation(col: Column) -> Column:
+    """Drop all Unicode punctuation (core.py:306-313); \\p{P} is Java-regex."""
+    return F.regexp_replace(col, "\\p{P}", "")
+
+
+def clean_prefix(col: Column, pattern: str, ignore_case: bool = False, strip: bool = True) -> Column:
+    """Remove a prefix matching ``pattern`` (core.py:363-381)."""
+    pat = f"(?i)^{pattern}" if ignore_case else f"^{pattern}"
+    out = F.regexp_replace(col, pat, "")
+    return F.ltrim(out) if strip else out
+
+
+def clean_postfix(col: Column, pattern: str, ignore_case: bool = False, strip: bool = True) -> Column:
+    """Remove a suffix matching ``pattern`` (core.py:384-400)."""
+    pat = f"(?i){pattern}$" if ignore_case else f"{pattern}$"
+    out = F.regexp_replace(col, pat, "")
+    return F.rtrim(out) if strip else out
+
+
+def clean(
+    col: Column,
+    *,
+    extra_whitespace: bool = False,
+    dashes: bool = False,
+    bullets: bool = False,
+    trailing_punctuation: bool = False,
+    lowercase: bool = False,
+) -> Column:
+    """Composed cleaner, same order as reference ``clean()`` (core.py:403-429)."""
+    if bullets:
+        col = clean_bullets(col)
+    if extra_whitespace:
+        col = clean_extra_whitespace(col)
+    if dashes:
+        col = clean_dashes(col)
+    if trailing_punctuation:
+        col = clean_trailing_punctuation(col)
+    if lowercase:
+        col = F.lower(col)
+    return F.trim(col)
+
+
+def group_broken_paragraphs(col: Column) -> Column:
+    """Re-join hard-wrapped lines, keep blank-line paragraph breaks
+    (core.py:107-180 semantics): single newlines inside a paragraph are
+    joined to one line; blank-line breaks survive.
+    """
+    sentinel = "\x00PARA\x00"
+    c = F.regexp_replace(col, "\\n\\s*\\n", sentinel)
+    c = F.regexp_replace(c, "\\s*\\n\\s*", " ")
+    return F.replace(c, F.lit(sentinel), F.lit("\n\n"))
+
+
+def bytes_string_to_string(col: Column, encoding: str = "utf-8") -> Column:
+    """Decode mis-encoded text via encode/decode round trip (core.py:432-437)."""
+    return F.decode(F.encode(col, encoding), encoding)

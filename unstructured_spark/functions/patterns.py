@@ -1,0 +1,65 @@
+"""Regex corpus (semantics of reference ``unstructured/nlp/patterns.py``).
+
+Patterns are written against Java regex (Spark's engine). Where a query
+must also run on a DuckDB/RE2 oracle, keep to the common subset:
+character classes, \\d, \\s, anchors — no lookaround or backreferences.
+"""
+
+# Unicode bullet characters that open a bulleted line
+# (same character inventory as reference nlp/patterns.py UNICODE_BULLETS;
+# re-derived from the Unicode bullet blocks, not copied).
+UNICODE_BULLETS: tuple[str, ...] = (
+    "",
+    "•",  # bullet
+    "‣",  # triangular bullet
+    "⁃",  # hyphen bullet
+    "⁌",
+    "⁍",
+    "∙",
+    "▪",
+    "▸",
+    "●",
+    "◦",
+    "☙",
+    "❥",
+    "❧",
+    "⦾",
+    "⦿",
+    "-",  # hyphen-minus
+    "□",  # white square
+    "·",  # middle dot
+    "*",  # asterisk
+    "․",
+    "‥",
+    "…",
+    "‧",
+)
+
+_BULLET_CLASS = "".join(
+    "\\" + c if c in "\\^]-*" else c for c in UNICODE_BULLETS if c
+)
+
+# bullet at start of text followed by space or end-of-string
+BULLETED_TEXT = rf"^[{_BULLET_CLASS}]( |$)"
+
+# numbered-list prefixes like "1. " / "23) "
+NUMBERED_LIST = r"^\d{1,3}[.)] "
+
+EMAIL_ADDRESS = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+
+US_PHONE = r"(\+?1[-. ]?)?(\(?\d{3}\)?[-. ]?)?\d{3}[-. ]?\d{4}"
+
+US_CITY_STATE_ZIP = (
+    r"((\w+\s?)+,\s?)+(A[LKSZRAP]|C[AOT]|D[EC]|F[LM]|G[AU]|HI|I[ADLN]|K[SY]|LA|"
+    r"M[ADEHINOPST]|N[CDEHJMVY]|O[HKR]|P[ARW]|RI|S[CD]|T[NX]|UT|V[AIT]|W[AIVY])"
+    r"(,|\s)+\d{5}(-\d{4})?"
+)
+
+PARAGRAPH_SPLIT = r"\n\s*\n"  # blank-line paragraph boundary (partition/text.py)
+
+IP_ADDRESS = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+
+IMAGE_URL = r"https?://[^\s]+?\.(?:png|jpg|jpeg|gif|bmp|webp|tiff?)"
+
+# sentence-ending punctuation used by the narrative/title heuristics
+SENTENCE_TERMINATORS = (".", "!", "?")

@@ -1,0 +1,163 @@
+"""Classifier predicates (semantics of reference ``partition/text_type.py``).
+
+Each predicate is a pyspark ``Column`` expression over a text column —
+the Spark win over the reference's per-string Python functions is that
+``element_from_text`` becomes ONE ``CASE WHEN`` over predicate columns
+computed once, entirely inside whole-stage codegen.
+
+Deviation from reference: ``contains_verb`` uses an English
+function-word/suffix heuristic instead of an NLTK/spacy POS tagger
+(those models aren't available JVM-side); the reference treats the
+tagger as a fallback signal only (text_type.py:27-88), and the
+``sentence_count >= 2`` branch dominates in practice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from unstructured_spark.functions import patterns
+
+# Small high-frequency English verb/auxiliary set for the narrative
+# heuristic (stands in for POS "VB*" tags, reference text_type.py:180-187).
+_COMMON_VERBS = (
+    "is are was were be been being am has have had do does did will would "
+    "can could shall should may might must get got make made take took go "
+    "went see saw said say use used need needs provide provides include "
+    "includes require requires show shows contain contains"
+).split()
+
+
+def word_count(col: Column) -> Column:
+    return F.size(F.split(F.trim(col), "\\s+"))
+
+
+def sentence_count(col: Column, min_length: int | None = None) -> Column:
+    """Count sentence-ish fragments; with ``min_length``, only fragments
+    with at least that many words count (reference text_type.py:208-233).
+    """
+    parts = F.split(col, "[.!?] |[.!?]$")
+    parts = F.filter(parts, lambda p: F.trim(p) != "")
+    if min_length:
+        parts = F.filter(
+            parts, lambda p: F.size(F.split(F.trim(p), "\\s+")) >= min_length
+        )
+    return F.size(parts)
+
+
+def under_non_alpha_ratio(col: Column, threshold: float = 0.5) -> Column:
+    """True when alpha chars / non-space chars > (1 - threshold)
+    (reference text_type.py:270-303: fraction of non-alpha must stay
+    *under* the threshold).
+    """
+    non_space = F.length(F.regexp_replace(col, "\\s", ""))
+    alpha = F.length(F.regexp_replace(col, "[^\\p{L}]", ""))
+    return F.when(non_space == 0, F.lit(False)).otherwise(
+        (alpha / non_space) >= F.lit(1.0 - threshold)
+    )
+
+
+def exceeds_cap_ratio(col: Column, threshold: float = 0.5) -> Column:
+    """True when the ratio of capitalized words exceeds ``threshold``
+    (reference text_type.py:236-267). All-caps text is exempt upstream.
+    """
+    words = F.filter(F.split(F.trim(col), "\\s+"), lambda w: w.rlike("\\p{L}"))
+    caps = F.filter(words, lambda w: w.rlike("^\\p{Lu}"))
+    return F.when(F.size(words) == 0, F.lit(True)).otherwise(
+        (F.size(caps) / F.size(words)) > F.lit(threshold)
+    )
+
+
+def is_bulleted_text(col: Column) -> Column:
+    """Leading unicode bullet (reference text_type.py:165-167)."""
+    return col.rlike(patterns.BULLETED_TEXT)
+
+
+def is_possible_numbered_list(col: Column) -> Column:
+    return col.rlike(patterns.NUMBERED_LIST)
+
+
+def is_email_address(col: Column) -> Column:
+    return F.trim(col).rlike(f"^{patterns.EMAIL_ADDRESS}$")
+
+
+def is_us_city_state_zip(col: Column) -> Column:
+    return F.trim(col).rlike(f"^{patterns.US_CITY_STATE_ZIP}$")
+
+
+def contains_us_phone_number(col: Column) -> Column:
+    return col.rlike(patterns.US_PHONE)
+
+
+def is_numeric(col: Column) -> Column:
+    """Text that is entirely numbers/punct/space (reference: titles and
+    narrative both reject pure-numeric strings, text_type.py:62,120)."""
+    return F.trim(col).rlike("^[0-9.,$%() \\-]+$") & col.rlike("[0-9]")
+
+
+def contains_verb(col: Column) -> Column:
+    lowered = F.concat(F.lit(" "), F.lower(col), F.lit(" "))
+    cond = F.lit(False)
+    for v in _COMMON_VERBS:
+        cond = cond | lowered.contains(f" {v} ")
+    # gerund/past-tense suffix heuristic
+    return cond | col.rlike("(?i)\\b\\p{L}{3,}(ing|ed)\\b")
+
+
+def is_possible_narrative_text(
+    col: Column,
+    cap_threshold: float = 0.5,
+    non_alpha_threshold: float = 0.5,
+) -> Column:
+    """Reference text_type.py:27-88: non-empty, not pure-numeric, cap
+    ratio ≤ threshold (unless all-caps), alpha ratio ok, and (has verb or
+    ≥2 sentences of ≥5 words).
+    """
+    text = F.trim(col)
+    all_caps = text == F.upper(text)
+    return (
+        (F.length(text) > 0)
+        & ~is_numeric(text)
+        & (all_caps | ~exceeds_cap_ratio(text, cap_threshold))
+        & under_non_alpha_ratio(text, non_alpha_threshold)
+        & (contains_verb(text) | (sentence_count(text, 5) >= 2))
+    )
+
+
+def is_possible_title(
+    col: Column,
+    sentence_min_length: int = 5,
+    title_max_word_length: int = 12,
+    non_alpha_threshold: float = 0.5,
+) -> Column:
+    """Reference text_type.py:91-162: short (≤12 words), ≤1 real
+    sentence, not pure numeric, doesn't end with a comma, alpha ratio ok.
+    """
+    text = F.trim(col)
+    return (
+        (F.length(text) > 0)
+        & (word_count(text) <= title_max_word_length)
+        & (sentence_count(text, sentence_min_length) <= 1)
+        & ~is_numeric(text)
+        & under_non_alpha_ratio(text, non_alpha_threshold)
+        & ~text.endswith(",")
+    )
+
+
+def element_type_from_text(col: Column) -> Column:
+    """The ``element_from_text`` decision tree (reference
+    partition/text.py:111-166) as a single CASE WHEN: bullet → email →
+    US address → numbered list → narrative → title → Text. Empty text
+    upstream becomes PageBreak/skip per partitioner.
+    """
+    text = F.trim(col)
+    return (
+        F.when(is_bulleted_text(text), F.lit("ListItem"))
+        .when(is_email_address(text), F.lit("EmailAddress"))
+        .when(is_us_city_state_zip(text), F.lit("Address"))
+        .when(is_possible_numbered_list(text), F.lit("ListItem"))
+        .when(is_possible_narrative_text(text), F.lit("NarrativeText"))
+        .when(is_possible_title(text), F.lit("Title"))
+        .otherwise(F.lit("Text"))
+    )

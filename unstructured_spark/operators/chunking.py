@@ -1,0 +1,322 @@
+"""Chunking — ``basic`` and ``by_title`` strategies (reference
+``unstructured/chunking/{base,basic,title}.py``; SURVEY §2.4).
+
+Chunking is a *sequential fold per document*: pre-chunk boundaries
+depend on running accumulated length, so it cannot be a window
+function. Spark mapping: ``df.groupBy("doc_id").applyInPandas(fold)``
+with elements sorted by ``element_index`` inside the group. The shuffle
+is ONE exchange keyed by doc_id; each document's fold is O(doc) with
+O(window) memory — at 100 TB the parallelism unit is the document,
+which is exactly the reference's unit of work.
+
+Replicated semantics (reference file:line):
+- flush pre-chunk on Title (by_title; base.py:1877-1879), page change
+  when multipage_sections=False (base.py:1831-1874), soft limit
+  new_after_n_chars (base.py:600-601), hard max max_characters default
+  500 (base.py:33,176-188).
+- Table elements isolated in their own pre-chunk (base.py:587-594);
+  CheckBox dropped; empty-text elements dropped.
+- by_title combiner: greedy re-merge of adjacent pre-chunks while the
+  accumulated text < combine_text_under_n_chars, never across tables
+  (base.py:1734-1809, title.py:160-170).
+- chunk text = element texts joined with "\\n\\n" (base.py:289-297).
+- oversized chunks split at the rightmost "\\n", then " ", then hard cut
+  (base.py:1396-1624); continuation chunks get is_continuation=True and
+  optional ``overlap`` tail chars from the previous chunk
+  (base.py:860-873).
+- oversized Table → TableChunk rows with table_id/chunk_index and
+  text/text_as_html split on row boundaries (base.py:957-1393).
+- metadata consolidation per field strategy (elements.py:490-579) +
+  orig_element_ids.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from dataclasses import dataclass, field
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from unstructured_spark.schema import CONSOLIDATION, ELEMENT_SCHEMA
+
+
+@dataclass
+class ChunkingOptions:
+    max_characters: int = 500  # hard max (base.py:33)
+    new_after_n_chars: int | None = None  # soft max; default = hard max
+    overlap: int = 0  # char overlap on text-split continuations
+    overlap_all: bool = False  # also overlap between pre-chunks
+    combine_text_under_n_chars: int | None = None  # by_title only
+    multipage_sections: bool = True  # by_title only
+    include_orig_elements: bool = True
+
+    def __post_init__(self) -> None:
+        if self.new_after_n_chars is None or self.new_after_n_chars > self.max_characters:
+            self.new_after_n_chars = self.max_characters
+        if self.combine_text_under_n_chars is None:
+            self.combine_text_under_n_chars = self.max_characters
+        self.combine_text_under_n_chars = min(
+            self.combine_text_under_n_chars, self.max_characters
+        )
+
+
+_SEP = "\n\n"
+
+
+def _split_oversized(text: str, maxlen: int, overlap: int) -> list[str]:
+    """Rightmost-separator split: prefer "\\n", then " ", else hard cut
+    at maxlen; later fragments carry ``overlap`` tail chars of the
+    previous fragment (reference _TextSplitter, base.py:1396-1624).
+    """
+    out: list[str] = []
+    remainder = text
+    while len(remainder) > maxlen:
+        window = remainder[: maxlen + 1]
+        cut = -1
+        for sep in ("\n", " "):
+            cut = window.rfind(sep)
+            if cut > 0:
+                break
+        if cut <= 0:
+            cut = maxlen
+        fragment = remainder[:cut].rstrip()
+        out.append(fragment)
+        tail = fragment[-overlap:].lstrip() + " " if overlap else ""
+        remainder = (tail + remainder[cut:].lstrip()).strip()
+    if remainder:
+        out.append(remainder)
+    return out
+
+
+def _consolidate(rows: list[dict]) -> dict:
+    """Merge element metadata per the consolidation registry
+    (reference elements.py:490-579)."""
+    meta: dict = {}
+    for fname, strategy in CONSOLIDATION.items():
+        values = [r.get(fname) for r in rows if r.get(fname) is not None]
+        if not values:
+            continue
+        if strategy == "FIRST":
+            meta[fname] = values[0]
+        elif strategy == "LIST_CONCATENATE":
+            acc: list = []
+            for v in values:
+                acc.extend(list(v))
+            meta[fname] = acc
+        elif strategy == "LIST_UNIQUE":
+            acc, seen = [], set()
+            for v in values:
+                for item in list(v):
+                    key = str(item)
+                    if key not in seen:
+                        seen.add(key)
+                        acc.append(item)
+            meta[fname] = acc
+        # DROP: skip
+    return meta
+
+
+def _chunk_id(doc_id: str, text: str, index: int) -> str:
+    h = hashlib.sha256(f"{doc_id}\x00{text}\x00{index}".encode()).hexdigest()
+    return h[:32]
+
+
+_TR_RE = re.compile(r"<tr[ >].*?</tr>|<tr>.*?</tr>", re.S | re.I)
+
+
+def _split_table(row: dict, opts: ChunkingOptions, doc_id: str, out: list[dict], next_index: list[int]) -> None:
+    """Table pre-chunk → one Table chunk if it fits, else TableChunk
+    splits with table_id / chunk_index (reference base.py:957-1184).
+    HTML is split on whole-row boundaries when present.
+    """
+    text = row["text"] or ""
+    html = row.get("text_as_html")
+    table_id = row.get("element_id") or _chunk_id(doc_id, text, 0)
+    if len(text) <= opts.max_characters:
+        chunk = dict(row)
+        chunk["type"] = "Table"
+        _emit(chunk, doc_id, out, next_index, orig=[row])
+        return
+    fragments = _split_oversized(text, opts.max_characters, opts.overlap)
+    html_rows = _TR_RE.findall(html) if html else []
+    for i, frag in enumerate(fragments):
+        chunk = dict(row)
+        chunk.update(
+            type="TableChunk",
+            text=frag,
+            table_id=table_id,
+            chunk_index=i,
+            is_continuation=True if i > 0 else None,
+            text_as_html=None,
+        )
+        if html_rows:
+            # distribute whole rows proportionally to text fragments
+            per = max(1, len(html_rows) // len(fragments))
+            part = html_rows[i * per : (i + 1) * per] if i < len(fragments) - 1 else html_rows[i * per :]
+            if part:
+                chunk["text_as_html"] = "<table>" + "".join(part) + "</table>"
+        _emit(chunk, doc_id, out, next_index, orig=[row])
+
+
+def _emit(chunk: dict, doc_id: str, out: list[dict], next_index: list[int], orig: list[dict]) -> None:
+    idx = next_index[0]
+    next_index[0] += 1
+    chunk["doc_id"] = doc_id
+    chunk["element_index"] = idx
+    chunk["element_id"] = _chunk_id(doc_id, chunk.get("text") or "", idx)
+    chunk["orig_element_ids"] = [
+        r["element_id"] for r in orig if r.get("element_id") is not None
+    ] or None
+    out.append(chunk)
+
+
+def _form_chunks(
+    pre_chunk: list[dict], opts: ChunkingOptions, doc_id: str, out: list[dict], next_index: list[int]
+) -> None:
+    """Pre-chunk → 1..N CompositeElements (reference base.py:702-954)."""
+    if len(pre_chunk) == 1 and pre_chunk[0]["type"] in ("Table", "TableChunk"):
+        _split_table(pre_chunk[0], opts, doc_id, out, next_index)
+        return
+    text = _SEP.join(r["text"] for r in pre_chunk if r["text"])
+    meta = _consolidate(pre_chunk)
+    fragments = (
+        _split_oversized(text, opts.max_characters, opts.overlap)
+        if len(text) > opts.max_characters
+        else [text]
+    )
+    for i, frag in enumerate(fragments):
+        chunk = {k: None for k in _OUT_COLUMNS}
+        chunk.update(meta)
+        chunk.update(
+            type="CompositeElement",
+            text=frag,
+            is_continuation=True if i > 0 else None,
+        )
+        _emit(chunk, doc_id, out, next_index, orig=pre_chunk)
+
+
+_OUT_COLUMNS = [f.name for f in ELEMENT_SCHEMA.fields]
+
+
+def _pre_chunk_fold(
+    rows: list[dict], opts: ChunkingOptions, by_title: bool
+) -> Iterator[list[dict]]:
+    """PreChunker: sequential accumulate-and-flush (base.py:428-650)."""
+    acc: list[dict] = []
+    acc_len = 0
+    prev_page = None
+    for row in rows:
+        etype = row["type"]
+        text = row["text"] or ""
+        if etype == "CheckBox" or text == "":
+            continue
+        sep_len = len(_SEP) if acc else 0
+        boundary = False
+        if etype == "Table":
+            boundary = True
+        if by_title and etype == "Title":
+            boundary = True
+        if (
+            by_title
+            and not opts.multipage_sections
+            and prev_page is not None
+            and row.get("page_number") is not None
+            and row.get("page_number") != prev_page
+        ):
+            boundary = True
+        # size flush: would exceed hard max, or soft max already reached
+        if acc_len + sep_len + len(text) > opts.max_characters:
+            boundary = True
+        if acc_len >= (opts.new_after_n_chars or opts.max_characters):
+            boundary = True
+        if boundary and acc:
+            yield acc
+            acc, acc_len = [], 0
+        if etype == "Table":
+            yield [row]  # tables always isolated (base.py:587-594)
+            prev_page = row.get("page_number", prev_page)
+            continue
+        acc.append(row)
+        acc_len += (len(_SEP) if acc_len else 0) + len(text)
+        if row.get("page_number") is not None:
+            prev_page = row.get("page_number")
+    if acc:
+        yield acc
+
+
+def _combine_pre_chunks(
+    pre_chunks: list[list[dict]], opts: ChunkingOptions
+) -> list[list[dict]]:
+    """by_title PreChunkCombiner: greedily merge adjacent small sections
+    (base.py:1734-1809); never across tables."""
+    out: list[list[dict]] = []
+    for pc in pre_chunks:
+        is_table = len(pc) == 1 and pc[0]["type"] == "Table"
+        if out and not is_table:
+            prev = out[-1]
+            prev_is_table = len(prev) == 1 and prev[0]["type"] == "Table"
+            prev_len = sum(len(r["text"] or "") for r in prev) + _sep_len(prev)
+            new_len = sum(len(r["text"] or "") for r in pc) + _sep_len(pc)
+            if (
+                not prev_is_table
+                and prev_len < (opts.combine_text_under_n_chars or 0)
+                and prev_len + len(_SEP) + new_len <= opts.max_characters
+            ):
+                prev.extend(pc)
+                continue
+        out.append(pc)
+    return out
+
+
+def _sep_len(rows: list[dict]) -> int:
+    n = sum(1 for r in rows if r["text"])
+    return len(_SEP) * max(0, n - 1)
+
+
+def _make_fold(opts: ChunkingOptions, by_title: bool):
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("element_index")
+        doc_id = str(pdf["doc_id"].iloc[0])
+        rows = pdf.to_dict("records")
+        # normalize NaN → None so length math and consolidation behave
+        for r in rows:
+            for k, v in list(r.items()):
+                if v is None or (isinstance(v, float) and pd.isna(v)):
+                    r[k] = None
+        pre_chunks = list(_pre_chunk_fold(rows, opts, by_title))
+        if by_title:
+            pre_chunks = _combine_pre_chunks(pre_chunks, opts)
+        out: list[dict] = []
+        next_index = [0]
+        for pc in pre_chunks:
+            _form_chunks(pc, opts, doc_id, out, next_index)
+        if not out:
+            return pd.DataFrame(columns=_OUT_COLUMNS)
+        res = pd.DataFrame(out)
+        for c in _OUT_COLUMNS:
+            if c not in res.columns:
+                res[c] = None
+        return res[_OUT_COLUMNS]
+
+    return fold
+
+
+def chunk_elements(df: DataFrame, **kwargs) -> DataFrame:
+    """``basic`` strategy (reference chunking/basic.py): size-only
+    boundaries + table isolation."""
+    opts = ChunkingOptions(**kwargs)
+    return df.groupBy("doc_id").applyInPandas(
+        _make_fold(opts, by_title=False), schema=ELEMENT_SCHEMA
+    )
+
+
+def chunk_by_title(df: DataFrame, **kwargs) -> DataFrame:
+    """``by_title`` strategy (reference chunking/title.py): semantic
+    boundaries on Title/page + small-section re-combine."""
+    opts = ChunkingOptions(**kwargs)
+    return df.groupBy("doc_id").applyInPandas(
+        _make_fold(opts, by_title=True), schema=ELEMENT_SCHEMA
+    )

@@ -1,0 +1,201 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Beyond-reference surface (BASELINE.json north star). Design for scale:
+
+- exact dedup     — one hash-groupBy; map-side partial agg, single
+                    shuffle on the 32-hex digest (uniform keys, no skew).
+- MinHash LSH     — shingle → k minhash signature (per-row, no shuffle)
+                    → band keys → self-join per band. The band join is
+                    the only shuffle and its key cardinality ~ #docs;
+                    banding bounds the candidate set so the join output
+                    stays near-linear instead of O(n²).
+- SimHash         — per-row bit aggregation, no shuffle; near-dup pairs
+                    by Hamming distance within LSH-style prefix buckets.
+- n-gram Jaccard  — exact verification on LSH candidates only.
+
+Hashing is md5-based (not Spark's xxhash) so results are portable
+across engines — the DuckDB oracle computes the identical signatures.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# 60-bit token hash from md5 — portable: Spark `conv(substr(md5(t),1,15),16,10)`
+# equals DuckDB `cast('0x'||substr(md5(t),1,15) as bigint)`.
+MERSENNE31 = 2147483647  # 2^31 - 1
+HASH_A = 1000003
+HASH_B = 17
+HASH_STEP = 31  # per-hash-function offset
+
+
+def token_hash(col: Column) -> Column:
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles of a whitespace-tokenized text."""
+    toks = F.split(F.trim(col), "\\s+")
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    return F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                "_", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+            ),
+        )
+    )
+
+
+def _minhash_one(shingle_arr: Column, h: int) -> Column:
+    """min over shingles of ((A * (H(s) % p) + B + STEP*h) % p)."""
+    return F.array_min(
+        F.transform(
+            shingle_arr,
+            lambda s: (
+                F.lit(HASH_A) * (token_hash(s) % F.lit(MERSENNE31))
+                + F.lit(HASH_B + HASH_STEP * h)
+            )
+            % F.lit(MERSENNE31),
+        )
+    )
+
+
+def minhash_signature(col: Column, num_hashes: int = 16, shingle_size: int = 3) -> Column:
+    """Array of ``num_hashes`` minhash values over word shingles."""
+    sh = shingles(col, shingle_size)
+    return F.array(*[_minhash_one(sh, h) for h in range(num_hashes)])
+
+
+def minhash_signatures(
+    df: DataFrame, *, text: str = "text", doc_id: str = "doc_id",
+    num_hashes: int = 16, shingle_size: int = 3,
+) -> DataFrame:
+    return df.select(
+        F.col(doc_id), minhash_signature(F.col(text), num_hashes, shingle_size).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame, *, text: str = "text", doc_id: str = "doc_id",
+    num_hashes: int = 16, bands: int = 8, shingle_size: int = 3,
+) -> DataFrame:
+    """MinHash-LSH near-dup candidates: docs sharing any band bucket.
+
+    Returns (doc_a, doc_b, est_jaccard) with doc_a < doc_b;
+    ``est_jaccard`` = fraction of matching minhash components.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(
+        df, text=text, doc_id=doc_id, num_hashes=num_hashes, shingle_size=shingle_size
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    ":",
+                    *[
+                        F.element_at("sig", b * rows_per_band + r + 1).cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                ).alias("key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sigs.select(
+        F.col(doc_id).alias("doc"), F.col("sig"), F.explode(band_structs).alias("bk")
+    ).select("doc", "sig", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.doc") < F.col("r.doc")),
+        )
+        .select(
+            F.col("l.doc").alias("doc_a"),
+            F.col("r.doc").alias("doc_b"),
+            F.col("l.sig").alias("sig_a"),
+            F.col("r.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    matches = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda a, b: a == b),
+            lambda x: x,
+        )
+    )
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        F.round(matches / F.lit(16), 6).alias("est_jaccard"),
+    ).withColumn("est_jaccard", F.col("est_jaccard"))
+
+
+def exact_duplicates(
+    df: DataFrame, *, text: str = "text", doc_id: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup groups: normalized-text md5 → (fingerprint, keep_id,
+    dup_count). ``keep_id`` = min doc id (the canonical survivor)."""
+    fp = F.md5(F.lower(F.trim(F.regexp_replace(F.col(text), "\\s+", " "))))
+    return (
+        df.select(F.col(doc_id).alias("doc"), fp.alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc").alias("keep_id"),
+            F.count("*").alias("dup_count"),
+        )
+    )
+
+
+def simhash(col: Column, bits: int = 16) -> Column:
+    """SimHash over whitespace tokens: per-bit majority vote of token
+    hashes. Returns a ``bits``-wide integer fingerprint."""
+    toks = F.array_distinct(F.split(F.trim(col), "\\s+"))
+    hashes = F.transform(toks, token_hash)
+
+    def _bit_vote(b: int):
+        # factory so the merge lambda has exactly 2 params (pyspark
+        # passes one arg per declared parameter to HOF lambdas)
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, b) % 2 == 1, F.lit(1)
+        ).otherwise(F.lit(-1))
+
+    out = F.lit(0).cast("bigint")
+    for b in range(bits):
+        vote = F.aggregate(hashes, F.lit(0).cast("bigint"), _bit_vote(b))
+        out = out + F.when(vote > 0, F.lit(2 ** b).cast("bigint")).otherwise(F.lit(0))
+    return out
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, *, text: str = "text", doc_id: str = "doc_id",
+    n: int = 3, threshold: float = 0.5,
+    num_hashes: int = 16, bands: int = 8,
+) -> DataFrame:
+    """Exact n-gram Jaccard on LSH candidates (two-phase near-dup):
+    LSH prunes to near-linear candidates, exact set intersection
+    verifies. Returns (doc_a, doc_b, jaccard) ≥ threshold."""
+    cands = lsh_candidate_pairs(
+        df, text=text, doc_id=doc_id, num_hashes=num_hashes, bands=bands, shingle_size=n
+    )
+    sh = df.select(F.col(doc_id).alias("doc"), shingles(F.col(text), n).alias("sh"))
+    joined = (
+        cands.join(sh.withColumnRenamed("doc", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
+        .join(sh.withColumnRenamed("doc", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        joined.select(
+            "doc_a", "doc_b", F.round(inter / union, 6).alias("jaccard")
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -1,0 +1,178 @@
+"""Metadata post-processing (reference ``partition/common/metadata.py``).
+
+The reference wraps every partitioner with ``@apply_metadata`` which, in
+order: detects languages, stamps provenance, assigns deterministic hash
+ids, and assigns hierarchy (metadata.py:155-281). Here each pass is a
+DataFrame transformation:
+
+- hash ids      → ``row_number`` window + ``sha2`` (native, codegen)
+- parent remap  → broadcast self-join old-id → new-id
+- hierarchy     → per-doc stack fold in ``applyInPandas`` (sequential
+                  semantics; cannot be a window function)
+- languages     → doc-level n-gram heuristic (native) joined back
+
+At 100 TB scale the windows partition by ``doc_id`` (and page), so the
+shuffle is one exchange keyed by doc — the same exchange chunking needs,
+and Spark reuses it when the operators are adjacent in the plan.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from unstructured_spark.schema import ELEMENT_COLUMNS
+
+# category ruleset for hierarchy: which categories can be parents of
+# which (reference metadata.py:36-60). Title opens a section; Headers
+# sit above everything; ListItems nest under the preceding non-list.
+_CAN_HAVE_CHILDREN = {"Title", "Header", "ListItem"}
+
+
+def widen_to_element_schema(df: DataFrame) -> DataFrame:
+    """Project to the full canonical element schema, nulling absent cols."""
+    cols = [
+        F.col(c) if c in df.columns else F.lit(None).alias(c)
+        for c in ELEMENT_COLUMNS
+    ]
+    return df.select(*cols)
+
+
+def assign_hash_ids(df: DataFrame) -> DataFrame:
+    """Deterministic element ids: sha256 of
+    filename + text + page_number + sequence-on-page, truncated to 32 hex
+    chars (reference elements.py:789-808, metadata.py:284-311).
+
+    Sequence-on-page is a ``row_number`` window per (doc, page) — stable
+    under page-parallel processing by construction.
+    """
+    w = Window.partitionBy(
+        "doc_id", F.coalesce(F.col("page_number"), F.lit(-1))
+    ).orderBy("element_index")
+    seq = F.row_number().over(w) - 1
+    fname = F.coalesce(
+        *( [F.col("filename")] if "filename" in df.columns else [] ),
+        F.col("doc_id"),
+    )
+    return df.withColumn(
+        "element_id",
+        F.substring(
+            F.sha2(
+                F.concat_ws(
+                    "",
+                    fname,
+                    F.col("text"),
+                    F.coalesce(F.col("page_number").cast("string"), F.lit("")),
+                    seq.cast("string"),
+                ),
+                256,
+            ),
+            1,
+            32,
+        ),
+    )
+
+
+def _hierarchy_fold(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Stack-based parent assignment over one document in element order
+    (reference metadata.py:99-147). Sequential by nature → grouped UDF.
+    """
+    pdf = pdf.sort_values("element_index").reset_index(drop=True)
+    stack: list[tuple[int, str, str]] = []  # (depth, element_id, type)
+    parents: list[str | None] = []
+    for _, row in pdf.iterrows():
+        etype = row["type"]
+        depth = row["category_depth"] if pd.notna(row.get("category_depth")) else 0
+        depth = int(depth)
+        # pop anything at same-or-deeper level that can't parent this row
+        while stack and (
+            stack[-1][0] >= depth
+            or (etype in ("Title", "Header") and stack[-1][2] not in ("Header",))
+        ):
+            # Titles only nest under Headers or shallower Titles
+            if etype in ("Title", "Header") and stack[-1][2] == "Title" and stack[-1][0] < depth:
+                break
+            stack.pop()
+        parents.append(stack[-1][1] if stack else None)
+        if etype in _CAN_HAVE_CHILDREN:
+            stack.append((depth, row["element_id"], etype))
+    pdf["parent_id"] = pd.array(parents, dtype="object")
+    return pdf
+
+
+def set_element_hierarchy(df: DataFrame) -> DataFrame:
+    """Assign ``parent_id`` per document (sequential stack fold)."""
+    schema = df.schema
+    if "parent_id" not in df.columns:
+        df = df.withColumn("parent_id", F.lit(None).cast("string"))
+        schema = df.schema
+    return df.groupBy("doc_id").applyInPandas(_hierarchy_fold, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# Language detection — deterministic n-gram/stopword heuristic
+# (stands in for the reference's langdetect seed=0 call,
+# common/lang.py:412-560; model-free so it runs JVM-side).
+# ---------------------------------------------------------------------------
+
+_LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "eng": ("the", "and", "of", "to", "is", "that", "for", "with"),
+    "spa": ("el", "la", "los", "las", "que", "por", "una", "para"),
+    "fra": ("le", "les", "des", "est", "une", "dans", "pour", "avec"),
+    "deu": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "ita": ("il", "che", "di", "per", "con", "una", "sono", "questo"),
+    "por": ("o", "que", "em", "um", "uma", "para", "com", "não"),
+}
+
+
+def detect_language_expr(text_col):
+    """Score stopword hits per language over a lowercase token array and
+    pick the argmax; <5 ASCII words → 'eng' fallback (reference
+    common/lang.py:412-560 behavior shape).
+    """
+    toks = F.split(F.lower(F.trim(text_col)), "\\s+")
+    scores = []
+    for lang, markers in _LANG_MARKERS.items():
+        marker_arr = F.array(*[F.lit(m) for m in markers])
+        score = F.size(F.array_intersect(toks, marker_arr))
+        scores.append(F.struct(score.alias("score"), F.lit(lang).alias("lang")))
+    best = F.array_max(F.array(*scores))
+    return F.when(F.size(toks) < 5, F.lit("eng")).otherwise(best["lang"])
+
+
+def apply_lang_metadata(df: DataFrame, per_element: bool = False) -> DataFrame:
+    """Doc-level language detection: aggregate the doc text, detect once,
+    broadcast-join back (SURVEY §2.5). Per-element mode scores each row.
+    """
+    if per_element:
+        return df.withColumn("languages", F.array(detect_language_expr(F.col("text"))))
+    doc_lang = (
+        df.groupBy("doc_id")
+        .agg(F.concat_ws(" ", F.collect_list("text")).alias("_doc_text"))
+        .select("doc_id", F.array(detect_language_expr(F.col("_doc_text"))).alias("_langs"))
+    )
+    joined = df.join(F.broadcast(doc_lang), "doc_id", "left")
+    return joined.withColumn("languages", F.col("_langs")).drop("_langs")
+
+
+def finalize_elements(
+    df: DataFrame,
+    *,
+    languages: bool = True,
+    hierarchy: bool = True,
+) -> DataFrame:
+    """The full ``apply_metadata`` pass: langs → hash ids → hierarchy →
+    widen to canonical schema (reference metadata.py:196-277 order).
+    """
+    out = df
+    if languages:
+        out = apply_lang_metadata(out)
+    out = assign_hash_ids(out)
+    out = widen_to_element_schema(out)
+    if hierarchy:
+        out = set_element_hierarchy(out)
+    return out

@@ -1,0 +1,169 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Beyond-reference surface (the reference only *produces* embeddings,
+``unstructured/embed/interfaces.py:10-39``; search is the natural
+companion operator at pipeline scale).
+
+Two paths:
+- brute-force cosine top-k — correctness baseline. The query side is
+  broadcast (queries are small by construction); the corpus scan is
+  embarrassingly parallel; per-partition top-k then global top-k via
+  ``Window.orderBy`` bounded by k. No O(n²) shuffle.
+- LSH-bucketed — sign-random-projection buckets (deterministic md5
+  hyperplanes); only vectors sharing a bucket are compared: the scale
+  path when the corpus no longer fits a broadcast-side crossjoin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0).cast("double"), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+    query_vec_col: str | None = None,
+) -> DataFrame:
+    """Brute-force cosine top-k: for each query vector, the k nearest
+    corpus vectors (excluding self-matches by id).
+
+    Returns (query_id, neighbor_id, cosine_sim, rank).
+    """
+    qid = query_id_col or id_col
+    qvec = query_vec_col or vec_col
+    q = queries.select(
+        F.col(qid).alias("query_id"), F.col(qvec).alias("_qvec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("_qvec"), F.col("_cvec")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _hyperplane(dim: int, plane: int) -> list[float]:
+    """Deterministic pseudo-random unit-free hyperplane from md5 — same
+    values are reproducible in any engine (used by tests/oracles)."""
+    import hashlib
+
+    vals = []
+    for i in range(dim):
+        h = hashlib.md5(f"plane{plane}:{i}".encode()).hexdigest()
+        vals.append((int(h[:8], 16) / 0xFFFFFFFF) * 2.0 - 1.0)
+    return vals
+
+
+def srp_bucket(vec: Column, dim: int, planes: int = 8) -> Column:
+    """Sign-random-projection bucket id: ``planes`` bits, bit p set when
+    dot(vec, hyperplane_p) > 0."""
+    out = F.lit(0)
+    for p in range(planes):
+        hp = F.array(*[F.lit(v) for v in _hyperplane(dim, p)])
+        out = out + F.when(dot(vec, hp) > 0, F.lit(2 ** p)).otherwise(F.lit(0))
+    return out
+
+
+def srp_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    dim: int,
+    planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k: compare only within matching SRP buckets. Trades
+    recall for a join keyed on bucket id instead of a full crossjoin —
+    the 100 TB path (bucket count 2^planes scales the candidate set
+    down exponentially)."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cvec"),
+        srp_bucket(F.col(vec_col), dim, planes).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qvec"),
+        srp_bucket(F.col(vec_col), dim, planes).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("_qvec"), F.col("_cvec")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    *,
+    threshold: float = 0.98,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int,
+    planes: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs via SRP blocking: pairs in the
+    same bucket with cosine ≥ threshold. Returns (id_a, id_b, cosine_sim)."""
+    b = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        srp_bucket(F.col(vec_col), dim, planes).alias("bucket"),
+    )
+    l, r = b.alias("l"), b.alias("r")
+    return (
+        l.join(r, (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.id") < F.col("r.id")))
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.round(cosine(F.col("l.vec"), F.col("r.vec")), 6).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )

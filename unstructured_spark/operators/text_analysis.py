@@ -1,0 +1,97 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Beyond-reference surface (BASELINE.json north star): language ID,
+quality scoring, token counting, document fingerprinting. All native
+column expressions — no Python per row — so the whole pass is one
+codegen stage over the documents table and scales to 100 TB by scan
+parallelism alone (no shuffle at all for the per-doc scores).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Common English stopwords used for quality scoring.
+STOPWORDS = (
+    "the a an and or of to in is are was were for with on at by from that "
+    "this it as be been has have had not but"
+).split()
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization — the baseline tokenizer."""
+    return F.split(F.trim(col), "\\s+")
+
+
+def bpe_ish_tokens(col: Column) -> Column:
+    """A BPE-ish regex tokenization: word pieces, numbers, punctuation
+    runs (approximates GPT-2's pre-tokenizer split)."""
+    return F.regexp_extract_all(
+        col, F.lit(r"('s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+)"), 1
+    )
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def char_count(col: Column) -> Column:
+    return F.length(col)
+
+
+def unique_token_ratio(col: Column) -> Column:
+    t = tokens(col)
+    return F.size(F.array_distinct(t)) / F.size(t)
+
+
+def mean_word_length(col: Column) -> Column:
+    t = tokens(col)
+    return F.aggregate(
+        t, F.lit(0).cast("double"), lambda acc, w: acc + F.length(w)
+    ) / F.size(t)
+
+
+def stopword_ratio(col: Column) -> Column:
+    t = F.transform(tokens(col), lambda w: F.lower(w))
+    sw = F.array(*[F.lit(s) for s in STOPWORDS])
+    hits = F.size(F.filter(t, lambda w: F.array_contains(sw, w)))
+    return hits / F.size(t)
+
+
+def punctuation_ratio(col: Column) -> Column:
+    return F.length(F.regexp_replace(col, "[^.,;:!?'\"()-]", "")) / F.length(col)
+
+
+def quality_score(col: Column) -> Column:
+    """Composite [0,1] quality heuristic: rewards stopword presence,
+    healthy mean word length (3-10 chars), and token diversity —
+    the standard C4/Gopher-style filters reduced to a score.
+    """
+    swr = stopword_ratio(col)
+    mwl = mean_word_length(col)
+    utr = unique_token_ratio(col)
+    mwl_ok = F.when((mwl >= 3) & (mwl <= 10), F.lit(1.0)).otherwise(F.lit(0.0))
+    swr_ok = F.least(swr * F.lit(5.0), F.lit(1.0))
+    return F.round((mwl_ok + swr_ok + utr) / F.lit(3.0), 6)
+
+
+def fingerprint(col: Column) -> Column:
+    """Deterministic document fingerprint: md5 of
+    whitespace/case-normalized text. Exact-dup key."""
+    return F.md5(F.lower(F.trim(F.regexp_replace(col, "\\s+", " "))))
+
+
+def doc_stats(df: DataFrame, text: str = "text", doc_id: str = "doc_id") -> DataFrame:
+    """Per-document stats table: the text-analysis headline operator."""
+    c = F.col(text)
+    return df.select(
+        F.col(doc_id),
+        token_count(c).alias("token_count"),
+        char_count(c).alias("char_count"),
+        F.round(unique_token_ratio(c), 6).alias("unique_token_ratio"),
+        F.round(mean_word_length(c), 6).alias("mean_word_length"),
+        F.round(stopword_ratio(c), 6).alias("stopword_ratio"),
+        quality_score(c).alias("quality_score"),
+        fingerprint(c).alias("fingerprint"),
+    )
