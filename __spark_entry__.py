@@ -409,14 +409,26 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.transform("embedding", lambda x: x.cast("double"))
     )
-    l = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    r = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    # norms once per row; the O(n²) stage is dot-product only, spread
+    # across all cores (the parquet input arrives as a single split)
+    par = spark.sparkContext.defaultParallelism
+    base = emb.select(
+        "vec_id", "embedding", similarity.l2_norm(F.col("embedding")).alias("nrm")
+    )
+    l = base.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), F.col("nrm").alias("na")
+    ).repartition(par)
+    r = base.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), F.col("nrm").alias("nb")
+    )
     return (
-        l.join(r, F.col("id_a") < F.col("id_b"))
+        l.join(F.broadcast(r), F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
             "id_b",
-            F.round(similarity.cosine(F.col("va"), F.col("vb")), 6).alias("cosine_sim"),
+            F.round(
+                similarity.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+            ).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= 0.95)
     )

@@ -35,45 +35,52 @@ def token_hash(col: Column) -> Column:
 
 
 def shingles(col: Column, n: int = 3) -> Column:
-    """Distinct n-word shingles of a whitespace-tokenized text."""
+    """Distinct n-word shingles of a whitespace-tokenized text.
+    Texts shorter than ``n`` words yield an empty array (the sequence
+    guard matters: Spark's ``sequence(0, -k)`` counts DOWN)."""
     toks = F.split(F.trim(col), "\\s+")
     idx = F.sequence(F.lit(0), F.size(toks) - n)
-    return F.array_distinct(
+    return F.when(F.size(toks) >= n, F.array_distinct(
         F.transform(
             idx,
             lambda i: F.concat_ws(
                 "_", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
             ),
         )
-    )
-
-
-def _minhash_one(shingle_arr: Column, h: int) -> Column:
-    """min over shingles of ((A * (H(s) % p) + B + STEP*h) % p)."""
-    return F.array_min(
-        F.transform(
-            shingle_arr,
-            lambda s: (
-                F.lit(HASH_A) * (token_hash(s) % F.lit(MERSENNE31))
-                + F.lit(HASH_B + HASH_STEP * h)
-            )
-            % F.lit(MERSENNE31),
-        )
-    )
-
-
-def minhash_signature(col: Column, num_hashes: int = 16, shingle_size: int = 3) -> Column:
-    """Array of ``num_hashes`` minhash values over word shingles."""
-    sh = shingles(col, shingle_size)
-    return F.array(*[_minhash_one(sh, h) for h in range(num_hashes)])
+    )).otherwise(F.array().cast("array<string>"))
 
 
 def minhash_signatures(
     df: DataFrame, *, text: str = "text", doc_id: str = "doc_id",
     num_hashes: int = 16, shingle_size: int = 3,
 ) -> DataFrame:
-    return df.select(
-        F.col(doc_id), minhash_signature(F.col(text), num_hashes, shingle_size).alias("sig")
+    """MinHash signatures via explode → hash-once → k ``min`` aggregates.
+
+    Scale design: the naive formulation (k × array_min(transform(...)))
+    recomputes the md5 per shingle k times inside one expression tree;
+    this one hashes each shingle exactly once, then computes the k
+    permuted mins in a single hash-aggregate with map-side partial
+    aggregation — one shuffle keyed by doc_id, rows ≈ Σ|shingles|.
+    (min over the shingle multiset == min over the set, so no distinct
+    is needed.)
+    """
+    spark_parallelism = df.sparkSession.sparkContext.defaultParallelism
+    # small-file inputs arrive as 1 split; spread the hash fan-out
+    base = df.repartition(spark_parallelism) if df.rdd.getNumPartitions() < spark_parallelism else df
+    ex = base.select(
+        F.col(doc_id),
+        F.explode(shingles(F.col(text), shingle_size)).alias("_s"),
+    ).select(F.col(doc_id), (token_hash(F.col("_s")) % F.lit(MERSENNE31)).alias("_h"))
+    aggs = [
+        F.min(
+            (F.lit(HASH_A) * F.col("_h") + F.lit(HASH_B + HASH_STEP * h)) % F.lit(MERSENNE31)
+        ).alias(f"_mh{h}")
+        for h in range(num_hashes)
+    ]
+    return (
+        ex.groupBy(doc_id)
+        .agg(*aggs)
+        .select(F.col(doc_id), F.array(*[f"_mh{h}" for h in range(num_hashes)]).alias("sig"))
     )
 
 
@@ -186,7 +193,12 @@ def ngram_jaccard_pairs(
     cands = lsh_candidate_pairs(
         df, text=text, doc_id=doc_id, num_hashes=num_hashes, bands=bands, shingle_size=n
     )
-    sh = df.select(F.col(doc_id).alias("doc"), shingles(F.col(text), n).alias("sh"))
+    # build shingle arrays in parallel (small parquet inputs arrive as
+    # one split; the array build is the CPU hot spot, so spread it),
+    # then ordinary shuffle joins — the arrays stay distributed.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    base = df.repartition(par) if df.rdd.getNumPartitions() < par else df
+    sh = base.select(F.col(doc_id).alias("doc"), shingles(F.col(text), n).alias("sh"))
     joined = (
         cands.join(sh.withColumnRenamed("doc", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
         .join(sh.withColumnRenamed("doc", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")

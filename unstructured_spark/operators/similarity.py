@@ -56,19 +56,30 @@ def cosine_topk(
     """
     qid = query_id_col or id_col
     qvec = query_vec_col or vec_col
+    # norms computed once per row BEFORE the pair join — the join stage
+    # then does only the dot product (the O(n·q) hot loop)
     q = queries.select(
-        F.col(qid).alias("query_id"), F.col(qvec).alias("_qvec")
+        F.col(qid).alias("query_id"),
+        F.col(qvec).alias("_qvec"),
+        l2_norm(F.col(qvec)).alias("_qn"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cvec"),
+        l2_norm(F.col(vec_col)).alias("_cn"),
     )
+    spark_parallelism = corpus.sparkSession.sparkContext.defaultParallelism
+    if c.rdd.getNumPartitions() < spark_parallelism:
+        c = c.repartition(spark_parallelism)
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("_qvec"), F.col("_cvec")), 6).alias("cosine_sim"),
+            F.round(
+                dot(F.col("_qvec"), F.col("_cvec")) / (F.col("_qn") * F.col("_cn")), 6
+            ).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
