@@ -1,0 +1,186 @@
+"""Chunking semantics tests (reference contract from
+chunking/base.py + title.py; SURVEY §2.4)."""
+
+import pandas as pd
+import pytest
+
+from unstructured_spark.operators.chunking import (
+    ChunkingOptions,
+    _make_fold,
+    _split_oversized,
+    chunk_by_title,
+    chunk_elements,
+)
+
+
+def _elements(*rows):
+    """rows: (type, text[, page_number])"""
+    out = []
+    for i, r in enumerate(rows):
+        t, text = r[0], r[1]
+        page = r[2] if len(r) > 2 else None
+        out.append(
+            {
+                "doc_id": "d1",
+                "element_index": i,
+                "element_id": f"e{i}",
+                "type": t,
+                "text": text,
+                "page_number": page,
+            }
+        )
+    return out
+
+
+def _run_fold(rows, by_title=False, **kwargs):
+    opts = ChunkingOptions(**kwargs)
+    fold = _make_fold(opts, by_title=by_title)
+    pdf = pd.DataFrame(rows)
+    return fold(pdf).to_dict("records")
+
+
+class TestSplitOversized:
+    def test_splits_at_space(self):
+        frags = _split_oversized("aaa bbb ccc ddd", 7, 0)
+        assert frags == ["aaa bbb", "ccc ddd"]
+
+    def test_hard_cut_no_separator(self):
+        frags = _split_oversized("a" * 25, 10, 0)
+        assert frags == ["a" * 10, "a" * 10, "a" * 5]
+
+    def test_overlap(self):
+        frags = _split_oversized("aaa bbb ccc ddd eee", 9, 3)
+        assert all(len(f) <= 9 for f in frags)
+        assert frags[1].startswith("bbb ")  # tail of previous fragment
+
+
+class TestBasicChunking:
+    def test_packs_to_max(self):
+        rows = _elements(
+            ("NarrativeText", "one two three"),
+            ("NarrativeText", "four five six"),
+            ("NarrativeText", "seven eight nine"),
+        )
+        chunks = _run_fold(rows, max_characters=500)
+        assert len(chunks) == 1
+        assert chunks[0]["type"] == "CompositeElement"
+        assert chunks[0]["text"] == "one two three\n\nfour five six\n\nseven eight nine"
+
+    def test_respects_hard_max(self):
+        rows = _elements(
+            ("NarrativeText", "x" * 40),
+            ("NarrativeText", "y" * 40),
+        )
+        chunks = _run_fold(rows, max_characters=50)
+        assert len(chunks) == 2
+
+    def test_table_isolated(self):
+        rows = _elements(
+            ("NarrativeText", "before"),
+            ("Table", "a b c"),
+            ("NarrativeText", "after"),
+        )
+        chunks = _run_fold(rows, max_characters=500)
+        types = [c["type"] for c in chunks]
+        assert types == ["CompositeElement", "Table", "CompositeElement"]
+
+    def test_oversized_split_with_continuation(self):
+        rows = _elements(("NarrativeText", "word " * 30))
+        chunks = _run_fold(rows, max_characters=60)
+        assert len(chunks) > 1
+        assert chunks[0]["is_continuation"] is None
+        assert all(c["is_continuation"] for c in chunks[1:])
+
+    def test_checkbox_dropped_and_empty_skipped(self):
+        rows = _elements(("CheckBox", "x"), ("NarrativeText", ""), ("Title", "Hi"))
+        chunks = _run_fold(rows)
+        assert len(chunks) == 1 and chunks[0]["text"] == "Hi"
+
+    def test_orig_element_ids(self):
+        rows = _elements(("NarrativeText", "a"), ("NarrativeText", "b"))
+        chunks = _run_fold(rows)
+        assert chunks[0]["orig_element_ids"] == ["e0", "e1"]
+
+
+class TestByTitle:
+    def test_title_starts_new_chunk(self):
+        rows = _elements(
+            ("Title", "Section One"),
+            ("NarrativeText", "body one"),
+            ("Title", "Section Two"),
+            ("NarrativeText", "body two"),
+        )
+        chunks = _run_fold(rows, by_title=True, combine_text_under_n_chars=0)
+        assert len(chunks) == 2
+        assert chunks[0]["text"] == "Section One\n\nbody one"
+        assert chunks[1]["text"] == "Section Two\n\nbody two"
+
+    def test_combine_small_sections(self):
+        rows = _elements(
+            ("Title", "A"),
+            ("NarrativeText", "aa"),
+            ("Title", "B"),
+            ("NarrativeText", "bb"),
+        )
+        chunks = _run_fold(rows, by_title=True, combine_text_under_n_chars=500)
+        assert len(chunks) == 1
+        assert chunks[0]["text"] == "A\n\naa\n\nB\n\nbb"
+
+    def test_page_break_multipage_false(self):
+        rows = _elements(
+            ("NarrativeText", "page one text", 1),
+            ("NarrativeText", "page two text", 2),
+        )
+        chunks = _run_fold(
+            rows, by_title=True, multipage_sections=False, combine_text_under_n_chars=0
+        )
+        assert len(chunks) == 2
+
+    def test_multipage_true_keeps_section(self):
+        rows = _elements(
+            ("NarrativeText", "page one text", 1),
+            ("NarrativeText", "page two text", 2),
+        )
+        chunks = _run_fold(rows, by_title=True, multipage_sections=True)
+        assert len(chunks) == 1
+
+
+class TestTableChunking:
+    def test_oversized_table_becomes_table_chunks(self):
+        html = "<table>" + "".join(
+            f"<tr><td>row {i} cell text</td></tr>" for i in range(10)
+        ) + "</table>"
+        rows = _elements(("Table", "row cell text " * 30))
+        rows[0]["text_as_html"] = html
+        chunks = _run_fold(rows, max_characters=100)
+        assert all(c["type"] == "TableChunk" for c in chunks)
+        assert len({c["table_id"] for c in chunks}) == 1
+        assert [c["chunk_index"] for c in chunks] == list(range(len(chunks)))
+        assert chunks[1]["is_continuation"] is True
+
+
+class TestSparkChunking:
+    @pytest.fixture()
+    def element_df(self, spark):
+        from unstructured_spark.operators.metadata import widen_to_element_schema
+
+        rows = _elements(
+            ("Title", "Intro"),
+            ("NarrativeText", "Some text about things."),
+            ("Title", "Methods"),
+            ("NarrativeText", "More text with detail."),
+        )
+        df = spark.createDataFrame(pd.DataFrame(rows))
+        return widen_to_element_schema(df)
+
+    def test_chunk_by_title_spark(self, spark, element_df):
+        out = chunk_by_title(element_df, combine_text_under_n_chars=0).collect()
+        assert len(out) == 2
+        assert out[0]["type"] == "CompositeElement"
+        texts = sorted(r["text"] for r in out)
+        assert texts[0].startswith("Intro")
+
+    def test_chunk_elements_spark(self, spark, element_df):
+        out = chunk_elements(element_df).collect()
+        assert len(out) == 1
+        assert out[0]["text"].count("\n\n") == 3

@@ -1,0 +1,198 @@
+"""Parser-layer unit tests (pure Python, no Spark) — reference test
+style: partition a fixture, assert element type sequence + texts."""
+
+from tests import fixtures
+from unstructured_spark.parsers import classify
+from unstructured_spark.parsers.csv_parser import csv_to_elements
+from unstructured_spark.parsers.dispatch import partition_bytes
+from unstructured_spark.parsers.email_parser import email_to_elements
+from unstructured_spark.parsers.filetype import detect_filetype
+from unstructured_spark.parsers.html_parser import html_to_elements
+from unstructured_spark.parsers.md_parser import md_to_elements
+from unstructured_spark.parsers.text_parser import text_to_elements
+
+
+class TestClassify:
+    def test_bullets(self):
+        assert classify.element_type_from_text("• A bullet") == "ListItem"
+
+    def test_email(self):
+        assert classify.element_type_from_text("user@example.com") == "EmailAddress"
+
+    def test_numbered(self):
+        assert classify.element_type_from_text("1. First item") == "ListItem"
+
+    def test_narrative(self):
+        t = "This is a story that was told. It has multiple sentences in it."
+        assert classify.element_type_from_text(t) == "NarrativeText"
+
+    def test_title(self):
+        assert classify.element_type_from_text("Introduction") == "Title"
+
+    def test_numeric_is_text(self):
+        assert classify.element_type_from_text("$5,000.00") == "Text"
+
+    def test_address(self):
+        assert classify.element_type_from_text("Austin, TX 78701") == "Address"
+
+
+class TestText:
+    def test_fake_text_sequence(self):
+        els = text_to_elements(fixtures.FAKE_TEXT, paragraph_grouper="auto")
+        types = [e["type"] for e in els]
+        assert types[0] == "Title"  # About the author
+        assert "NarrativeText" in types
+        assert types.count("ListItem") == 4  # 2 bullets + 2 numbered
+        texts = [e["text"] for e in els]
+        assert any("Eisenhower" in t for t in texts)
+
+    def test_empty(self):
+        assert text_to_elements(fixtures.EMPTY_TEXT) == []
+
+    def test_group_broken_paragraphs(self):
+        els = text_to_elements(
+            "line one\nline two\n\nnext para", paragraph_grouper="group_broken"
+        )
+        assert [e["text"] for e in els] == ["line one line two", "next para"]
+
+
+class TestHtml:
+    def test_fake_html(self):
+        els = html_to_elements(fixtures.FAKE_HTML)
+        types = [e["type"] for e in els]
+        assert types[0] == "Header"
+        assert "Title" in types
+        h1 = next(e for e in els if e["text"] == "Annual Report")
+        assert h1["type"] == "Title" and h1["category_depth"] == 0
+        h2 = next(e for e in els if e["text"] == "Financials")
+        assert h2["category_depth"] == 1
+        assert types.count("ListItem") == 2
+        table = next(e for e in els if e["type"] == "Table")
+        assert "<table>" in table["text_as_html"]
+        assert "Q1" in table["text"]
+        code = next(e for e in els if e["type"] == "CodeSnippet")
+        assert "def f():" in code["text"]
+        assert any(e["type"] == "Image" for e in els)
+        assert any(e["type"] == "FigureCaption" for e in els)
+        assert types[-1] == "Footer"
+
+    def test_emphasis_and_links(self):
+        els = html_to_elements(fixtures.FAKE_HTML)
+        bold = next(e for e in els if "bold statement" in e.get("text", ""))
+        assert bold["emphasized_text_contents"] == ["bold statement"]
+        assert bold["emphasized_text_tags"] == ["b"]
+        linked = next(e for e in els if e.get("links"))
+        assert linked["links"][0]["url"] == "https://example.com/details"
+        assert linked["links"][0]["text"] == "the details"
+
+    def test_script_style_skipped(self):
+        els = html_to_elements("<style>p{}</style><script>var x=1</script><p>Real text here it is.</p>")
+        assert len(els) == 1
+        assert "Real text" in els[0]["text"]
+
+
+class TestCsv:
+    def test_single_table(self):
+        els = csv_to_elements(fixtures.FAKE_CSV)
+        assert len(els) == 1
+        el = els[0]
+        assert el["type"] == "Table"
+        assert "Smith, John" in el["text"]
+        assert el["text_as_html"].count("<tr>") == 3
+
+    def test_semicolon_sniff(self):
+        els = csv_to_elements("a;b;c\n1;2;3\n4;5;6\n")
+        assert "<td>a</td><td>b</td><td>c</td>" in els[0]["text_as_html"]
+
+    def test_empty(self):
+        assert csv_to_elements("") == []
+
+
+class TestMd:
+    def test_fake_md(self):
+        els = md_to_elements(fixtures.FAKE_MD)
+        types = [e["type"] for e in els]
+        assert types[0] == "Title"
+        assert els[0]["category_depth"] == 0
+        sub = next(e for e in els if e["text"] == "Subheading")
+        assert sub["category_depth"] == 1
+        assert types.count("ListItem") == 2
+        code = next(e for e in els if e["type"] == "CodeSnippet")
+        assert 'print("hello")' in code["text"]
+        table = next(e for e in els if e["type"] == "Table")
+        assert "<td>1</td><td>2</td>" in table["text_as_html"]
+
+
+class TestEmail:
+    def test_headers_and_body(self):
+        els = email_to_elements(fixtures.FAKE_EMAIL.encode())
+        assert els, "no elements"
+        body = [e for e in els if e.get("filename") is None]
+        assert all(e["subject"] == "Test email" for e in body)
+        assert all(e["sent_from"] == ["sender@example.com"] for e in body)
+        assert body[0]["sent_to"] == [
+            "recipient@example.com",
+            "other@example.com",
+        ]
+        assert any("body of the email" in e["text"] for e in body)
+
+    def test_attachment_partitioned(self):
+        els = email_to_elements(fixtures.FAKE_EMAIL.encode())
+        att = [e for e in els if e.get("filename") == "notes.txt"]
+        assert att and "Attachment paragraph" in att[0]["text"]
+
+
+class TestFiletype:
+    def test_extension(self):
+        assert detect_filetype(filename="a/b/report.html") == "html"
+        assert detect_filetype(filename="data.csv") == "csv"
+
+    def test_content_type_wins(self):
+        assert detect_filetype(filename="x.bin", content_type="text/html") == "html"
+
+    def test_magic_pdf(self):
+        assert detect_filetype(head=b"%PDF-1.7 ...") == "pdf"
+
+    def test_zip_disambiguation(self):
+        assert (
+            detect_filetype(filename="r.docx", head=b"PK\x03\x04word/document.xml")
+            == "docx"
+        )
+
+    def test_html_sniff(self):
+        assert detect_filetype(head=b"<!doctype html><html>") == "html"
+
+    def test_fallback_txt(self):
+        assert detect_filetype(head=b"just some words") == "txt"
+
+
+class TestDispatch:
+    def test_routes_all_text_formats(self):
+        assert partition_bytes(fixtures.FAKE_HTML.encode(), filename="a.html")
+        assert partition_bytes(fixtures.FAKE_MD.encode(), filename="a.md")
+        assert partition_bytes(fixtures.FAKE_CSV.encode(), filename="a.csv")
+        assert partition_bytes(fixtures.FAKE_TEXT.encode(), filename="a.txt")
+        assert partition_bytes(fixtures.FAKE_EMAIL.encode(), filename="a.eml")
+
+    def test_filetype_metadata_stamped(self):
+        els = partition_bytes(fixtures.FAKE_HTML.encode(), filename="dir/a.html")
+        assert els[0]["filetype"] == "text/html"
+        assert els[0]["filename"] == "a.html"
+        assert els[0]["file_directory"] == "dir"
+
+    def test_unsupported_raises(self):
+        import pytest
+
+        from unstructured_spark.parsers.dispatch import UnsupportedFormatError
+
+        with pytest.raises(UnsupportedFormatError):
+            partition_bytes(b"%PDF-1.5 stuff", filename="a.pdf")
+
+    def test_json_reingest(self):
+        els = partition_bytes(
+            b'[{"type": "Title", "text": "Hello", "element_id": "abc", '
+            b'"metadata": {"page_number": 2}}]',
+            filename="out.json",
+        )
+        assert els[0]["type"] == "Title"
+        assert els[0]["page_number"] == 2

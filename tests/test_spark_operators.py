@@ -1,0 +1,181 @@
+"""End-to-end Spark operator tests: partition pipeline, native
+partition_text, cleaners/classifier parity, serde round-trip."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tests import fixtures
+from unstructured_spark.functions import cleaners, text_type
+from unstructured_spark.operators.partition_auto import partition_documents
+from unstructured_spark.operators.partition_text import partition_text
+from unstructured_spark.operators.serde import (
+    elements_to_markdown,
+    filter_element_types,
+    read_elements_json,
+    write_elements_json,
+)
+from unstructured_spark.parsers import classify
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    rows = [
+        ("doc-text", "a.txt", fixtures.FAKE_TEXT.encode(), None),
+        ("doc-html", "b.html", fixtures.FAKE_HTML.encode(), None),
+        ("doc-csv", "c.csv", fixtures.FAKE_CSV.encode(), None),
+        ("doc-md", "d.md", fixtures.FAKE_MD.encode(), None),
+        ("doc-eml", "e.eml", fixtures.FAKE_EMAIL.encode(), "message/rfc822"),
+        ("doc-empty", "f.txt", b"", None),
+        ("doc-pdf", "g.pdf", b"%PDF-1.7 unparseable", None),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id string, path string, content binary, content_type string"
+    )
+
+
+@pytest.fixture(scope="module")
+def elements(spark, docs_df):
+    return partition_documents(docs_df).collect()
+
+
+class TestPartitionDocuments:
+    def test_all_supported_docs_partitioned(self, elements):
+        doc_ids = {r["doc_id"] for r in elements}
+        assert doc_ids == {"doc-text", "doc-html", "doc-csv", "doc-md", "doc-eml"}
+
+    def test_unsupported_skipped_not_failed(self, elements):
+        assert not any(r["doc_id"] == "doc-pdf" for r in elements)
+
+    def test_element_order_dense(self, elements):
+        html_els = sorted(
+            (r for r in elements if r["doc_id"] == "doc-html"),
+            key=lambda r: r["element_index"],
+        )
+        assert [r["element_index"] for r in html_els] == list(range(len(html_els)))
+        assert html_els[0]["type"] == "Header"
+
+    def test_hash_ids_deterministic(self, spark, docs_df, elements):
+        again = partition_documents(docs_df).collect()
+        ids1 = sorted(r["element_id"] for r in elements)
+        ids2 = sorted(r["element_id"] for r in again)
+        assert ids1 == ids2
+        assert all(len(i) == 32 for i in ids1)
+
+    def test_csv_single_table(self, elements):
+        csv_els = [r for r in elements if r["doc_id"] == "doc-csv"]
+        assert len(csv_els) == 1
+        assert csv_els[0]["type"] == "Table"
+        assert "<table>" in csv_els[0]["text_as_html"]
+
+    def test_email_metadata(self, elements):
+        eml = [r for r in elements if r["doc_id"] == "doc-eml"]
+        assert any(r["subject"] == "Test email" for r in eml)
+        assert any(r["filename"] == "notes.txt" for r in eml)
+
+    def test_languages_stamped(self, elements):
+        txt = [r for r in elements if r["doc_id"] == "doc-text"]
+        assert all(r["languages"] == ["eng"] for r in txt)
+
+    def test_hierarchy_parent_under_title(self, elements):
+        html_els = sorted(
+            (r for r in elements if r["doc_id"] == "doc-html"),
+            key=lambda r: r["element_index"],
+        )
+        h1 = next(r for r in html_els if r["text"] == "Annual Report")
+        body = next(r for r in html_els if "bold statement" in r["text"])
+        assert body["parent_id"] == h1["element_id"]
+
+
+class TestNativePartitionText:
+    def test_matches_python_parser_types(self, spark):
+        df = spark.createDataFrame(
+            [("d1", fixtures.FAKE_TEXT)], "doc_id string, text string"
+        )
+        out = (
+            partition_text(df, apply_metadata=False)
+            .orderBy("element_index")
+            .select("type", "text")
+            .collect()
+        )
+        # the native CASE WHEN classifier and the Python mirror agree
+        for row in out:
+            assert classify.element_type_from_text(row["text"]) == row["type"]
+
+
+class TestClassifierParity:
+    CASES = [
+        "• A bullet",
+        "Introduction",
+        "user@example.com",
+        "Austin, TX 78701",
+        "1. First item",
+        "This is a story that was told. It has lots of sentences inside it.",
+        "$5,000.00",
+        "THIS IS ALL CAPS TEXT THAT GOES ON",
+        "word salad spark table join filter",
+        "Ends with a comma,",
+    ]
+
+    def test_spark_vs_python(self, spark):
+        df = spark.createDataFrame([(t,) for t in self.CASES], "text string")
+        out = df.select(
+            "text", text_type.element_type_from_text(F.col("text")).alias("t")
+        ).collect()
+        for row in out:
+            assert classify.element_type_from_text(row["text"]) == row["t"], row["text"]
+
+
+class TestCleaners:
+    def test_clean_composed(self, spark):
+        df = spark.createDataFrame([("•  Some  TEXT:  ",)], "text string")
+        out = df.select(
+            cleaners.clean(
+                F.col("text"),
+                extra_whitespace=True,
+                bullets=True,
+                trailing_punctuation=True,
+                lowercase=True,
+            ).alias("c")
+        ).collect()[0]["c"]
+        assert out == "some text"
+
+    def test_ligatures_and_quotes(self, spark):
+        df = spark.createDataFrame([("ﬁnancial \x93quote\x94",)], "text string")
+        out = df.select(
+            cleaners.replace_unicode_quotes(
+                cleaners.clean_ligatures(F.col("text"))
+            ).alias("c")
+        ).collect()[0]["c"]
+        assert out == "financial “quote”"
+
+    def test_group_broken_paragraphs(self, spark):
+        df = spark.createDataFrame([("one\ntwo\n\nthree",)], "text string")
+        out = df.select(
+            cleaners.group_broken_paragraphs(F.col("text")).alias("c")
+        ).collect()[0]["c"]
+        assert out == "one two\n\nthree"
+
+
+class TestSerde:
+    def test_json_round_trip(self, spark, docs_df, tmp_path):
+        els = partition_documents(docs_df.filter(F.col("doc_id") == "doc-html"))
+        path = str(tmp_path / "els")
+        write_elements_json(els, path)
+        back = read_elements_json(spark, path)
+        orig = els.orderBy("element_index").select("type", "text").collect()
+        rt = back.orderBy("element_index").select("type", "text").collect()
+        assert sorted((r["type"], r["text"]) for r in rt) == sorted(
+            (r["type"], r["text"]) for r in orig
+        )
+
+    def test_filter_element_types(self, spark, docs_df):
+        els = partition_documents(docs_df)
+        only_titles = filter_element_types(els, include=["Title"])
+        assert {r["type"] for r in only_titles.collect()} == {"Title"}
+
+    def test_markdown_render(self, spark, docs_df):
+        els = partition_documents(docs_df.filter(F.col("doc_id") == "doc-md"))
+        md = elements_to_markdown(els).collect()[0]["markdown"]
+        assert md.startswith("# Heading One")
+        assert "- bullet one" in md

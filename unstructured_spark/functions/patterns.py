@@ -49,10 +49,12 @@ EMAIL_ADDRESS = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
 
 US_PHONE = r"(\+?1[-. ]?)?(\(?\d{3}\)?[-. ]?)?\d{3}[-. ]?\d{4}"
 
+# linear-time form (no nested quantifiers — the naive ((\w+\s?)+,)+
+# shape backtracks exponentially on long non-matching text)
 US_CITY_STATE_ZIP = (
-    r"((\w+\s?)+,\s?)+(A[LKSZRAP]|C[AOT]|D[EC]|F[LM]|G[AU]|HI|I[ADLN]|K[SY]|LA|"
-    r"M[ADEHINOPST]|N[CDEHJMVY]|O[HKR]|P[ARW]|RI|S[CD]|T[NX]|UT|V[AIT]|W[AIVY])"
-    r"(,|\s)+\d{5}(-\d{4})?"
+    r"[A-Za-z][A-Za-z .'-]{0,80},\s?(A[LKSZRAP]|C[AOT]|D[EC]|F[LM]|G[AU]|HI|"
+    r"I[ADLN]|K[SY]|LA|M[ADEHINOPST]|N[CDEHJMVY]|O[HKR]|P[ARW]|RI|S[CD]|"
+    r"T[NX]|UT|V[AIT]|W[AIVY])[,\s]+\d{5}(-\d{4})?"
 )
 
 PARAGRAPH_SPLIT = r"\n\s*\n"  # blank-line paragraph boundary (partition/text.py)

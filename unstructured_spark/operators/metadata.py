@@ -27,10 +27,23 @@ from pyspark.sql.window import Window
 
 from unstructured_spark.schema import ELEMENT_COLUMNS
 
-# category ruleset for hierarchy: which categories can be parents of
-# which (reference metadata.py:36-60). Title opens a section; Headers
-# sit above everything; ListItems nest under the preceding non-list.
-_CAN_HAVE_CHILDREN = {"Title", "Header", "ListItem"}
+# category ruleset for hierarchy (reference metadata.py:36-60): maps a
+# parent category to the child categories it may adopt. The ruleset
+# trumps category_depth — depth only breaks ties within a category.
+_CHILD_CATEGORIES = (
+    "Text",
+    "UncategorizedText",
+    "NarrativeText",
+    "ListItem",
+    "BulletedText",
+    "Table",
+    "FigureCaption",
+    "CheckBox",
+)
+_HIERARCHY_RULESET: dict[str, tuple[str, ...]] = {
+    "Title": _CHILD_CATEGORIES,
+    "Header": ("Title",) + _CHILD_CATEGORIES,
+}
 
 
 def widen_to_element_schema(df: DataFrame) -> DataFrame:
@@ -82,24 +95,30 @@ def _hierarchy_fold(pdf: pd.DataFrame) -> pd.DataFrame:
     (reference metadata.py:99-147). Sequential by nature → grouped UDF.
     """
     pdf = pdf.sort_values("element_index").reset_index(drop=True)
-    stack: list[tuple[int, str, str]] = []  # (depth, element_id, type)
+    stack: list[tuple[str, int, str]] = []  # (category, depth, element_id)
     parents: list[str | None] = []
-    for _, row in pdf.iterrows():
-        etype = row["type"]
-        depth = row["category_depth"] if pd.notna(row.get("category_depth")) else 0
-        depth = int(depth)
-        # pop anything at same-or-deeper level that can't parent this row
-        while stack and (
-            stack[-1][0] >= depth
-            or (etype in ("Title", "Header") and stack[-1][2] not in ("Header",))
-        ):
-            # Titles only nest under Headers or shallower Titles
-            if etype in ("Title", "Header") and stack[-1][2] == "Title" and stack[-1][0] < depth:
+    for row in pdf.itertuples(index=False):
+        etype = row.type
+        pre_assigned = getattr(row, "parent_id", None)
+        if pre_assigned is not None and not pd.isna(pre_assigned):
+            parents.append(pre_assigned)
+            continue
+        depth = row.category_depth
+        depth = int(depth) if pd.notna(depth) else 0
+        parent: str | None = None
+        # walk down the stack of preceding elements until one qualifies as
+        # a parent: same category at strictly shallower depth, or a
+        # different category whose ruleset admits this one
+        while stack:
+            top_cat, top_depth, top_id = stack[-1]
+            if (top_cat == etype and top_depth < depth) or (
+                top_cat != etype and etype in _HIERARCHY_RULESET.get(top_cat, ())
+            ):
+                parent = top_id
                 break
             stack.pop()
-        parents.append(stack[-1][1] if stack else None)
-        if etype in _CAN_HAVE_CHILDREN:
-            stack.append((depth, row["element_id"], etype))
+        parents.append(parent)
+        stack.append((etype, depth, row.element_id))
     pdf["parent_id"] = pd.array(parents, dtype="object")
     return pdf
 

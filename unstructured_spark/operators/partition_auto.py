@@ -1,0 +1,96 @@
+"""partition() — the auto-routing document partitioner as a Spark
+operator (reference ``partition/auto.py:30-300``; SURVEY §3.1).
+
+Lifecycle: documents DF (doc_id, path, content, content_type) →
+``mapInPandas`` [detect filetype → per-format parse → ordered element
+rows] → metadata finalization (hash ids, languages, hierarchy).
+
+Scale design (SURVEY §4):
+- one input row → N output rows entirely executor-side; no shuffle in
+  the parse stage. Parallelism = input splits; for few-large-docs skew,
+  ``repartition(n)`` the documents DF first (cheap: rows are (path,
+  bytes)).
+- detection reads only the head bytes; parsers are lazily imported per
+  executor process (the reference's partitioner cache trick).
+- at 100 TB, content should be paths into object storage with
+  executor-side opens — pass ``content_col=None`` and a ``path_col``;
+  inlined bytes are capped by spark.sql.sources.binaryFile.maxLength.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from unstructured_spark.operators.metadata import finalize_elements
+from unstructured_spark.schema import ELEMENT_SCHEMA
+
+_OUT_COLUMNS = [f.name for f in ELEMENT_SCHEMA.fields]
+
+
+def partition_documents(
+    df: DataFrame,
+    *,
+    doc_id: str = "doc_id",
+    content: str = "content",
+    path: str | None = "path",
+    content_type: str | None = "content_type",
+    on_error: str = "skip",  # 'skip' | 'fail'
+    apply_metadata: bool = True,
+) -> DataFrame:
+    """Partition a documents DataFrame into the canonical element schema."""
+    cols = [doc_id, content]
+    if path and path in df.columns:
+        cols.append(path)
+    if content_type and content_type in df.columns:
+        cols.append(content_type)
+    narrowed = df.select(*cols)
+    path_col = path if path in narrowed.columns else None
+    ct_col = content_type if content_type in narrowed.columns else None
+
+    def parse_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # executor-side import keeps parser modules out of the driver path
+        from unstructured_spark.parsers.dispatch import (
+            UnsupportedFormatError,
+            partition_bytes,
+        )
+
+        for pdf in batches:
+            rows: list[dict] = []
+            for rec in pdf.itertuples(index=False):
+                rec_d = rec._asdict()
+                raw = rec_d[content]
+                fname = rec_d.get(path_col) if path_col else None
+                ctype = rec_d.get(ct_col) if ct_col else None
+                try:
+                    els = partition_bytes(
+                        raw, filename=fname, content_type=ctype
+                    )
+                except UnsupportedFormatError:
+                    if on_error == "fail":
+                        raise
+                    continue
+                except Exception:
+                    if on_error == "fail":
+                        raise
+                    continue
+                for idx, el in enumerate(els):
+                    row = {c: None for c in _OUT_COLUMNS}
+                    row.update(
+                        {k: v for k, v in el.items() if k in row}
+                    )
+                    row["doc_id"] = str(rec_d[doc_id])
+                    row["element_index"] = idx
+                    row["text"] = el.get("text", "")
+                    row["type"] = el.get("type", "Text")
+                    rows.append(row)
+            yield (
+                pd.DataFrame(rows, columns=_OUT_COLUMNS)
+                if rows
+                else pd.DataFrame(columns=_OUT_COLUMNS)
+            )
+
+    elements = narrowed.mapInPandas(parse_batches, schema=ELEMENT_SCHEMA)
+    return finalize_elements(elements) if apply_metadata else elements

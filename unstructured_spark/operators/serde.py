@@ -1,0 +1,157 @@
+"""Serde / staging — element-table writers, re-ingest, filters, and
+render functions (reference ``staging/base.py``; SURVEY §2.8).
+
+Writers are native (``df.write.json/parquet/csv``) — Spark handles
+partitioned output, compression, and atomic commits. The element→dict
+shaping matches the reference's serialized form: sparse metadata under
+a ``metadata`` key, ``type``/``element_id``/``text`` at the top level.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from unstructured_spark.schema import ELEMENT_SCHEMA
+
+_TOP_LEVEL = ("element_id", "type", "text")
+_META_FIELDS = tuple(
+    f.name
+    for f in ELEMENT_SCHEMA.fields
+    if f.name not in (*_TOP_LEVEL, "doc_id", "element_index", "metadata_json")
+)
+
+
+def elements_to_dicts_df(df: DataFrame) -> DataFrame:
+    """Shape the wide element table into the reference's wire form:
+    (doc_id, element_index, element json-ready struct)."""
+    meta = F.struct(*[F.col(c) for c in _META_FIELDS if c in df.columns])
+    return df.select(
+        "doc_id",
+        "element_index",
+        F.struct(
+            F.col("element_id"),
+            F.col("type"),
+            F.col("text"),
+            meta.alias("metadata"),
+        ).alias("element"),
+    )
+
+
+def write_elements_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """NDJSON output, one element per line (sparse: nulls dropped by
+    ``to_json`` with ignoreNullFields)."""
+    out = elements_to_dicts_df(df).select(
+        F.to_json("element", {"ignoreNullFields": "true"}).alias("value")
+    )
+    out.write.mode(mode).text(path)
+
+
+def write_elements_parquet(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Columnar element table — the scale-native form; sparse metadata
+    costs nothing (null RLE)."""
+    df.write.mode(mode).parquet(path)
+
+
+def write_elements_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Flattened CSV with the reference's TABLE_FIELDNAMES-style core
+    columns (staging/base.py:507-624)."""
+    cols = [
+        "type", "text", "element_id", "doc_id", "element_index",
+        "filename", "file_directory", "filetype", "url", "page_number",
+        "parent_id", "category_depth", "text_as_html", "last_modified",
+    ]
+    out = df.select(*[F.col(c) for c in cols if c in df.columns])
+    out.write.mode(mode).option("header", "true").csv(path)
+
+
+def read_elements_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.schema(ELEMENT_SCHEMA).parquet(path)
+
+
+def read_elements_json(spark: SparkSession, path: str) -> DataFrame:
+    """Re-ingest serialized element NDJSON (partition_json equivalent,
+    reference partition/json.py:30-100) — native reader + schema."""
+    wire = spark.read.json(path)
+    cols = []
+    top = {"element_id", "type", "text"}
+    for f in ELEMENT_SCHEMA.fields:
+        if f.name == "doc_id":
+            cols.append(
+                (F.col("doc_id") if "doc_id" in wire.columns else F.lit("unknown"))
+                .cast("string").alias("doc_id")
+            )
+        elif f.name == "element_index":
+            cols.append(
+                (F.col("element_index") if "element_index" in wire.columns
+                 else F.monotonically_increasing_id()).cast("long").alias("element_index")
+            )
+        elif f.name in top:
+            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        elif "metadata" in wire.columns and f.name in [
+            sf.name for sf in wire.schema["metadata"].dataType.fields  # type: ignore[union-attr]
+        ]:
+            cols.append(F.col(f"metadata.{f.name}").cast(f.dataType).alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return wire.select(*cols)
+
+
+def filter_element_types(
+    df: DataFrame,
+    include: list[str] | None = None,
+    exclude: list[str] | None = None,
+) -> DataFrame:
+    """Reference staging/base.py:705-731 — native filter (pushes to scan)."""
+    if include and exclude:
+        raise ValueError("specify include or exclude, not both")
+    if include:
+        return df.filter(F.col("type").isin(include))
+    if exclude:
+        return df.filter(~F.col("type").isin(exclude))
+    return df
+
+
+def render_text_expr() -> Column:
+    """Per-element text render (join with doc order for full-doc text)."""
+    return F.col("text")
+
+
+def render_markdown_expr() -> Column:
+    """Markdown rendering of one element (reference staging/base.py
+    md render): Titles → '#'*depth, ListItem → '- ', Table → html,
+    CodeSnippet → fenced."""
+    depth = F.coalesce(F.col("category_depth"), F.lit(0))
+    hashes = F.substring(F.lit("#######"), 1, (depth + 1).cast("int"))
+    return (
+        F.when(F.col("type") == "Title", F.concat(hashes, F.lit(" "), F.col("text")))
+        .when(F.col("type") == "ListItem", F.concat(F.lit("- "), F.col("text")))
+        .when(
+            F.col("type") == "CodeSnippet",
+            F.concat(F.lit("```\n"), F.col("text"), F.lit("\n```")),
+        )
+        .when(
+            (F.col("type") == "Table") & F.col("text_as_html").isNotNull(),
+            F.col("text_as_html"),
+        )
+        .otherwise(F.col("text"))
+    )
+
+
+def elements_to_markdown(df: DataFrame) -> DataFrame:
+    """One markdown string per document (order-correct agg)."""
+    rendered = df.withColumn("_md", render_markdown_expr())
+    return (
+        rendered.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("element_index", "_md"))
+                    ),
+                    lambda s: s["_md"],
+                ),
+                "\n\n",
+            ).alias("markdown")
+        )
+    )

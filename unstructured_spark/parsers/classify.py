@@ -1,0 +1,126 @@
+"""Python mirror of the JVM-side classifier predicates.
+
+Must stay in lockstep with ``functions/text_type.py`` (the native
+column expressions) — ``tests/test_classify_parity.py`` asserts both
+implementations agree on a fixture corpus. Semantics follow reference
+``partition/text_type.py``.
+"""
+
+from __future__ import annotations
+
+import re
+
+from unstructured_spark.functions import patterns
+
+BULLETED_RE = re.compile(patterns.BULLETED_TEXT)
+NUMBERED_RE = re.compile(patterns.NUMBERED_LIST)
+EMAIL_RE = re.compile(f"^{patterns.EMAIL_ADDRESS}$")
+ZIP_RE = re.compile(f"^{patterns.US_CITY_STATE_ZIP}$")
+PHONE_RE = re.compile(patterns.US_PHONE)
+NUMERIC_RE = re.compile(r"^[0-9.,$%() \-]+$")
+SENTENCE_SPLIT_RE = re.compile(r"[.!?] |[.!?]$")
+VERB_SUFFIX_RE = re.compile(r"(?i)\b[^\W\d_]{3,}(ing|ed)\b")
+
+_COMMON_VERBS = frozenset(
+    "is are was were be been being am has have had do does did will would "
+    "can could shall should may might must get got make made take took go "
+    "went see saw said say use used need needs provide provides include "
+    "includes require requires show shows contain contains".split()
+)
+
+
+def word_count(text: str) -> int:
+    return len(text.strip().split())
+
+
+def sentence_count(text: str, min_length: int | None = None) -> int:
+    parts = [p for p in SENTENCE_SPLIT_RE.split(text) if p.strip()]
+    if min_length:
+        parts = [p for p in parts if len(p.strip().split()) >= min_length]
+    return len(parts)
+
+
+def under_non_alpha_ratio(text: str, threshold: float = 0.5) -> bool:
+    non_space = [c for c in text if not c.isspace()]
+    if not non_space:
+        return False
+    alpha = sum(1 for c in non_space if c.isalpha())
+    return (alpha / len(non_space)) >= (1.0 - threshold)
+
+
+def exceeds_cap_ratio(text: str, threshold: float = 0.5) -> bool:
+    words = [w for w in text.strip().split() if any(c.isalpha() for c in w)]
+    if not words:
+        return True
+    caps = sum(1 for w in words if w[0].isupper())
+    return (caps / len(words)) > threshold
+
+
+def is_bulleted_text(text: str) -> bool:
+    return bool(BULLETED_RE.match(text))
+
+
+def is_possible_numbered_list(text: str) -> bool:
+    return bool(NUMBERED_RE.match(text))
+
+
+def is_email_address(text: str) -> bool:
+    return bool(EMAIL_RE.match(text.strip()))
+
+
+def is_us_city_state_zip(text: str) -> bool:
+    return bool(ZIP_RE.match(text.strip()))
+
+
+def is_numeric(text: str) -> bool:
+    t = text.strip()
+    return bool(NUMERIC_RE.match(t)) and any(c.isdigit() for c in t)
+
+
+def contains_verb(text: str) -> bool:
+    lowered = text.lower().split()
+    return bool(_COMMON_VERBS.intersection(lowered)) or bool(
+        VERB_SUFFIX_RE.search(text)
+    )
+
+
+def is_possible_narrative_text(text: str, cap_threshold: float = 0.5) -> bool:
+    t = text.strip()
+    if not t or is_numeric(t):
+        return False
+    if t != t.upper() and exceeds_cap_ratio(t, cap_threshold):
+        return False
+    if not under_non_alpha_ratio(t):
+        return False
+    return contains_verb(t) or sentence_count(t, 5) >= 2
+
+
+def is_possible_title(
+    text: str, sentence_min_length: int = 5, title_max_word_length: int = 12
+) -> bool:
+    t = text.strip()
+    if not t or word_count(t) > title_max_word_length:
+        return False
+    if sentence_count(t, sentence_min_length) > 1:
+        return False
+    if is_numeric(t) or not under_non_alpha_ratio(t):
+        return False
+    return not t.endswith(",")
+
+
+def element_type_from_text(text: str) -> str:
+    """The element_from_text decision tree (reference partition/text.py:111-166)."""
+    t = text.strip()
+    if is_bulleted_text(t):
+        return "ListItem"
+    if is_email_address(t):
+        return "EmailAddress"
+    if is_us_city_state_zip(t):
+        return "Address"
+    if is_possible_numbered_list(t):
+        return "ListItem"
+    if is_possible_narrative_text(t):
+        return "NarrativeText"
+    if is_possible_title(t):
+        return "Title"
+    return "Text"

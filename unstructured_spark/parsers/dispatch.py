@@ -1,0 +1,171 @@
+"""Per-format dispatch — the Python core of the ``partition()`` auto
+router (reference ``partition/auto.py:30-300``), run executor-side
+inside the Spark partition UDF.
+
+Formats whose native parsers aren't available in this environment
+(pdf/docx/pptx/xlsx/images/audio need pdfminer/python-docx/onnx/...)
+raise :class:`UnsupportedFormatError`; the Spark operator surfaces them
+per its ``on_error`` policy. The registry is open: ``register_partitioner``
+mirrors the reference's extension point (file_utils/model.py:584-591).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Callable
+
+from unstructured_spark.parsers import filetype as ft_mod
+from unstructured_spark.parsers.csv_parser import csv_to_elements, tsv_to_elements
+from unstructured_spark.parsers.html_parser import html_to_elements
+from unstructured_spark.parsers.md_parser import md_to_elements
+from unstructured_spark.parsers.text_parser import text_to_elements
+
+
+class UnsupportedFormatError(NotImplementedError):
+    pass
+
+
+def _decode(content: bytes | str) -> str:
+    if isinstance(content, str):
+        return content
+    for enc in ("utf-8", "utf-16", "latin-1"):
+        try:
+            return content.decode(enc)
+        except (UnicodeDecodeError, UnicodeError):
+            continue
+    return content.decode("utf-8", errors="replace")
+
+
+def _partition_json_elements(content: bytes | str) -> list[dict]:
+    """Re-ingest previously serialized elements (reference
+    partition/json.py:30-100)."""
+    text = _decode(content)
+    data = json.loads(text)
+    if not isinstance(data, list):
+        raise ValueError("element JSON must be an array of element dicts")
+    out = []
+    for d in data:
+        el = {
+            "type": d.get("type", "Text"),
+            "text": d.get("text", ""),
+            "element_id": d.get("element_id"),
+        }
+        md = d.get("metadata") or {}
+        for k in ("page_number", "page_name", "parent_id", "category_depth",
+                  "filename", "url", "languages", "text_as_html"):
+            if k in md:
+                el[k] = md[k]
+        out.append(el)
+    return out
+
+
+def _partition_ndjson_elements(content: bytes | str) -> list[dict]:
+    text = _decode(content)
+    out = []
+    for line in text.splitlines():
+        line = line.strip()
+        if not line:
+            continue
+        out.extend(_partition_json_elements("[" + line + "]"))
+    return out
+
+
+def _partition_xml(content: bytes | str) -> list[dict]:
+    """Leaf-element text extraction (reference partition/xml.py:25-130)
+    → classified like plain text."""
+    import xml.etree.ElementTree as ET
+
+    text = _decode(content)
+    try:
+        root = ET.fromstring(text)
+    except ET.ParseError:
+        return text_to_elements(text)
+    leaves: list[str] = []
+    for node in root.iter():
+        if len(node) == 0 and node.text and node.text.strip():
+            leaves.append(node.text.strip())
+    return text_to_elements("\n\n".join(leaves))
+
+
+def _unsupported(name: str, needs: str) -> Callable[..., list[dict]]:
+    def fail(content, **kwargs):
+        raise UnsupportedFormatError(
+            f"partition_{name} requires {needs}, which is not available in "
+            "this environment. The Spark-side plumbing (schema, routing, "
+            "ordering) is in place; install the dependency on executors to "
+            "enable this format."
+        )
+
+    return fail
+
+
+_PARTITIONERS: dict[str, Callable[..., list[dict]]] = {
+    "txt": lambda c, **kw: text_to_elements(_decode(c), paragraph_grouper="auto"),
+    "html": lambda c, **kw: html_to_elements(_decode(c)),
+    "md": lambda c, **kw: md_to_elements(_decode(c)),
+    "csv": lambda c, **kw: csv_to_elements(_decode(c)),
+    "tsv": lambda c, **kw: tsv_to_elements(_decode(c)),
+    "xml": lambda c, **kw: _partition_xml(c),
+    "json": lambda c, **kw: _partition_json_elements(c),
+    "ndjson": lambda c, **kw: _partition_ndjson_elements(c),
+    "rst": lambda c, **kw: text_to_elements(_decode(c)),
+    "org": lambda c, **kw: text_to_elements(_decode(c)),
+    # heavy-dependency formats: explicit stubs (SURVEY §2.1 pdf/docx/... rows)
+    "pdf": _unsupported("pdf", "pdfminer/onnxruntime"),
+    "docx": _unsupported("docx", "python-docx"),
+    "doc": _unsupported("doc", "libreoffice soffice"),
+    "odt": _unsupported("odt", "pandoc/soffice"),
+    "pptx": _unsupported("pptx", "python-pptx"),
+    "ppt": _unsupported("ppt", "libreoffice soffice"),
+    "xlsx": _unsupported("xlsx", "openpyxl"),
+    "xls": _unsupported("xls", "xlrd"),
+    "epub": _unsupported("epub", "pandoc"),
+    "rtf": _unsupported("rtf", "pandoc"),
+    "msg": _unsupported("msg", "oxmsg"),
+    "png": _unsupported("image", "a layout/OCR model"),
+    "jpg": _unsupported("image", "a layout/OCR model"),
+    "tiff": _unsupported("image", "a layout/OCR model"),
+    "bmp": _unsupported("image", "a layout/OCR model"),
+    "wav": _unsupported("audio", "a speech-to-text model"),
+    "mp3": _unsupported("audio", "a speech-to-text model"),
+    "mp4": _unsupported("audio", "a speech-to-text model"),
+}
+
+
+def register_partitioner(filetype: str, fn: Callable[..., list[dict]]) -> None:
+    """Extension point: plug a parser for a filetype tag (mirrors the
+    reference's partitioner registry)."""
+    _PARTITIONERS[filetype] = fn
+
+
+def partition_bytes(
+    content: bytes | str,
+    *,
+    filename: str | None = None,
+    content_type: str | None = None,
+) -> list[dict]:
+    """Detect + dispatch one document; returns ordered element dicts."""
+    head = content[:8192] if isinstance(content, bytes) else content[:8192].encode()
+    ft = ft_mod.detect_filetype(filename=filename, content_type=content_type, head=head)
+    # eml detection: RFC-822 headers at start of text files
+    if ft == "txt" and isinstance(head, bytes):
+        first = head.lstrip()[:200]
+        if first.startswith((b"Received:", b"From:", b"Return-Path:", b"MIME-Version:")):
+            ft = "eml"
+    if ft == "eml":
+        from unstructured_spark.parsers.email_parser import email_to_elements
+
+        els = email_to_elements(content if isinstance(content, bytes) else content.encode())
+    else:
+        fn = _PARTITIONERS.get(ft)
+        if fn is None:
+            raise UnsupportedFormatError(f"no partitioner registered for {ft!r}")
+        els = fn(content)
+    mime = ft_mod.MIME_FOR.get(ft, "application/octet-stream")
+    for el in els:
+        el.setdefault("filetype", mime)
+        if filename:
+            el.setdefault("filename", filename.rsplit("/", 1)[-1])
+            if "/" in filename:
+                el.setdefault("file_directory", filename.rsplit("/", 1)[0])
+    return els
