@@ -445,6 +445,44 @@ def q_srp_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Document-ETL spine (SURVEY §3.1): partition → elements → chunk.
+# Not SQL-expressible (per-format parsing + order-sensitive chunk fold)
+# → rows-only driver check; correctness is pinned by tests/ golden
+# assertions instead.
+# ---------------------------------------------------------------------------
+
+
+def _docs_as_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.encode("text", "utf-8").alias("content"),
+        F.concat(F.lit("doc_"), F.col("doc_id"), F.lit(".txt")).alias("path"),
+    )
+
+
+def q_partition_elements(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → auto-partition (mapInPandas) → canonical element rows
+    with hash ids, languages, hierarchy."""
+    from unstructured_spark.operators.partition_auto import partition_documents
+
+    els = partition_documents(_docs_as_files(spark, sf_dir))
+    return els.select(
+        "doc_id", "element_index", "element_id", "type", "text",
+        "languages", "parent_id",
+    )
+
+
+def q_chunk_by_title(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition then chunk with the by_title strategy (grouped fold)."""
+    from unstructured_spark.operators.chunking import chunk_by_title
+    from unstructured_spark.operators.partition_auto import partition_documents
+
+    els = partition_documents(_docs_as_files(spark, sf_dir))
+    chunks = chunk_by_title(els, max_characters=500, combine_text_under_n_chars=200)
+    return chunks.select("doc_id", "element_index", "type", "text")
+
+
+# ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
 
@@ -509,6 +547,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embed_centroids": q_embed_centroids,
         "q_embed_neardup": q_embed_neardup,
         "q_srp_ann_topk": q_srp_ann_topk,
+        "q_partition_elements": q_partition_elements,
+        "q_chunk_by_title": q_chunk_by_title,
     }
 
 

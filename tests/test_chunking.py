@@ -5,8 +5,9 @@ import pandas as pd
 import pytest
 
 from unstructured_spark.operators.chunking import (
+    _OUT_COLUMNS,
     ChunkingOptions,
-    _make_fold,
+    _make_batched_fold,
     _split_oversized,
     chunk_by_title,
     chunk_elements,
@@ -34,9 +35,11 @@ def _elements(*rows):
 
 def _run_fold(rows, by_title=False, **kwargs):
     opts = ChunkingOptions(**kwargs)
-    fold = _make_fold(opts, by_title=by_title)
-    pdf = pd.DataFrame(rows)
-    return fold(pdf).to_dict("records")
+    fold = _make_batched_fold(opts, by_title=by_title)
+    frames = list(fold(iter([pd.DataFrame(rows)])))
+    if not frames:
+        return []
+    return pd.concat(frames)[_OUT_COLUMNS].to_dict("records")
 
 
 class TestSplitOversized:

@@ -186,7 +186,11 @@ class TestDispatch:
         from unstructured_spark.parsers.dispatch import UnsupportedFormatError
 
         with pytest.raises(UnsupportedFormatError):
-            partition_bytes(b"%PDF-1.5 stuff", filename="a.pdf")
+            # CFB container (.msg) needs a MAPI reader — stubbed
+            partition_bytes(
+                b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" + b"\x00" * 64,
+                filename="a.msg",
+            )
 
     def test_json_reingest(self):
         els = partition_bytes(

@@ -276,47 +276,96 @@ def _sep_len(rows: list[dict]) -> int:
     return len(_SEP) * max(0, n - 1)
 
 
-def _make_fold(opts: ChunkingOptions, by_title: bool):
-    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("element_index")
-        doc_id = str(pdf["doc_id"].iloc[0])
-        rows = pdf.to_dict("records")
-        # normalize NaN → None so length math and consolidation behave
-        for r in rows:
-            for k, v in list(r.items()):
-                if v is None or (isinstance(v, float) and pd.isna(v)):
-                    r[k] = None
-        pre_chunks = list(_pre_chunk_fold(rows, opts, by_title))
-        if by_title:
-            pre_chunks = _combine_pre_chunks(pre_chunks, opts)
-        out: list[dict] = []
-        next_index = [0]
-        for pc in pre_chunks:
-            _form_chunks(pc, opts, doc_id, out, next_index)
-        if not out:
-            return pd.DataFrame(columns=_OUT_COLUMNS)
-        res = pd.DataFrame(out)
-        for c in _OUT_COLUMNS:
-            if c not in res.columns:
-                res[c] = None
-        return res[_OUT_COLUMNS]
+def _chunk_doc(rows: list[dict], opts: ChunkingOptions, by_title: bool) -> list[dict]:
+    """The per-document chunk fold over ordered element rows."""
+    doc_id = str(rows[0]["doc_id"])
+    pre_chunks = list(_pre_chunk_fold(rows, opts, by_title))
+    if by_title:
+        pre_chunks = _combine_pre_chunks(pre_chunks, opts)
+    out: list[dict] = []
+    next_index = [0]
+    for pc in pre_chunks:
+        _form_chunks(pc, opts, doc_id, out, next_index)
+    return out
+
+
+def _make_batched_fold(opts: ChunkingOptions, by_title: bool):
+    """mapInPandas fold over doc_id-clustered, order-sorted partitions.
+
+    One pandas frame in/out per ~10k-row Arrow batch instead of one per
+    document: with millions of small documents the per-group pandas
+    overhead of ``groupBy().applyInPandas`` dominates the actual fold,
+    while batching amortizes it ~1000×. A document may straddle two
+    Arrow batches within the partition, so the tail doc is buffered and
+    carried into the next batch.
+    """
+
+    def fold(batches) -> "pd.DataFrame":
+        import pandas as _pd
+
+        def finish(rows: list[dict]) -> list[dict]:
+            for r in rows:
+                for k, v in list(r.items()):
+                    if v is None or (isinstance(v, float) and _pd.isna(v)):
+                        r[k] = None
+            return _chunk_doc(rows, opts, by_title)
+
+        def to_frame(out: list[dict]) -> "_pd.DataFrame":
+            res = _pd.DataFrame(out)
+            for c in _OUT_COLUMNS:
+                if c not in res.columns:
+                    res[c] = None
+            return res[_OUT_COLUMNS]
+
+        carry: list[dict] = []
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = pdf.to_dict("records")
+            out: list[dict] = []
+            start = 0
+            for i in range(1, len(rows)):
+                if rows[i]["doc_id"] != rows[start]["doc_id"]:
+                    doc = rows[start:i]
+                    if carry and carry[0]["doc_id"] == doc[0]["doc_id"]:
+                        doc = carry + doc
+                        carry = []
+                    elif carry:
+                        out.extend(finish(carry))
+                        carry = []
+                    out.extend(finish(doc))
+                    start = i
+            tail = rows[start:]
+            if carry and carry[0]["doc_id"] == tail[0]["doc_id"]:
+                carry = carry + tail
+            else:
+                if carry:
+                    out.extend(finish(carry))
+                carry = tail
+            if out:
+                yield to_frame(out)
+        if carry:
+            yield to_frame(finish(carry))
 
     return fold
+
+
+def _run_chunker(df: DataFrame, opts: ChunkingOptions, by_title: bool) -> DataFrame:
+    clustered = df.repartition("doc_id").sortWithinPartitions(
+        "doc_id", "element_index"
+    )
+    return clustered.mapInPandas(
+        _make_batched_fold(opts, by_title), schema=ELEMENT_SCHEMA
+    )
 
 
 def chunk_elements(df: DataFrame, **kwargs) -> DataFrame:
     """``basic`` strategy (reference chunking/basic.py): size-only
     boundaries + table isolation."""
-    opts = ChunkingOptions(**kwargs)
-    return df.groupBy("doc_id").applyInPandas(
-        _make_fold(opts, by_title=False), schema=ELEMENT_SCHEMA
-    )
+    return _run_chunker(df, ChunkingOptions(**kwargs), by_title=False)
 
 
 def chunk_by_title(df: DataFrame, **kwargs) -> DataFrame:
     """``by_title`` strategy (reference chunking/title.py): semantic
     boundaries on Title/page + small-section re-combine."""
-    opts = ChunkingOptions(**kwargs)
-    return df.groupBy("doc_id").applyInPandas(
-        _make_fold(opts, by_title=True), schema=ELEMENT_SCHEMA
-    )
+    return _run_chunker(df, ChunkingOptions(**kwargs), by_title=True)

@@ -178,6 +178,74 @@ def apply_lang_metadata(df: DataFrame, per_element: bool = False) -> DataFrame:
     return joined.withColumn("languages", F.col("_langs")).drop("_langs")
 
 
+# ---------------------------------------------------------------------------
+# Pure-Python per-document finalization — used INSIDE the partition UDF
+# (operators/partition_auto.py). A document is fully contained in one
+# input row, so ids, hierarchy, and doc-level language are pure
+# functions of that row's parse output: computing them in the same pass
+# costs zero shuffles, where the DataFrame forms below each cost one.
+# The DataFrame forms remain the right tool for element tables read
+# back from storage.
+# ---------------------------------------------------------------------------
+
+
+def py_detect_language(text: str) -> str:
+    """Python mirror of :func:`detect_language_expr` (same markers, same
+    argmax tie-break on (score, lang))."""
+    toks = text.lower().split()
+    if len(toks) < 5:
+        return "eng"
+    tokset = set(toks)
+    return max(
+        (len(tokset & set(markers)), lang)
+        for lang, markers in _LANG_MARKERS.items()
+    )[1]
+
+
+def py_finalize_doc(
+    rows: list[dict], *, doc_id: str, filename: str | None = None
+) -> list[dict]:
+    """Hash ids + doc language + hierarchy for one document's ordered
+    element rows, matching the DataFrame operators bit-for-bit."""
+    import hashlib
+
+    lang = py_detect_language(" ".join(r.get("text") or "" for r in rows))
+    fname = filename or doc_id
+    seq_on_page: dict[int, int] = {}
+    for r in rows:
+        page = r.get("page_number")
+        key = -1 if page is None else int(page)
+        s = seq_on_page.get(key, 0)
+        seq_on_page[key] = s + 1
+        basis = (
+            f"{fname}{r.get('text') or ''}"
+            f"{'' if page is None else int(page)}{s}"
+        )
+        r["element_id"] = hashlib.sha256(basis.encode("utf-8")).hexdigest()[:32]
+        if not r.get("languages"):
+            r["languages"] = [lang]
+    # stack fold (same semantics as _hierarchy_fold)
+    stack: list[tuple[str, int, str]] = []
+    for r in rows:
+        if r.get("parent_id") is not None:
+            continue
+        etype = r.get("type") or "Text"
+        depth = r.get("category_depth")
+        depth = int(depth) if depth is not None else 0
+        parent = None
+        while stack:
+            top_cat, top_depth, top_id = stack[-1]
+            if (top_cat == etype and top_depth < depth) or (
+                top_cat != etype and etype in _HIERARCHY_RULESET.get(top_cat, ())
+            ):
+                parent = top_id
+                break
+            stack.pop()
+        r["parent_id"] = parent
+        stack.append((etype, depth, r["element_id"]))
+    return rows
+
+
 def finalize_elements(
     df: DataFrame,
     *,

@@ -24,7 +24,6 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 
-from unstructured_spark.operators.metadata import finalize_elements
 from unstructured_spark.schema import ELEMENT_SCHEMA
 
 _OUT_COLUMNS = [f.name for f in ELEMENT_SCHEMA.fields]
@@ -39,19 +38,34 @@ def partition_documents(
     content_type: str | None = "content_type",
     on_error: str = "skip",  # 'skip' | 'fail'
     apply_metadata: bool = True,
+    num_partitions: int | None = None,
 ) -> DataFrame:
-    """Partition a documents DataFrame into the canonical element schema."""
+    """Partition a documents DataFrame into the canonical element schema.
+
+    Metadata finalization (hash ids, doc language, hierarchy) happens
+    INSIDE the parse UDF: a document is fully contained in one input
+    row, so these are per-row pure functions — zero shuffles for the
+    whole partition+metadata pipeline (the separate DataFrame operators
+    in ``operators.metadata`` each cost an exchange and exist for
+    element tables read back from storage).
+    """
     cols = [doc_id, content]
     if path and path in df.columns:
         cols.append(path)
     if content_type and content_type in df.columns:
         cols.append(content_type)
     narrowed = df.select(*cols)
+    # spread few-large-files inputs across the cluster: parse parallelism
+    # equals input partitions, and a single parquet file is one split
+    target = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if narrowed.rdd.getNumPartitions() < target:
+        narrowed = narrowed.repartition(target)
     path_col = path if path in narrowed.columns else None
     ct_col = content_type if content_type in narrowed.columns else None
 
     def parse_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # executor-side import keeps parser modules out of the driver path
+        from unstructured_spark.operators.metadata import py_finalize_doc
         from unstructured_spark.parsers.dispatch import (
             UnsupportedFormatError,
             partition_bytes,
@@ -76,21 +90,26 @@ def partition_documents(
                     if on_error == "fail":
                         raise
                     continue
+                did = str(rec_d[doc_id])
+                doc_rows: list[dict] = []
                 for idx, el in enumerate(els):
                     row = {c: None for c in _OUT_COLUMNS}
                     row.update(
                         {k: v for k, v in el.items() if k in row}
                     )
-                    row["doc_id"] = str(rec_d[doc_id])
+                    row["doc_id"] = did
                     row["element_index"] = idx
                     row["text"] = el.get("text", "")
                     row["type"] = el.get("type", "Text")
-                    rows.append(row)
+                    doc_rows.append(row)
+                if apply_metadata and doc_rows:
+                    base = (fname or "").rsplit("/", 1)[-1] or None
+                    py_finalize_doc(doc_rows, doc_id=did, filename=base)
+                rows.extend(doc_rows)
             yield (
                 pd.DataFrame(rows, columns=_OUT_COLUMNS)
                 if rows
                 else pd.DataFrame(columns=_OUT_COLUMNS)
             )
 
-    elements = narrowed.mapInPandas(parse_batches, schema=ELEMENT_SCHEMA)
-    return finalize_elements(elements) if apply_metadata else elements
+    return narrowed.mapInPandas(parse_batches, schema=ELEMENT_SCHEMA)

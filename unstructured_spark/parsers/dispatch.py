@@ -87,6 +87,15 @@ def _partition_xml(content: bytes | str) -> list[dict]:
     return text_to_elements("\n\n".join(leaves))
 
 
+def _lazy(module: str, fn: str) -> Callable[..., list[dict]]:
+    """Import a parser module on first use (executor-side lazy import —
+    the reference's partitioner-cache trick, auto.py:354-390)."""
+    import importlib
+
+    mod = importlib.import_module(f"unstructured_spark.parsers.{module}")
+    return getattr(mod, fn)
+
+
 def _unsupported(name: str, needs: str) -> Callable[..., list[dict]]:
     def fail(content, **kwargs):
         raise UnsupportedFormatError(
@@ -110,18 +119,22 @@ _PARTITIONERS: dict[str, Callable[..., list[dict]]] = {
     "ndjson": lambda c, **kw: _partition_ndjson_elements(c),
     "rst": lambda c, **kw: text_to_elements(_decode(c)),
     "org": lambda c, **kw: text_to_elements(_decode(c)),
-    # heavy-dependency formats: explicit stubs (SURVEY §2.1 pdf/docx/... rows)
-    "pdf": _unsupported("pdf", "pdfminer/onnxruntime"),
-    "docx": _unsupported("docx", "python-docx"),
+    # OOXML / ODF / EPUB / RTF parsed directly with stdlib zip+XML
+    # (the reference needs python-docx/pptx/openpyxl/pandoc for these)
+    "docx": lambda c, **kw: _lazy("docx_parser", "docx_to_elements")(c),
+    "pptx": lambda c, **kw: _lazy("pptx_parser", "pptx_to_elements")(c),
+    "xlsx": lambda c, **kw: _lazy("xlsx_parser", "xlsx_to_elements")(c),
+    "odt": lambda c, **kw: _lazy("misc_formats", "odt_to_elements")(c),
+    "epub": lambda c, **kw: _lazy("misc_formats", "epub_to_elements")(c),
+    "rtf": lambda c, **kw: _lazy("misc_formats", "rtf_to_elements")(c),
+    # PDF fast strategy: stdlib content-stream extraction; hi_res/ocr
+    # strategies need layout/OCR models (stubs below route to fast)
+    "pdf": lambda c, **kw: _lazy("pdf_parser", "pdf_to_elements")(c),
+    # heavy-dependency formats: explicit stubs (SURVEY §2.1 doc/... rows)
     "doc": _unsupported("doc", "libreoffice soffice"),
-    "odt": _unsupported("odt", "pandoc/soffice"),
-    "pptx": _unsupported("pptx", "python-pptx"),
     "ppt": _unsupported("ppt", "libreoffice soffice"),
-    "xlsx": _unsupported("xlsx", "openpyxl"),
     "xls": _unsupported("xls", "xlrd"),
-    "epub": _unsupported("epub", "pandoc"),
-    "rtf": _unsupported("rtf", "pandoc"),
-    "msg": _unsupported("msg", "oxmsg"),
+    "msg": _unsupported("msg", "a CFB/MAPI reader"),
     "png": _unsupported("image", "a layout/OCR model"),
     "jpg": _unsupported("image", "a layout/OCR model"),
     "tiff": _unsupported("image", "a layout/OCR model"),

@@ -1,0 +1,570 @@
+"""PDF fast-strategy text extraction with stdlib only (zlib for
+FlateDecode) — no pdfminer dependency.
+
+Mirrors the reference's ``partition_pdf(strategy="fast")`` behavior
+(``partition/pdf.py:430-587``): extract positioned text runs per page,
+group runs into lines and lines into blocks by vertical gap, classify
+each block, and stamp ``page_number`` + bounding-box coordinates.
+
+Deliberate scope of this fast path (same trade-off the reference makes
+before escalating to hi_res): text comes from content-stream show-text
+operators (``Tj/TJ/'/"``); fonts are decoded via their ToUnicode CMap
+when present, else code-point identity (WinAnsi/Latin-1 superset) —
+scanned/image-only PDFs yield no text and should be routed to an OCR
+strategy, which needs an OCR model this environment doesn't ship
+(``strategies.py:24-109`` fallback chain).
+
+The parser scans for *all* ``N 0 obj`` objects instead of walking the
+xref table, and expands object streams (``/Type /ObjStm``), so both
+classic and cross-reference-stream PDFs parse.
+"""
+
+from __future__ import annotations
+
+import io
+import re
+import zlib
+
+from unstructured_spark.parsers import classify
+
+_TOKEN_RE = re.compile(
+    rb"<<|>>|\[|\]|/([^\s/<>\[\]()]+)|\((?:)|<([0-9a-fA-F\s]*)>|"
+    rb"(-?[\d.]+)|(\w+)"
+)
+_OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b", re.S)
+_WS = b"\x00\t\n\x0c\r "
+
+
+class _Ref:
+    __slots__ = ("num",)
+
+    def __init__(self, num: int):
+        self.num = num
+
+
+class _Lexer:
+    """Tokenizer for PDF object syntax (dicts, arrays, names, numbers,
+    strings, refs)."""
+
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.pos = pos
+
+    def _skip_ws(self) -> None:
+        d, n = self.data, len(self.data)
+        while self.pos < n:
+            ch = d[self.pos : self.pos + 1]
+            if ch in (b"%",):  # comment to EOL
+                eol = d.find(b"\n", self.pos)
+                self.pos = eol + 1 if eol >= 0 else n
+            elif ch in _WS:
+                self.pos += 1
+            else:
+                return
+
+    def parse(self):
+        self._skip_ws()
+        d = self.data
+        ch = d[self.pos : self.pos + 1]
+        if ch == b"<":
+            if d[self.pos : self.pos + 2] == b"<<":
+                return self._dict()
+            return self._hex_string()
+        if ch == b"[":
+            return self._array()
+        if ch == b"(":
+            return self._literal_string()
+        if ch == b"/":
+            return self._name()
+        if ch in b"+-.0123456789":
+            return self._number_or_ref()
+        m = re.match(rb"true|false|null", d[self.pos :])
+        if m:
+            self.pos += m.end()
+            return {b"true": True, b"false": False, b"null": None}[m.group()]
+        # unknown token (operator etc.) — consume one char to advance
+        self.pos += 1
+        return None
+
+    def _name(self) -> str:
+        m = re.match(rb"/([^\s/<>\[\]()%]*)", self.data[self.pos :])
+        self.pos += m.end()
+        raw = m.group(1)
+        raw = re.sub(
+            rb"#([0-9a-fA-F]{2})", lambda g: bytes([int(g.group(1), 16)]), raw
+        )
+        return "/" + raw.decode("latin-1")
+
+    def _number_or_ref(self):
+        d = self.data
+        m = re.match(rb"(\d+)\s+(\d+)\s+R\b", d[self.pos :])
+        if m:
+            self.pos += m.end()
+            return _Ref(int(m.group(1)))
+        m = re.match(rb"[+-]?(\d+\.?\d*|\.\d+)", d[self.pos :])
+        self.pos += m.end()
+        tok = m.group()
+        return float(tok) if b"." in tok else int(tok)
+
+    def _array(self) -> list:
+        self.pos += 1
+        out = []
+        while True:
+            self._skip_ws()
+            if self.data[self.pos : self.pos + 1] in (b"]", b""):
+                self.pos += 1
+                return out
+            out.append(self.parse())
+
+    def _dict(self) -> dict:
+        self.pos += 2
+        out = {}
+        while True:
+            self._skip_ws()
+            nxt = self.data[self.pos : self.pos + 2]
+            if nxt == b">>" or nxt == b"":
+                self.pos += 2
+                return out
+            key = self.parse()
+            val = self.parse()
+            if isinstance(key, str):
+                out[key] = val
+
+    def _hex_string(self) -> bytes:
+        end = self.data.find(b">", self.pos)
+        hexstr = re.sub(rb"\s", b"", self.data[self.pos + 1 : end])
+        self.pos = end + 1
+        if len(hexstr) % 2:
+            hexstr += b"0"
+        return bytes.fromhex(hexstr.decode("ascii"))
+
+    def _literal_string(self) -> bytes:
+        d = self.data
+        i = self.pos + 1
+        depth = 1
+        out = bytearray()
+        esc = {
+            b"n": 10, b"r": 13, b"t": 9, b"b": 8, b"f": 12,
+            b"(": 40, b")": 41, b"\\": 92,
+        }
+        while i < len(d) and depth:
+            ch = d[i : i + 1]
+            if ch == b"\\":
+                nxt = d[i + 1 : i + 2]
+                if nxt in esc:
+                    out.append(esc[nxt])
+                    i += 2
+                elif nxt.isdigit():
+                    m = re.match(rb"[0-7]{1,3}", d[i + 1 :])
+                    out.append(int(m.group(), 8) & 0xFF)
+                    i += 1 + m.end()
+                elif nxt in (b"\n", b"\r"):
+                    i += 2  # line continuation
+                else:
+                    i += 1
+            elif ch == b"(":
+                depth += 1
+                out += ch
+                i += 1
+            elif ch == b")":
+                depth -= 1
+                if depth:
+                    out += ch
+                i += 1
+            else:
+                out += ch
+                i += 1
+        self.pos = i
+        return bytes(out)
+
+
+def _decode_stream(raw: bytes, sdict: dict) -> bytes | None:
+    filt = sdict.get("/Filter")
+    filters = filt if isinstance(filt, list) else ([filt] if filt else [])
+    data = raw
+    for f in filters:
+        if f == "/FlateDecode":
+            try:
+                data = zlib.decompress(data)
+            except zlib.error:
+                try:  # tolerate trailing garbage
+                    data = zlib.decompressobj().decompress(data)
+                except zlib.error:
+                    return None
+        elif f in ("/ASCIIHexDecode",):
+            data = bytes.fromhex(
+                re.sub(rb"[^0-9a-fA-F]", b"", data.split(b">")[0]).decode()
+            )
+        else:
+            return None  # DCT/JBIG2/... are image codecs — no text here
+        # predictors (PNG row filters) apply to xref streams we don't
+        # read; content streams practically never use them
+    return data
+
+
+class _PdfDoc:
+    def __init__(self, data: bytes):
+        self.objects: dict[int, object] = {}
+        self.streams: dict[int, bytes] = {}
+        self._scan(data)
+        self._expand_object_streams()
+
+    def _scan(self, data: bytes) -> None:
+        for m in _OBJ_RE.finditer(data):
+            num = int(m.group(1))
+            lex = _Lexer(data, m.end())
+            try:
+                obj = lex.parse()
+            except Exception:
+                continue
+            self.objects[num] = obj
+            if isinstance(obj, dict):
+                sm = re.match(rb"\s*stream\r?\n", data[lex.pos :])
+                if sm:
+                    start = lex.pos + sm.end()
+                    length = obj.get("/Length")
+                    if isinstance(length, _Ref):
+                        length = self.objects.get(length.num)
+                    if isinstance(length, (int, float)):
+                        end = start + int(length)
+                    else:
+                        end = data.find(b"endstream", start)
+                    self.streams[num] = data[start:end]
+
+    def _expand_object_streams(self) -> None:
+        for num, obj in list(self.objects.items()):
+            if not (isinstance(obj, dict) and obj.get("/Type") == "/ObjStm"):
+                continue
+            payload = _decode_stream(self.streams.get(num, b""), obj)
+            if payload is None:
+                continue
+            n = int(self.resolve(obj.get("/N", 0)) or 0)
+            first = int(self.resolve(obj.get("/First", 0)) or 0)
+            header = payload[:first].split()
+            for k in range(n):
+                try:
+                    onum = int(header[2 * k])
+                    off = int(header[2 * k + 1])
+                except (IndexError, ValueError):
+                    break
+                lex = _Lexer(payload, first + off)
+                try:
+                    self.objects.setdefault(onum, lex.parse())
+                except Exception:
+                    continue
+
+    def resolve(self, obj):
+        seen = 0
+        while isinstance(obj, _Ref) and seen < 32:
+            obj = self.objects.get(obj.num)
+            seen += 1
+        return obj
+
+    def pages(self) -> list[dict]:
+        """Page dicts in page-tree order (fallback: object order)."""
+        roots = [
+            o for o in self.objects.values()
+            if isinstance(o, dict) and o.get("/Type") == "/Pages"
+            and "/Parent" not in o
+        ]
+        ordered: list[dict] = []
+
+        def walk(node: dict, depth: int = 0) -> None:
+            if depth > 64:
+                return
+            for kid in node.get("/Kids", []) or []:
+                kid = self.resolve(kid)
+                if not isinstance(kid, dict):
+                    continue
+                if kid.get("/Type") == "/Pages":
+                    walk(kid, depth + 1)
+                elif kid.get("/Type") == "/Page":
+                    ordered.append(kid)
+
+        for root in roots:
+            walk(root)
+        if not ordered:
+            ordered = [
+                o for num, o in sorted(self.objects.items())
+                if isinstance(o, dict) and o.get("/Type") == "/Page"
+            ]
+        return ordered
+
+    def page_content(self, page: dict) -> bytes:
+        contents = self.resolve(page.get("/Contents"))
+        parts: list[bytes] = []
+        refs = contents if isinstance(contents, list) else [page.get("/Contents")]
+        for ref in refs:
+            num = ref.num if isinstance(ref, _Ref) else None
+            obj = self.resolve(ref)
+            if num is None:
+                for onum, o in self.objects.items():
+                    if o is obj:
+                        num = onum
+                        break
+            if num is None or not isinstance(obj, dict):
+                continue
+            data = _decode_stream(self.streams.get(num, b""), obj)
+            if data:
+                parts.append(data)
+        return b"\n".join(parts)
+
+    def page_fonts(self, page: dict) -> dict[str, dict[int, str]]:
+        """font resource name → code-point → unicode map (ToUnicode)."""
+        res = self.resolve(page.get("/Resources")) or {}
+        fonts = self.resolve(res.get("/Font")) if isinstance(res, dict) else None
+        out: dict[str, dict[int, str]] = {}
+        if not isinstance(fonts, dict):
+            return out
+        for name, ref in fonts.items():
+            fdict = self.resolve(ref)
+            if not isinstance(fdict, dict):
+                continue
+            tu = fdict.get("/ToUnicode")
+            if isinstance(tu, _Ref):
+                sdict = self.resolve(tu)
+                raw = self.streams.get(tu.num)
+                if isinstance(sdict, dict) and raw is not None:
+                    cmap_data = _decode_stream(raw, sdict)
+                    if cmap_data:
+                        out[name] = _parse_tounicode(cmap_data)
+        return out
+
+
+_BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.S)
+_BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.S)
+_HEXPAIR_RE = re.compile(rb"<([0-9a-fA-F]+)>")
+
+
+def _parse_tounicode(data: bytes) -> dict[int, str]:
+    cmap: dict[int, str] = {}
+
+    def _uni(hexstr: bytes) -> str:
+        b = bytes.fromhex(hexstr.decode())
+        return b.decode("utf-16-be", errors="replace")
+
+    for m in _BFCHAR_RE.finditer(data):
+        pairs = _HEXPAIR_RE.findall(m.group(1))
+        for src, dst in zip(pairs[0::2], pairs[1::2]):
+            cmap[int(src, 16)] = _uni(dst)
+    for m in _BFRANGE_RE.finditer(data):
+        toks = _HEXPAIR_RE.findall(m.group(1))
+        for i in range(0, len(toks) - 2, 3):
+            lo, hi, dst = toks[i], toks[i + 1], toks[i + 2]
+            start, end = int(lo, 16), int(hi, 16)
+            base = int(dst, 16)
+            for off in range(min(end - start + 1, 65536)):
+                cmap[start + off] = _uni(
+                    format(base + off, "0" + str(len(dst)) + "x").encode()
+                )
+    return cmap
+
+
+# ---------------------------------------------------------------------------
+# Content-stream text extraction
+# ---------------------------------------------------------------------------
+
+_CS_TOKEN_RE = re.compile(
+    rb"\((?:\\.|[^\\()])*\)"  # literal string (no nested parens)
+    rb"|<[0-9a-fA-F\s]*>"  # hex string
+    rb"|\[|\]"
+    rb"|/[^\s/<>\[\]()]+"
+    rb"|[+-]?(?:\d+\.?\d*|\.\d+)"
+    rb"|[A-Za-z'\"*]+"
+)
+
+
+def _decode_pdf_string(tok: bytes, cmap: dict[int, str] | None) -> str:
+    if tok.startswith(b"("):
+        lex = _Lexer(tok)
+        raw = lex._literal_string()
+        if cmap:
+            # try 1-byte then 2-byte codes against the cmap
+            if all(b in cmap for b in raw[:4]):
+                return "".join(cmap.get(b, "") for b in raw)
+            pairs = [
+                int.from_bytes(raw[i : i + 2], "big")
+                for i in range(0, len(raw) - 1, 2)
+            ]
+            if pairs and all(p in cmap for p in pairs[:2]):
+                return "".join(cmap.get(p, "") for p in pairs)
+        return raw.decode("latin-1", errors="replace")
+    hexstr = re.sub(rb"\s", b"", tok[1:-1])
+    if len(hexstr) % 2:
+        hexstr += b"0"
+    raw = bytes.fromhex(hexstr.decode())
+    if cmap:
+        codes = (
+            [int.from_bytes(raw[i : i + 2], "big") for i in range(0, len(raw) - 1, 2)]
+            if len(raw) % 2 == 0 and any(
+                int.from_bytes(raw[i : i + 2], "big") in cmap
+                for i in range(0, min(len(raw), 8) - 1, 2)
+            )
+            else list(raw)
+        )
+        return "".join(cmap.get(c, "") for c in codes)
+    return raw.decode("latin-1", errors="replace")
+
+
+def _extract_runs(
+    content: bytes, fonts: dict[str, dict[int, str]]
+) -> list[tuple[float, float, float, str]]:
+    """(y, x, size, text) runs from one page's content stream."""
+    runs: list[tuple[float, float, float, str]] = []
+    stack: list[float | bytes | str | None] = []
+    x = y = 0.0
+    lx = ly = 0.0  # line start (Td/TD/Tm set it)
+    leading = 0.0
+    size = 12.0
+    cmap: dict[int, str] | None = None
+    in_array: list | None = None
+
+    def emit(tok: bytes) -> None:
+        text = _decode_pdf_string(tok, cmap)
+        if text:
+            runs.append((y, x, size, text))
+
+    for m in _CS_TOKEN_RE.finditer(content):
+        tok = m.group()
+        c0 = tok[:1]
+        if c0 in b"(<" and tok != b"<":
+            if in_array is not None:
+                in_array.append(tok)
+            else:
+                stack.append(tok)
+        elif c0 == b"[":
+            in_array = []
+        elif c0 == b"]":
+            stack.append(in_array)
+            in_array = None
+        elif c0 == b"/":
+            stack.append(tok.decode("latin-1"))
+        elif c0 in b"+-.0123456789":
+            val = float(tok)
+            if in_array is not None:
+                in_array.append(val)
+            else:
+                stack.append(val)
+        else:
+            op = tok
+            try:
+                if op == b"Tf" and len(stack) >= 2:
+                    size = float(stack[-1])
+                    fname = stack[-2]
+                    cmap = fonts.get(fname) if isinstance(fname, str) else None
+                elif op in (b"Td", b"TD") and len(stack) >= 2:
+                    lx += float(stack[-2])
+                    ly += float(stack[-1])
+                    x, y = lx, ly
+                    if op == b"TD":
+                        leading = -float(stack[-1])
+                elif op == b"Tm" and len(stack) >= 6:
+                    lx, ly = float(stack[-2]), float(stack[-1])
+                    x, y = lx, ly
+                    sy = float(stack[-3])
+                    if abs(sy) > 0.01:
+                        size = abs(sy) * size if abs(sy) <= 4 else size
+                elif op == b"TL" and stack:
+                    leading = float(stack[-1])
+                elif op == b"T*":
+                    ly -= leading if leading else size * 1.2
+                    x, y = lx, ly
+                elif op == b"Tj" and stack and isinstance(stack[-1], bytes):
+                    emit(stack[-1])
+                elif op in (b"'", b'"'):
+                    ly -= leading if leading else size * 1.2
+                    x, y = lx, ly
+                    if stack and isinstance(stack[-1], bytes):
+                        emit(stack[-1])
+                elif op == b"TJ" and stack and isinstance(stack[-1], list):
+                    parts: list[str] = []
+                    for item in stack[-1]:
+                        if isinstance(item, bytes):
+                            parts.append(_decode_pdf_string(item, cmap))
+                        elif isinstance(item, (int, float)) and item < -150:
+                            parts.append(" ")  # big negative kern = space
+                    text = "".join(parts)
+                    if text:
+                        runs.append((y, x, size, text))
+                elif op == b"BT":
+                    x = y = lx = ly = 0.0
+            finally:
+                stack.clear()
+    return runs
+
+
+def _runs_to_blocks(
+    runs: list[tuple[float, float, float, str]],
+) -> list[tuple[str, float, float]]:
+    """Group runs → lines (same y ±2pt) → blocks (y-gap ≤ 1.7×size);
+    returns (block text, top y, median size)."""
+    if not runs:
+        return []
+    # lines: stable-group by rounded y
+    lines: dict[float, list[tuple[float, float, str]]] = {}
+    sizes: dict[float, float] = {}
+    for y, x, size, text in runs:
+        key = None
+        for ly in lines:
+            if abs(ly - y) <= 2.0:
+                key = ly
+                break
+        if key is None:
+            key = y
+            lines[key] = []
+            sizes[key] = size
+        lines[key].append((x, y, text))
+    ordered_ys = sorted(lines, reverse=True)  # PDF y grows upward
+    blocks: list[tuple[str, float, float]] = []
+    cur: list[str] = []
+    cur_top = 0.0
+    cur_size = 12.0
+    prev_y: float | None = None
+    for ly in ordered_ys:
+        segs = sorted(lines[ly])
+        text = ""
+        prev_end: float | None = None
+        for x0, _, seg in segs:
+            if prev_end is not None and x0 - prev_end > 1.0 and text and not text.endswith(" "):
+                text += " "
+            text += seg
+            prev_end = x0 + len(seg) * sizes[ly] * 0.5
+        text = text.strip()
+        if not text:
+            continue
+        gap = (prev_y - ly) if prev_y is not None else 0.0
+        threshold = max(sizes[ly], cur_size) * 1.7
+        if cur and gap > threshold:
+            blocks.append((" ".join(cur), cur_top, cur_size))
+            cur = []
+        if not cur:
+            cur_top = ly
+            cur_size = sizes[ly]
+        cur.append(text)
+        prev_y = ly
+    if cur:
+        blocks.append((" ".join(cur), cur_top, cur_size))
+    return blocks
+
+
+def pdf_to_elements(content: bytes) -> list[dict]:
+    doc = _PdfDoc(content)
+    out: list[dict] = []
+    for page_no, page in enumerate(doc.pages(), start=1):
+        stream = doc.page_content(page)
+        if not stream:
+            continue
+        fonts = doc.page_fonts(page)
+        runs = _extract_runs(stream, fonts)
+        for text, top, size in _runs_to_blocks(runs):
+            text = " ".join(text.split())
+            if not text:
+                continue
+            out.append(
+                {
+                    "type": classify.element_type_from_text(text),
+                    "text": text,
+                    "page_number": page_no,
+                }
+            )
+    return out
