@@ -483,6 +483,52 @@ def q_chunk_by_title(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Evaluation metrics (SURVEY §2.9) — reference unstructured/metrics/*
+# as Spark jobs, oracle-checked against DuckDB's levenshtein.
+# ---------------------------------------------------------------------------
+
+
+def q_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc edit-distance accuracy between a doc and a degraded copy
+    (native levenshtein; reference text_extraction.py:59-224)."""
+    from unstructured_spark.operators import metrics
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.substring("text", 1, 120).alias("source_text"),
+        F.regexp_replace(F.substring("text", 1, 120), "[aeiou]", "").alias(
+            "output_text"
+        ),
+    )
+    scored = metrics.score_edit_distance(docs)
+    return scored.select("doc_id", F.round("accuracy", 6).alias("accuracy"))
+
+
+def q_eval_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate mean/stdev/count over per-doc accuracy scores
+    (reference evaluate.py batch aggregation)."""
+    from unstructured_spark.operators import metrics
+
+    return metrics.aggregate_scores(q_edit_distance(spark, sf_dir), "accuracy")
+
+
+def q_percent_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-bag percent-missing-text between a doc and its truncated
+    copy (explode + anti-join; reference calculate_percent_missing_text)."""
+    from unstructured_spark.operators import metrics
+
+    docs = _t(spark, sf_dir, "documents")
+    src = docs.select("doc_id", "text")
+    out = docs.select(
+        "doc_id",
+        F.substring(
+            "text", 1, (F.length("text") * 0.6).cast("int")
+        ).alias("text"),
+    )
+    return metrics.percent_missing_text(out, src)
+
+
+# ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
 
@@ -549,6 +595,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_srp_ann_topk": q_srp_ann_topk,
         "q_partition_elements": q_partition_elements,
         "q_chunk_by_title": q_chunk_by_title,
+        "q_edit_distance": q_edit_distance,
+        "q_eval_summary": q_eval_summary,
+        "q_percent_missing": q_percent_missing,
     }
 
 
@@ -900,4 +949,69 @@ def oracle_sql() -> dict[str, str]:
         """,
         # q_srp_ann_topk: intentionally no oracle (bucketed ANN is not
         # portably SQL-expressible) → driver records rows-only check.
+        # q_partition_elements / q_chunk_by_title: per-format parsing +
+        # order-sensitive chunk fold → rows-only check.
+        "q_edit_distance": """
+            with prep as (
+              select doc_id,
+                trim(regexp_replace(substr(text, 1, 120), '\\s+', ' ', 'g')) as a,
+                trim(regexp_replace(
+                  regexp_replace(substr(text, 1, 120), '[aeiou]', '', 'g'),
+                  '\\s+', ' ', 'g')) as b
+              from documents
+            )
+            select doc_id,
+              round(case when greatest(length(a), length(b)) = 0 then 1.0
+                else greatest(0.0,
+                  1.0 - cast(levenshtein(a, b) as double)
+                        / greatest(length(a), length(b)))
+                end, 6) as accuracy
+            from prep
+        """,
+        "q_eval_summary": """
+            with prep as (
+              select doc_id,
+                trim(regexp_replace(substr(text, 1, 120), '\\s+', ' ', 'g')) as a,
+                trim(regexp_replace(
+                  regexp_replace(substr(text, 1, 120), '[aeiou]', '', 'g'),
+                  '\\s+', ' ', 'g')) as b
+              from documents
+            ), scored as (
+              select round(case when greatest(length(a), length(b)) = 0 then 1.0
+                else greatest(0.0,
+                  1.0 - cast(levenshtein(a, b) as double)
+                        / greatest(length(a), length(b)))
+                end, 6) as accuracy
+              from prep
+            )
+            select round(avg(accuracy), 6) as mean,
+                   round(stddev_samp(accuracy), 6) as stdev,
+                   count(accuracy) as n
+            from scored
+        """,
+        "q_percent_missing": """
+            with srcb as (
+              select doc_id, tok, count(*) as n_src from (
+                select doc_id,
+                  unnest(string_split(
+                    trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) as tok
+                from documents)
+              where tok <> '' group by doc_id, tok
+            ), outb as (
+              select doc_id, tok, count(*) as n_out from (
+                select doc_id,
+                  unnest(string_split(
+                    trim(regexp_replace(
+                      substr(text, 1, cast(floor(length(text) * 0.6) as int)),
+                      '\\s+', ' ', 'g')), ' ')) as tok
+                from documents)
+              where tok <> '' group by doc_id, tok
+            )
+            select s.doc_id,
+              round(cast(sum(greatest(0, n_src - coalesce(n_out, 0))) as double)
+                    / sum(n_src), 6) as percent_missing
+            from srcb s left join outb o
+              on s.doc_id = o.doc_id and s.tok = o.tok
+            group by s.doc_id
+        """,
     }

@@ -1,0 +1,162 @@
+"""Embedding operators (§2.7), multimodal columns, and streaming
+ingest (§2.10 streaming row)."""
+
+from __future__ import annotations
+
+import io
+import struct
+import zlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests import fixtures as fx
+from unstructured_spark.operators import embed, multimodal
+
+
+def _png(width: int, height: int) -> bytes:
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + tag
+            + payload
+            + struct.pack(">I", zlib.crc32(tag + payload))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"IEND", b"")
+
+
+def _wav(seconds: float = 2.0, rate: int = 8000, channels: int = 1) -> bytes:
+    n = int(seconds * rate * channels * 2)
+    data = b"\x00" * n
+    buf = io.BytesIO()
+    buf.write(b"RIFF" + struct.pack("<I", 36 + n) + b"WAVE")
+    buf.write(
+        b"fmt " + struct.pack("<IHHIIHH", 16, 1, channels, rate,
+                              rate * channels * 2, channels * 2, 16)
+    )
+    buf.write(b"data" + struct.pack("<I", n) + data)
+    return buf.getvalue()
+
+
+class TestEmbedding:
+    def test_hashing_encoder_deterministic_and_normalized(self):
+        enc = embed.HashingEncoder(dim=32)
+        v1 = enc.embed_query("hello world")
+        v2 = enc.embed_query("hello world")
+        assert v1 == v2
+        assert abs(sum(x * x for x in v1) - 1.0) < 1e-9
+
+    def test_embed_elements_column(self, spark):
+        df = spark.createDataFrame(
+            [("d1", "alpha beta"), ("d2", "gamma")], "doc_id string, text string"
+        )
+        out = embed.embed_elements(df, lambda: embed.HashingEncoder(16))
+        rows = {r["doc_id"]: r["embeddings"] for r in out.collect()}
+        assert len(rows["d1"]) == 16
+        local = embed.HashingEncoder(16).embed_query("alpha beta")
+        assert [round(v, 5) for v in rows["d1"]] == [round(v, 5) for v in local]
+
+    def test_cosine_expr_matches_python(self, spark):
+        enc = embed.HashingEncoder(16)
+        df = spark.createDataFrame(
+            [("a b c", "a b d")], "t1 string, t2 string"
+        )
+        both = embed.embed_elements(
+            embed.embed_elements(df, lambda: enc, text_col="t1", out_col="e1"),
+            lambda: enc, text_col="t2", out_col="e2",
+        )
+        sim = both.select(
+            embed.cosine_sim_expr(F.col("e1"), F.col("e2")).alias("sim")
+        ).collect()[0]["sim"]
+        v1, v2 = enc.embed_query("a b c"), enc.embed_query("a b d")
+        expected = sum(x * y for x, y in zip(v1, v2))
+        assert abs(sim - expected) < 1e-6
+
+    def test_huggingface_gated(self):
+        with pytest.raises(NotImplementedError, match="sentence-transformers"):
+            embed.HuggingFaceEncoder()
+
+
+class TestMultimodal:
+    def test_probe_png_jpeg_wav(self):
+        png = multimodal.probe_bytes(_png(640, 480))
+        assert (png["format"], png["width"], png["height"]) == ("png", 640, 480)
+        wav = multimodal.probe_bytes(_wav(2.0, 8000, 1))
+        assert wav["format"] == "wav"
+        assert wav["sample_rate"] == 8000
+        assert abs(wav["duration_seconds"] - 2.0) < 0.01
+        assert multimodal.probe_bytes(b"\xff\xd8\xff\xe0" + b"\x00" * 20)["format"] == "jpeg"
+
+    def test_probe_media_dataframe(self, spark):
+        df = spark.createDataFrame(
+            [("img1", bytearray(_png(32, 16))), ("aud1", bytearray(_wav()))],
+            "doc_id string, content binary",
+        )
+        rows = {r["doc_id"]: r["media_meta"] for r in multimodal.probe_media(df).collect()}
+        assert rows["img1"]["width"] == 32
+        assert rows["aud1"]["format"] == "wav"
+        assert rows["img1"]["size_bytes"] == len(_png(32, 16))
+
+    def test_decode_requires_library_or_fake(self, spark):
+        df = spark.createDataFrame(
+            [("a", bytearray(b"\x00\x7f\xff"))], "doc_id string, content binary"
+        )
+        with pytest.raises(NotImplementedError, match="Pillow"):
+            multimodal.decode_image_features(df)
+        out = multimodal.decode_image_features(df, fake=True, bins=4).collect()[0]
+        assert len(out["features"]) == 4
+        assert abs(sum(out["features"]) - 1.0) < 1e-6
+
+    def test_frame_offsets(self, spark):
+        df = spark.createDataFrame(
+            [("v1", bytearray(b"x" * 1000))], "doc_id string, content binary"
+        )
+        rows = multimodal.sample_frame_offsets(df, n_frames=4).collect()
+        assert [r["frame_index"] for r in rows] == [0, 1, 2, 3]
+        assert [r["byte_offset"] for r in rows] == [0, 250, 500, 750]
+
+
+class TestStreaming:
+    def test_stream_partition_and_chunk(self, spark, tmp_path):
+        from unstructured_spark.streaming import (
+            partition_and_chunk_stream,
+            read_document_stream,
+            write_elements_stream,
+        )
+
+        in_dir = tmp_path / "in"
+        in_dir.mkdir()
+        (in_dir / "a.txt").write_text(fx.FAKE_TEXT)
+        (in_dir / "b.html").write_text(fx.FAKE_HTML)
+
+        docs = read_document_stream(spark, str(in_dir))
+        assert docs.isStreaming
+        chunks = partition_and_chunk_stream(docs, max_characters=200)
+        q = write_elements_stream(
+            chunks,
+            str(tmp_path / "out"),
+            str(tmp_path / "ckpt"),
+            available_now=True,
+        )
+        q.awaitTermination(120)
+        out = spark.read.parquet(str(tmp_path / "out"))
+        rows = out.collect()
+        assert len(rows) >= 2
+        assert set(r["type"] for r in rows) <= {"CompositeElement", "Table", "TableChunk"}
+        docs_seen = {r["doc_id"] for r in rows}
+        assert any("a.txt" in d for d in docs_seen)
+        assert any("b.html" in d for d in docs_seen)
+
+        # arriving file picked up by a second availableNow drain
+        (in_dir / "c.txt").write_text("New arrival paragraph. It was late.")
+        q2 = write_elements_stream(
+            partition_and_chunk_stream(read_document_stream(spark, str(in_dir)), max_characters=200),
+            str(tmp_path / "out"),
+            str(tmp_path / "ckpt"),
+            available_now=True,
+        )
+        q2.awaitTermination(120)
+        out2 = spark.read.parquet(str(tmp_path / "out"))
+        assert any("c.txt" in r["doc_id"] for r in out2.collect())

@@ -369,3 +369,60 @@ def chunk_by_title(df: DataFrame, **kwargs) -> DataFrame:
     """``by_title`` strategy (reference chunking/title.py): semantic
     boundaries on Title/page + small-section re-combine."""
     return _run_chunker(df, ChunkingOptions(**kwargs), by_title=True)
+
+
+def reconstruct_table_from_chunks(df: DataFrame) -> DataFrame:
+    """Inverse of table splitting (reference chunking/dispatch.py:146-325):
+    group ``TableChunk`` rows by ``table_id``, order by ``chunk_index``,
+    merge text and HTML back into one Table row per original table.
+
+    Native plan: one hash aggregation with ``sort_array(collect_list(
+    struct(...)))`` — the merge itself is string concat over an ordered
+    array, all JVM-side (no Python).
+    """
+    from pyspark.sql import functions as F
+
+    chunks = df.filter(F.col("type") == "TableChunk")
+    merged = (
+        chunks.groupBy("doc_id", "table_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("chunk_index"),
+                        F.col("text"),
+                        F.col("text_as_html"),
+                    )
+                )
+            ).alias("parts"),
+            F.min("element_index").alias("element_index"),
+            F.first("page_number", ignorenulls=True).alias("page_number"),
+        )
+        .select(
+            "doc_id",
+            F.col("table_id").alias("element_id"),
+            "element_index",
+            F.lit("Table").alias("type"),
+            F.array_join(F.transform("parts", lambda p: p["text"]), " ").alias("text"),
+            F.when(
+                F.exists("parts", lambda p: p["text_as_html"].isNotNull()),
+                F.concat(
+                    F.lit("<table>"),
+                    F.array_join(
+                        F.transform(
+                            "parts",
+                            lambda p: F.regexp_replace(
+                                F.coalesce(p["text_as_html"], F.lit("")),
+                                "</?table>",
+                                "",
+                            ),
+                        ),
+                        "",
+                    ),
+                    F.lit("</table>"),
+                ),
+            ).alias("text_as_html"),
+            "page_number",
+        )
+    )
+    return merged

@@ -1,0 +1,199 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` with
+typed metadata (SURVEY §2.1 partition_image/partition_audio rows and
+the beyond-reference training-pipeline ops).
+
+Design: media stays an opaque ``binary`` column; every operator is
+``mapInPandas`` over Arrow batches so decoders/models initialize once
+per executor. What ships here:
+
+- :func:`probe_media` — REAL container sniffing: dimensions from
+  PNG/JPEG/GIF/BMP headers, duration/rate from WAV headers, all stdlib
+  byte parsing (no PIL/ffmpeg needed).
+- :func:`decode_image_features` — the pixel-decode step needs an image
+  library that is not in this container; with ``fake=True`` it emits a
+  deterministic byte-histogram feature vector through the exact same
+  schema/batching path, otherwise it raises ``NotImplementedError``
+  naming the dependency.
+- :func:`sample_frame_offsets` — frame-sampling plumbing: computes the
+  byte/time offsets a video decoder would seek to (uniform stride),
+  returning one row per sampled frame (posexplode shape).
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_seconds", T.DoubleType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("size_bytes", T.LongType()),
+    ]
+)
+
+
+def probe_bytes(data: bytes | None) -> dict:
+    """Sniff container format + dimensions/duration from headers."""
+    meta = {
+        "format": None, "width": None, "height": None,
+        "duration_seconds": None, "sample_rate": None, "channels": None,
+        "size_bytes": len(data) if data is not None else None,
+    }
+    if not data or len(data) < 12:
+        return meta
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        meta["format"] = "png"
+        if data[12:16] == b"IHDR":
+            meta["width"], meta["height"] = struct.unpack(">II", data[16:24])
+    elif data[:3] == b"\xff\xd8\xff":
+        meta["format"] = "jpeg"
+        i = 2
+        while i + 9 < len(data):
+            if data[i] != 0xFF:
+                i += 1
+                continue
+            marker = data[i + 1]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                meta["height"], meta["width"] = struct.unpack(
+                    ">HH", data[i + 5 : i + 9]
+                )
+                break
+            seglen = struct.unpack(">H", data[i + 2 : i + 4])[0]
+            i += 2 + seglen
+    elif data[:6] in (b"GIF87a", b"GIF89a"):
+        meta["format"] = "gif"
+        meta["width"], meta["height"] = struct.unpack("<HH", data[6:10])
+    elif data[:2] == b"BM":
+        meta["format"] = "bmp"
+        meta["width"], meta["height"] = struct.unpack("<ii", data[18:26])
+        meta["height"] = abs(meta["height"])
+    elif data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        meta["format"] = "wav"
+        # fmt chunk: channels@22, rate@24; data size from RIFF length
+        if data[12:16] == b"fmt ":
+            meta["channels"] = struct.unpack("<H", data[22:24])[0]
+            meta["sample_rate"] = struct.unpack("<I", data[24:28])[0]
+            bits = struct.unpack("<H", data[34:36])[0] or 16
+            byte_rate = meta["sample_rate"] * meta["channels"] * bits // 8
+            if byte_rate:
+                meta["duration_seconds"] = round(
+                    (len(data) - 44) / byte_rate, 6
+                )
+    elif data[4:8] == b"ftyp":
+        meta["format"] = "mp4"
+    return meta
+
+
+def probe_media(
+    df: DataFrame, *, content_col: str = "content", out_col: str = "media_meta"
+) -> DataFrame:
+    """Attach a typed metadata struct sniffed from media headers."""
+    in_fields = [f for f in df.schema.fields if f.name != out_col]
+    schema = T.StructType(in_fields + [T.StructField(out_col, MEDIA_META_SCHEMA)])
+    names = [f.name for f in in_fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[names].copy()
+            out[out_col] = [
+                probe_bytes(b if b is None or isinstance(b, bytes) else bytes(b))
+                for b in pdf[content_col]
+            ]
+            yield out
+
+    return df.select(*names).mapInPandas(run, schema=schema)
+
+
+def decode_image_features(
+    df: DataFrame,
+    *,
+    content_col: str = "content",
+    out_col: str = "features",
+    bins: int = 16,
+    fake: bool = False,
+) -> DataFrame:
+    """Pixel decode → feature vector.
+
+    Real pixel decoding needs an image library (PIL/opencv) on the
+    executors, which this container does not ship — so the default
+    raises ``NotImplementedError`` at plan-build time, naming the
+    dependency. ``fake=True`` runs a deterministic byte-histogram
+    through the identical mapInPandas path so schema, batching, and
+    downstream similarity plumbing are fully exercised in tests.
+    """
+    try:
+        import PIL.Image  # type: ignore  # noqa: F401
+
+        have_pil = True
+    except ImportError:
+        have_pil = False
+    if not have_pil and not fake:
+        raise NotImplementedError(
+            "decode_image_features requires Pillow (PIL) on executors "
+            "for real pixel decoding; pass fake=True for the "
+            "deterministic byte-histogram stand-in."
+        )
+
+    in_fields = [f for f in df.schema.fields if f.name != out_col]
+    schema = T.StructType(
+        in_fields + [T.StructField(out_col, T.ArrayType(T.FloatType()))]
+    )
+    names = [f.name for f in in_fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for b in pdf[content_col]:
+                data = b if isinstance(b, bytes) else (bytes(b) if b is not None else b"")
+                hist = [0] * bins
+                for byte in data:
+                    hist[byte * bins // 256] += 1
+                total = len(data) or 1
+                feats.append([h / total for h in hist])
+            out = pdf[names].copy()
+            out[out_col] = feats
+            yield out
+
+    return df.select(*names).mapInPandas(run, schema=schema)
+
+
+def sample_frame_offsets(
+    df: DataFrame,
+    *,
+    n_frames: int = 8,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One row per sampled frame: (doc, frame_index, byte_offset).
+
+    This is the partitioning/explode plumbing of video frame sampling;
+    the actual frame decode seeks to these offsets inside a codec-aware
+    UDF on a cluster with ffmpeg available."""
+    size = F.length(F.col(content_col)).cast("long")
+    frames = F.transform(
+        F.sequence(F.lit(0), F.lit(n_frames - 1)),
+        lambda i: F.struct(
+            i.cast("int").alias("frame_index"),
+            (size * i / F.lit(n_frames)).cast("long").alias("byte_offset"),
+        ),
+    )
+    return (
+        df.select(F.col(id_col), size.alias("size_bytes"), frames.alias("_f"))
+        .select(id_col, "size_bytes", F.explode("_f").alias("frame"))
+        .select(
+            id_col,
+            "size_bytes",
+            F.col("frame.frame_index").alias("frame_index"),
+            F.col("frame.byte_offset").alias("byte_offset"),
+        )
+    )

@@ -56,10 +56,12 @@ def partition_documents(
         cols.append(content_type)
     narrowed = df.select(*cols)
     # spread few-large-files inputs across the cluster: parse parallelism
-    # equals input partitions, and a single parquet file is one split
-    target = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if narrowed.rdd.getNumPartitions() < target:
-        narrowed = narrowed.repartition(target)
+    # equals input partitions, and a single parquet file is one split.
+    # (streaming microbatches manage their own partitioning — no .rdd)
+    if not df.isStreaming:
+        target = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+        if narrowed.rdd.getNumPartitions() < target:
+            narrowed = narrowed.repartition(target)
     path_col = path if path in narrowed.columns else None
     ct_col = content_type if content_type in narrowed.columns else None
 
