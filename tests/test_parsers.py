@@ -186,10 +186,10 @@ class TestDispatch:
         from unstructured_spark.parsers.dispatch import UnsupportedFormatError
 
         with pytest.raises(UnsupportedFormatError):
-            # CFB container (.msg) needs a MAPI reader — stubbed
+            # legacy binary Word (.doc) needs soffice conversion — stubbed
             partition_bytes(
                 b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" + b"\x00" * 64,
-                filename="a.msg",
+                filename="a.doc",
             )
 
     def test_json_reingest(self):

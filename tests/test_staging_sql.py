@@ -1,0 +1,120 @@
+"""Staging transforms (§2.8), extra cleaners (§2.3), and the SQL
+surface (partition_doc UDTF + scalar registry, §4/§2.10)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests import fixtures as fx
+from unstructured_spark.functions import cleaners
+from unstructured_spark.operators import staging
+
+
+@pytest.fixture(scope="module")
+def elements(spark):
+    from unstructured_spark.operators.partition_auto import partition_documents
+
+    docs = spark.createDataFrame(
+        [
+            ("doc-a", bytearray(fx.FAKE_TEXT.encode()), "a.txt"),
+            ("doc-b", bytearray(fx.make_pdf()), "b.pdf"),
+        ],
+        "doc_id string, content binary, path string",
+    )
+    df = partition_documents(docs)
+    df.cache().count()
+    return df
+
+
+class TestStaging:
+    def test_weaviate_shape(self, elements):
+        rows = staging.stage_for_weaviate(elements).collect()
+        assert {"id", "text", "category", "vector"} <= set(rows[0].asDict())
+
+    def test_prodigy_meta(self, elements):
+        row = staging.stage_for_prodigy(elements).collect()[0]
+        assert row["meta"]["id"] and row["text"]
+
+    def test_label_studio_nesting(self, elements):
+        row = staging.stage_for_label_studio(elements).collect()[0]
+        assert row["data"]["ref_id"]
+
+    def test_argilla_map(self, elements):
+        row = staging.stage_for_argilla(elements).collect()[0]
+        assert row["metadata"]["type"]
+
+    def test_transformers_windows(self, spark):
+        df = spark.createDataFrame(
+            [("d", "e", "x" * 2500)], "doc_id string, element_id string, text string"
+        )
+        rows = staging.stage_for_transformers(df, window_chars=1000).collect()
+        assert [r["window_start"] for r in rows] == [0, 1000, 2000]
+        assert len(rows[2]["text"]) == 500
+
+    def test_coco_bbox(self, elements):
+        # pdf elements carry coordinates → COCO rows exist with area
+        rows = staging.convert_to_coco(elements).collect()
+        assert rows
+        assert all(len(r["bbox"]) == 4 for r in rows)
+        assert all(r["area"] >= 0 for r in rows)
+
+    def test_flatten_column_order(self, elements):
+        out = staging.flatten_metadata(elements)
+        assert out.columns[:3] == ["type", "text", "element_id"]
+
+
+class TestExtraCleaners:
+    def test_clean_ordered_bullets(self, spark):
+        df = spark.createDataFrame(
+            [("1.1.2 Section body",), ("a.ii Another one",), ("no bullet",)],
+            "t string",
+        )
+        vals = [
+            r["o"] for r in df.select(
+                cleaners.clean_ordered_bullets(F.col("t")).alias("o")
+            ).collect()
+        ]
+        assert vals == ["Section body", "Another one", "no bullet"]
+
+    def test_replace_mime_encodings(self, spark):
+        df = spark.createDataFrame([("caf=C3=A9",)], "t string")
+        val = df.select(
+            cleaners.replace_mime_encodings(F.col("t")).alias("o")
+        ).collect()[0]["o"]
+        assert val == "café"
+
+    def test_translate_text_gated(self):
+        with pytest.raises(NotImplementedError, match="translation model"):
+            cleaners.translate_text(F.lit("hola"))
+
+
+class TestSqlSurface:
+    def test_partition_doc_lateral_join(self, spark):
+        from unstructured_spark.sql_surface import register_sql_surface
+
+        register_sql_surface(spark)
+        docs = spark.createDataFrame(
+            [("d1", bytearray(fx.FAKE_TEXT.encode()), "d1.txt")],
+            "doc_id string, content binary, path string",
+        )
+        docs.createOrReplaceTempView("sql_docs")
+        out = spark.sql(
+            "SELECT d.doc_id, p.element_index, p.type, p.text, p.element_id "
+            "FROM sql_docs d, LATERAL partition_doc(d.content, d.path) p "
+            "ORDER BY p.element_index"
+        ).collect()
+        assert len(out) > 3
+        assert out[0]["type"] == "Title"
+        assert all(len(r["element_id"]) == 32 for r in out)
+
+    def test_scalar_registry(self, spark):
+        from unstructured_spark.sql_surface import register_sql_surface
+
+        register_sql_surface(spark)
+        row = spark.sql(
+            "SELECT clean_text('  • spam   ham ') AS c, "
+            "detect_filetype_name('x.html', NULL) AS ft"
+        ).collect()[0]
+        assert row["c"] == "spam ham"
+        assert row["ft"] == "html"

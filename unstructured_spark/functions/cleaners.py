@@ -152,3 +152,54 @@ def group_broken_paragraphs(col: Column) -> Column:
 def bytes_string_to_string(col: Column, encoding: str = "utf-8") -> Column:
     """Decode mis-encoded text via encode/decode round trip (core.py:432-437)."""
     return F.decode(F.encode(col, encoding), encoding)
+
+
+def clean_ordered_bullets(col: Column) -> Column:
+    """Strip leading ordered-bullet prefixes like "1.1.2 " / "a.ii "
+    (reference cleaners/core.py:37-73 ordered variant): up to three
+    dot-joined alphanumeric segments followed by whitespace."""
+    # a bare word is NOT a bullet: require dot-joined segments ("1.1",
+    # "a.ii", "1.") or a pure number
+    return F.regexp_replace(
+        col,
+        r"^\s*(?:\d{1,3}|[a-zA-Z0-9]{1,4}(?:\.[a-zA-Z0-9]{1,4}){1,2})\.?\s+",
+        "",
+    )
+
+
+def replace_mime_encodings(col: Column, encoding: str = "utf-8") -> Column:
+    """Decode quoted-printable =XX escapes (reference core.py:358-366).
+    Pure-column form: repeated hex unescape via conv/chr would not
+    handle multibyte sequences, so this uses a vectorized pandas UDF —
+    the reference decodes bytes the same way."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _decode(s):
+        import quopri
+
+        return s.map(
+            lambda t: quopri.decodestring(t.encode("ascii", "ignore")).decode(
+                encoding, errors="replace"
+            )
+            if t is not None
+            else None
+        )
+
+    # set real type objects: `from __future__ import annotations` above
+    # stringifies inline hints, which pandas_udf can't infer from
+    _decode.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(_decode, "string")(col)
+
+
+def translate_text(col: Column, target_lang: str = "en") -> Column:
+    """Machine translation (reference cleaners/translate.py:24-75 uses
+    HF opus-mt models). Model weights are not available in this
+    container; on a real cluster this becomes a mapInPandas with a
+    per-executor pipeline. Calling it here raises with that guidance.
+    """
+    raise NotImplementedError(
+        "translate_text requires a translation model (reference uses "
+        "helsinki-nlp opus-mt via transformers); install the model on "
+        "executors and wire it through operators.embed-style mapInPandas."
+    )

@@ -134,7 +134,7 @@ _PARTITIONERS: dict[str, Callable[..., list[dict]]] = {
     "doc": _unsupported("doc", "libreoffice soffice"),
     "ppt": _unsupported("ppt", "libreoffice soffice"),
     "xls": _unsupported("xls", "xlrd"),
-    "msg": _unsupported("msg", "a CFB/MAPI reader"),
+    "msg": lambda c, **kw: _lazy("msg_parser", "msg_to_elements")(c),
     "png": _unsupported("image", "a layout/OCR model"),
     "jpg": _unsupported("image", "a layout/OCR model"),
     "tiff": _unsupported("image", "a layout/OCR model"),

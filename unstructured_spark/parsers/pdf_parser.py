@@ -494,57 +494,85 @@ def _extract_runs(
 
 
 def _runs_to_blocks(
-    runs: list[tuple[float, float, float, str]],
-) -> list[tuple[str, float, float]]:
-    """Group runs → lines (same y ±2pt) → blocks (y-gap ≤ 1.7×size);
-    returns (block text, top y, median size)."""
+    runs: list[tuple[float, float, float, str]], page_height: float
+) -> list[dict]:
+    """runs → line-boxes → x-overlap-clustered blocks → XY-cut reading
+    order. Two-column layouts come out column-by-column instead of
+    y-interleaved (reference hi_res uses the same recursive XY-cut,
+    utils/xycut.py:17-213).
+
+    Returns block dicts with ``text`` and a top-down bbox
+    (x0, top, x1, bot)."""
+    from unstructured_spark.parsers.layout import xy_cut_order
+
     if not runs:
         return []
-    # lines: stable-group by rounded y
-    lines: dict[float, list[tuple[float, float, str]]] = {}
-    sizes: dict[float, float] = {}
+    # 1. group runs into visual lines by baseline y (±2pt)
+    by_y: list[tuple[float, list[tuple[float, float, str]]]] = []
     for y, x, size, text in runs:
-        key = None
-        for ly in lines:
+        for ly, segs in by_y:
             if abs(ly - y) <= 2.0:
-                key = ly
+                segs.append((x, size, text))
                 break
-        if key is None:
-            key = y
-            lines[key] = []
-            sizes[key] = size
-        lines[key].append((x, y, text))
-    ordered_ys = sorted(lines, reverse=True)  # PDF y grows upward
-    blocks: list[tuple[str, float, float]] = []
-    cur: list[str] = []
-    cur_top = 0.0
-    cur_size = 12.0
-    prev_y: float | None = None
-    for ly in ordered_ys:
-        segs = sorted(lines[ly])
-        text = ""
-        prev_end: float | None = None
-        for x0, _, seg in segs:
-            if prev_end is not None and x0 - prev_end > 1.0 and text and not text.endswith(" "):
-                text += " "
-            text += seg
-            prev_end = x0 + len(seg) * sizes[ly] * 0.5
+        else:
+            by_y.append((y, [(x, size, text)]))
+    # 2. split each visual line at large x gaps (separate columns/cells)
+    lines: list[list] = []  # [x0, x1, top, bot, size, text]
+    for y, segs in by_y:
+        segs.sort()
+        td = page_height - y  # top-down baseline
+        cur: list | None = None
+        for x, size, text in segs:
+            w = max(len(text), 1) * size * 0.5
+            if cur is not None and x - cur[1] <= 2.0 * cur[4]:
+                if x - cur[1] > 1.0 and not cur[5].endswith(" ") and not text.startswith(" "):
+                    cur[5] += " "
+                cur[5] += text
+                cur[1] = max(cur[1], x + w)
+                cur[4] = max(cur[4], size)
+            else:
+                if cur is not None:
+                    lines.append(cur)
+                cur = [x, x + w, td - size, td, size, text]
+        if cur is not None:
+            lines.append(cur)
+    # 3. cluster lines into blocks: vertical adjacency AND x overlap
+    blocks: list[dict] = []
+    for x0, x1, top, bot, size, text in sorted(
+        lines, key=lambda l: (l[2], l[0])
+    ):
         text = text.strip()
         if not text:
             continue
-        gap = (prev_y - ly) if prev_y is not None else 0.0
-        threshold = max(sizes[ly], cur_size) * 1.7
-        if cur and gap > threshold:
-            blocks.append((" ".join(cur), cur_top, cur_size))
-            cur = []
-        if not cur:
-            cur_top = ly
-            cur_size = sizes[ly]
-        cur.append(text)
-        prev_y = ly
-    if cur:
-        blocks.append((" ".join(cur), cur_top, cur_size))
-    return blocks
+        best: tuple[float, dict] | None = None
+        for b in blocks:
+            vgap = top - b["bot"]
+            if -2.0 <= vgap <= 1.2 * max(size, b["size"]):
+                ovl = min(x1, b["x1"]) - max(x0, b["x0"])
+                if ovl > 0.3 * min(x1 - x0, b["x1"] - b["x0"]):
+                    if best is None or vgap < best[0]:
+                        best = (vgap, b)
+        if best is not None:
+            b = best[1]
+            b["texts"].append(text)
+            b["x0"] = min(b["x0"], x0)
+            b["x1"] = max(b["x1"], x1)
+            b["bot"] = max(b["bot"], bot)
+            b["size"] = max(b["size"], size)
+        else:
+            blocks.append(
+                {"x0": x0, "x1": x1, "top": top, "bot": bot,
+                 "size": size, "texts": [text]}
+            )
+    order = xy_cut_order(
+        [(b["x0"], b["top"], b["x1"], b["bot"]) for b in blocks]
+    )
+    out = []
+    for i in order:
+        b = blocks[i]
+        b["text"] = " ".join(b["texts"])
+        out.append(b)
+    return out
 
 
 def pdf_to_elements(content: bytes) -> list[dict]:
@@ -556,8 +584,14 @@ def pdf_to_elements(content: bytes) -> list[dict]:
             continue
         fonts = doc.page_fonts(page)
         runs = _extract_runs(stream, fonts)
-        for text, top, size in _runs_to_blocks(runs):
-            text = " ".join(text.split())
+        media = doc.resolve(page.get("/MediaBox")) or [0, 0, 612, 792]
+        try:
+            page_w = float(doc.resolve(media[2])) - float(doc.resolve(media[0]))
+            page_h = float(doc.resolve(media[3])) - float(doc.resolve(media[1]))
+        except (TypeError, ValueError, IndexError):
+            page_w, page_h = 612.0, 792.0
+        for b in _runs_to_blocks(runs, page_h):
+            text = " ".join(b["text"].split())
             if not text:
                 continue
             out.append(
@@ -565,6 +599,17 @@ def pdf_to_elements(content: bytes) -> list[dict]:
                     "type": classify.element_type_from_text(text),
                     "text": text,
                     "page_number": page_no,
+                    "coordinates": {
+                        "points": [
+                            {"x": b["x0"], "y": b["top"]},
+                            {"x": b["x0"], "y": b["bot"]},
+                            {"x": b["x1"], "y": b["bot"]},
+                            {"x": b["x1"], "y": b["top"]},
+                        ],
+                        "system": "PixelSpace",
+                        "layout_width": page_w,
+                        "layout_height": page_h,
+                    },
                 }
             )
     return out
