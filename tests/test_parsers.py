@@ -186,10 +186,10 @@ class TestDispatch:
         from unstructured_spark.parsers.dispatch import UnsupportedFormatError
 
         with pytest.raises(UnsupportedFormatError):
-            # legacy binary Word (.doc) needs soffice conversion — stubbed
+            # audio needs a speech-to-text model — stubbed
             partition_bytes(
-                b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" + b"\x00" * 64,
-                filename="a.doc",
+                b"RIFF\x24\x00\x00\x00WAVEfmt " + b"\x00" * 32,
+                filename="a.wav",
             )
 
     def test_json_reingest(self):

@@ -130,10 +130,12 @@ _PARTITIONERS: dict[str, Callable[..., list[dict]]] = {
     # PDF fast strategy: stdlib content-stream extraction; hi_res/ocr
     # strategies need layout/OCR models (stubs below route to fast)
     "pdf": lambda c, **kw: _lazy("pdf_parser", "pdf_to_elements")(c),
-    # heavy-dependency formats: explicit stubs (SURVEY §2.1 doc/... rows)
-    "doc": _unsupported("doc", "libreoffice soffice"),
-    "ppt": _unsupported("ppt", "libreoffice soffice"),
-    "xls": _unsupported("xls", "xlrd"),
+    # legacy binary Office via the stdlib CFB reader (the reference
+    # shells out to soffice for these)
+    "doc": lambda c, **kw: _lazy("legacy_office", "doc_to_elements")(c),
+    "ppt": lambda c, **kw: _lazy("legacy_office", "ppt_to_elements")(c),
+    "xls": lambda c, **kw: _lazy("legacy_office", "xls_to_elements")(c),
+    # model-dependent formats: explicit stubs (SURVEY §2.1 image/audio)
     "msg": lambda c, **kw: _lazy("msg_parser", "msg_to_elements")(c),
     "png": _unsupported("image", "a layout/OCR model"),
     "jpg": _unsupported("image", "a layout/OCR model"),
@@ -160,6 +162,23 @@ def partition_bytes(
     """Detect + dispatch one document; returns ordered element dicts."""
     head = content[:8192] if isinstance(content, bytes) else content[:8192].encode()
     ft = ft_mod.detect_filetype(filename=filename, content_type=content_type, head=head)
+    # CFB containers share one magic; the directory stream names tell
+    # doc/xls/ppt/msg apart (reference uses libmagic + ext for this)
+    if ft in ("doc", "xls", "ppt", "msg") and isinstance(content, bytes):
+        try:
+            from unstructured_spark.parsers.msg_parser import CfbFile
+
+            names = {e["name"] for e in CfbFile(content).entries}
+            if "WordDocument" in names:
+                ft = "doc"
+            elif names & {"Workbook", "Book"}:
+                ft = "xls"
+            elif "PowerPoint Document" in names:
+                ft = "ppt"
+            elif any(n.startswith("__substg1.0_") for n in names):
+                ft = "msg"
+        except Exception:
+            pass
     # eml detection: RFC-822 headers at start of text files
     if ft == "txt" and isinstance(head, bytes):
         first = head.lstrip()[:200]
