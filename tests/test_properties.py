@@ -1,0 +1,180 @@
+"""Property-based tests (hypothesis) for the order-sensitive folds —
+invariants that must hold for ANY document, not just fixtures.
+
+Chunking contract (reference chunking/base.py):
+- no chunk text exceeds max_characters
+- concatenated chunk text preserves every input token in order
+  (whitespace may be normalized, separators change)
+- Table elements never merge with other elements
+- chunk element_index is dense and ordered per doc
+
+Splitter contract: fragments ≤ maxlen, concatenation preserves tokens.
+Hierarchy contract: parent_id only references earlier elements.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from unstructured_spark.operators.chunking import (
+    _OUT_COLUMNS,
+    ChunkingOptions,
+    _make_batched_fold,
+    _split_oversized,
+)
+from unstructured_spark.operators.metadata import py_finalize_doc
+
+_WORD = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd")),
+    min_size=1,
+    max_size=12,
+)
+_TEXT = st.lists(_WORD, min_size=1, max_size=40).map(" ".join)
+_TYPE = st.sampled_from(
+    ["NarrativeText", "Title", "ListItem", "Text", "Table"]
+)
+
+
+def _mk_elements(texts_types):
+    # prefix an index token so every element's text is unique — the
+    # isolation property compares text identity across elements
+    return [
+        {
+            "doc_id": "d",
+            "element_index": i,
+            "element_id": f"e{i}",
+            "type": t,
+            "text": f"u{i} {txt}",
+            "page_number": None,
+            "category_depth": None,
+        }
+        for i, (txt, t) in enumerate(texts_types)
+    ]
+
+
+def _run(rows, **kw):
+    by_title = kw.pop("by_title", False)
+    opts = ChunkingOptions(**kw)
+    fold = _make_batched_fold(opts, by_title=by_title)
+    frames = list(fold(iter([pd.DataFrame(rows)])))
+    if not frames:
+        return []
+    return pd.concat(frames)[_OUT_COLUMNS].to_dict("records")
+
+
+def _tokens(s: str) -> list[str]:
+    return re.split(r"\s+", s.strip()) if s and s.strip() else []
+
+
+class TestSplitterProperties:
+    @given(text=_TEXT, maxlen=st.integers(8, 200))
+    @settings(max_examples=60, deadline=None)
+    def test_fragments_bounded_and_char_preserving(self, text, maxlen):
+        frags = _split_oversized(text, maxlen, 0)
+        assert all(len(f) <= maxlen for f in frags)
+        # a separator-free word longer than maxlen is hard-cut (reference
+        # contract), so compare the whitespace-stripped char stream
+        assert "".join("".join(frags).split()) == "".join(text.split())
+
+    @given(text=_TEXT, maxlen=st.integers(20, 100), overlap=st.integers(1, 10))
+    @settings(max_examples=40, deadline=None)
+    def test_overlap_never_exceeds_maxlen(self, text, maxlen, overlap):
+        frags = _split_oversized(text, maxlen, overlap)
+        assert all(len(f) <= maxlen for f in frags)
+
+
+class TestChunkingProperties:
+    @given(
+        items=st.lists(st.tuples(_TEXT, _TYPE), min_size=1, max_size=25),
+        maxchars=st.integers(30, 400),
+    )
+    @settings(max_examples=40, deadline=None)
+    def test_hard_max_respected(self, items, maxchars):
+        chunks = _run(_mk_elements(items), max_characters=maxchars)
+        assert all(len(c["text"] or "") <= maxchars for c in chunks)
+
+    @given(items=st.lists(st.tuples(_TEXT, _TYPE), min_size=1, max_size=25))
+    @settings(max_examples=40, deadline=None)
+    def test_tokens_preserved_in_order(self, items):
+        rows = _mk_elements(items)
+        chunks = _run(rows, max_characters=150)
+        got = _tokens(" ".join(c["text"] or "" for c in chunks))
+        want = _tokens(" ".join(r["text"] for r in rows))
+        assert got == want
+
+    @given(items=st.lists(st.tuples(_TEXT, _TYPE), min_size=1, max_size=25))
+    @settings(max_examples=30, deadline=None)
+    def test_tables_isolated(self, items):
+        rows = _mk_elements(items)
+        table_texts = {r["text"] for r in rows if r["type"] == "Table"}
+        chunks = _run(rows, max_characters=100000)
+        for c in chunks:
+            if c["type"] == "Table":
+                # a Table chunk's text is exactly one input table's text
+                assert c["text"] in table_texts
+            elif c["type"] == "CompositeElement":
+                # composite never swallows a table's text as a segment
+                assert all(
+                    t not in table_texts for t in c["text"].split("\n\n")
+                )
+
+    @given(
+        items=st.lists(st.tuples(_TEXT, _TYPE), min_size=1, max_size=20),
+        by_title=st.booleans(),
+    )
+    @settings(max_examples=30, deadline=None)
+    def test_index_dense_and_ordered(self, items, by_title):
+        chunks = _run(_mk_elements(items), max_characters=120, by_title=by_title)
+        assert [c["element_index"] for c in chunks] == list(range(len(chunks)))
+
+
+class TestHierarchyProperties:
+    @given(
+        items=st.lists(
+            st.tuples(_TEXT, _TYPE, st.integers(0, 3)), min_size=1, max_size=30
+        )
+    )
+    @settings(max_examples=40, deadline=None)
+    def test_parent_precedes_child(self, items):
+        rows = [
+            {
+                "doc_id": "d",
+                "element_index": i,
+                "type": t,
+                "text": txt,
+                "page_number": None,
+                "category_depth": d,
+                "parent_id": None,
+                "languages": None,
+            }
+            for i, (txt, t, d) in enumerate(items)
+        ]
+        py_finalize_doc(rows, doc_id="d")
+        ids_seen: set[str] = set()
+        for r in rows:
+            if r["parent_id"] is not None:
+                assert r["parent_id"] in ids_seen
+            ids_seen.add(r["element_id"])
+
+    @given(
+        items=st.lists(st.tuples(_TEXT, _TYPE), min_size=1, max_size=15)
+    )
+    @settings(max_examples=30, deadline=None)
+    def test_ids_deterministic(self, items):
+        def build():
+            rows = [
+                {
+                    "doc_id": "d", "element_index": i, "type": t, "text": txt,
+                    "page_number": None, "category_depth": None,
+                    "parent_id": None, "languages": None,
+                }
+                for i, (txt, t) in enumerate(items)
+            ]
+            py_finalize_doc(rows, doc_id="d")
+            return [r["element_id"] for r in rows]
+
+        assert build() == build()

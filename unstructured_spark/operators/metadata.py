@@ -124,12 +124,44 @@ def _hierarchy_fold(pdf: pd.DataFrame) -> pd.DataFrame:
 
 
 def set_element_hierarchy(df: DataFrame) -> DataFrame:
-    """Assign ``parent_id`` per document (sequential stack fold)."""
+    """Assign ``parent_id`` per document (sequential stack fold).
+
+    Physical shape mirrors the batched chunker: cluster by doc, sort
+    within partitions, fold whole batches — per-batch (not per-doc)
+    pandas overhead, with a carry buffer for documents straddling
+    Arrow batch boundaries.
+    """
     schema = df.schema
     if "parent_id" not in df.columns:
         df = df.withColumn("parent_id", F.lit(None).cast("string"))
         schema = df.schema
-    return df.groupBy("doc_id").applyInPandas(_hierarchy_fold, schema=schema)
+
+    def fold_batches(batches):
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            last_doc = pdf["doc_id"].iloc[-1]
+            head = pdf[pdf["doc_id"] != last_doc]
+            carry = pdf[pdf["doc_id"] == last_doc]
+            if not head.empty:
+                yield pd.concat(
+                    [_hierarchy_fold(g) for _, g in head.groupby("doc_id", sort=False)],
+                    ignore_index=True,
+                )
+        if carry is not None and not carry.empty:
+            yield pd.concat(
+                [_hierarchy_fold(g) for _, g in carry.groupby("doc_id", sort=False)],
+                ignore_index=True,
+            )
+
+    clustered = df.repartition("doc_id").sortWithinPartitions(
+        "doc_id", "element_index"
+    )
+    return clustered.mapInPandas(fold_batches, schema=schema)
 
 
 # ---------------------------------------------------------------------------

@@ -117,8 +117,8 @@ _PARTITIONERS: dict[str, Callable[..., list[dict]]] = {
     "xml": lambda c, **kw: _partition_xml(c),
     "json": lambda c, **kw: _partition_json_elements(c),
     "ndjson": lambda c, **kw: _partition_ndjson_elements(c),
-    "rst": lambda c, **kw: text_to_elements(_decode(c)),
-    "org": lambda c, **kw: text_to_elements(_decode(c)),
+    "rst": lambda c, **kw: _lazy("structured_text", "rst_to_elements")(_decode(c)),
+    "org": lambda c, **kw: _lazy("structured_text", "org_to_elements")(_decode(c)),
     # OOXML / ODF / EPUB / RTF parsed directly with stdlib zip+XML
     # (the reference needs python-docx/pptx/openpyxl/pandoc for these)
     "docx": lambda c, **kw: _lazy("docx_parser", "docx_to_elements")(c),
