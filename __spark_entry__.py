@@ -482,6 +482,26 @@ def q_chunk_by_title(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunks.select("doc_id", "element_index", "type", "text")
 
 
+def q_hash_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hash embedding of document text via the mapInPandas
+    embedding operator (per-worker encoder singleton; SURVEY §2.7).
+    The md5-based HashingEncoder is engine-portable, so DuckDB
+    reproduces the exact vectors — this oracle-checks the embedding
+    plumbing end to end."""
+    from unstructured_spark.operators import embed
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = embed.embed_elements(docs, lambda: embed.HashingEncoder(dim=8))
+    # embeddings are float32 on the wire; round to 4 (inside float32's
+    # ~7 significant digits) so both engines stringify identically
+    return out.select(
+        "doc_id",
+        F.transform(
+            "embeddings", lambda v: F.round(v.cast("double"), 4)
+        ).alias("vec"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Evaluation metrics (SURVEY §2.9) — reference unstructured/metrics/*
 # as Spark jobs, oracle-checked against DuckDB's levenshtein.
@@ -598,6 +618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_edit_distance": q_edit_distance,
         "q_eval_summary": q_eval_summary,
         "q_percent_missing": q_percent_missing,
+        "q_hash_embeddings": q_hash_embeddings,
     }
 
 
@@ -988,6 +1009,33 @@ def oracle_sql() -> dict[str, str]:
                    round(stddev_samp(accuracy), 6) as stdev,
                    count(accuracy) as n
             from scored
+        """,
+        "q_hash_embeddings": """
+            with toks as (
+              select doc_id,
+                list_filter(
+                  string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' '),
+                  t -> t <> '') as ts
+              from documents
+            ), vecs as (
+              select doc_id,
+                [ coalesce(list_aggregate(list_transform(
+                    list_filter(ts,
+                      t -> cast(('0x' || substr(md5(t), 1, 8)) as bigint) % 8 = b),
+                    t -> case when cast(('0x' || substr(md5(t), 9, 2)) as int) % 2 = 1
+                         then 1.0 else -1.0 end), 'sum'), 0.0)
+                  for b in range(0, 8) ] as raw
+              from toks
+            ), normed as (
+              select doc_id, raw,
+                sqrt(list_aggregate(list_transform(raw, x -> x * x), 'sum')) as nrm
+              from vecs
+            )
+            select doc_id,
+              case when nrm > 0
+                   then list_transform(raw, x -> round(x / nrm, 4))
+                   else list_transform(raw, x -> round(x, 4)) end as vec
+            from normed
         """,
         "q_percent_missing": """
             with srcb as (

@@ -144,3 +144,37 @@ class TestReconstructTable:
         # text round-trips modulo the split separators
         assert row["text"].split() == cells.split()
         assert row["text_as_html"].count("<tr>") == 60
+
+
+class TestOrigElementsCodec:
+    def test_roundtrip(self):
+        from unstructured_spark.operators.serde import (
+            decode_orig_elements,
+            encode_orig_elements,
+        )
+
+        els = [{"type": "Title", "text": "Hi", "metadata": {"page_number": 1}}]
+        assert decode_orig_elements(encode_orig_elements(els)) == els
+
+    def test_bomb_guard(self):
+        import base64
+        import zlib
+
+        from unstructured_spark.operators.serde import decode_orig_elements
+
+        bomb = base64.b64encode(zlib.compress(b"[" + b"0," * 1000 + b"0]")).decode()
+        # small payloads decode fine; the guard only trips past 200 MB
+        assert len(decode_orig_elements(bomb)) == 1001
+
+    def test_codec_udfs(self, spark):
+        import json
+
+        from unstructured_spark.operators.serde import orig_elements_codec_udfs
+        from pyspark.sql import functions as F
+
+        enc, dec = orig_elements_codec_udfs()
+        df = spark.createDataFrame(
+            [('[{"type": "Text", "text": "x"}]',)], "payload string"
+        )
+        out = df.select(dec(enc(F.col("payload"))).alias("roundtrip")).collect()[0]
+        assert json.loads(out["roundtrip"]) == [{"type": "Text", "text": "x"}]

@@ -96,3 +96,21 @@ class TestRealPdfs:
             self._read("invalid-pdf-structure-pdfminer-one-page.pdf")
         )
         assert len(els) > 50
+
+
+class TestStrategyGate:
+    def test_auto_picks_fast_for_text_pdf(self):
+        from unstructured_spark.parsers.pdf_parser import determine_pdf_strategy
+
+        assert determine_pdf_strategy(fx.make_pdf()) == "fast"
+
+    def test_auto_routes_scanned_to_ocr(self):
+        from unstructured_spark.parsers.pdf_parser import determine_pdf_strategy
+
+        # a PDF whose pages have no text operators → not extractable
+        scanned = b"%PDF-1.4\n1 0 obj\n<< /Type /Page >>\nendobj\n%%EOF"
+        assert determine_pdf_strategy(scanned) == "ocr_only"
+
+    def test_model_strategies_gated(self):
+        with pytest.raises(NotImplementedError, match="layout/OCR model"):
+            pdf_to_elements(fx.make_pdf(), strategy="hi_res")

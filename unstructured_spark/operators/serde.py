@@ -155,3 +155,62 @@ def elements_to_markdown(df: DataFrame) -> DataFrame:
             ).alias("markdown")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# orig_elements wire codec (reference staging/base.py:41,167-192,241-260):
+# chunks serialize their pre-chunk source elements as base64(zlib(JSON))
+# with a decompression-bomb guard on re-ingest. The engine itself stores
+# orig_element_ids (SURVEY §7: "store ids, not nested blobs"); this
+# codec exists for wire compatibility with reference-produced JSON.
+# ---------------------------------------------------------------------------
+
+_MAX_DECOMPRESSED_BYTES = 200 * 1024 * 1024  # reference's 200 MB guard
+
+
+def encode_orig_elements(element_dicts: list[dict]) -> str:
+    import base64
+    import json
+    import zlib
+
+    payload = json.dumps(element_dicts, separators=(",", ":")).encode("utf-8")
+    return base64.b64encode(zlib.compress(payload)).decode("ascii")
+
+
+def decode_orig_elements(encoded: str) -> list[dict]:
+    import base64
+    import json
+    import zlib
+
+    raw = base64.b64decode(encoded.encode("ascii"))
+    d = zlib.decompressobj()
+    payload = d.decompress(raw, _MAX_DECOMPRESSED_BYTES)
+    if d.unconsumed_tail:
+        raise ValueError(
+            "orig_elements payload exceeds the 200 MB decompression guard"
+        )
+    return json.loads(payload.decode("utf-8"))
+
+
+def orig_elements_codec_udfs():
+    """(encode_udf, decode_udf) column functions for the wire codec."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _enc(s):
+        import json
+
+        return s.map(
+            lambda v: encode_orig_elements(json.loads(v)) if v is not None else None
+        )
+
+    def _dec(s):
+        import json
+
+        return s.map(
+            lambda v: json.dumps(decode_orig_elements(v)) if v is not None else None
+        )
+
+    _enc.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    _dec.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(_enc, "string"), pandas_udf(_dec, "string")

@@ -575,7 +575,33 @@ def _runs_to_blocks(
     return out
 
 
-def pdf_to_elements(content: bytes) -> list[dict]:
+def determine_pdf_strategy(content: bytes, requested: str = "auto") -> str:
+    """The reference's only cost-based plan decision (strategies.py:24-109,
+    pdf.py:300-337): a cheap probe of text-extractability steers the
+    expensive path. ``auto`` → ``fast`` when the content streams yield
+    text; otherwise ``ocr_only`` (scanned/image PDF)."""
+    if requested != "auto":
+        return requested
+    try:
+        doc = _PdfDoc(content)
+        for page in doc.pages()[:3]:  # probe a few pages, not the book
+            stream = doc.page_content(page)
+            if stream and _extract_runs(stream, {}):
+                return "fast"
+    except Exception:
+        pass
+    return "ocr_only"
+
+
+def pdf_to_elements(content: bytes, strategy: str = "auto") -> list[dict]:
+    strategy = determine_pdf_strategy(content, strategy)
+    if strategy in ("hi_res", "ocr_only"):
+        raise NotImplementedError(
+            f"partition_pdf strategy {strategy!r} needs a layout/OCR model "
+            "(onnxruntime + tesseract on executors); this container ships "
+            "neither. The fast path, strategy gate, XY-cut ordering, and "
+            "coordinate plumbing are implemented."
+        )
     doc = _PdfDoc(content)
     out: list[dict] = []
     for page_no, page in enumerate(doc.pages(), start=1):
