@@ -482,6 +482,107 @@ def q_chunk_by_title(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunks.select("doc_id", "element_index", "type", "text")
 
 
+def q12_late_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: join + conditional counts by priority class
+    (late = shipped >60 days after order date)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    joined = li.join(o, li.l_orderkey == o.o_orderkey)
+    is_late = F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 60
+    is_urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.when(is_late & is_urgent, 1).otherwise(0)).alias("late_urgent"),
+            F.sum(F.when(is_late & ~is_urgent, 1).otherwise(0)).alias("late_other"),
+            F.count("*").alias("line_count"),
+        )
+    )
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional revenue share of PROMO parts."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1995-09-01") & (F.col("l_shipdate") < "1995-10-01")
+    )
+    p = _t(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return joined.agg(
+        F.round(
+            100.0
+            * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+            / F.sum(rev),
+            4,
+        ).alias("promo_revenue_pct")
+    )
+
+
+def q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunctive brand/size/quantity brackets."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    b1 = (
+        (F.col("p_brand") == "Brand#1")
+        & (F.col("p_size").between(1, 15))
+        & (F.col("l_quantity").between(1, 20))
+    )
+    b2 = (
+        (F.col("p_brand") == "Brand#13")
+        & (F.col("p_size").between(10, 30))
+        & (F.col("l_quantity").between(10, 40))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return joined.filter(b1 | b2).agg(
+        F.round(F.sum(rev), 2).alias("revenue"),
+        F.count("*").alias("line_count"),
+    )
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each error event, the user's latest click at-or-before it
+    (union-window as-of join: one shuffle, no range-join explosion)."""
+    from unstructured_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    out = asof_join(errors, clicks, on="user_id", ts="ts")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("asof_click_id").alias("click_event_id"),
+        (
+            F.unix_timestamp("ts") - F.unix_timestamp("asof_ts")
+        ).cast("bigint").alias("lag_seconds"),
+    )
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(error, click) pairs by the same user within 300 s — banded
+    range join (time-bucket co-partitioning bounds the search)."""
+    from unstructured_spark.operators.asof import range_join_seconds
+
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("left_id"), "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    out = range_join_seconds(
+        errors, clicks, on="user_id", ts="ts", window_seconds=300
+    )
+    return out.select(
+        "left_id", F.col("r_event_id").alias("right_id"), "user_id"
+    )
+
+
 def q_hash_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-hash embedding of document text via the mapInPandas
     embedding operator (per-worker encoder singleton; SURVEY §2.7).
@@ -619,6 +720,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_eval_summary": q_eval_summary,
         "q_percent_missing": q_percent_missing,
         "q_hash_embeddings": q_hash_embeddings,
+        "q_asof_join": q_asof_join,
+        "q_range_join": q_range_join,
+        "q12_late_lines": q12_late_lines,
+        "q14_promo_revenue": q14_promo_revenue,
+        "q19_bracket_revenue": q19_bracket_revenue,
     }
 
 
@@ -1009,6 +1115,55 @@ def oracle_sql() -> dict[str, str]:
                    round(stddev_samp(accuracy), 6) as stdev,
                    count(accuracy) as n
             from scored
+        """,
+        "q12_late_lines": """
+            select o_orderpriority,
+              sum(case when date_diff('day', o_orderdate, l_shipdate) > 60
+                        and o_orderpriority in ('1-URGENT', '2-HIGH')
+                       then 1 else 0 end) as late_urgent,
+              sum(case when date_diff('day', o_orderdate, l_shipdate) > 60
+                        and o_orderpriority not in ('1-URGENT', '2-HIGH')
+                       then 1 else 0 end) as late_other,
+              count(*) as line_count
+            from lineitem join orders on l_orderkey = o_orderkey
+            group by o_orderpriority
+        """,
+        "q14_promo_revenue": """
+            select round(
+              100.0 * sum(case when p_type = 'PROMO'
+                               then l_extendedprice * (1 - l_discount)
+                               else 0.0 end)
+              / sum(l_extendedprice * (1 - l_discount)), 4) as promo_revenue_pct
+            from lineitem join part on l_partkey = p_partkey
+            where l_shipdate >= '1995-09-01' and l_shipdate < '1995-10-01'
+        """,
+        "q19_bracket_revenue": """
+            select round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue,
+                   count(*) as line_count
+            from lineitem join part on l_partkey = p_partkey
+            where (p_brand = 'Brand#1' and p_size between 1 and 15
+                   and l_quantity between 1 and 20)
+               or (p_brand = 'Brand#13' and p_size between 10 and 30
+                   and l_quantity between 10 and 40)
+        """,
+        "q_asof_join": """
+            select l.event_id, l.user_id,
+              (select arg_max(r.event_id, r.ts) from events r
+                where r.event_type = 'click' and r.user_id = l.user_id
+                  and r.ts <= l.ts) as click_event_id,
+              (select date_diff('second', max(r.ts), l.ts) from events r
+                where r.event_type = 'click' and r.user_id = l.user_id
+                  and r.ts <= l.ts) as lag_seconds
+            from events l
+            where l.event_type = 'error'
+        """,
+        "q_range_join": """
+            select l.event_id as left_id, r.event_id as right_id, l.user_id
+            from events l
+            join events r
+              on l.user_id = r.user_id
+             and abs(date_diff('second', r.ts, l.ts)) <= 300
+            where l.event_type = 'error' and r.event_type = 'click'
         """,
         "q_hash_embeddings": """
             with toks as (
