@@ -160,3 +160,76 @@ class TestStreaming:
         q2.awaitTermination(120)
         out2 = spark.read.parquet(str(tmp_path / "out"))
         assert any("c.txt" in r["doc_id"] for r in out2.collect())
+
+
+class TestStreamingEvents:
+    def _event_stream(self, spark, tmp_path, rows):
+        import json
+
+        in_dir = tmp_path / "events_in"
+        in_dir.mkdir()
+        with open(in_dir / "batch1.json", "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        return (
+            spark.readStream.schema(
+                "ts timestamp, user_id long, event_type string, value double"
+            ).json(str(in_dir))
+        )
+
+    def test_watermarked_window_counts(self, spark, tmp_path):
+        from unstructured_spark.streaming.events import windowed_event_counts
+
+        rows = [
+            {"ts": "2024-01-01T00:10:00", "user_id": 1, "event_type": "click", "value": 1.0},
+            {"ts": "2024-01-01T00:40:00", "user_id": 2, "event_type": "click", "value": 2.0},
+            {"ts": "2024-01-01T01:10:00", "user_id": 1, "event_type": "view", "value": 3.0},
+        ]
+        stream = self._event_stream(spark, tmp_path, rows)
+        out = windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+        q = (
+            out.writeStream.format("memory")
+            .queryName("win_counts")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (str(r["window_start"]), r["event_type"]): r["n_events"]
+            for r in spark.sql("select * from win_counts").collect()
+        }
+        assert got[("2024-01-01 00:00:00", "click")] == 2
+        assert got[("2024-01-01 01:00:00", "view")] == 1
+
+    def test_stateful_sessionizer(self, spark, tmp_path):
+        from unstructured_spark.streaming.events import sessionize_stream
+
+        rows = [
+            {"ts": "2024-01-01T00:00:00", "user_id": 1, "event_type": "c", "value": 1.0},
+            {"ts": "2024-01-01T00:10:00", "user_id": 1, "event_type": "c", "value": 2.0},
+            # > 30 min gap → second session for user 1
+            {"ts": "2024-01-01T01:00:00", "user_id": 1, "event_type": "c", "value": 4.0},
+            {"ts": "2024-01-01T00:05:00", "user_id": 2, "event_type": "c", "value": 8.0},
+        ]
+        stream = self._event_stream(spark, tmp_path, rows)
+        out = sessionize_stream(stream, gap_seconds=1800)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("sessions")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows_out = spark.sql("select * from sessions").collect()
+        closed = [r for r in rows_out if r["closed"]]
+        open_ = [r for r in rows_out if not r["closed"]]
+        # user 1's first session closed by the gap: 2 events, value 3
+        assert any(
+            r["user_id"] == 1 and r["n_events"] == 2 and r["total_value"] == 3.0
+            for r in closed
+        )
+        # user 1's second and user 2's only session still open
+        assert any(r["user_id"] == 1 and r["n_events"] == 1 for r in open_)
+        assert any(r["user_id"] == 2 and r["total_value"] == 8.0 for r in open_)
