@@ -85,3 +85,52 @@ class TestRangeJoin:
         ).collect()
         pairs = [(r["id"], r["r_rid"]) for r in rows]
         assert len(pairs) == len(set(pairs))
+
+
+class TestSaltedAggregate:
+    def test_matches_direct_groupby(self, spark):
+        from unstructured_spark.operators.skew import salted_aggregate
+        from pyspark.sql import functions as F
+
+        # one hot key (u0 holds ~90% of rows) + several cold keys
+        rows = [("u0", float(i % 7)) for i in range(900)] + [
+            (f"u{1 + i % 5}", float(i)) for i in range(100)
+        ]
+        df = spark.createDataFrame(rows, "user_id string, value double")
+        salted = {
+            r["user_id"]: (r["n"], r["total"], round(r["mean"], 9))
+            for r in salted_aggregate(
+                df, ["user_id"],
+                {"n": ("*", "count"), "total": ("value", "sum"),
+                 "mean": ("value", "avg")},
+            ).collect()
+        }
+        direct = {
+            r["user_id"]: (r["n"], r["total"], round(r["mean"], 9))
+            for r in df.groupBy("user_id")
+            .agg(F.count("*").alias("n"), F.sum("value").alias("total"),
+                 F.avg("value").alias("mean"))
+            .collect()
+        }
+        assert salted == direct
+
+    def test_min_max(self, spark):
+        from unstructured_spark.operators.skew import salted_aggregate
+
+        df = spark.createDataFrame(
+            [("k", float(v)) for v in (5, 1, 9, 3)], "k string, v double"
+        )
+        row = salted_aggregate(
+            df, ["k"], {"lo": ("v", "min"), "hi": ("v", "max")}, salt_buckets=4
+        ).collect()[0]
+        assert (row["lo"], row["hi"]) == (1.0, 9.0)
+
+    def test_diagnose_skew(self, spark):
+        from unstructured_spark.operators.skew import diagnose_skew
+
+        df = spark.createDataFrame(
+            [("hot",)] * 80 + [("cold",)] * 20, "k string"
+        )
+        top = diagnose_skew(df, ["k"]).collect()
+        assert top[0]["k"] == "hot"
+        assert abs(top[0]["share"] - 0.8) < 1e-6

@@ -187,3 +187,46 @@ class TestSparkChunking:
         out = chunk_elements(element_df).collect()
         assert len(out) == 1
         assert out[0]["text"].count("\n\n") == 3
+
+
+class TestTokenMode:
+    def test_token_window_respected(self):
+        # 30 one-token words; max 10 tokens per chunk → 3 chunks
+        words = " ".join(f"w{i}" for i in range(30))
+        rows = _elements(("NarrativeText", words))
+        chunks = _run_fold(rows, max_characters=10, length_unit="tokens")
+        from unstructured_spark.operators.chunking import _TOKEN_RE
+
+        assert len(chunks) == 3
+        assert all(
+            len(_TOKEN_RE.findall(c["text"])) <= 10 for c in chunks
+        )
+
+    def test_punctuation_counts_as_tokens(self):
+        from unstructured_spark.operators.chunking import ChunkingOptions
+
+        opts = ChunkingOptions(length_unit="tokens")
+        assert opts.measure("end.") == 2
+        assert opts.measure("a, b") == 3
+        assert opts.measure("\n\n") == 0
+
+    def test_token_overlap(self):
+        from unstructured_spark.operators.chunking import _split_oversized_tokens
+
+        frags = _split_oversized_tokens(" ".join(f"w{i}" for i in range(12)), 5, 2)
+        # each later fragment starts with the previous fragment's tail
+        assert frags[1].split()[:2] == frags[0].split()[-2:]
+
+    def test_separator_free_in_token_mode(self):
+        # packing joins with the original whitespace, not hard cuts
+        rows = _elements(("NarrativeText", "alpha beta"), ("NarrativeText", "gamma"))
+        chunks = _run_fold(rows, max_characters=2, length_unit="tokens")
+        assert [c["text"] for c in chunks] == ["alpha beta", "gamma"]
+
+    def test_invalid_unit_raises(self):
+        import pytest
+
+        from unstructured_spark.operators.chunking import ChunkingOptions
+
+        with pytest.raises(ValueError):
+            ChunkingOptions(length_unit="words")

@@ -43,6 +43,12 @@ from pyspark.sql import DataFrame
 from unstructured_spark.schema import CONSOLIDATION, ELEMENT_SCHEMA
 
 
+# deterministic BPE-ish token: word runs or single punctuation marks
+# (the reference's token mode counts tiktoken tokens, base.py:54-77;
+# this tokenizer is dependency-free and deterministic across engines)
+_TOKEN_RE = re.compile(r"\w+|[^\w\s]")
+
+
 @dataclass
 class ChunkingOptions:
     max_characters: int = 500  # hard max (base.py:33)
@@ -52,8 +58,11 @@ class ChunkingOptions:
     combine_text_under_n_chars: int | None = None  # by_title only
     multipage_sections: bool = True  # by_title only
     include_orig_elements: bool = True
+    length_unit: str = "chars"  # 'chars' | 'tokens' (token-mode windows)
 
     def __post_init__(self) -> None:
+        if self.length_unit not in ("chars", "tokens"):
+            raise ValueError("length_unit must be 'chars' or 'tokens'")
         if self.new_after_n_chars is None or self.new_after_n_chars > self.max_characters:
             self.new_after_n_chars = self.max_characters
         if self.combine_text_under_n_chars is None:
@@ -61,6 +70,22 @@ class ChunkingOptions:
         self.combine_text_under_n_chars = min(
             self.combine_text_under_n_chars, self.max_characters
         )
+
+    # -- length accounting: all window math funnels through these --
+
+    def measure(self, text: str) -> int:
+        if self.length_unit == "chars":
+            return len(text)
+        return len(_TOKEN_RE.findall(text))
+
+    def sep_cost(self) -> int:
+        # "\n\n" costs 2 chars but zero tokens
+        return len(_SEP) if self.length_unit == "chars" else 0
+
+    def split(self, text: str) -> list[str]:
+        if self.length_unit == "chars":
+            return _split_oversized(text, self.max_characters, self.overlap)
+        return _split_oversized_tokens(text, self.max_characters, self.overlap)
 
 
 _SEP = "\n\n"
@@ -88,6 +113,37 @@ def _split_oversized(text: str, maxlen: int, overlap: int) -> list[str]:
         remainder = (tail + remainder[cut:].lstrip()).strip()
     if remainder:
         out.append(remainder)
+    return out
+
+
+def _split_oversized_tokens(text: str, max_tokens: int, overlap: int) -> list[str]:
+    """Token-mode splitter: pack whole whitespace units (a unit may be
+    several BPE-ish tokens, e.g. "end." is 2) up to ``max_tokens`` per
+    fragment; ``overlap`` carries trailing units into the next fragment."""
+    units = re.findall(r"\S+\s*", text)
+    out: list[str] = []
+    cur: list[str] = []
+    cur_tokens = 0
+    for unit in units:
+        t = len(_TOKEN_RE.findall(unit))
+        if cur and cur_tokens + t > max_tokens:
+            out.append("".join(cur).rstrip())
+            if overlap:
+                carried: list[str] = []
+                carried_tokens = 0
+                for u in reversed(cur):
+                    ut = len(_TOKEN_RE.findall(u))
+                    if carried_tokens + ut > overlap:
+                        break
+                    carried.insert(0, u)
+                    carried_tokens += ut
+                cur, cur_tokens = carried, carried_tokens
+            else:
+                cur, cur_tokens = [], 0
+        cur.append(unit)
+        cur_tokens += t
+    if cur:
+        out.append("".join(cur).rstrip())
     return out
 
 
@@ -135,12 +191,12 @@ def _split_table(row: dict, opts: ChunkingOptions, doc_id: str, out: list[dict],
     text = row["text"] or ""
     html = row.get("text_as_html")
     table_id = row.get("element_id") or _chunk_id(doc_id, text, 0)
-    if len(text) <= opts.max_characters:
+    if opts.measure(text) <= opts.max_characters:
         chunk = dict(row)
         chunk["type"] = "Table"
         _emit(chunk, doc_id, out, next_index, orig=[row])
         return
-    fragments = _split_oversized(text, opts.max_characters, opts.overlap)
+    fragments = opts.split(text)
     html_rows = _TR_RE.findall(html) if html else []
     for i, frag in enumerate(fragments):
         chunk = dict(row)
@@ -183,8 +239,8 @@ def _form_chunks(
     text = _SEP.join(r["text"] for r in pre_chunk if r["text"])
     meta = _consolidate(pre_chunk)
     fragments = (
-        _split_oversized(text, opts.max_characters, opts.overlap)
-        if len(text) > opts.max_characters
+        opts.split(text)
+        if opts.measure(text) > opts.max_characters
         else [text]
     )
     for i, frag in enumerate(fragments):
@@ -213,7 +269,7 @@ def _pre_chunk_fold(
         text = row["text"] or ""
         if etype == "CheckBox" or text == "":
             continue
-        sep_len = len(_SEP) if acc else 0
+        sep_len = opts.sep_cost() if acc else 0
         boundary = False
         if etype == "Table":
             boundary = True
@@ -228,7 +284,7 @@ def _pre_chunk_fold(
         ):
             boundary = True
         # size flush: would exceed hard max, or soft max already reached
-        if acc_len + sep_len + len(text) > opts.max_characters:
+        if acc_len + sep_len + opts.measure(text) > opts.max_characters:
             boundary = True
         if acc_len >= (opts.new_after_n_chars or opts.max_characters):
             boundary = True
@@ -240,7 +296,7 @@ def _pre_chunk_fold(
             prev_page = row.get("page_number", prev_page)
             continue
         acc.append(row)
-        acc_len += (len(_SEP) if acc_len else 0) + len(text)
+        acc_len += (opts.sep_cost() if acc_len else 0) + opts.measure(text)
         if row.get("page_number") is not None:
             prev_page = row.get("page_number")
     if acc:
@@ -258,12 +314,12 @@ def _combine_pre_chunks(
         if out and not is_table:
             prev = out[-1]
             prev_is_table = len(prev) == 1 and prev[0]["type"] == "Table"
-            prev_len = sum(len(r["text"] or "") for r in prev) + _sep_len(prev)
-            new_len = sum(len(r["text"] or "") for r in pc) + _sep_len(pc)
+            prev_len = sum(opts.measure(r["text"] or "") for r in prev) + _sep_len(prev, opts)
+            new_len = sum(opts.measure(r["text"] or "") for r in pc) + _sep_len(pc, opts)
             if (
                 not prev_is_table
                 and prev_len < (opts.combine_text_under_n_chars or 0)
-                and prev_len + len(_SEP) + new_len <= opts.max_characters
+                and prev_len + opts.sep_cost() + new_len <= opts.max_characters
             ):
                 prev.extend(pc)
                 continue
@@ -271,9 +327,9 @@ def _combine_pre_chunks(
     return out
 
 
-def _sep_len(rows: list[dict]) -> int:
+def _sep_len(rows: list[dict], opts: ChunkingOptions) -> int:
     n = sum(1 for r in rows if r["text"])
-    return len(_SEP) * max(0, n - 1)
+    return opts.sep_cost() * max(0, n - 1)
 
 
 def _chunk_doc(rows: list[dict], opts: ChunkingOptions, by_title: bool) -> list[dict]:
