@@ -482,6 +482,34 @@ def q_chunk_by_title(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunks.select("doc_id", "element_index", "type", "text")
 
 
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: LSH candidate pairs → iterative min-label
+    connected components (O(log n) shuffle rounds, fixpoint-checked).
+    Oracle = recursive-CTE transitive closure over the same pairs."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.duplicate_clusters(docs).select(
+        F.col("doc").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
+def q_salted_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-stage aggregation (salted partial + final) —
+    result identical to a direct groupBy, verified by the oracle."""
+    from unstructured_spark.operators.skew import salted_aggregate
+
+    ev = _t(spark, sf_dir, "events")
+    out = salted_aggregate(
+        ev,
+        ["user_id"],
+        {"n": ("*", "count"), "total": ("value", "sum"), "mean": ("value", "avg")},
+    )
+    return out.select(
+        "user_id", "n",
+        F.round("total", 4).alias("total"),
+        F.round("mean", 6).alias("mean"),
+    )
+
+
 def q12_late_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q12 shape: join + conditional counts by priority class
     (late = shipped >60 days after order date)."""
@@ -725,6 +753,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q12_late_lines": q12_late_lines,
         "q14_promo_revenue": q14_promo_revenue,
         "q19_bracket_revenue": q19_bracket_revenue,
+        "q_dup_clusters": q_dup_clusters,
+        "q_salted_user_value": q_salted_user_value,
     }
 
 
@@ -1115,6 +1145,27 @@ def oracle_sql() -> dict[str, str]:
                    round(stddev_samp(accuracy), 6) as stdev,
                    count(accuracy) as n
             from scored
+        """,
+        "q_dup_clusters": _LSH_PAIRS_CTE.replace("with ", "with recursive ", 1)
+        + """
+            , edges as (
+              select doc_a as a, doc_b as b from pairs
+              union
+              select doc_b as a, doc_a as b from pairs
+            ), reach as (
+              select a, b from edges
+              union
+              select r.a, e.b from reach r join edges e on r.b = e.a
+                where e.b <> r.a
+            )
+            select a as doc_id, least(a, min(b)) as cluster_id
+            from reach group by a
+        """,
+        "q_salted_user_value": """
+            select user_id, count(*) as n,
+                   round(sum(value), 4) as total,
+                   round(avg(value), 6) as mean
+            from events group by user_id
         """,
         "q12_late_lines": """
             select o_orderpriority,

@@ -134,3 +134,34 @@ class TestSaltedAggregate:
         top = diagnose_skew(df, ["k"]).collect()
         assert top[0]["k"] == "hot"
         assert abs(top[0]["share"] - 0.8) < 1e-6
+
+
+class TestConnectedComponents:
+    def test_chain_and_island(self, spark):
+        from unstructured_spark.operators.dedup import connected_components
+
+        # chain a-b-c-d (one cluster) + island x-y
+        pairs = spark.createDataFrame(
+            [("b", "a"), ("b", "c"), ("c", "d"), ("x", "y")],
+            "doc_a string, doc_b string",
+        )
+        labels = {
+            r["doc"]: r["label"]
+            for r in connected_components(pairs).collect()
+        }
+        assert {labels[k] for k in "abcd"} == {"a"}
+        assert {labels[k] for k in "xy"} == {"x"}
+
+    def test_long_chain_converges(self, spark):
+        from unstructured_spark.operators.dedup import connected_components
+
+        n = 40  # needs several propagation rounds
+        pairs = spark.createDataFrame(
+            [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(n)],
+            "doc_a string, doc_b string",
+        )
+        labels = {
+            r["doc"]: r["label"]
+            for r in connected_components(pairs).collect()
+        }
+        assert set(labels.values()) == {"n00"}

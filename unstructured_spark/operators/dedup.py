@@ -211,3 +211,103 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    *,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Duplicate-cluster formation: connected components over candidate
+    pairs via iterative min-label propagation (the standard large-graph
+    CC algorithm — alternating small-star/large-star simplified to
+    symmetric min-exchange, converging in O(log n) rounds for the
+    near-dup graphs LSH produces).
+
+    Returns (doc, cluster_id) for every node that appears in a pair;
+    cluster_id is the minimum doc id reachable. Each round is one
+    shuffle; iteration stops early when labels reach a fixpoint
+    (checked with a cheap aggregate, not a collect of the data).
+    """
+    edges = (
+        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .persist()
+    )
+    # right-size the iteration's shuffles to the graph, not the input:
+    # LSH candidate graphs are tiny relative to the corpus, and each
+    # round is several shuffles whose task overhead dominates when the
+    # data is thin. ~50k edges per partition keeps rounds single-digit
+    # tasks at bench scale and thousands of tasks at 100 TB scale.
+    n_edges = edges.count()
+    parts = int(max(1, min(n_edges // 50_000 + 1, 2048)))
+    edges = edges.repartition(parts, "b")
+    # initial label: min neighbor vs self
+    labels = (
+        edges.repartition(parts, "a")
+        .groupBy("a")
+        .agg(F.least(F.min("b"), F.first("a")).alias("label"))
+        .select(F.col("a").alias("doc"), "label")
+        .localCheckpoint(eager=True)
+    )
+    prev_sig: int | None = None
+    for _ in range(max_iterations):
+        # one-hop: my new label = min(my label, neighbors' labels)
+        neighbor_labels = (
+            edges.join(labels, edges.b == labels.doc, "inner")
+            .select(F.col("a").alias("doc"), F.col("label"))
+        )
+        # pointer doubling candidates: my label's own label — halves the
+        # remaining path each round, so long chains converge in
+        # O(log diameter) rounds instead of O(diameter)
+        jump = labels.select(
+            F.col("doc").alias("jdoc"), F.col("label").alias("jlabel")
+        )
+        label_of_label = (
+            labels.join(jump, labels.label == jump.jdoc, "inner")
+            .select("doc", F.col("jlabel").alias("label"))
+        )
+        # one aggregation folds self + neighbor + doubled candidates.
+        # localCheckpoint truncates lineage — the self-join would
+        # otherwise double the logical plan every round (exponential
+        # planning cost, the classic iterative-algorithm trap)
+        new_labels = (
+            labels.select("doc", "label")
+            .union(neighbor_labels)
+            .union(label_of_label)
+            .repartition(parts, "doc")  # groupBy reuses this exchange
+            .groupBy("doc")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        # convergence: labels are monotonically non-increasing, so the
+        # assignment is a fixpoint iff the label set is unchanged — one
+        # cheap aggregate instead of a join (bit_xor: order-independent,
+        # overflow-free under ANSI mode)
+        sig = new_labels.agg(
+            F.expr("bit_xor(xxhash64(doc, label))").alias("s")
+        ).collect()[0]["s"]
+        labels = new_labels
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    edges.unpersist()
+    return labels
+
+
+def duplicate_clusters(
+    df: DataFrame, *, text: str = "text", doc_id: str = "doc_id", **lsh_kwargs
+) -> DataFrame:
+    """End-to-end near-dup clusters: LSH candidate pairs → connected
+    components → (doc, cluster_id). The pair set is persisted first —
+    the CC edge build references it twice (symmetrization) and every
+    propagation round reads it; recomputing the minhash DAG per use
+    would dominate."""
+    pairs = lsh_candidate_pairs(df, text=text, doc_id=doc_id, **lsh_kwargs).persist()
+    try:
+        return connected_components(pairs)
+    finally:
+        pairs.unpersist()
