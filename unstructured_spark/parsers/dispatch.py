@@ -169,6 +169,11 @@ def partition_bytes(
             from unstructured_spark.parsers.msg_parser import CfbFile
 
             names = {e["name"] for e in CfbFile(content).entries}
+            if "EncryptedPackage" in names or "EncryptionInfo" in names:
+                raise UnsupportedFormatError(
+                    "password-protected Office document (CFB EncryptedPackage); "
+                    "decryption requires the document password"
+                )
             if "WordDocument" in names:
                 ft = "doc"
             elif names & {"Workbook", "Book"}:
@@ -177,6 +182,8 @@ def partition_bytes(
                 ft = "ppt"
             elif any(n.startswith("__substg1.0_") for n in names):
                 ft = "msg"
+        except UnsupportedFormatError:
+            raise
         except Exception:
             pass
     # eml detection: RFC-822 headers at start of text files

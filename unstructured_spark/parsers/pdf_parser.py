@@ -195,6 +195,15 @@ def _decode_stream(raw: bytes, sdict: dict) -> bytes | None:
             data = bytes.fromhex(
                 re.sub(rb"[^0-9a-fA-F]", b"", data.split(b">")[0]).decode()
             )
+        elif f == "/ASCII85Decode":
+            import base64
+
+            payload = data.split(b"~>")[0]
+            payload = re.sub(rb"\s", b"", payload)
+            try:
+                data = base64.a85decode(payload, adobe=False)
+            except ValueError:
+                return None
         else:
             return None  # DCT/JBIG2/... are image codecs — no text here
         # predictors (PNG row filters) apply to xref streams we don't
@@ -290,31 +299,79 @@ class _PdfDoc:
             ]
         return ordered
 
+    def _stream_bytes(self, ref) -> bytes | None:
+        num = ref.num if isinstance(ref, _Ref) else None
+        obj = self.resolve(ref)
+        if num is None:
+            for onum, o in self.objects.items():
+                if o is obj:
+                    num = onum
+                    break
+        if num is None or not isinstance(obj, dict):
+            return None
+        return _decode_stream(self.streams.get(num, b""), obj)
+
+    def _form_xobject_streams(
+        self, resources, depth: int = 0
+    ) -> list[bytes]:
+        """Decoded content of Form XObjects in a resource dict — text
+        drawn via ``/Fx Do`` lives in these, not in /Contents."""
+        if depth > 4 or not isinstance(resources, dict):
+            return []
+        xobjs = self.resolve(resources.get("/XObject"))
+        out: list[bytes] = []
+        if not isinstance(xobjs, dict):
+            return out
+        for ref in xobjs.values():
+            obj = self.resolve(ref)
+            if not (isinstance(obj, dict) and obj.get("/Subtype") == "/Form"):
+                continue
+            data = self._stream_bytes(ref)
+            if data:
+                out.append(data)
+            out.extend(
+                self._form_xobject_streams(
+                    self.resolve(obj.get("/Resources")), depth + 1
+                )
+            )
+        return out
+
     def page_content(self, page: dict) -> bytes:
         contents = self.resolve(page.get("/Contents"))
         parts: list[bytes] = []
         refs = contents if isinstance(contents, list) else [page.get("/Contents")]
         for ref in refs:
-            num = ref.num if isinstance(ref, _Ref) else None
-            obj = self.resolve(ref)
-            if num is None:
-                for onum, o in self.objects.items():
-                    if o is obj:
-                        num = onum
-                        break
-            if num is None or not isinstance(obj, dict):
-                continue
-            data = _decode_stream(self.streams.get(num, b""), obj)
+            data = self._stream_bytes(ref)
             if data:
                 parts.append(data)
+        parts.extend(
+            self._form_xobject_streams(self.resolve(page.get("/Resources")))
+        )
         return b"\n".join(parts)
 
     def page_fonts(self, page: dict) -> dict[str, dict[int, str]]:
-        """font resource name → code-point → unicode map (ToUnicode)."""
+        """font resource name → code-point → unicode map (ToUnicode),
+        including fonts declared by nested Form XObject resources."""
         res = self.resolve(page.get("/Resources")) or {}
-        fonts = self.resolve(res.get("/Font")) if isinstance(res, dict) else None
+        fonts: dict = {}
+
+        def gather(resources, depth: int = 0) -> None:
+            if depth > 4 or not isinstance(resources, dict):
+                return
+            fdict = self.resolve(resources.get("/Font"))
+            if isinstance(fdict, dict):
+                for k, v in fdict.items():
+                    fonts.setdefault(k, v)
+            xobjs = self.resolve(resources.get("/XObject"))
+            if isinstance(xobjs, dict):
+                for ref in xobjs.values():
+                    obj = self.resolve(ref)
+                    if isinstance(obj, dict) and obj.get("/Subtype") == "/Form":
+                        gather(self.resolve(obj.get("/Resources")), depth + 1)
+
+        gather(res)
         out: dict[str, dict[int, str]] = {}
-        if not isinstance(fonts, dict):
+        if not isinstance(fonts, dict) or not fonts:
             return out
         for name, ref in fonts.items():
             fdict = self.resolve(ref)
