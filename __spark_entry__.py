@@ -510,6 +510,84 @@ def q_salted_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _synthetic_boxes(spark: SparkSession, sf_dir: str):
+    """Deterministic per-doc detection boxes derived from documents
+    columns (one GT + one prediction per doc, same class, pred shifted
+    right by doc_id %% 13 → IoU = (10-s)/(10+s))."""
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.lit(1).alias("page_number"),
+        F.concat(F.lit("c"), (F.col("doc_id") % 3).cast("string")).alias("cls"),
+        (F.col("n_chars") % 50).cast("double").alias("x1"),
+        (F.col("doc_id") % 40).cast("double").alias("y1"),
+        (F.col("doc_id") % 13).cast("double").alias("shift"),
+        F.col("doc_id").cast("double").alias("score"),
+    )
+    gt = base.select(
+        "doc_id", "page_number", "cls", "x1", "y1",
+        (F.col("x1") + 10).alias("x2"), (F.col("y1") + 10).alias("y2"),
+    )
+    pred = base.select(
+        "doc_id", "page_number", "cls", "score",
+        (F.col("x1") + F.col("shift")).alias("x1"), "y1",
+        (F.col("x1") + F.col("shift") + 10).alias("x2"),
+        (F.col("y1") + 10).alias("y2"),
+    )
+    return pred, gt
+
+
+def q_od_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Object-detection AP per (class, IoU threshold): per-page greedy
+    matching in a cogrouped pandas stage, then the full PR-curve /
+    interpolated-precision AP natively with window functions. The
+    oracle recomputes the same curve in SQL (the synthetic one-box-per-
+    page setup makes the greedy matcher's output closed-form)."""
+    from unstructured_spark.operators.od_map import (
+        average_precision,
+        match_detections,
+    )
+
+    pred, gt = _synthetic_boxes(spark, sf_dir)
+    ap = average_precision(match_detections(pred, gt), gt)
+    return ap.select(
+        "cls",
+        F.round("iou_threshold", 2).alias("iou_threshold"),
+        F.round("ap", 4).alias("ap"),
+    )
+
+
+def q_table_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEDS-like table-structure evaluation per doc: token grid from
+    each document as ground truth; prediction row-shifted for every
+    5th doc. difflib alignment isn't SQL-expressible → rows-only."""
+    from unstructured_spark.operators.table_eval import table_eval
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.posexplode(F.slice(F.split("text", r"\s+"), 1, 12)).alias(
+            "pos", "content"
+        ),
+    )
+    gt = toks.select(
+        "doc_id", F.lit(0).alias("table_id"),
+        (F.col("pos") / 4).cast("int").alias("row_index"),
+        (F.col("pos") % 4).alias("col_index"), "content",
+    )
+    shift = F.when(F.col("doc_id").cast("long") % 5 == 0, 1).otherwise(0)
+    pred = toks.select(
+        "doc_id", F.lit(0).alias("table_id"),
+        ((F.col("pos") / 4).cast("int") + shift).alias("row_index"),
+        (F.col("pos") % 4).alias("col_index"), "content",
+    )
+    return table_eval(pred, gt).select(
+        "doc_id", "table_level_acc", "table_detection_f1",
+        "element_row_level_index_acc", "element_col_level_index_acc",
+        "composite_structure_acc",
+    )
+
+
 def q12_late_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q12 shape: join + conditional counts by priority class
     (late = shipped >60 days after order date)."""
@@ -750,6 +828,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hash_embeddings": q_hash_embeddings,
         "q_asof_join": q_asof_join,
         "q_range_join": q_range_join,
+        "q_od_map": q_od_map,
+        "q_table_eval": q_table_eval,
         "q12_late_lines": q12_late_lines,
         "q14_promo_revenue": q14_promo_revenue,
         "q19_bracket_revenue": q19_bracket_revenue,
@@ -1166,6 +1246,52 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 4) as total,
                    round(avg(value), 6) as mean
             from events group by user_id
+        """,
+        "q_od_map": """
+            with boxes as (
+              select 'c' || cast(doc_id % 3 as varchar) as cls,
+                     cast(doc_id % 13 as double) as s,
+                     cast(doc_id as double) as score
+              from documents
+            ),
+            m as (
+              select cls, score, t.iou_threshold,
+                     case when s < 10
+                           and (10 - s) / (10 + s) > t.iou_threshold
+                          then 1 else 0 end as tp
+              from boxes,
+                   (select unnest([0.5, 0.75]) as iou_threshold) t
+            ),
+            npos as (select cls, count(*) as npos from boxes group by cls),
+            ranked as (
+              select m.cls, m.iou_threshold, m.score, m.tp, npos.npos,
+                row_number() over w as rnk,
+                sum(m.tp) over w as cum_tp
+              from m join npos on m.cls = npos.cls
+              window w as (partition by m.cls, m.iou_threshold
+                           order by m.score desc, m.tp desc)
+            ),
+            curve as (
+              select cls, iou_threshold, score, tp,
+                cast(cum_tp as double) / rnk as precision,
+                cast(cum_tp as double) / npos as recall
+              from ranked
+            ),
+            interp as (
+              select cls, iou_threshold, recall,
+                max(precision) over (
+                  partition by cls, iou_threshold
+                  order by score desc, tp desc
+                  rows between current row and unbounded following
+                ) as p_interp,
+                recall - coalesce(lag(recall) over (
+                  partition by cls, iou_threshold
+                  order by score desc, tp desc), 0) as d_recall
+              from curve
+            )
+            select cls, round(iou_threshold, 2) as iou_threshold,
+                   round(round(sum(d_recall * p_interp), 6), 4) as ap
+            from interp group by cls, iou_threshold
         """,
         "q12_late_lines": """
             select o_orderpriority,
