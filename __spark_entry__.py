@@ -466,9 +466,10 @@ def q_partition_elements(spark: SparkSession, sf_dir: str) -> DataFrame:
     from unstructured_spark.operators.partition_auto import partition_documents
 
     els = partition_documents(_docs_as_files(spark, sf_dir))
+    # arrays are serialized: the driver's row-hash can't digest list cells
     return els.select(
         "doc_id", "element_index", "element_id", "type", "text",
-        "languages", "parent_id",
+        F.concat_ws(",", "languages").alias("languages"), "parent_id",
     )
 
 
@@ -497,16 +498,27 @@ def q_salted_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     result identical to a direct groupBy, verified by the oracle."""
     from unstructured_spark.operators.skew import salted_aggregate
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "value", F.col("value").cast("decimal(18,6)")
+    )
     out = salted_aggregate(
         ev,
         ["user_id"],
-        {"n": ("*", "count"), "total": ("value", "sum"), "mean": ("value", "avg")},
+        {"n": ("*", "count"), "total": ("value", "sum")},
     )
+    # Decimal partials make the salted sum exact (order-independent), so
+    # the double rendering below is bit-identical to any single-pass sum.
+    td = F.col("total").cast("double")
     return out.select(
-        "user_id", "n",
-        F.round("total", 4).alias("total"),
-        F.round("mean", 6).alias("mean"),
+        "user_id",
+        "n",
+        (F.floor(td * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)).alias(
+            "total"
+        ),
+        (
+            F.floor(td / F.col("n") * F.lit(1000000.0) + F.lit(0.5))
+            / F.lit(1000000.0)
+        ).alias("mean"),
     )
 
 
@@ -701,10 +713,19 @@ def q_hash_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = embed.embed_elements(docs, lambda: embed.HashingEncoder(dim=8))
     # embeddings are float32 on the wire; round to 4 (inside float32's
     # ~7 significant digits) so both engines stringify identically
+    # serialize to a fixed-scale string: the driver's row-hash can't
+    # digest list cells, and decimal(10,4) renders identically in both
+    # engines (no scientific notation for small magnitudes)
     return out.select(
         "doc_id",
-        F.transform(
-            "embeddings", lambda v: F.round(v.cast("double"), 4)
+        F.concat_ws(
+            ",",
+            F.transform(
+                "embeddings",
+                lambda v: F.round(v.cast("double"), 4)
+                .cast("decimal(10,4)")
+                .cast("string"),
+            ),
         ).alias("vec"),
     )
 
@@ -988,7 +1009,7 @@ def oracle_sql() -> dict[str, str]:
                              rows between unbounded preceding and current row) as session_id
               from gaps
             )
-            select user_id, session_id,
+            select user_id, cast(session_id as bigint) as session_id,
                    count(*) as n_events,
                    cast((max(epoch_us(ts)) - min(epoch_us(ts))) // 1000000 as bigint) as duration_sec
             from sess
@@ -1242,10 +1263,15 @@ def oracle_sql() -> dict[str, str]:
             from reach group by a
         """,
         "q_salted_user_value": """
-            select user_id, count(*) as n,
-                   round(sum(value), 4) as total,
-                   round(avg(value), 6) as mean
-            from events group by user_id
+            with agg as (
+              select user_id, count(*) as n,
+                     cast(sum(cast(value as decimal(18,6))) as double) as td
+              from events group by user_id
+            )
+            select user_id, n,
+                   floor(td * 10000.0 + 0.5) / 10000.0 as total,
+                   floor(td / n * 1000000.0 + 0.5) / 1000000.0 as mean
+            from agg
         """,
         "q_od_map": """
             with boxes as (
@@ -1260,7 +1286,7 @@ def oracle_sql() -> dict[str, str]:
                            and (10 - s) / (10 + s) > t.iou_threshold
                           then 1 else 0 end as tp
               from boxes,
-                   (select unnest([0.5, 0.75]) as iou_threshold) t
+                   (select unnest([0.5, 0.75]::double[]) as iou_threshold) t
             ),
             npos as (select cls, count(*) as npos from boxes group by cls),
             ranked as (
@@ -1295,12 +1321,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q12_late_lines": """
             select o_orderpriority,
-              sum(case when date_diff('day', o_orderdate, l_shipdate) > 60
+              cast(sum(case when date_diff('day', o_orderdate, l_shipdate) > 60
                         and o_orderpriority in ('1-URGENT', '2-HIGH')
-                       then 1 else 0 end) as late_urgent,
-              sum(case when date_diff('day', o_orderdate, l_shipdate) > 60
+                       then 1 else 0 end) as bigint) as late_urgent,
+              cast(sum(case when date_diff('day', o_orderdate, l_shipdate) > 60
                         and o_orderpriority not in ('1-URGENT', '2-HIGH')
-                       then 1 else 0 end) as late_other,
+                       then 1 else 0 end) as bigint) as late_other,
               count(*) as line_count
             from lineitem join orders on l_orderkey = o_orderkey
             group by o_orderpriority
@@ -1364,9 +1390,13 @@ def oracle_sql() -> dict[str, str]:
               from vecs
             )
             select doc_id,
-              case when nrm > 0
-                   then list_transform(raw, x -> round(x / nrm, 4))
-                   else list_transform(raw, x -> round(x, 4)) end as vec
+              array_to_string(
+                case when nrm > 0
+                     then list_transform(raw, x ->
+                       cast(cast(round(x / nrm, 4) as decimal(10,4)) as varchar))
+                     else list_transform(raw, x ->
+                       cast(cast(round(x, 4) as decimal(10,4)) as varchar)) end,
+                ',') as vec
             from normed
         """,
         "q_percent_missing": """

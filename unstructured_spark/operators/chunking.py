@@ -63,6 +63,14 @@ class ChunkingOptions:
     def __post_init__(self) -> None:
         if self.length_unit not in ("chars", "tokens"):
             raise ValueError("length_unit must be 'chars' or 'tokens'")
+        # overlap must be less than the hard max or the oversized-split
+        # remainder never shrinks and the executor-side fold loops forever
+        # (reference base.py:380-384 raises the same way)
+        if self.overlap >= self.max_characters:
+            raise ValueError(
+                "'overlap' argument must be less than 'max_characters', "
+                f"got {self.overlap} >= {self.max_characters}"
+            )
         if self.new_after_n_chars is None or self.new_after_n_chars > self.max_characters:
             self.new_after_n_chars = self.max_characters
         if self.combine_text_under_n_chars is None:
@@ -230,13 +238,26 @@ def _emit(chunk: dict, doc_id: str, out: list[dict], next_index: list[int], orig
 
 
 def _form_chunks(
-    pre_chunk: list[dict], opts: ChunkingOptions, doc_id: str, out: list[dict], next_index: list[int]
-) -> None:
-    """Pre-chunk → 1..N CompositeElements (reference base.py:702-954)."""
+    pre_chunk: list[dict],
+    opts: ChunkingOptions,
+    doc_id: str,
+    out: list[dict],
+    next_index: list[int],
+    overlap_prefix: str = "",
+) -> str:
+    """Pre-chunk → 1..N CompositeElements (reference base.py:702-954).
+
+    Returns the overlap tail to prefix onto the next pre-chunk when
+    ``overlap_all`` is set (reference base.py:523-572, 724-732): tables
+    neither receive nor produce inter-pre-chunk overlap.
+    """
     if len(pre_chunk) == 1 and pre_chunk[0]["type"] in ("Table", "TableChunk"):
         _split_table(pre_chunk[0], opts, doc_id, out, next_index)
-        return
-    text = _SEP.join(r["text"] for r in pre_chunk if r["text"])
+        return ""
+    segments = [r["text"] for r in pre_chunk if r["text"]]
+    if overlap_prefix:
+        segments = [overlap_prefix, *segments]
+    text = _SEP.join(segments)
     meta = _consolidate(pre_chunk)
     fragments = (
         opts.split(text)
@@ -252,6 +273,9 @@ def _form_chunks(
             is_continuation=True if i > 0 else None,
         )
         _emit(chunk, doc_id, out, next_index, orig=pre_chunk)
+    if opts.overlap_all and opts.overlap:
+        return text[-opts.overlap :].strip()
+    return ""
 
 
 _OUT_COLUMNS = [f.name for f in ELEMENT_SCHEMA.fields]
@@ -340,8 +364,11 @@ def _chunk_doc(rows: list[dict], opts: ChunkingOptions, by_title: bool) -> list[
         pre_chunks = _combine_pre_chunks(pre_chunks, opts)
     out: list[dict] = []
     next_index = [0]
+    overlap_prefix = ""
     for pc in pre_chunks:
-        _form_chunks(pc, opts, doc_id, out, next_index)
+        overlap_prefix = _form_chunks(
+            pc, opts, doc_id, out, next_index, overlap_prefix
+        )
     return out
 
 

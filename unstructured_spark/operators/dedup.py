@@ -142,8 +142,8 @@ def lsh_candidate_pairs(
     return pairs.select(
         "doc_a",
         "doc_b",
-        F.round(matches / F.lit(16), 6).alias("est_jaccard"),
-    ).withColumn("est_jaccard", F.col("est_jaccard"))
+        F.round(matches / F.lit(num_hashes), 6).alias("est_jaccard"),
+    )
 
 
 def exact_duplicates(

@@ -61,23 +61,30 @@ def _iou(a, b) -> float:
     return inter / (area_a + area_b - inter)
 
 
-def _match_page(pred: pd.DataFrame, gt: pd.DataFrame, thresholds) -> pd.DataFrame:
-    rows = []
-    gt_boxes = [
-        (r.cls, (r.x1, r.y1, r.x2, r.y2)) for r in gt.itertuples()
-    ]
-    preds = sorted(
-        (
-            (float(r.score), r.cls, (r.x1, r.y1, r.x2, r.y2))
-            for r in pred.itertuples()
-        ),
-        key=lambda t: -t[0],
-    )
+def _fresh(df: DataFrame, cols) -> DataFrame:
+    """Re-alias every column so the plan branch carries fresh attribute IDs.
+
+    When both cogroup sides derive from the same scan they share identical
+    expression IDs; Catalyst's attribute deduplication for
+    FlatMapCoGroupsInPandas can then silently drop the shared columns from
+    the right-side pandas frame (observed under AQE in long-lived
+    sessions). Disjoint IDs per side remove the trigger; this is a
+    plan-only rewrite with zero runtime cost.
+    """
+    return df.select([F.col(c).alias(c) for c in cols])
+
+
+def _match_page(pred_rows, gt_rows, thresholds, rows) -> None:
+    """Greedy per-page matching; appends (cls, score, thr, tp) to rows.
+
+    pred_rows: [(score, cls, box)], gt_rows: [(cls, box)].
+    """
+    preds = sorted(pred_rows, key=lambda t: -t[0])
     for thr in thresholds:
         claimed: set[int] = set()
         for score, cls, box in preds:
             best_i, best_iou = -1, 0.0
-            for i, (gcls, gbox) in enumerate(gt_boxes):
+            for i, (gcls, gbox) in enumerate(gt_rows):
                 if gcls != cls or i in claimed:
                     continue
                 v = _iou(box, gbox)
@@ -86,10 +93,42 @@ def _match_page(pred: pd.DataFrame, gt: pd.DataFrame, thresholds) -> pd.DataFram
             tp = 1 if best_i >= 0 and best_iou > thr else 0
             if tp:
                 claimed.add(best_i)
-            rows.append(
-                {"cls": cls, "score": score, "iou_threshold": thr, "tp": tp}
-            )
-    return pd.DataFrame(rows, columns=["cls", "score", "iou_threshold", "tp"])
+            rows.append((cls, score, thr, tp))
+
+
+def _match_bucket(pred: pd.DataFrame, gt: pd.DataFrame, keys, thresholds) -> pd.DataFrame:
+    """One UDF call per *bucket* of pages: groups both sides by the page
+    key in pandas and matches page-by-page. Amortizes the per-group
+    Arrow/Python round-trip that a per-page cogroup would pay 10⁴×."""
+    kcols = list(keys)
+
+    def pages(df: pd.DataFrame, builder):
+        out: dict = {}
+        if len(df) == 0:
+            return out
+        for k, grp in df.groupby(kcols, sort=False):
+            out[k] = builder(grp)
+        return out
+
+    gt_pages = pages(
+        gt,
+        lambda g: list(
+            zip(g["cls"], zip(g["x1"], g["y1"], g["x2"], g["y2"]))
+        ),
+    )
+    pred_pages = pages(
+        pred,
+        lambda p: list(
+            zip((float(s) for s in p["score"]), p["cls"],
+                zip(p["x1"], p["y1"], p["x2"], p["y2"]))
+        ),
+    )
+    rows: list = []
+    for k, preds in pred_pages.items():
+        _match_page(preds, gt_pages.get(k, []), thresholds, rows)
+    return pd.DataFrame(
+        rows, columns=["cls", "score", "iou_threshold", "tp"]
+    )
 
 
 def match_detections(
@@ -97,21 +136,33 @@ def match_detections(
     gt: DataFrame,
     iou_thresholds=DEFAULT_IOU_THRESHOLDS,
     keys=("doc_id", "page_number"),
+    num_buckets: int | None = None,
 ) -> DataFrame:
     """Stage 1: per-page TP/FP flags per prediction × IoU threshold.
 
     pred: (doc_id, page_number, cls, score, x1, y1, x2, y2)
     gt:   (doc_id, page_number, cls, x1, y1, x2, y2)
+
+    Pages are hashed into ``num_buckets`` buckets (default 4× cluster
+    parallelism) and the cogroup runs per bucket, not per page: one
+    pandas UDF call processes thousands of pages. The explicit
+    ``repartition(n, bucket)`` pins the shuffle width — AQE never
+    coalesces user-numbered repartitions, so a byte-tiny but CPU-heavy
+    matching stage still fans out across every core.
     """
     thresholds = tuple(float(t) for t in iou_thresholds)
     pcols = [*keys, "cls", "score", "x1", "y1", "x2", "y2"]
     gcols = [*keys, "cls", "x1", "y1", "x2", "y2"]
+    nb = num_buckets or pred.sparkSession.sparkContext.defaultParallelism * 4
+    bucket = F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(nb))
+    pred_b = _fresh(pred, pcols).withColumn("_b", bucket).repartition(nb, "_b")
+    gt_b = _fresh(gt, gcols).withColumn("_b", bucket).repartition(nb, "_b")
     return (
-        pred.select(pcols)
-        .groupBy(*keys)
-        .cogroup(gt.select(gcols).groupBy(*keys))
+        pred_b.groupBy("_b")
+        .cogroup(gt_b.groupBy("_b"))
         .applyInPandas(
-            lambda p, g: _match_page(p, g, thresholds), schema=MATCH_SCHEMA
+            lambda p, g: _match_bucket(p, g, keys, thresholds),
+            schema=MATCH_SCHEMA,
         )
     )
 

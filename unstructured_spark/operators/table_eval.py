@@ -136,7 +136,7 @@ def _index_acc(pred: list[dict], gt: list[dict], cutoff: float) -> tuple[float, 
     return round(row_ok / total, 2), round(col_ok / total, 2)
 
 
-def _eval_doc(key: tuple, pred_pdf: pd.DataFrame, gt_pdf: pd.DataFrame, cutoff: float):
+def _eval_doc(doc_id, pred_pdf: pd.DataFrame, gt_pdf: pd.DataFrame, cutoff: float):
     pred, gt = _tables(pred_pdf), _tables(gt_pdf)
     gt_texts = [_content(td) for td in gt]
     matched = []
@@ -182,10 +182,9 @@ def _eval_doc(key: tuple, pred_pdf: pd.DataFrame, gt_pdf: pd.DataFrame, cutoff: 
 
     ci, ri = mean(col_idx_accs), mean(row_idx_accs)
     cc, rc = mean(col_cont), mean(row_cont)
-    return pd.DataFrame(
-        [
+    return (
             {
-                "doc_id": key[0],
+                "doc_id": doc_id,
                 "total_tables": pos,
                 "total_predicted_tables": len(pred),
                 "table_level_acc": mean(scores),
@@ -200,24 +199,77 @@ def _eval_doc(key: tuple, pred_pdf: pd.DataFrame, gt_pdf: pd.DataFrame, cutoff: 
                     (ci + ri + (cc + rc) / 2) / 3, 4
                 ),
             }
-        ]
     )
 
 
+def _eval_bucket(
+    pred: pd.DataFrame, gt: pd.DataFrame, cutoff: float
+) -> pd.DataFrame:
+    """One UDF call per bucket of documents: pandas-groupby both sides by
+    doc_id and evaluate each doc. Amortizes per-group Arrow overhead and
+    keeps CPU-bound difflib work fanned out across all cores."""
+
+    def split(df: pd.DataFrame) -> dict:
+        return (
+            {k: g for k, g in df.groupby("doc_id", sort=False)}
+            if len(df)
+            else {}
+        )
+
+    pred_docs, gt_docs = split(pred), split(gt)
+    empty = pred.iloc[0:0]
+    out = [
+        _eval_doc(doc_id, pred_docs.get(doc_id, empty), gt_docs.get(doc_id, empty), cutoff)
+        for doc_id in set(pred_docs) | set(gt_docs)
+    ]
+    cols = [f.split()[0] for f in EVAL_SCHEMA.split(", ")]
+    return pd.DataFrame(out, columns=cols)
+
+
 def table_eval(
-    pred_cells: DataFrame, gt_cells: DataFrame, cutoff: float = 0.8
+    pred_cells: DataFrame,
+    gt_cells: DataFrame,
+    cutoff: float = 0.8,
+    num_buckets: int | None = None,
 ) -> DataFrame:
     """Per-document table evaluation; one metrics row per doc_id.
 
     Both inputs: (doc_id, table_id, row_index, col_index, content).
+
+    Documents are hashed into ``num_buckets`` buckets (default 4×
+    cluster parallelism) and the cogroup runs per *bucket*, not per
+    doc: one pandas UDF call evaluates thousands of docs, amortizing
+    the per-group Arrow round-trip. The explicit ``repartition(nb,
+    _b)`` pins the shuffle width so the CPU-heavy difflib stage fans
+    out across every core even when the cell bytes are tiny.
     """
     cols = ["doc_id", *CELL_COLS]
+    nb = (
+        num_buckets
+        or pred_cells.sparkSession.sparkContext.defaultParallelism * 4
+    )
+    bucket = F.pmod(F.xxhash64(F.col("doc_id").cast("string")), F.lit(nb))
+
+    # Fresh aliases per side: when pred and gt derive from the same scan
+    # they share expression IDs, and Catalyst's cogroup attribute dedup
+    # can mis-prune the shared columns from the right side (same fix as
+    # od_map._fresh).
+    def prep(df: DataFrame) -> DataFrame:
+        return (
+            df.select([F.col(c).alias(c) for c in cols])
+            .withColumn("_b", bucket)
+            .repartition(nb, "_b")
+        )
+
     return (
-        pred_cells.select(cols)
-        .groupBy("doc_id")
-        .cogroup(gt_cells.select(cols).groupBy("doc_id"))
+        prep(pred_cells)
+        .groupBy("_b")
+        .cogroup(prep(gt_cells).groupBy("_b"))
         .applyInPandas(
-            lambda k, p, g: _eval_doc(k, p, g, cutoff), schema=EVAL_SCHEMA
+            lambda p, g: _eval_bucket(
+                p.drop(columns=["_b"]), g.drop(columns=["_b"]), cutoff
+            ),
+            schema=EVAL_SCHEMA,
         )
     )
 

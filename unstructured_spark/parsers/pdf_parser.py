@@ -27,6 +27,9 @@ import zlib
 
 from unstructured_spark.parsers import classify
 
+# cap on a single decoded PDF stream (matches serde.decode_orig_elements)
+_MAX_STREAM_BYTES = 200 * 1024 * 1024
+
 _TOKEN_RE = re.compile(
     rb"<<|>>|\[|\]|/([^\s/<>\[\]()]+)|\((?:)|<([0-9a-fA-F\s]*)>|"
     rb"(-?[\d.]+)|(\w+)"
@@ -184,13 +187,15 @@ def _decode_stream(raw: bytes, sdict: dict) -> bytes | None:
     data = raw
     for f in filters:
         if f == "/FlateDecode":
+            # bounded decompress: a crafted deflate bomb must not exhaust
+            # executor memory (cap mirrors serde's 200 MB guard)
             try:
-                data = zlib.decompress(data)
+                d = zlib.decompressobj()
+                data = d.decompress(data, _MAX_STREAM_BYTES)
+                if d.unconsumed_tail:
+                    return None  # output exceeded the cap — reject
             except zlib.error:
-                try:  # tolerate trailing garbage
-                    data = zlib.decompressobj().decompress(data)
-                except zlib.error:
-                    return None
+                return None
         elif f in ("/ASCIIHexDecode",):
             data = bytes.fromhex(
                 re.sub(rb"[^0-9a-fA-F]", b"", data.split(b">")[0]).decode()
