@@ -444,6 +444,20 @@ def q_srp_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.srp_topk(emb, queries, k=5, dim=64, planes=6)
 
 
+def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: deterministic seed-centroid coarse quantizer, probe the
+    nprobe nearest lists per query, brute-force within probed lists.
+    The seed-based quantizer is engine-portable, so the oracle replays
+    the identical index in SQL (assignment → probes → candidate join)."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.ivf_topk(
+        emb, queries, k=5, nlist=16, nprobe=4
+    ).withColumn("rank", F.col("rank").cast("bigint"))
+
+
 # ---------------------------------------------------------------------------
 # Document-ETL spine (SURVEY §3.1): partition → elements → chunk.
 # Not SQL-expressible (per-format parsing + order-sensitive chunk fold)
@@ -658,6 +672,275 @@ def q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q07_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: shipping volume between two nations by year —
+    fact chain lineitem→orders→customer with two broadcast nation dims
+    (supplier side and customer side), disjunctive pair filter."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(F.round(F.sum(rev), 2).alias("revenue"))
+        .withColumn("l_year", F.col("l_year").cast("bigint"))
+    )
+
+
+def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of regional PROMO revenue per
+    order-year — conditional aggregation over a 5-way star join.
+    Decimal partials make the share ratio engine-exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    n_c = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cr_key")
+    )
+    n_s = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    agg = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n_c), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(n_s), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(r), F.col("cr_key") == F.col("r_regionkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("supp_nation") == "NATION_5", rev)).alias("_nat"),
+            F.sum(rev).alias("_tot"),
+        )
+    )
+    share = F.coalesce(F.col("_nat").cast("double"), F.lit(0.0)) / F.col(
+        "_tot"
+    ).cast("double")
+    return agg.select(
+        F.col("o_year").cast("bigint").alias("o_year"),
+        (F.floor(share * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)).alias(
+            "mkt_share"
+        ),
+    )
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by returned-item revenue in a
+    quarter (join + agg + bounded top-k)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    # decimal partials: the top-20 cutoff and displayed cents must not
+    # depend on double summation order
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+        .select(
+            "c_custkey", "c_name",
+            F.round("c_acctbal", 2).alias("c_acctbal"), "n_name", "revenue",
+        )
+    )
+
+
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: customer order-count distribution via left outer
+    join (customers with zero qualifying orders land in bucket 0)."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .select(F.col("c_count").cast("bigint").alias("c_count"), "custdist")
+    )
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with max quarterly revenue — decimal
+    partials make the max-selection engine-exact; the max is joined back
+    via an unpartitioned window over the (small) per-supplier aggregate."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    rev_dec = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    per_supp = (
+        li.groupBy("l_suppkey").agg(F.sum(rev_dec).alias("_rev"))
+    )
+    w = Window.orderBy(F.lit(1))
+    ranked = per_supp.withColumn("_max", F.max("_rev").over(w))
+    return (
+        ranked.filter(F.col("_rev") == F.col("_max"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select(
+            "s_suppkey", "s_name",
+            F.round(F.col("_rev"), 2).cast("double").alias("total_revenue"),
+        )
+    )
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: avg weekly revenue from small-quantity orders of
+    one brand — the correlated per-part avg becomes a broadcast join of
+    an exact decimal aggregate (threshold decisions are engine-exact)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    li_p = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    per_part = li_p.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("_qs"),
+        F.count("*").alias("_qn"),
+    )
+    thresh = F.lit(0.2) * (F.col("_qs").cast("double") / F.col("_qn"))
+    return (
+        li_p.join(F.broadcast(per_part), li_p.l_partkey == F.col("_pk"))
+        .filter(F.col("l_quantity") < thresh)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast(
+                    "double"
+                )
+                / F.lit(7.0),
+                2,
+            ).alias("avg_yearly")
+        )
+    )
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds a threshold
+    (exact decimal group sum), joined back to customer, top-100."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("_qty"))
+        .filter(F.col("_qty") > 150)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name", "c_custkey", "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.round(F.col("_qty"), 2).cast("double").alias("total_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (adapted: no commitdate column — late means
+    shipped >90 days after the order date): suppliers who were the ONLY
+    late supplier in a multi-supplier order. The exists/not-exists pair
+    collapses to one window aggregation per order — no self-joins."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey", "l_suppkey",
+        (F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 90).alias("late"),
+    )
+    per_os = j.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(F.col("late").cast("int")).alias("supp_late")
+    )
+    w = Window.partitionBy("l_orderkey")
+    flagged = per_os.withColumn("n_supps", F.count("*").over(w)).withColumn(
+        "n_late", F.sum("supp_late").over(w)
+    )
+    return (
+        flagged.filter(
+            (F.col("supp_late") == 1) & (F.col("n_late") == 1) & (F.col("n_supps") > 1)
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(20)
+    )
+
+
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: positive-balance customers above the average who
+    never ordered — broadcast scalar threshold + left-anti join. The
+    threshold comes from an exact decimal sum so both engines make
+    identical boundary decisions."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_nationkey") < 7)
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= "2000-01-01"
+    ).select("o_custkey")
+    stats = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.sum(F.col("c_acctbal").cast("decimal(18,6)")).alias("_s"),
+        F.count("*").alias("_n"),
+    )
+    thresh = (F.col("_s").cast("double") / F.col("_n")).alias("_thresh")
+    rich = c.crossJoin(F.broadcast(stats.select(thresh))).filter(
+        F.col("c_acctbal") > F.col("_thresh")
+    )
+    idle = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+    return (
+        idle.groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(18,6)")).cast("double"), 2
+            ).alias("totacctbal"),
+        )
+        .select(
+            F.col("c_nationkey").cast("bigint").alias("c_nationkey"),
+            "numcust", "totacctbal",
+        )
+    )
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """For each error event, the user's latest click at-or-before it
     (union-window as-of join: one shuffle, no range-join explosion)."""
@@ -841,6 +1124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embed_centroids": q_embed_centroids,
         "q_embed_neardup": q_embed_neardup,
         "q_srp_ann_topk": q_srp_ann_topk,
+        "q_ivf_ann_topk": q_ivf_ann_topk,
         "q_partition_elements": q_partition_elements,
         "q_chunk_by_title": q_chunk_by_title,
         "q_edit_distance": q_edit_distance,
@@ -854,6 +1138,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q12_late_lines": q12_late_lines,
         "q14_promo_revenue": q14_promo_revenue,
         "q19_bracket_revenue": q19_bracket_revenue,
+        "q07_nation_volume": q07_nation_volume,
+        "q08_market_share": q08_market_share,
+        "q10_returned_items": q10_returned_items,
+        "q13_order_count_distribution": q13_order_count_distribution,
+        "q15_top_supplier": q15_top_supplier,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "q18_large_orders": q18_large_orders,
+        "q21_sole_late_supplier": q21_sole_late_supplier,
+        "q22_idle_customers": q22_idle_customers,
         "q_dup_clusters": q_dup_clusters,
         "q_salted_user_value": q_salted_user_value,
     }
@@ -1207,6 +1500,47 @@ def oracle_sql() -> dict[str, str]:
         """,
         # q_srp_ann_topk: intentionally no oracle (bucketed ANN is not
         # portably SQL-expressible) → driver records rows-only check.
+        "q_ivf_ann_topk": """
+            with base as (
+              select vec_id, list_transform(embedding, x -> cast(x as double)) as e
+              from embeddings
+            ), normed as (
+              select vec_id, e,
+                sqrt(list_aggregate(list_transform(e, x -> x * x), 'sum')) as nrm
+              from base
+            ), seeds as (
+              select vec_id as list_id, e as ce, nrm as cn
+              from normed order by vec_id limit 16
+            ), assign as (
+              select vec_id, e, nrm, list_id from (
+                select n.vec_id, n.e, n.nrm, s.list_id,
+                  row_number() over (partition by n.vec_id order by
+                    list_aggregate(list_transform(range(1, 65), i -> n.e[i] * s.ce[i]), 'sum')
+                      / (n.nrm * s.cn) desc, s.list_id desc) as rn
+                from normed n cross join seeds s
+              ) where rn = 1
+            ), probes as (
+              select vec_id as query_id, e as qe, nrm as qn, list_id from (
+                select n.vec_id, n.e, n.nrm, s.list_id,
+                  row_number() over (partition by n.vec_id order by
+                    list_aggregate(list_transform(range(1, 65), i -> n.e[i] * s.ce[i]), 'sum')
+                      / (n.nrm * s.cn) desc, s.list_id desc) as rn
+                from normed n cross join seeds s
+                where n.vec_id < 10
+              ) where rn <= 4
+            ), scored as (
+              select p.query_id, a.vec_id as neighbor_id,
+                round(list_aggregate(list_transform(range(1, 65), i -> p.qe[i] * a.e[i]), 'sum')
+                      / (p.qn * a.nrm), 6) as cosine_sim
+              from probes p join assign a on p.list_id = a.list_id
+              where a.vec_id <> p.query_id
+            )
+            select query_id, neighbor_id, cosine_sim, cast(rank as bigint) as rank from (
+              select *, row_number() over (partition by query_id
+                order by cosine_sim desc, neighbor_id asc) as rank
+              from scored
+            ) where rank <= 5
+        """,
         # q_partition_elements / q_chunk_by_title: per-format parsing +
         # order-sensitive chunk fold → rows-only check.
         "q_edit_distance": """
@@ -1348,6 +1682,162 @@ def oracle_sql() -> dict[str, str]:
                    and l_quantity between 1 and 20)
                or (p_brand = 'Brand#13' and p_size between 10 and 30
                    and l_quantity between 10 and 40)
+        """,
+        "q07_nation_volume": """
+            select n1.n_name as supp_nation, n2.n_name as cust_nation,
+                   cast(year(l_shipdate) as bigint) as l_year,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue
+            from lineitem
+              join orders on l_orderkey = o_orderkey
+              join customer on o_custkey = c_custkey
+              join supplier on l_suppkey = s_suppkey
+              join nation n1 on s_nationkey = n1.n_nationkey
+              join nation n2 on c_nationkey = n2.n_nationkey
+            where (n1.n_name = 'NATION_1' and n2.n_name = 'NATION_2')
+               or (n1.n_name = 'NATION_2' and n2.n_name = 'NATION_1')
+            group by 1, 2, 3
+        """,
+        "q08_market_share": """
+            with j as (
+              select year(o_orderdate) as o_year,
+                     cast(l_extendedprice * (1 - l_discount) as decimal(18,6)) as rev,
+                     n2.n_name as supp_nation
+              from lineitem
+                join orders on l_orderkey = o_orderkey
+                join customer on o_custkey = c_custkey
+                join part on l_partkey = p_partkey
+                join supplier on l_suppkey = s_suppkey
+                join nation n1 on c_nationkey = n1.n_nationkey
+                join nation n2 on s_nationkey = n2.n_nationkey
+                join region on n1.n_regionkey = r_regionkey
+              where r_name = 'EUROPE' and p_type = 'PROMO'
+            ), agg as (
+              select o_year,
+                     cast(sum(case when supp_nation = 'NATION_5' then rev end)
+                          as double) as nat,
+                     cast(sum(rev) as double) as tot
+              from j group by o_year
+            )
+            select cast(o_year as bigint) as o_year,
+                   floor(coalesce(nat, 0.0) / tot * 1000000.0 + 0.5) / 1000000.0
+                     as mkt_share
+            from agg
+        """,
+        "q10_returned_items": """
+            select c_custkey, c_name, round(c_acctbal, 2) as c_acctbal, n_name,
+                   revenue
+            from (
+              select c_custkey, c_name, c_acctbal, n_name,
+                     cast(round(sum(cast(l_extendedprice * (1 - l_discount)
+                       as decimal(18,6))), 2) as double) as revenue
+              from lineitem
+                join orders on l_orderkey = o_orderkey
+                join customer on o_custkey = c_custkey
+                join nation on c_nationkey = n_nationkey
+              where l_returnflag = 'R'
+                and o_orderdate >= '1996-01-01' and o_orderdate < '1996-04-01'
+              group by c_custkey, c_name, c_acctbal, n_name
+            )
+            order by revenue desc, c_custkey asc
+            limit 20
+        """,
+        "q13_order_count_distribution": """
+            select cast(c_count as bigint) as c_count,
+                   count(*) as custdist
+            from (
+              select c_custkey, count(o_orderkey) as c_count
+              from customer left join orders
+                on c_custkey = o_custkey and o_orderpriority <> '1-URGENT'
+              group by c_custkey
+            )
+            group by c_count
+        """,
+        "q15_top_supplier": """
+            with per_supp as (
+              select l_suppkey,
+                     sum(cast(l_extendedprice * (1 - l_discount) as decimal(18,6)))
+                       as rev
+              from lineitem
+              where l_shipdate >= '1996-01-01' and l_shipdate < '1996-04-01'
+              group by l_suppkey
+            )
+            select s_suppkey, s_name,
+                   cast(round(rev, 2) as double) as total_revenue
+            from per_supp join supplier on l_suppkey = s_suppkey
+            where rev = (select max(rev) from per_supp)
+        """,
+        "q17_small_quantity_revenue": """
+            with li_p as (
+              select l_partkey, l_quantity, l_extendedprice
+              from lineitem join part on l_partkey = p_partkey
+              where p_brand = 'Brand#1'
+            ), per_part as (
+              select l_partkey as pk,
+                     cast(sum(cast(l_quantity as decimal(18,6))) as double)
+                       / count(*) as avg_qty
+              from li_p group by l_partkey
+            )
+            select round(
+              cast(sum(cast(l_extendedprice as decimal(18,6))) as double) / 7.0,
+              2) as avg_yearly
+            from li_p join per_part on l_partkey = pk
+            where l_quantity < 0.2 * avg_qty
+        """,
+        "q18_large_orders": """
+            with big as (
+              select l_orderkey,
+                     sum(cast(l_quantity as decimal(18,6))) as qty
+              from lineitem group by l_orderkey
+              having sum(cast(l_quantity as decimal(18,6))) > 150
+            )
+            select c_name, c_custkey, o_orderkey,
+                   cast(o_orderdate as date) as o_orderdate,
+                   round(o_totalprice, 2) as o_totalprice,
+                   cast(round(qty, 2) as double) as total_qty
+            from big
+              join orders on l_orderkey = o_orderkey
+              join customer on o_custkey = c_custkey
+            order by round(o_totalprice, 2) desc, o_orderkey asc
+            limit 100
+        """,
+        "q21_sole_late_supplier": """
+            with per_os as (
+              select l_orderkey, l_suppkey,
+                     max(case when date_diff('day', o_orderdate, l_shipdate) > 90
+                              then 1 else 0 end) as supp_late
+              from lineitem join orders on l_orderkey = o_orderkey
+              group by l_orderkey, l_suppkey
+            ), flagged as (
+              select l_suppkey, supp_late,
+                     count(*) over (partition by l_orderkey) as n_supps,
+                     sum(supp_late) over (partition by l_orderkey) as n_late
+              from per_os
+            )
+            select s_name, count(*) as numwait
+            from flagged join supplier on l_suppkey = s_suppkey
+            where supp_late = 1 and n_late = 1 and n_supps > 1
+            group by s_name
+            order by numwait desc, s_name asc
+            limit 20
+        """,
+        "q22_idle_customers": """
+            with c as (
+              select * from customer where c_nationkey < 7
+            ), stats as (
+              select cast(sum(cast(c_acctbal as decimal(18,6))) as double)
+                       / count(*) as thresh
+              from c where c_acctbal > 0.0
+            )
+            select cast(c_nationkey as bigint) as c_nationkey,
+                   count(*) as numcust,
+                   round(cast(sum(cast(c_acctbal as decimal(18,6))) as double), 2)
+                     as totacctbal
+            from c, stats
+            where c_acctbal > thresh
+              and not exists (select 1 from orders
+                              where o_custkey = c_custkey
+                                and o_orderdate >= '2000-01-01')
+            group by c_nationkey
         """,
         "q_asof_join": """
             select l.event_id, l.user_id,

@@ -178,3 +178,112 @@ def embedding_near_duplicates(
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
+
+
+def ivf_assign_expr(
+    vec: Column,
+    seeds: list[tuple[int, list[float]]],
+) -> Column:
+    """Expression assigning a vector to its nearest coarse centroid
+    (cosine).
+
+    ``seeds`` is a small list of (list_id, centroid_vector) — tiny even
+    at 100 TB corpus scale, so the assignment compiles to a pure
+    projection (whole-stage codegen, zero shuffle): per row, an array of
+    (sim, list_id) structs over the centroid literals, reduced with
+    ``array_max`` (struct ordering = sim first, list_id tie-break).
+    """
+    vn = l2_norm(vec)
+    entries = []
+    for lid, cvec in seeds:
+        carr = F.array(*[F.lit(float(v)) for v in cvec])
+        sim = dot(vec, carr) / (vn * l2_norm(carr))
+        entries.append(
+            F.struct(sim.alias("sim"), F.lit(int(lid)).alias("list_id"))
+        )
+    return F.array_max(F.array(*entries)).getField("list_id")
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) ANN top-k: coarse-quantize the corpus into
+    ``nlist`` lists, probe the ``nprobe`` lists nearest each query, and
+    brute-force only within probed lists.
+
+    The coarse quantizer uses deterministic seed centroids (the
+    ``nlist`` lowest-id vectors) so any engine reproduces the index
+    bit-for-bit; swapping in k-means centroids changes only the
+    ``seeds`` input, not the plan. Scale shape: centroids broadcast
+    (tiny), corpus assignment is map-only, and the candidate join is
+    keyed on list_id — candidate volume is ~nprobe/nlist of the
+    corpus, vs the full crossjoin of the brute-force baseline.
+
+    Returns (query_id, neighbor_id, cosine_sim, rank).
+    """
+    seed_rows = (
+        corpus.select(id_col, vec_col).orderBy(id_col).limit(nlist).collect()
+    )
+    seeds = [(int(r[0]), [float(x) for x in r[1]]) for r in seed_rows]
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_vec"),
+    )
+    c = c.select(
+        "neighbor_id",
+        F.col("_vec").alias("_cvec"),
+        l2_norm(F.col("_vec")).alias("_cn"),
+        ivf_assign_expr(F.col("_vec"), seeds).alias("list_id"),
+    )
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_vec")
+    )
+    sims = []
+    for lid, cvec in seeds:
+        carr = F.array(*[F.lit(float(v)) for v in cvec])
+        sim = dot(F.col("_vec"), carr) / (
+            l2_norm(F.col("_vec")) * l2_norm(carr)
+        )
+        sims.append(F.struct(sim.alias("sim"), F.lit(int(lid)).alias("list_id")))
+    probes = (
+        q.select(
+            "query_id",
+            F.col("_vec").alias("_qvec"),
+            l2_norm(F.col("_vec")).alias("_qn"),
+            F.slice(
+                F.sort_array(F.array(*sims), asc=False), 1, nprobe
+            ).alias("_probed"),
+        )
+        .withColumn("list_id", F.explode(F.col("_probed.list_id")))
+        .drop("_probed")
+    )
+
+    scored = (
+        c.join(F.broadcast(probes), "list_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot(F.col("_qvec"), F.col("_cvec"))
+                / (F.col("_qn") * F.col("_cn")),
+                6,
+            ).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
