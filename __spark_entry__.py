@@ -267,6 +267,49 @@ def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def q_element_type_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Element-type histogram overlap (reference element_type.py:18-96)
+    between elements derived from full vs truncated text — exercises
+    element_type_frequency + element_type_percent_match."""
+    from unstructured_spark.operators import metrics
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def elements(text_col):
+        lines = F.split(text_col, "\\. ")
+        df = docs.select("doc_id", F.explode(lines).alias("line")).filter(
+            F.trim("line") != ""
+        )
+        return df.select(
+            "doc_id",
+            F.when(
+                (F.length("line") < 30) & (~F.col("line").rlike("[0-9]")),
+                "Title",
+            )
+            .when(F.col("line").rlike("^[0-9]"), "ListItem")
+            .otherwise("NarrativeText")
+            .alias("type"),
+            F.lit(None).cast("int").alias("category_depth"),
+        )
+
+    src = elements(F.col("text"))
+    out = elements(
+        F.substring(
+            "text", 1, F.floor(F.length("text") * 0.6).cast("int")
+        )
+    )
+    return metrics.element_type_percent_match(out, src).select(
+        "doc_id", F.round("percent_match", 6).alias("percent_match")
+    )
+
+
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) rolling fingerprints — min-hash of each sliding
+    window over token k-gram hashes; pure array expressions."""
+    docs = _t(spark, sf_dir, "documents")
+    return text_analysis.winnow_fingerprints(docs, k=5, window=4)
+
+
 def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return text_analysis.doc_stats(docs).withColumn(
@@ -1111,6 +1154,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_sessionize": q_events_sessionize,
         "q_events_json": q_events_json,
         "q_doc_stats": q_doc_stats,
+        "q_winnow_fingerprints": q_winnow_fingerprints,
+        "q_element_type_match": q_element_type_match,
         "q_token_freq": q_token_freq,
         "q_exact_dups": q_exact_dups,
         "q_minhash_signatures": q_minhash_signatures,
@@ -1319,6 +1364,68 @@ def oracle_sql() -> dict[str, str]:
               from events
             )
             group by event_type
+        """,
+        "q_element_type_match": """
+            with src_t as (
+              select doc_id,
+                case when length(l) < 30 and not regexp_matches(l, '[0-9]')
+                     then 'Title'
+                     when regexp_matches(l, '^[0-9]') then 'ListItem'
+                     else 'NarrativeText' end as type
+              from (select doc_id, unnest(string_split(text, '. ')) as l
+                    from documents)
+              where trim(l) <> ''
+            ), out_t as (
+              select doc_id,
+                case when length(l) < 30 and not regexp_matches(l, '[0-9]')
+                     then 'Title'
+                     when regexp_matches(l, '^[0-9]') then 'ListItem'
+                     else 'NarrativeText' end as type
+              from (select doc_id,
+                      unnest(string_split(
+                        substr(text, 1, cast(floor(length(text) * 0.6) as int)),
+                        '. ')) as l
+                    from documents)
+              where trim(l) <> ''
+            ), sf as (
+              select doc_id, type, count(*) as n_src from src_t group by 1, 2
+            ), of as (
+              select doc_id, type, count(*) as n_out from out_t group by 1, 2
+            ), j as (
+              select coalesce(sf.doc_id, of.doc_id) as doc_id,
+                     coalesce(n_src, 0) as n_src, coalesce(n_out, 0) as n_out
+              from sf full join of
+                on sf.doc_id = of.doc_id and sf.type = of.type
+            )
+            select doc_id,
+                   round(cast(sum(least(n_out, n_src)) as double)
+                         / sum(n_src), 6) as percent_match
+            from j group by doc_id
+        """,
+        "q_winnow_fingerprints": """
+            with toks as (
+              select doc_id,
+                list_filter(
+                  string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '),
+                  t -> t <> '') as ts
+              from documents
+            ), hashes as (
+              select doc_id,
+                list_transform(
+                  list_transform(range(1, greatest(len(ts) - 5 + 1, 1) + 1),
+                                 i -> array_to_string(ts[i:i+4], ' ')),
+                  g -> cast(('0x' || substr(md5(g), 1, 15)) as bigint)) as hs
+              from toks
+              where len(ts) >= 5
+            ), mins as (
+              select doc_id,
+                case when len(hs) >= 4
+                  then list_transform(range(1, len(hs) - 4 + 2),
+                                      i -> list_aggregate(hs[i:i+3], 'min'))
+                  else [list_aggregate(hs, 'min')] end as ms
+              from hashes
+            )
+            select distinct doc_id, unnest(ms) as fp_hash from mins
         """,
         "q_doc_stats": """
             with toks as (

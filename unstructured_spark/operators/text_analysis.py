@@ -95,3 +95,60 @@ def doc_stats(df: DataFrame, text: str = "text", doc_id: str = "doc_id") -> Data
         quality_score(c).alias("quality_score"),
         fingerprint(c).alias("fingerprint"),
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    *,
+    k: int = 5,
+    window: int = 4,
+    text: str = "text",
+    doc_id: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken's
+    MOSS scheme): hash every token k-gram, slide a ``window`` over the
+    hash sequence, keep each window's minimum — the selected set is a
+    position-robust rolling fingerprint (any match of length >=
+    k+window-1 tokens shares a fingerprint).
+
+    The whole computation is array expressions over the token list —
+    whole-stage codegen, zero shuffle, no UDFs; the only exchange is
+    the final distinct. Hashes are md5-derived so any engine
+    reproduces the exact fingerprint set (same idiom as
+    dedup.minhash_signatures).
+
+    Returns (doc_id, fp_hash) — one row per selected distinct hash.
+    """
+    toks = F.filter(
+        F.split(
+            F.lower(F.trim(F.regexp_replace(F.col(text), "\\s+", " "))), " "
+        ),
+        lambda t: t != "",
+    )
+    n = F.size(toks)
+    # greatest(...,1) keeps the sequence ascending for short docs —
+    # rows below the n >= k filter must still evaluate safely
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - F.lit(k) + 1, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )
+    hashes = F.transform(
+        grams,
+        lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("bigint"),
+    )
+    nh = F.size(hashes)
+    mins = F.when(
+        nh >= window,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(nh - F.lit(window) + 1, F.lit(1))),
+                lambda i: F.array_min(F.slice(hashes, i, window)),
+            )
+        ),
+    ).otherwise(F.array(F.array_min(hashes)))
+    sel = df.select(F.col(doc_id).alias("doc_id"), n.alias("_n"), mins.alias("_m"))
+    return (
+        sel.filter(F.col("_n") >= k)
+        .select("doc_id", F.explode("_m").alias("fp_hash"))
+        .distinct()
+    )
