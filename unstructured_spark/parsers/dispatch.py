@@ -110,7 +110,11 @@ def _unsupported(name: str, needs: str) -> Callable[..., list[dict]]:
 
 _PARTITIONERS: dict[str, Callable[..., list[dict]]] = {
     "txt": lambda c, **kw: text_to_elements(_decode(c), paragraph_grouper="auto"),
-    "html": lambda c, **kw: html_to_elements(_decode(c)),
+    "html": lambda c, **kw: (
+        _lazy("html_ontology", "parse_html_v2")(_decode(c))
+        if kw.get("html_parser_version") == "v2"
+        else html_to_elements(_decode(c))
+    ),
     "md": lambda c, **kw: md_to_elements(_decode(c)),
     "csv": lambda c, **kw: csv_to_elements(_decode(c)),
     "tsv": lambda c, **kw: tsv_to_elements(_decode(c)),
@@ -158,8 +162,14 @@ def partition_bytes(
     *,
     filename: str | None = None,
     content_type: str | None = None,
+    html_parser_version: str | None = None,
 ) -> list[dict]:
-    """Detect + dispatch one document; returns ordered element dicts."""
+    """Detect + dispatch one document; returns ordered element dicts.
+
+    ``html_parser_version="v2"`` routes HTML through the ontology
+    partitioner (parsers/html_ontology.py; reference
+    html/partition.py:280-293) instead of the v1 flow parser.
+    """
     head = content[:8192] if isinstance(content, bytes) else content[:8192].encode()
     ft = ft_mod.detect_filetype(filename=filename, content_type=content_type, head=head)
     # CFB containers share one magic; the directory stream names tell
@@ -199,7 +209,7 @@ def partition_bytes(
         fn = _PARTITIONERS.get(ft)
         if fn is None:
             raise UnsupportedFormatError(f"no partitioner registered for {ft!r}")
-        els = fn(content)
+        els = fn(content, html_parser_version=html_parser_version)
     mime = ft_mod.MIME_FOR.get(ft, "application/octet-stream")
     for el in els:
         el.setdefault("filetype", mime)
