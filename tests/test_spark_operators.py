@@ -179,3 +179,24 @@ class TestSerde:
         md = elements_to_markdown(els).collect()[0]["markdown"]
         assert md.startswith("# Heading One")
         assert "- bullet one" in md
+
+    def test_html_render(self, spark, docs_df):
+        from unstructured_spark.operators.serde import elements_to_html
+
+        els = partition_documents(docs_df.filter(F.col("doc_id") == "doc-md"))
+        html = elements_to_html(els).collect()[0]["html"]
+        assert html.startswith("<!DOCTYPE html>")
+        assert "<h1>Heading One</h1>" in html
+        assert "<li>bullet one</li>" in html
+        assert html.rstrip().endswith("</body></html>")
+
+    def test_html_render_escapes(self, spark):
+        from unstructured_spark.operators.serde import elements_to_html
+
+        els = spark.createDataFrame(
+            [("d", 0, "NarrativeText", "a < b & c > d", None, None)],
+            "doc_id string, element_index int, type string, text string, "
+            "category_depth int, text_as_html string",
+        )
+        html = elements_to_html(els).collect()[0]["html"]
+        assert "<p>a &lt; b &amp; c &gt; d</p>" in html

@@ -157,6 +157,75 @@ def elements_to_markdown(df: DataFrame) -> DataFrame:
     )
 
 
+def _html_escape(c: Column) -> Column:
+    return F.replace(
+        F.replace(
+            F.replace(c, F.lit("&"), F.lit("&amp;")),
+            F.lit("<"),
+            F.lit("&lt;"),
+        ),
+        F.lit(">"),
+        F.lit("&gt;"),
+    )
+
+
+def render_html_expr() -> Column:
+    """HTML rendering of one element (reference ``html/convert.py``
+    elements→HTML page, via the ontology tag mapping): Titles →
+    ``<h{depth+1}>``, ListItem → ``<li>``, Table → its ``text_as_html``
+    when present, CodeSnippet → ``<pre>``, PageBreak → ``<hr/>``,
+    Image → ``<img>``, everything else → ``<p>``. Pure column
+    expression — whole-stage codegen, no UDF."""
+    depth = F.coalesce(F.col("category_depth"), F.lit(0))
+    hlevel = F.least(depth + 1, F.lit(6)).cast("int").cast("string")
+    esc = _html_escape(F.col("text"))
+    return (
+        F.when(
+            F.col("type") == "Title",
+            F.concat(
+                F.lit("<h"), hlevel, F.lit(">"), esc,
+                F.lit("</h"), hlevel, F.lit(">"),
+            ),
+        )
+        .when(F.col("type") == "ListItem", F.concat(F.lit("<li>"), esc, F.lit("</li>")))
+        .when(
+            F.col("type") == "CodeSnippet",
+            F.concat(F.lit("<pre>"), esc, F.lit("</pre>")),
+        )
+        .when(
+            (F.col("type") == "Table") & F.col("text_as_html").isNotNull(),
+            F.col("text_as_html"),
+        )
+        .when(F.col("type") == "Table", F.concat(F.lit("<table>"), esc, F.lit("</table>")))
+        .when(F.col("type") == "PageBreak", F.lit("<hr/>"))
+        .when(
+            F.col("type") == "Image",
+            F.concat(F.lit('<img alt="'), esc, F.lit('"/>')),
+        )
+        .otherwise(F.concat(F.lit("<p>"), esc, F.lit("</p>")))
+    )
+
+
+def elements_to_html(df: DataFrame) -> DataFrame:
+    """One HTML document string per doc_id (order-correct agg;
+    reference ``create_file_from_elements`` / ``html/convert.py``)."""
+    rendered = df.withColumn("_html", render_html_expr())
+    body = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("element_index", "_html"))),
+            lambda s: s["_html"],
+        ),
+        "\n",
+    )
+    return rendered.groupBy("doc_id").agg(
+        F.concat(
+            F.lit("<!DOCTYPE html>\n<html><body>\n"),
+            body,
+            F.lit("\n</body></html>"),
+        ).alias("html")
+    )
+
+
 # ---------------------------------------------------------------------------
 # orig_elements wire codec (reference staging/base.py:41,167-192,241-260):
 # chunks serialize their pre-chunk source elements as base64(zlib(JSON))
