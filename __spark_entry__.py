@@ -1218,7 +1218,7 @@ with toks as (
 ), sigs as (
   select doc_id,
     [list_min(list_transform(shingles,
-       t -> (1000003 * (cast(('0x' || substr(md5(t),1,15)) as bigint) % 2147483647)
+       t -> ((1000003 + 2 * h) * (cast(('0x' || substr(md5(t),1,15)) as bigint) % 2147483647)
              + 17 + 31 * h) % 2147483647))
      for h in range(0, 16)] as sig
   from shingled

@@ -233,3 +233,68 @@ class TestStreamingEvents:
         # user 1's second and user 2's only session still open
         assert any(r["user_id"] == 1 and r["n_events"] == 1 for r in open_)
         assert any(r["user_id"] == 2 and r["total_value"] == 8.0 for r in open_)
+
+
+class TestStreamingDedup:
+    def _doc_stream(self, spark, tmp_path, rows):
+        import json
+
+        in_dir = tmp_path / "docs_in"
+        in_dir.mkdir()
+        with open(in_dir / "batch1.json", "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        return spark.readStream.schema(
+            "ingest_ts timestamp, doc_id string, text string"
+        ).json(str(in_dir))
+
+    def test_exact_dedup_stream(self, spark, tmp_path):
+        from unstructured_spark.streaming.dedup import dedup_stream
+
+        rows = [
+            {"ingest_ts": "2024-01-01T00:00:00", "doc_id": "a", "text": "Hello  world"},
+            {"ingest_ts": "2024-01-01T00:01:00", "doc_id": "b", "text": "hello world"},
+            {"ingest_ts": "2024-01-01T00:02:00", "doc_id": "c", "text": "another doc"},
+        ]
+        out = dedup_stream(self._doc_stream(spark, tmp_path, rows))
+        q = (
+            out.writeStream.format("memory")
+            .queryName("dedup_exact")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql("select * from dedup_exact").collect()
+        # a and b share a normalized fingerprint -> one survivor + c
+        assert len(got) == 2
+        assert {r["doc_id"] for r in got} <= {"a", "b", "c"}
+        assert len({r["fingerprint"] for r in got}) == 2
+
+    def test_near_dedup_stream(self, spark, tmp_path):
+        from unstructured_spark.streaming.dedup import near_dedup_stream
+
+        base = "the quick brown fox jumps over the lazy dog again and again"
+        rows = [
+            {"ingest_ts": "2024-01-01T00:00:00", "doc_id": "a", "text": base},
+            # same shingle set after normalization -> identical
+            # signature -> loses every bucket to a (deterministic)
+            {"ingest_ts": "2024-01-01T00:01:00", "doc_id": "b",
+             "text": base.upper().replace(" ", "   ")},
+            # unrelated -> wins its own buckets
+            {"ingest_ts": "2024-01-01T00:02:00", "doc_id": "c",
+             "text": "completely different content about spark streaming state"},
+        ]
+        out = near_dedup_stream(self._doc_stream(spark, tmp_path, rows))
+        q = (
+            out.writeStream.format("memory")
+            .queryName("dedup_near")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        wins = {r["doc_id"]: r["bucket_wins"] for r in spark.sql("select * from dedup_near").collect()}
+        assert wins.get("a", 0) == 8  # first copy holds all 8 band buckets
+        assert wins.get("b", 0) == 0  # exact near-dup loses every bucket
+        assert wins.get("c", 0) == 8  # novel doc wins all 8 bands

@@ -71,9 +71,17 @@ def minhash_signatures(
         F.col(doc_id),
         F.explode(shingles(F.col(text), shingle_size)).alias("_s"),
     ).select(F.col(doc_id), (token_hash(F.col("_s")) % F.lit(MERSENNE31)).alias("_h"))
+    # per-function MULTIPLIER, not just offset: with a shared multiplier
+    # the permutation is monotone in _h, every component picks the same
+    # argmin shingle, and the signature degenerates to one minhash
+    # repeated k times (est_jaccard collapses to 0/1)
     aggs = [
         F.min(
-            (F.lit(HASH_A) * F.col("_h") + F.lit(HASH_B + HASH_STEP * h)) % F.lit(MERSENNE31)
+            (
+                F.lit(HASH_A + 2 * h) * F.col("_h")
+                + F.lit(HASH_B + HASH_STEP * h)
+            )
+            % F.lit(MERSENNE31)
         ).alias(f"_mh{h}")
         for h in range(num_hashes)
     ]
