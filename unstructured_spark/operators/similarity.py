@@ -180,28 +180,46 @@ def embedding_near_duplicates(
     )
 
 
-def ivf_assign_expr(
-    vec: Column,
+def _centroid_entries(
     seeds: list[tuple[int, list[float]]],
-) -> Column:
-    """Expression assigning a vector to its nearest coarse centroid
-    (cosine).
-
-    ``seeds`` is a small list of (list_id, centroid_vector) — tiny even
-    at 100 TB corpus scale, so the assignment compiles to a pure
-    projection (whole-stage codegen, zero shuffle): per row, an array of
-    (sim, list_id) structs over the centroid literals, reduced with
-    ``array_max`` (struct ordering = sim first, list_id tie-break).
+) -> "Column":
+    """One literal array<struct<list_id,vec,nrm>> holding every coarse
+    centroid. Norms are precomputed in Python with the same
+    left-to-right fold both engines use (sum of squares then sqrt), so
+    downstream cosine values are bit-identical to computing the norm in
+    SQL; keeping them as literals stops the per-row re-evaluation —
+    lambda-bearing subtrees are not constant-folded by Catalyst.
     """
-    vn = l2_norm(vec)
+    import math
+
     entries = []
     for lid, cvec in seeds:
-        carr = F.array(*[F.lit(float(v)) for v in cvec])
-        sim = dot(vec, carr) / (vn * l2_norm(carr))
+        acc = 0.0
+        for v in cvec:
+            acc += v * v
         entries.append(
-            F.struct(sim.alias("sim"), F.lit(int(lid)).alias("list_id"))
+            F.struct(
+                F.lit(int(lid)).alias("list_id"),
+                F.array(*[F.lit(float(v)) for v in cvec]).alias("vec"),
+                F.lit(math.sqrt(acc)).alias("nrm"),
+            )
         )
-    return F.array_max(F.array(*entries)).getField("list_id")
+    return F.array(*entries)
+
+
+def _centroid_sims(vec: Column, vnorm: Column, cents: Column) -> Column:
+    """array<struct<sim,list_id>>: cosine of ``vec`` against every
+    centroid — ONE transform lambda over the centroid literal array
+    (compact codegen), not one unrolled fold per centroid."""
+    return F.transform(
+        cents,
+        lambda c: F.struct(
+            (dot(vec, c.getField("vec")) / (vnorm * c.getField("nrm"))).alias(
+                "sim"
+            ),
+            c.getField("list_id").alias("list_id"),
+        ),
+    )
 
 
 def ivf_topk(
@@ -222,9 +240,11 @@ def ivf_topk(
     ``nlist`` lowest-id vectors) so any engine reproduces the index
     bit-for-bit; swapping in k-means centroids changes only the
     ``seeds`` input, not the plan. Scale shape: centroids broadcast
-    (tiny), corpus assignment is map-only, and the candidate join is
-    keyed on list_id — candidate volume is ~nprobe/nlist of the
-    corpus, vs the full crossjoin of the brute-force baseline.
+    (tiny literal array), corpus assignment is map-only whole-stage
+    codegen (argmax over one transform lambda — no shuffle), and the
+    candidate join is keyed on list_id — candidate volume is
+    ~nprobe/nlist of the corpus vs the full crossjoin of the
+    brute-force baseline.
 
     Returns (query_id, neighbor_id, cosine_sim, rank).
     """
@@ -232,35 +252,41 @@ def ivf_topk(
         corpus.select(id_col, vec_col).orderBy(id_col).limit(nlist).collect()
     )
     seeds = [(int(r[0]), [float(x) for x in r[1]]) for r in seed_rows]
+    cents = _centroid_entries(seeds)
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("_vec"),
+        F.col(vec_col).alias("_cvec"),
+        l2_norm(F.col(vec_col)).alias("_cn"),
     )
+    # struct ordering compares sim first, then list_id — ties go to the
+    # larger list_id, mirrored by the oracle's ORDER BY ... list_id DESC
     c = c.select(
         "neighbor_id",
-        F.col("_vec").alias("_cvec"),
-        l2_norm(F.col("_vec")).alias("_cn"),
-        ivf_assign_expr(F.col("_vec"), seeds).alias("list_id"),
+        "_cvec",
+        "_cn",
+        F.array_max(
+            _centroid_sims(F.col("_cvec"), F.col("_cn"), cents)
+        ).getField("list_id").alias("list_id"),
     )
 
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_vec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qvec"),
+        l2_norm(F.col(vec_col)).alias("_qn"),
     )
-    sims = []
-    for lid, cvec in seeds:
-        carr = F.array(*[F.lit(float(v)) for v in cvec])
-        sim = dot(F.col("_vec"), carr) / (
-            l2_norm(F.col("_vec")) * l2_norm(carr)
-        )
-        sims.append(F.struct(sim.alias("sim"), F.lit(int(lid)).alias("list_id")))
     probes = (
         q.select(
             "query_id",
-            F.col("_vec").alias("_qvec"),
-            l2_norm(F.col("_vec")).alias("_qn"),
+            "_qvec",
+            "_qn",
             F.slice(
-                F.sort_array(F.array(*sims), asc=False), 1, nprobe
+                F.sort_array(
+                    _centroid_sims(F.col("_qvec"), F.col("_qn"), cents),
+                    asc=False,
+                ),
+                1,
+                nprobe,
             ).alias("_probed"),
         )
         .withColumn("list_id", F.explode(F.col("_probed.list_id")))
