@@ -984,6 +984,160 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived part-supplier inventory (the testdata ships no partsupp
+    table): availqty = line count, supplycost = min unit price, both
+    order-independent aggregates so the derivation is engine-exact.
+    supplycost rounds in decimal space (cast→decimal(18,6) then
+    round(,2) — both engines round decimals half-away-from-zero)."""
+    li = _t(spark, sf_dir, "lineitem")
+    unit = (F.col("l_extendedprice") / F.col("l_quantity")).cast(
+        "decimal(18,6)"
+    )
+    return li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        F.count("*").alias("ps_availqty"),
+        F.round(F.min(unit), 2).alias("ps_supplycost"),
+    )
+
+
+_PARTSUPP_CTE = """
+            partsupp as (
+              select l_partkey as ps_partkey, l_suppkey as ps_suppkey,
+                     count(*) as ps_availqty,
+                     round(min(cast(l_extendedprice / l_quantity
+                                    as decimal(18,6))), 2) as ps_supplycost
+              from lineitem group by 1, 2
+            )
+"""
+
+
+def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: per-part minimum-cost supplier within a region —
+    the correlated MIN subquery becomes a window over the join result
+    (exact decimal comparison selects identical rows in both engines)."""
+    ps = _partsupp(spark, sf_dir)
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "LARGE") & (F.col("p_size") < 10)
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    j = (
+        ps.join(F.broadcast(p), ps.ps_partkey == p.p_partkey)
+        .join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    w = Window.partitionBy("ps_partkey")
+    return (
+        j.withColumn("_min_cost", F.min("ps_supplycost").over(w))
+        .filter(F.col("ps_supplycost") == F.col("_min_cost"))
+        .select(
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            "s_name", "n_name", "p_partkey", "p_name",
+            F.col("ps_supplycost").cast("double").alias("supplycost"),
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), F.col("n_name").asc(),
+            F.col("s_name").asc(), F.col("p_partkey").asc(),
+        )
+        .limit(100)
+    )
+
+
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose national inventory value exceeds a
+    fraction of the total — HAVING against a broadcast scalar computed
+    from exact decimal sums."""
+    ps = _partsupp(spark, sf_dir)
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    j = (
+        ps.join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            "ps_partkey",
+            (F.col("ps_supplycost") * F.col("ps_availqty")).alias("_v"),
+        )
+    )
+    per_part = j.groupBy("ps_partkey").agg(F.sum("_v").alias("_value"))
+    total = j.agg(F.sum("_v").alias("_total"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("_value").cast("double")
+            > F.col("_total").cast("double") * F.lit(0.001)
+        )
+        .select(
+            "ps_partkey",
+            F.col("_value").cast("double").alias("stock_value"),
+        )
+    )
+
+
+def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: supplier counts per part attribute group with a
+    NOT-IN anti-join (negative-balance suppliers excluded) and
+    COUNT(DISTINCT)."""
+    ps = _partsupp(spark, sf_dir)
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & (F.col("p_size") < 15)
+    )
+    bad = _t(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select(F.col("s_suppkey").alias("_bad_key"))
+    return (
+        ps.join(F.broadcast(p), ps.ps_partkey == p.p_partkey)
+        .join(
+            F.broadcast(bad),
+            ps.ps_suppkey == F.col("_bad_key"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+        .select(
+            "p_brand", "p_type",
+            F.col("p_size").cast("bigint").alias("p_size"),
+            "supplier_cnt",
+        )
+    )
+
+
+def q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers in one nation holding excess stock of
+    some part — the nested quantity-threshold subquery becomes an exact
+    decimal aggregate joined back; the EXISTS collapses to a semi join."""
+    ps = _partsupp(spark, sf_dir)
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    shipped = li.groupBy(
+        F.col("l_partkey").alias("_pk"), F.col("l_suppkey").alias("_sk")
+    ).agg(F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("_qty"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    excess = (
+        ps.join(
+            shipped,
+            (ps.ps_partkey == F.col("_pk")) & (ps.ps_suppkey == F.col("_sk")),
+        )
+        .filter(
+            F.col("ps_availqty").cast("double")
+            > F.col("_qty").cast("double") * F.lit(0.3)
+        )
+        .select("ps_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(excess, s.s_suppkey == excess.ps_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """For each error event, the user's latest click at-or-before it
     (union-window as-of join: one shuffle, no range-join explosion)."""
@@ -1192,6 +1346,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_large_orders": q18_large_orders,
         "q21_sole_late_supplier": q21_sole_late_supplier,
         "q22_idle_customers": q22_idle_customers,
+        "q02_min_cost_supplier": q02_min_cost_supplier,
+        "q11_important_stock": q11_important_stock,
+        "q16_supplier_count": q16_supplier_count,
+        "q20_excess_stock_suppliers": q20_excess_stock_suppliers,
         "q_dup_clusters": q_dup_clusters,
         "q_salted_user_value": q_salted_user_value,
     }
@@ -1789,6 +1947,70 @@ def oracle_sql() -> dict[str, str]:
                    and l_quantity between 1 and 20)
                or (p_brand = 'Brand#13' and p_size between 10 and 30
                    and l_quantity between 10 and 40)
+        """,
+        "q02_min_cost_supplier": """
+            with """ + _PARTSUPP_CTE + """
+            , j as (
+              select round(s_acctbal, 2) as s_acctbal, s_name, n_name,
+                     p_partkey, p_name,
+                     ps_supplycost,
+                     min(ps_supplycost) over (partition by ps_partkey)
+                       as min_cost
+              from partsupp
+                join part on ps_partkey = p_partkey
+                join supplier on ps_suppkey = s_suppkey
+                join nation on s_nationkey = n_nationkey
+                join region on n_regionkey = r_regionkey
+              where p_type = 'LARGE' and p_size < 10 and r_name = 'ASIA'
+            )
+            select s_acctbal, s_name, n_name, p_partkey, p_name,
+                   cast(ps_supplycost as double) as supplycost
+            from j where ps_supplycost = min_cost
+            order by s_acctbal desc, n_name asc, s_name asc, p_partkey asc
+            limit 100
+        """,
+        "q11_important_stock": """
+            with """ + _PARTSUPP_CTE + """
+            , j as (
+              select ps_partkey, ps_supplycost * ps_availqty as v
+              from partsupp
+                join supplier on ps_suppkey = s_suppkey
+                join nation on s_nationkey = n_nationkey
+              where n_name = 'NATION_3'
+            )
+            select ps_partkey, cast(sum(v) as double) as stock_value
+            from j
+            group by ps_partkey
+            having cast(sum(v) as double)
+                   > (select cast(sum(v) as double) from j) * 0.001
+        """,
+        "q16_supplier_count": """
+            with """ + _PARTSUPP_CTE + """
+            select p_brand, p_type, cast(p_size as bigint) as p_size,
+                   count(distinct ps_suppkey) as supplier_cnt
+            from partsupp join part on ps_partkey = p_partkey
+            where p_brand <> 'Brand#1' and p_size < 15
+              and ps_suppkey not in (
+                select s_suppkey from supplier where s_acctbal < 0)
+            group by p_brand, p_type, p_size
+        """,
+        "q20_excess_stock_suppliers": """
+            with """ + _PARTSUPP_CTE + """
+            , shipped as (
+              select l_partkey as pk, l_suppkey as sk,
+                     sum(cast(l_quantity as decimal(18,6))) as qty
+              from lineitem
+              where l_shipdate >= '1997-01-01' and l_shipdate < '1998-01-01'
+              group by 1, 2
+            )
+            select s_suppkey, s_name
+            from supplier join nation on s_nationkey = n_nationkey
+            where n_name = 'NATION_3'
+              and s_suppkey in (
+                select ps_suppkey
+                from partsupp join shipped
+                  on ps_partkey = pk and ps_suppkey = sk
+                where cast(ps_availqty as double) > cast(qty as double) * 0.3)
         """,
         "q07_nation_volume": """
             select n1.n_name as supp_nation, n2.n_name as cust_nation,
