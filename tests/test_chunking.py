@@ -230,3 +230,56 @@ class TestTokenMode:
 
         with pytest.raises(ValueError):
             ChunkingOptions(length_unit="words")
+
+
+class TestOverlapAll:
+    def test_overlap_must_be_less_than_max(self):
+        with pytest.raises(ValueError):
+            ChunkingOptions(max_characters=50, overlap=50)
+        with pytest.raises(ValueError):
+            ChunkingOptions(max_characters=50, overlap=80)
+
+    def test_inter_pre_chunk_overlap_prefix(self):
+        # two pre-chunks forced by the soft max; second chunk text is
+        # prefixed with the tail of the first (reference base.py:523-572)
+        rows = _elements(
+            ("NarrativeText", "alpha bravo charlie"),
+            ("NarrativeText", "delta echo foxtrot"),
+        )
+        out = _run_fold(
+            rows, max_characters=60, new_after_n_chars=10,
+            overlap=8, overlap_all=True,
+        )
+        assert len(out) == 2
+        tail = out[0]["text"][-8:].strip()
+        assert out[1]["text"].startswith(tail)
+
+    def test_no_overlap_without_flag(self):
+        rows = _elements(
+            ("NarrativeText", "alpha bravo charlie"),
+            ("NarrativeText", "delta echo foxtrot"),
+        )
+        out = _run_fold(
+            rows, max_characters=60, new_after_n_chars=10, overlap=8,
+        )
+        assert len(out) == 2
+        assert out[1]["text"] == "delta echo foxtrot"
+
+    def test_tables_break_the_overlap_chain(self):
+        # a table neither receives the previous tail nor passes one on
+        rows = _elements(
+            ("NarrativeText", "alpha bravo charlie"),
+            ("Table", "r1c1 r1c2"),
+            ("NarrativeText", "delta echo foxtrot"),
+        )
+        out = _run_fold(
+            rows, max_characters=60, new_after_n_chars=10,
+            overlap=8, overlap_all=True,
+        )
+        texts = {o["type"]: o["text"] for o in out}
+        assert texts["Table"] == "r1c1 r1c2"
+        assert texts["CompositeElement"] in (
+            "alpha bravo charlie", "delta echo foxtrot",
+        )
+        last = [o for o in out if o["text"].startswith("delta")]
+        assert last and last[0]["text"] == "delta echo foxtrot"

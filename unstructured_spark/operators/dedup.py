@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # 60-bit token hash from md5 — portable: Spark `conv(substr(md5(t),1,15),16,10)`
 # equals DuckDB `cast('0x'||substr(md5(t),1,15) as bigint)`.
@@ -95,11 +96,20 @@ def minhash_signatures(
 def lsh_candidate_pairs(
     df: DataFrame, *, text: str = "text", doc_id: str = "doc_id",
     num_hashes: int = 16, bands: int = 8, shingle_size: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup candidates: docs sharing any band bucket.
 
     Returns (doc_a, doc_b, est_jaccard) with doc_a < doc_b;
     ``est_jaccard`` = fraction of matching minhash components.
+
+    ``max_bucket_size`` is the 100 TB guardrail: the band self-join is
+    quadratic per bucket, and one degenerate bucket (boilerplate pages,
+    empty-ish docs sharing a signature band) can dominate the whole
+    job. Buckets above the cap are dropped BEFORE the self-join via a
+    windowed count — their members are near-identical to thousands of
+    docs anyway, so exact-dup hashing catches them far cheaper. Default
+    None (exhaustive) keeps the oracle contract exact.
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(
@@ -123,6 +133,14 @@ def lsh_candidate_pairs(
     banded = sigs.select(
         F.col(doc_id).alias("doc"), F.col("sig"), F.explode(band_structs).alias("bk")
     ).select("doc", "sig", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band", "key")
+        banded = (
+            banded.withColumn("_bn", F.count("*").over(w))
+            .filter(F.col("_bn") <= max_bucket_size)
+            .drop("_bn")
+        )
 
     left = banded.alias("l")
     right = banded.alias("r")
