@@ -303,6 +303,13 @@ def q_element_type_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs via lossless pigeonhole segment blocking;
+    the oracle brute-forces the same Hamming bound over all pairs."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(docs, bits=16, max_distance=3)
+
+
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (MOSS) rolling fingerprints — min-hash of each sliding
     window over token k-gram hashes; pure array expressions."""
@@ -1309,6 +1316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_json": q_events_json,
         "q_doc_stats": q_doc_stats,
         "q_winnow_fingerprints": q_winnow_fingerprints,
+        "q_simhash_pairs": q_simhash_pairs,
         "q_element_type_match": q_element_type_match,
         "q_token_freq": q_token_freq,
         "q_exact_dups": q_exact_dups,
@@ -1559,6 +1567,25 @@ def oracle_sql() -> dict[str, str]:
                    round(cast(sum(least(n_out, n_src)) as double)
                          / sum(n_src), 6) as percent_match
             from j group by doc_id
+        """,
+        "q_simhash_pairs": """
+            with toks as (
+              select doc_id,
+                     list_transform(list_distinct(string_split(trim(text), ' ')),
+                       t -> cast(('0x' || substr(md5(t),1,15)) as bigint)) as hs
+              from documents
+            ), fps as (
+              select doc_id,
+                     cast(list_aggregate(
+                       [case when len(list_filter(hs, h -> (h >> b) & 1 = 1)) * 2 > len(hs)
+                             then 1 << b else 0 end
+                        for b in range(0, 16)], 'sum') as bigint) as fp
+              from toks
+            )
+            select a.doc_id as doc_a, b.doc_id as doc_b,
+                   cast(bit_count(xor(a.fp, b.fp)) as bigint) as hamming
+            from fps a join fps b on a.doc_id < b.doc_id
+            where bit_count(xor(a.fp, b.fp)) <= 3
         """,
         "q_winnow_fingerprints": """
             with toks as (
