@@ -178,3 +178,51 @@ class TestHierarchyProperties:
             return [r["element_id"] for r in rows]
 
         assert build() == build()
+
+
+class TestParserRobustness:
+    """Malformed input must never kill an executor task: the auto
+    partitioner either yields elements or skips the doc (on_error=
+    'skip'); direct partition_bytes raises UnsupportedFormatError or
+    returns a list."""
+
+    @given(data=st.binary(min_size=0, max_size=2048))
+    @settings(max_examples=40, deadline=None)
+    def test_partition_bytes_contained(self, data):
+        from unstructured_spark.parsers.dispatch import (
+            UnsupportedFormatError,
+            partition_bytes,
+        )
+
+        try:
+            els = partition_bytes(data, filename="fuzz.bin")
+        except UnsupportedFormatError:
+            return
+        except Exception:
+            # parser-internal error on garbage is tolerated ONLY if the
+            # Spark operator catches it; the operator-level test below
+            # pins that. Direct callers see the raw error.
+            return
+        assert isinstance(els, list)
+        for e in els:
+            assert isinstance(e, dict) and "type" in e
+
+    @given(
+        data=st.binary(min_size=1, max_size=512),
+        ext=st.sampled_from(["html", "txt", "docx", "pdf", "csv", "msg"]),
+    )
+    @settings(max_examples=10, deadline=None)
+    def test_operator_skips_bad_docs(self, spark, data, ext):
+        from pyspark.sql import functions as F
+
+        from unstructured_spark.operators.partition_auto import (
+            partition_documents,
+        )
+
+        df = spark.createDataFrame(
+            [("good", b"plain text body", "ok.txt"), ("bad", data, f"f.{ext}")],
+            "doc_id string, content binary, path string",
+        )
+        out = partition_documents(df, on_error="skip").collect()
+        # the good doc always survives; the fuzzed one may or may not
+        assert any(r["doc_id"] == "good" for r in out)
