@@ -303,6 +303,18 @@ def q_element_type_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles of document length per language
+    (Spark ``percentile`` == DuckDB ``quantile_cont`` bit-for-bit,
+    including the linear-interpolation float noise)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.percentile("n_chars", F.lit(0.5)).alias("p50"),
+        F.percentile("n_chars", F.lit(0.9)).alias("p90"),
+        F.count("*").alias("n_docs"),
+    )
+
+
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs via lossless pigeonhole segment blocking;
     the oracle brute-forces the same Hamming bound over all pairs."""
@@ -1317,6 +1329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_doc_stats": q_doc_stats,
         "q_winnow_fingerprints": q_winnow_fingerprints,
         "q_simhash_pairs": q_simhash_pairs,
+        "q_doc_quantiles": q_doc_quantiles,
         "q_element_type_match": q_element_type_match,
         "q_token_freq": q_token_freq,
         "q_exact_dups": q_exact_dups,
@@ -1567,6 +1580,13 @@ def oracle_sql() -> dict[str, str]:
                    round(cast(sum(least(n_out, n_src)) as double)
                          / sum(n_src), 6) as percent_match
             from j group by doc_id
+        """,
+        "q_doc_quantiles": """
+            select lang,
+                   quantile_cont(n_chars, 0.5) as p50,
+                   quantile_cont(n_chars, 0.9) as p90,
+                   count(*) as n_docs
+            from documents group by lang
         """,
         "q_simhash_pairs": """
             with toks as (
