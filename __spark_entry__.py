@@ -317,9 +317,11 @@ def q_doc_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs via lossless pigeonhole segment blocking;
-    the oracle brute-forces the same Hamming bound over all pairs."""
+    the oracle brute-forces the same Hamming bound over all pairs.
+    32-bit fingerprints: 16 bits collide so often on same-domain text
+    that the candidate set explodes (7M pairs at sf0.1)."""
     docs = _t(spark, sf_dir, "documents")
-    return dedup.simhash_pairs(docs, bits=16, max_distance=3)
+    return dedup.simhash_pairs(docs, bits=32, max_distance=2)
 
 
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1598,14 +1600,14 @@ def oracle_sql() -> dict[str, str]:
               select doc_id,
                      cast(list_aggregate(
                        [case when len(list_filter(hs, h -> (h >> b) & 1 = 1)) * 2 > len(hs)
-                             then 1 << b else 0 end
-                        for b in range(0, 16)], 'sum') as bigint) as fp
+                             then cast(1 as bigint) << b else 0 end
+                        for b in range(0, 32)], 'sum') as bigint) as fp
               from toks
             )
             select a.doc_id as doc_a, b.doc_id as doc_b,
                    cast(bit_count(xor(a.fp, b.fp)) as bigint) as hamming
             from fps a join fps b on a.doc_id < b.doc_id
-            where bit_count(xor(a.fp, b.fp)) <= 3
+            where bit_count(xor(a.fp, b.fp)) <= 2
         """,
         "q_winnow_fingerprints": """
             with toks as (

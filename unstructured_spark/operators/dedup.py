@@ -188,11 +188,11 @@ def exact_duplicates(
     )
 
 
-def simhash(col: Column, bits: int = 16) -> Column:
-    """SimHash over whitespace tokens: per-bit majority vote of token
-    hashes. Returns a ``bits``-wide integer fingerprint."""
-    toks = F.array_distinct(F.split(F.trim(col), "\\s+"))
-    hashes = F.transform(toks, token_hash)
+def _simhash_from_hashes(hashes: Column, bits: int) -> Column:
+    """Per-bit majority vote over a (pre-materialized) token-hash
+    array. Pass a BOUND column, not a nested transform: Catalyst does
+    not CSE across lambdas, so an inline ``transform(toks, md5)`` here
+    would recompute every md5 once per bit."""
 
     def _bit_vote(b: int):
         # factory so the merge lambda has exactly 2 params (pyspark
@@ -206,6 +206,15 @@ def simhash(col: Column, bits: int = 16) -> Column:
         vote = F.aggregate(hashes, F.lit(0).cast("bigint"), _bit_vote(b))
         out = out + F.when(vote > 0, F.lit(2 ** b).cast("bigint")).otherwise(F.lit(0))
     return out
+
+
+def simhash(col: Column, bits: int = 16) -> Column:
+    """SimHash over whitespace tokens: per-bit majority vote of token
+    hashes. Returns a ``bits``-wide integer fingerprint. (Column form —
+    when computing over a whole DataFrame prefer staging the hash
+    array first, as ``simhash_pairs`` does.)"""
+    toks = F.array_distinct(F.split(F.trim(col), "\\s+"))
+    return _simhash_from_hashes(F.transform(toks, token_hash), bits)
 
 
 def simhash_pairs(
@@ -231,8 +240,12 @@ def simhash_pairs(
     segs = max_distance + 1
     widths = [bits // segs + (1 if i < bits % segs else 0) for i in range(segs)]
     starts = [sum(widths[:i]) for i in range(segs)]
-    base = df.select(
-        F.col(doc_id).alias("doc"), simhash(F.col(text), bits).alias("fp")
+    toks = F.array_distinct(F.split(F.trim(F.col(text)), "\\s+"))
+    staged = df.select(
+        F.col(doc_id).alias("doc"), F.transform(toks, token_hash).alias("_h")
+    )
+    base = staged.select(
+        "doc", _simhash_from_hashes(F.col("_h"), bits).alias("fp")
     )
     seg_structs = F.array(
         *[
