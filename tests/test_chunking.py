@@ -283,3 +283,36 @@ class TestOverlapAll:
         )
         last = [o for o in out if o["text"].startswith("delta")]
         assert last and last[0]["text"] == "delta echo foxtrot"
+
+
+class TestStrategyRegistry:
+    def test_builtin_dispatch(self, spark):
+        from unstructured_spark.operators.chunking import chunk
+
+        rows = _elements(("Title", "T"), ("NarrativeText", "body text"))
+        df = spark.createDataFrame(pd.DataFrame(rows))
+        out = chunk(df, strategy="by_title", max_characters=100).collect()
+        assert out and out[0]["type"] == "CompositeElement"
+
+    def test_custom_strategy(self, spark):
+        from unstructured_spark.operators.chunking import (
+            chunk,
+            register_chunking_strategy,
+        )
+
+        register_chunking_strategy(
+            "titles_only",
+            lambda df, **kw: df.filter(df.type == "Title"),
+        )
+        rows = _elements(("Title", "T"), ("NarrativeText", "body"))
+        df = spark.createDataFrame(pd.DataFrame(rows))
+        out = chunk(df, strategy="titles_only").collect()
+        assert [r["text"] for r in out] == ["T"]
+
+    def test_unknown_strategy_raises(self, spark):
+        from unstructured_spark.operators.chunking import chunk
+
+        rows = _elements(("Title", "T"))
+        df = spark.createDataFrame(pd.DataFrame(rows))
+        with pytest.raises(ValueError, match="unregistered"):
+            chunk(df, strategy="nope")

@@ -454,6 +454,31 @@ def chunk_by_title(df: DataFrame, **kwargs) -> DataFrame:
     return _run_chunker(df, ChunkingOptions(**kwargs), by_title=True)
 
 
+# open strategy registry (reference chunking/dispatch.py:118-120
+# register_chunking_strategy): plug-in chunkers dispatch by name the
+# same way partitioners do (parsers.dispatch.register_partitioner)
+_STRATEGIES: dict = {}
+
+
+def register_chunking_strategy(name: str, fn) -> None:
+    """Register ``fn(df, **kwargs) -> DataFrame`` under ``name`` for
+    :func:`chunk` dispatch."""
+    _STRATEGIES[name] = fn
+
+
+def chunk(df: DataFrame, strategy: str = "basic", **kwargs) -> DataFrame:
+    """Dispatch to a chunking strategy by name (reference
+    chunking/dispatch.py chunk())."""
+    try:
+        fn = _STRATEGIES[strategy]
+    except KeyError:
+        raise ValueError(
+            f"unregistered chunking strategy {strategy!r}; "
+            f"known: {sorted(_STRATEGIES)}"
+        ) from None
+    return fn(df, **kwargs)
+
+
 def reconstruct_table_from_chunks(df: DataFrame) -> DataFrame:
     """Inverse of table splitting (reference chunking/dispatch.py:146-325):
     group ``TableChunk`` rows by ``table_id``, order by ``chunk_index``,
@@ -509,3 +534,6 @@ def reconstruct_table_from_chunks(df: DataFrame) -> DataFrame:
         )
     )
     return merged
+
+
+_STRATEGIES.update({"basic": chunk_elements, "by_title": chunk_by_title})
