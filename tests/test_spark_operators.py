@@ -200,3 +200,28 @@ class TestSerde:
         )
         html = elements_to_html(els).collect()[0]["html"]
         assert "<p>a &lt; b &amp; c &gt; d</p>" in html
+
+
+class TestPartitionAndChunk:
+    def test_one_call_flow(self, spark, docs_df):
+        from unstructured_spark.operators.partition_auto import (
+            partition_and_chunk,
+        )
+
+        out = partition_and_chunk(
+            docs_df,
+            chunking_strategy="by_title",
+            chunk_kwargs={"max_characters": 200},
+        ).collect()
+        assert out and all(
+            r["type"] in ("CompositeElement", "Table", "TableChunk")
+            for r in out
+        )
+
+    def test_without_strategy_returns_elements(self, spark, docs_df):
+        from unstructured_spark.operators.partition_auto import (
+            partition_and_chunk,
+        )
+
+        out = partition_and_chunk(docs_df).collect()
+        assert any(r["type"] == "Title" for r in out)

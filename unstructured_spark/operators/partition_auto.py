@@ -115,3 +115,23 @@ def partition_documents(
             )
 
     return narrowed.mapInPandas(parse_batches, schema=ELEMENT_SCHEMA)
+
+
+def partition_and_chunk(
+    df,
+    *,
+    chunking_strategy: str | None = None,
+    chunk_kwargs: dict | None = None,
+    **partition_kwargs,
+):
+    """The reference's one-call flow ``partition(file,
+    chunking_strategy=...)`` (auto.py:30-300): partition to elements,
+    then dispatch to a registered chunking strategy. Both stages are
+    doc-parallel; the chunker adds the pipeline's only extra exchange
+    (elements clustered back by doc_id)."""
+    from unstructured_spark.operators.chunking import chunk
+
+    els = partition_documents(df, **partition_kwargs)
+    if chunking_strategy is None:
+        return els
+    return chunk(els, strategy=chunking_strategy, **(chunk_kwargs or {}))
