@@ -247,6 +247,34 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame sliding window: per-user mean event value over the
+    preceding hour (inclusive). Decimal running sums + floor rounding
+    keep the frame aggregation engine-exact."""
+    ev = _t(spark, sf_dir, "events")
+    # integer division: a double roundtrip can cross the floor boundary
+    secs = F.expr("unix_micros(ts) div 1000000")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(secs)
+        .rangeBetween(-3600, 0)
+    )
+    vsum = F.sum(F.col("value").cast("decimal(18,6)")).over(w)
+    vcnt = F.count("*").over(w)
+    mean = (
+        F.floor(
+            vsum.cast("double") / vcnt * F.lit(1000000.0) + F.lit(0.5)
+        )
+        / F.lit(1000000.0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        mean.alias("hour_avg"),
+        vcnt.alias("hour_n"),
+    )
+
+
 def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON path extraction from the props column."""
     ev = _t(spark, sf_dir, "events")
@@ -1328,6 +1356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_last_per_user": q_events_last_per_user,
         "q_events_sessionize": q_events_sessionize,
         "q_events_json": q_events_json,
+        "q_events_moving_avg": q_events_moving_avg,
         "q_doc_stats": q_doc_stats,
         "q_winnow_fingerprints": q_winnow_fingerprints,
         "q_simhash_pairs": q_simhash_pairs,
@@ -1533,6 +1562,22 @@ def oracle_sql() -> dict[str, str]:
                    cast((max(epoch_us(ts)) - min(epoch_us(ts))) // 1000000 as bigint) as duration_sec
             from sess
             group by user_id, session_id
+        """,
+        "q_events_moving_avg": """
+            with base as (
+              select event_id, user_id,
+                     cast(epoch_us(ts) // 1000000 as bigint) as secs,
+                     cast(value as decimal(18,6)) as v
+              from events
+            )
+            select event_id, user_id,
+                   floor(cast(sum(v) over w as double)
+                         / (count(*) over w) * 1000000.0 + 0.5) / 1000000.0
+                     as hour_avg,
+                   count(*) over w as hour_n
+            from base
+            window w as (partition by user_id order by secs
+                         range between 3600 preceding and current row)
         """,
         "q_events_json": """
             select event_type,
