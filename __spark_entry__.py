@@ -29,10 +29,13 @@ TABLES = (
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Testdata stores timestamps without a timezone (TIMESTAMP_NTZ to
+    # Spark 4's default reader) and, in older driver generations,
+    # TIMESTAMP(NANOS). Read them as TIMESTAMP_LTZ at the scan (session
+    # timezone is UTC, so values are identical) so unix_micros/date
+    # functions work and filters still push down to parquet.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS), which Spark's parquet
-        # reader only accepts as int64; truncate to micros (exactly what
-        # DuckDB does when it converts nanos to its internal micros).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
         if dict(df.dtypes).get("ts") == "bigint":
