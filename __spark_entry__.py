@@ -9,6 +9,14 @@ Column names and types are aligned between both sides (the driver's
 compare sorts columns by name and hashes values). Hashing used by
 dedup/minhash operators is md5-based specifically so both engines
 compute identical signatures (see unstructured_spark/operators/dedup.py).
+
+NOTE: ``_t()`` mutates session-global SQL confs on the caller's
+SparkSession (``spark.sql.session.timeZone=UTC``,
+``spark.sql.parquet.inferTimestampNTZ.enabled=false`` and, once the
+events table is read, ``spark.sql.legacy.parquet.nanosAsLong=true``).
+These are required for parity with the tz-naive DuckDB oracle and they
+persist for subsequent reads on the same session — there is no
+per-read scope for these confs in Spark.
 """
 
 from __future__ import annotations
@@ -31,9 +39,11 @@ TABLES = (
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Testdata stores timestamps without a timezone (TIMESTAMP_NTZ to
     # Spark 4's default reader) and, in older driver generations,
-    # TIMESTAMP(NANOS). Read them as TIMESTAMP_LTZ at the scan (session
-    # timezone is UTC, so values are identical) so unix_micros/date
-    # functions work and filters still push down to parquet.
+    # TIMESTAMP(NANOS). Read them as TIMESTAMP_LTZ at the scan with the
+    # session timezone pinned to UTC (so LTZ values equal the tz-naive
+    # oracle's) so unix_micros/date functions work and filters still
+    # push down to parquet.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

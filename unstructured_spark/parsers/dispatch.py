@@ -26,14 +26,12 @@ class UnsupportedFormatError(NotImplementedError):
 
 
 def _decode(content: bytes | str) -> str:
-    if isinstance(content, str):
-        return content
-    for enc in ("utf-8", "utf-16", "latin-1"):
-        try:
-            return content.decode(enc)
-        except (UnicodeDecodeError, UnicodeError):
-            continue
-    return content.decode("utf-8", errors="replace")
+    """BOM/NUL-heuristic/declared-charset decode (parsers/encoding.py);
+    replaces the old blind utf-16-before-latin-1 chain that garbled
+    even-length latin-1 docs (reference: file_utils/encoding.py)."""
+    from unstructured_spark.parsers.encoding import decode_bytes
+
+    return decode_bytes(content)
 
 
 def _partition_json_elements(content: bytes | str) -> list[dict]:
