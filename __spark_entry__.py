@@ -359,10 +359,13 @@ def q_doc_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs via lossless pigeonhole segment blocking;
     the oracle brute-forces the same Hamming bound over all pairs.
-    32-bit fingerprints: 16 bits collide so often on same-domain text
-    that the candidate set explodes (7M pairs at sf0.1)."""
+    48-bit fingerprints: 16-bit segments give ~65k blocking buckets,
+    keeping the per-bucket self-join near-linear (16-bit fps collide
+    so often on same-domain text that candidates explode; 32-bit
+    still left ~11-bit segments). For capped-throughput dedup at
+    corpus scale pass ``max_bucket_size`` (lossy; see operator doc)."""
     docs = _t(spark, sf_dir, "documents")
-    return dedup.simhash_pairs(docs, bits=32, max_distance=2)
+    return dedup.simhash_pairs(docs, bits=48, max_distance=2)
 
 
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -540,13 +543,17 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_srp_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN via sign-random-projection buckets — scale path, rows-only
-    check (bucketing is not expressible in portable SQL)."""
+    """ANN via sign-random-projection buckets. The hyperplanes are
+    md5-deterministic (similarity._hyperplane), so the oracle replays
+    the identical bucket assignment in SQL — bucketed ANN checked on
+    rows+schema+hash like the IVF path."""
     emb = _t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.transform("embedding", lambda x: x.cast("double"))
     )
     queries = emb.filter(F.col("vec_id") < 10)
-    return similarity.srp_topk(emb, queries, k=5, dim=64, planes=6)
+    return similarity.srp_topk(emb, queries, k=5, dim=64, planes=6).withColumn(
+        "rank", F.col("rank").cast("bigint")
+    )
 
 
 def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1659,7 +1666,7 @@ def oracle_sql() -> dict[str, str]:
                      cast(list_aggregate(
                        [case when len(list_filter(hs, h -> (h >> b) & 1 = 1)) * 2 > len(hs)
                              then cast(1 as bigint) << b else 0 end
-                        for b in range(0, 32)], 'sum') as bigint) as fp
+                        for b in range(0, 48)], 'sum') as bigint) as fp
               from toks
             )
             select a.doc_id as doc_a, b.doc_id as doc_b,
@@ -1870,8 +1877,42 @@ def oracle_sql() -> dict[str, str]:
                         * sqrt(list_aggregate(list_transform(b.e, x -> x * x), 'sum'))),
                      6) >= 0.95
         """,
-        # q_srp_ann_topk: intentionally no oracle (bucketed ANN is not
-        # portably SQL-expressible) → driver records rows-only check.
+        "q_srp_ann_topk": """
+            with base as (
+              select vec_id, list_transform(embedding, x -> cast(x as double)) as e
+              from embeddings
+            ), normed as (
+              select vec_id, e,
+                sqrt(list_aggregate(list_transform(e, x -> x * x), 'sum')) as nrm
+              from base
+            ), planes as (
+              select p,
+                [ (cast(('0x' || substr(md5('plane' || p || ':' || i), 1, 8)) as bigint)
+                    / 4294967295.0) * 2.0 - 1.0
+                  for i in range(0, 64) ] as hp
+              from range(0, 6) t(p)
+            ), bucketed as (
+              select n.vec_id, n.e, n.nrm,
+                cast(sum(case when list_aggregate(
+                      list_transform(range(1, 65), i -> n.e[i] * pl.hp[i]), 'sum') > 0
+                    then 1 << pl.p else 0 end) as bigint) as bucket
+              from normed n cross join planes pl
+              group by n.vec_id, n.e, n.nrm
+            ), scored as (
+              select q.vec_id as query_id, c.vec_id as neighbor_id,
+                round(list_aggregate(
+                    list_transform(range(1, 65), i -> q.e[i] * c.e[i]), 'sum')
+                  / (q.nrm * c.nrm), 6) as cosine_sim
+              from bucketed q join bucketed c
+                on q.bucket = c.bucket and c.vec_id <> q.vec_id
+              where q.vec_id < 10
+            )
+            select query_id, neighbor_id, cosine_sim, cast(rank as bigint) as rank from (
+              select *, row_number() over (partition by query_id
+                order by cosine_sim desc, neighbor_id asc) as rank
+              from scored
+            ) where rank <= 5
+        """,
         "q_ivf_ann_topk": """
             with base as (
               select vec_id, list_transform(embedding, x -> cast(x as double)) as e

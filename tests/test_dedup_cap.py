@@ -22,3 +22,55 @@ def test_bucket_cap_drops_degenerate_buckets(spark):
     assert len(un) == 15 + 1
     # the 6-doc clique's buckets all exceed the cap -> its pairs vanish
     assert cp == {("x1", "x2")}
+
+
+def test_simhash_pairs_cap_bounds_candidates(spark):
+    from unstructured_spark.operators.dedup import simhash_pairs
+
+    # 8 identical docs form a 28-pair clique whose segment buckets all
+    # exceed the cap; the distinct near-dup pair survives.
+    same = [(str(i), "alpha beta gamma delta epsilon zeta eta theta") for i in range(8)]
+    other = [
+        ("y1", "catalyst pushes filters into the parquet scan operator"),
+        ("y2", "catalyst pushes filters into the parquet scan operator"),
+    ]
+    df = spark.createDataFrame(same + other, "doc_id string, text string")
+    uncapped = simhash_pairs(df, bits=48, max_distance=3)
+    capped = simhash_pairs(df, bits=48, max_distance=3, max_bucket_size=4)
+    un = {(r["doc_a"], r["doc_b"]) for r in uncapped.collect()}
+    cp = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
+    assert ("y1", "y2") in un and ("y1", "y2") in cp
+    assert {(a, b) for (a, b) in un if a.isdigit()} == {
+        (str(i), str(j)) for i in range(8) for j in range(8) if str(i) < str(j)
+    }
+    assert cp == {("y1", "y2")}
+
+
+def test_simhash_pairs_48bit_matches_bruteforce(spark):
+    from unstructured_spark.operators.dedup import simhash, simhash_pairs
+
+    rows = [
+        ("d1", "spark shuffles on the join key"),
+        ("d2", "spark shuffles on the join keys"),
+        ("d3", "an entirely different sentence about nothing at all"),
+        ("d4", "spark shuffles on the join key"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_pairs(df, bits=48, max_distance=2).collect()
+    }
+    fps = {
+        r["doc_id"]: r["fp"]
+        for r in df.select(
+            "doc_id", simhash(F.col("text"), bits=48).alias("fp")
+        ).collect()
+    }
+    ids = sorted(fps)
+    want = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = bin(fps[a] ^ fps[b]).count("1")
+            if h <= 2:
+                want.add((a, b, h))
+    assert got == want and len(want) >= 1

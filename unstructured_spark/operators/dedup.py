@@ -220,6 +220,7 @@ def simhash(col: Column, bits: int = 16) -> Column:
 def simhash_pairs(
     df: DataFrame, *, text: str = "text", doc_id: str = "doc_id",
     bits: int = 16, max_distance: int = 2,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs: (doc_a, doc_b, hamming) with Hamming
     distance <= ``max_distance``.
@@ -236,6 +237,14 @@ def simhash_pairs(
     too coarse for >10^5 docs (the per-bucket self-join grows
     quadratically). 16 remains the default only to match the
     ``simhash`` column operator.
+
+    ``max_bucket_size`` is the same 100 TB guardrail as
+    ``lsh_candidate_pairs``: segment buckets above the cap are dropped
+    BEFORE the self-join (windowed count), bounding the quadratic term
+    at cap² per bucket. With the cap set the result is no longer
+    exhaustive — near-identical boilerplate clusters lose their
+    intra-cluster pairs — so the default None keeps the oracle
+    contract exact.
     """
     segs = max_distance + 1
     widths = [bits // segs + (1 if i < bits % segs else 0) for i in range(segs)]
@@ -262,6 +271,13 @@ def simhash_pairs(
     banded = base.select(
         "doc", "fp", F.explode(seg_structs).alias("s")
     ).select("doc", "fp", F.col("s.seg").alias("seg"), F.col("s.val").alias("val"))
+    if max_bucket_size is not None:
+        w = Window.partitionBy("seg", "val")
+        banded = (
+            banded.withColumn("_bn", F.count("*").over(w))
+            .filter(F.col("_bn") <= max_bucket_size)
+            .drop("_bn")
+        )
     l, r = banded.alias("l"), banded.alias("r")
     hamming = F.bit_count(
         F.col("l.fp").bitwiseXOR(F.col("r.fp"))
