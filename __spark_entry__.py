@@ -726,6 +726,172 @@ def q_table_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Model-free hi_res layout operators (SURVEY §2.6): box dedup, inner-
+# element cleanup, embedded-text aggregation, inferred/extracted merge.
+# Synthetic detection/extraction boxes are derived from the documents
+# table with pure integer modular arithmetic so the DuckDB oracle can
+# regenerate them bit-identically (doubles holding integers are exact).
+# ---------------------------------------------------------------------------
+
+
+def _dedup_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8 extracted boxes per doc; every 4th is a <=2px-jittered copy of
+    its predecessor, so pages carry genuine fake-bold-style dups."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("long")
+    i = F.col("i")
+    base = F.when(i % 4 == 3, i - 1).otherwise(i)
+    jx = F.when(i % 4 == 3, (d + i) % 3).otherwise(F.lit(0))
+    jy = F.when(i % 4 == 3, (d * 3 + i) % 3).otherwise(F.lit(0))
+    x1 = (d * 37 + base * 131) % 900 + jx
+    y1 = (d * 53 + base * 197) % 900 + jy
+    w = 20 + (d + base * 29) % 100
+    h = 8 + (d * 7 + base * 17) % 30
+    return docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.explode(F.sequence(F.lit(0), F.lit(7))).alias("i"),
+    ).select(
+        "doc_id",
+        F.lit(1).alias("page_number"),
+        i.cast("int").alias("box_id"),
+        F.lit("pdfminer").alias("source"),
+        F.lit("Text").alias("kind"),
+        x1.cast("double").alias("x1"),
+        y1.cast("double").alias("y1"),
+        (x1 + w).cast("double").alias("x2"),
+        (y1 + h).cast("double").alias("y2"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast("string").alias("is_extracted"),
+    )
+
+
+def _host_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2 model-detected host regions per doc (box_id 100+j)."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("long")
+    j = F.col("j")
+    x1 = (d * 11 + j * 401) % 500
+    y1 = (d * 13 + j * 257) % 500
+    return docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.explode(F.sequence(F.lit(0), F.lit(1))).alias("j"),
+    ).select(
+        "doc_id",
+        F.lit(1).alias("page_number"),
+        (j + 100).cast("int").alias("box_id"),
+        F.lit("inferred").alias("source"),
+        F.when(j == 0, F.lit("Table")).otherwise(F.lit("NarrativeText")).alias("kind"),
+        x1.cast("double").alias("x1"),
+        y1.cast("double").alias("y1"),
+        (x1 + 300 + d % 180).cast("double").alias("x2"),
+        (y1 + 200 + d % 120).cast("double").alias("y2"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast("string").alias("is_extracted"),
+    )
+
+
+def _small_text_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """6 pdfminer word/line boxes per doc, with text + is_extracted."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("long")
+    i = F.col("i")
+    x1 = (d * 19 + i * 83) % 950
+    y1 = (d * 23 + i * 89) % 950
+    return docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.explode(F.sequence(F.lit(0), F.lit(5))).alias("i"),
+    ).select(
+        "doc_id",
+        F.lit(1).alias("page_number"),
+        i.cast("int").alias("box_id"),
+        F.lit("pdfminer").alias("source"),
+        F.lit("Text").alias("kind"),
+        x1.cast("double").alias("x1"),
+        y1.cast("double").alias("y1"),
+        (x1 + 10 + (d + i) % 30).cast("double").alias("x2"),
+        (y1 + 6 + (d * 5 + i) % 20).cast("double").alias("y2"),
+        F.concat(F.lit("w"), F.col("doc_id"), F.lit("_"), i.cast("string")).alias("text"),
+        F.lit("true").alias("is_extracted"),
+    )
+
+
+def q_box_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fake-bold/shadow-text bbox dedup: drop boxes whose IoU with a
+    later box exceeds 0.5 (reference remove_duplicate_elements,
+    pdfminer_processing.py:863-890) as a native per-page self-join.
+    The oracle replays the +1 pixel-inclusive IoU in SQL."""
+    from unstructured_spark.operators.layout_merge import remove_duplicate_boxes
+
+    boxes = _dedup_boxes(spark, sf_dir)
+    return remove_duplicate_boxes(boxes, threshold=0.5).select(
+        "doc_id", F.col("box_id").cast("bigint").alias("box_id"),
+        "x1", "y1", "x2", "y2",
+    )
+
+
+def q_clean_inner_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """clean_pdfminer_inner_elements (pdfminer_processing.py:831-860):
+    pdfminer boxes inside exactly one model region are dropped. Native
+    join + count; oracle replays the almost-subregion predicate."""
+    from unstructured_spark.operators.layout_merge import clean_pdfminer_inner_elements
+
+    df = _host_boxes(spark, sf_dir).unionByName(_small_text_boxes(spark, sf_dir))
+    return clean_pdfminer_inner_elements(df).select(
+        "doc_id", "source", F.col("box_id").cast("bigint").alias("box_id"),
+        "x1", "y1",
+    )
+
+
+def q_embed_text_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """aggregate_embedded_text_by_block (pdfminer_processing.py:908-947):
+    per target region, source texts in reading order + the
+    true/partial/false extraction grade from the plain-area coverage
+    IoU. Native join+agg; full SQL oracle."""
+    from unstructured_spark.operators.layout_merge import aggregate_embedded_text_by_block
+
+    out = aggregate_embedded_text_by_block(
+        _host_boxes(spark, sf_dir), _small_text_boxes(spark, sf_dir),
+        subregion_threshold=0.99, text_coverage_threshold=0.25,
+    )
+    return out.select(
+        "doc_id", F.col("box_id").cast("bigint").alias("box_id"),
+        "agg_text", "agg_is_extracted",
+    )
+
+
+def q_layout_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 5-rule inferred/extracted page merge
+    (array_merge_inferred_layout_with_extracted_layout,
+    pdfminer_processing.py:250-410) over synthetic detections. The
+    rule-3 fixpoint (box expansion re-entering the subregion test) is
+    iterative → rows-only check; unit tests in tests/test_layout_merge.py
+    pin each rule against the reference's fixtures."""
+    from unstructured_spark.operators.layout_merge import merge_inferred_with_extracted
+
+    inferred = _host_boxes(spark, sf_dir)
+    extracted = _small_text_boxes(spark, sf_dir).unionByName(
+        _t(spark, sf_dir, "documents").select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.lit(1).alias("page_number"),
+            F.lit(6).cast("int").alias("box_id"),
+            F.lit("pdfminer").alias("source"),
+            F.lit("Image").alias("kind"),
+            ((F.col("doc_id").cast("long") * 31) % 700).cast("double").alias("x1"),
+            ((F.col("doc_id").cast("long") * 47) % 700).cast("double").alias("y1"),
+            ((F.col("doc_id").cast("long") * 31) % 700 + 120).cast("double").alias("x2"),
+            ((F.col("doc_id").cast("long") * 47) % 700 + 90).cast("double").alias("y2"),
+            F.lit(None).cast("string").alias("text"),
+            F.lit(None).cast("string").alias("is_extracted"),
+        )
+    )
+    merged = merge_inferred_with_extracted(inferred, extracted, 1000.0, 1000.0)
+    return merged.select(
+        "doc_id", F.col("box_id").cast("bigint").alias("box_id"),
+        "source", "kind", "x1", "y1", "x2", "y2", "text",
+    )
+
+
 def q12_late_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q12 shape: join + conditional counts by priority class
     (late = shipped >60 days after order date)."""
@@ -1424,6 +1590,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_excess_stock_suppliers": q20_excess_stock_suppliers,
         "q_dup_clusters": q_dup_clusters,
         "q_salted_user_value": q_salted_user_value,
+        "q_box_dedup": q_box_dedup,
+        "q_clean_inner_boxes": q_clean_inner_boxes,
+        "q_embed_text_agg": q_embed_text_agg,
+        "q_layout_merge": q_layout_merge,
     }
 
 
@@ -2391,4 +2561,129 @@ def oracle_sql() -> dict[str, str]:
               on s.doc_id = o.doc_id and s.tok = o.tok
             group by s.doc_id
         """,
+        # Layout-box operators: +1 pixel-inclusive IoU/subregion math
+        # with EPSILON_AREA=0.01 (reference pdfminer_processing.py:677-748);
+        # boxes regenerated from documents with integer arithmetic.
+        "q_box_dedup": """
+            with g as (
+              select cast(doc_id as varchar) as doc_id,
+                     cast(doc_id as bigint) as d, t.i as i,
+                     case when t.i % 4 = 3 then t.i - 1 else t.i end as base,
+                     case when t.i % 4 = 3
+                          then (cast(doc_id as bigint) + t.i) % 3 else 0 end as jx,
+                     case when t.i % 4 = 3
+                          then (cast(doc_id as bigint) * 3 + t.i) % 3 else 0 end as jy
+              from documents cross join range(0, 8) t(i)
+            ), boxes as (
+              select doc_id, cast(i as bigint) as box_id,
+                cast((d*37 + base*131) % 900 + jx as double) as x1,
+                cast((d*53 + base*197) % 900 + jy as double) as y1,
+                cast((d*37 + base*131) % 900 + jx
+                     + 20 + (d + base*29) % 100 as double) as x2,
+                cast((d*53 + base*197) % 900 + jy
+                     + 8 + (d*7 + base*17) % 30 as double) as y2
+              from g
+            )
+            select a.doc_id, a.box_id, a.x1, a.y1, a.x2, a.y2
+            from boxes a
+            where not exists (
+              select 1 from boxes b
+              where b.doc_id = a.doc_id and b.box_id > a.box_id
+                and greatest(least(a.x2,b.x2)-greatest(a.x1,b.x1)+1, 0)
+                  * greatest(least(a.y2,b.y2)-greatest(a.y1,b.y1)+1, 0)
+                  > 0.5 * greatest(0.01,
+                      (a.x2-a.x1+1)*(a.y2-a.y1+1) + (b.x2-b.x1+1)*(b.y2-b.y1+1)
+                      - greatest(least(a.x2,b.x2)-greatest(a.x1,b.x1)+1, 0)
+                        * greatest(least(a.y2,b.y2)-greatest(a.y1,b.y1)+1, 0))
+            )
+        """,
+        "q_clean_inner_boxes": """
+            with hosts as (
+              select cast(doc_id as varchar) as doc_id,
+                cast(100 + t.j as bigint) as box_id,
+                cast((cast(doc_id as bigint)*11 + t.j*401) % 500 as double) as x1,
+                cast((cast(doc_id as bigint)*13 + t.j*257) % 500 as double) as y1,
+                cast((cast(doc_id as bigint)*11 + t.j*401) % 500
+                     + 300 + cast(doc_id as bigint) % 180 as double) as x2,
+                cast((cast(doc_id as bigint)*13 + t.j*257) % 500
+                     + 200 + cast(doc_id as bigint) % 120 as double) as y2
+              from documents cross join range(0, 2) t(j)
+            ), pdfm as (
+              select cast(doc_id as varchar) as doc_id,
+                cast(t.i as bigint) as box_id,
+                cast((cast(doc_id as bigint)*19 + t.i*83) % 950 as double) as x1,
+                cast((cast(doc_id as bigint)*23 + t.i*89) % 950 as double) as y1,
+                cast((cast(doc_id as bigint)*19 + t.i*83) % 950
+                     + 10 + (cast(doc_id as bigint) + t.i) % 30 as double) as x2,
+                cast((cast(doc_id as bigint)*23 + t.i*89) % 950
+                     + 6 + (cast(doc_id as bigint)*5 + t.i) % 20 as double) as y2
+              from documents cross join range(0, 6) t(i)
+            )
+            select doc_id, 'inferred' as source, box_id, x1, y1 from hosts
+            union all
+            select p.doc_id, 'pdfminer' as source, p.box_id, p.x1, p.y1
+            from pdfm p
+            where (
+              select count(*) from hosts h
+              where h.doc_id = p.doc_id
+                and greatest(least(p.x2,h.x2)-greatest(p.x1,h.x1)+1, 0)
+                  * greatest(least(p.y2,h.y2)-greatest(p.y1,h.y1)+1, 0)
+                  > 0.99 * greatest(0.01, (p.x2-p.x1+1)*(p.y2-p.y1+1))
+                and (p.x2-p.x1+1)*(p.y2-p.y1+1) <= (h.x2-h.x1+1)*(h.y2-h.y1+1)
+            ) <> 1
+        """,
+        # coverage IoU uses PLAIN areas (reference calculate_bbox_area,
+        # pdfminer_processing.py:1392-1405) while the subregion mask
+        # keeps the +1 form — mirrored exactly from the Spark operator.
+        "q_embed_text_agg": """
+            with hosts as (
+              select cast(doc_id as varchar) as doc_id,
+                cast(100 + t.j as bigint) as box_id,
+                cast((cast(doc_id as bigint)*11 + t.j*401) % 500 as double) as x1,
+                cast((cast(doc_id as bigint)*13 + t.j*257) % 500 as double) as y1,
+                cast((cast(doc_id as bigint)*11 + t.j*401) % 500
+                     + 300 + cast(doc_id as bigint) % 180 as double) as x2,
+                cast((cast(doc_id as bigint)*13 + t.j*257) % 500
+                     + 200 + cast(doc_id as bigint) % 120 as double) as y2
+              from documents cross join range(0, 2) t(j)
+            ), pdfm as (
+              select cast(doc_id as varchar) as doc_id,
+                cast(t.i as bigint) as box_id,
+                'w' || cast(doc_id as varchar) || '_' || cast(t.i as varchar) as text,
+                'true' as is_extracted,
+                cast((cast(doc_id as bigint)*19 + t.i*83) % 950 as double) as x1,
+                cast((cast(doc_id as bigint)*23 + t.i*89) % 950 as double) as y1,
+                cast((cast(doc_id as bigint)*19 + t.i*83) % 950
+                     + 10 + (cast(doc_id as bigint) + t.i) % 30 as double) as x2,
+                cast((cast(doc_id as bigint)*23 + t.i*89) % 950
+                     + 6 + (cast(doc_id as bigint)*5 + t.i) % 20 as double) as y2
+              from documents cross join range(0, 6) t(i)
+            ), joined as (
+              select t.doc_id, t.box_id,
+                (t.x2-t.x1)*(t.y2-t.y1) as t_area,
+                s.box_id as s_id, s.text, s.is_extracted,
+                greatest(least(t.x2,s.x2)-greatest(t.x1,s.x1), 0)
+                  * greatest(least(t.y2,s.y2)-greatest(t.y1,s.y1), 0) as inter,
+                (s.x2-s.x1)*(s.y2-s.y1) as s_area
+              from hosts t left join pdfm s
+                on s.doc_id = t.doc_id
+                and greatest(least(s.x2,t.x2)-greatest(s.x1,t.x1)+1, 0)
+                  * greatest(least(s.y2,t.y2)-greatest(s.y1,t.y1)+1, 0)
+                  > 0.99 * greatest(0.01, (s.x2-s.x1+1)*(s.y2-s.y1+1))
+                and (s.x2-s.x1+1)*(s.y2-s.y1+1) <= (t.x2-t.x1+1)*(t.y2-t.y1+1)
+            )
+            select doc_id, box_id,
+              coalesce(string_agg(text, ' ' order by s_id), '') as agg_text,
+              case when count(s_id) = 0 then 'false'
+                   when min(case when is_extracted = 'true' then 1 else 0 end) = 1
+                        and (case when t_area + sum(s_area) - sum(inter) = 0 then 1.0
+                             else sum(inter) / (t_area + sum(s_area) - sum(inter))
+                             end) > 0.25
+                   then 'true' else 'partial' end as agg_is_extracted
+            from joined
+            group by doc_id, box_id, t_area
+        """,
+        # q_layout_merge: intentionally no oracle — the rule-3 merge
+        # iterates box expansion to a fixpoint (not SQL-expressible);
+        # rows-only check + per-rule unit tests in tests/test_layout_merge.py.
     }

@@ -316,3 +316,162 @@ class TestStrategyRegistry:
         df = spark.createDataFrame(pd.DataFrame(rows))
         with pytest.raises(ValueError, match="unregistered"):
             chunk(df, strategy="nope")
+
+
+class TestTableTextHtmlSync:
+    """_split_table_rows: text/HTML synced on row→cell→text boundaries
+    with header carry-over (reference base.py:1192-1393,1323-1331)."""
+
+    def _table_row(self, html, text=None):
+        rows = _elements(("Table", text or ""))
+        rows[0]["text_as_html"] = html
+        if text is None:
+            from unstructured_spark.operators.html_table import (
+                parse_html_table, table_text,
+            )
+            rows[0]["text"] = table_text(parse_html_table(html))
+        return rows
+
+    def test_text_and_html_describe_same_cells(self):
+        import re
+        html = "<table>" + "".join(
+            f"<tr><td>alpha {i}</td><td>beta {i}</td></tr>" for i in range(12)
+        ) + "</table>"
+        rows = self._table_row(html)
+        chunks = _run_fold(rows, max_characters=80)
+        assert len(chunks) > 1
+        for c in chunks:
+            assert c["type"] == "TableChunk"
+            # text == the cell texts of this chunk's own HTML
+            cell_texts = re.findall(r"<t[dh][^>]*>(.*?)</t[dh]>", c["text_as_html"])
+            body = c["text"]
+            assert body == " ".join(t for t in cell_texts if t)
+
+    def test_header_rows_repeat_on_continuations(self):
+        html = "<table><thead><tr><th>col a</th><th>col b</th></tr></thead>" + "".join(
+            f"<tr><td>val {i}a</td><td>val {i}b</td></tr>" for i in range(12)
+        ) + "</table>"
+        rows = self._table_row(html)
+        chunks = _run_fold(rows, max_characters=80)
+        assert len(chunks) > 1
+        assert chunks[0]["num_carried_over_header_rows"] == 0
+        assert chunks[0]["text_as_html"].startswith("<table><tr><td>col a</td>")
+        for c in chunks[1:]:
+            assert c["num_carried_over_header_rows"] == 1
+            assert c["text_as_html"].startswith(
+                "<table><thead><tr><th>col a</th><th>col b</th></tr></thead>"
+            )
+            assert c["text"].startswith("col a col b ")
+
+    def test_no_repeat_when_header_over_half_window(self):
+        wide = "x" * 60
+        html = f"<table><tr><th>{wide}</th></tr>" + "".join(
+            f"<tr><td>val {i}</td></tr>" for i in range(12)
+        ) + "</table>"
+        rows = self._table_row(html)
+        chunks = _run_fold(rows, max_characters=100)
+        assert len(chunks) > 1
+        assert all((c["num_carried_over_header_rows"] or 0) == 0 for c in chunks)
+        for c in chunks[1:]:
+            assert "<thead>" not in c["text_as_html"]
+
+    def test_repeat_disabled_by_option(self):
+        html = "<table><tr><th>h1</th><th>h2</th></tr>" + "".join(
+            f"<tr><td>val {i}a</td><td>val {i}b</td></tr>" for i in range(12)
+        ) + "</table>"
+        rows = self._table_row(html)
+        chunks = _run_fold(rows, max_characters=80, repeat_table_headers=False)
+        assert len(chunks) > 1
+        assert all((c["num_carried_over_header_rows"] or 0) == 0 for c in chunks)
+
+    def test_oversized_row_splits_on_cells(self):
+        cells = "".join(f"<td>cell text number {i}</td>" for i in range(10))
+        html = f"<table><tr>{cells}</tr></table>"
+        rows = self._table_row(html)
+        chunks = _run_fold(rows, max_characters=60)
+        assert len(chunks) > 1
+        for c in chunks:
+            assert c["text_as_html"].startswith("<table><tr>")
+            assert len(c["text"]) <= 60
+
+    def test_oversized_cell_splits_on_text(self):
+        long_text = "word " * 50
+        html = f"<table><tr><td>{long_text.strip()}</td></tr></table>"
+        rows = self._table_row(html)
+        chunks = _run_fold(rows, max_characters=80)
+        assert len(chunks) > 1
+        for c in chunks:
+            assert c["text_as_html"] == f"<table><tr><td>{c['text']}</td></tr></table>"
+
+    def test_small_window_falls_back_to_text_only(self):
+        html = "<table>" + "".join(
+            f"<tr><td>row {i} text</td></tr>" for i in range(20)
+        ) + "</table>"
+        rows = self._table_row(html)
+        chunks = _run_fold(rows, max_characters=40)  # < 50 threshold
+        assert len(chunks) > 1
+        assert all(c["text_as_html"] is None for c in chunks)
+
+    def test_fitting_table_gets_compact_html(self):
+        html = ('<table border="1" class="dataframe"><tbody>'
+                "<tr><th>a</th><td> b  c </td></tr></tbody></table>")
+        rows = self._table_row(html, text="a b c")
+        chunks = _run_fold(rows, max_characters=500)
+        assert len(chunks) == 1
+        assert chunks[0]["type"] == "Table"
+        assert chunks[0]["text_as_html"] == "<table><tr><td>a</td><td>b c</td></tr></table>"
+
+    def test_whitespace_only_table_produces_no_chunks(self):
+        rows = _elements(("Table", "   "))
+        assert _run_fold(rows, max_characters=100) == []
+
+
+class TestTableRoundTrip:
+    def test_reconstruct_strips_carried_headers(self, spark):
+        from unstructured_spark.operators.chunking import (
+            chunk_elements, reconstruct_table_from_chunks,
+        )
+        from unstructured_spark.operators.html_table import (
+            parse_html_table, table_text,
+        )
+        from unstructured_spark.operators.metadata import widen_to_element_schema
+
+        html = "<table><thead><tr><th>col a</th><th>col b</th></tr></thead>" + "".join(
+            f"<tr><td>val {i}a</td><td>val {i}b</td></tr>" for i in range(12)
+        ) + "</table>"
+        text = table_text(parse_html_table(html))
+        rows = _elements(("Table", text))
+        rows[0]["text_as_html"] = html
+        df = widen_to_element_schema(spark.createDataFrame(pd.DataFrame(rows)))
+        chunks = chunk_elements(df, max_characters=80)
+        assert chunks.filter(chunks.type == "TableChunk").count() > 1
+        rebuilt = reconstruct_table_from_chunks(chunks).collect()
+        assert len(rebuilt) == 1
+        r = rebuilt[0]
+        # all original body rows exactly once; headers once in <thead>
+        assert r["text_as_html"].count("val 7a") == 1
+        assert r["text_as_html"].count("col a") == 1
+        assert r["text_as_html"].startswith(
+            "<table><thead><tr><th>col a</th><th>col b</th></tr></thead>"
+        )
+        assert r["text"].count("col a") == 1
+        for i in range(12):
+            assert r["text"].count(f"val {i}a") == 1
+
+    def test_reconstruct_without_headers_unchanged(self, spark):
+        from unstructured_spark.operators.chunking import (
+            chunk_elements, reconstruct_table_from_chunks,
+        )
+        from unstructured_spark.operators.metadata import widen_to_element_schema
+
+        html = "<table>" + "".join(
+            f"<tr><td>item {i} text</td></tr>" for i in range(12)
+        ) + "</table>"
+        text = " ".join(f"item {i} text" for i in range(12))
+        rows = _elements(("Table", text))
+        rows[0]["text_as_html"] = html
+        df = widen_to_element_schema(spark.createDataFrame(pd.DataFrame(rows)))
+        chunks = chunk_elements(df, max_characters=60)
+        rebuilt = reconstruct_table_from_chunks(chunks).collect()[0]
+        assert rebuilt["text"] == text
+        assert rebuilt["text_as_html"] == html

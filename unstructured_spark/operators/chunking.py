@@ -59,6 +59,7 @@ class ChunkingOptions:
     multipage_sections: bool = True  # by_title only
     include_orig_elements: bool = True
     length_unit: str = "chars"  # 'chars' | 'tokens' (token-mode windows)
+    repeat_table_headers: bool = True  # repeat header rows on TableChunks (base.py:200-206)
 
     def __post_init__(self) -> None:
         if self.length_unit not in ("chars", "tokens"):
@@ -188,25 +189,164 @@ def _chunk_id(doc_id: str, text: str, index: int) -> str:
     return h[:32]
 
 
-_TR_RE = re.compile(r"<tr[ >].*?</tr>|<tr>.*?</tr>", re.S | re.I)
+def _split_table_rows(
+    rows: list, opts: ChunkingOptions
+) -> tuple[list[tuple[str, str]], int]:
+    """(text, html) pairs for an oversized table, each a parseable
+    ``<table>`` fragment with text and HTML describing the same cells.
+
+    Port of the reference's _HtmlTableSplitter (base.py:1192-1393):
+    whole rows while they fit, an oversized row splits on whole cells,
+    an oversized cell splits on text with 33 chars (10 tokens) reserved
+    for the ``<table><tr><td>`` wrapper. Leading header rows repeat on
+    continuation chunks inside ``<thead>`` (cells as ``<th>``) unless a
+    single header row would consume more than half the window
+    (base.py:1323-1331). Returns (pairs, carried_over_header_row_count).
+    """
+    maxlen_hard = opts.max_characters
+    header_rows = []
+    if opts.repeat_table_headers:
+        for r in rows:
+            if not r.is_header:
+                break
+            header_rows.append(r)
+    header_text = " ".join(t for r in header_rows for t in r.iter_cell_texts())
+    max_header_row_len = max(
+        (opts.measure(" ".join(r.iter_cell_texts())) for r in header_rows), default=0
+    )
+    should_repeat = bool(header_rows) and max_header_row_len <= (maxlen_hard + 1) // 2
+    carried = len(header_rows) if should_repeat else 0
+    header_text_len = opts.measure(header_text)
+    thead_html = (
+        "<thead>" + "".join(r.header_html for r in header_rows) + "</thead>"
+        if should_repeat
+        else ""
+    )
+
+    def maxlen(first: bool) -> int:
+        if first or not should_repeat:
+            return maxlen_hard
+        # one separator between repeated header text and body text
+        return max(1, maxlen_hard - header_text_len - 1)
+
+    pairs: list[tuple[str, str]] = []
+    first = [True]
+
+    def emit(text: str, html: str) -> None:
+        if not first[0] and should_repeat:
+            text = f"{header_text} {text}" if header_text and text else (header_text or text)
+            inner = html[len("<table>"):-len("</table>")]
+            html = f"<table>{thead_html}{inner}</table>"
+        first[0] = False
+        pairs.append((text, html))
+
+    def cell_splits(cell, limit: int):
+        # 33 = len("<table><tr><td></td></tr></table>") HTML overhead
+        if opts.length_unit == "tokens":
+            frags = _split_oversized_tokens(cell.text, max(1, limit - 10), 0)
+        else:
+            frags = _split_oversized(cell.text, max(1, limit - 33), 0)
+        for f in frags:
+            yield f, f"<table><tr><td>{f}</td></tr></table>"
+
+    def row_splits(row, limit: int):
+        # _CellAccumulator (base.py:1627-1672); will_fit counts CHARS
+        # (len), not measure-units, mirroring the reference
+        cells: list = []
+
+        def cells_fit(cell) -> bool:
+            return limit - len(cells) - sum(len(c.text) for c in cells) >= len(cell.text)
+
+        def flush_cells():
+            if not cells:
+                return
+            text = " ".join(c.text for c in cells if c.text)
+            tds = "".join(c.html for c in cells)
+            cells.clear()
+            yield text, f"<table><tr>{tds}</tr></table>"
+
+        for cell in row.iter_cells():
+            if not cells_fit(cell):
+                yield from flush_cells()
+            if cells_fit(cell):
+                cells.append(cell)
+            else:
+                yield from cell_splits(cell, limit)
+        yield from flush_cells()
+
+    # _RowAccumulator (base.py:1676-1726)
+    acc_rows: list = []
+    acc_len = [0]
+    acc_max = [maxlen(True)]
+
+    def row_len(row) -> int:
+        return opts.measure(" ".join(row.iter_cell_texts()))
+
+    def rows_fit(row) -> bool:
+        return acc_max[0] - len(acc_rows) - acc_len[0] >= row_len(row)
+
+    def flush_rows():
+        if not acc_rows:
+            return
+        text = " ".join(t for r in acc_rows for t in r.iter_cell_texts())
+        trs = "".join(r.html for r in acc_rows)
+        acc_rows.clear()
+        acc_len[0] = 0
+        yield text, f"<table>{trs}</table>"
+
+    for row in rows:
+        if not rows_fit(row):
+            for t, h in flush_rows():
+                emit(t, h)
+            acc_max[0] = maxlen(first[0])
+        if rows_fit(row):
+            acc_rows.append(row)
+            acc_len[0] += row_len(row)
+        else:
+            for t, h in row_splits(row, maxlen(first[0])):
+                emit(t, h)
+            acc_max[0] = maxlen(first[0])
+    for t, h in flush_rows():
+        emit(t, h)
+    return pairs, carried
 
 
 def _split_table(row: dict, opts: ChunkingOptions, doc_id: str, out: list[dict], next_index: list[int]) -> None:
     """Table pre-chunk → one Table chunk if it fits, else TableChunk
-    splits with table_id / chunk_index (reference base.py:957-1184).
-    HTML is split on whole-row boundaries when present.
+    splits with table_id / chunk_index (reference _TableChunker,
+    base.py:957-1184). With HTML present, text and HTML split in sync
+    on row → cell → text boundaries (_split_table_rows); headers repeat
+    with ``num_carried_over_header_rows`` stamped on continuations.
     """
-    text = row["text"] or ""
-    html = row.get("text_as_html")
+    from unstructured_spark.operators.html_table import parse_html_table, table_html
+
+    text = (row["text"] or "").strip()
+    if not " ".join(text.split()):
+        return  # whitespace-only table produces no chunks (base.py:979-981)
+    rows_model = parse_html_table(row.get("text_as_html") or "")
+    html = table_html(rows_model) if rows_model else ""
     table_id = row.get("element_id") or _chunk_id(doc_id, text, 0)
-    if opts.measure(text) <= opts.max_characters:
+
+    if opts.measure(text) <= opts.max_characters and (
+        not html or opts.measure(html) <= opts.max_characters
+    ):
         chunk = dict(row)
         chunk["type"] = "Table"
+        chunk["text"] = text
+        chunk["text_as_html"] = html or None
         _emit(chunk, doc_id, out, next_index, orig=[row])
         return
-    fragments = opts.split(text)
-    html_rows = _TR_RE.findall(html) if html else []
-    for i, frag in enumerate(fragments):
+
+    # text-only fallback: no parsable HTML, or window too small for the
+    # 33-char <table> overhead per chunk (base.py:999-1004)
+    min_html_threshold = 15 if opts.length_unit == "tokens" else 50
+    if not html or opts.max_characters < min_html_threshold:
+        pairs: list[tuple[str, str | None]] = [(f, None) for f in opts.split(text)]
+        carried = 0
+    else:
+        pairs, carried = _split_table_rows(rows_model, opts)
+
+    for i, (frag, frag_html) in enumerate(pairs):
         chunk = dict(row)
         chunk.update(
             type="TableChunk",
@@ -214,14 +354,9 @@ def _split_table(row: dict, opts: ChunkingOptions, doc_id: str, out: list[dict],
             table_id=table_id,
             chunk_index=i,
             is_continuation=True if i > 0 else None,
-            text_as_html=None,
+            text_as_html=frag_html,
+            num_carried_over_header_rows=carried if i > 0 else 0,
         )
-        if html_rows:
-            # distribute whole rows proportionally to text fragments
-            per = max(1, len(html_rows) // len(fragments))
-            part = html_rows[i * per : (i + 1) * per] if i < len(fragments) - 1 else html_rows[i * per :]
-            if part:
-                chunk["text_as_html"] = "<table>" + "".join(part) + "</table>"
         _emit(chunk, doc_id, out, next_index, orig=[row])
 
 
@@ -484,13 +619,44 @@ def reconstruct_table_from_chunks(df: DataFrame) -> DataFrame:
     group ``TableChunk`` rows by ``table_id``, order by ``chunk_index``,
     merge text and HTML back into one Table row per original table.
 
+    Repeated header rows are removed before merging: continuation
+    chunks carry them inside ``<thead>`` with ``th`` cells and stamp
+    ``num_carried_over_header_rows`` (dispatch.py:200-232,290-325);
+    the canonical ``<thead>`` leads the reconstructed table and the
+    first chunk's matching leading ``td`` rows are dropped. The
+    reference's row-text-signature cross-check is omitted — chunks
+    produced by ``_split_table`` satisfy it by construction.
+
     Native plan: one hash aggregation with ``sort_array(collect_list(
-    struct(...)))`` — the merge itself is string concat over an ordered
-    array, all JVM-side (no Python).
+    struct(...)))`` then higher-order array functions — the merge is
+    string algebra over an ordered array, all JVM-side (no Python).
     """
     from pyspark.sql import functions as F
 
     chunks = df.filter(F.col("type") == "TableChunk")
+
+    def _header_text(thead):
+        # normalized cell text of a <thead> fragment
+        return F.trim(
+            F.regexp_replace(F.regexp_replace(thead, "<[^>]+>", " "), "\\s+", " ")
+        )
+
+    def _strip_text(p):
+        """Remove the carried header-text prefix from a continuation
+        chunk's text (dispatch.py:290-325)."""
+        thead = F.regexp_extract(
+            F.coalesce(p["text_as_html"], F.lit("")), "^<table>(<thead>.*?</thead>)", 1
+        )
+        ht = _header_text(thead)
+        carried = (p["chunk_index"] > 0) & (
+            F.coalesce(p["num_carried_over_header_rows"], F.lit(0)) > 0
+        ) & (thead != "")
+        body = F.when(p["text"] == ht, F.lit("")).when(
+            p["text"].startswith(F.concat(ht, F.lit(" "))),
+            F.substring(p["text"], F.length(ht) + 2, F.lit(2147483647)),
+        ).otherwise(p["text"])
+        return F.when(carried & (ht != ""), body).otherwise(p["text"])
+
     merged = (
         chunks.groupBy("doc_id", "table_id")
         .agg(
@@ -500,29 +666,87 @@ def reconstruct_table_from_chunks(df: DataFrame) -> DataFrame:
                         F.col("chunk_index"),
                         F.col("text"),
                         F.col("text_as_html"),
+                        F.col("num_carried_over_header_rows"),
                     )
                 )
             ).alias("parts"),
             F.min("element_index").alias("element_index"),
             F.first("page_number", ignorenulls=True).alias("page_number"),
         )
+        .withColumn(
+            # canonical <thead> = the first continuation chunk's carried
+            # header block (dispatch.py:233-257)
+            "_thead",
+            F.try_element_at(
+                F.transform(
+                    F.filter(
+                        F.col("parts"),
+                        lambda p: (p["chunk_index"] > 0)
+                        & (F.coalesce(p["num_carried_over_header_rows"], F.lit(0)) > 0)
+                        & F.coalesce(p["text_as_html"], F.lit("")).startswith("<table><thead>"),
+                    ),
+                    lambda p: F.regexp_extract(
+                        p["text_as_html"], "^<table>(<thead>.*?</thead>)", 1
+                    ),
+                ),
+                F.lit(1),
+            ),
+        )
+        .withColumn(
+            # the same header rows as they appear inline in the first
+            # chunk (plain td cells)
+            "_td_rows",
+            F.when(
+                F.col("_thead").isNotNull(),
+                F.regexp_replace(
+                    F.regexp_replace(F.col("_thead"), "^<thead>|</thead>$", ""),
+                    "<(/?)th(?=[ />])",
+                    "<$1td",
+                ),
+            ),
+        )
         .select(
             "doc_id",
             F.col("table_id").alias("element_id"),
             "element_index",
             F.lit("Table").alias("type"),
-            F.array_join(F.transform("parts", lambda p: p["text"]), " ").alias("text"),
+            F.array_join(
+                F.filter(
+                    F.transform("parts", _strip_text), lambda t: t.isNotNull() & (t != "")
+                ),
+                " ",
+            ).alias("text"),
             F.when(
                 F.exists("parts", lambda p: p["text_as_html"].isNotNull()),
                 F.concat(
                     F.lit("<table>"),
+                    F.coalesce(F.col("_thead"), F.lit("")),
                     F.array_join(
                         F.transform(
                             "parts",
-                            lambda p: F.regexp_replace(
-                                F.coalesce(p["text_as_html"], F.lit("")),
-                                "</?table>",
-                                "",
+                            lambda p, i: F.when(
+                                (i == 0)
+                                & F.col("_td_rows").isNotNull()
+                                & F.coalesce(p["text_as_html"], F.lit("")).startswith(
+                                    F.concat(F.lit("<table>"), F.col("_td_rows"))
+                                ),
+                                # first chunk: drop its leading header
+                                # rows (start = len("<table>") + len(td_rows) + 1)
+                                F.substring(
+                                    F.regexp_replace(p["text_as_html"], "</table>$", ""),
+                                    F.length(F.col("_td_rows")) + 8,
+                                    F.lit(2147483647),
+                                ),
+                            ).otherwise(
+                                F.regexp_replace(
+                                    F.regexp_replace(
+                                        F.coalesce(p["text_as_html"], F.lit("")),
+                                        "^<table><thead>.*?</thead>",
+                                        "<table>",
+                                    ),
+                                    "</?table>",
+                                    "",
+                                )
                             ),
                         ),
                         "",
@@ -532,6 +756,7 @@ def reconstruct_table_from_chunks(df: DataFrame) -> DataFrame:
             ).alias("text_as_html"),
             "page_number",
         )
+        .drop("_thead", "_td_rows")
     )
     return merged
 
