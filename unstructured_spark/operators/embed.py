@@ -15,9 +15,12 @@ Providers:
   default; it is NOT a semantic model and says so.
 - :class:`HuggingFaceEncoder` — real sentence-transformer, gated behind
   an import-try (the model library is not in this container).
-- API providers (openai/bedrock/voyage…, reference embed/*.py) follow
-  the same factory protocol; they are HTTP clients per executor and are
-  intentionally not implemented here.
+- API providers (reference ``embed/*.py``): :class:`OpenAIEncoder`,
+  :class:`VoyageAIEncoder`, :class:`MixedbreadAIEncoder` speak the
+  shared OpenAI wire shape over an injectable transport;
+  :class:`BedrockEncoder` / :class:`VertexAIEncoder` gate on their
+  cloud-auth SDKs (boto3 / google-auth) and accept injected clients.
+  ``get_encoder(provider, **config)`` is the name-keyed registry.
 """
 
 from __future__ import annotations
@@ -84,6 +87,204 @@ class HuggingFaceEncoder:
 
     def embed_query(self, text: str) -> list[float]:  # pragma: no cover
         return self.embed_documents([text])[0]
+
+
+# ---------------------------------------------------------------------------
+# API provider adapters (reference embed/{openai,voyageai,mixedbreadai,
+# bedrock,vertexai}.py). Each is an HTTP client per executor behind the
+# same EmbeddingEncoder protocol; the transport is injectable so tests
+# exercise the request/response shaping with zero network. Providers
+# needing a cloud SDK for auth (bedrock: sigv4 via boto3, vertexai:
+# OAuth via google-auth) gate on the import and accept an injected
+# client instead.
+# ---------------------------------------------------------------------------
+
+
+def _http_json_transport(url: str, headers: dict[str, str], payload: dict) -> dict:
+    """POST JSON → parsed JSON response (stdlib; the default transport)."""
+    import json as _json
+    import urllib.request
+
+    req = urllib.request.Request(
+        url,
+        data=_json.dumps(payload).encode("utf-8"),
+        headers={"Content-Type": "application/json", **headers},
+        method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=60.0) as resp:
+        return _json.loads(resp.read().decode("utf-8"))
+
+
+class _OpenAIShapedEncoder:
+    """Shared implementation for the OpenAI-wire-shape providers
+    (`POST /embeddings {"model", "input": [...]}` →
+    `{"data": [{"index", "embedding"}]}`), which openai, voyageai and
+    mixedbreadai all speak."""
+
+    _endpoint: str
+    _auth_scheme: str = "Bearer"
+
+    def __init__(self, api_key: str, model_name: str, base_url: str | None = None,
+                 batch_size: int = 96, transport=None):
+        self._api_key = api_key
+        self.model_name = model_name
+        self._base = (base_url or self._endpoint).rstrip("/")
+        self._batch = batch_size
+        self._transport = transport or _http_json_transport
+        self.dim: int | None = None  # discovered from the first response
+
+    def _headers(self) -> dict[str, str]:
+        return {"Authorization": f"{self._auth_scheme} {self._api_key}"}
+
+    def embed_documents(self, texts: list[str]) -> list[list[float]]:
+        out: list[list[float]] = []
+        for i in range(0, len(texts), self._batch):
+            payload = {"model": self.model_name, "input": texts[i : i + self._batch]}
+            resp = self._transport(f"{self._base}/embeddings", self._headers(), payload)
+            rows = sorted(resp["data"], key=lambda d: d.get("index", 0))
+            out.extend([list(map(float, d["embedding"])) for d in rows])
+        if out and self.dim is None:
+            self.dim = len(out[0])
+        return out
+
+    def embed_query(self, text: str) -> list[float]:
+        return self.embed_documents([text])[0]
+
+
+class OpenAIEncoder(_OpenAIShapedEncoder):
+    """reference embed/openai.py (model default text-embedding-ada-002)."""
+
+    _endpoint = "https://api.openai.com/v1"
+
+    def __init__(self, api_key: str, model_name: str = "text-embedding-ada-002", **kw):
+        super().__init__(api_key, model_name, **kw)
+
+
+class VoyageAIEncoder(_OpenAIShapedEncoder):
+    """reference embed/voyageai.py."""
+
+    _endpoint = "https://api.voyageai.com/v1"
+
+    def __init__(self, api_key: str, model_name: str = "voyage-2", **kw):
+        super().__init__(api_key, model_name, **kw)
+
+
+class MixedbreadAIEncoder(_OpenAIShapedEncoder):
+    """reference embed/mixedbreadai.py."""
+
+    _endpoint = "https://api.mixedbread.ai/v1"
+
+    def __init__(self, api_key: str,
+                 model_name: str = "mixedbread-ai/mxbai-embed-large-v1", **kw):
+        super().__init__(api_key, model_name, **kw)
+
+
+class BedrockEncoder:
+    """reference embed/bedrock.py (Titan text embeddings). AWS sigv4
+    auth needs boto3 — gated; tests inject a fake ``client`` exposing
+    ``invoke_model(modelId=, body=) -> {"body": reader}``."""
+
+    def __init__(self, region_name: str = "us-west-2",
+                 model_id: str = "amazon.titan-embed-text-v1", client=None):
+        self.model_id = model_id
+        self.dim: int | None = None
+        if client is not None:
+            self._client = client
+            return
+        try:
+            import boto3  # type: ignore
+        except ImportError as exc:
+            raise NotImplementedError(
+                "BedrockEncoder requires boto3 on executors (AWS sigv4 "
+                "auth); install it in the cluster image or inject a client."
+            ) from exc
+        self._client = boto3.client("bedrock-runtime", region_name=region_name)  # pragma: no cover
+
+    def embed_documents(self, texts: list[str]) -> list[list[float]]:
+        import json as _json
+
+        out: list[list[float]] = []
+        for t in texts:
+            resp = self._client.invoke_model(
+                modelId=self.model_id, body=_json.dumps({"inputText": t})
+            )
+            body = resp["body"]
+            raw = body.read() if hasattr(body, "read") else body
+            vec = _json.loads(raw)["embedding"]
+            out.append(list(map(float, vec)))
+        if out and self.dim is None:
+            self.dim = len(out[0])
+        return out
+
+    def embed_query(self, text: str) -> list[float]:
+        return self.embed_documents([text])[0]
+
+
+class VertexAIEncoder:
+    """reference embed/vertexai.py (textembedding-gecko predict API).
+    OAuth needs google-auth — gated unless both ``token`` and
+    ``transport`` are injected (tests)."""
+
+    def __init__(self, project: str, location: str = "us-central1",
+                 model_name: str = "textembedding-gecko@001",
+                 token: str | None = None, transport=None, batch_size: int = 5):
+        self.model_name = model_name
+        self.dim: int | None = None
+        self._batch = batch_size
+        self._transport = transport or _http_json_transport
+        if token is None:
+            try:
+                import google.auth  # type: ignore  # noqa: F401
+            except ImportError as exc:
+                raise NotImplementedError(
+                    "VertexAIEncoder requires google-auth for OAuth tokens; "
+                    "install it on executors or inject token= and transport=."
+                ) from exc
+        self._token = token
+        self._url = (
+            f"https://{location}-aiplatform.googleapis.com/v1/projects/{project}"
+            f"/locations/{location}/publishers/google/models/{model_name}:predict"
+        )
+
+    def embed_documents(self, texts: list[str]) -> list[list[float]]:
+        out: list[list[float]] = []
+        headers = {"Authorization": f"Bearer {self._token}"}
+        for i in range(0, len(texts), self._batch):
+            payload = {"instances": [{"content": t} for t in texts[i : i + self._batch]]}
+            resp = self._transport(self._url, headers, payload)
+            out.extend(
+                [list(map(float, p["embeddings"]["values"])) for p in resp["predictions"]]
+            )
+        if out and self.dim is None:
+            self.dim = len(out[0])
+        return out
+
+    def embed_query(self, text: str) -> list[float]:
+        return self.embed_documents([text])[0]
+
+
+_PROVIDERS: dict[str, Callable[..., EmbeddingEncoder]] = {
+    "hashing": HashingEncoder,
+    "huggingface": HuggingFaceEncoder,
+    "openai": OpenAIEncoder,
+    "voyageai": VoyageAIEncoder,
+    "mixedbreadai": MixedbreadAIEncoder,
+    "bedrock": BedrockEncoder,
+    "vertexai": VertexAIEncoder,
+}
+
+
+def get_encoder(provider: str, **config) -> EmbeddingEncoder:
+    """Provider registry keyed by name (mirrors the reference's
+    per-module encoder classes under ``unstructured/embed/``)."""
+    try:
+        factory = _PROVIDERS[provider]
+    except KeyError:
+        raise ValueError(
+            f"unknown embedding provider {provider!r}; "
+            f"available: {sorted(_PROVIDERS)}"
+        ) from None
+    return factory(**config)
 
 
 def embed_elements(
