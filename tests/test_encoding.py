@@ -49,7 +49,8 @@ def test_latin1_not_mistaken_for_utf16():
     # (the pre-fix _decode bug: any even-length non-UTF-8 doc became CJK).
     raw = "## k\xf6nnen w\xe4re sch\xf6n!!".encode("latin-1")
     assert len(raw) % 2 == 0
-    assert detect_encoding(raw) == "latin-1"
+    # cp1252 ranks before latin-1 and is identical on these bytes
+    assert detect_encoding(raw) == "cp1252"
     assert decode_bytes(raw) == "## k\xf6nnen w\xe4re sch\xf6n!!"
 
 

@@ -1,0 +1,96 @@
+"""Golden element-JSON parity against REFERENCE-PRODUCED output.
+
+The reference repo ships serialized element JSON for connector e2e
+tests (test_unstructured_ingest/expected-structured-output/...); for
+the fixtures whose source file also exists in example-docs we compare
+our partition output against the reference's own output byte-for-byte
+on (type sequence, text sequence). This pins fidelity drift harder
+than invariant-style assertions.
+
+Wire-type note: the reference serializes its base Text element as
+'UncategorizedText' (elements.py:657-701); internally this repo tags
+it 'Text' and maps on serde. The comparison applies the same map.
+"""
+
+import json
+from pathlib import Path
+
+import pytest
+
+from unstructured_spark.parsers.dispatch import partition_bytes
+
+DOCS = Path("/root/reference/example-docs")
+GOLD = Path("/root/reference/test_unstructured_ingest/expected-structured-output")
+
+WIRE_TYPE = {"Text": "UncategorizedText"}
+
+# (source file, golden path) — all compared EXACTLY on types + texts
+EXACT_CASES = [
+    ("fake-text.txt", "gcs/nested-1/fake-text.txt.json"),
+    ("book-war-and-peace-1p.txt", "embed-vertexai/book-war-and-peace-1p.txt.json"),
+    ("fake.docx", "google-drive/fake.docx.json"),
+    ("science-exploration-1p.pptx", "dropbox/science-exploration-1p.pptx.json"),
+    ("stanley-cups.xlsx", "gcs/nested-2/stanley-cups.xlsx.json"),
+    ("tests-example.xls", "onedrive/utic-test-ingest-fixtures/tests-example.xls.json"),
+]
+
+
+def _ours(name: str) -> list[dict]:
+    raw = (DOCS / name).read_bytes()
+    return partition_bytes(raw, filename=name)
+
+
+def _golden(rel: str) -> list[dict]:
+    return json.loads((GOLD / rel).read_text())
+
+
+@pytest.mark.parametrize("name,golden", EXACT_CASES, ids=[c[0] for c in EXACT_CASES])
+def test_exact_type_and_text_parity(name, golden):
+    ref = _golden(golden)
+    ours = _ours(name)
+    assert [WIRE_TYPE.get(e["type"], e["type"]) for e in ours] == [e["type"] for e in ref]
+    assert [(e["text"] or "") for e in ours] == [e["text"] for e in ref]
+
+
+def test_html_table_parity_normalized():
+    """ideas-page.html: one Table element; the reference preserves raw
+    source whitespace (newlines, double spaces) inside HTML table text
+    while this repo whitespace-normalizes — a known divergence, so the
+    text comparison is whitespace-normalized here."""
+    ref = _golden("gcs/ideas-page.html.json")
+    ours = _ours("ideas-page.html")
+    assert [e["type"] for e in ours] == [e["type"] for e in ref] == ["Table"]
+    norm = lambda s: " ".join((s or "").split())
+    assert norm(ours[0]["text"]) == norm(ref[0]["text"])
+
+
+def test_cp1252_html_decodes_properly():
+    """fake-html-cp1252.html: the reference's OWN golden is mojibake
+    ('trčs', 'nińo' — cp1252 bytes decoded as cp1250). We assert our
+    type sequence matches and that the text decodes CORRECTLY
+    (proper 'très'/'niño'/'€'), i.e. better than the golden."""
+    ref = _golden("local-single-file-with-encoding/fake-html-cp1252.html.json")
+    ours = _ours("fake-html-cp1252.html")
+    assert [WIRE_TYPE.get(e["type"], e["type"]) for e in ours] == [e["type"] for e in ref]
+    full = " ".join(e["text"] or "" for e in ours)
+    assert "très" in full and "niño" in full and "€" in full
+    assert "\x80" not in full
+
+
+def test_serde_wire_type_round_trip(spark):
+    """'Text' serializes as 'UncategorizedText' and re-ingests back."""
+    import pandas as pd
+
+    from unstructured_spark.operators.metadata import widen_to_element_schema
+    from unstructured_spark.operators.serde import elements_to_dicts_df
+
+    rows = [dict(doc_id="d", element_id="e1", element_index=0, type="Text", text="plain")]
+    df = widen_to_element_schema(spark.createDataFrame(pd.DataFrame(rows)))
+    el = elements_to_dicts_df(df).collect()[0]["element"]
+    assert el["type"] == "UncategorizedText"
+
+    els = partition_bytes(
+        json.dumps([{"type": "UncategorizedText", "text": "plain"}]).encode(),
+        filename="x.json",
+    )
+    assert els[0]["type"] == "Text"

@@ -24,14 +24,21 @@ _META_FIELDS = tuple(
 
 def elements_to_dicts_df(df: DataFrame) -> DataFrame:
     """Shape the wide element table into the reference's wire form:
-    (doc_id, element_index, element json-ready struct)."""
+    (doc_id, element_index, element json-ready struct).
+
+    The internal 'Text' tag serializes as 'UncategorizedText' — the
+    reference's base Text element category (elements.py:657-701) —
+    so JSON output round-trips against reference-produced files."""
     meta = F.struct(*[F.col(c) for c in _META_FIELDS if c in df.columns])
+    wire_type = F.when(F.col("type") == "Text", F.lit("UncategorizedText")).otherwise(
+        F.col("type")
+    )
     return df.select(
         "doc_id",
         "element_index",
         F.struct(
             F.col("element_id"),
-            F.col("type"),
+            wire_type.alias("type"),
             F.col("text"),
             meta.alias("metadata"),
         ).alias("element"),

@@ -60,6 +60,15 @@ def is_bulleted_text(text: str) -> bool:
     return bool(BULLETED_RE.match(text))
 
 
+def clean_bullets_text(text: str) -> str:
+    """Strip one leading bullet char + whitespace (reference
+    cleaners/core.py:37-53; applied to bulleted ListItems by
+    partition_text's element_from_text, partition/text.py:128-134)."""
+    if not BULLETED_RE.match(text):
+        return text
+    return BULLETED_RE.sub("", text, 1).strip()
+
+
 def is_possible_numbered_list(text: str) -> bool:
     return bool(NUMBERED_RE.match(text))
 
@@ -106,6 +115,38 @@ def is_possible_title(
     if is_numeric(t) or not under_non_alpha_ratio(t):
         return False
     return not t.endswith(",")
+
+
+def element_type_from_text_docx(text: str) -> str:
+    """The docx paragraph text-derivation (reference
+    partition/docx.py:939-952): zip → email → narrative, else Text —
+    deliberately NO Title branch (style-based Titles only)."""
+    t = text.strip()
+    if len(t) < 2:
+        return "Text"
+    if is_us_city_state_zip(t):
+        return "Address"
+    if is_email_address(t):
+        return "EmailAddress"
+    if is_possible_narrative_text(t):
+        return "NarrativeText"
+    return "Text"
+
+
+def element_type_from_text_xlsx(text: str) -> str:
+    """The xlsx single-cell derivation (reference
+    partition/xlsx.py:441-452): bullet → numbered → narrative → title,
+    else Text — deliberately NO email/address branches."""
+    t = text.strip()
+    if is_bulleted_text(t):
+        return "ListItem"
+    if is_possible_numbered_list(t):
+        return "ListItem"
+    if is_possible_narrative_text(t):
+        return "NarrativeText"
+    if is_possible_title(t):
+        return "Title"
+    return "Text"
 
 
 def element_type_from_text(text: str) -> str:

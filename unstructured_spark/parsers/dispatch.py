@@ -43,8 +43,11 @@ def _partition_json_elements(content: bytes | str) -> list[dict]:
         raise ValueError("element JSON must be an array of element dicts")
     out = []
     for d in data:
+        wire_type = d.get("type", "Text")
         el = {
-            "type": d.get("type", "Text"),
+            # wire tag 'UncategorizedText' is the reference's base Text
+            # category (TYPE_TO_TEXT_ELEMENT_MAP, elements.py:1051-1090)
+            "type": "Text" if wire_type == "UncategorizedText" else wire_type,
             "text": d.get("text", ""),
             "element_id": d.get("element_id"),
         }

@@ -167,7 +167,7 @@ def _classify_paragraph(
         return ("ListItem", cleaned, depth) if cleaned else (None, "", None)
     if style_name and style_name in _STYLE_MAP:
         return _STYLE_MAP[style_name], text, depth
-    return classify.element_type_from_text(text), text, depth
+    return classify.element_type_from_text_docx(text), text, depth
 
 
 def docx_to_elements(content: bytes) -> list[dict]:

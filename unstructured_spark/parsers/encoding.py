@@ -122,7 +122,14 @@ def detect_encoding(content: bytes) -> str:
             return enc
         except (UnicodeDecodeError, UnicodeError, LookupError):
             pass
-    return "latin-1"
+    # cp1252 before latin-1: identical on 0xA0-0xFF but maps the
+    # 0x80-0x9F block to real characters (€, ™, curly quotes) instead
+    # of C1 controls; its 5 undefined bytes fall through to latin-1.
+    try:
+        content.decode("cp1252")
+        return "cp1252"
+    except (UnicodeDecodeError, UnicodeError):
+        return "latin-1"
 
 
 def decode_bytes(content: bytes | str) -> str:

@@ -115,8 +115,9 @@ class _ElementExtractor(HTMLParser):
             return "EmailAddress", None
         if classify.is_possible_narrative_text(text):
             return "NarrativeText", None
-        if classify.is_possible_title(text):
-            return "Title", None
+        # NOTE: no Title fall-through — the reference's HTML text
+        # derivation goes straight to Text (html/parser.py:921-938);
+        # titles come from heading tags only.
         return "Text", None
 
     # -- table capture --------------------------------------------------------

@@ -215,8 +215,11 @@ def xls_to_elements(content: bytes) -> list[dict]:
 
             def single(row):
                 cell = next(x for x in row if x)
+                etype = classify.element_type_from_text_xlsx(cell)
+                if etype == "ListItem" and classify.is_bulleted_text(cell):
+                    cell = classify.clean_bullets_text(cell)  # xlsx.py:441-446
                 return {
-                    "type": classify.element_type_from_text(cell),
+                    "type": etype,
                     "text": cell,
                     **common,
                 }

@@ -58,5 +58,10 @@ def text_to_elements(
         t = _WS_RE.sub(" ", para).strip()
         if not t:
             continue
-        out.append({"type": classify.element_type_from_text(t), "text": t})
+        etype = classify.element_type_from_text(t)
+        if etype == "ListItem" and classify.is_bulleted_text(t):
+            # bulleted ListItems lose the bullet char (reference
+            # partition/text.py:128-134 → clean_bullets)
+            t = classify.clean_bullets_text(t)
+        out.append({"type": etype, "text": t})
     return out

@@ -182,7 +182,10 @@ def _rows_in_box(
 
 
 def _table_element(rows: list[list[str | None]]) -> dict:
-    text = "\n".join(
+    # table text is space-joined across cells AND rows: the reference
+    # renders the sheet to HTML and takes HtmlTable.text, which is
+    # whitespace-normalized itertext (xlsx.py:89-102, html_table.py:141)
+    text = " ".join(
         " ".join(c for c in row if c) for row in rows if any(row)
     ).strip()
     html = ["<table>"]
@@ -220,8 +223,11 @@ def xlsx_to_elements(content: bytes) -> list[dict]:
 
             def _single(row: list[str | None]) -> dict:
                 cell = next(c for c in row if c)
+                etype = classify.element_type_from_text_xlsx(cell)
+                if etype == "ListItem" and classify.is_bulleted_text(cell):
+                    cell = classify.clean_bullets_text(cell)  # xlsx.py:441-446
                 return {
-                    "type": classify.element_type_from_text(cell),
+                    "type": etype,
                     "text": cell,
                     **common,
                 }
