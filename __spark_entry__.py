@@ -860,6 +860,21 @@ def q_embed_text_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ocr_supplement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """supplement_layout_with_ocr (ocr.py:436-491): OCR word boxes not
+    almost-covered (threshold 0.5) by a layout element are appended as
+    UncategorizedText regions. Native anti-join; full SQL oracle."""
+    from unstructured_spark.operators.layout_merge import supplement_layout_with_ocr
+
+    layout = _host_boxes(spark, sf_dir)
+    ocr = _small_text_boxes(spark, sf_dir).withColumn("source", F.lit("ocr"))
+    out = supplement_layout_with_ocr(layout, ocr, subregion_threshold=0.5)
+    return out.select(
+        "doc_id", "source", "kind",
+        F.col("box_id").cast("bigint").alias("box_id"), "x1", "y1",
+    )
+
+
 def q_layout_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 5-rule inferred/extracted page merge
     (array_merge_inferred_layout_with_extracted_layout,
@@ -1593,6 +1608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_box_dedup": q_box_dedup,
         "q_clean_inner_boxes": q_clean_inner_boxes,
         "q_embed_text_agg": q_embed_text_agg,
+        "q_ocr_supplement": q_ocr_supplement,
         "q_layout_merge": q_layout_merge,
     }
 
@@ -2682,6 +2698,43 @@ def oracle_sql() -> dict[str, str]:
                    then 'true' else 'partial' end as agg_is_extracted
             from joined
             group by doc_id, box_id, t_area
+        """,
+        "q_ocr_supplement": """
+            with hosts as (
+              select cast(doc_id as varchar) as doc_id,
+                cast(100 + t.j as bigint) as box_id,
+                case when t.j = 0 then 'Table' else 'NarrativeText' end as kind,
+                cast((cast(doc_id as bigint)*11 + t.j*401) % 500 as double) as x1,
+                cast((cast(doc_id as bigint)*13 + t.j*257) % 500 as double) as y1,
+                cast((cast(doc_id as bigint)*11 + t.j*401) % 500
+                     + 300 + cast(doc_id as bigint) % 180 as double) as x2,
+                cast((cast(doc_id as bigint)*13 + t.j*257) % 500
+                     + 200 + cast(doc_id as bigint) % 120 as double) as y2
+              from documents cross join range(0, 2) t(j)
+            ), ocr as (
+              select cast(doc_id as varchar) as doc_id,
+                cast(t.i as bigint) as box_id,
+                cast((cast(doc_id as bigint)*19 + t.i*83) % 950 as double) as x1,
+                cast((cast(doc_id as bigint)*23 + t.i*89) % 950 as double) as y1,
+                cast((cast(doc_id as bigint)*19 + t.i*83) % 950
+                     + 10 + (cast(doc_id as bigint) + t.i) % 30 as double) as x2,
+                cast((cast(doc_id as bigint)*23 + t.i*89) % 950
+                     + 6 + (cast(doc_id as bigint)*5 + t.i) % 20 as double) as y2
+              from documents cross join range(0, 6) t(i)
+            )
+            select doc_id, 'inferred' as source, kind, box_id, x1, y1 from hosts
+            union all
+            select o.doc_id, 'ocr' as source, 'UncategorizedText' as kind,
+                   o.box_id, o.x1, o.y1
+            from ocr o
+            where not exists (
+              select 1 from hosts h
+              where h.doc_id = o.doc_id
+                and greatest(least(o.x2,h.x2)-greatest(o.x1,h.x1)+1, 0)
+                  * greatest(least(o.y2,h.y2)-greatest(o.y1,h.y1)+1, 0)
+                  > 0.5 * greatest(0.01, (o.x2-o.x1+1)*(o.y2-o.y1+1))
+                and (o.x2-o.x1+1)*(o.y2-o.y1+1) <= (h.x2-h.x1+1)*(h.y2-h.y1+1)
+            )
         """,
         # q_layout_merge: intentionally no oracle — the rule-3 merge
         # iterates box expansion to a fixpoint (not SQL-expressible);
