@@ -512,8 +512,13 @@ def q_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force embedding near-dup pairs (cosine ≥ 0.95); the
-    SRP-blocked variant is q_srp_ann (rows-only check)."""
+    """Brute-force embedding near-dup pairs (cosine >= 0.95) — the
+    DECLARED CORRECTNESS BASELINE, kept because its oracle is an exact
+    SQL crossjoin. It broadcasts the whole embeddings table: at corpus
+    scale the broadcast alone fails. The production default is
+    ``similarity.embedding_near_duplicates`` (SRP-bucketed blocking,
+    similarity.py) or the IVF path (``ivf_topk``) — both compare only
+    within buckets/lists and shuffle on the bucket key instead."""
     emb = _t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.transform("embedding", lambda x: x.cast("double"))
     )

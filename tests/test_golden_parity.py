@@ -77,6 +77,30 @@ def test_cp1252_html_decodes_properly():
     assert "\x80" not in full
 
 
+@pytest.mark.parametrize(
+    "src",
+    [
+        "/root/reference/scripts/minio-test-helpers/wiki_movie_plots_small.csv",
+        "/root/reference/scripts/sftp-test-helpers/folder1/folder2/wiki_movie_plots_small2.csv",
+    ],
+    ids=["minio-csv", "sftp-csv"],
+)
+def test_csv_golden_parity(src):
+    """CSV → single Table element. The reference golden encodes real
+    CRLFs inside quoted cells as LITERAL backslash-r-backslash-n
+    characters (an ingest-serialization artifact, not partition
+    semantics) — normalize those to spaces before comparing."""
+    import glob
+
+    name = Path(src).name
+    golden = glob.glob(str(GOLD / "**" / f"{name}.json"), recursive=True)[0]
+    ref = json.loads(Path(golden).read_text())
+    ours = partition_bytes(Path(src).read_bytes(), filename=name)
+    assert [e["type"] for e in ours] == [e["type"] for e in ref] == ["Table"]
+    norm = lambda s: " ".join((s or "").replace("\\r\\n", " ").split())
+    assert norm(ours[0]["text"]) == norm(ref[0]["text"])
+
+
 def test_serde_wire_type_round_trip(spark):
     """'Text' serializes as 'UncategorizedText' and re-ingests back."""
     import pandas as pd

@@ -180,31 +180,49 @@ def embedding_near_duplicates(
     )
 
 
-def _centroid_entries(
-    seeds: list[tuple[int, list[float]]],
-) -> "Column":
-    """One literal array<struct<list_id,vec,nrm>> holding every coarse
-    centroid. Norms are precomputed in Python with the same
-    left-to-right fold both engines use (sum of squares then sqrt), so
-    downstream cosine values are bit-identical to computing the norm in
-    SQL; keeping them as literals stops the per-row re-evaluation —
-    lambda-bearing subtrees are not constant-folded by Catalyst.
+def _centroid_frame(spark, seeds: list[tuple[int, list[float]]]) -> DataFrame:
+    """ONE-row DataFrame carrying array<struct<list_id,vec,nrm>> with
+    every coarse centroid, for a broadcast cross-join.
+
+    Norms are precomputed in Python with the same left-to-right fold
+    both engines use (sum of squares then sqrt), so downstream cosine
+    values are bit-identical to computing the norm in SQL.
+
+    Shipping centroids as broadcast DATA instead of literal
+    expressions keeps whole-stage codegen small and constant-size: the
+    literal form inlines nlist×dim doubles into the generated class
+    (1k+ constants for 16×64), whose janino compile time dominates the
+    query and degrades as the JVM code cache fills across a long
+    session. A 1-row BroadcastNestedLoopJoin costs nothing at any
+    scale.
     """
     import math
+
+    from pyspark.sql import types as T
 
     entries = []
     for lid, cvec in seeds:
         acc = 0.0
         for v in cvec:
             acc += v * v
-        entries.append(
-            F.struct(
-                F.lit(int(lid)).alias("list_id"),
-                F.array(*[F.lit(float(v)) for v in cvec]).alias("vec"),
-                F.lit(math.sqrt(acc)).alias("nrm"),
+        entries.append((int(lid), [float(v) for v in cvec], math.sqrt(acc)))
+    schema = T.StructType(
+        [
+            T.StructField(
+                "_cents",
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField("list_id", T.LongType()),
+                            T.StructField("vec", T.ArrayType(T.DoubleType())),
+                            T.StructField("nrm", T.DoubleType()),
+                        ]
+                    )
+                ),
             )
-        )
-    return F.array(*entries)
+        ]
+    )
+    return spark.createDataFrame([(entries,)], schema)
 
 
 def _centroid_sims(vec: Column, vnorm: Column, cents: Column) -> Column:
@@ -252,13 +270,14 @@ def ivf_topk(
         corpus.select(id_col, vec_col).orderBy(id_col).limit(nlist).collect()
     )
     seeds = [(int(r[0]), [float(x) for x in r[1]]) for r in seed_rows]
-    cents = _centroid_entries(seeds)
+    cent_df = _centroid_frame(corpus.sparkSession, seeds)
+    cents = F.col("_cents")
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cvec"),
         l2_norm(F.col(vec_col)).alias("_cn"),
-    )
+    ).crossJoin(F.broadcast(cent_df))
     # struct ordering compares sim first, then list_id — ties go to the
     # larger list_id, mirrored by the oracle's ORDER BY ... list_id DESC
     c = c.select(
@@ -274,7 +293,7 @@ def ivf_topk(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qvec"),
         l2_norm(F.col(vec_col)).alias("_qn"),
-    )
+    ).crossJoin(F.broadcast(cent_df))
     probes = (
         q.select(
             "query_id",

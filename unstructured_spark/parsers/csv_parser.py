@@ -36,7 +36,13 @@ def csv_to_elements(content: str, delimiter: str | None = None) -> list[dict]:
     rows = [r for r in csv.reader(io.StringIO(content), delimiter=delim)]
     if not rows:
         return []
-    text = "\n".join(" ".join(c for c in row if c) for row in rows).strip()
+    # table text is whitespace-normalized across cells AND rows — the
+    # reference takes HtmlTable.text of the rendered sheet
+    # (csv.py:23-78, html_table.py:141-146)
+    text = " ".join(
+        " ".join(" ".join(c.split()) for c in row if c.strip()) for row in rows
+    ).strip()
+    text = " ".join(text.split())
     return [{"type": "Table", "text": text, "text_as_html": _to_html(rows)}]
 
 
