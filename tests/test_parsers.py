@@ -50,10 +50,28 @@ class TestText:
         assert text_to_elements(fixtures.EMPTY_TEXT) == []
 
     def test_group_broken_paragraphs(self):
+        # long-enough lines (>=5 words) inside a block are re-joined
         els = text_to_elements(
-            "line one\nline two\n\nnext para", paragraph_grouper="group_broken"
+            "The big red fox is going\ndown the big lane now\n\nnext paragraph here",
+            paragraph_grouper="group_broken",
         )
-        assert [e["text"] for e in els] == ["line one line two", "next para"]
+        assert [e["text"] for e in els] == [
+            "The big red fox is going down the big lane now",
+            "next paragraph here",
+        ]
+
+    def test_group_broken_short_line_stack_stays_split(self):
+        # a block whose lines are ALL short (<5 words) is one element
+        # per line (reference cleaners/core.py:172-180 "Apache License")
+        els = text_to_elements(
+            "Apache License\nVersion 2.0, January 2004\nhttps://apache.org/licenses/",
+            paragraph_grouper="group_broken",
+        )
+        assert [e["text"] for e in els] == [
+            "Apache License",
+            "Version 2.0, January 2004",
+            "https://apache.org/licenses/",
+        ]
 
 
 class TestHtml:

@@ -37,7 +37,10 @@ def sentence_count(col: Column, min_length: int | None = None) -> Column:
     """Count sentence-ish fragments; with ``min_length``, only fragments
     with at least that many words count (reference text_type.py:208-233).
     """
-    parts = F.split(col, "[.!?] |[.!?]$")
+    # ASCII enders need a following space/EOS; CJK/Armenian/Arabic/
+    # Devanagari/Ethiopic full stops end sentences with no space
+    # (the reference's spaCy sentencizer recognizes these natively)
+    parts = F.split(col, "[.!?] |[.!?]$|[。！？։؟۔।።]")
     parts = F.filter(parts, lambda p: F.trim(p) != "")
     if min_length:
         parts = F.filter(
@@ -112,7 +115,7 @@ def is_possible_narrative_text(
 ) -> Column:
     """Reference text_type.py:27-88: non-empty, not pure-numeric, cap
     ratio ≤ threshold (unless all-caps), alpha ratio ok, and (has verb or
-    ≥2 sentences of ≥5 words).
+    ≥2 sentences of ≥3 words).
     """
     text = F.trim(col)
     all_caps = text == F.upper(text)
@@ -121,7 +124,7 @@ def is_possible_narrative_text(
         & ~is_numeric(text)
         & (all_caps | ~exceeds_cap_ratio(text, cap_threshold))
         & under_non_alpha_ratio(text, non_alpha_threshold)
-        & (contains_verb(text) | (sentence_count(text, 5) >= 2))
+        & (contains_verb(text) | (sentence_count(text, 3) >= 2))
     )
 
 

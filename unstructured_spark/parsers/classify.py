@@ -18,7 +18,7 @@ EMAIL_RE = re.compile(f"^{patterns.EMAIL_ADDRESS}$")
 ZIP_RE = re.compile(f"^{patterns.US_CITY_STATE_ZIP}$")
 PHONE_RE = re.compile(patterns.US_PHONE)
 NUMERIC_RE = re.compile(r"^[0-9.,$%() \-]+$")
-SENTENCE_SPLIT_RE = re.compile(r"[.!?] |[.!?]$")
+SENTENCE_SPLIT_RE = re.compile(r"[.!?] |[.!?]$|[。！？։؟۔।።]")
 VERB_SUFFIX_RE = re.compile(r"(?i)\b[^\W\d_]{3,}(ing|ed)\b")
 
 _COMMON_VERBS = frozenset(
@@ -101,7 +101,9 @@ def is_possible_narrative_text(text: str, cap_threshold: float = 0.5) -> bool:
         return False
     if not under_non_alpha_ratio(t):
         return False
-    return contains_verb(t) or sentence_count(t, 5) >= 2
+    # reference: "eng" verb gate applies only when under 2 sentences of
+    # >=3 words (text_type.py:85-88)
+    return contains_verb(t) or sentence_count(t, 3) >= 2
 
 
 def is_possible_title(
