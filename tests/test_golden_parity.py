@@ -40,6 +40,11 @@ def _ours(name: str) -> list[dict]:
     return partition_bytes(raw, filename=name)
 
 
+def _ours_path(path: str) -> list[dict]:
+    p = Path(path)
+    return partition_bytes(p.read_bytes(), filename=p.name)
+
+
 def _golden(rel: str) -> list[dict]:
     return json.loads((GOLD / rel).read_text())
 
@@ -99,6 +104,26 @@ def test_csv_golden_parity(src):
     assert [e["type"] for e in ours] == [e["type"] for e in ref] == ["Table"]
     norm = lambda s: " ".join((s or "").replace("\\r\\n", " ").split())
     assert norm(ours[0]["text"]) == norm(ref[0]["text"])
+
+
+def test_handbook_docx_elements_via_orig_elements_codec():
+    """handbook-1p.docx: the golden is CHUNKED output, but each chunk
+    carries the reference's raw elements in the compressed
+    ``orig_elements`` metadata (base64+zlib). Decode them with OUR
+    serde codec (wire-compat check) and compare the deduped element
+    stream against our partition output — exact on types + texts."""
+    from unstructured_spark.operators.serde import decode_orig_elements
+
+    chunks = _golden("local-single-file-basic-chunking/handbook-1p.docx.json")
+    ref_els: list[dict] = []
+    for c in chunks:
+        for e in decode_orig_elements(c["metadata"]["orig_elements"]):
+            # a long element spans several chunks; keep first occurrence
+            if not ref_els or ref_els[-1].get("element_id") != e.get("element_id"):
+                ref_els.append(e)
+    ours = _ours_path("/root/reference/example-docs/handbook-1p.docx")
+    assert [WIRE_TYPE.get(e["type"], e["type"]) for e in ours] == [e["type"] for e in ref_els]
+    assert [(e["text"] or "") for e in ours] == [e["text"] for e in ref_els]
 
 
 def test_udhr_multilingual_golden():

@@ -104,8 +104,15 @@ def contains_verb(col: Column) -> Column:
     cond = F.lit(False)
     for v in _COMMON_VERBS:
         cond = cond | lowered.contains(f" {v} ")
-    # gerund/past-tense suffix heuristic
-    return cond | col.rlike("(?i)\\b\\p{L}{3,}(ing|ed)\\b")
+    # gerund/past-tense suffix heuristic, minus the nominal/adjectival
+    # false positives (must stay in lockstep with
+    # parsers/classify._VERB_SUFFIX_FALSE_POSITIVES)
+    from unstructured_spark.parsers.classify import _VERB_SUFFIX_FALSE_POSITIVES
+
+    fp = "|".join(sorted(_VERB_SUFFIX_FALSE_POSITIVES))
+    return cond | col.rlike(
+        rf"(?i)\b(?!(?:{fp})\b)\p{{L}}{{3,}}(ing|ed)\b"
+    )
 
 
 def is_possible_narrative_text(

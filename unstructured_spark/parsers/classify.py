@@ -86,11 +86,24 @@ def is_numeric(text: str) -> bool:
     return bool(NUMERIC_RE.match(t)) and any(c.isdigit() for c in t)
 
 
+_VERB_SUFFIX_FALSE_POSITIVES = frozenset(
+    # -ed/-ing words that are (almost) always nominal/adjectival in
+    # documents; the reference's POS tagger resolves these by context
+    "united kindred hundred sacred naked wicked rugged ragged beloved "
+    "standing outstanding "
+    "everything anything nothing something king ring spring string "
+    "thing wing sterling darling duckling sibling".split()
+)
+
+
 def contains_verb(text: str) -> bool:
     lowered = text.lower().split()
-    return bool(_COMMON_VERBS.intersection(lowered)) or bool(
-        VERB_SUFFIX_RE.search(text)
-    )
+    if _COMMON_VERBS.intersection(lowered):
+        return True
+    for m in VERB_SUFFIX_RE.finditer(text):
+        if m.group(0).lower() not in _VERB_SUFFIX_FALSE_POSITIVES:
+            return True
+    return False
 
 
 def is_possible_narrative_text(text: str, cap_threshold: float = 0.5) -> bool:

@@ -140,7 +140,8 @@ def _classify_paragraph(
     text = _para_text(p)
     if not text.strip():
         return None, "", None
-    text = text.strip()
+    # reference keeps the raw run text verbatim (incl. trailing tabs);
+    # only blank paragraphs are dropped (docx.py:442-452)
 
     ppr = p.find(f"{W}pPr")
     style_name = None
