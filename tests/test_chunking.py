@@ -475,3 +475,16 @@ class TestTableRoundTrip:
         rebuilt = reconstruct_table_from_chunks(chunks).collect()[0]
         assert rebuilt["text"] == text
         assert rebuilt["text_as_html"] == html
+
+
+class TestChunkTextNormalization:
+    def test_element_text_whitespace_normalized(self):
+        rows = _elements(("NarrativeText", "A.\tPURPOSE  with   tabs"),
+                         ("NarrativeText", "second\npart"))
+        chunks = _run_fold(rows, max_characters=500)
+        assert chunks[0]["text"] == "A. PURPOSE with tabs\n\nsecond part"
+
+    def test_code_snippet_keeps_whitespace(self):
+        rows = _elements(("CodeSnippet", "def f():\n    return 1"))
+        chunks = _run_fold(rows, max_characters=500)
+        assert chunks[0]["text"] == "def f():\n    return 1"

@@ -426,6 +426,13 @@ def _pre_chunk_fold(
     for row in rows:
         etype = row["type"]
         text = row["text"] or ""
+        # element text is whitespace-normalized at chunking time —
+        # EXCEPT CodeSnippet, which keeps its formatting (reference
+        # _iter_text_segments, base.py:733-749); Tables keep raw text
+        # too (the table chunker normalizes internally)
+        if etype not in ("CodeSnippet", "Table", "TableChunk"):
+            text = " ".join(text.strip().split())
+            row = dict(row, text=text)
         if etype == "CheckBox" or text == "":
             continue
         sep_len = opts.sep_cost() if acc else 0
