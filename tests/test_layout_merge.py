@@ -279,3 +279,19 @@ def test_merge_output_reading_order(spark):
     )
     assert [r["text"] for r in out] == ["above", "middle", "below"]
     assert [r["box_id"] for r in out] == [0, 1, 2]
+
+
+def test_remove_duplicate_boxes_dense_page_not_decimated(spark):
+    # mirrors reference test_remove_duplicate_elements_dense_page_is_not_decimated:
+    # 2500 unique non-overlapping boxes + one exact duplicate of box 0
+    # appended last -> only the duplicate pair collapses
+    rows = [
+        ("d1", 1, i, "pdfminer", "Text",
+         float((i % 50) * 20), float((i // 50) * 20),
+         float((i % 50) * 20 + 10), float((i // 50) * 20 + 10),
+         f"Text {i}", None)
+        for i in range(2500)
+    ]
+    rows.append(("d1", 1, 2500, "pdfminer", "Text", 0.0, 0.0, 10.0, 10.0, "dup", None))
+    df = spark.createDataFrame(rows, COLS)
+    assert lm.remove_duplicate_boxes(df).count() == 2500
