@@ -930,6 +930,57 @@ def q12_late_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q04_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS semi-join — count orders per priority
+    that have at least one late line (shipped >30 days after the order
+    date; the testdata carries no commit/receipt dates, so lateness is
+    shipdate-based). Spark plans a LeftSemi join; the oracle uses the
+    literal EXISTS subquery."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1995-07-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    late = li.join(
+        o.select("o_orderkey", "o_orderdate"), li.l_orderkey == F.col("o_orderkey")
+    ).filter(F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 30)
+    semi = o.join(late.select(F.col("l_orderkey").alias("k")).distinct(),
+                  o.o_orderkey == F.col("k"), "left_semi")
+    return (
+        semi.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+def q09_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: multi-way join (lineitem ⋈ part ⋈ supplier ⋈
+    nation ⋈ derived partsupp) → profit by nation and order year.
+    Profit sums in decimal space so both engines agree to the cent."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type").contains("PROMO"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders")
+    ps = _partsupp(spark, sf_dir)
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("ps_supplycost") * F.col("l_quantity")
+    ).cast("decimal(18,6)")
+    joined = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(ps, (li.l_partkey == ps.ps_partkey) & (li.l_suppkey == ps.ps_suppkey))
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+    )
+    return (
+        joined.groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(F.round(F.sum(amount), 2).cast("double").alias("sum_profit"))
+    )
+
+
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: conditional revenue share of PROMO parts."""
     li = _t(spark, sf_dir, "lineitem").filter(
@@ -1610,6 +1661,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_excess_stock_suppliers": q20_excess_stock_suppliers,
         "q_dup_clusters": q_dup_clusters,
         "q_salted_user_value": q_salted_user_value,
+        "q04_order_priority_check": q04_order_priority_check,
+        "q09_product_type_profit": q09_product_type_profit,
         "q_box_dedup": q_box_dedup,
         "q_clean_inner_boxes": q_clean_inner_boxes,
         "q_embed_text_agg": q_embed_text_agg,
@@ -2067,6 +2120,33 @@ def oracle_sql() -> dict[str, str]:
                      / (sqrt(list_aggregate(list_transform(a.e, x -> x * x), 'sum'))
                         * sqrt(list_aggregate(list_transform(b.e, x -> x * x), 'sum'))),
                      6) >= 0.95
+        """,
+        "q04_order_priority_check": """
+            select o_orderpriority, cast(count(*) as bigint) as order_count
+            from orders o
+            where o_orderdate >= '1995-01-01' and o_orderdate < '1995-07-01'
+              and exists (
+                select 1 from lineitem l
+                where l.l_orderkey = o.o_orderkey
+                  and datediff('day', cast(o.o_orderdate as date),
+                               cast(l.l_shipdate as date)) > 30)
+            group by o_orderpriority
+        """,
+        "q09_product_type_profit": """
+            with """ + _PARTSUPP_CTE + """
+            select n_name as nation,
+                   cast(year(o_orderdate) as bigint) as o_year,
+                   cast(round(sum(cast(
+                       l_extendedprice * (1 - l_discount)
+                       - ps_supplycost * l_quantity as decimal(18,6))), 2)
+                     as double) as sum_profit
+            from lineitem
+            join part on l_partkey = p_partkey and p_type like '%PROMO%'
+            join partsupp on l_partkey = ps_partkey and l_suppkey = ps_suppkey
+            join supplier on l_suppkey = s_suppkey
+            join nation on s_nationkey = n_nationkey
+            join orders on l_orderkey = o_orderkey
+            group by n_name, year(o_orderdate)
         """,
         "q_srp_ann_topk": """
             with base as (

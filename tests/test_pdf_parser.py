@@ -107,10 +107,95 @@ class TestStrategyGate:
     def test_auto_routes_scanned_to_ocr(self):
         from unstructured_spark.parsers.pdf_parser import determine_pdf_strategy
 
-        # a PDF whose pages have no text operators → not extractable
+        # a PDF whose pages have no text operators → not extractable;
+        # with models present (injected) auto → ocr_only
         scanned = b"%PDF-1.4\n1 0 obj\n<< /Type /Page >>\nendobj\n%%EOF"
-        assert determine_pdf_strategy(scanned) == "ocr_only"
+        assert determine_pdf_strategy(
+            scanned, inference_installed=True, ocr_installed=True
+        ) == "ocr_only"
 
-    def test_model_strategies_gated(self):
-        with pytest.raises(NotImplementedError, match="layout/OCR model"):
-            pdf_to_elements(fx.make_pdf(), strategy="hi_res")
+    def test_scanned_without_models_is_unprocessable(self):
+        from unstructured_spark.parsers.pdf_parser import determine_pdf_strategy
+
+        scanned = b"%PDF-1.4\n1 0 obj\n<< /Type /Page >>\nendobj\n%%EOF"
+        with pytest.raises(ValueError, match="not extractable"):
+            determine_pdf_strategy(
+                scanned, inference_installed=False, ocr_installed=False
+            )
+
+    def test_hi_res_without_models_falls_back_to_fast(self):
+        # reference fallback (strategies.py:58-70): hi_res requested,
+        # no inference model and no OCR in this container → fast path
+        els = pdf_to_elements(fx.make_pdf(), strategy="hi_res")
+        assert len(els) > 0
+
+    def test_model_strategies_gated_when_chosen(self):
+        # a strategy that RESOLVES to a model-bound path still raises
+        # the honest dependency gate (ocr_only w/o OCR + unextractable
+        # falls back to hi_res — model absent → gate)
+        from unstructured_spark.parsers import pdf_parser
+
+        with pytest.raises((NotImplementedError, ValueError)):
+            pdf_parser.pdf_to_elements(
+                b"%PDF-1.4\n1 0 obj\n<< /Type /Page >>\nendobj\n%%EOF",
+                strategy="ocr_only",
+            )
+
+
+class TestStrategyDecisionTable:
+    """reference partition/strategies.py:8-109 decision table with
+    injected dependency availability."""
+
+    def _d(self, strategy, **kw):
+        from unstructured_spark.parsers.strategies import determine_pdf_or_image_strategy
+        return determine_pdf_or_image_strategy(strategy, **kw)
+
+    def test_auto_image_is_hi_res(self):
+        assert self._d("auto", is_image=True, inference_installed=True,
+                       ocr_installed=True) == "hi_res"
+
+    def test_auto_table_structure_is_hi_res(self):
+        assert self._d("auto", infer_table_structure=True, pdf_text_extractable=True,
+                       inference_installed=True, ocr_installed=True) == "hi_res"
+
+    def test_auto_extract_images_is_hi_res(self):
+        assert self._d("auto", extract_images_in_pdf=True, pdf_text_extractable=True,
+                       inference_installed=True, ocr_installed=True) == "hi_res"
+
+    def test_auto_extractable_is_fast(self):
+        assert self._d("auto", pdf_text_extractable=True,
+                       inference_installed=True, ocr_installed=True) == "fast"
+
+    def test_auto_scanned_is_ocr_only(self):
+        assert self._d("auto", pdf_text_extractable=False,
+                       inference_installed=True, ocr_installed=True) == "ocr_only"
+
+    def test_hi_res_without_inference_falls_to_ocr_only(self):
+        assert self._d("hi_res", pdf_text_extractable=True,
+                       inference_installed=False, ocr_installed=True) == "ocr_only"
+
+    def test_hi_res_without_any_model_falls_to_fast(self):
+        assert self._d("hi_res", pdf_text_extractable=True,
+                       inference_installed=False, ocr_installed=False) == "fast"
+
+    def test_ocr_only_without_ocr_extractable_falls_to_fast(self):
+        assert self._d("ocr_only", pdf_text_extractable=True,
+                       inference_installed=True, ocr_installed=False) == "fast"
+
+    def test_ocr_only_without_ocr_scanned_falls_to_hi_res(self):
+        assert self._d("ocr_only", pdf_text_extractable=False,
+                       inference_installed=True, ocr_installed=False) == "hi_res"
+
+    def test_nothing_available_raises(self):
+        import pytest
+        with pytest.raises(ValueError, match="not extractable"):
+            self._d("auto", pdf_text_extractable=False,
+                    inference_installed=False, ocr_installed=False)
+
+    def test_validate_rejects_fast_for_images(self):
+        import pytest
+        from unstructured_spark.parsers.strategies import validate_strategy
+        with pytest.raises(ValueError, match="not available for image"):
+            validate_strategy("fast", is_image=True)
+        with pytest.raises(ValueError, match="not a valid strategy"):
+            validate_strategy("turbo")

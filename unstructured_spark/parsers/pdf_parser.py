@@ -637,22 +637,37 @@ def _runs_to_blocks(
     return out
 
 
-def determine_pdf_strategy(content: bytes, requested: str = "auto") -> str:
-    """The reference's only cost-based plan decision (strategies.py:24-109,
-    pdf.py:300-337): a cheap probe of text-extractability steers the
-    expensive path. ``auto`` → ``fast`` when the content streams yield
-    text; otherwise ``ocr_only`` (scanned/image PDF)."""
-    if requested != "auto":
-        return requested
+def pdf_text_extractable(content: bytes) -> bool:
+    """Cheap probe: do the first few pages' content streams yield text
+    runs? (reference extractable_elements, pdf.py:304-337)."""
     try:
         doc = _PdfDoc(content)
         for page in doc.pages()[:3]:  # probe a few pages, not the book
             stream = doc.page_content(page)
             if stream and _extract_runs(stream, {}):
-                return "fast"
+                return True
     except Exception:
         pass
-    return "ocr_only"
+    return False
+
+
+def determine_pdf_strategy(content: bytes, requested: str = "auto", **kwargs) -> str:
+    """The reference's only cost-based plan decision (strategies.py:24-109,
+    pdf.py:300-337): the text-extractability probe feeds the full
+    strategy decision table (parsers/strategies.py) — ``auto`` →
+    ``fast`` when the content streams yield text; otherwise
+    ``ocr_only``/``hi_res`` subject to dependency fallbacks."""
+    from unstructured_spark.parsers.strategies import (
+        determine_pdf_or_image_strategy,
+        validate_strategy,
+    )
+
+    validate_strategy(requested)
+    return determine_pdf_or_image_strategy(
+        requested,
+        pdf_text_extractable=pdf_text_extractable(content),
+        **kwargs,
+    )
 
 
 def pdf_to_elements(content: bytes, strategy: str = "auto") -> list[dict]:
