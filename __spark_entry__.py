@@ -391,6 +391,49 @@ def q_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document-quality gate (Rae et al. 2021 Table A1):
+    word/line stats, symbol + bullet + ellipsis ratios, stopword
+    presence, duplicate line/paragraph fractions, and the composite
+    keep/drop flag. All native zero-shuffle array expressions —
+    scales by scan parallelism alone."""
+    from unstructured_spark.operators import quality_filters as qf
+
+    docs = _t(spark, sf_dir, "documents")
+    gq = qf.gopher_quality(docs)
+    frac_cols = [
+        "mean_word_len",
+        "alpha_word_frac",
+        "symbol_word_ratio",
+        "bullet_line_frac",
+        "ellipsis_line_frac",
+        "dup_line_frac",
+        "dup_line_char_frac",
+        "dup_para_frac",
+        "dup_para_char_frac",
+    ]
+    out = gq.select(
+        "doc_id",
+        F.col("word_count").cast("bigint").alias("word_count"),
+        F.col("line_count").cast("bigint").alias("line_count"),
+        F.col("stopword_count").cast("bigint").alias("stopword_count"),
+        *[F.round(F.col(c), 6).alias(c) for c in frac_cols],
+        "gopher_keep",
+    )
+    return out
+
+
+def q_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher n-gram repetition signals per document: duplicate
+    2/5-gram occurrence fractions + top-gram character coverage.
+    Word-count-shaped plan: native gram arrays → explode → two-level
+    groupBy with map-side partials; uniform shuffle keys."""
+    from unstructured_spark.operators import quality_filters as qf
+
+    docs = _t(spark, sf_dir, "documents")
+    return qf.ngram_repetition(docs, ns=(2, 5))
+
+
 def q_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return dedup.exact_duplicates(docs).select(
@@ -1620,6 +1663,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_doc_quantiles": q_doc_quantiles,
         "q_element_type_match": q_element_type_match,
         "q_token_freq": q_token_freq,
+        "q_gopher_quality": q_gopher_quality,
+        "q_ngram_repetition": q_ngram_repetition,
         "q_exact_dups": q_exact_dups,
         "q_minhash_signatures": q_minhash_signatures,
         "q_lsh_candidate_pairs": q_lsh_candidate_pairs,
@@ -1978,6 +2023,81 @@ def oracle_sql() -> dict[str, str]:
             )
             group by token
         """,
+        "q_gopher_quality": """
+with w as (
+  select doc_id, text,
+    list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') as ws,
+    list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), x -> x <> '') as ls,
+    list_filter(list_transform(regexp_split_to_array(text, '\\n\\s*\\n'), x -> trim(x)), x -> x <> '') as ps
+  from documents
+), s as (
+  select doc_id,
+    len(ws) as wc, len(ls) as lc, len(ps) as pc,
+    coalesce(list_aggregate(list_transform(ws, x -> length(x)), 'sum'), 0) as wchars,
+    len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) as alpha,
+    len(list_filter(ws, x -> list_contains(
+      ['the','be','to','of','and','that','have','with','a','in','it','on'], lower(x)))) as stop_cnt,
+    length(text) - length(replace(text, '#', '')) as hash_cnt,
+    len(string_split(text, '...')) - 1 as ell_cnt,
+    len(list_filter(ls, x -> regexp_matches(x, '^[-*•‣⁃]'))) as bullet_lines,
+    len(list_filter(ls, x -> regexp_matches(x, '\\.\\.\\.$'))) as ell_lines,
+    coalesce(list_aggregate(list_transform(ls, x -> length(x)), 'sum'), 0) as lchars,
+    coalesce(list_aggregate(list_transform(list_distinct(ls), x -> length(x)), 'sum'), 0) as dlchars,
+    len(list_distinct(ls)) as dlc,
+    coalesce(list_aggregate(list_transform(ps, x -> length(x)), 'sum'), 0) as pchars,
+    coalesce(list_aggregate(list_transform(list_distinct(ps), x -> length(x)), 'sum'), 0) as dpchars,
+    len(list_distinct(ps)) as dpc
+  from w
+)
+select doc_id,
+  cast(wc as bigint) as word_count,
+  cast(lc as bigint) as line_count,
+  cast(stop_cnt as bigint) as stopword_count,
+  round(case when wc > 0 then wchars / wc else 0.0 end, 6) as mean_word_len,
+  round(case when wc > 0 then alpha / wc else 0.0 end, 6) as alpha_word_frac,
+  round(case when wc > 0 then (hash_cnt + ell_cnt) / wc else 0.0 end, 6) as symbol_word_ratio,
+  round(case when lc > 0 then bullet_lines / lc else 0.0 end, 6) as bullet_line_frac,
+  round(case when lc > 0 then ell_lines / lc else 0.0 end, 6) as ellipsis_line_frac,
+  round(case when lc > 0 then 1.0 - dlc / lc else 0.0 end, 6) as dup_line_frac,
+  round(case when lchars > 0 then (lchars - dlchars) / lchars else 0.0 end, 6) as dup_line_char_frac,
+  round(case when pc > 0 then 1.0 - dpc / pc else 0.0 end, 6) as dup_para_frac,
+  round(case when pchars > 0 then (pchars - dpchars) / pchars else 0.0 end, 6) as dup_para_char_frac,
+  ((wc between 50 and 100000)
+   and ((case when wc > 0 then wchars / wc else 0.0 end) between 3.0 and 10.0)
+   and ((case when wc > 0 then (hash_cnt + ell_cnt) / wc else 0.0 end) <= 0.1)
+   and ((case when lc > 0 then bullet_lines / lc else 0.0 end) <= 0.9)
+   and ((case when lc > 0 then ell_lines / lc else 0.0 end) <= 0.3)
+   and ((case when wc > 0 then alpha / wc else 0.0 end) >= 0.8)
+   and (stop_cnt >= 2)) as gopher_keep
+from s
+""",
+        "q_ngram_repetition": """
+with w as (
+  select doc_id, length(trim(text)) as text_len,
+    list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') as ws
+  from documents
+), grams as (
+  select doc_id, text_len, n,
+    unnest([array_to_string(ws[i:i+n-1], ' ')
+            for i in range(1, greatest(len(ws) - n + 2, 1))]) as gram
+  from w cross join (select unnest([2, 5]) as n) t
+), counts as (
+  select doc_id, text_len, n, gram, count(*) as cnt
+  from grams group by doc_id, text_len, n, gram
+), per_n as (
+  select doc_id, text_len, n,
+    sum(cnt) as total,
+    max(cnt * length(gram)) as top_chars,
+    sum(case when cnt > 1 then cnt else 0 end) as dup_occ
+  from counts group by doc_id, text_len, n
+)
+select doc_id,
+  round(max(case when n = 2 then dup_occ / total end), 6) as dup_2gram_frac,
+  round(max(case when n = 2 then top_chars / greatest(text_len, 1) end), 6) as top_2gram_char_frac,
+  round(max(case when n = 5 then dup_occ / total end), 6) as dup_5gram_frac,
+  round(max(case when n = 5 then top_chars / greatest(text_len, 1) end), 6) as top_5gram_char_frac
+from per_n group by doc_id
+""",
         "q_exact_dups": """
             select md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) as fingerprint,
                    min(doc_id) as keep_id,
