@@ -1,0 +1,118 @@
+"""Storage layout for 100 TB corpora: bucketing, partition pruning,
+and plan-inspection helpers.
+
+At cluster scale the dominant costs of this engine's pipelines are the
+shuffles that cluster elements/chunks/signatures by ``doc_id`` and the
+joins between corpus-sized tables (elements ⋈ chunks, signatures ⋈
+signatures, detections ⋈ extractions). Both disappear when the tables
+are **written pre-clustered**:
+
+- ``write_bucketed`` persists a table hash-bucketed (and bucket-sorted)
+  on a key. Two tables bucketed the same way join/aggregate on that key
+  with ZERO exchange — Spark's bucketed scan reports the hash
+  distribution to the planner, which elides the shuffle. Write once,
+  save a shuffle in every downstream job.
+- ``write_partitioned`` persists directory-partitioned parquet
+  (e.g. by ingest date / source): queries filtering on the partition
+  column scan only matching directories (partition pruning — visible
+  as ``PartitionFilters`` in the scan node).
+- ``physical_plan`` / ``count_exchanges`` / ``assert_no_shuffle`` make
+  the resulting plans testable — the repo's tests pin the zero-shuffle
+  property so a regression fails CI rather than costing a 100 TB
+  shuffle in production.
+
+The bucket count is a layout contract: pick ``num_buckets`` ≈ corpus
+size / (executor-digestible split), and keep it IDENTICAL across
+tables meant to co-join (mismatched counts fall back to a shuffle on
+one side).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    *,
+    num_buckets: int,
+    bucket_col: str = "doc_id",
+    sort_cols: tuple[str, ...] | None = None,
+    path: str | None = None,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` as a bucketed (+ bucket-sorted) table.
+
+    Sorting inside buckets (default: the bucket key) additionally lets
+    sort-merge joins skip their per-task sort, and gives per-doc
+    operators (chunking folds, hierarchy) presorted input."""
+    writer = df.write.format(fmt).mode(mode).bucketBy(num_buckets, bucket_col)
+    writer = writer.sortBy(*(sort_cols or (bucket_col,)))
+    if path:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    *,
+    partition_cols: tuple[str, ...],
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Directory-partitioned layout for partition pruning on
+    low-cardinality scan predicates (ingest date, source, language)."""
+    df.write.format(fmt).mode(mode).partitionBy(*partition_cols).save(path)
+
+
+# ---------------------------------------------------------------------------
+# plan inspection
+# ---------------------------------------------------------------------------
+
+
+def physical_plan(df: DataFrame) -> str:
+    """The executed physical plan as a string (what ``explain()``
+    prints, capturable for assertions)."""
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_plan(df: DataFrame) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def count_exchanges(df: DataFrame) -> int:
+    """Number of shuffle exchanges in the physical plan (broadcast
+    exchanges excluded — those are the cheap kind)."""
+    plan = physical_plan(df)
+    return sum(
+        1
+        for line in plan.splitlines()
+        if "Exchange" in line and "BroadcastExchange" not in line
+    )
+
+
+def assert_no_shuffle(df: DataFrame, context: str = "") -> None:
+    n = count_exchanges(df)
+    if n:
+        raise AssertionError(
+            f"plan contains {n} shuffle exchange(s){' in ' + context if context else ''}:\n"
+            + physical_plan(df)
+        )
+
+
+def scan_pushdown_info(df: DataFrame) -> dict[str, bool]:
+    """Quick pushdown audit of a scan-bearing plan: whether the parquet
+    scan carries PushedFilters / PartitionFilters."""
+    plan = physical_plan(df)
+    return {
+        "pushed_filters": "PushedFilters: []" not in plan and "PushedFilters" in plan,
+        "partition_filters": "PartitionFilters: []" not in plan
+        and "PartitionFilters" in plan,
+    }
+
+
+def drop_table(spark: SparkSession, table: str) -> None:
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
