@@ -1,0 +1,150 @@
+"""Pure-stdlib image codec (parsers/image_codec.py) + the multimodal
+operators it powers. Real-file cases use the reference's example-docs
+image fixtures."""
+
+import struct
+from pathlib import Path
+
+import pytest
+
+from unstructured_spark.operators.multimodal import probe_bytes
+from unstructured_spark.parsers.image_codec import (
+    ImageDecodeError,
+    decode_bmp,
+    decode_gif,
+    decode_image,
+    decode_png,
+    encode_png,
+    luminance_histogram,
+    resize_nearest,
+)
+
+DOCS = Path("/root/reference/example-docs")
+
+
+def _gradient_rgb(w: int, h: int) -> bytearray:
+    px = bytearray()
+    for y in range(h):
+        for x in range(w):
+            px += bytes([(x * 7) % 256, (y * 11) % 256, (x * y) % 256])
+    return px
+
+
+def _tiny_gif(pixels: list[int], w: int, h: int) -> bytes:
+    """Hand-build a GIF89a with a 4-color table; LZW stream emits a
+    clear code before every literal so all codes stay 3-bit."""
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x81, 0, 0])  # GCT flag, 2-bit color resolution, 4 entries
+    out += bytes([0, 0, 0, 255, 0, 0, 0, 255, 0, 0, 0, 255])  # K R G B
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    out += bytes([2])  # LZW min code size
+    codes = []
+    for p in pixels:
+        codes += [4, p]  # clear, literal
+    codes.append(5)  # end
+    bits = buf = nbits = 0
+    stream = bytearray()
+    for c in codes:
+        buf |= c << nbits
+        nbits += 3
+        while nbits >= 8:
+            stream.append(buf & 0xFF)
+            buf >>= 8
+            nbits -= 8
+    if nbits:
+        stream.append(buf & 0xFF)
+    out += bytes([len(stream)]) + stream + b"\x00" + b"\x3b"
+    return bytes(out)
+
+
+class TestPngRoundTrip:
+    @pytest.mark.parametrize("channels", [1, 2, 3, 4])
+    def test_encode_decode_identity(self, channels):
+        w, h = 13, 9
+        px = bytearray((x * 31 + 7 * c) % 256 for x in range(w * h) for c in range(channels))
+        data = encode_png(w, h, channels, px)
+        w2, h2, c2, px2 = decode_png(data)
+        assert (w2, h2, c2) == (w, h, channels)
+        assert px2 == px
+
+    def test_real_reference_png(self):
+        raw = (DOCS / "img" / "DA-1p.png").read_bytes()
+        meta = probe_bytes(raw)
+        w, h, c, px = decode_png(raw)
+        assert (w, h) == (meta["width"], meta["height"])
+        assert len(px) == w * h * c
+
+    def test_second_reference_png(self):
+        raw = (DOCS / "img" / "english-and-korean.png").read_bytes()
+        meta = probe_bytes(raw)
+        w, h, c, px = decode_image(raw)
+        assert (w, h) == (meta["width"], meta["height"])
+        assert len(px) == w * h * c
+
+
+class TestBmp:
+    def test_real_reference_bmp(self):
+        raw = (DOCS / "img" / "bmp_24.bmp").read_bytes()
+        meta = probe_bytes(raw)
+        w, h, c, px = decode_bmp(raw)
+        assert (w, h) == (meta["width"], meta["height"])
+        assert c == 3 and len(px) == w * h * 3
+
+
+class TestGif:
+    def test_tiny_gif_pixels(self):
+        data = _tiny_gif([0, 1, 2, 3], 2, 2)
+        w, h, c, px = decode_gif(data)
+        assert (w, h, c) == (2, 2, 3)
+        # palette: black, red, green, blue
+        assert bytes(px) == bytes(
+            [0, 0, 0, 255, 0, 0, 0, 255, 0, 0, 0, 255]
+        )
+
+
+class TestGate:
+    def test_jpeg_raises_named_gate(self):
+        raw = (DOCS / "img" / "example.jpg").read_bytes()
+        with pytest.raises(ImageDecodeError, match="JPEG"):
+            decode_image(raw)
+
+
+class TestTransforms:
+    def test_resize_nearest(self):
+        w, h = 8, 6
+        px = _gradient_rgb(w, h)
+        small = resize_nearest(w, h, 3, px, 4, 3)
+        assert len(small) == 4 * 3 * 3
+        # corner pixel preserved by nearest-neighbor
+        assert small[:3] == px[:3]
+
+    def test_luminance_histogram_normalized(self):
+        px = _gradient_rgb(16, 16)
+        hist = luminance_histogram(16, 16, 3, px, bins=8)
+        assert len(hist) == 8
+        assert sum(hist) == pytest.approx(1.0)
+
+
+class TestSparkOperators:
+    def test_decode_image_features_real_pixels(self, spark):
+        from unstructured_spark.operators.multimodal import decode_image_features
+
+        png = encode_png(4, 4, 3, _gradient_rgb(4, 4))
+        jpeg = (DOCS / "img" / "example.jpg").read_bytes()
+        df = spark.createDataFrame(
+            [("png", bytearray(png)), ("jpg", bytearray(jpeg))],
+            "doc_id string, content binary",
+        )
+        out = {r["doc_id"]: r["features"] for r in decode_image_features(df).collect()}
+        assert out["png"] is not None and sum(out["png"]) == pytest.approx(1.0, abs=1e-4)
+        assert out["jpg"] is None  # codec gate -> per-row isolation
+
+    def test_resize_images_roundtrip(self, spark):
+        from unstructured_spark.operators.multimodal import resize_images
+
+        png = encode_png(10, 10, 3, _gradient_rgb(10, 10))
+        df = spark.createDataFrame([("d", bytearray(png))], "doc_id string, content binary")
+        thumb = resize_images(df, new_width=5, new_height=5).first()["thumbnail"]
+        w, h, c, px = decode_png(bytes(thumb))
+        assert (w, h, c) == (5, 5, 3)

@@ -9,11 +9,12 @@ per executor. What ships here:
 - :func:`probe_media` — REAL container sniffing: dimensions from
   PNG/JPEG/GIF/BMP headers, duration/rate from WAV headers, all stdlib
   byte parsing (no PIL/ffmpeg needed).
-- :func:`decode_image_features` — the pixel-decode step needs an image
-  library that is not in this container; with ``fake=True`` it emits a
-  deterministic byte-histogram feature vector through the exact same
-  schema/batching path, otherwise it raises ``NotImplementedError``
-  naming the dependency.
+- :func:`decode_image_features` — REAL pixel decode for PNG/BMP/GIF
+  via the pure-stdlib codec (``parsers/image_codec.py``) → luminance
+  histogram features; JPEG rows yield null (codec gate, per-row
+  isolation). ``fake=True`` keeps a byte-histogram stand-in.
+- :func:`resize_images` — decode → nearest-neighbor resize → PNG
+  re-encode, zero image libraries required.
 - :func:`sample_frame_offsets` — frame-sampling plumbing: computes the
   byte/time offsets a video decoder would seek to (uniform stride),
   returning one row per sampled frame (posexplode shape).
@@ -122,28 +123,15 @@ def decode_image_features(
     bins: int = 16,
     fake: bool = False,
 ) -> DataFrame:
-    """Pixel decode → feature vector.
+    """Pixel decode → normalized luminance-histogram feature vector.
 
-    Real pixel decoding needs an image library (PIL/opencv) on the
-    executors, which this container does not ship — so the default
-    raises ``NotImplementedError`` at plan-build time, naming the
-    dependency. ``fake=True`` runs a deterministic byte-histogram
-    through the identical mapInPandas path so schema, batching, and
-    downstream similarity plumbing are fully exercised in tests.
+    REAL pixel decoding for PNG/BMP/GIF via the pure-stdlib codec
+    (``parsers/image_codec.py`` — zlib inflate + unfilter / raw rows /
+    LZW); rows in formats that need an external codec (JPEG) yield
+    null features — per-row isolation, the corpus job never dies on
+    one bad image. ``fake=True`` keeps the deterministic byte-histogram
+    stand-in (no pixel decode at all) for plumbing tests.
     """
-    try:
-        import PIL.Image  # type: ignore  # noqa: F401
-
-        have_pil = True
-    except ImportError:
-        have_pil = False
-    if not have_pil and not fake:
-        raise NotImplementedError(
-            "decode_image_features requires Pillow (PIL) on executors "
-            "for real pixel decoding; pass fake=True for the "
-            "deterministic byte-histogram stand-in."
-        )
-
     in_fields = [f for f in df.schema.fields if f.name != out_col]
     schema = T.StructType(
         in_fields + [T.StructField(out_col, T.ArrayType(T.FloatType()))]
@@ -151,20 +139,137 @@ def decode_image_features(
     names = [f.name for f in in_fields]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from unstructured_spark.parsers.image_codec import (
+            decode_image,
+            luminance_histogram,
+        )
+
         for pdf in batches:
             feats = []
             for b in pdf[content_col]:
                 data = b if isinstance(b, bytes) else (bytes(b) if b is not None else b"")
-                hist = [0] * bins
-                for byte in data:
-                    hist[byte * bins // 256] += 1
-                total = len(data) or 1
-                feats.append([h / total for h in hist])
+                if fake:
+                    hist = [0] * bins
+                    for byte in data:
+                        hist[byte * bins // 256] += 1
+                    total = len(data) or 1
+                    feats.append([h / total for h in hist])
+                    continue
+                try:
+                    w, h, c, px = decode_image(data)
+                    feats.append(luminance_histogram(w, h, c, px, bins=bins))
+                except Exception:
+                    feats.append(None)
             out = pdf[names].copy()
             out[out_col] = feats
             yield out
 
     return df.select(*names).mapInPandas(run, schema=schema)
+
+
+def resize_images(
+    df: DataFrame,
+    *,
+    new_width: int,
+    new_height: int,
+    content_col: str = "content",
+    out_col: str = "thumbnail",
+) -> DataFrame:
+    """Decode → nearest-neighbor resize → re-encode PNG, entirely in
+    the pure-stdlib codec. Undecodable rows yield null (isolation).
+    The classic thumbnail/normalize step of a multimodal training
+    pipeline, runnable with zero image libraries on executors."""
+    in_fields = [f for f in df.schema.fields if f.name != out_col]
+    schema = T.StructType(in_fields + [T.StructField(out_col, T.BinaryType())])
+    names = [f.name for f in in_fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from unstructured_spark.parsers.image_codec import (
+            decode_image,
+            encode_png,
+            resize_nearest,
+        )
+
+        for pdf in batches:
+            thumbs = []
+            for b in pdf[content_col]:
+                data = b if isinstance(b, bytes) else (bytes(b) if b is not None else b"")
+                try:
+                    w, h, c, px = decode_image(data)
+                    small = resize_nearest(w, h, c, px, new_width, new_height)
+                    thumbs.append(encode_png(new_width, new_height, c, small))
+                except Exception:
+                    thumbs.append(None)
+            out = pdf[names].copy()
+            out[out_col] = thumbs
+            yield out
+
+    return df.select(*names).mapInPandas(run, schema=schema)
+
+
+AUDIO_SEGMENT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("segment_index", T.IntegerType()),
+        T.StructField("start_seconds", T.DoubleType()),
+        T.StructField("end_seconds", T.DoubleType()),
+        T.StructField("mean_rms_db", T.DoubleType()),
+    ]
+)
+
+
+def segment_audio(
+    df: DataFrame,
+    *,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    frame_ms: int = 30,
+    threshold_db: float = -35.0,
+    min_silence_ms: int = 300,
+    min_segment_ms: int = 200,
+) -> DataFrame:
+    """Energy-VAD segmentation of WAV audio: one row per detected
+    speech/sound segment (start/end seconds + mean RMS dB). REAL
+    signal processing (stdlib wave + numpy, no model) — the
+    pre-chunking stage a batch speech-to-text pipeline runs before
+    the model; undecodable rows are skipped (per-row isolation)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from unstructured_spark.parsers.audio_parser import energy_segments, parse_wav
+
+        for pdf in batches:
+            rows = []
+            for did, b in zip(pdf[id_col], pdf[content_col]):
+                data = b if isinstance(b, bytes) else (bytes(b) if b is not None else b"")
+                try:
+                    rate, samples = parse_wav(data)
+                except Exception:
+                    continue
+                segs = energy_segments(
+                    samples,
+                    rate,
+                    frame_ms=frame_ms,
+                    threshold_db=threshold_db,
+                    min_silence_ms=min_silence_ms,
+                    min_segment_ms=min_segment_ms,
+                )
+                for i, (t0, t1, db) in enumerate(segs):
+                    rows.append(
+                        {
+                            "doc_id": str(did),
+                            "segment_index": i,
+                            "start_seconds": t0,
+                            "end_seconds": t1,
+                            "mean_rms_db": db,
+                        }
+                    )
+            yield (
+                pd.DataFrame(rows, columns=[f.name for f in AUDIO_SEGMENT_SCHEMA.fields])
+                if rows
+                else pd.DataFrame(columns=[f.name for f in AUDIO_SEGMENT_SCHEMA.fields])
+            )
+
+    return df.select(id_col, content_col).mapInPandas(run, schema=AUDIO_SEGMENT_SCHEMA)
 
 
 def sample_frame_offsets(

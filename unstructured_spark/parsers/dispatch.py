@@ -146,7 +146,10 @@ _PARTITIONERS: dict[str, Callable[..., list[dict]]] = {
     "jpg": _unsupported("image", "a layout/OCR model"),
     "tiff": _unsupported("image", "a layout/OCR model"),
     "bmp": _unsupported("image", "a layout/OCR model"),
-    "wav": _unsupported("audio", "a speech-to-text model"),
+    # wav: PCM decode + energy-VAD segmentation are real (stdlib wave +
+    # numpy); transcription needs a registered speech-to-text agent
+    # (audio_parser.set_speech_to_text) and raises a named gate without.
+    "wav": lambda c, **kw: _lazy("audio_parser", "audio_to_elements")(c),
     "mp3": _unsupported("audio", "a speech-to-text model"),
     "mp4": _unsupported("audio", "a speech-to-text model"),
 }
