@@ -192,14 +192,38 @@ def replace_mime_encodings(col: Column, encoding: str = "utf-8") -> Column:
     return pandas_udf(_decode, "string")(col)
 
 
+_TRANSLATOR = None
+
+
+def set_translator(fn) -> None:
+    """Register the batch translation callable
+    ``fn(texts: list[str], target_lang: str) -> list[str]`` — the plug
+    point for the reference's HF opus-mt pipeline
+    (cleaners/translate.py:24-75). The callable ships to executors via
+    closure pickle; for heavyweight models register a lazy loader that
+    initializes per-process."""
+    global _TRANSLATOR
+    _TRANSLATOR = fn
+
+
 def translate_text(col: Column, target_lang: str = "en") -> Column:
-    """Machine translation (reference cleaners/translate.py:24-75 uses
-    HF opus-mt models). Model weights are not available in this
-    container; on a real cluster this becomes a mapInPandas with a
-    per-executor pipeline. Calling it here raises with that guidance.
-    """
-    raise NotImplementedError(
-        "translate_text requires a translation model (reference uses "
-        "helsinki-nlp opus-mt via transformers); install the model on "
-        "executors and wire it through operators.embed-style mapInPandas."
-    )
+    """Machine translation (reference cleaners/translate.py:24-75).
+    Runs as an Arrow-batched pandas UDF over the registered translator;
+    without one it raises naming the dependency (model weights are not
+    in this container)."""
+    if _TRANSLATOR is None:
+        raise NotImplementedError(
+            "translate_text requires a translation model (reference uses "
+            "helsinki-nlp opus-mt via transformers); register one with "
+            "set_translator(fn) to run it as an Arrow-batched pandas UDF."
+        )
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    fn = _TRANSLATOR
+
+    def _translate(s):
+        texts = ["" if t is None else str(t) for t in s]
+        return pd.Series(fn(texts, target_lang), index=s.index)
+
+    return pandas_udf(_translate, "string")(col)

@@ -142,10 +142,15 @@ _PARTITIONERS: dict[str, Callable[..., list[dict]]] = {
     "xls": lambda c, **kw: _lazy("legacy_office", "xls_to_elements")(c),
     # model-dependent formats: explicit stubs (SURVEY §2.1 image/audio)
     "msg": lambda c, **kw: _lazy("msg_parser", "msg_to_elements")(c),
-    "png": _unsupported("image", "a layout/OCR model"),
-    "jpg": _unsupported("image", "a layout/OCR model"),
+    # png/bmp/gif: pixel decode + hi_res merge/supplement/order are real
+    # (parsers/image_parser.py over the stdlib codec); the layout/OCR
+    # model calls are plug points (set_layout_model / set_ocr_agent)
+    # and raise a named gate when unregistered.
+    "png": lambda c, **kw: _lazy("image_parser", "image_to_elements")(c),
+    "jpg": lambda c, **kw: _lazy("image_parser", "image_to_elements")(c),
     "tiff": _unsupported("image", "a layout/OCR model"),
-    "bmp": _unsupported("image", "a layout/OCR model"),
+    "bmp": lambda c, **kw: _lazy("image_parser", "image_to_elements")(c),
+    "gif": lambda c, **kw: _lazy("image_parser", "image_to_elements")(c),
     # wav: PCM decode + energy-VAD segmentation are real (stdlib wave +
     # numpy); transcription needs a registered speech-to-text agent
     # (audio_parser.set_speech_to_text) and raises a named gate without.

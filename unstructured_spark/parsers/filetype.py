@@ -46,6 +46,7 @@ FILETYPES: dict[str, tuple[tuple[str, ...], tuple[str, ...]]] = {
     "jpg": ((".jpg", ".jpeg"), ("image/jpeg",)),
     "tiff": ((".tiff", ".tif"), ("image/tiff",)),
     "bmp": ((".bmp",), ("image/bmp",)),
+    "gif": ((".gif",), ("image/gif",)),
     "heic": ((".heic",), ("image/heic",)),
     "wav": ((".wav",), ("audio/wav", "audio/x-wav")),
     "mp3": ((".mp3",), ("audio/mpeg",)),
@@ -74,6 +75,8 @@ def _sniff_magic(head: bytes) -> str | None:
         return "tiff"
     if head.startswith(b"BM"):
         return "bmp"
+    if head.startswith((b"GIF87a", b"GIF89a")):
+        return "gif"
     if head.startswith(b"RIFF") and head[8:12] == b"WAVE":
         return "wav"
     if head.startswith((b"ID3", b"\xff\xfb", b"\xff\xf3")):

@@ -1,0 +1,133 @@
+"""partition_image: the hi_res layout+OCR pipeline with injectable
+models.
+
+The reference's ``partition_image`` (partition/image.py:17-123 →
+partition_pdf_or_image → _partition_pdf_or_image_local,
+pdf.py:779-1106) runs: rasterize → layout-model detections → OCR →
+merge OCR text into invalid-text regions → supplement uncovered OCR
+regions → typed elements in reading order.
+
+The models themselves (detectron2/yolox ONNX, tesseract) are not in
+this container — but everything else is: pixel decode is the
+pure-stdlib codec (``image_codec.py``), the merge/supplement math is
+the reference's own numpy box logic (``operators/layout_merge.py``
+implements the DataFrame form; here the per-page scalar form), and
+reading order is XY-cut (``layout.py``). The two model calls are
+process-global plug points exactly like the speech-to-text hook:
+
+    set_layout_model(fn)   # fn(rgb_ndarray, w, h) -> [{"type","x1","y1","x2","y2","score"}]
+    set_ocr_agent(fn)      # fn(rgb_ndarray, w, h) -> [{"text","x1","y1","x2","y2"}]
+
+With both registered, png/bmp/gif documents partition end-to-end;
+without, the wire raises the same named dependency gate as before.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterable
+
+OCR_SUBREGION_THRESHOLD = 0.5  # reference ocr.py OCR_LAYOUT_SUBREGION_THRESHOLD
+
+LayoutModel = Callable[["object", int, int], Iterable[dict]]
+OcrAgent = Callable[["object", int, int], Iterable[dict]]
+
+_LAYOUT_MODEL: LayoutModel | None = None
+_OCR_AGENT: OcrAgent | None = None
+
+
+def set_layout_model(fn: LayoutModel | None) -> None:
+    global _LAYOUT_MODEL
+    _LAYOUT_MODEL = fn
+
+
+def set_ocr_agent(fn: OcrAgent | None) -> None:
+    global _OCR_AGENT
+    _OCR_AGENT = fn
+
+
+def _is_subregion(inner: dict, outer: dict, threshold: float) -> bool:
+    """intersection(inner, outer) / area(inner) >= threshold
+    (reference pdfminer_processing.py boxes_is_almost_subregion_of)."""
+    ix = max(0.0, min(inner["x2"], outer["x2"]) - max(inner["x1"], outer["x1"]))
+    iy = max(0.0, min(inner["y2"], outer["y2"]) - max(inner["y1"], outer["y1"]))
+    area = max((inner["x2"] - inner["x1"]) * (inner["y2"] - inner["y1"]), 1e-9)
+    return (ix * iy) / area >= threshold
+
+
+def _coords(b: dict, w: int, h: int) -> dict:
+    return {
+        "points": [
+            {"x": b["x1"], "y": b["y1"]},
+            {"x": b["x1"], "y": b["y2"]},
+            {"x": b["x2"], "y": b["y2"]},
+            {"x": b["x2"], "y": b["y1"]},
+        ],
+        "system": "PixelSpace",
+        "layout_width": float(w),
+        "layout_height": float(h),
+    }
+
+
+def image_to_elements(content: bytes, **_: object) -> list[dict]:
+    """Decode pixels, run the registered layout + OCR agents, merge
+    per the reference's hi_res rules, emit elements in XY-cut order."""
+    from unstructured_spark.parsers.dispatch import UnsupportedFormatError
+
+    if _LAYOUT_MODEL is None and _OCR_AGENT is None:
+        raise UnsupportedFormatError(
+            "partition of images requires a layout/OCR model; register agents "
+            "with unstructured_spark.parsers.image_parser.set_layout_model / "
+            "set_ocr_agent (reference defaults: yolox + tesseract)"
+        )
+    import numpy as np
+
+    from unstructured_spark.parsers.image_codec import ImageDecodeError, decode_image
+
+    try:
+        w, h, c, px = decode_image(content)
+    except ImageDecodeError as e:
+        raise UnsupportedFormatError(str(e)) from e
+    arr = np.frombuffer(bytes(px), dtype=np.uint8).reshape(h, w, c)
+
+    detections = list(_LAYOUT_MODEL(arr, w, h)) if _LAYOUT_MODEL else []
+    words = list(_OCR_AGENT(arr, w, h)) if _OCR_AGENT else []
+
+    # aggregate OCR words into each detection box, reading order inside
+    # the box by (y, x) (reference ocr.py aggregate_ocr_text_by_block)
+    used = [False] * len(words)
+    regions: list[dict] = []
+    for det in detections:
+        contained = []
+        for i, word in enumerate(words):
+            if _is_subregion(word, det, OCR_SUBREGION_THRESHOLD):
+                contained.append(word)
+                used[i] = True
+        contained.sort(key=lambda s: (s["y1"], s["x1"]))
+        text = det.get("text") or " ".join(
+            s["text"] for s in contained if (s.get("text") or "").strip()
+        )
+        regions.append({**det, "text": text})
+    # supplement: uncovered OCR regions appended as UncategorizedText
+    # (reference ocr.py:436-491)
+    for i, word in enumerate(words):
+        if not used[i] and (word.get("text") or "").strip():
+            regions.append({**word, "type": "Text"})
+
+    regions = [r for r in regions if (r.get("text") or "").strip()]
+    from unstructured_spark.parsers.layout import xy_cut_order
+    from unstructured_spark.schema import TYPE_NORMALIZATION
+
+    order = xy_cut_order([(r["x1"], r["y1"], r["x2"], r["y2"]) for r in regions])
+    out = []
+    for i in order:
+        r = regions[i]
+        rtype = r.get("type") or "Text"
+        out.append(
+            {
+                "type": TYPE_NORMALIZATION.get(rtype, rtype),
+                "text": " ".join(r["text"].split()),
+                "page_number": 1,
+                "coordinates": _coords(r, w, h),
+            }
+        )
+    return out
