@@ -667,6 +667,18 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_drop_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-call corpus dedup: exact md5 groups + LSH→Jaccard-verified
+    near-dup clusters, keep-min per cluster, broadcast anti-join drop
+    (the corpus itself is never shuffled). Oracle replays the whole
+    pipeline: signatures, banding, Jaccard verify, recursive closure,
+    md5 groups."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.drop_near_duplicates(
+        docs, n=3, threshold=0.5, num_hashes=16, bands=8
+    ).select("doc_id", "text")
+
+
 def q_salted_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe two-stage aggregation (salted partial + final) —
     result identical to a direct groupBy, verified by the oracle."""
@@ -1705,6 +1717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_supplier_count": q16_supplier_count,
         "q20_excess_stock_suppliers": q20_excess_stock_suppliers,
         "q_dup_clusters": q_dup_clusters,
+        "q_drop_near_duplicates": q_drop_near_duplicates,
         "q_salted_user_value": q_salted_user_value,
         "q04_order_priority_check": q04_order_priority_check,
         "q09_product_type_profit": q09_product_type_profit,
@@ -2399,6 +2412,46 @@ from per_n group by doc_id
             )
             select a as doc_id, least(a, min(b)) as cluster_id
             from reach group by a
+        """,
+        "q_drop_near_duplicates": _LSH_PAIRS_CTE.replace("with ", "with recursive ", 1)
+        + """
+            , sh as (
+              select doc_id,
+                     list_distinct([t.toks[i] || '_' || t.toks[i+1] || '_' || t.toks[i+2]
+                                    for i in range(1, len(t.toks) - 1)]) as sh
+              from (select doc_id, string_split(trim(text), ' ') as toks
+                    from documents) t
+            ), vpairs as (
+              select doc_a, doc_b
+              from pairs
+              join sh a on a.doc_id = doc_a
+              join sh b on b.doc_id = doc_b
+              where round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+                          len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.5
+            ), edges as (
+              select doc_a as a, doc_b as b from vpairs
+              union
+              select doc_b as a, doc_a as b from vpairs
+            ), reach as (
+              select a, b from edges
+              union
+              select r.a, e.b from reach r join edges e on r.b = e.a
+                where e.b <> r.a
+            ), labels as (
+              select a as doc, least(a, min(b)) as lbl from reach group by a
+            ), fp as (
+              select doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) as f
+              from documents
+            ), keepers as (
+              select f, min(doc_id) as keep from fp group by f
+            ), drops as (
+              select doc from labels where lbl <> doc
+              union
+              select fp.doc_id as doc from fp join keepers using (f)
+              where fp.doc_id <> keepers.keep
+            )
+            select d.doc_id, d.text from documents d
+            where d.doc_id not in (select doc from drops)
         """,
         "q_salted_user_value": """
             with agg as (

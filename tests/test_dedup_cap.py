@@ -74,3 +74,35 @@ def test_simhash_pairs_48bit_matches_bruteforce(spark):
             if h <= 2:
                 want.add((a, b, h))
     assert got == want and len(want) >= 1
+
+
+class TestDropNearDuplicates:
+    def test_end_to_end_corpus_dedup(self, spark):
+        from unstructured_spark.operators.dedup import drop_near_duplicates
+
+        base = "the quick brown fox jumps over the lazy dog again and again today"
+        near = base.replace("today", "tonight")
+        rows = [
+            ("a1", base),
+            ("a2", base),            # exact dup of a1
+            ("a3", near),            # near dup of a1
+            ("b1", "completely different text about spark query planning and shuffles"),
+            ("c1", "hi"),            # too short to shingle
+            ("c2", "hi"),            # exact dup of c1 (caught by md5 pass)
+        ]
+        df = spark.createDataFrame(rows, "doc_id string, text string")
+        kept = sorted(
+            r["doc_id"]
+            for r in drop_near_duplicates(df, threshold=0.5).collect()
+        )
+        assert kept == ["a1", "b1", "c1"]
+
+    def test_no_duplicates_is_identity(self, spark):
+        from unstructured_spark.operators.dedup import drop_near_duplicates
+
+        df = spark.createDataFrame(
+            [("x", "one unique document about databases and storage engines"),
+             ("y", "another unrelated document describing streaming watermarks")],
+            "doc_id string, text string",
+        )
+        assert drop_near_duplicates(df).count() == 2

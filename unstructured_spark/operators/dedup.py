@@ -428,3 +428,57 @@ def duplicate_clusters(
         return connected_components(pairs)
     finally:
         pairs.unpersist()
+
+
+def drop_near_duplicates(
+    df: DataFrame,
+    *,
+    text: str = "text",
+    doc_id: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 8,
+) -> DataFrame:
+    """One-call corpus dedup — the full pipeline a training-data run
+    applies, returning the corpus with non-canonical duplicates REMOVED:
+
+    1. exact duplicates (normalized-text md5 groups — catches docs too
+       short to shingle);
+    2. verified near-duplicates (MinHash-LSH candidates → exact n-gram
+       Jaccard ≥ ``threshold``);
+    3. connected components over the verified pairs → clusters;
+    4. keep the minimum ``doc_id`` per cluster / fingerprint group,
+       drop the rest.
+
+    Scale shape: the drop set is a tiny fraction of the corpus (the
+    duplicates), so the final filter is a broadcast anti-join — the
+    corpus itself is never shuffled. Steps 1-3 are the oracle-checked
+    operators above, composed.
+    """
+    # exact groups: every doc whose fingerprint-group min is another doc
+    fp = F.md5(F.lower(F.trim(F.regexp_replace(F.col(text), "\\s+", " "))))
+    fps = df.select(F.col(doc_id).alias("doc"), fp.alias("fingerprint"))
+    exact_drop = (
+        fps.join(
+            exact_duplicates(df, text=text, doc_id=doc_id).select(
+                "fingerprint", "keep_id"
+            ),
+            "fingerprint",
+        )
+        .filter(F.col("doc") != F.col("keep_id"))
+        .select("doc")
+    )
+    pairs = ngram_jaccard_pairs(
+        df, text=text, doc_id=doc_id, n=n, threshold=threshold,
+        num_hashes=num_hashes, bands=bands,
+    )
+    near_drop = (
+        connected_components(pairs)
+        .filter(F.col("doc") != F.col("label"))
+        .select("doc")
+    )
+    drops = exact_drop.union(near_drop).distinct()
+    return df.join(
+        F.broadcast(drops.withColumnRenamed("doc", doc_id)), doc_id, "left_anti"
+    )
