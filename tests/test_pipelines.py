@@ -1,0 +1,99 @@
+"""End-to-end corpus pipelines (unstructured_spark/pipelines.py) +
+streaming compatibility of the quality gate."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _docs(spark):
+    body = (
+        "Quality Section\n\n"
+        "This is a long narrative paragraph that talks about storage engines and "
+        "query planners in enough words to pass the chunk-level quality gate easily.\n\n"
+        "Another Section\n\n"
+        "A second narrative paragraph with plenty of ordinary words describing "
+        "distributed shuffles and broadcast joins for the test corpus."
+    )
+    junk = "x " * 12  # passes word count but fails mean word length
+    rows = [
+        ("d1", body.encode(), "d1.txt"),
+        ("d2", body.encode(), "d2.txt"),  # near/exact dup of d1 at chunk level
+        ("d3", junk.encode(), "d3.txt"),
+    ]
+    return spark.createDataFrame(rows, "doc_id string, content binary, path string")
+
+
+class TestTrainingDataPipeline:
+    def test_full_chain(self, spark):
+        from unstructured_spark.pipelines import training_data_pipeline
+
+        out = training_data_pipeline(
+            _docs(spark),
+            chunk_kwargs={"max_characters": 400},
+        ).cache()
+        rows = out.collect()
+        assert rows, "pipeline produced no chunks"
+        # embeddings present and fixed-dim
+        dims = {len(r["embeddings"]) for r in rows}
+        assert len(dims) == 1
+        # d3's junk chunk was quality-filtered
+        assert not [r for r in rows if r["doc_id"] == "d3"]
+        # duplicate chunks across d1/d2 deduplicated: every text unique
+        texts = [r["text"] for r in rows]
+        assert len(texts) == len(set(texts))
+
+    def test_stages_optional(self, spark):
+        from unstructured_spark.pipelines import training_data_pipeline
+
+        out = training_data_pipeline(
+            _docs(spark),
+            quality_filter=False,
+            near_dedup=False,
+            embed=False,
+        )
+        rows = out.collect()
+        # without dedup, d1 and d2 chunks both survive
+        assert [r for r in rows if r["doc_id"] == "d1"]
+        assert [r for r in rows if r["doc_id"] == "d2"]
+        assert [r for r in rows if r["doc_id"] == "d3"]
+
+
+class TestRagIngest:
+    def test_exact_dup_suppression_and_embeddings(self, spark):
+        from unstructured_spark.pipelines import rag_ingest_pipeline
+
+        rows = rag_ingest_pipeline(_docs(spark)).collect()
+        texts = [r["text"] for r in rows]
+        assert len(texts) == len(set(texts))  # exact dups suppressed
+        assert all(r["embeddings"] is not None for r in rows)
+
+
+class TestStreamingQualityGate:
+    def test_gopher_stats_work_on_streams(self, spark, tmp_path):
+        """The quality gate is stateless column math — verify it runs
+        inside a Structured Streaming microbatch unchanged."""
+        from unstructured_spark.operators.quality_filters import (
+            gopher_keep_expr,
+            gopher_stats_exprs,
+            line_repetition_exprs,
+        )
+
+        src = tmp_path / "in"
+        spark.createDataFrame(
+            [("s1", "the cat and the dog " * 20), ("s2", "zz " * 60)],
+            "doc_id string, text string",
+        ).coalesce(1).write.json(str(src))
+        stream = spark.readStream.schema("doc_id string, text string").json(str(src))
+        stats = {**gopher_stats_exprs(), **line_repetition_exprs()}
+        gated = stream.select(
+            "doc_id", *[c.alias(n) for n, c in stats.items()]
+        ).withColumn("keep", gopher_keep_expr())
+        q = (
+            gated.writeStream.format("memory")
+            .queryName("quality_stream")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        out = {r["doc_id"]: r["keep"] for r in spark.sql("select * from quality_stream").collect()}
+        assert out == {"s1": True, "s2": False}

@@ -1,0 +1,108 @@
+"""End-to-end corpus pipelines: the composed flows a training-data or
+RAG ingestion run actually executes, built from the engine's operators.
+
+``training_data_pipeline`` is the canonical chain:
+
+    documents ─ partition ─ chunk ─ quality gate ─ near-dup drop ─ embed
+
+Shuffle bill of the whole flow (see SCALING.md):
+  - partition: zero (mapInPandas, per-doc finalize in-UDF)
+  - chunk: one exchange clustering elements by doc (none if the
+    elements table is bucketed by doc_id)
+  - quality gate: zero (array expressions + filter)
+  - near-dup drop: the dedup sub-pipeline's bucket-keyed shuffles over
+    the (small) chunk-text table; the corpus filter itself is a
+    broadcast anti-join
+  - embed: zero (mapInPandas with per-worker encoder singleton)
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def training_data_pipeline(
+    documents: DataFrame,
+    *,
+    chunking_strategy: str = "by_title",
+    chunk_kwargs: dict | None = None,
+    quality_filter: bool = True,
+    quality_kwargs: dict | None = None,
+    near_dedup: bool = True,
+    dedup_kwargs: dict | None = None,
+    embed: bool = True,
+    encoder_factory: Callable | None = None,
+) -> DataFrame:
+    """documents (doc_id, content[, path, content_type]) → cleaned,
+    deduplicated, embedded chunk rows ready to write.
+
+    Each stage is optional so the same function serves RAG ingestion
+    (no dedup) and pre-training corpus prep (everything on).
+
+    Quality gating is per-chunk: Gopher thresholds tuned for chunk-sized
+    text (min_words defaults to 10 rather than the document-level 50;
+    override via ``quality_kwargs``). Near-dedup treats each chunk as a
+    document keyed by ``element_id``.
+    """
+    from unstructured_spark.operators.chunking import chunk as chunk_op
+    from unstructured_spark.operators.dedup import drop_near_duplicates
+    from unstructured_spark.operators.partition_auto import partition_documents
+    from unstructured_spark.operators.quality_filters import (
+        gopher_keep_expr,
+        gopher_stats_exprs,
+        line_repetition_exprs,
+    )
+
+    elements = partition_documents(documents)
+    chunks = chunk_op(elements, strategy=chunking_strategy, **(chunk_kwargs or {}))
+
+    if quality_filter:
+        qkw = {"min_words": 10, "min_stopwords": 0, "min_mean_word_len": 2.0}
+        qkw.update(quality_kwargs or {})
+        stats = {**gopher_stats_exprs("text"), **line_repetition_exprs("text")}
+        with_stats = chunks.select("*", *[c.alias(f"_q_{n}") for n, c in stats.items()])
+        renamed = with_stats
+        for n in stats:
+            renamed = renamed.withColumnRenamed(f"_q_{n}", n)
+        chunks = renamed.filter(gopher_keep_expr(**qkw)).drop(*stats.keys())
+
+    if near_dedup:
+        dkw = {"n": 3, "threshold": 0.5}
+        dkw.update(dedup_kwargs or {})
+        chunks = drop_near_duplicates(chunks, doc_id="element_id", text="text", **dkw)
+
+    if embed:
+        from unstructured_spark.operators.embed import HashingEncoder, embed_elements
+
+        chunks = embed_elements(chunks, encoder_factory or HashingEncoder)
+
+    return chunks
+
+
+def rag_ingest_pipeline(
+    documents: DataFrame,
+    *,
+    max_characters: int = 1000,
+    overlap: int = 100,
+    encoder_factory: Callable | None = None,
+) -> DataFrame:
+    """The standard RAG shape: by_title chunks with overlap, exact-dup
+    suppression only (near-dup false positives are costly for
+    retrieval), embeddings on."""
+    out = training_data_pipeline(
+        documents,
+        chunking_strategy="by_title",
+        chunk_kwargs={"max_characters": max_characters, "overlap": overlap},
+        quality_filter=False,
+        near_dedup=False,
+        embed=True,
+        encoder_factory=encoder_factory,
+    )
+    w = F.row_number().over(
+        Window.partitionBy(F.md5(F.col("text"))).orderBy("doc_id", "element_index")
+    )
+    return out.withColumn("_rn", w).filter(F.col("_rn") == 1).drop("_rn")
