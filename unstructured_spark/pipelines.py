@@ -7,8 +7,7 @@ RAG ingestion run actually executes, built from the engine's operators.
 
 Shuffle bill of the whole flow (see SCALING.md):
   - partition: zero (mapInPandas, per-doc finalize in-UDF)
-  - chunk: one exchange clustering elements by doc (none if the
-    elements table is bucketed by doc_id)
+  - chunk: one exchange clustering elements by doc
   - quality gate: zero (array expressions + filter)
   - near-dup drop: the dedup sub-pipeline's bucket-keyed shuffles over
     the (small) chunk-text table; the corpus filter itself is a
