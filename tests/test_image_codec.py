@@ -103,11 +103,41 @@ class TestGif:
         )
 
 
-class TestGate:
-    def test_jpeg_raises_named_gate(self):
+class TestJpeg:
+    def test_baseline_420_decodes(self):
         raw = (DOCS / "img" / "example.jpg").read_bytes()
-        with pytest.raises(ImageDecodeError, match="JPEG"):
-            decode_image(raw)
+        meta = probe_bytes(raw)
+        w, h, c, px = decode_image(raw)
+        assert (w, h, c) == (meta["width"], meta["height"], 3)
+        assert len(px) == w * h * 3
+
+    def test_grayscale_decodes(self):
+        raw = (DOCS / "img" / "jpn-vert.jpeg").read_bytes()
+        w, h, c, px = decode_image(raw)
+        assert (w, h, c) == (169, 350, 1)
+
+    def test_cross_format_parity_with_png(self):
+        """The reference ships the same page as PNG (lossless) and JPEG
+        (lossy 4:4:4). Two fully independent decoders must agree to
+        within JPEG quantization error — this pins the whole
+        Huffman/dequant/IDCT/color path."""
+        import numpy as np
+
+        from unstructured_spark.parsers.image_codec import decode_jpeg, decode_png
+
+        pw, ph, pc, ppx = decode_png((DOCS / "img" / "DA-1p.png").read_bytes())
+        jw, jh, jc, jpx = decode_jpeg((DOCS / "img" / "DA-1p.jpg").read_bytes())
+        assert (pw, ph) == (jw, jh)
+        pa = np.frombuffer(bytes(ppx), np.uint8).reshape(ph, pw, pc)[:, :, :3]
+        ja = np.frombuffer(bytes(jpx), np.uint8).reshape(jh, jw, 3)
+        mad = np.abs(pa.astype(float) - ja.astype(float)).mean()
+        assert mad < 1.0, f"mean abs pixel diff {mad}"
+
+    def test_progressive_gate(self):
+        # minimal stream with SOF2 marker -> explicit gate
+        sof2 = b"\xff\xd8\xff\xc2\x00\x0b\x08\x00\x08\x00\x08\x01\x01\x11\x00"
+        with pytest.raises(ImageDecodeError, match="progressive"):
+            decode_image(sof2)
 
 
 class TestTransforms:
@@ -133,12 +163,13 @@ class TestSparkOperators:
         png = encode_png(4, 4, 3, _gradient_rgb(4, 4))
         jpeg = (DOCS / "img" / "example.jpg").read_bytes()
         df = spark.createDataFrame(
-            [("png", bytearray(png)), ("jpg", bytearray(jpeg))],
+            [("png", bytearray(png)), ("jpg", bytearray(jpeg)), ("bad", bytearray(b"xx"))],
             "doc_id string, content binary",
         )
         out = {r["doc_id"]: r["features"] for r in decode_image_features(df).collect()}
         assert out["png"] is not None and sum(out["png"]) == pytest.approx(1.0, abs=1e-4)
-        assert out["jpg"] is None  # codec gate -> per-row isolation
+        assert out["jpg"] is not None and sum(out["jpg"]) == pytest.approx(1.0, abs=1e-4)
+        assert out["bad"] is None  # per-row isolation
 
     def test_resize_images_roundtrip(self, spark):
         from unstructured_spark.operators.multimodal import resize_images

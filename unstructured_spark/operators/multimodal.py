@@ -9,10 +9,11 @@ per executor. What ships here:
 - :func:`probe_media` — REAL container sniffing: dimensions from
   PNG/JPEG/GIF/BMP headers, duration/rate from WAV headers, all stdlib
   byte parsing (no PIL/ffmpeg needed).
-- :func:`decode_image_features` — REAL pixel decode for PNG/BMP/GIF
-  via the pure-stdlib codec (``parsers/image_codec.py``) → luminance
-  histogram features; JPEG rows yield null (codec gate, per-row
-  isolation). ``fake=True`` keeps a byte-histogram stand-in.
+- :func:`decode_image_features` — REAL pixel decode for PNG/BMP/GIF/
+  baseline-JPEG via the dependency-free codec
+  (``parsers/image_codec.py``) → luminance histogram features;
+  undecodable rows yield null (per-row isolation). ``fake=True`` keeps
+  a byte-histogram stand-in.
 - :func:`resize_images` — decode → nearest-neighbor resize → PNG
   re-encode, zero image libraries required.
 - :func:`sample_frame_offsets` — frame-sampling plumbing: computes the
@@ -125,12 +126,12 @@ def decode_image_features(
 ) -> DataFrame:
     """Pixel decode → normalized luminance-histogram feature vector.
 
-    REAL pixel decoding for PNG/BMP/GIF via the pure-stdlib codec
-    (``parsers/image_codec.py`` — zlib inflate + unfilter / raw rows /
-    LZW); rows in formats that need an external codec (JPEG) yield
-    null features — per-row isolation, the corpus job never dies on
-    one bad image. ``fake=True`` keeps the deterministic byte-histogram
-    stand-in (no pixel decode at all) for plumbing tests.
+    REAL pixel decoding for PNG/BMP/GIF/baseline-JPEG via the
+    dependency-free codec (``parsers/image_codec.py``); undecodable
+    rows (corrupt bytes, progressive JPEG) yield null features —
+    per-row isolation, the corpus job never dies on one bad image.
+    ``fake=True`` keeps the deterministic byte-histogram stand-in (no
+    pixel decode at all) for plumbing tests.
     """
     in_fields = [f for f in df.schema.fields if f.name != out_col]
     schema = T.StructType(

@@ -1,11 +1,16 @@
-"""Pure-stdlib image codec: PNG / BMP / GIF decode, PNG encode, resize.
+"""Pure-stdlib+numpy image codec: PNG / BMP / GIF / baseline JPEG
+decode, PNG encode, resize.
 
 The container has no PIL/opencv, but PNG is just zlib (stdlib) plus
-per-scanline unfiltering, BMP is raw pixels, and GIF is classic LZW —
-all implementable with ``zlib`` + ``struct``. This turns the engine's
-image operators (feature extraction, resize, thumbnailing) into REAL
-pixel pipelines for the three lossless formats; JPEG stays behind an
-explicit gate (baseline DCT decode needs a real codec library).
+per-scanline unfiltering, BMP is raw pixels, GIF is classic LZW, and
+baseline JPEG is Huffman + dequant + a numpy IDCT — all implementable
+with ``zlib`` + ``struct`` + numpy. This makes the engine's image
+operators (feature extraction, resize, thumbnailing, partition_image)
+REAL pixel pipelines for the four dominant formats. Correctness of the
+JPEG path is pinned by a cross-format test: the reference ships the
+same page as DA-1p.png and DA-1p.jpg, and our two independent decoders
+agree to mean-abs-diff 0.04/255 (tests/test_image_codec.py).
+Progressive JPEG (SOF2) raises an explicit gate.
 
 Decoded images are ``(width, height, channels, bytearray pixels)`` in
 row-major RGB/RGBA/gray order — a plain buffer so numpy can wrap it
@@ -264,6 +269,240 @@ def decode_gif(data: bytes) -> tuple[int, int, int, bytearray]:
 
 
 # ---------------------------------------------------------------------------
+# JPEG (baseline sequential DCT, JFIF; 4:4:4 / 4:2:2 / 4:2:0 / grayscale)
+# ---------------------------------------------------------------------------
+
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+class _BitReader:
+    """Entropy-segment bit reader: 0xFF00 unstuffing, restart-marker
+    byte alignment."""
+
+    __slots__ = ("data", "pos", "buf", "nbits")
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.buf = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        d = self.data
+        b = d[self.pos]
+        if b == 0xFF:
+            nxt = d[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7:  # restart marker reached mid-read
+                raise ImageDecodeError("hit restart marker inside entropy data")
+            else:
+                # marker (EOI/next segment): pad with zeros per spec
+                self.buf = (self.buf << 8) & 0xFFFFFFFFFFFF
+                self.nbits += 8
+                return
+        else:
+            self.pos += 1
+        self.buf = ((self.buf << 8) | b) & 0xFFFFFFFFFFFF
+        self.nbits += 8
+
+    def bits(self, n: int) -> int:
+        while self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        return (self.buf >> self.nbits) & ((1 << n) - 1)
+
+    def restart(self) -> None:
+        """Byte-align and consume an RSTn marker."""
+        self.buf = 0
+        self.nbits = 0
+        d = self.data
+        while d[self.pos] != 0xFF or not (0xD0 <= d[self.pos + 1] <= 0xD7):
+            self.pos += 1
+        self.pos += 2
+
+
+def _build_huffman(bits_counts: list[int], symbols: bytes) -> dict[tuple[int, int], int]:
+    table: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits_counts[length - 1]):
+            table[(length, code)] = symbols[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huff_decode(r: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | r.bits(1)
+        v = table.get((length, code))
+        if v is not None:
+            return v
+    raise ImageDecodeError("invalid Huffman code")
+
+
+def _extend(v: int, size: int) -> int:
+    return v - (1 << size) + 1 if v < (1 << (size - 1)) else v
+
+
+def decode_jpeg(data: bytes) -> tuple[int, int, int, bytearray]:
+    """Decode a baseline-sequential JFIF (SOF0/SOF1). Progressive
+    (SOF2) and arithmetic-coded streams raise."""
+    import numpy as np
+
+    if data[:3] != b"\xff\xd8\xff":
+        raise ImageDecodeError("not a JPEG")
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    width = height = 0
+    comps: list[dict] = []
+    restart_interval = 0
+    pos = 2
+    scan_pos = None
+    scan_comps: list[dict] = []
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = data[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        seglen = struct.unpack(">H", data[pos + 2 : pos + 4])[0]
+        seg = data[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 15
+                i += 1
+                if pq:
+                    vals = np.frombuffer(seg[i : i + 128], dtype=">u2").astype(np.int32)
+                    i += 128
+                else:
+                    vals = np.frombuffer(seg[i : i + 64], dtype=np.uint8).astype(np.int32)
+                    i += 64
+                tbl = np.zeros(64, dtype=np.int32)
+                tbl[_ZIGZAG] = vals
+                qt[tq] = tbl.reshape(8, 8)
+        elif marker in (0xC0, 0xC1):  # SOF0/1 baseline
+            height, width = struct.unpack(">HH", seg[1:5])
+            ncomp = seg[5]
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ImageDecodeError(
+                f"JPEG SOF{marker - 0xC0} (progressive/extended) not supported (baseline only)"
+            )
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 15
+                counts = list(seg[i + 1 : i + 17])
+                n = sum(counts)
+                symbols = seg[i + 17 : i + 17 + n]
+                (huff_dc if tc == 0 else huff_ac)[th] = _build_huffman(counts, symbols)
+                i += 17 + n
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            scan_comps = []
+            for c in range(ns):
+                cs, tdta = seg[1 + 2 * c], seg[2 + 2 * c]
+                comp = next(x for x in comps if x["id"] == cs)
+                scan_comps.append({**comp, "dc": tdta >> 4, "ac": tdta & 15})
+            scan_pos = pos + 2 + seglen
+            break
+        pos += 2 + seglen
+    if scan_pos is None or not comps:
+        raise ImageDecodeError("JPEG missing SOS/SOF")
+
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+    r = _BitReader(data, scan_pos)
+    # per-component coefficient block grids
+    for c in scan_comps:
+        c["bw"] = mcux * c["h"]
+        c["bh"] = mcuy * c["v"]
+        c["blocks"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int32)
+        c["pred"] = 0
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                r.restart()
+                for c in scan_comps:
+                    c["pred"] = 0
+            for c in scan_comps:
+                dct, act = huff_dc[c["dc"]], huff_ac[c["ac"]]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        blk = c["blocks"][
+                            (my * c["v"] + by) * c["bw"] + (mx * c["h"] + bx)
+                        ]
+                        size = _huff_decode(r, dct)
+                        diff = _extend(r.bits(size), size) if size else 0
+                        c["pred"] += diff
+                        blk[0] = c["pred"]
+                        k = 1
+                        while k < 64:
+                            rs = _huff_decode(r, act)
+                            run, size = rs >> 4, rs & 15
+                            if size == 0:
+                                if run == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += run
+                            if k > 63:
+                                raise ImageDecodeError("AC run overflow")
+                            blk[_ZIGZAG[k]] = _extend(r.bits(size), size)
+                            k += 1
+            mcu_count += 1
+
+    # dequantize + IDCT all blocks per component in one einsum
+    n = np.arange(8)
+    cos = np.cos((2 * n[:, None] + 1) * n[None, :] * np.pi / 16)
+    cos[:, 0] *= 1 / np.sqrt(2)
+    planes = []
+    for c in scan_comps:
+        coef = c["blocks"].reshape(-1, 8, 8) * qt[c["tq"]][None, :, :]
+        spatial = 0.25 * np.einsum("xu,nuv,yv->nxy", cos, coef.astype(np.float64), cos)
+        plane = (
+            spatial.reshape(c["bh"], c["bw"], 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(c["bh"] * 8, c["bw"] * 8)
+        )
+        plane = np.clip(np.round(plane) + 128, 0, 255)
+        # upsample to full resolution (pixel replication)
+        plane = np.repeat(np.repeat(plane, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
+        planes.append(plane[:height, :width])
+    if len(planes) == 1:
+        return width, height, 1, bytearray(planes[0].astype(np.uint8).tobytes())
+    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+    rgb = np.stack(
+        [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb], axis=-1
+    )
+    return width, height, 3, bytearray(np.clip(np.round(rgb), 0, 255).astype(np.uint8).tobytes())
+
+
+# ---------------------------------------------------------------------------
 # dispatch + transforms
 # ---------------------------------------------------------------------------
 
@@ -277,9 +516,7 @@ def decode_image(data: bytes) -> tuple[int, int, int, bytearray]:
     if data[:6] in (b"GIF87a", b"GIF89a"):
         return decode_gif(data)
     if data[:3] == b"\xff\xd8\xff":
-        raise ImageDecodeError(
-            "JPEG pixel decode requires a codec library (PIL) on executors"
-        )
+        return decode_jpeg(data)
     raise ImageDecodeError("unrecognized image container")
 
 

@@ -18,7 +18,8 @@ process-global plug points exactly like the speech-to-text hook:
     set_layout_model(fn)   # fn(rgb_ndarray, w, h) -> [{"type","x1","y1","x2","y2","score"}]
     set_ocr_agent(fn)      # fn(rgb_ndarray, w, h) -> [{"text","x1","y1","x2","y2"}]
 
-With both registered, png/bmp/gif documents partition end-to-end;
+With both registered, png/jpeg/bmp/gif documents partition end-to-end
+(pixels decoded by the dependency-free codec, baseline JPEG included);
 without, the wire raises the same named dependency gate as before.
 """
 
