@@ -1,0 +1,139 @@
+"""PDF embedded-image extraction + scanned hi_res route
+(parsers/pdf_images.py) on the reference's real PDF fixtures."""
+
+import base64
+import zlib
+from pathlib import Path
+
+import pytest
+
+from unstructured_spark.parsers.image_codec import decode_image
+from unstructured_spark.parsers.image_parser import set_layout_model, set_ocr_agent
+from unstructured_spark.parsers.pdf_images import (
+    extract_pdf_images,
+    pdf_images_to_elements,
+    scanned_pdf_to_elements,
+)
+from unstructured_spark.parsers.pdf_parser import pdf_to_elements
+
+PDFS = Path("/root/reference/example-docs/pdf")
+
+
+class TestExtract:
+    def test_jpeg_xobjects(self):
+        recs = extract_pdf_images((PDFS / "embedded-images.pdf").read_bytes())
+        assert len(recs) == 3
+        assert all(r["mime"] == "image/jpeg" and r["decodable"] for r in recs)
+        for r in recs:
+            w, h, c, px = decode_image(r["data"])
+            assert (w, h) == (r["width"], r["height"]) == (325, 325)
+
+    def test_full_page_scan_extracts(self):
+        recs = extract_pdf_images((PDFS / "pdf-with-ocr-text.pdf").read_bytes())
+        assert len(recs) == 1
+        r = recs[0]
+        assert (r["width"], r["height"]) == (1254, 1638)
+        w, h, c, px = decode_image(r["data"])
+        assert (w, h, c) == (1254, 1638, 1)  # grayscale scan
+
+    def test_flate_bitmap_reencoded_as_png(self):
+        pdf = _bitmap_pdf(6, 4)
+        recs = extract_pdf_images(pdf)
+        assert len(recs) == 1
+        assert recs[0]["mime"] == "image/png" and recs[0]["decodable"]
+        w, h, c, px = decode_image(recs[0]["data"])
+        assert (w, h, c) == (6, 4, 3)
+
+    def test_image_elements_shape(self):
+        els = pdf_images_to_elements((PDFS / "embedded-images.pdf").read_bytes())
+        assert len(els) == 3
+        assert all(e["type"] == "Image" for e in els)
+        assert all(e["image_mime_type"] == "image/jpeg" for e in els)
+        raw = base64.b64decode(els[0]["image_base64"])
+        assert raw[:3] == b"\xff\xd8\xff"
+
+
+class TestFastPathWithExtraction:
+    def test_extract_images_kwarg_interleaves(self):
+        raw = (PDFS / "embedded-images.pdf").read_bytes()
+        plain = pdf_to_elements(raw)
+        withimg = pdf_to_elements(raw, extract_images=True)
+        imgs = [e for e in withimg if e["type"] == "Image"]
+        assert len(withimg) == len(plain) + 3
+        assert len(imgs) == 3 and all(e["image_base64"] for e in imgs)
+
+
+class TestScannedRoute:
+    def test_ocr_only_with_registered_agent(self):
+        raw = (PDFS / "pdf-with-ocr-text.pdf").read_bytes()
+
+        def fake_ocr(arr, w, h):
+            assert (h, w) == (1638, 1254)  # real decoded scan reaches the agent
+            return [{"text": "scanned words", "x1": 10, "y1": 10, "x2": 400, "y2": 40}]
+
+        set_ocr_agent(fake_ocr)
+        try:
+            els = scanned_pdf_to_elements(raw)
+        finally:
+            set_ocr_agent(None)
+        assert [e["text"] for e in els] == ["scanned words"]
+        assert els[0]["page_number"] == 1
+
+    def test_pdf_to_elements_routes_hires_via_agents(self):
+        raw = (PDFS / "pdf-with-ocr-text.pdf").read_bytes()
+        set_layout_model(
+            lambda a, w, h: [
+                {"type": "NarrativeText", "x1": 0, "y1": 0, "x2": w - 1, "y2": h - 1,
+                 "text": "whole page"}
+            ]
+        )
+        set_ocr_agent(lambda a, w, h: [])
+        try:
+            els = pdf_to_elements(raw, strategy="hi_res")
+        finally:
+            set_layout_model(None)
+            set_ocr_agent(None)
+        assert [e["text"] for e in els] == ["whole page"]
+
+    def test_hires_without_agents_falls_back_to_fast(self):
+        # reference strategies.py fallback: hi_res without inference →
+        # fast when the text layer is extractable (this scan has OCR text)
+        raw = (PDFS / "pdf-with-ocr-text.pdf").read_bytes()
+        els = pdf_to_elements(raw, strategy="hi_res")
+        assert els and all(e["type"] != "Image" for e in els)
+
+    def test_gate_without_agents_and_no_text(self):
+        # no text layer + no agents: the decision table itself errors
+        with pytest.raises(ValueError, match="not extractable"):
+            pdf_to_elements(_bitmap_pdf(6, 4), strategy="hi_res")
+
+    def test_scanned_route_on_textless_pdf_with_agents(self):
+        set_ocr_agent(lambda a, w, h: [{"text": "pixels seen", "x1": 0, "y1": 0, "x2": 5, "y2": 3}])
+        try:
+            els = pdf_to_elements(_bitmap_pdf(6, 4), strategy="auto")
+        finally:
+            set_ocr_agent(None)
+        assert [e["text"] for e in els] == ["pixels seen"]
+
+
+def _bitmap_pdf(w: int, h: int) -> bytes:
+    """Minimal one-page PDF with a Flate DeviceRGB image XObject."""
+    px = bytes((x * 40) % 256 for x in range(w * h * 3))
+    img = zlib.compress(px)
+    objs = [
+        b"<</Type/Catalog/Pages 2 0 R>>",
+        b"<</Type/Pages/Kids[3 0 R]/Count 1>>",
+        b"<</Type/Page/Parent 2 0 R/MediaBox[0 0 612 792]"
+        b"/Resources<</XObject<</Im0 4 0 R>>>>>>",
+        b"<</Type/XObject/Subtype/Image/Width %d/Height %d"
+        b"/ColorSpace/DeviceRGB/BitsPerComponent 8/Filter/FlateDecode"
+        b"/Length %d>>" % (w, h, len(img)),
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    for i, o in enumerate(objs, 1):
+        out += b"%d 0 obj\n%s\n" % (i, o)
+        if i == 4:
+            out += b"stream\n" + img + b"\nendstream\n"
+        out += b"endobj\n"
+    out += b"trailer<</Root 1 0 R>>\n%%EOF"
+    return bytes(out)

@@ -663,6 +663,14 @@ def determine_pdf_strategy(content: bytes, requested: str = "auto", **kwargs) ->
     )
 
     validate_strategy(requested)
+    # registered agent hooks count as installed inference/OCR capability
+    # (parsers/image_parser.py plug points)
+    from unstructured_spark.parsers import image_parser as _ip
+
+    kwargs.setdefault(
+        "inference_installed", _ip._LAYOUT_MODEL is not None or None
+    )
+    kwargs.setdefault("ocr_installed", _ip._OCR_AGENT is not None or None)
     return determine_pdf_or_image_strategy(
         requested,
         pdf_text_extractable=pdf_text_extractable(content),
@@ -670,14 +678,25 @@ def determine_pdf_strategy(content: bytes, requested: str = "auto", **kwargs) ->
     )
 
 
-def pdf_to_elements(content: bytes, strategy: str = "auto") -> list[dict]:
+def pdf_to_elements(
+    content: bytes, strategy: str = "auto", extract_images: bool = False
+) -> list[dict]:
     strategy = determine_pdf_strategy(content, strategy)
     if strategy in ("hi_res", "ocr_only"):
+        from unstructured_spark.parsers import image_parser as _ip
+
+        if _ip._LAYOUT_MODEL is not None or _ip._OCR_AGENT is not None:
+            from unstructured_spark.parsers.pdf_images import scanned_pdf_to_elements
+
+            els = scanned_pdf_to_elements(content)
+            if els:
+                return els
         raise NotImplementedError(
-            f"partition_pdf strategy {strategy!r} needs a layout/OCR model "
-            "(onnxruntime + tesseract on executors); this container ships "
-            "neither. The fast path, strategy gate, XY-cut ordering, and "
-            "coordinate plumbing are implemented."
+            f"partition_pdf strategy {strategy!r} needs a layout/OCR model; "
+            "register agents via parsers.image_parser.set_layout_model / "
+            "set_ocr_agent (scanned pages then partition via embedded-image "
+            "extraction, parsers/pdf_images.py) — born-digital pages "
+            "additionally need a PDF rasterizer (poppler) on executors."
         )
     doc = _PdfDoc(content)
     out: list[dict] = []
@@ -714,5 +733,15 @@ def pdf_to_elements(content: bytes, strategy: str = "auto") -> list[dict]:
                         "layout_height": page_h,
                     },
                 }
+            )
+    if extract_images:
+        # extract_images_in_pdf parity: Image elements with base64
+        # payloads, interleaved in page order after each page's text
+        from unstructured_spark.parsers.pdf_images import pdf_images_to_elements
+
+        imgs = pdf_images_to_elements(content)
+        if imgs:
+            out = sorted(
+                out + imgs, key=lambda e: (e.get("page_number") or 0)
             )
     return out
