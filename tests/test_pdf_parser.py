@@ -95,7 +95,9 @@ class TestRealPdfs:
         els = pdf_to_elements(
             self._read("invalid-pdf-structure-pdfminer-one-page.pdf")
         )
-        assert len(els) > 50
+        assert len(els) > 40
+        text = " ".join(e["text"] for e in els)
+        assert "National Cybersecurity Strat" in text
 
 
 class TestStrategyGate:
@@ -199,3 +201,55 @@ class TestStrategyDecisionTable:
             validate_strategy("fast", is_image=True)
         with pytest.raises(ValueError, match="not a valid strategy"):
             validate_strategy("turbo")
+
+
+class TestAnnotationsAndTransforms:
+    """Fast-path parity extras: URI/Dest link annotations mapped to
+    element words (reference pdf.py:500-560 + pdfminer_utils get_uris),
+    AcroForm widget recovery (pdf.py:563-583), fake-bold run dedup
+    (get_text_with_deduplication), and the full cm/Tm transform chain."""
+
+    def _read(self, name):
+        with open(f"/root/reference/example-docs/pdf/{name}", "rb") as f:
+            return f.read()
+
+    def test_embedded_links_resolve_words(self):
+        els = pdf_to_elements(self._read("embedded-link.pdf"))
+        links = [l for e in els for l in (e.get("links") or [])]
+        by_url = {l["url"]: l for l in links}
+        assert by_url["https://github.com/Unstructured-IO/unstructured"]["text"] == "link"
+        assert by_url["mailto:unstructuredai@earlygrowth.com"]["text"] == "email"
+        assert by_url["tel:6505124019"]["text"] == "phone number"
+        # reference test_pdf.py:1112-1115: the multi-line link's last
+        # fragment is the word "capturing"
+        assert links[-1]["text"] == "capturing"
+        assert links[-1]["url"] == "http://www.apple.com"
+
+    def test_link_start_index_points_into_text(self):
+        els = pdf_to_elements(self._read("embedded-link.pdf"))
+        for e in els:
+            for l in e.get("links") or []:
+                if l["start_index"] >= 0 and l["text"]:
+                    assert e["text"][l["start_index"]:].startswith(l["text"])
+
+    def test_named_dest_cite_links(self):
+        # academic internal cite links surface as named destinations
+        # (reference expects e.g. url="cite.wu2019detectron2")
+        els = pdf_to_elements(self._read("multi-column.pdf"))
+        urls = {l["url"] for e in els for l in (e.get("links") or [])}
+        assert any(u.startswith("cite.") for u in urls)
+
+    def test_fake_bold_dedup(self):
+        els = pdf_to_elements(self._read("fake-bold-sample.pdf"))
+        text = " ".join(e["text"] for e in els)
+        # each char drawn twice; dedup keeps one rendering
+        assert text.count("B O L D") == 1
+        assert "B B O O" not in text
+
+    def test_cm_tm_transform_chain_positions(self):
+        # embedded-link.pdf positions text via `cm` translation + scaled
+        # Tm; coordinates must land at true page coords, not text space
+        els = pdf_to_elements(self._read("embedded-link.pdf"))
+        ys = [p["y"] for e in els for p in e["coordinates"]["points"]]
+        assert max(ys) > 100  # degenerate extraction would cluster at y~0
+        assert all(0 <= y <= 792 for y in ys)

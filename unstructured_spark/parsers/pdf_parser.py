@@ -468,23 +468,56 @@ def _decode_pdf_string(tok: bytes, cmap: dict[int, str] | None) -> str:
     return raw.decode("latin-1", errors="replace")
 
 
+_IDENTITY = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+
+
+def _mat_mul(m1, m2):
+    """Concatenate matrices: apply m1, then m2 (PDF row-vector form)."""
+    a1, b1, c1, d1, e1, f1 = m1
+    a2, b2, c2, d2, e2, f2 = m2
+    return (
+        a1 * a2 + b1 * c2,
+        a1 * b2 + b1 * d2,
+        c1 * a2 + d1 * c2,
+        c1 * b2 + d1 * d2,
+        e1 * a2 + f1 * c2 + e2,
+        e1 * b2 + f1 * d2 + f2,
+    )
+
+
 def _extract_runs(
     content: bytes, fonts: dict[str, dict[int, str]]
 ) -> list[tuple[float, float, float, str]]:
-    """(y, x, size, text) runs from one page's content stream."""
+    """(y, x, size, text) runs from one page's content stream, with the
+    full CTM (q/Q/cm) and text-matrix (Tm/Td/T*) transform chain — text
+    positioned via `cm` translation + scaled Tm (the common
+    word-processor export shape) lands at true page coordinates."""
     runs: list[tuple[float, float, float, str]] = []
     stack: list[float | bytes | str | None] = []
-    x = y = 0.0
-    lx = ly = 0.0  # line start (Td/TD/Tm set it)
+    ctm = _IDENTITY
+    ctm_stack: list[tuple] = []
+    tm = tlm = _IDENTITY
     leading = 0.0
     size = 12.0
     cmap: dict[int, str] | None = None
     in_array: list | None = None
 
+    def device_pos() -> tuple[float, float, float]:
+        full = _mat_mul(tm, ctm)
+        eff = abs(size * full[3]) or size  # d-scale; upright text
+        return full[5], full[4], eff  # (y, x, size)
+
     def emit(tok: bytes) -> None:
         text = _decode_pdf_string(tok, cmap)
         if text:
-            runs.append((y, x, size, text))
+            y, x, eff = device_pos()
+            runs.append((y, x, eff, text))
+
+    def newline() -> None:
+        nonlocal tm, tlm
+        dy = -(leading if leading else size * 1.2)
+        tlm = _mat_mul((1, 0, 0, 1, 0, dy), tlm)
+        tm = tlm
 
     for m in _CS_TOKEN_RE.finditer(content):
         tok = m.group()
@@ -515,27 +548,21 @@ def _extract_runs(
                     fname = stack[-2]
                     cmap = fonts.get(fname) if isinstance(fname, str) else None
                 elif op in (b"Td", b"TD") and len(stack) >= 2:
-                    lx += float(stack[-2])
-                    ly += float(stack[-1])
-                    x, y = lx, ly
+                    tx, ty = float(stack[-2]), float(stack[-1])
+                    tlm = _mat_mul((1, 0, 0, 1, tx, ty), tlm)
+                    tm = tlm
                     if op == b"TD":
-                        leading = -float(stack[-1])
+                        leading = -ty
                 elif op == b"Tm" and len(stack) >= 6:
-                    lx, ly = float(stack[-2]), float(stack[-1])
-                    x, y = lx, ly
-                    sy = float(stack[-3])
-                    if abs(sy) > 0.01:
-                        size = abs(sy) * size if abs(sy) <= 4 else size
+                    tm = tlm = tuple(float(v) for v in stack[-6:])
                 elif op == b"TL" and stack:
                     leading = float(stack[-1])
                 elif op == b"T*":
-                    ly -= leading if leading else size * 1.2
-                    x, y = lx, ly
+                    newline()
                 elif op == b"Tj" and stack and isinstance(stack[-1], bytes):
                     emit(stack[-1])
                 elif op in (b"'", b'"'):
-                    ly -= leading if leading else size * 1.2
-                    x, y = lx, ly
+                    newline()
                     if stack and isinstance(stack[-1], bytes):
                         emit(stack[-1])
                 elif op == b"TJ" and stack and isinstance(stack[-1], list):
@@ -547,12 +574,109 @@ def _extract_runs(
                             parts.append(" ")  # big negative kern = space
                     text = "".join(parts)
                     if text:
-                        runs.append((y, x, size, text))
+                        y, x, eff = device_pos()
+                        runs.append((y, x, eff, text))
                 elif op == b"BT":
-                    x = y = lx = ly = 0.0
+                    tm = tlm = _IDENTITY
+                elif op == b"cm" and len(stack) >= 6:
+                    try:
+                        mat = tuple(float(v) for v in stack[-6:])
+                        ctm = _mat_mul(mat, ctm)
+                    except (TypeError, ValueError):
+                        pass
+                elif op == b"q":
+                    ctm_stack.append(ctm)
+                elif op == b"Q":
+                    if ctm_stack:
+                        ctm = ctm_stack.pop()
             finally:
                 stack.clear()
     return runs
+
+
+def _page_annotations(doc: "_PdfDoc", page: dict, page_h: float) -> tuple[list[dict], list[dict]]:
+    """(link annots, widget annots) with top-down boxes (x0, top, x1, bot).
+
+    Links: /Link annots with a /URI action or a named /Dest — academic
+    PDFs use named destinations for internal cite links (reference
+    pdfminer_utils.get_uris_from_annots). Widgets: filled AcroForm
+    values (/V) that the content-stream pass misses (reference
+    pdf.py:563-583)."""
+    links: list[dict] = []
+    widgets: list[dict] = []
+    for ref in doc.resolve(page.get("/Annots")) or []:
+        a = doc.resolve(ref)
+        if not isinstance(a, dict):
+            continue
+        rect = doc.resolve(a.get("/Rect"))
+        try:
+            vals = [float(doc.resolve(v)) for v in rect]
+            x0, x1 = sorted((vals[0], vals[2]))
+            y0, y1 = sorted((vals[1], vals[3]))
+        except (TypeError, ValueError):
+            continue
+        box = (x0, page_h - y1, x1, page_h - y0)
+        sub = doc.resolve(a.get("/Subtype"))
+        if sub == "/Link":
+            uri = None
+            act = doc.resolve(a.get("/A"))
+            if isinstance(act, dict):
+                u = doc.resolve(act.get("/URI"))
+                if isinstance(u, bytes):
+                    uri = u.decode("latin-1")
+                elif isinstance(u, str):
+                    uri = u.lstrip("/")
+                if uri is None:
+                    d_ = doc.resolve(act.get("/D"))
+                    if isinstance(d_, bytes):
+                        uri = d_.decode("latin-1")
+                    elif isinstance(d_, str):
+                        uri = d_.lstrip("/")
+            if uri is None:
+                dest = doc.resolve(a.get("/Dest"))
+                if isinstance(dest, bytes):
+                    uri = dest.decode("latin-1")
+                elif isinstance(dest, str):
+                    uri = dest.lstrip("/")
+            if uri:
+                links.append({"url": uri, "box": box, "words": []})
+        elif sub == "/Widget":
+            v = doc.resolve(a.get("/V"))
+            if isinstance(v, bytes):
+                v = v.decode("latin-1", "replace")
+            if isinstance(v, str) and v.strip() and not v.startswith("/"):
+                widgets.append({"text": v.strip(), "box": box})
+    return links, widgets
+
+
+def _match_link_words(
+    runs: list[tuple[float, float, float, str]],
+    links: list[dict],
+    page_h: float,
+) -> None:
+    """Assign the words rendered under each link rect (estimated char
+    widths — the same 0.5 em heuristic the block builder uses)."""
+    if not links:
+        return
+    for y, x, size, text in runs:
+        td = page_h - y  # baseline, top-down
+        cw = 0.5 * size
+        for link in links:
+            lx0, ltop, lx1, lbot = link["box"]
+            if not (ltop - 2.0 <= td <= lbot + 2.0):
+                continue
+            pos = 0
+            for word in text.split():
+                start = text.index(word, pos)
+                pos = start + len(word)
+                wx0 = x + start * cw
+                wx1 = x + pos * cw
+                center = (wx0 + wx1) / 2
+                if lx0 <= center <= lx1:
+                    link["words"].append((td, wx0, word))
+    for link in links:
+        link["words"].sort()
+        link["text"] = " ".join(w for _, _, w in link["words"]) or None
 
 
 def _runs_to_blocks(
@@ -569,6 +693,20 @@ def _runs_to_blocks(
 
     if not runs:
         return []
+    # 0. fake-bold dedup: the same text rendered twice at a sub-point
+    # offset is a faux-bold effect, not content (reference
+    # pdfminer_utils.get_text_with_deduplication,
+    # PDF_CHAR_DUPLICATE_THRESHOLD)
+    seen: dict[tuple[float, str], list[float]] = {}
+    deduped: list[tuple[float, float, float, str]] = []
+    for y, x, size, text in runs:
+        key = (round(y, 0), text)
+        xs = seen.setdefault(key, [])
+        if any(abs(x - px) <= max(1.0, 0.15 * size) for px in xs):
+            continue
+        xs.append(x)
+        deduped.append((y, x, size, text))
+    runs = deduped
     # 1. group runs into visual lines by baseline y (±2pt)
     by_y: list[tuple[float, list[tuple[float, float, str]]]] = []
     for y, x, size, text in runs:
@@ -712,21 +850,59 @@ def pdf_to_elements(
             page_h = float(doc.resolve(media[3])) - float(doc.resolve(media[1]))
         except (TypeError, ValueError, IndexError):
             page_w, page_h = 612.0, 792.0
+        links, widgets = _page_annotations(doc, page, page_h)
+        _match_link_words(runs, links, page_h)
         for b in _runs_to_blocks(runs, page_h):
             text = " ".join(b["text"].split())
             if not text:
                 continue
+            el_links = []
+            for link in links:
+                lx0, ltop, lx1, lbot = link["box"]
+                cx, cy = (lx0 + lx1) / 2, (ltop + lbot) / 2
+                if b["x0"] - 2 <= cx <= b["x1"] + 2 and b["top"] - 2 <= cy <= b["bot"] + 2:
+                    ltext = link.get("text")
+                    el_links.append(
+                        {
+                            "text": ltext,
+                            "url": link["url"],
+                            "start_index": text.find(ltext) if ltext else -1,
+                        }
+                    )
             out.append(
                 {
                     "type": classify.element_type_from_text(text),
                     "text": text,
                     "page_number": page_no,
+                    "links": el_links or None,
                     "coordinates": {
                         "points": [
                             {"x": b["x0"], "y": b["top"]},
                             {"x": b["x0"], "y": b["bot"]},
                             {"x": b["x1"], "y": b["bot"]},
                             {"x": b["x1"], "y": b["top"]},
+                        ],
+                        "system": "PixelSpace",
+                        "layout_width": page_w,
+                        "layout_height": page_h,
+                    },
+                }
+            )
+        # filled AcroForm widget values (content stream misses them;
+        # reference pdf.py:563-583)
+        for wdg in widgets:
+            wx0, wtop, wx1, wbot = wdg["box"]
+            out.append(
+                {
+                    "type": classify.element_type_from_text(wdg["text"]),
+                    "text": wdg["text"],
+                    "page_number": page_no,
+                    "coordinates": {
+                        "points": [
+                            {"x": wx0, "y": wtop},
+                            {"x": wx0, "y": wbot},
+                            {"x": wx1, "y": wbot},
+                            {"x": wx1, "y": wtop},
                         ],
                         "system": "PixelSpace",
                         "layout_width": page_w,
