@@ -137,3 +137,47 @@ def _bitmap_pdf(w: int, h: int) -> bytes:
         out += b"endobj\n"
     out += b"trailer<</Root 1 0 R>>\n%%EOF"
     return bytes(out)
+
+
+class TestOneBit:
+    def test_one_bit_gray_bitmap(self):
+        import numpy as np
+
+        w, h = 10, 4
+        row_bytes = (w + 7) // 8
+        bits = np.zeros((h, row_bytes * 8), dtype=np.uint8)
+        bits[:, ::2] = 1  # vertical stripes
+        px = np.packbits(bits, axis=1).tobytes()
+        img = zlib.compress(px)
+        objs = [
+            b"<</Type/Catalog/Pages 2 0 R>>",
+            b"<</Type/Pages/Kids[3 0 R]/Count 1>>",
+            b"<</Type/Page/Parent 2 0 R/MediaBox[0 0 612 792]"
+            b"/Resources<</XObject<</Im0 4 0 R>>>>>>",
+            b"<</Type/XObject/Subtype/Image/Width %d/Height %d"
+            b"/ColorSpace/DeviceGray/BitsPerComponent 1/Filter/FlateDecode"
+            b"/Length %d>>" % (w, h, len(img)),
+        ]
+        out = bytearray(b"%PDF-1.4\n")
+        for i, o in enumerate(objs, 1):
+            out += b"%d 0 obj\n%s\n" % (i, o)
+            if i == 4:
+                out += b"stream\n" + img + b"\nendstream\n"
+            out += b"endobj\n"
+        out += b"trailer<</Root 1 0 R>>\n%%EOF"
+        recs = extract_pdf_images(bytes(out))
+        assert len(recs) == 1 and recs[0]["decodable"]
+        dw, dh, dc, dpx = decode_image(recs[0]["data"])
+        assert (dw, dh, dc) == (10, 4, 1)
+        assert dpx[0] == 255 and dpx[1] == 0  # stripes survived
+
+    def test_icc_based_rgb_bitmap(self):
+        from pathlib import Path
+
+        recs = extract_pdf_images(
+            Path("/root/reference/example-docs/pdf/single_table.pdf").read_bytes()
+        )
+        dec = [r for r in recs if r["decodable"]]
+        assert dec and dec[0]["mime"] == "image/png"
+        w, h, c, px = decode_image(dec[0]["data"])
+        assert (w, h, c) == (158, 767, 3)  # ICCBased /N 3

@@ -120,6 +120,40 @@ def extract_pdf_images(content: bytes) -> list[dict]:
                             data=encode_png(w, h, nch, px[: w * h * nch]),
                             decodable=True,
                         )
+            elif filters in ([], ["/FlateDecode"]) and bpc == 1 and w and h:
+                # 1-bit gray / image masks (rows byte-aligned); /Decode
+                # [1 0] inverts sample meaning
+                cs = doc.resolve(obj.get("/ColorSpace"))
+                mask = bool(doc.resolve(obj.get("/ImageMask")))
+                if cs in (None, "/DeviceGray") or mask:
+                    try:
+                        px = zlib.decompress(raw) if filters else raw
+                    except zlib.error:
+                        px = None
+                    row_bytes = (w + 7) // 8
+                    if px is not None and len(px) >= row_bytes * h:
+                        import numpy as np
+
+                        bits = np.unpackbits(
+                            np.frombuffer(px, np.uint8, count=row_bytes * h).reshape(
+                                h, row_bytes
+                            ),
+                            axis=1,
+                        )[:, :w]
+                        decode = doc.resolve(obj.get("/Decode"))
+                        # 0=black 1=white for DeviceGray and for masks
+                        # (0=paint-with-fill≈black); /Decode [1 0] inverts
+                        inverted = (
+                            isinstance(decode, list)
+                            and len(decode) >= 2
+                            and float(doc.resolve(decode[0]) or 0) == 1.0
+                        )
+                        gray = (bits ^ 1 if inverted else bits) * np.uint8(255)
+                        rec.update(
+                            mime="image/png",
+                            data=encode_png(w, h, 1, bytearray(gray.astype("uint8").tobytes())),
+                            decodable=True,
+                        )
             out.append(rec)
     return out
 
