@@ -179,3 +179,75 @@ class TestSparkOperators:
         thumb = resize_images(df, new_width=5, new_height=5).first()["thumbnail"]
         w, h, c, px = decode_png(bytes(thumb))
         assert (w, h, c) == (5, 5, 3)
+
+
+class TestGifLzwTableGrowth:
+    """The tiny-GIF case clears the table per pixel; this one exercises
+    real LZW table growth + code-size bumps with a spec-faithful
+    encoder built in the test."""
+
+    @staticmethod
+    def _lzw_encode(min_code_size: int, indices: list[int]) -> bytes:
+        clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+        table = {bytes([i]): i for i in range(clear)}
+        next_code = end + 1
+        code_size = min_code_size + 1
+        out_codes = [clear]
+        w = b""
+        for k in indices:
+            wk = w + bytes([k])
+            if wk in table:
+                w = wk
+            else:
+                out_codes.append(table[w])
+                table[wk] = next_code
+                next_code += 1
+                w = bytes([k])
+        if w:
+            out_codes.append(table[w])
+        out_codes.append(end)
+        # pack LSB-first with the same growth rule decoders use: the
+        # code size bumps when next_code exceeds the current code range
+        stream = bytearray()
+        buf = nbits = 0
+        size = min_code_size + 1
+        count = end + 1
+        for c in out_codes:
+            buf |= c << nbits
+            nbits += size
+            while nbits >= 8:
+                stream.append(buf & 0xFF)
+                buf >>= 8
+                nbits -= 8
+            if c == clear:
+                size = min_code_size + 1
+                count = end + 1
+            else:
+                count += 1
+                if count > (1 << size) and size < 12:
+                    size += 1
+        if nbits:
+            stream.append(buf & 0xFF)
+        return bytes(stream)
+
+    def test_repeating_pattern_roundtrip(self):
+        import struct as _struct
+
+        w, h = 16, 16
+        pixels = [(x // 2 + y) % 4 for y in range(h) for x in range(w)]
+        lzw = self._lzw_encode(2, pixels)
+        gif = bytearray(b"GIF89a")
+        gif += _struct.pack("<HH", w, h)
+        gif += bytes([0x81, 0, 0])
+        gif += bytes([10, 10, 10, 110, 110, 110, 170, 170, 170, 250, 250, 250])
+        gif += b"\x2c" + _struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+        gif += bytes([2])
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            gif += bytes([len(chunk)]) + chunk
+        gif += b"\x00\x3b"
+        dw, dh, dc, px = decode_gif(bytes(gif))
+        assert (dw, dh, dc) == (w, h, 3)
+        palette = [10, 110, 170, 250]
+        got = [px[i * 3] for i in range(w * h)]
+        assert got == [palette[p] for p in pixels]

@@ -183,10 +183,15 @@ def decode_bmp(data: bytes) -> tuple[int, int, int, bytearray]:
 
 
 def _lzw_decode(min_code_size: int, data: bytes, expected: int) -> bytearray:
+    """GIF LZW. The code-size bump counts codes PROCESSED (giflib's
+    RunningCode convention), not table entries — the decoder's table
+    lags the encoder's by one entry, so an entry-count rule desyncs
+    bit widths exactly at each growth boundary."""
     clear, end = 1 << min_code_size, (1 << min_code_size) + 1
     out = bytearray()
     table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
     code_size = min_code_size + 1
+    running = end + 1
     buf = bits = 0
     prev: bytes | None = None
     for byte in data:
@@ -199,6 +204,7 @@ def _lzw_decode(min_code_size: int, data: bytes, expected: int) -> bytearray:
             if code == clear:
                 table = [bytes([i]) for i in range(clear)] + [b"", b""]
                 code_size = min_code_size + 1
+                running = end + 1
                 prev = None
                 continue
             if code == end:
@@ -213,7 +219,8 @@ def _lzw_decode(min_code_size: int, data: bytes, expected: int) -> bytearray:
                 table.append(entry)
             out += entry
             prev = entry
-            if len(table) == (1 << code_size) and code_size < 12:
+            running += 1
+            if running > (1 << code_size) and code_size < 12:
                 code_size += 1
             if len(out) >= expected:
                 return out
