@@ -2104,12 +2104,18 @@ with w as (
     sum(case when cnt > 1 then cnt else 0 end) as dup_occ
   from counts group by doc_id, text_len, n
 )
-select doc_id,
-  round(max(case when n = 2 then dup_occ / total end), 6) as dup_2gram_frac,
-  round(max(case when n = 2 then top_chars / greatest(text_len, 1) end), 6) as top_2gram_char_frac,
-  round(max(case when n = 5 then dup_occ / total end), 6) as dup_5gram_frac,
-  round(max(case when n = 5 then top_chars / greatest(text_len, 1) end), 6) as top_5gram_char_frac
-from per_n group by doc_id
+, stats as (
+  select doc_id,
+    round(max(case when n = 2 then dup_occ / total end), 6) as dup_2gram_frac,
+    round(max(case when n = 2 then top_chars / greatest(text_len, 1) end), 6) as top_2gram_char_frac,
+    round(max(case when n = 5 then dup_occ / total end), 6) as dup_5gram_frac,
+    round(max(case when n = 5 then top_chars / greatest(text_len, 1) end), 6) as top_5gram_char_frac
+  from per_n group by doc_id
+)
+select d.doc_id, s.dup_2gram_frac, s.top_2gram_char_frac,
+       s.dup_5gram_frac, s.top_5gram_char_frac
+from (select distinct doc_id from documents) d
+left join stats s using (doc_id)
 """,
         "q_exact_dups": """
             select md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) as fingerprint,

@@ -181,3 +181,132 @@ class TestOneBit:
         assert dec and dec[0]["mime"] == "image/png"
         w, h, c, px = decode_image(dec[0]["data"])
         assert (w, h, c) == (158, 767, 3)  # ICCBased /N 3
+
+
+def _obj_pdf(objs: list[bytes], stream_for: dict[int, bytes]) -> bytes:
+    out = bytearray(b"%PDF-1.4\n")
+    for i, o in enumerate(objs, 1):
+        out += b"%d 0 obj\n%s\n" % (i, o)
+        if i in stream_for:
+            out += b"stream\n" + stream_for[i] + b"\nendstream\n"
+        out += b"endobj\n"
+    out += b"trailer<</Root 1 0 R>>\n%%EOF"
+    return bytes(out)
+
+
+class TestFiltersAndPredictors:
+    def test_png_predictor_flate_bitmap(self):
+        import numpy as np
+
+        w, h = 5, 3
+        px = bytes((x * 17) % 256 for x in range(w * h * 3))
+        # encode with PNG Up filter (type 2) rows
+        rows = np.frombuffer(px, np.uint8).reshape(h, w * 3).astype(np.int16)
+        filtered = bytearray()
+        prev = np.zeros(w * 3, np.int16)
+        for r in rows:
+            filtered.append(2)
+            filtered += ((r - prev) % 256).astype(np.uint8).tobytes()
+            prev = r
+        img = zlib.compress(bytes(filtered))
+        pdf = _obj_pdf(
+            [
+                b"<</Type/Catalog/Pages 2 0 R>>",
+                b"<</Type/Pages/Kids[3 0 R]/Count 1>>",
+                b"<</Type/Page/Parent 2 0 R/Resources<</XObject<</Im0 4 0 R>>>>>>",
+                b"<</Type/XObject/Subtype/Image/Width 5/Height 3"
+                b"/ColorSpace/DeviceRGB/BitsPerComponent 8/Filter/FlateDecode"
+                b"/DecodeParms<</Predictor 12/Colors 3/Columns 5>>"
+                b"/Length %d>>" % len(img),
+            ],
+            {4: img},
+        )
+        recs = extract_pdf_images(pdf)
+        assert recs[0]["decodable"]
+        assert recs[0]["pixels"] == (3, px)  # predictor undone exactly
+
+    def test_tiff_predictor(self):
+        import numpy as np
+
+        w, h = 4, 2
+        px = bytes((x * 31) % 256 for x in range(w * h * 3))
+        arr = np.frombuffer(px, np.uint8).reshape(h, w, 3).astype(np.int16)
+        diff = arr.copy()
+        diff[:, 1:, :] = (arr[:, 1:, :] - arr[:, :-1, :]) % 256
+        img = zlib.compress(diff.astype(np.uint8).tobytes())
+        pdf = _obj_pdf(
+            [
+                b"<</Type/Catalog/Pages 2 0 R>>",
+                b"<</Type/Pages/Kids[3 0 R]/Count 1>>",
+                b"<</Type/Page/Parent 2 0 R/Resources<</XObject<</Im0 4 0 R>>>>>>",
+                b"<</Type/XObject/Subtype/Image/Width 4/Height 2"
+                b"/ColorSpace/DeviceRGB/BitsPerComponent 8/Filter/FlateDecode"
+                b"/DecodeParms<</Predictor 2/Colors 3/Columns 4>>"
+                b"/Length %d>>" % len(img),
+            ],
+            {4: img},
+        )
+        recs = extract_pdf_images(pdf)
+        assert recs[0]["decodable"]
+        assert recs[0]["pixels"] == (3, px)
+
+    def test_form_xobject_nested_image(self):
+        px = bytes(range(48)) * 1
+        img = zlib.compress(px)
+        pdf = _obj_pdf(
+            [
+                b"<</Type/Catalog/Pages 2 0 R>>",
+                b"<</Type/Pages/Kids[3 0 R]/Count 1>>",
+                b"<</Type/Page/Parent 2 0 R/Resources<</XObject<</Fm0 5 0 R>>>>>>",
+                b"<</Type/XObject/Subtype/Image/Width 4/Height 4"
+                b"/ColorSpace/DeviceRGB/BitsPerComponent 8/Filter/FlateDecode"
+                b"/Length %d>>" % len(img),
+                b"<</Type/XObject/Subtype/Form/BBox[0 0 10 10]"
+                b"/Resources<</XObject<</Im0 4 0 R>>>>/Length 0>>",
+            ],
+            {4: img, 5: b""},
+        )
+        recs = extract_pdf_images(pdf)
+        assert len(recs) == 1 and recs[0]["decodable"]
+        assert recs[0]["pixels"] == (3, px)
+
+    def test_unsupported_prefilter_marks_undecodable(self):
+        pdf = _obj_pdf(
+            [
+                b"<</Type/Catalog/Pages 2 0 R>>",
+                b"<</Type/Pages/Kids[3 0 R]/Count 1>>",
+                b"<</Type/Page/Parent 2 0 R/Resources<</XObject<</Im0 4 0 R>>>>>>",
+                b"<</Type/XObject/Subtype/Image/Width 4/Height 4"
+                b"/Filter[/JBIG2Decode/DCTDecode]/BitsPerComponent 8/Length 4>>",
+            ],
+            {4: b"\x00\x00\x00\x00"},
+        )
+        recs = extract_pdf_images(pdf)
+        assert recs and not recs[0]["decodable"]
+        assert recs[0]["mime"] == "application/octet-stream"
+
+    def test_corrupt_page_isolated_in_scanned_route(self):
+        # page 1 good bitmap, page 2 bogus "jpeg" marked via DCT with
+        # baseline-looking header but truncated body
+        good = zlib.compress(bytes(48))
+        fake_jpeg = b"\xff\xd8\xff\xc0\x00\x0b\x08\x00\x04\x00\x04\x01\x01\x11\x00\xff\xda"
+        pdf = _obj_pdf(
+            [
+                b"<</Type/Catalog/Pages 2 0 R>>",
+                b"<</Type/Pages/Kids[3 0 R 5 0 R]/Count 2>>",
+                b"<</Type/Page/Parent 2 0 R/Resources<</XObject<</Im0 4 0 R>>>>>>",
+                b"<</Type/XObject/Subtype/Image/Width 4/Height 4"
+                b"/ColorSpace/DeviceRGB/BitsPerComponent 8/Filter/FlateDecode"
+                b"/Length %d>>" % len(good),
+                b"<</Type/Page/Parent 2 0 R/Resources<</XObject<</Im1 6 0 R>>>>>>",
+                b"<</Type/XObject/Subtype/Image/Width 4/Height 4"
+                b"/Filter/DCTDecode/BitsPerComponent 8/Length %d>>" % len(fake_jpeg),
+            ],
+            {4: good, 6: fake_jpeg},
+        )
+        set_ocr_agent(lambda a, w, h: [{"text": "ok", "x1": 0, "y1": 0, "x2": 3, "y2": 3}])
+        try:
+            els = scanned_pdf_to_elements(pdf)
+        finally:
+            set_ocr_agent(None)
+        assert [e["page_number"] for e in els] == [1]  # page 2 skipped, not fatal

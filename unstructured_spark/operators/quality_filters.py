@@ -218,7 +218,11 @@ def ngram_repetition(
         renames[f"{n}_top_char_frac"] = f"top_{n}gram_char_frac"
     for old, new in renames.items():
         out = out.withColumnRenamed(old, new)
-    return out
+    # keep zero-gram documents (too short for even the smallest n): a
+    # row with all-null stats, same convention as a doc too short for
+    # one particular n — callers never lose documents to the explode
+    all_docs = df.select(F.col(doc_id).alias("doc_id")).distinct()
+    return all_docs.join(out, "doc_id", "left")
 
 
 # ---------------------------------------------------------------------------

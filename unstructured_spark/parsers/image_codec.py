@@ -502,6 +502,10 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytearray]:
         planes.append(plane[:height, :width])
     if len(planes) == 1:
         return width, height, 1, bytearray(planes[0].astype(np.uint8).tobytes())
+    if len(planes) != 3:
+        raise ImageDecodeError(
+            f"{len(planes)}-component JPEG (CMYK/YCCK) not supported (1 or 3 only)"
+        )
     y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
     rgb = np.stack(
         [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb], axis=-1
@@ -515,16 +519,28 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytearray]:
 
 
 def decode_image(data: bytes) -> tuple[int, int, int, bytearray]:
-    """Decode PNG/BMP/GIF pixels; JPEG and others raise (codec gate)."""
+    """Decode PNG/BMP/GIF/baseline-JPEG pixels.
+
+    Every failure — including corrupt streams that make zlib/numpy/
+    struct raise internally — surfaces as ImageDecodeError so callers
+    have a single gate to catch (per-row isolation in operators, the
+    UnsupportedFormatError wrap in partition_image)."""
     if data[:8] == _PNG_MAGIC:
-        return decode_png(data)
-    if data[:2] == b"BM":
-        return decode_bmp(data)
-    if data[:6] in (b"GIF87a", b"GIF89a"):
-        return decode_gif(data)
-    if data[:3] == b"\xff\xd8\xff":
-        return decode_jpeg(data)
-    raise ImageDecodeError("unrecognized image container")
+        decoder = decode_png
+    elif data[:2] == b"BM":
+        decoder = decode_bmp
+    elif data[:6] in (b"GIF87a", b"GIF89a"):
+        decoder = decode_gif
+    elif data[:3] == b"\xff\xd8\xff":
+        decoder = decode_jpeg
+    else:
+        raise ImageDecodeError("unrecognized image container")
+    try:
+        return decoder(data)
+    except ImageDecodeError:
+        raise
+    except Exception as e:
+        raise ImageDecodeError(f"corrupt {decoder.__name__[7:]} stream: {e}") from e
 
 
 def resize_nearest(

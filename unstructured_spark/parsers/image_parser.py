@@ -89,7 +89,12 @@ def image_to_elements(content: bytes, **_: object) -> list[dict]:
     except ImageDecodeError as e:
         raise UnsupportedFormatError(str(e)) from e
     arr = np.frombuffer(bytes(px), dtype=np.uint8).reshape(h, w, c)
+    return elements_from_pixels(arr, w, h)
 
+
+def elements_from_pixels(arr, w: int, h: int) -> list[dict]:
+    """The agent pipeline over already-decoded pixels (the scanned-PDF
+    route lands here directly, skipping a PNG round-trip)."""
     detections = list(_LAYOUT_MODEL(arr, w, h)) if _LAYOUT_MODEL else []
     words = list(_OCR_AGENT(arr, w, h)) if _OCR_AGENT else []
 

@@ -63,11 +63,8 @@ def training_data_pipeline(
         qkw = {"min_words": 10, "min_stopwords": 0, "min_mean_word_len": 2.0}
         qkw.update(quality_kwargs or {})
         stats = {**gopher_stats_exprs("text"), **line_repetition_exprs("text")}
-        with_stats = chunks.select("*", *[c.alias(f"_q_{n}") for n, c in stats.items()])
-        renamed = with_stats
-        for n in stats:
-            renamed = renamed.withColumnRenamed(f"_q_{n}", n)
-        chunks = renamed.filter(gopher_keep_expr(**qkw)).drop(*stats.keys())
+        with_stats = chunks.select("*", *[c.alias(n) for n, c in stats.items()])
+        chunks = with_stats.filter(gopher_keep_expr(**qkw)).drop(*stats.keys())
 
     if near_dedup:
         dkw = {"n": 3, "threshold": 0.5}
