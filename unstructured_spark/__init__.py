@@ -17,3 +17,15 @@ Layout:
 __version__ = "0.1.0"
 
 from unstructured_spark.session import get_spark  # noqa: F401
+
+
+def __getattr__(name):
+    # lazy drop-in surface: `from unstructured_spark import partition`
+    # (local single-document facade, api.py) without importing the
+    # facade on package import
+    if name in ("partition", "Element", "ElementMetadata", "elements_from_json",
+                "elements_to_json", "chunk_elements", "chunk_by_title"):
+        from unstructured_spark import api
+
+        return getattr(api, name)
+    raise AttributeError(name)
