@@ -226,3 +226,78 @@ class TestParserRobustness:
         out = partition_documents(df, on_error="skip").collect()
         # the good doc always survives; the fuzzed one may or may not
         assert any(r["doc_id"] == "good" for r in out)
+
+
+class TestCodecProperties:
+    @given(
+        w=st.integers(1, 24),
+        h=st.integers(1, 24),
+        channels=st.sampled_from([1, 2, 3, 4]),
+        data=st.data(),
+    )
+    @settings(max_examples=20, deadline=None)
+    def test_png_round_trip_random_pixels(self, w, h, channels, data):
+        from unstructured_spark.parsers.image_codec import decode_png, encode_png
+
+        px = bytearray(
+            data.draw(
+                st.lists(
+                    st.integers(0, 255),
+                    min_size=w * h * channels,
+                    max_size=w * h * channels,
+                )
+            )
+        )
+        w2, h2, c2, px2 = decode_png(encode_png(w, h, channels, px))
+        assert (w2, h2, c2) == (w, h, channels) and px2 == px
+
+    @given(data=st.binary(min_size=0, max_size=256))
+    @settings(max_examples=30, deadline=None)
+    def test_decode_image_never_raises_foreign_errors(self, data):
+        from unstructured_spark.parsers.image_codec import (
+            ImageDecodeError,
+            decode_image,
+        )
+
+        # corrupt bytes (incl. valid magics + garbage bodies) must fail
+        # with the single codec gate, never zlib/struct/numpy errors
+        for prefix in (b"", b"\x89PNG\r\n\x1a\n", b"BM", b"GIF89a", b"\xff\xd8\xff"):
+            try:
+                decode_image(prefix + data)
+            except ImageDecodeError:
+                pass
+
+    @given(
+        n=st.integers(1, 200),
+        rate=st.sampled_from([8000, 16000, 44100]),
+    )
+    @settings(max_examples=15, deadline=None)
+    def test_energy_segments_invariants(self, n, rate):
+        import numpy as np
+
+        from unstructured_spark.parsers.audio_parser import energy_segments
+
+        rng = np.random.default_rng(n)
+        samples = rng.standard_normal(n * 50).astype(np.float32) * 0.1
+        segs = energy_segments(samples, rate)
+        dur = len(samples) / rate
+        for t0, t1, db in segs:
+            assert 0 <= t0 < t1 <= dur + 0.05
+            assert db <= 0.0  # dB relative to peak
+
+
+class TestQualityFilterProperties:
+    @given(text=st.text(max_size=400))
+    @settings(max_examples=30, deadline=None)
+    def test_gopher_fractions_bounded(self, spark, text):
+        from unstructured_spark.operators.quality_filters import gopher_quality
+
+        df = spark.createDataFrame([("d", text)], "doc_id string, text string")
+        r = gopher_quality(df).first()
+        for c in (
+            "alpha_word_frac", "bullet_line_frac", "ellipsis_line_frac",
+            "dup_line_frac", "dup_line_char_frac", "dup_para_frac",
+            "dup_para_char_frac",
+        ):
+            assert 0.0 <= r[c] <= 1.0, (c, r[c], repr(text))
+        assert r["word_count"] >= 0 and r["mean_word_len"] >= 0.0
