@@ -118,3 +118,31 @@ class TestSqlSurface:
         ).collect()[0]
         assert row["c"] == "spam ham"
         assert row["ft"] == "html"
+
+
+class TestChunkDocTvf:
+    def test_lateral_chunking(self, spark):
+        from unstructured_spark.sql_surface import register_sql_surface
+
+        register_sql_surface(spark)
+        body = ("Section One\n\n" + "word " * 120 + "\n\nSection Two\n\n" + "tail " * 40).encode()
+        spark.createDataFrame(
+            [("d1", bytearray(body), "a.txt")],
+            "doc_id string, content binary, path string",
+        ).createOrReplaceTempView("docs_for_chunk")
+        rows = spark.sql(
+            "SELECT d.doc_id, c.* FROM docs_for_chunk d, "
+            "LATERAL chunk_doc(d.content, d.path, 200) c"
+        ).collect()
+        assert len(rows) > 2
+        assert all(len(r["text"]) <= 200 for r in rows)
+        assert [r["chunk_index"] for r in rows] == list(range(len(rows)))
+
+    def test_detect_language_scalar(self, spark):
+        from unstructured_spark.sql_surface import register_sql_surface
+
+        register_sql_surface(spark)
+        got = spark.sql(
+            "SELECT detect_language('the quick brown fox and the lazy dog together') AS l"
+        ).first()["l"]
+        assert got == "eng"

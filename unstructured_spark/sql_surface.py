@@ -81,3 +81,59 @@ def register_sql_surface(spark: SparkSession) -> None:
 
     spark.udf.register("clean_text", _clean_text, "string")
     spark.udf.register("detect_filetype_name", _detect, "string")
+
+    def _lang(s: str | None) -> str | None:
+        if not s:
+            return None
+        from unstructured_spark.operators.metadata import py_detect_language
+
+        return py_detect_language(s)
+
+    spark.udf.register("detect_language", _lang, "string")
+    spark.udtf.register("chunk_doc", ChunkDocUdtf)
+
+
+@udtf(returnType=(
+    "chunk_index int, type string, text string, is_continuation boolean"
+))
+class ChunkDocUdtf:
+    """Partition + chunk one document's bytes in a single LATERAL call —
+    the SQL analog of ``partition_and_chunk`` (one-call flow). Strategy
+    fixed to ``by_title`` with the caller's window:
+
+        SELECT d.doc_id, c.*
+        FROM docs d, LATERAL chunk_doc(d.content, d.path, 500) c
+    """
+
+    def eval(self, content, filename=None, max_characters: int = 500):  # noqa: D102
+        if content is None:
+            return
+        from unstructured_spark.api import _chunk_rows
+        from unstructured_spark.operators.metadata import py_finalize_doc
+        from unstructured_spark.parsers.dispatch import partition_bytes
+        from unstructured_spark.schema import ELEMENT_SCHEMA
+
+        cols = [f.name for f in ELEMENT_SCHEMA.fields]
+        raw = bytes(content) if not isinstance(content, (bytes, str)) else content
+        try:
+            els = partition_bytes(raw, filename=filename)
+        except Exception:
+            return
+        rows = []
+        for i, el in enumerate(els):
+            row = {c: None for c in cols}
+            row.update({k: v for k, v in el.items() if k in row})
+            row["doc_id"] = filename or "doc"
+            row["element_index"] = i
+            row["text"] = el.get("text", "")
+            row["type"] = el.get("type", "Text")
+            rows.append(row)
+        py_finalize_doc(rows, doc_id=filename or "doc", filename=filename)
+        chunks = _chunk_rows(rows, "by_title", max_characters=int(max_characters))
+        for i, ch in enumerate(chunks):
+            yield (
+                i,
+                ch.get("type"),
+                ch.get("text"),
+                bool(ch.get("is_continuation")),
+            )
