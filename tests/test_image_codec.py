@@ -251,3 +251,78 @@ class TestGifLzwTableGrowth:
         palette = [10, 110, 170, 250]
         got = [px[i * 3] for i in range(w * h)]
         assert got == [palette[p] for p in pixels]
+
+
+class TestTiff:
+    def test_multipage_real_fixture(self):
+        from unstructured_spark.parsers.image_codec import decode_tiff_pages
+
+        pages = decode_tiff_pages(
+            (DOCS / "img" / "layout-parser-paper-combined.tiff").read_bytes()
+        )
+        assert [(w, h, c) for w, h, c, _ in pages] == [(612, 792, 3), (791, 1024, 3)]
+
+    def test_cross_format_parity_with_jpeg(self):
+        """fast.tiff and fast.jpg are renders of the same page: the
+        TIFF strip assembly must agree with the independently-validated
+        JPEG decode to within quantization error."""
+        import numpy as np
+
+        from unstructured_spark.parsers.image_codec import (
+            decode_jpeg,
+            decode_tiff_pages,
+        )
+
+        w, h, c, px = decode_tiff_pages(
+            (DOCS / "img" / "layout-parser-paper-fast.tiff").read_bytes()
+        )[0]
+        t = np.frombuffer(bytes(px), np.uint8).reshape(h, w, c)[:, :, :3].astype(float)
+        jw, jh, jc, jpx = decode_jpeg(
+            (DOCS / "img" / "layout-parser-paper-fast.jpg").read_bytes()
+        )
+        assert (jw, jh) == (w, h)
+        j = np.frombuffer(bytes(jpx), np.uint8).reshape(jh, jw, 3).astype(float)
+        assert np.abs(t - j).mean() < 1.0
+
+    def test_lzw_and_packbits_strips(self):
+        import numpy as np
+
+        from unstructured_spark.parsers.image_codec import (
+            _packbits_decode,
+            _tiff_lzw_decode,
+        )
+
+        # PackBits: literal run + repeat run
+        pb = bytes([2, 10, 20, 30, 0x100 - 3, 7])  # 3 literals then 7 x4
+        assert bytes(_packbits_decode(pb, 7)) == bytes([10, 20, 30, 7, 7, 7, 7])
+        # TIFF LZW: clear + literals, MSB-first 9-bit codes
+        codes = [256, 65, 66, 66, 257]
+        buf = bits = 0
+        stream = bytearray()
+        for cd in codes:
+            buf = (buf << 9) | cd
+            bits += 9
+            while bits >= 8:
+                stream.append((buf >> (bits - 8)) & 0xFF)
+                bits -= 8
+        if bits:
+            stream.append((buf << (8 - bits)) & 0xFF)
+        assert bytes(_tiff_lzw_decode(bytes(stream), 10)) == b"ABB"
+
+    def test_dispatch_routes_multipage_tiff(self):
+        from unstructured_spark.parsers.dispatch import partition_bytes
+        from unstructured_spark.parsers.image_parser import set_ocr_agent
+
+        raw = (DOCS / "img" / "layout-parser-paper-combined.tiff").read_bytes()
+        set_ocr_agent(
+            lambda a, w, h: [{"text": f"{w}x{h}", "x1": 0, "y1": 0, "x2": 50, "y2": 20}]
+        )
+        try:
+            els = partition_bytes(raw, filename="scan.tiff")
+        finally:
+            set_ocr_agent(None)
+        assert [(e["page_number"], e["text"]) for e in els] == [
+            (1, "612x792"),
+            (2, "791x1024"),
+        ]
+        assert els[0]["filetype"] == "image/tiff"

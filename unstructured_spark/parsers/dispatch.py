@@ -148,7 +148,7 @@ _PARTITIONERS: dict[str, Callable[..., list[dict]]] = {
     # and raise a named gate when unregistered.
     "png": lambda c, **kw: _lazy("image_parser", "image_to_elements")(c),
     "jpg": lambda c, **kw: _lazy("image_parser", "image_to_elements")(c),
-    "tiff": _unsupported("image", "a layout/OCR model"),
+    "tiff": lambda c, **kw: _lazy("image_parser", "image_to_elements")(c),
     "bmp": lambda c, **kw: _lazy("image_parser", "image_to_elements")(c),
     "gif": lambda c, **kw: _lazy("image_parser", "image_to_elements")(c),
     # wav: PCM decode + energy-VAD segmentation are real (stdlib wave +

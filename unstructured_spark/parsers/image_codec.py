@@ -276,6 +276,172 @@ def decode_gif(data: bytes) -> tuple[int, int, int, bytearray]:
 
 
 # ---------------------------------------------------------------------------
+# TIFF (baseline: uncompressed / LZW / PackBits strips, multi-page)
+# ---------------------------------------------------------------------------
+
+_TIFF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+
+
+def _tiff_ifds(data: bytes):
+    if data[:2] not in (b"II", b"MM"):
+        raise ImageDecodeError("not a TIFF")
+    bo = "<" if data[:2] == b"II" else ">"
+    off = struct.unpack(bo + "I", data[4:8])[0]
+    seen = set()
+    while off and off not in seen and off + 2 <= len(data):
+        seen.add(off)
+        n = struct.unpack(bo + "H", data[off : off + 2])[0]
+        tags: dict[int, tuple] = {}
+        for i in range(n):
+            base = off + 2 + i * 12
+            t, typ, cnt = struct.unpack(bo + "HHI", data[base : base + 8])
+            raw = data[base + 8 : base + 12]
+            size = _TIFF_TYPE_SIZE.get(typ, 1) * cnt
+            payload = (
+                raw[:size]
+                if size <= 4
+                else data[
+                    struct.unpack(bo + "I", raw)[0] : struct.unpack(bo + "I", raw)[0]
+                    + size
+                ]
+            )
+            if typ == 3:
+                tags[t] = struct.unpack(bo + f"{cnt}H", payload)
+            elif typ == 4:
+                tags[t] = struct.unpack(bo + f"{cnt}I", payload)
+            else:
+                tags[t] = (payload,)
+        yield tags
+        nxt = off + 2 + n * 12
+        off = struct.unpack(bo + "I", data[nxt : nxt + 4])[0]
+
+
+def _tiff_lzw_decode(data: bytes, expected: int) -> bytearray:
+    """TIFF-variant LZW: 8-bit alphabet, MSB-first packing, EARLY
+    code-size change (grows one code sooner than GIF)."""
+    CLEAR, EOI = 256, 257
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    code_size = 9
+    out = bytearray()
+    buf = bits = 0
+    prev: bytes | None = None
+    for byte in data:
+        buf = (buf << 8) | byte
+        bits += 8
+        while bits >= code_size:
+            code = (buf >> (bits - code_size)) & ((1 << code_size) - 1)
+            bits -= code_size
+            if code == CLEAR:
+                table = [bytes([i]) for i in range(256)] + [b"", b""]
+                code_size = 9
+                prev = None
+                continue
+            if code == EOI:
+                return out
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            else:
+                entry = prev + prev[:1]
+                table.append(entry)
+            out += entry
+            prev = entry
+            # early change: bump when the NEXT entry would overflow
+            if len(table) + 1 >= (1 << code_size) and code_size < 12:
+                code_size += 1
+            if len(out) >= expected:
+                return out
+    return out
+
+
+def _packbits_decode(data: bytes, expected: int) -> bytearray:
+    out = bytearray()
+    i = 0
+    while i < len(data) and len(out) < expected:
+        n = data[i]
+        i += 1
+        if n < 128:
+            out += data[i : i + n + 1]
+            i += n + 1
+        elif n > 128:
+            out += data[i : i + 1] * (257 - n)
+            i += 1
+    return out
+
+
+def decode_tiff_pages(data: bytes) -> list[tuple[int, int, int, bytearray]]:
+    """Every page of a baseline TIFF (compression none/LZW/PackBits,
+    8-bit or 1-bit samples, gray/RGB(A)/palette, predictor 2)."""
+    import numpy as np
+
+    pages = []
+    for tags in _tiff_ifds(data):
+        try:
+            w = tags[256][0]
+            h = tags[257][0]
+            comp = tags.get(259, (1,))[0]
+            photo = tags.get(262, (1,))[0]
+            spp = tags.get(277, (1,))[0]
+            bps_t = tags.get(258, (1,))
+            bps = bps_t[0] if isinstance(bps_t[0], int) else 8
+            offsets = tags[273]
+            counts = tags[279]
+            rows_per_strip = tags.get(278, (h,))[0]
+        except (KeyError, IndexError):
+            continue
+        if comp not in (1, 5, 32773) or bps not in (1, 8):
+            raise ImageDecodeError(
+                f"TIFF compression {comp} / {bps}-bit not supported "
+                "(none/LZW/PackBits, 1- or 8-bit)"
+            )
+        row_bytes = (w * spp * bps + 7) // 8
+        raw = bytearray()
+        for si, (soff, scnt) in enumerate(zip(offsets, counts)):
+            strip = data[soff : soff + scnt]
+            nrows = min(rows_per_strip, h - si * rows_per_strip)
+            want = row_bytes * nrows
+            if comp == 5:
+                strip = _tiff_lzw_decode(strip, want)
+            elif comp == 32773:
+                strip = _packbits_decode(strip, want)
+            raw += strip[:want]
+        if len(raw) < row_bytes * h:
+            raise ImageDecodeError("TIFF strip data truncated")
+        if bps == 1:
+            bits = np.unpackbits(
+                np.frombuffer(bytes(raw), np.uint8).reshape(h, row_bytes), axis=1
+            )[:, :w]
+            if photo == 0:  # white-is-zero
+                bits ^= 1
+            px = (bits * np.uint8(255)).astype(np.uint8)
+            pages.append((w, h, 1, bytearray(np.ascontiguousarray(px).tobytes())))
+            continue
+        arr = np.frombuffer(bytes(raw), np.uint8, count=w * h * spp).reshape(h, w, spp)
+        if tags.get(317, (1,))[0] == 2:  # horizontal differencing
+            arr = np.cumsum(arr, axis=1, dtype=np.uint8)
+        if photo == 3 and 320 in tags:  # palette: 16-bit CMap per channel
+            cmap = np.frombuffer(bytes(tags[320][0]), ">u2").reshape(3, -1) >> 8
+            idx = arr[:, :, 0]
+            rgb = np.stack([cmap[c][idx] for c in range(3)], axis=-1).astype(np.uint8)
+            pages.append((w, h, 3, bytearray(np.ascontiguousarray(rgb).tobytes())))
+            continue
+        if photo == 0 and spp == 1:
+            arr = 255 - arr
+        nch = min(spp, 4) if spp > 1 else 1
+        arr = arr[:, :, :nch]
+        pages.append((w, h, nch, bytearray(np.ascontiguousarray(arr).tobytes())))
+    if not pages:
+        raise ImageDecodeError("TIFF has no decodable pages")
+    return pages
+
+
+def decode_tiff(data: bytes) -> tuple[int, int, int, bytearray]:
+    return decode_tiff_pages(data)[0]
+
+
+# ---------------------------------------------------------------------------
 # JPEG (baseline sequential DCT, JFIF; 4:4:4 / 4:2:2 / 4:2:0 / grayscale)
 # ---------------------------------------------------------------------------
 
@@ -533,6 +699,8 @@ def decode_image(data: bytes) -> tuple[int, int, int, bytearray]:
         decoder = decode_gif
     elif data[:3] == b"\xff\xd8\xff":
         decoder = decode_jpeg
+    elif data[:2] in (b"II", b"MM") and data[2:4] in (b"*\x00", b"\x00*"):
+        decoder = decode_tiff
     else:
         raise ImageDecodeError("unrecognized image container")
     try:

@@ -85,6 +85,18 @@ def image_to_elements(content: bytes, **_: object) -> list[dict]:
     from unstructured_spark.parsers.image_codec import ImageDecodeError, decode_image
 
     try:
+        if content[:2] in (b"II", b"MM") and content[2:4] in (b"*\x00", b"\x00*"):
+            # multi-page TIFF: one agent pass per page (reference
+            # partition_image iterates PIL frames the same way)
+            from unstructured_spark.parsers.image_codec import decode_tiff_pages
+
+            out: list[dict] = []
+            for page_no, (w, h, c, px) in enumerate(decode_tiff_pages(content), 1):
+                arr = np.frombuffer(bytes(px), dtype=np.uint8).reshape(h, w, c)
+                for el in elements_from_pixels(arr, w, h):
+                    el["page_number"] = page_no
+                    out.append(el)
+            return out
         w, h, c, px = decode_image(content)
     except ImageDecodeError as e:
         raise UnsupportedFormatError(str(e)) from e
