@@ -77,3 +77,44 @@ class TestPartitionPruning:
         spark.range(0, 100).withColumn("v", F.col("id") * 2).write.parquet(out)
         back = spark.read.parquet(out).filter(F.col("v") > 50)
         assert scan_pushdown_info(back)["pushed_filters"], physical_plan(back)
+
+
+class TestScalingClaims:
+    """CI-pinned proofs of SCALING.md plan claims: the quality gate is
+    shuffle-free, parquet scans get pushdown, and the dedup drop is a
+    broadcast (not shuffle) anti-join."""
+
+    def test_gopher_quality_is_shuffle_free(self, spark, tmp_path):
+        from unstructured_spark.operators.quality_filters import gopher_quality
+
+        p = str(tmp_path / "docs")
+        spark.createDataFrame(
+            [("d", "some text about the engine and the plan")],
+            "doc_id string, text string",
+        ).write.parquet(p)
+        out = gopher_quality(spark.read.parquet(p))
+        assert_no_shuffle(out, context="gopher_quality over parquet scan")
+
+    def test_quality_filter_pushes_column_pruning(self, spark, tmp_path):
+        from unstructured_spark.operators.quality_filters import gopher_quality
+
+        p = str(tmp_path / "docs3col")
+        spark.createDataFrame(
+            [("d", "text body", "unused extra column value")],
+            "doc_id string, text string, extra string",
+        ).write.parquet(p)
+        plan = physical_plan(gopher_quality(spark.read.parquet(p)))
+        scan = next(l for l in plan.splitlines() if "ReadSchema" in l)
+        assert "extra" not in scan  # only doc_id+text reach the scan
+
+    def test_drop_near_duplicates_uses_broadcast_anti_join(self, spark):
+        from unstructured_spark.operators.dedup import drop_near_duplicates
+
+        df = spark.createDataFrame(
+            [("a", "alpha beta gamma delta epsilon zeta"),
+             ("b", "totally different words entirely here now")],
+            "doc_id string, text string",
+        )
+        plan = physical_plan(drop_near_duplicates(df))
+        anti = [l for l in plan.splitlines() if "LeftAnti" in l]
+        assert anti and any("Broadcast" in l for l in anti), plan
