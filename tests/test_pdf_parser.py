@@ -253,3 +253,79 @@ class TestAnnotationsAndTransforms:
         ys = [p["y"] for e in els for p in e["coordinates"]["points"]]
         assert max(ys) > 100  # degenerate extraction would cluster at y~0
         assert all(0 <= y <= 792 for y in ys)
+
+
+class TestRobustnessRegressions:
+    """Pin the malformed-input fixes: escapes, inline images, short
+    rects, bfrange array form, inheritable page attributes, and
+    agent-based (not package-based) strategy capability."""
+
+    def test_literal_string_invalid_octal_8_9(self):
+        assert _Lexer(rb"(\9ok\8)").parse() == b"9ok8"
+
+    def test_tounicode_bfrange_array_destinations(self):
+        cmap = _parse_tounicode(
+            b"beginbfrange <41> <43> [<0061> <0062> <0063>] "
+            b"<50> <51> <0070> endbfrange"
+        )
+        assert cmap[0x41] == "a" and cmap[0x42] == "b" and cmap[0x43] == "c"
+        # the range after the array form must stay correctly aligned
+        assert cmap[0x50] == "p" and cmap[0x51] == "q"
+
+    def test_inline_image_data_not_tokenized(self):
+        from unstructured_spark.parsers.pdf_parser import _extract_runs
+
+        content = (
+            b"BT /F1 12 Tf 72 700 Td (before) Tj ET "
+            b"BI /W 2 /H 2 ID \xff\x00(\x81garbage\\ EI "
+            b"BT /F1 12 Tf 72 600 Td (after) Tj ET"
+        )
+        texts = [t for _, _, _, t in _extract_runs(content, {})]
+        assert texts == ["before", "after"]
+
+    def test_malformed_operands_skip_not_crash(self):
+        from unstructured_spark.parsers.pdf_parser import _extract_runs
+
+        # a name under Td and a stray ] under Tm must not abort
+        content = b"BT /F1 0 Td ] 0 0 0 0 0 Tm (still here) Tj ET"
+        texts = [t for _, _, _, t in _extract_runs(content, {})]
+        assert texts == ["still here"]
+
+    def test_short_rect_annotation_skipped(self):
+        from unstructured_spark.parsers.pdf_parser import _PdfDoc, _page_annotations
+
+        pdf = (
+            b"%PDF-1.4\n"
+            b"1 0 obj\n<</Type/Page/Annots[2 0 R]>>\nendobj\n"
+            b"2 0 obj\n<</Subtype/Link/Rect[0 0]/A<</URI(http://x)>>>>\nendobj\n"
+        )
+        doc = _PdfDoc(pdf)
+        links, widgets = _page_annotations(doc, doc.objects[1], 792.0)
+        assert links == [] and widgets == []
+
+    def test_inherited_mediabox_and_resources(self):
+        # /MediaBox + /Resources declared on the /Pages node, not the page
+        import zlib as _z
+
+        stream = _z.compress(b"BT /F1 12 Tf 72 700 Td (inherited) Tj ET")
+        pdf = (
+            b"%PDF-1.4\n"
+            b"1 0 obj\n<</Type/Catalog/Pages 2 0 R>>\nendobj\n"
+            b"2 0 obj\n<</Type/Pages/Kids[3 0 R]/Count 1"
+            b"/MediaBox[0 0 400 500]/Resources<<>>>>\nendobj\n"
+            b"3 0 obj\n<</Type/Page/Parent 2 0 R/Contents 4 0 R>>\nendobj\n"
+            + (b"4 0 obj\n<</Filter/FlateDecode/Length %d>>\n" % len(stream))
+            + b"stream\n" + stream + b"\nendstream\nendobj\n"
+            + b"trailer<</Root 1 0 R>>\n%%EOF"
+        )
+        els = pdf_to_elements(pdf)
+        assert els and els[0]["text"] == "inherited"
+        assert els[0]["coordinates"]["layout_width"] == 400.0
+        assert els[0]["coordinates"]["layout_height"] == 500.0
+
+    def test_strategy_capability_is_agents_not_packages(self):
+        from unstructured_spark.parsers.pdf_parser import determine_pdf_strategy
+
+        # no agents registered: hi_res on extractable text falls to fast
+        # regardless of what packages happen to be importable
+        assert determine_pdf_strategy(fx.make_pdf(), "hi_res") == "fast"

@@ -469,16 +469,23 @@ def drop_near_duplicates(
         .filter(F.col("doc") != F.col("keep_id"))
         .select("doc")
     )
+    # persist: connected_components references the pairs in both
+    # branches of its edge symmetrization — without this the whole
+    # minhash+LSH+Jaccard DAG executes twice (same reason
+    # duplicate_clusters persists)
     pairs = ngram_jaccard_pairs(
         df, text=text, doc_id=doc_id, n=n, threshold=threshold,
         num_hashes=num_hashes, bands=bands,
-    )
-    near_drop = (
-        connected_components(pairs)
-        .filter(F.col("doc") != F.col("label"))
-        .select("doc")
-    )
-    drops = exact_drop.union(near_drop).distinct()
-    return df.join(
-        F.broadcast(drops.withColumnRenamed("doc", doc_id)), doc_id, "left_anti"
-    )
+    ).persist()
+    try:
+        near_drop = (
+            connected_components(pairs)
+            .filter(F.col("doc") != F.col("label"))
+            .select("doc")
+        )
+        drops = exact_drop.union(near_drop).distinct()
+        return df.join(
+            F.broadcast(drops.withColumnRenamed("doc", doc_id)), doc_id, "left_anti"
+        )
+    finally:
+        pairs.unpersist()

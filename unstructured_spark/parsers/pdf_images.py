@@ -156,6 +156,8 @@ def _jpeg_is_baseline(data: bytes) -> bool:
             i += 2
             continue
         if 0xC0 <= m <= 0xCF and m not in (0xC4, 0xC8, 0xCC):
+            if i + 9 >= len(data):
+                return False  # truncated SOF segment
             return m in (0xC0, 0xC1) and data[i + 9] in (1, 3)
         if m == 0xDA:
             return False
@@ -195,7 +197,7 @@ def _collect_image_xobjects(
     return out
 
 
-def extract_pdf_images(content: bytes) -> list[dict]:
+def extract_pdf_images(content: bytes, doc: _PdfDoc | None = None) -> list[dict]:
     """All image XObjects reachable from page resources (including via
     Form XObjects), in page order:
     ``{page_number, name, width, height, mime, data, decodable,
@@ -210,11 +212,11 @@ def extract_pdf_images(content: bytes) -> list[dict]:
     ``mime=image/jpeg``."""
     from unstructured_spark.parsers.image_codec import encode_png
 
-    doc = _PdfDoc(content)
+    doc = doc or _PdfDoc(content)
     out: list[dict] = []
     seen_on_page: set[tuple[int, int]] = set()
     for page_no, page in enumerate(doc.pages(), start=1):
-        res = doc.resolve(page.get("/Resources")) or {}
+        res = doc.page_attr(page, "/Resources") or {}
         for num, obj in _collect_image_xobjects(doc, res):
             if (page_no, num) in seen_on_page:
                 continue
@@ -238,63 +240,77 @@ def extract_pdf_images(content: bytes) -> list[dict]:
                 "decodable": False,
                 "pixels": None,
             }
-            if filters and filters[-1] == "/DCTDecode":
-                payload = _decode_pre_filters(
-                    doc, obj, raw, filters[:-1], parms_list[:-1]
-                )
-                if payload:
-                    rec.update(
-                        mime="image/jpeg",
-                        data=payload,
-                        decodable=_jpeg_is_baseline(payload),
-                    )
-            elif all(
-                f in ("/FlateDecode", "/ASCIIHexDecode", "/ASCII85Decode")
-                for f in filters
-            ) and bpc in (1, 8) and w and h:
-                px = _decode_pre_filters(doc, obj, raw, filters, parms_list)
-                nch = None
-                if px is not None and bpc == 8:
-                    nch = _channels_for_colorspace(doc, obj.get("/ColorSpace"))
-                    if nch in (1, 3) and len(px) >= w * h * nch:
-                        px = px[: w * h * nch]
-                    else:
-                        px = None
-                elif px is not None:  # 1-bit gray / image mask
-                    cs = doc.resolve(obj.get("/ColorSpace"))
-                    mask = bool(doc.resolve(obj.get("/ImageMask")))
-                    row_bytes = (w + 7) // 8
-                    if (cs in (None, "/DeviceGray") or mask) and len(px) >= row_bytes * h:
-                        import numpy as np
-
-                        bits = np.unpackbits(
-                            np.frombuffer(px, np.uint8, count=row_bytes * h).reshape(
-                                h, row_bytes
-                            ),
-                            axis=1,
-                        )[:, :w]
-                        decode = doc.resolve(obj.get("/Decode"))
-                        # 0=black 1=white for DeviceGray and for masks
-                        # (0=paint-with-fill≈black); /Decode [1 0] inverts
-                        inverted = (
-                            isinstance(decode, list)
-                            and len(decode) >= 2
-                            and float(doc.resolve(decode[0]) or 0) == 1.0
-                        )
-                        gray = (bits ^ 1 if inverted else bits) * np.uint8(255)
-                        px = np.ascontiguousarray(gray).astype("uint8").tobytes()
-                        nch = 1
-                    else:
-                        px = None
-                if px is not None and nch in (1, 3):
-                    rec.update(
-                        mime="image/png",
-                        data=encode_png(w, h, nch, px),
-                        decodable=True,
-                        pixels=(nch, bytes(px)),
-                    )
+            try:
+                rec = _classify_image(doc, obj, raw, filters, parms_list, w, h, bpc, rec)
+            except Exception:
+                pass  # per-image isolation: surface the raw record
             out.append(rec)
     return out
+
+
+def _classify_image(doc, obj, raw, filters, parms_list, w, h, bpc, rec) -> dict:
+    from unstructured_spark.parsers.image_codec import encode_png
+
+    if filters and filters[-1] == "/DCTDecode":
+        payload = _decode_pre_filters(doc, obj, raw, filters[:-1], parms_list[:-1])
+        if payload:
+            rec.update(
+                mime="image/jpeg",
+                data=payload,
+                decodable=_jpeg_is_baseline(payload),
+            )
+        return rec
+    if (
+        all(
+            f in ("/FlateDecode", "/ASCIIHexDecode", "/ASCII85Decode")
+            for f in filters
+        )
+        and bpc in (1, 8)
+        and w
+        and h
+    ):
+        px = _decode_pre_filters(doc, obj, raw, filters, parms_list)
+        nch = None
+        if px is not None and bpc == 8:
+            nch = _channels_for_colorspace(doc, obj.get("/ColorSpace"))
+            if nch in (1, 3) and len(px) >= w * h * nch:
+                px = px[: w * h * nch]
+            else:
+                px = None
+        elif px is not None:  # 1-bit gray / image mask
+            cs = doc.resolve(obj.get("/ColorSpace"))
+            mask = bool(doc.resolve(obj.get("/ImageMask")))
+            row_bytes = (w + 7) // 8
+            if (cs in (None, "/DeviceGray") or mask) and len(px) >= row_bytes * h:
+                import numpy as np
+
+                bits = np.unpackbits(
+                    np.frombuffer(px, np.uint8, count=row_bytes * h).reshape(
+                        h, row_bytes
+                    ),
+                    axis=1,
+                )[:, :w]
+                decode = doc.resolve(obj.get("/Decode"))
+                # 0=black 1=white for DeviceGray and for masks
+                # (0=paint-with-fill≈black); /Decode [1 0] inverts
+                inverted = (
+                    isinstance(decode, list)
+                    and len(decode) >= 2
+                    and float(doc.resolve(decode[0]) or 0) == 1.0
+                )
+                gray = (bits ^ 1 if inverted else bits) * np.uint8(255)
+                px = np.ascontiguousarray(gray).astype("uint8").tobytes()
+                nch = 1
+            else:
+                px = None
+        if px is not None and nch in (1, 3):
+            rec.update(
+                mime="image/png",
+                data=encode_png(w, h, nch, px),
+                decodable=True,
+                pixels=(nch, bytes(px)),
+            )
+    return rec
 
 
 def _channels_for_colorspace(doc: _PdfDoc, cs) -> int | None:
@@ -321,7 +337,7 @@ def _channels_for_colorspace(doc: _PdfDoc, cs) -> int | None:
     return None  # /Indexed and exotic spaces: not decoded here
 
 
-def pdf_images_to_elements(content: bytes) -> list[dict]:
+def pdf_images_to_elements(content: bytes, doc: _PdfDoc | None = None) -> list[dict]:
     """The ``extract_images_in_pdf`` output shape: one ``Image``
     element per embedded image with base64 payload + mime type
     (reference pdf_image_utils.py save_elements → metadata.image_base64,
@@ -329,7 +345,7 @@ def pdf_images_to_elements(content: bytes) -> list[dict]:
     Exports every portable payload (JPEG/PNG), including JPEG variants
     this repo's codec can't decode itself."""
     out = []
-    for rec in extract_pdf_images(content):
+    for rec in extract_pdf_images(content, doc=doc):
         if rec["mime"] not in ("image/jpeg", "image/png"):
             continue
         out.append(
@@ -344,7 +360,7 @@ def pdf_images_to_elements(content: bytes) -> list[dict]:
     return out
 
 
-def scanned_pdf_to_elements(content: bytes) -> list[dict]:
+def scanned_pdf_to_elements(content: bytes, doc: _PdfDoc | None = None) -> list[dict]:
     """hi_res/ocr_only for scanned PDFs: per page, take the dominant
     decodable image XObject, decode pixels, and run the registered
     layout/OCR agents through the partition_image pipeline
@@ -357,7 +373,7 @@ def scanned_pdf_to_elements(content: bytes) -> list[dict]:
     from unstructured_spark.parsers.image_parser import elements_from_pixels
 
     by_page: dict[int, dict] = {}
-    for rec in extract_pdf_images(content):
+    for rec in extract_pdf_images(content, doc=doc):
         if not rec["decodable"]:
             continue
         cur = by_page.get(rec["page_number"])

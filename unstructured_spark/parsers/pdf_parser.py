@@ -159,8 +159,12 @@ class _Lexer:
                     i += 2
                 elif nxt.isdigit():
                     m = re.match(rb"[0-7]{1,3}", d[i + 1 :])
-                    out.append(int(m.group(), 8) & 0xFF)
-                    i += 1 + m.end()
+                    if m:
+                        out.append(int(m.group(), 8) & 0xFF)
+                        i += 1 + m.end()
+                    else:  # \8 \9: invalid octal, keep the digit
+                        out += nxt
+                        i += 2
                 elif nxt in (b"\n", b"\r"):
                     i += 2  # line continuation
                 else:
@@ -197,9 +201,10 @@ def _decode_stream(raw: bytes, sdict: dict) -> bytes | None:
             except zlib.error:
                 return None
         elif f in ("/ASCIIHexDecode",):
-            data = bytes.fromhex(
-                re.sub(rb"[^0-9a-fA-F]", b"", data.split(b">")[0]).decode()
-            )
+            h = re.sub(rb"[^0-9a-fA-F]", b"", data.split(b">")[0])
+            if len(h) % 2:
+                h += b"0"  # odd digit count is legal: trailing 0 implied
+            data = bytes.fromhex(h.decode())
         elif f == "/ASCII85Decode":
             import base64
 
@@ -341,6 +346,19 @@ class _PdfDoc:
             )
         return out
 
+    def page_attr(self, page: dict, key: str):
+        """Resolve a page attribute with PDF inheritance: /Resources,
+        /MediaBox, /Rotate may live on an ancestor /Pages node."""
+        node = page
+        for _ in range(32):
+            if not isinstance(node, dict):
+                return None
+            v = node.get(key)
+            if v is not None:
+                return self.resolve(v)
+            node = self.resolve(node.get("/Parent"))
+        return None
+
     def page_content(self, page: dict) -> bytes:
         contents = self.resolve(page.get("/Contents"))
         parts: list[bytes] = []
@@ -357,7 +375,7 @@ class _PdfDoc:
     def page_fonts(self, page: dict) -> dict[str, dict[int, str]]:
         """font resource name → code-point → unicode map (ToUnicode),
         including fonts declared by nested Form XObject resources."""
-        res = self.resolve(page.get("/Resources")) or {}
+        res = self.page_attr(page, "/Resources") or {}
         fonts: dict = {}
 
         def gather(resources, depth: int = 0) -> None:
@@ -410,15 +428,36 @@ def _parse_tounicode(data: bytes) -> dict[int, str]:
         for src, dst in zip(pairs[0::2], pairs[1::2]):
             cmap[int(src, 16)] = _uni(dst)
     for m in _BFRANGE_RE.finditer(data):
-        toks = _HEXPAIR_RE.findall(m.group(1))
-        for i in range(0, len(toks) - 2, 3):
-            lo, hi, dst = toks[i], toks[i + 1], toks[i + 2]
-            start, end = int(lo, 16), int(hi, 16)
-            base = int(dst, 16)
-            for off in range(min(end - start + 1, 65536)):
-                cmap[start + off] = _uni(
-                    format(base + off, "0" + str(len(dst)) + "x").encode()
-                )
+        # entries: <lo> <hi> <dstBase>  OR  <lo> <hi> [<d1> <d2> ...]
+        toks = re.findall(rb"<[0-9a-fA-F]+>|\[|\]", m.group(1))
+        i = 0
+        while i + 2 < len(toks) or (i + 2 == len(toks) and toks[i + 1] != b"["):
+            if toks[i] in (b"[", b"]"):
+                i += 1
+                continue
+            lo, hi = toks[i][1:-1], toks[i + 1][1:-1]
+            try:
+                start, end = int(lo, 16), int(hi, 16)
+            except ValueError:
+                i += 1
+                continue
+            if i + 2 < len(toks) and toks[i + 2] == b"[":
+                j = i + 3
+                off = 0
+                while j < len(toks) and toks[j] != b"]":
+                    if start + off <= end:
+                        cmap[start + off] = _uni(toks[j][1:-1])
+                    off += 1
+                    j += 1
+                i = j + 1
+            else:
+                dst = toks[i + 2][1:-1]
+                base = int(dst, 16)
+                for off in range(min(end - start + 1, 65536)):
+                    cmap[start + off] = _uni(
+                        format(base + off, "0" + str(len(dst)) + "x").encode()
+                    )
+                i += 3
     return cmap
 
 
@@ -492,6 +531,9 @@ def _extract_runs(
     full CTM (q/Q/cm) and text-matrix (Tm/Td/T*) transform chain — text
     positioned via `cm` translation + scaled Tm (the common
     word-processor export shape) lands at true page coordinates."""
+    # inline images (BI ... ID <binary> EI) would tokenize as garbage
+    # operators/strings — drop them before scanning
+    content = re.sub(rb"\bBI\b.*?\bEI\b", b" ", content, flags=re.S)
     runs: list[tuple[float, float, float, str]] = []
     stack: list[float | bytes | str | None] = []
     ctm = _IDENTITY
@@ -543,6 +585,8 @@ def _extract_runs(
         else:
             op = tok
             try:
+                # malformed operands (a name or None under a numeric
+                # operator) skip the operator, never the document
                 if op == b"Tf" and len(stack) >= 2:
                     size = float(stack[-1])
                     fname = stack[-2]
@@ -589,6 +633,8 @@ def _extract_runs(
                 elif op == b"Q":
                     if ctm_stack:
                         ctm = ctm_stack.pop()
+            except (TypeError, ValueError, IndexError):
+                pass
             finally:
                 stack.clear()
     return runs
@@ -613,7 +659,7 @@ def _page_annotations(doc: "_PdfDoc", page: dict, page_h: float) -> tuple[list[d
             vals = [float(doc.resolve(v)) for v in rect]
             x0, x1 = sorted((vals[0], vals[2]))
             y0, y1 = sorted((vals[1], vals[3]))
-        except (TypeError, ValueError):
+        except (TypeError, ValueError, IndexError):
             continue
         box = (x0, page_h - y1, x1, page_h - y0)
         sub = doc.resolve(a.get("/Subtype"))
@@ -775,11 +821,11 @@ def _runs_to_blocks(
     return out
 
 
-def pdf_text_extractable(content: bytes) -> bool:
+def pdf_text_extractable(content: bytes, doc: "_PdfDoc | None" = None) -> bool:
     """Cheap probe: do the first few pages' content streams yield text
     runs? (reference extractable_elements, pdf.py:304-337)."""
     try:
-        doc = _PdfDoc(content)
+        doc = doc or _PdfDoc(content)
         for page in doc.pages()[:3]:  # probe a few pages, not the book
             stream = doc.page_content(page)
             if stream and _extract_runs(stream, {}):
@@ -789,7 +835,9 @@ def pdf_text_extractable(content: bytes) -> bool:
     return False
 
 
-def determine_pdf_strategy(content: bytes, requested: str = "auto", **kwargs) -> str:
+def determine_pdf_strategy(
+    content: bytes, requested: str = "auto", _doc: "_PdfDoc | None" = None, **kwargs
+) -> str:
     """The reference's only cost-based plan decision (strategies.py:24-109,
     pdf.py:300-337): the text-extractability probe feeds the full
     strategy decision table (parsers/strategies.py) — ``auto`` →
@@ -801,17 +849,17 @@ def determine_pdf_strategy(content: bytes, requested: str = "auto", **kwargs) ->
     )
 
     validate_strategy(requested)
-    # registered agent hooks count as installed inference/OCR capability
-    # (parsers/image_parser.py plug points)
+    # THIS engine's inference/OCR capability is a registered agent hook
+    # (parsers/image_parser.py plug points) — a merely-installed
+    # onnxruntime/pytesseract package is not wired to anything here, so
+    # it must not steer the decision toward a strategy we cannot run
     from unstructured_spark.parsers import image_parser as _ip
 
-    kwargs.setdefault(
-        "inference_installed", _ip._LAYOUT_MODEL is not None or None
-    )
-    kwargs.setdefault("ocr_installed", _ip._OCR_AGENT is not None or None)
+    kwargs.setdefault("inference_installed", _ip._LAYOUT_MODEL is not None)
+    kwargs.setdefault("ocr_installed", _ip._OCR_AGENT is not None)
     return determine_pdf_or_image_strategy(
         requested,
-        pdf_text_extractable=pdf_text_extractable(content),
+        pdf_text_extractable=pdf_text_extractable(content, doc=_doc),
         **kwargs,
     )
 
@@ -819,14 +867,15 @@ def determine_pdf_strategy(content: bytes, requested: str = "auto", **kwargs) ->
 def pdf_to_elements(
     content: bytes, strategy: str = "auto", extract_images: bool = False
 ) -> list[dict]:
-    strategy = determine_pdf_strategy(content, strategy)
+    doc = _PdfDoc(content)  # parsed once; probe + extraction + images share it
+    strategy = determine_pdf_strategy(content, strategy, _doc=doc)
     if strategy in ("hi_res", "ocr_only"):
         from unstructured_spark.parsers import image_parser as _ip
 
         if _ip._LAYOUT_MODEL is not None or _ip._OCR_AGENT is not None:
             from unstructured_spark.parsers.pdf_images import scanned_pdf_to_elements
 
-            els = scanned_pdf_to_elements(content)
+            els = scanned_pdf_to_elements(content, doc=doc)
             if els:
                 return els
         raise NotImplementedError(
@@ -836,7 +885,6 @@ def pdf_to_elements(
             "extraction, parsers/pdf_images.py) — born-digital pages "
             "additionally need a PDF rasterizer (poppler) on executors."
         )
-    doc = _PdfDoc(content)
     out: list[dict] = []
     for page_no, page in enumerate(doc.pages(), start=1):
         stream = doc.page_content(page)
@@ -844,7 +892,7 @@ def pdf_to_elements(
             continue
         fonts = doc.page_fonts(page)
         runs = _extract_runs(stream, fonts)
-        media = doc.resolve(page.get("/MediaBox")) or [0, 0, 612, 792]
+        media = doc.page_attr(page, "/MediaBox") or [0, 0, 612, 792]
         try:
             page_w = float(doc.resolve(media[2])) - float(doc.resolve(media[0]))
             page_h = float(doc.resolve(media[3])) - float(doc.resolve(media[1]))
@@ -915,7 +963,7 @@ def pdf_to_elements(
         # payloads, interleaved in page order after each page's text
         from unstructured_spark.parsers.pdf_images import pdf_images_to_elements
 
-        imgs = pdf_images_to_elements(content)
+        imgs = pdf_images_to_elements(content, doc=doc)
         if imgs:
             out = sorted(
                 out + imgs, key=lambda e: (e.get("page_number") or 0)
