@@ -488,3 +488,39 @@ class TestChunkTextNormalization:
         rows = _elements(("CodeSnippet", "def f():\n    return 1"))
         chunks = _run_fold(rows, max_characters=500)
         assert chunks[0]["text"] == "def f():\n    return 1"
+
+
+class TestSplitterRegressions:
+    """Pin the review fixes: overlap-tail livelock, token-mode hard
+    max, and new_after_n_chars=0."""
+
+    def test_overlap_tail_cannot_livelock(self):
+        from unstructured_spark.operators.chunking import _split_oversized
+
+        # separator only inside the overlap window used to re-create the
+        # identical remainder forever
+        frags = _split_oversized("a " + "x" * 600, 500, 3)
+        assert all(len(f) <= 500 for f in frags)
+        assert "".join(frags).count("x") >= 600
+
+    def test_token_mode_hard_max_on_punct_runs(self):
+        from unstructured_spark.operators.chunking import _split_oversized_tokens
+
+        frags = _split_oversized_tokens("!" * 60, 10, 0)
+        from unstructured_spark.operators.chunking import _TOKEN_RE
+
+        assert all(len(_TOKEN_RE.findall(f)) <= 10 for f in frags)
+        assert sum(len(f) for f in frags) == 60
+
+    def test_soft_max_zero_isolates_elements(self, spark):
+        from unstructured_spark.operators.chunking import chunk_elements
+
+        rows = [
+            ("d", 0, "Text", "first element text"),
+            ("d", 1, "Text", "second element text"),
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id string, element_index long, type string, text string"
+        )
+        out = chunk_elements(df, max_characters=500, new_after_n_chars=0).collect()
+        assert len(out) == 2  # soft max 0: every element its own chunk

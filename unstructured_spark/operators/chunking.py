@@ -119,7 +119,17 @@ def _split_oversized(text: str, maxlen: int, overlap: int) -> list[str]:
         fragment = remainder[:cut].rstrip()
         out.append(fragment)
         tail = fragment[-overlap:].lstrip() + " " if overlap else ""
-        remainder = (tail + remainder[cut:].lstrip()).strip()
+        nxt = (tail + remainder[cut:].lstrip()).strip()
+        if len(nxt) >= len(remainder):
+            # the overlap tail re-created the same remainder (separator
+            # inside the overlap window) — hard-cut to guarantee progress
+            fragment = remainder[:maxlen]
+            out[-1] = fragment
+            tail = fragment[-overlap:].lstrip() + " " if overlap else ""
+            nxt = (tail + remainder[maxlen:].lstrip()).strip()
+            if len(nxt) >= len(remainder):
+                nxt = remainder[maxlen:].strip()
+        remainder = nxt
     if remainder:
         out.append(remainder)
     return out
@@ -130,6 +140,22 @@ def _split_oversized_tokens(text: str, max_tokens: int, overlap: int) -> list[st
     several BPE-ish tokens, e.g. "end." is 2) up to ``max_tokens`` per
     fragment; ``overlap`` carries trailing units into the next fragment."""
     units = re.findall(r"\S+\s*", text)
+    # a single whitespace unit can itself exceed the window (long
+    # punctuation/URL runs tokenize per char): hard-split it by tokens
+    # so the max_tokens invariant holds unconditionally
+    expanded: list[str] = []
+    for unit in units:
+        toks = _TOKEN_RE.findall(unit)
+        if len(toks) <= max_tokens:
+            expanded.append(unit)
+        else:
+            ws = unit[len(unit.rstrip()):]
+            for i in range(0, len(toks), max_tokens):
+                piece = "".join(toks[i : i + max_tokens])
+                expanded.append(piece)
+            if ws and expanded:
+                expanded[-1] += ws
+    units = expanded
     out: list[str] = []
     cur: list[str] = []
     cur_tokens = 0
@@ -452,7 +478,12 @@ def _pre_chunk_fold(
         # size flush: would exceed hard max, or soft max already reached
         if acc_len + sep_len + opts.measure(text) > opts.max_characters:
             boundary = True
-        if acc_len >= (opts.new_after_n_chars or opts.max_characters):
+        soft_max = (
+            opts.new_after_n_chars
+            if opts.new_after_n_chars is not None
+            else opts.max_characters
+        )
+        if acc_len >= soft_max:
             boundary = True
         if boundary and acc:
             yield acc

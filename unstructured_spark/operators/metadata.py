@@ -98,7 +98,7 @@ def _hierarchy_fold(pdf: pd.DataFrame) -> pd.DataFrame:
     stack: list[tuple[str, int, str]] = []  # (category, depth, element_id)
     parents: list[str | None] = []
     for row in pdf.itertuples(index=False):
-        etype = row.type
+        etype = row.type if isinstance(row.type, str) and row.type else "Text"
         pre_assigned = getattr(row, "parent_id", None)
         if pre_assigned is not None and not pd.isna(pre_assigned):
             parents.append(pre_assigned)
@@ -207,7 +207,14 @@ def apply_lang_metadata(df: DataFrame, per_element: bool = False) -> DataFrame:
         .select("doc_id", F.array(detect_language_expr(F.col("_doc_text"))).alias("_langs"))
     )
     joined = df.join(F.broadcast(doc_lang), "doc_id", "left")
-    return joined.withColumn("languages", F.col("_langs")).drop("_langs")
+    # fill only missing values — the in-UDF twin (py_finalize_doc)
+    # preserves caller-provided languages, so the DataFrame form must too
+    langs = (
+        F.coalesce(F.col("languages"), F.col("_langs"))
+        if "languages" in df.columns
+        else F.col("_langs")
+    )
+    return joined.withColumn("languages", langs).drop("_langs")
 
 
 # ---------------------------------------------------------------------------

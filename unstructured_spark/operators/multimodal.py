@@ -53,6 +53,14 @@ def probe_bytes(data: bytes | None) -> dict:
     }
     if not data or len(data) < 12:
         return meta
+    try:
+        return _probe_headers(data, meta)
+    except (struct.error, IndexError):
+        # truncated header: keep whatever was sniffed (per-row isolation)
+        return meta
+
+
+def _probe_headers(data: bytes, meta: dict) -> dict:
     if data[:8] == b"\x89PNG\r\n\x1a\n":
         meta["format"] = "png"
         if data[12:16] == b"IHDR":

@@ -127,14 +127,18 @@ def srp_topk(
     recall for a join keyed on bucket id instead of a full crossjoin —
     the 100 TB path (bucket count 2^planes scales the candidate set
     down exponentially)."""
+    # norms once per row; the bucket-join hot loop does only the dot
+    # (same precompute pattern as cosine_topk/ivf_topk)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cvec"),
+        l2_norm(F.col(vec_col)).alias("_cn"),
         srp_bucket(F.col(vec_col), dim, planes).alias("bucket"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qvec"),
+        l2_norm(F.col(vec_col)).alias("_qn"),
         srp_bucket(F.col(vec_col), dim, planes).alias("bucket"),
     )
     scored = (
@@ -143,7 +147,9 @@ def srp_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("_qvec"), F.col("_cvec")), 6).alias("cosine_sim"),
+            F.round(
+                dot(F.col("_qvec"), F.col("_cvec")) / (F.col("_qn") * F.col("_cn")), 6
+            ).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -166,6 +172,7 @@ def embedding_near_duplicates(
     b = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
+        l2_norm(F.col(vec_col)).alias("nrm"),
         srp_bucket(F.col(vec_col), dim, planes).alias("bucket"),
     )
     l, r = b.alias("l"), b.alias("r")
@@ -174,7 +181,10 @@ def embedding_near_duplicates(
         .select(
             F.col("l.id").alias("id_a"),
             F.col("r.id").alias("id_b"),
-            F.round(cosine(F.col("l.vec"), F.col("r.vec")), 6).alias("cosine_sim"),
+            F.round(
+                dot(F.col("l.vec"), F.col("r.vec")) / (F.col("l.nrm") * F.col("r.nrm")),
+                6,
+            ).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
@@ -269,7 +279,15 @@ def ivf_topk(
     seed_rows = (
         corpus.select(id_col, vec_col).orderBy(id_col).limit(nlist).collect()
     )
-    seeds = [(int(r[0]), [float(x) for x in r[1]]) for r in seed_rows]
+    # list ids derive from numeric seed ids (the oracle replays that
+    # assignment); opaque string ids fall back to the seed's ordinal
+    seeds = []
+    for i, r in enumerate(seed_rows):
+        try:
+            lid = int(r[0])
+        except (TypeError, ValueError):
+            lid = i
+        seeds.append((lid, [float(x) for x in r[1]]))
     cent_df = _centroid_frame(corpus.sparkSession, seeds)
     cents = F.col("_cents")
 

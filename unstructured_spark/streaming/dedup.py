@@ -53,44 +53,56 @@ def near_dedup_stream(
     num_hashes: int = 16,
     bands: int = 8,
     shingle_size: int = 3,
+    normalize: bool = True,
+    emit: str = "novel",  # 'novel' | 'all'
 ) -> DataFrame:
-    """Streaming near-dup suppression: a doc is kept only if NONE of
-    its LSH band buckets has been seen within the watermark horizon.
+    """Streaming near-dup suppression.
 
-    Implementation: per-row minhash signature (pure column exprs — the
-    same staged md5 idiom as the batch operator, no state), explode to
-    (band, key) rows, keep the first doc per bucket via
-    ``dropDuplicatesWithinWatermark``, then count surviving buckets
-    per doc: a near-dup loses every bucket to the earlier doc, a novel
-    doc wins all of its own buckets. Docs winning at least one bucket
-    are emitted (``bucket_wins`` exposes the margin).
+    A doc is NOVEL iff every one of its LSH band buckets is first-seen
+    within the watermark horizon (any shared bucket means an
+    earlier-in-horizon near-duplicate holds it — the same any-band
+    OR-construction as the batch ``lsh_candidate_pairs``). ``emit``:
 
-    State: one entry per distinct (band, key) in the horizon — the
-    same asymptotics as the batch LSH index, aged by the watermark.
+    - ``'novel'`` (default): only novel docs, i.e. the deduplicated
+      stream;
+    - ``'all'``: every doc with ``bucket_wins``/``bands``/``is_novel``
+      so consumers can apply their own margin.
+
+    Signatures reuse the batch operator's shingling + md5 hashing
+    (operators/dedup.py — identical constants), so a stream can be
+    cross-checked against a batch LSH index; ``normalize=True``
+    additionally lowercases/collapses whitespace first (the same
+    normalization as exact dedup). Set ``normalize=False`` for
+    bit-exact batch ``minhash_signatures`` parity.
+
+    State: one entry per distinct (band, key) for the bucket claims
+    plus one per in-flight (ts, doc) for the count — both aged by the
+    watermark (the count groups on the event-time column, so its state
+    is evicted too; the old doc_id-only aggregate grew forever).
     """
+    from unstructured_spark.operators.dedup import (
+        HASH_A,
+        HASH_B,
+        HASH_STEP,
+        MERSENNE31,
+        shingles,
+        token_hash,
+    )
+
     rows_per_band = num_hashes // bands
-    toks = F.filter(
-        F.split(F.lower(F.trim(F.regexp_replace(F.col(text), "\\s+", " "))), " "),
-        lambda t: t != "",
+    txt = (
+        F.lower(F.trim(F.regexp_replace(F.col(text), "\\s+", " ")))
+        if normalize
+        else F.col(text)
     )
-    n = F.size(toks)
-    grams = F.when(
-        n >= shingle_size,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.greatest(n - F.lit(shingle_size) + 1, F.lit(1))),
-                lambda i: F.concat_ws("_", F.slice(toks, i, shingle_size)),
-            )
-        ),
-    ).otherwise(F.array(F.lit("")))
-    staged = docs.select(
-        F.col(doc_id).alias("doc_id"), F.col(ts_col), grams.alias("_g")
+    grams = shingles(txt, shingle_size)
+    # too-short docs get a per-doc pseudo-shingle: they can never be
+    # near-dups of anything, so they must not share a bucket
+    grams = F.when(F.size(grams) > 0, grams).otherwise(
+        F.array(F.concat(F.lit("__short__:"), F.col(doc_id).cast("string")))
     )
-    hashes = F.transform(
-        F.col("_g"),
-        lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("bigint")
-        % F.lit(2147483647),
-    )
+    staged = docs.select(F.col(doc_id).alias("doc_id"), F.col(ts_col), grams.alias("_g"))
+    hashes = F.transform(F.col("_g"), lambda g: token_hash(g) % F.lit(MERSENNE31))
     staged = staged.select("doc_id", ts_col, hashes.alias("_h"))
     sig = F.array(
         *[
@@ -98,9 +110,9 @@ def near_dedup_stream(
                 F.transform(
                     F.col("_h"),
                     lambda v: (
-                        F.lit(1000003 + 2 * h) * v + F.lit(17 + 31 * h)
+                        F.lit(HASH_A + 2 * h) * v + F.lit(HASH_B + HASH_STEP * h)
                     )
-                    % F.lit(2147483647),
+                    % F.lit(MERSENNE31),
                 )
             )
             for h in range(num_hashes)
@@ -120,13 +132,20 @@ def near_dedup_stream(
             for b in range(bands)
         ]
     )
-    exploded = staged.select(
-        "doc_id", ts_col, F.explode(band_keys).alias("bucket")
-    )
+    exploded = staged.select("doc_id", ts_col, F.explode(band_keys).alias("bucket"))
     winners = (
         exploded.withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(["bucket"])
     )
-    return winners.groupBy("doc_id").agg(
-        F.count("*").alias("bucket_wins")
+    counts = (
+        winners.groupBy(ts_col, "doc_id")
+        .agg(F.count("*").alias("bucket_wins"))
+        .select(
+            "doc_id",
+            ts_col,
+            "bucket_wins",
+            F.lit(bands).alias("bands"),
+            (F.col("bucket_wins") == F.lit(bands)).alias("is_novel"),
+        )
     )
+    return counts.filter(F.col("is_novel")) if emit == "novel" else counts
