@@ -127,3 +127,14 @@ def test_partition_with_api_spark(spark, server):
     for doc_id, rows in by_doc.items():
         assert [r["element_index"] for r in sorted(rows, key=lambda r: r["element_index"])] == [0, 1]
         assert rows[0]["type"] in ("Title", "NarrativeText")
+
+
+def test_api_facade_url_source(server):
+    """The drop-in facade's partition(url=...) goes through the same
+    fetch + dispatch route (reference auto.py url kwarg)."""
+    from unstructured_spark.api import partition
+
+    els = partition(url=f"{server}/doc.html")
+    assert [e.category for e in els] == ["Title", "NarrativeText"]
+    assert all(e.metadata.filename == "doc.html" for e in els)
+    assert all(e.id for e in els)
