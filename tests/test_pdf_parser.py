@@ -329,3 +329,53 @@ class TestRobustnessRegressions:
         # no agents registered: hi_res on extractable text falls to fast
         # regardless of what packages happen to be importable
         assert determine_pdf_strategy(fx.make_pdf(), "hi_res") == "fast"
+
+
+class TestComplexityGate:
+    """is_pdf_too_complex (reference pdf.py:618-756): vector-drawing
+    pages route away from text extraction."""
+
+    @staticmethod
+    def _vector_pdf(n_ops: int, with_text: bool = False, pad_to_mb: bool = True) -> bytes:
+        import zlib as _z
+
+        ops = b"0 0 m 1 1 l S q Q " * (n_ops // 6 + 1)
+        if with_text:
+            ops += b"BT /F1 12 Tf (t) Tj ET " * (n_ops // 6)
+        stream = _z.compress(ops, 0)  # level 0: keeps the file big
+        pdf = bytearray(b"%PDF-1.4\n")
+        pdf += b"1 0 obj\n<</Type/Catalog/Pages 2 0 R>>\nendobj\n"
+        pdf += b"2 0 obj\n<</Type/Pages/Kids[3 0 R]/Count 1>>\nendobj\n"
+        pdf += b"3 0 obj\n<</Type/Page/Parent 2 0 R/Contents 4 0 R>>\nendobj\n"
+        pdf += b"4 0 obj\n<</Filter/FlateDecode/Length %d>>\n" % len(stream)
+        pdf += b"stream\n" + stream + b"\nendstream\nendobj\n"
+        if pad_to_mb:
+            pdf += b"%" + b"x" * (1024 * 1024)
+        pdf += b"\ntrailer<</Root 1 0 R>>\n%%EOF"
+        return bytes(pdf)
+
+    def test_vector_heavy_page_flagged(self):
+        from unstructured_spark.parsers.pdf_parser import is_pdf_too_complex
+
+        assert is_pdf_too_complex(self._vector_pdf(120_000)) is True
+
+    def test_text_heavy_page_not_flagged(self):
+        from unstructured_spark.parsers.pdf_parser import is_pdf_too_complex
+
+        # graphics ops over threshold but ratio below 20:1
+        assert is_pdf_too_complex(self._vector_pdf(120_000, with_text=True)) is False
+
+    def test_small_file_early_exit(self):
+        from unstructured_spark.parsers.pdf_parser import is_pdf_too_complex
+
+        assert is_pdf_too_complex(self._vector_pdf(120_000, pad_to_mb=False)) is False
+
+    def test_complex_pdf_routes_away_from_fast(self):
+        from unstructured_spark.parsers.pdf_parser import determine_pdf_strategy
+
+        # text IS technically extractable, but the complexity gate wins:
+        # with models injected, auto routes to ocr_only instead of fast
+        pdf = self._vector_pdf(120_000)
+        assert determine_pdf_strategy(
+            pdf, inference_installed=True, ocr_installed=True
+        ) == "ocr_only"

@@ -835,6 +835,54 @@ def pdf_text_extractable(content: bytes, doc: "_PdfDoc | None" = None) -> bool:
     return False
 
 
+# PDF operator classes for the complexity gate (PDF 32000-1 operator
+# tables; same partition as reference pdf.py:96-106)
+_GRAPHICS_OPS_RE = re.compile(
+    rb"(?:^|(?<=\s))"
+    rb"(?:m|l|c|v|y|h|re|S|s|f|F|f\*|B|B\*|b|b\*|n|W|W\*|cm|q|Q|Do|"
+    rb"g|G|rg|RG|k|K|cs|CS|w|J|j|M|d|i|gs)"
+    rb"(?=\s|$)",
+    re.M,
+)
+_TEXT_OPS_RE = re.compile(
+    rb"(?:^|(?<=\s))(?:Tj|TJ|'|\"|Tf|Td|TD|Tm|T\*|BT|ET)(?=\s|$)", re.M
+)
+
+
+def is_pdf_too_complex(
+    content: bytes,
+    *,
+    max_graphics_ops: int = 10_000,
+    min_graphics_to_text_ratio: float = 20.0,
+    min_file_size_bytes: int = 1024 * 1024,
+    min_raw_stream_bytes: int = 100_000,
+    doc: "_PdfDoc | None" = None,
+) -> bool:
+    """Complexity gate (reference pdf.py:618-756): CAD/engineering-style
+    vector pages make text extraction slow and garbage-prone. A page is
+    too complex when its decoded content stream carries more than
+    ``max_graphics_ops`` graphics operators AND the graphics-to-text
+    operator ratio exceeds ``min_graphics_to_text_ratio``. Small files
+    and small streams early-exit without counting."""
+    if len(content) < min_file_size_bytes:
+        return False
+    try:
+        doc = doc or _PdfDoc(content)
+        for page in doc.pages():
+            raw = doc.page_content(page)
+            if not raw or len(raw) < min_raw_stream_bytes:
+                continue
+            n_gfx = len(_GRAPHICS_OPS_RE.findall(raw))
+            if n_gfx <= max_graphics_ops:
+                continue
+            n_text = len(_TEXT_OPS_RE.findall(raw))
+            if n_gfx / max(n_text, 1) > min_graphics_to_text_ratio:
+                return True
+    except Exception:
+        return False
+    return False
+
+
 def determine_pdf_strategy(
     content: bytes, requested: str = "auto", _doc: "_PdfDoc | None" = None, **kwargs
 ) -> str:
@@ -857,9 +905,14 @@ def determine_pdf_strategy(
 
     kwargs.setdefault("inference_installed", _ip._LAYOUT_MODEL is not None)
     kwargs.setdefault("ocr_installed", _ip._OCR_AGENT is not None)
+    # complexity gate (reference pdf.py:304-310): a CAD-like vector PDF
+    # skips text extraction and routes as if no text were extractable
+    extractable = not is_pdf_too_complex(content, doc=_doc) and pdf_text_extractable(
+        content, doc=_doc
+    )
     return determine_pdf_or_image_strategy(
         requested,
-        pdf_text_extractable=pdf_text_extractable(content, doc=_doc),
+        pdf_text_extractable=extractable,
         **kwargs,
     )
 
