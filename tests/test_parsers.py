@@ -218,3 +218,62 @@ class TestDispatch:
         )
         assert els[0]["type"] == "Title"
         assert els[0]["page_number"] == 2
+
+
+class TestParserRobustnessRegressions:
+    """Pin the parser-review fixes: br ordering, table-cell escaping,
+    RFC-5322 addresses, HEIC sniff, eml attachment provenance."""
+
+    def test_br_keeps_document_order(self):
+        from unstructured_spark.parsers.html_parser import html_to_elements
+
+        els = html_to_elements("<p>line1<br>line2</p><p>after text.</p>")
+        assert [e["text"] for e in els] == ["line1 line2", "after text."]
+
+    def test_hr_separates_blocks(self):
+        from unstructured_spark.parsers.html_parser import html_to_elements
+
+        els = html_to_elements("<p>one block here<hr>two block here</p>")
+        assert len(els) == 2
+
+    def test_table_cell_html_escaped(self):
+        from unstructured_spark.parsers.html_parser import html_to_elements
+
+        els = html_to_elements(
+            "<table><tr><td>a &lt;script&gt; &amp; b</td></tr></table>"
+        )
+        html = els[0]["text_as_html"]
+        assert "<script>" not in html
+        assert "&lt;script&gt;" in html and "&amp;" in html
+
+    def test_comma_in_display_name(self):
+        from unstructured_spark.parsers.email_parser import email_to_elements
+
+        els = email_to_elements(
+            b'From: "Doe, John" <jd@example.com>\nTo: a@b.co\nSubject: s\n\nhello body'
+        )
+        assert els[0]["sent_from"] == ['"Doe, John" <jd@example.com>']
+
+    def test_heic_not_sniffed_as_mp4(self):
+        from unstructured_spark.parsers.filetype import detect_filetype
+
+        head = b"\x00\x00\x00\x18ftypheic\x00\x00\x00\x00heicmif1"
+        assert detect_filetype(filename="photo.heic", head=head) == "heic"
+        mp4 = b"\x00\x00\x00\x18ftypisom\x00\x00\x00\x00isomiso2"
+        assert detect_filetype(filename="clip.mp4", head=mp4) == "mp4"
+
+    def test_eml_attachment_provenance(self):
+        from unstructured_spark.parsers.email_parser import email_to_elements
+
+        raw = (
+            b"From: a@b.c\nTo: d@e.f\nSubject: s\n"
+            b"MIME-Version: 1.0\n"
+            b'Content-Type: multipart/mixed; boundary="XX"\n\n'
+            b"--XX\nContent-Type: text/plain\n\nbody text\n"
+            b"--XX\nContent-Type: text/plain\n"
+            b'Content-Disposition: attachment; filename="note.txt"\n\n'
+            b"attached text\n--XX--\n"
+        )
+        els = email_to_elements(raw)
+        att = [e for e in els if e.get("filename") == "note.txt"]
+        assert att and all(e["attached_to_filename"] == "message.eml" for e in att)

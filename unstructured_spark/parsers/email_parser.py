@@ -21,9 +21,13 @@ def _addresses(msg: EmailMessage, field: str) -> list[str] | None:
     vals = msg.get_all(field)
     if not vals:
         return None
+    # RFC 5322 aware: display names may contain commas ("Doe, John")
+    from email.utils import formataddr, getaddresses
+
     out: list[str] = []
-    for v in vals:
-        out.extend(a.strip() for a in str(v).split(",") if a.strip())
+    for name, addr in getaddresses([str(v) for v in vals]):
+        if name or addr:
+            out.append(formataddr((name or None, addr)) if addr else name)
     return out or None
 
 
@@ -70,7 +74,7 @@ def email_to_elements(raw: bytes | str, process_attachments: bool = True) -> lis
             except Exception:
                 sub = [{"type": "Text", "text": fname}]
             for el in sub:
-                el["attached_to_filename"] = None  # kept in metadata_json
+                el["attached_to_filename"] = "message.eml"  # parent provenance
                 el["filename"] = fname
                 el.update({k: v for k, v in meta.items() if v is not None})
             elements.extend(sub)

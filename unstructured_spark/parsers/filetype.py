@@ -82,6 +82,10 @@ def _sniff_magic(head: bytes) -> str | None:
     if head.startswith((b"ID3", b"\xff\xfb", b"\xff\xf3")):
         return "mp3"
     if head[4:8] == b"ftyp":
+        # ISO-BMFF brand distinguishes HEIF images from video containers
+        brand = head[8:12]
+        if brand in (b"heic", b"heix", b"heif", b"mif1", b"msf1", b"avif"):
+            return "heic"
         return "mp4"
     if head.startswith(b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"):
         return "doc"  # CFB container: doc/xls/ppt/msg — ext disambiguates

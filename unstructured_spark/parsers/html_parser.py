@@ -26,7 +26,7 @@ BLOCK_TAGS = {
     "p", "div", "section", "article", "aside", "nav", "ul", "ol", "dl",
     "li", "dt", "dd", "h1", "h2", "h3", "h4", "h5", "h6", "table",
     "blockquote", "pre", "figure", "figcaption", "address", "header",
-    "footer", "main", "form", "hr", "br",
+    "footer", "main", "form",
 }
 
 HEADING_TAGS = {"h1": 0, "h2": 1, "h3": 2, "h4": 3, "h5": 4, "h6": 5}
@@ -161,6 +161,19 @@ class _ElementExtractor(HTMLParser):
             alt = _norm(dict(attrs).get("alt") or "")
             self.elements.append({"type": "Image", "text": alt})
             return
+        # void tags never push (nothing ever pops them): <br> is a line
+        # break inside the open block, <hr> a thematic break that closes
+        # the open leaf — both keep document order intact
+        if tag == "br":
+            self.handle_data("\n")
+            return
+        if tag == "hr":
+            if self.block_stack and self.block_stack[-1].tag in (
+                "p", "li", "dt", "dd", *HEADING_TAGS, "pre", "figcaption",
+                "address",
+            ):
+                self._emit(self.block_stack.pop())
+            return
         if tag in BLOCK_TAGS:
             # flush any open leaf block (overlapping blocks: divs nest)
             if self.block_stack and self.block_stack[-1].tag in (
@@ -231,7 +244,12 @@ class _ElementExtractor(HTMLParser):
         if self.skip_depth:
             return
         if self.table_depth:
-            self._table_append(data)
+            import html as _html
+
+            # convert_charrefs already decoded entities: re-escape so
+            # text_as_html stays valid HTML (and markup in cell text
+            # cannot be re-introduced)
+            self._table_append(_html.escape(data))
             # also accumulate plain text on the table block
             for i in range(len(self.block_stack) - 1, -1, -1):
                 if self.block_stack[i].tag == "table":

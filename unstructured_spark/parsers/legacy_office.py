@@ -83,9 +83,15 @@ def _parse_sst(payload: bytes, continues: list[bytes]) -> list[str]:
         crun = 0
         cbext = 0
         if rich:
+            if not ensure(2):  # run header may abut a CONTINUE boundary
+                break
+            buf = chunks[ci]
             (crun,) = struct.unpack_from("<H", buf, pos)
             pos += 2
         if ext:
+            if not ensure(4):
+                break
+            buf = chunks[ci]
             (cbext,) = struct.unpack_from("<I", buf, pos)
             pos += 4
         out = []

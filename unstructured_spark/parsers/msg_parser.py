@@ -71,9 +71,21 @@ class CfbFile:
         self.minifat: list[int] = []
         s = self.minifat_start
         count = 0
-        while s not in (_FREESECT, _ENDOFCHAIN) and count < self.num_minifat:
+        # bound by the file itself, not the header-declared count: a
+        # crafted num_minifat + FAT cycle must not spin ~4e9 iterations
+        max_sectors = max(len(self.data) // self.sector_size, 1)
+        visited: set[int] = set()
+        while (
+            s not in (_FREESECT, _ENDOFCHAIN)
+            and count < min(self.num_minifat, max_sectors)
+            and s not in visited
+        ):
+            visited.add(s)
+            sec = self._sector(s)
+            if len(sec) < self.sector_size:
+                break
             self.minifat.extend(
-                struct.unpack(f"<{self.sector_size // 4}I", self._sector(s))
+                struct.unpack(f"<{self.sector_size // 4}I", sec)
             )
             s = self.fat[s] if s < len(self.fat) else _ENDOFCHAIN
             count += 1
@@ -81,7 +93,9 @@ class CfbFile:
         self.mini_stream = self._read_chain(root["start"])[: root["size"]]
 
     def _sector(self, n: int) -> bytes:
-        off = 512 + n * self.sector_size
+        # MS-CFB: sector n starts at (n+1) << sector_shift — the header
+        # occupies exactly one sector (4096 for v4, not always 512)
+        off = (n + 1) * self.sector_size
         return self.data[off : off + self.sector_size]
 
     def _read_chain(self, start: int, limit: int = 1 << 22) -> bytes:
@@ -97,9 +111,16 @@ class CfbFile:
     def _read_mini_chain(self, start: int, size: int) -> bytes:
         out = io.BytesIO()
         s = start
+        visited: set[int] = set()
         while s not in (_FREESECT, _ENDOFCHAIN) and out.tell() < size:
+            if s in visited:
+                break  # cycle in a crafted mini-FAT: stop, don't hang
+            visited.add(s)
             off = s * self.mini_size
-            out.write(self.mini_stream[off : off + self.mini_size])
+            chunk = self.mini_stream[off : off + self.mini_size]
+            if not chunk:
+                break  # offset past the mini stream: no progress possible
+            out.write(chunk)
             s = self.minifat[s] if s < len(self.minifat) else _ENDOFCHAIN
         return out.getvalue()[:size]
 
@@ -205,6 +226,20 @@ def msg_to_elements(content: bytes) -> list[dict]:
         for el in text_to_elements(body):
             el.update({k: v for k, v in common.items() if v is not None})
             out.append(el)
+    else:
+        # HTML-only messages: PR_HTML 0x1013 (binary or string form)
+        html_raw = props.get("10130102") or props.get("1013001F") or props.get("1013001E")
+        if html_raw:
+            from unstructured_spark.parsers.html_parser import html_to_elements
+
+            html_text = (
+                html_raw.decode("utf-8", errors="replace")
+                if isinstance(html_raw, bytes)
+                else str(html_raw)
+            )
+            for el in html_to_elements(html_text):
+                el.update({k: v for k, v in common.items() if v is not None})
+                out.append(el)
 
     # attachments: __attach_version1.0_#N storages
     from unstructured_spark.parsers import dispatch as _dispatch

@@ -44,7 +44,16 @@ def _shared_strings(zf: zipfile.ZipFile) -> list[str]:
         return []
     out = []
     for si in root.findall(f"{S}si"):
-        out.append("".join(t.text or "" for t in si.iter(f"{S}t")))
+        # skip phonetic (<rPh>) runs — furigana hints, not cell text
+        texts = []
+        direct = si.find(f"{S}t")
+        if direct is not None:
+            texts.append(direct.text or "")
+        for r in si.findall(f"{S}r"):
+            t = r.find(f"{S}t")
+            if t is not None:
+                texts.append(t.text or "")
+        out.append("".join(texts))
     return out
 
 
