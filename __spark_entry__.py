@@ -1470,24 +1470,35 @@ def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q20 shape: suppliers in one nation holding excess stock of
     some part — the nested quantity-threshold subquery becomes an exact
-    decimal aggregate joined back; the EXISTS collapses to a semi join."""
-    ps = _partsupp(spark, sf_dir)
-    li = _t(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    decimal aggregate joined back; the EXISTS collapses to a semi join.
+
+    Plan shape: the derived partsupp inventory and the shipped-quantity
+    subquery group on the SAME (partkey, suppkey) keys, so both fold
+    into ONE pass over lineitem (conditional sum for the date-windowed
+    quantity) — one scan + one shuffle instead of two scans, two
+    shuffles and a large-large join. The inner join against `shipped`
+    becomes `_qty IS NOT NULL`."""
+    li = _t(spark, sf_dir, "lineitem")
+    in_window = (F.col("l_shipdate") >= "1997-01-01") & (
+        F.col("l_shipdate") < "1998-01-01"
     )
-    shipped = li.groupBy(
-        F.col("l_partkey").alias("_pk"), F.col("l_suppkey").alias("_sk")
-    ).agg(F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("_qty"))
+    qty = F.when(in_window, F.col("l_quantity").cast("decimal(18,6)"))
+    grouped = li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        F.count("*").alias("ps_availqty"),
+        F.sum(qty).alias("_qty"),
+    )
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
     excess = (
-        ps.join(
-            shipped,
-            (ps.ps_partkey == F.col("_pk")) & (ps.ps_suppkey == F.col("_sk")),
-        )
-        .filter(
-            F.col("ps_availqty").cast("double")
-            > F.col("_qty").cast("double") * F.lit(0.3)
+        grouped.filter(
+            F.col("_qty").isNotNull()
+            & (
+                F.col("ps_availqty").cast("double")
+                > F.col("_qty").cast("double") * F.lit(0.3)
+            )
         )
         .select("ps_suppkey")
         .distinct()

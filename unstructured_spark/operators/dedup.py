@@ -19,6 +19,8 @@ across engines — the DuckDB oracle computes the identical signatures.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -245,6 +247,20 @@ def simhash_pairs(
     exhaustive — near-identical boilerplate clusters lose their
     intra-cluster pairs — so the default None keeps the oracle
     contract exact.
+
+    Two plan-shape choices that matter at corpus scale:
+
+    - the (doc, fp) table is ``localCheckpoint``-ed before the
+      self-join — the join's two sides would otherwise EACH re-run
+      tokenize+hash+vote over the full corpus (self-joins don't get
+      ReusedExchange when one side becomes a broadcast build). The
+      checkpoint is ~16 bytes/doc, far cheaper than a second corpus
+      scan.
+    - a pair agreeing on several segments is emitted only by its FIRST
+      agreeing segment (the earlier-segments-differ predicate below),
+      so no ``dropDuplicates`` shuffle over the candidate set is
+      needed — at 100 TB that dedup exchange over the (quadratic-ish)
+      candidate stream would dwarf the banded join itself.
     """
     segs = max_distance + 1
     widths = [bits // segs + (1 if i < bits % segs else 0) for i in range(segs)]
@@ -255,7 +271,7 @@ def simhash_pairs(
     )
     base = staged.select(
         "doc", _simhash_from_hashes(F.col("_h"), bits).alias("fp")
-    )
+    ).localCheckpoint(eager=False)
     seg_structs = F.array(
         *[
             F.struct(
@@ -282,6 +298,26 @@ def simhash_pairs(
     hamming = F.bit_count(
         F.col("l.fp").bitwiseXOR(F.col("r.fp"))
     ).cast("bigint")
+
+    def _seg_val(fp: Column, i: int) -> Column:
+        return F.shiftright(fp, starts[i]) % F.lit(2 ** widths[i])
+
+    # emit each pair only from its first agreeing segment: when the
+    # matched segment is i, every segment j < i must differ — a cheap
+    # predicate on the two fingerprints replacing a global dedup
+    # shuffle over the candidate stream.
+    first_agree = F.lit(True)
+    for i in range(1, segs):
+        earlier_differ = reduce(
+            lambda a, b: a & b,
+            [
+                _seg_val(F.col("l.fp"), j) != _seg_val(F.col("r.fp"), j)
+                for j in range(i)
+            ],
+        )
+        first_agree = F.when(F.col("l.seg") == i, earlier_differ).otherwise(
+            first_agree
+        )
     return (
         l.join(
             r,
@@ -289,13 +325,13 @@ def simhash_pairs(
             & (F.col("l.val") == F.col("r.val"))
             & (F.col("l.doc") < F.col("r.doc")),
         )
+        .filter(first_agree)
         .select(
             F.col("l.doc").alias("doc_a"),
             F.col("r.doc").alias("doc_b"),
             hamming.alias("hamming"),
         )
         .filter(F.col("hamming") <= max_distance)
-        .dropDuplicates(["doc_a", "doc_b"])
     )
 
 
