@@ -679,6 +679,34 @@ def q_drop_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "text")
 
 
+def q_shared_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup (Lee et al. 2022): maximal runs of >= 15
+    consecutive shared tokens between document pairs — k-gram position
+    match + diagonal gaps-and-islands (suffix-array semantics,
+    re-expressed as one hash-keyed self-join)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.shared_ngram_spans(docs, k=15)
+
+
+def q_contaminated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: 13-gram verbatim overlap of each
+    corpus doc against a held-out 'benchmark' slice (deterministic
+    md5 split of the documents table), GPT-3 appendix-C style. The
+    benchmark gram set is broadcast; the corpus side stays map-only
+    plus one per-doc aggregate."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    bench = docs.filter(bucket.isin("0", "1"))
+    corpus = docs.filter(~bucket.isin("0", "1"))
+    # integer columns only: the contamination ratio is a small-int
+    # division whose 7th decimal digit can land exactly on .5 (e.g.
+    # total_grams = 128), where Spark HALF_UP and DuckDB double
+    # rounding disagree — consumers divide the two counts themselves
+    return dedup.contaminated_docs(corpus, bench, k=13).select(
+        "doc_id", "contaminated_grams", "total_grams"
+    )
+
+
 def q_salted_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe two-stage aggregation (salted partial + final) —
     result identical to a direct groupBy, verified by the oracle."""
@@ -1729,6 +1757,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_excess_stock_suppliers": q20_excess_stock_suppliers,
         "q_dup_clusters": q_dup_clusters,
         "q_drop_near_duplicates": q_drop_near_duplicates,
+        "q_shared_ngram_spans": q_shared_ngram_spans,
+        "q_contaminated_docs": q_contaminated_docs,
         "q_salted_user_value": q_salted_user_value,
         "q04_order_priority_check": q04_order_priority_check,
         "q09_product_type_profit": q09_product_type_profit,
@@ -2469,6 +2499,58 @@ left join stats s using (doc_id)
             )
             select d.doc_id, d.text from documents d
             where d.doc_id not in (select doc from drops)
+        """,
+        "q_shared_ngram_spans": """
+            with toks as (
+              select doc_id, string_split(trim(text), ' ') as t from documents
+            ), pos as (
+              select doc_id, t, unnest(range(0, len(t) - 15 + 1)) as pos
+              from toks where len(t) >= 15
+            ), gh as (
+              select doc_id, pos,
+                     cast(('0x' || substr(md5(array_to_string(t[pos+1 : pos+15], ' ')),
+                                          1, 15)) as bigint) as gh
+              from pos
+            ), m as (
+              select a.doc_id as doc_a, b.doc_id as doc_b,
+                     a.pos as pos_a, b.pos as pos_b
+              from gh a join gh b on a.gh = b.gh and a.doc_id < b.doc_id
+            ), isl as (
+              select *, pos_a - pos_b as diag,
+                     pos_a - row_number() over (
+                       partition by doc_a, doc_b, pos_a - pos_b
+                       order by pos_a) as islid
+              from m
+            )
+            select doc_a, doc_b, min(pos_a) as start_a, min(pos_b) as start_b,
+                   cast(count(*) + 15 - 1 as bigint) as match_tokens
+            from isl group by doc_a, doc_b, diag, islid
+        """,
+        "q_contaminated_docs": """
+            with toks as (
+              select doc_id, string_split(trim(text), ' ') as t,
+                     substr(md5(cast(doc_id as varchar)), 1, 1) as bkt
+              from documents
+            ), bench as (
+              select distinct
+                     cast(('0x' || substr(md5(array_to_string(t[i+1 : i+13], ' ')),
+                                          1, 15)) as bigint) as gh
+              from (select t, unnest(range(0, len(t) - 13 + 1)) as i
+                    from toks where bkt in ('0','1') and len(t) >= 13)
+            ), corpus as (
+              select doc_id, len(t) as ntok,
+                     list_distinct(
+                       [cast(('0x' || substr(md5(array_to_string(t[i+1 : i+13], ' ')),
+                                             1, 15)) as bigint)
+                        for i in range(0, len(t) - 13 + 1)]) as ghs
+              from toks where bkt not in ('0','1') and len(t) >= 13
+            ), hits as (
+              select doc_id, ntok, unnest(ghs) as gh from corpus
+            )
+            select h.doc_id, cast(count(*) as bigint) as contaminated_grams,
+                   cast(first(ntok) - 13 + 1 as bigint) as total_grams
+            from hits h join bench b on h.gh = b.gh
+            group by h.doc_id
         """,
         "q_salted_user_value": """
             with agg as (

@@ -525,3 +525,146 @@ def drop_near_duplicates(
         )
     finally:
         pairs.unpersist()
+
+
+def _gram_hashes(toks: Column, k: int) -> Column:
+    """60-bit md5 hash of each k-token window (position-ordered).
+    Portable: DuckDB replays it as
+    ``cast('0x'||substr(md5(array_to_string(t[i+1:i+k],' ')),1,15) as bigint)``."""
+    return F.transform(
+        F.sequence(F.lit(0), F.size(toks) - k),
+        lambda i: F.conv(
+            F.substring(
+                F.md5(F.concat_ws(" ", F.slice(toks, i + 1, F.lit(k)))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("bigint"),
+    )
+
+
+def shared_ngram_spans(
+    df: DataFrame,
+    *,
+    text: str = "text",
+    doc_id: str = "doc_id",
+    k: int = 15,
+    max_gram_freq: int | None = None,
+) -> DataFrame:
+    """Exact substring duplication across documents: maximal runs of
+    >= ``k`` consecutive shared tokens, as (doc_a, doc_b, start_a,
+    start_b, match_tokens).
+
+    This is the train-data dedup primitive from Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better") —
+    whereas MinHash/SimHash flag whole near-duplicate DOCUMENTS, this
+    finds verbatim shared PASSAGES (boilerplate, licenses, quoted
+    spans) regardless of how different the rest of the two documents
+    is. The single-node reference approach is a suffix array; the
+    distributed re-expression is k-gram position matching:
+
+    1. every k-token window hashes to (doc, pos, gh) — map-only;
+    2. matching positions across two docs self-join per gram hash
+       (the only corpus-sized shuffle, keyed by ~uniform 60-bit
+       hashes);
+    3. a run of consecutive shared windows lies on one DIAGONAL
+       (pos_a - pos_b constant), so maximal runs fall out of a
+       gaps-and-islands grouping: island id = pos_a - row_number()
+       within (doc_a, doc_b, diagonal).
+
+    A run of R consecutive matching windows covers R + k - 1 shared
+    tokens; k is the minimum span worth reporting.
+
+    ``max_gram_freq`` is the 100 TB guardrail: gram hashes occurring
+    more than the cap times corpus-wide (stop-boilerplate — page
+    headers, license preambles) are dropped BEFORE the self-join,
+    bounding each join group at cap². Lossy for spans made entirely of
+    ultra-common grams; the default None keeps the oracle contract
+    exact.
+    """
+    toks = F.split(F.trim(F.col(text)), "\\s+")
+    base = df.select(F.col(doc_id).alias("doc"), toks.alias("_t")).filter(
+        F.size("_t") >= k
+    )
+    # checkpoint before the self-join: both join sides would otherwise
+    # re-run tokenize+md5 over the corpus (same rationale as
+    # simhash_pairs — a broadcast build side gets no ReusedExchange)
+    grams = base.select(
+        "doc", F.posexplode(_gram_hashes(F.col("_t"), k)).alias("pos", "gh")
+    ).localCheckpoint(eager=False)
+    if max_gram_freq is not None:
+        w = Window.partitionBy("gh")
+        grams = (
+            grams.withColumn("_n", F.count("*").over(w))
+            .filter(F.col("_n") <= max_gram_freq)
+            .drop("_n")
+        )
+    a, b = grams.alias("a"), grams.alias("b")
+    matches = a.join(
+        b, (F.col("a.gh") == F.col("b.gh")) & (F.col("a.doc") < F.col("b.doc"))
+    ).select(
+        F.col("a.doc").alias("doc_a"),
+        F.col("b.doc").alias("doc_b"),
+        F.col("a.pos").alias("pos_a"),
+        F.col("b.pos").alias("pos_b"),
+    )
+    md = matches.withColumn("_diag", F.col("pos_a") - F.col("pos_b"))
+    w = Window.partitionBy("doc_a", "doc_b", "_diag").orderBy("pos_a")
+    islands = md.withColumn("_isl", F.col("pos_a") - F.row_number().over(w))
+    return (
+        islands.groupBy("doc_a", "doc_b", "_diag", "_isl")
+        .agg(
+            F.min("pos_a").alias("start_a"),
+            F.min("pos_b").alias("start_b"),
+            (F.count("*") + F.lit(k) - 1).cast("bigint").alias("match_tokens"),
+        )
+        .drop("_diag", "_isl")
+    )
+
+
+def contaminated_docs(
+    df: DataFrame,
+    benchmark: DataFrame,
+    *,
+    text: str = "text",
+    doc_id: str = "doc_id",
+    bench_text: str = "text",
+    k: int = 13,
+) -> DataFrame:
+    """Benchmark decontamination: for each corpus document, how many of
+    its k-gram windows appear verbatim in the benchmark set — the
+    standard 13-gram-overlap contamination test (GPT-3 appendix C /
+    PaLM style). Returns (doc_id, contaminated_grams, total_grams,
+    contamination) for documents with at least one hit; downstream
+    drops rows above a threshold.
+
+    Scale shape: benchmark gram hashes are DISTINCT-ed and broadcast
+    (benchmarks are ~10^5-10^6 grams — MBs against a 100 TB corpus);
+    the corpus side stays map-only: gram-hash explode → broadcast
+    semi-ish inner join → per-doc count. No corpus shuffle except the
+    final per-doc aggregate, which is keyed by doc_id (uniform).
+    """
+    toks = F.split(F.trim(F.col(text)), "\\s+")
+    base = df.select(F.col(doc_id).alias("doc"), toks.alias("_t")).filter(
+        F.size("_t") >= k
+    )
+    grams = base.select(
+        "doc",
+        F.size("_t").alias("_ntok"),
+        F.explode(F.array_distinct(_gram_hashes(F.col("_t"), k))).alias("gh"),
+    )
+    btoks = F.split(F.trim(F.col(bench_text)), "\\s+")
+    bench_grams = (
+        benchmark.select(btoks.alias("_t"))
+        .filter(F.size("_t") >= k)
+        .select(F.explode(_gram_hashes(F.col("_t"), k)).alias("gh"))
+        .distinct()
+    )
+    hits = grams.join(F.broadcast(bench_grams), "gh")
+    return hits.groupBy(F.col("doc").alias(doc_id)).agg(
+        F.count("*").alias("contaminated_grams"),
+        (F.first("_ntok") - k + 1).cast("bigint").alias("total_grams"),
+        F.round(
+            F.count("*") / (F.first("_ntok") - k + 1).cast("double"), 6
+        ).alias("contamination"),
+    )
