@@ -707,6 +707,50 @@ def q_contaminated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pii_augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with deterministic synthetic PII appended (email +
+    strict phone always; Luhn-valid card on doc_id%3==0, Luhn-INVALID
+    card on %3==1; SSN+IP on %5==0) so the PII queries exercise every
+    detector non-degenerately. The oracle builds the identical text."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com"),
+            F.lit(" tel (555) 123-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(" card 4111-1111-1111-1111"))
+            .when(F.col("doc_id") % 3 == 1, F.lit(" card 4111111111111112"))
+            .otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0, F.lit(" ssn 123-45-6789 ip 10.0.0.1")
+            ).otherwise(F.lit("")),
+        ),
+    )
+
+
+def q_pii_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc PII counts (emails/phones/IPs/SSNs/Luhn-valid cards) —
+    native regexp_extract_all + a Luhn fold, zero shuffles; the
+    %3==1 docs carry a checksum-INVALID card the Luhn filter must
+    reject while the loose candidate regex still sees it."""
+    from unstructured_spark.operators import pii
+
+    return pii.pii_stats(_pii_augmented(spark, sf_dir))
+
+
+def q_redacted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed-placeholder PII redaction (email→[EMAIL], card→[CARD],
+    ssn→[SSN], phone→[PHONE], ip→[IP]) in dependency order — cards
+    before phones so digit groups aren't half-eaten. Map-only."""
+    from unstructured_spark.operators import pii
+
+    return pii.redact_docs(_pii_augmented(spark, sf_dir)).select("doc_id", "text")
+
+
 def q_salted_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe two-stage aggregation (salted partial + final) —
     result identical to a direct groupBy, verified by the oracle."""
@@ -1392,6 +1436,32 @@ def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from unstructured_spark.functions import patterns as _pat  # noqa: E402
+
+# PII regexes shared by the Spark operators and the DuckDB oracles
+# (Java-regex ∩ RE2 subset; see functions/patterns.py)
+_P_EMAIL = _pat.EMAIL_ADDRESS
+_P_PHONE = _pat.US_PHONE_STRICT
+_P_IP = _pat.IP_ADDRESS
+_P_SSN = _pat.SSN
+_P_CC = _pat.CREDIT_CARD_CANDIDATE
+
+# deterministic synthetic-PII augmentation (see _pii_augmented)
+_PII_AUG_CTE = """
+            aug as (
+              select doc_id,
+                text || ' contact user' || cast(doc_id as varchar) || '@example.com'
+                     || ' tel (555) 123-' || lpad(cast(doc_id % 10000 as varchar), 4, '0')
+                     || case when doc_id % 3 = 0 then ' card 4111-1111-1111-1111'
+                             when doc_id % 3 = 1 then ' card 4111111111111112'
+                             else '' end
+                     || case when doc_id % 5 = 0 then ' ssn 123-45-6789 ip 10.0.0.1'
+                             else '' end
+                  as text
+              from documents
+            )
+"""
+
 _PARTSUPP_CTE = """
             partsupp as (
               select l_partkey as ps_partkey, l_suppkey as ps_suppkey,
@@ -1759,6 +1829,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_drop_near_duplicates": q_drop_near_duplicates,
         "q_shared_ngram_spans": q_shared_ngram_spans,
         "q_contaminated_docs": q_contaminated_docs,
+        "q_pii_stats": q_pii_stats,
+        "q_redacted_docs": q_redacted_docs,
         "q_salted_user_value": q_salted_user_value,
         "q04_order_priority_check": q04_order_priority_check,
         "q09_product_type_profit": q09_product_type_profit,
@@ -2551,6 +2623,50 @@ left join stats s using (doc_id)
                    cast(first(ntok) - 13 + 1 as bigint) as total_grams
             from hits h join bench b on h.gh = b.gh
             group by h.doc_id
+        """,
+        "q_pii_stats": """
+            with """ + _PII_AUG_CTE + """,
+            cands as (
+              select doc_id, unnest(regexp_extract_all(text, '""" + _P_CC + """')) as c
+              from aug
+            ), rd as (
+              select doc_id, reverse(regexp_replace(c, '[^0-9]', '', 'g')) as rd
+              from cands
+            ), lu as (
+              select doc_id from rd where
+                list_sum([case when i % 2 = 0 then
+                    case when cast(rd[i] as int) * 2 > 9
+                         then cast(rd[i] as int) * 2 - 9
+                         else cast(rd[i] as int) * 2 end
+                  else cast(rd[i] as int) end
+                  for i in range(1, length(rd) + 1)]) % 10 = 0
+            ), cc as (
+              select doc_id, cast(count(*) as bigint) as credit_cards
+              from lu group by doc_id
+            ), base as (
+              select doc_id,
+                cast(len(regexp_extract_all(text, '""" + _P_EMAIL + """')) as bigint) as emails,
+                cast(len(regexp_extract_all(text, '""" + _P_PHONE + """')) as bigint) as phones,
+                cast(len(regexp_extract_all(text, '""" + _P_IP + """')) as bigint) as ip_addresses,
+                cast(len(regexp_extract_all(text, '""" + _P_SSN + """')) as bigint) as ssns
+              from aug
+            )
+            select b.doc_id, emails, phones, ip_addresses, ssns,
+                   coalesce(cc.credit_cards, 0) as credit_cards,
+                   emails + phones + ip_addresses + ssns
+                     + coalesce(cc.credit_cards, 0) as pii_total
+            from base b left join cc on b.doc_id = cc.doc_id
+        """,
+        "q_redacted_docs": """
+            with """ + _PII_AUG_CTE + """
+            select doc_id,
+              regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                regexp_replace(text, '""" + _P_EMAIL + """', '[EMAIL]', 'g'),
+                '""" + _P_CC + """', '[CARD]', 'g'),
+                '""" + _P_SSN + """', '[SSN]', 'g'),
+                '""" + _P_PHONE + """', '[PHONE]', 'g'),
+                '""" + _P_IP + """', '[IP]', 'g') as text
+            from aug
         """,
         "q_salted_user_value": """
             with agg as (

@@ -65,3 +65,19 @@ IMAGE_URL = r"https?://[^\s]+?\.(?:png|jpg|jpeg|gif|bmp|webp|tiff?)"
 
 # sentence-ending punctuation used by the narrative/title heuristics
 SENTENCE_TERMINATORS = (".", "!", "?")
+
+# --- PII patterns (detection/redaction; RE2-compatible subset so the
+# DuckDB oracle can replay counts verbatim) ---
+
+# US social security number with mandatory dashes
+SSN = r"\b\d{3}-\d{2}-\d{4}\b"
+
+# candidate payment-card numbers: 13-19 digits, optional single space/dash
+# separators. Deliberately loose — Luhn validation (operators/pii.py)
+# is the precision filter, the regex only bounds the candidate set.
+CREDIT_CARD_CANDIDATE = r"\b(?:\d[- ]?){12,18}\d\b"
+
+# phone with REQUIRED separators/parens so plain digit runs (card
+# numbers, ids) don't double-count as phones — unlike the permissive
+# US_PHONE used for extraction parity with the reference
+US_PHONE_STRICT = r"(\+?1[-. ])?\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}\b"
