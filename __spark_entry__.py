@@ -751,6 +751,82 @@ def q_redacted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pii.redact_docs(_pii_augmented(spark, sf_dir)).select("doc_id", "text")
 
 
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means over the embeddings table (k=8, 2
+    update rounds, deterministic lowest-id init). Integer-quantized
+    vectors keep centroid sums exact and order-independent, so the
+    oracle replays init → assign → update → assign as a static SQL
+    chain — a hash-checked iterative clustering algorithm."""
+    from unstructured_spark.operators.clustering import kmeans_clusters
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return kmeans_clusters(emb, k=8, iterations=2).withColumn(
+        "cluster_size", F.col("cluster_size").cast("bigint")
+    )
+
+
+def _kmeans_oracle(k: int = 8, iters: int = 2, dim: int = 64) -> str:
+    """Static SQL replay of kmeans_clusters: same quantization, same
+    integer centroid state, same fixed-order distance fold."""
+
+    def dist(b: str, c: str) -> str:
+        return (
+            f"list_aggregate([pow(cast({b}.q[i] * {c}.n - {c}.s[i] as double), 2) "
+            f"for i in range(1, {dim + 1})], 'sum')"
+        )
+
+    def assign(name: str, cent: str) -> str:
+        return f"""{name} as (
+              select vec_id, q, cid from (
+                select b.vec_id, b.q, c.cid,
+                  row_number() over (partition by b.vec_id
+                    order by {dist('b', 'c')} asc, c.cid asc) as rn
+                from base b cross join {cent} c
+              ) where rn = 1
+            )"""
+
+    def update(a: str, out: str) -> str:
+        return f"""{out}_s as (
+              select cid, pos, sum(v) as s from (
+                select cid,
+                  unnest([{{'pos': i, 'v': q[i]}} for i in range(1, {dim + 1})],
+                         recursive := true)
+                from {a}
+              ) group by cid, pos
+            ), {out}_n as (
+              select cid, cast(count(*) as bigint) as n from {a} group by cid
+            ), {out} as (
+              select s.cid, list(cast(s.s as bigint) order by s.pos) as s,
+                     any_value(n.n) as n
+              from {out}_s s join {out}_n n on s.cid = n.cid
+              group by s.cid
+            )"""
+
+    parts = [
+        f"""with base as (
+              select cast(vec_id as bigint) as vec_id,
+                [cast(floor(cast(x as double) * 1000000 + 0.5) as bigint)
+                 for x in embedding] as q
+              from embeddings
+            ), cent0 as (
+              select vec_id as cid, q as s, cast(1 as bigint) as n
+              from base order by vec_id limit {k}
+            )"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(assign(f"a{i}", f"cent{i - 1}"))
+        parts.append(update(f"a{i}", f"cent{i}"))
+    parts.append(assign("af", f"cent{iters}"))
+    return (
+        ", ".join(parts)
+        + """
+            select vec_id, cid as cluster_id,
+                   cast(count(*) over (partition by cid) as bigint) as cluster_size
+            from af
+        """
+    )
+
+
 def q_salted_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe two-stage aggregation (salted partial + final) —
     result identical to a direct groupBy, verified by the oracle."""
@@ -1831,6 +1907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_contaminated_docs": q_contaminated_docs,
         "q_pii_stats": q_pii_stats,
         "q_redacted_docs": q_redacted_docs,
+        "q_kmeans_clusters": q_kmeans_clusters,
         "q_salted_user_value": q_salted_user_value,
         "q04_order_priority_check": q04_order_priority_check,
         "q09_product_type_profit": q09_product_type_profit,
@@ -2668,6 +2745,7 @@ left join stats s using (doc_id)
                 '""" + _P_IP + """', '[IP]', 'g') as text
             from aug
         """,
+        "q_kmeans_clusters": _kmeans_oracle(k=8, iters=2, dim=64),
         "q_salted_user_value": """
             with agg as (
               select user_id, count(*) as n,

@@ -1,0 +1,47 @@
+"""Distributed k-means: separable recovery, determinism, empty-cluster
+drop, quantization exactness."""
+
+from pyspark.sql import functions as F
+
+from unstructured_spark.operators.clustering import kmeans_clusters, quantize_vec
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+class TestKmeans:
+    def test_recovers_separated_groups(self, spark):
+        # two tight blobs far apart; k=2 seeded with one vector of each
+        blob_a = [(0, [0.0, 0.1]), (2, [0.1, 0.0]), (4, [0.05, 0.05])]
+        blob_b = [(1, [5.0, 5.1]), (3, [5.1, 5.0]), (5, [5.05, 5.05])]
+        out = kmeans_clusters(_vecs(spark, blob_a + blob_b), k=2, iterations=2)
+        got = {r["vec_id"]: r["cluster_id"] for r in out.collect()}
+        assert got[0] == got[2] == got[4]
+        assert got[1] == got[3] == got[5]
+        assert got[0] != got[1]
+        sizes = {r["cluster_id"]: r["cluster_size"] for r in out.collect()}
+        assert set(sizes.values()) == {3}
+
+    def test_deterministic_across_runs(self, spark):
+        rows = [(i, [float((i * 7) % 5), float((i * 3) % 4)]) for i in range(40)]
+        a = sorted(map(tuple, kmeans_clusters(_vecs(spark, rows), k=4).collect()))
+        b = sorted(map(tuple, kmeans_clusters(_vecs(spark, rows), k=4).collect()))
+        assert a == b
+
+    def test_empty_cluster_drops(self, spark):
+        # seeds 0 and 1 are both inside one blob; after one update the
+        # far blob captures everything near it — a seed cluster can end
+        # empty and must vanish from the output, not crash
+        rows = [(0, [0.0, 0.0]), (1, [0.01, 0.0]), (2, [9.0, 9.0]), (3, [9.1, 9.0])]
+        out = kmeans_clusters(_vecs(spark, rows), k=2, iterations=2).collect()
+        assert len(out) == 4  # every vector assigned
+
+    def test_quantize_exact_halves(self, spark):
+        [r] = (
+            spark.range(1)
+            .select(quantize_vec(F.array(F.lit(0.5e-6), F.lit(-0.5e-6), F.lit(1.0))).alias("q"))
+            .collect()
+        )
+        # floor(x*1e6 + 0.5): 0.5 -> 1, -0.5 -> 0, 1e6 stays
+        assert list(r["q"]) == [1, 0, 1000000]

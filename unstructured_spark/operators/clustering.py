@@ -1,0 +1,145 @@
+"""Distributed k-means clustering over embedding columns.
+
+Beyond-reference surface: corpus organization for training-data
+pipelines (topic bucketing, stratified mixing, dedup-within-cluster)
+and the centroid source for IVF ANN (`similarity.ivf_topk` accepts any
+seed set).
+
+Scale shape (the classic distributed Lloyd layout):
+
+- centroids live on the DRIVER (k × dim — tiny by definition) and are
+  broadcast each round as a one-row DataFrame (same rationale as
+  `similarity._centroid_frame`: data broadcast, not codegen literals);
+- each iteration is one map-only assignment pass (argmin over k
+  centroids inside whole-stage codegen) + one shuffle keyed by
+  cluster id whose rows are k × (dim+1) partial sums after map-side
+  combine — at 100 TB the shuffle payload is kilobytes;
+- the quantized corpus is localCheckpoint-ed once so the iteration
+  loop re-reads columnar checkpoint blocks instead of re-running the
+  parquet scan + quantize expression tree every round (Spark MLlib
+  caches its input for the same reason).
+
+Engine-portable determinism (what makes a DuckDB oracle possible):
+floating-point centroid means are order-dependent under distributed
+summation, so vectors are quantized to integers (``floor(x·10⁶+0.5)``)
+and centroid state is kept as EXACT integer component sums plus a
+count — order-independent in any engine. Distances compare
+``Σ (q_j·n_c − s_cj)²`` (the squared distance to the mean scaled by
+n_c², all inputs exact integers, summed in fixed index order), so
+assignment ties and argmins replay bit-for-bit in SQL. Clusters that
+lose every member simply disappear (both engines drop them the same
+way).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+QUANT_SCALE = 1_000_000
+
+
+def quantize_vec(vec: Column) -> Column:
+    """Integer quantization of an embedding: floor(x·10⁶ + 0.5) per
+    component. Exact and identical in Spark and DuckDB (the input
+    doubles are identical, floor is IEEE-exact)."""
+    return F.transform(
+        vec, lambda x: F.floor(x.cast("double") * QUANT_SCALE + F.lit(0.5)).cast("bigint")
+    )
+
+
+def _centroid_df(spark, cents: list[tuple[int, list[int], int]]) -> DataFrame:
+    """One-row broadcast frame: array<struct<cid, s array<bigint>, n>>."""
+    schema = T.StructType(
+        [
+            T.StructField(
+                "_cents",
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField("cid", T.LongType()),
+                            T.StructField("s", T.ArrayType(T.LongType())),
+                            T.StructField("n", T.LongType()),
+                        ]
+                    )
+                ),
+            )
+        ]
+    )
+    rows = [([(int(c), [int(x) for x in s], int(n)) for c, s, n in cents],)]
+    return spark.createDataFrame(rows, schema)
+
+
+def _assign(quant: DataFrame, cent_df: DataFrame) -> DataFrame:
+    """Map-only argmin assignment: per vector, the centroid minimizing
+    Σ (q_j·n − s_j)² (ties → smaller cid). One broadcast nested-loop
+    join against the single-row centroid frame, then array ops."""
+    scored = F.transform(
+        F.col("_cents"),
+        lambda c: F.struct(
+            F.aggregate(
+                F.zip_with(
+                    F.col("q"),
+                    c.getField("s"),
+                    lambda qj, sj: F.pow(
+                        (qj * c.getField("n") - sj).cast("double"), F.lit(2)
+                    ),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("dist"),
+            c.getField("cid").alias("cid"),
+        ),
+    )
+    return (
+        quant.crossJoin(F.broadcast(cent_df))
+        .withColumn("_best", F.element_at(F.array_sort(scored), 1))
+        .select("vec_id", "q", F.col("_best.cid").alias("cluster_id"))
+    )
+
+
+def kmeans_clusters(
+    corpus: DataFrame,
+    *,
+    k: int = 8,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd k-means with deterministic init (the k lowest-id vectors)
+    and a FIXED iteration count, so the whole run — init, every
+    assignment, every centroid update — replays as a static SQL chain.
+
+    Returns (vec_id, cluster_id, cluster_size) for the assignment
+    after ``iterations`` update rounds.
+    """
+    spark = corpus.sparkSession
+    quant = corpus.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        quantize_vec(F.col(vec_col)).alias("q"),
+    ).localCheckpoint(eager=False)
+
+    seed_rows = quant.orderBy("vec_id").limit(k).collect()
+    cents = [(int(r["vec_id"]), list(r["q"]), 1) for r in seed_rows]
+    dim = len(cents[0][1])
+
+    for _ in range(iterations):
+        assigned = _assign(quant, _centroid_df(spark, cents))
+        upd = (
+            assigned.groupBy("cluster_id")
+            .agg(
+                F.count("*").alias("n"),
+                *[F.sum(F.col("q").getItem(j)).alias(f"s{j}") for j in range(dim)],
+            )
+            .collect()
+        )
+        cents = [
+            (int(r["cluster_id"]), [int(r[f"s{j}"]) for j in range(dim)], int(r["n"]))
+            for r in upd
+        ]
+
+    final = _assign(quant, _centroid_df(spark, cents)).select("vec_id", "cluster_id")
+    w = Window.partitionBy("cluster_id")
+    return final.withColumn("cluster_size", F.count("*").over(w))
