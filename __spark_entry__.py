@@ -827,6 +827,45 @@ def _kmeans_oracle(k: int = 8, iters: int = 2, dim: int = 64) -> str:
     )
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic source-mixing: per-stratum md5-hash sampling
+    (keep 100% of src0, 50% of src1, 10% of everything else) — the
+    map-only, engine-portable alternative to DataFrame.sample for
+    reproducible training mixes."""
+    from unstructured_spark.operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs,
+        {"src0": 1.0, "src1": 0.5},
+        strata_col="source",
+        default_fraction=0.1,
+        seed="mix-v1",
+    ).select("doc_id", "source")
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing: concatenate docs in id order, cut
+    every 256 tokens, splitting docs across boundaries. The global
+    token offset is a distributed prefix sum (per-block totals →
+    broadcast offsets → within-block window); the oracle is the
+    single naive global-window cumsum."""
+    from unstructured_spark.operators.sampling import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_sequences(docs, 256)
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 corpus search for ['spark','vector','customer']: one exact
+    integer-stats aggregate (N, Σdl, per-term df) folded to literals,
+    then a map-only scoring pass — two scans, zero shuffles. The
+    oracle recomputes the same integer stats in SQL and applies ln to
+    identical double arguments."""
+    docs = _t(spark, sf_dir, "documents")
+    return text_analysis.bm25_scores(docs, ["spark", "vector", "customer"])
+
+
 def q_salted_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe two-stage aggregation (salted partial + final) —
     result identical to a direct groupBy, verified by the oracle."""
@@ -1908,6 +1947,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pii_stats": q_pii_stats,
         "q_redacted_docs": q_redacted_docs,
         "q_kmeans_clusters": q_kmeans_clusters,
+        "q_stratified_sample": q_stratified_sample,
+        "q_pack_sequences": q_pack_sequences,
+        "q_bm25_search": q_bm25_search,
         "q_salted_user_value": q_salted_user_value,
         "q04_order_priority_check": q04_order_priority_check,
         "q09_product_type_profit": q09_product_type_profit,
@@ -2746,6 +2788,77 @@ left join stats s using (doc_id)
             from aug
         """,
         "q_kmeans_clusters": _kmeans_oracle(k=8, iters=2, dim=64),
+        "q_bm25_search": """
+            with t as (
+              select doc_id, string_split(trim(text), ' ') as w,
+                     cast(len(string_split(trim(text), ' ')) as bigint) as dl
+              from documents
+            ), tf as (
+              select doc_id, dl,
+                     cast(len(list_filter(w, x -> x = 'spark')) as double) as tf0,
+                     cast(len(list_filter(w, x -> x = 'vector')) as double) as tf1,
+                     cast(len(list_filter(w, x -> x = 'customer')) as double) as tf2
+              from t
+            ), st as (
+              select cast(count(*) as bigint) as n, sum(dl) as sum_dl,
+                     sum(case when tf0 > 0 then 1 else 0 end) as df0,
+                     sum(case when tf1 > 0 then 1 else 0 end) as df1,
+                     sum(case when tf2 > 0 then 1 else 0 end) as df2
+              from tf
+            ), scored as (
+              select doc_id,
+                0.0
+                + ln((cast(st.n - st.df0 as double) + 0.5)
+                     / (cast(st.df0 as double) + 0.5) + 1)
+                  * (tf0 * 2.2 / (tf0 + 1.2 * (0.25 + 0.75 * cast(dl as double)
+                       / (cast(st.sum_dl as double) / cast(st.n as double)))))
+                + ln((cast(st.n - st.df1 as double) + 0.5)
+                     / (cast(st.df1 as double) + 0.5) + 1)
+                  * (tf1 * 2.2 / (tf1 + 1.2 * (0.25 + 0.75 * cast(dl as double)
+                       / (cast(st.sum_dl as double) / cast(st.n as double)))))
+                + ln((cast(st.n - st.df2 as double) + 0.5)
+                     / (cast(st.df2 as double) + 0.5) + 1)
+                  * (tf2 * 2.2 / (tf2 + 1.2 * (0.25 + 0.75 * cast(dl as double)
+                       / (cast(st.sum_dl as double) / cast(st.n as double)))))
+                as raw,
+                tf0 + tf1 + tf2 as anytf
+              from tf cross join st
+            )
+            select doc_id, floor(raw * 1000000.0 + 0.5) / 1000000.0 as score
+            from scored where anytf > 0
+        """,
+        "q_stratified_sample": """
+            select doc_id, source from documents
+            where cast(('0x' || substr(md5(cast(doc_id as varchar) || 'mix-v1'),
+                                       1, 15)) as bigint)
+                  / 1152921504606846976.0
+                < case source when 'src0' then 1.0
+                              when 'src1' then 0.5
+                              else 0.1 end
+        """,
+        "q_pack_sequences": """
+            with t as (
+              select doc_id,
+                     cast(len(string_split(trim(text), ' ')) as bigint) as n
+              from documents
+            ), p as (
+              select doc_id, n,
+                     cast(coalesce(sum(n) over (order by doc_id
+                       rows between unbounded preceding and 1 preceding), 0)
+                       as bigint) as gstart
+              from t
+            ), e as (
+              select doc_id, gstart, gstart + n as gend,
+                     unnest(range(gstart // 256, (gstart + n - 1) // 256 + 1))
+                       as seq_id
+              from p where n > 0
+            )
+            select doc_id, seq_id,
+                   greatest(seq_id * 256, gstart) - gstart as doc_token_start,
+                   least((seq_id + 1) * 256, gend) - gstart as doc_token_end,
+                   greatest(seq_id * 256, gstart) - seq_id * 256 as seq_token_start
+            from e
+        """,
         "q_salted_user_value": """
             with agg as (
               select user_id, count(*) as n,

@@ -1,0 +1,123 @@
+"""Deterministic sampling, stratified mixing, sequence packing."""
+
+from pyspark.sql import functions as F
+
+from unstructured_spark.operators.sampling import (
+    hash_sample,
+    hash_uniform,
+    pack_sequences,
+    stratified_sample,
+)
+
+
+class TestHashSample:
+    def test_deterministic_and_seed_sensitive(self, spark):
+        df = spark.range(2000).withColumnRenamed("id", "doc_id")
+        a = {r["doc_id"] for r in hash_sample(df, 0.3, seed="s1").collect()}
+        b = {r["doc_id"] for r in hash_sample(df, 0.3, seed="s1").collect()}
+        c = {r["doc_id"] for r in hash_sample(df, 0.3, seed="s2").collect()}
+        assert a == b
+        assert a != c
+        assert 0.2 < len(a) / 2000 < 0.4
+
+    def test_nested_fractions(self, spark):
+        # the 10% sample is a subset of the 30% sample (same seed):
+        # hash_uniform gives one draw per key, thresholds nest
+        df = spark.range(2000).withColumnRenamed("id", "doc_id")
+        small = {r["doc_id"] for r in hash_sample(df, 0.1).collect()}
+        big = {r["doc_id"] for r in hash_sample(df, 0.3).collect()}
+        assert small <= big
+
+    def test_uniform_range(self, spark):
+        [r] = (
+            spark.range(1)
+            .select(
+                F.min(hash_uniform(F.lit("x"))).alias("v"),
+            )
+            .collect()
+        )
+        assert 0.0 <= r["v"] < 1.0
+
+
+class TestStratifiedSample:
+    def test_per_stratum_fractions(self, spark):
+        rows = [(i, "keep" if i % 2 == 0 else "drop") for i in range(1000)]
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        out = stratified_sample(df, {"keep": 1.0}, default_fraction=0.0)
+        got = {r["doc_id"] for r in out.collect()}
+        assert got == {i for i in range(1000) if i % 2 == 0}
+
+
+class TestPackSequences:
+    def _docs(self, spark, sizes):
+        rows = [(i, " ".join(["w"] * n)) for i, n in enumerate(sizes)]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_exact_fill_no_split(self, spark):
+        out = pack_sequences(self._docs(spark, [4, 4, 4]), 4).collect()
+        by_doc = {r["doc_id"]: r for r in out}
+        assert len(out) == 3
+        assert [by_doc[i]["seq_id"] for i in range(3)] == [0, 1, 2]
+        assert all(r["doc_token_start"] == 0 and r["doc_token_end"] == 4 for r in out)
+
+    def test_doc_split_across_boundary(self, spark):
+        # doc0 has 3 tokens, doc1 has 4: seq size 4 → doc1 splits 1|3
+        rows = sorted(
+            map(
+                lambda r: (r["doc_id"], r["seq_id"], r["doc_token_start"],
+                           r["doc_token_end"], r["seq_token_start"]),
+                pack_sequences(self._docs(spark, [3, 4]), 4).collect(),
+            )
+        )
+        assert rows == [
+            (0, 0, 0, 3, 0),
+            (1, 0, 0, 1, 3),
+            (1, 1, 1, 4, 0),
+        ]
+
+    def test_long_doc_spans_many_sequences(self, spark):
+        rows = pack_sequences(self._docs(spark, [10]), 3).collect()
+        assert len(rows) == 4  # 3+3+3+1
+        total = sum(r["doc_token_end"] - r["doc_token_start"] for r in rows)
+        assert total == 10
+
+    def test_blocked_prefix_sum_matches_naive(self, spark):
+        # tiny block size forces multi-block offsets; token positions
+        # must still be the single global cumsum
+        sizes = [(i * 13) % 7 + 1 for i in range(50)]
+        out = pack_sequences(self._docs(spark, sizes), 16, block_size=8)
+        starts = {
+            r["doc_id"]: r["seq_id"] * 16 + r["seq_token_start"]
+            for r in out.collect()
+            if r["doc_token_start"] == 0
+        }
+        import itertools
+
+        expect = dict(zip(range(50), itertools.accumulate([0] + sizes[:-1])))
+        assert starts == expect
+
+
+class TestBm25:
+    def test_rare_term_outweighs_common(self, spark):
+        from unstructured_spark.operators.text_analysis import bm25_scores
+
+        rows = [
+            (0, "rare common common filler filler"),
+            (1, "common filler filler filler filler"),
+            (2, "common filler filler filler filler"),
+            (3, "filler filler filler filler filler"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r["score"] for r in bm25_scores(df, ["rare", "common"]).collect()}
+        assert set(got) == {0, 1, 2}  # doc 3 matches nothing
+        assert got[0] > got[1]  # rare-term doc wins
+        assert got[1] == got[2]  # identical docs tie exactly
+
+    def test_score_is_deterministic(self, spark):
+        from unstructured_spark.operators.text_analysis import bm25_scores
+
+        rows = [(i, " ".join(["w%d" % (j % 11) for j in range(i + 3)])) for i in range(30)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        a = sorted(map(tuple, bm25_scores(df, ["w1", "w7"]).collect()))
+        b = sorted(map(tuple, bm25_scores(df, ["w1", "w7"]).collect()))
+        assert a == b and len(a) > 0

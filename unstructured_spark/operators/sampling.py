@@ -1,0 +1,141 @@
+"""Deterministic corpus sampling, stratified mixing, and sequence
+packing — the dataset-assembly stage of a training-data pipeline.
+
+Beyond-reference surface. Everything is engine-portable (md5-derived
+uniforms, integer token arithmetic) so DuckDB oracles hash-check the
+exact row sets, and everything avoids the two classic scale traps:
+
+- sampling/mixing is MAP-ONLY — a per-row hash comparison, no shuffle,
+  no count pass, fully push-down-friendly;
+- sequence packing needs a global running token count, which the
+  naive formulation writes as a single-partition window
+  (``Window.orderBy(...)`` with no partition — the canonical Spark
+  scale killer). Here it is the textbook distributed prefix sum:
+  per-block partial sums (tiny aggregate) → broadcast block offsets →
+  within-block cumulative window. Identical result, every stage
+  parallel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# 60-bit hash → uniform in [0, 1). Portable: DuckDB replays as
+# cast(('0x' || substr(md5(...), 1, 15)) as bigint) / 2^60.
+_HASH_SPACE = float(2**60)
+
+
+def hash_uniform(key: Column, seed: str = "") -> Column:
+    """Deterministic uniform-[0,1) draw from a row key: md5 of
+    key||seed, top 60 bits. Same document always draws the same value
+    — samples are reproducible, append-stable, and engine-portable."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(key.cast("string"), F.lit(seed))), 1, 15), 16, 10
+    ).cast("bigint")
+    return h / F.lit(_HASH_SPACE)
+
+
+def hash_sample(
+    df: DataFrame,
+    fraction: float,
+    *,
+    key_col: str = "doc_id",
+    seed: str = "",
+) -> DataFrame:
+    """Keep each row iff its hash-uniform draw < ``fraction``.
+    Map-only; unlike ``DataFrame.sample`` the result is a pure
+    function of (key, seed) — stable across runs, partitionings, and
+    engines."""
+    return df.filter(hash_uniform(F.col(key_col), seed) < F.lit(fraction))
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    *,
+    strata_col: str = "source",
+    key_col: str = "doc_id",
+    default_fraction: float = 0.0,
+    seed: str = "",
+) -> DataFrame:
+    """Per-stratum hash sampling — the source-mixing primitive (e.g.
+    keep 100% of books, 10% of web). ``fractions`` maps stratum value →
+    keep fraction; unlisted strata get ``default_fraction``. Map-only:
+    the per-stratum threshold is a CASE expression, not a join."""
+    thresh = F.lit(float(default_fraction))
+    for value, frac in sorted(fractions.items()):
+        thresh = F.when(
+            F.col(strata_col) == value, F.lit(float(frac))
+        ).otherwise(thresh)
+    return df.filter(hash_uniform(F.col(key_col), seed) < thresh)
+
+
+def pack_sequences(
+    df: DataFrame,
+    max_tokens: int,
+    *,
+    text: str = "text",
+    doc_id: str = "doc_id",
+    block_size: int = 1024,
+) -> DataFrame:
+    """GPT-style sequence packing: concatenate all documents in
+    ``doc_id`` order into one token stream and cut it every
+    ``max_tokens`` tokens, splitting documents across sequence
+    boundaries. Returns one row per (document × overlapping sequence):
+
+        (doc_id, seq_id, doc_token_start, doc_token_end, seq_token_start)
+
+    where the document contributes tokens [doc_token_start,
+    doc_token_end) (0-based within the document) starting at offset
+    ``seq_token_start`` inside sequence ``seq_id``.
+
+    The global running token offset is computed as a distributed
+    prefix sum: (1) per-block token totals (block = doc_id div
+    ``block_size``; ONE small aggregate), (2) exclusive block offsets
+    via a window over the tiny per-block table, (3) broadcast-joined
+    back and added to the within-block cumulative window. No stage
+    sees a single-partition global window.
+    """
+    ntok = F.size(F.split(F.trim(F.col(text)), "\\s+"))
+    base = df.select(
+        F.col(doc_id).alias("doc"),
+        (F.col(doc_id) / block_size).cast("bigint").alias("_blk"),
+        ntok.cast("bigint").alias("_n"),
+    )
+    blocks = base.groupBy("_blk").agg(F.sum("_n").alias("_bn"))
+    wb = Window.orderBy("_blk").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = blocks.withColumn("_boff", F.coalesce(F.sum("_bn").over(wb), F.lit(0)))
+    wd = (
+        Window.partitionBy("_blk")
+        .orderBy("doc")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    placed = (
+        base.join(F.broadcast(offsets.select("_blk", "_boff")), "_blk")
+        .withColumn(
+            "_gstart", F.col("_boff") + F.coalesce(F.sum("_n").over(wd), F.lit(0))
+        )
+        .withColumn("_gend", F.col("_gstart") + F.col("_n"))
+        .filter(F.col("_n") > 0)
+    )
+    first_seq = F.floor(F.col("_gstart") / max_tokens)
+    last_seq = F.floor((F.col("_gend") - 1) / max_tokens)
+    out = placed.select(
+        "doc",
+        "_gstart",
+        "_gend",
+        F.explode(F.sequence(first_seq, last_seq)).alias("seq_id"),
+    )
+    seq_lo = F.col("seq_id") * max_tokens
+    seq_hi = seq_lo + max_tokens
+    return out.select(
+        F.col("doc").alias(doc_id),
+        "seq_id",
+        (F.greatest(seq_lo, F.col("_gstart")) - F.col("_gstart")).alias(
+            "doc_token_start"
+        ),
+        (F.least(seq_hi, F.col("_gend")) - F.col("_gstart")).alias("doc_token_end"),
+        (F.greatest(seq_lo, F.col("_gstart")) - seq_lo).alias("seq_token_start"),
+    )

@@ -173,3 +173,69 @@ def winnow_fingerprints(
     return (
         staged.select("doc_id", F.explode(mins).alias("fp_hash")).distinct()
     )
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    *,
+    text: str = "text",
+    doc_id: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 relevance of every document against a bag of query terms
+    (Robertson/Sparck-Jones; the corpus-search / retrieval-filter
+    primitive). Returns (doc_id, score) for docs matching >= 1 term.
+
+    Scale shape: ONE corpus aggregate computes the exact integer
+    statistics (N, total token count, per-term document frequencies —
+    all order-independent longs), which collapse to driver literals;
+    the scoring pass is then MAP-ONLY whole-stage codegen: per-term
+    tf via a filter over the token array, the BM25 sum as a
+    fixed-order expression. Two scans, zero shuffles, no join.
+
+    Determinism: idf = ln((N - df + 0.5)/(df + 0.5) + 1) is computed
+    IN-ENGINE from the exact integer stats (the oracle recomputes the
+    same integers in SQL and applies its own ln to the identical
+    double argument), and the final score rounds to 6 decimals.
+    """
+    toks = F.split(F.trim(F.col(text)), "\\s+")
+    dl = F.size(toks).cast("long")
+
+    def tf(term: str) -> Column:
+        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+    stats_row = df.select(
+        F.count("*").alias("n"),
+        F.sum(dl).alias("sum_dl"),
+        *[
+            F.sum((tf(t) > 0).cast("long")).alias(f"df{i}")
+            for i, t in enumerate(query_terms)
+        ],
+    ).collect()[0]
+    n, sum_dl = int(stats_row["n"]), int(stats_row["sum_dl"])
+    dfs = [int(stats_row[f"df{i}"]) for i in range(len(query_terms))]
+
+    avgdl = F.lit(float(sum_dl)) / F.lit(float(n))
+    dl_d = dl.cast("double")
+    score = F.lit(0.0)
+    matched = F.lit(0)
+    for i, t in enumerate(query_terms):
+        idf = F.log(
+            (F.lit(float(n - dfs[i]) + 0.5) / F.lit(float(dfs[i]) + 0.5)) + 1
+        )
+        tf_d = tf(t).cast("double")
+        score = score + idf * (
+            tf_d * (k1 + 1) / (tf_d + k1 * (1 - b + b * dl_d / avgdl))
+        )
+        matched = matched + (tf(t) > 0).cast("int")
+    return (
+        df.select(
+            F.col(doc_id),
+            F.round(score, 6).alias("score"),
+            matched.alias("_m"),
+        )
+        .filter(F.col("_m") > 0)
+        .drop("_m")
+    )
