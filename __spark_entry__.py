@@ -866,6 +866,45 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_analysis.bm25_scores(docs, ["spark", "vector", "customer"])
 
 
+def q_overlap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Element bounding-box QA audit (reference utils.py
+    catch_overlapping_and_nested_bboxes): four synthetic elements per
+    doc (a nested pair, a 5% sliver pair, and a text-sharing partial
+    pair whose texts are token slices of the doc) classified by the
+    full reference decision tree — nesting tolerance, small-overlap
+    threshold, empty/duplicate/shared-n-gram text cases with the
+    largest-common-run DP. One (doc,page)-bucketed self-join."""
+    from unstructured_spark.operators.overlap_audit import overlap_diagnostics
+
+    docs = _t(spark, sf_dir, "documents")
+    t = F.split(F.trim(F.col("text")), "\\s+")
+
+    def el(ix, etype, start, ln, x1, y1, x2, y2):
+        return F.struct(
+            F.lit(ix).alias("ix"),
+            F.lit(etype).alias("etype"),
+            F.concat_ws(" ", F.slice(t, start, ln)).alias("text"),
+            F.lit(float(x1)).alias("x1"),
+            F.lit(float(y1)).alias("y1"),
+            F.lit(float(x2)).alias("x2"),
+            F.lit(float(y2)).alias("y2"),
+        )
+
+    els = docs.select(
+        "doc_id",
+        F.lit(1).alias("page"),
+        F.explode(
+            F.array(
+                el(0, "Title", 1, 8, 0, 0, 100, 100),
+                el(1, "NarrativeText", 4, 8, 10, 10, 90, 90),
+                el(2, "Text", 6, 9, 95, 0, 195, 100),
+                el(3, "Text", 9, 9, 150, 0, 260, 100),
+            )
+        ).alias("e"),
+    ).select("doc_id", "page", "e.*")
+    return overlap_diagnostics(els)
+
+
 def q_salted_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe two-stage aggregation (salted partial + final) —
     result identical to a direct groupBy, verified by the oracle."""
@@ -1950,6 +1989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stratified_sample": q_stratified_sample,
         "q_pack_sequences": q_pack_sequences,
         "q_bm25_search": q_bm25_search,
+        "q_overlap_audit": q_overlap_audit,  # oracle below replays the decision tree
         "q_salted_user_value": q_salted_user_value,
         "q04_order_priority_check": q04_order_priority_check,
         "q09_product_type_profit": q09_product_type_profit,
@@ -2788,6 +2828,151 @@ left join stats s using (doc_id)
             from aug
         """,
         "q_kmeans_clusters": _kmeans_oracle(k=8, iters=2, dim=64),
+        "q_overlap_audit": """
+            with toks as (
+              select doc_id, string_split(trim(text), ' ') as t from documents
+            ), els as (
+              select doc_id, 1 as page,
+                unnest([
+                  {'ix': 0, 'etype': 'Title',
+                   'text': array_to_string(t[1:8], ' '),
+                   'x1': 0.0, 'y1': 0.0, 'x2': 100.0, 'y2': 100.0},
+                  {'ix': 1, 'etype': 'NarrativeText',
+                   'text': array_to_string(t[4:11], ' '),
+                   'x1': 10.0, 'y1': 10.0, 'x2': 90.0, 'y2': 90.0},
+                  {'ix': 2, 'etype': 'Text',
+                   'text': array_to_string(t[6:14], ' '),
+                   'x1': 95.0, 'y1': 0.0, 'x2': 195.0, 'y2': 100.0},
+                  {'ix': 3, 'etype': 'Text',
+                   'text': array_to_string(t[9:17], ' '),
+                   'x1': 150.0, 'y1': 0.0, 'x2': 260.0, 'y2': 100.0}
+                ], recursive := true)
+              from toks
+            ), pr as (
+              select a.doc_id, a.page,
+                     a.ix as ixa, b.ix as ixb, a.etype as ta, b.etype as tb,
+                     a.text as xa, b.text as xb,
+                     (a.x2 - a.x1) * (a.y2 - a.y1) as area_a,
+                     (b.x2 - b.x1) * (b.y2 - b.y1) as area_b,
+                     greatest(least(a.x2, b.x2) - greatest(a.x1, b.x1), 0)
+                       * greatest(least(a.y2, b.y2) - greatest(a.y1, b.y1), 0) as inter,
+                     (b.x1 >= a.x1 - 5 and b.y1 >= a.y1 - 5
+                      and b.x2 <= a.x2 + 5 and b.y2 <= a.y2 + 5) as a_parent,
+                     (a.x1 >= b.x1 - 5 and a.y1 >= b.y1 - 5
+                      and a.x2 <= b.x2 + 5 and a.y2 <= b.y2 + 5) as b_parent
+              from els a join els b
+                on a.doc_id = b.doc_id and a.page = b.page and a.ix < b.ix
+                and a.x1 < b.x2 and a.x2 > b.x1 and a.y1 < b.y2 and a.y2 > b.y1
+            ), fl as (
+              select *,
+                case when least(area_a, area_b) = 0 then 0.0
+                     else floor(inter / least(area_a, area_b) * 100 * 100 + 0.5) / 100
+                end as pct_partial,
+                case when area_a + area_b - inter = 0 then 0.0
+                     else floor(inter / (area_a + area_b - inter) * 100 * 100 + 0.5) / 100
+                end as pct_total,
+                a_parent as nested_a,
+                (not a_parent) and b_parent as nested_b,
+                (not a_parent) and (not b_parent) as partial
+              from pr
+            ), fl2 as (
+              select *,
+                partial and pct_partial < 10.0 as small,
+                partial and pct_partial >= 10.0 and xa = '' as empty_a,
+                partial and pct_partial >= 10.0 and xa <> '' and xb = '' as empty_b,
+                partial and pct_partial >= 10.0 and xa <> '' and xb <> ''
+                  and (contains(xb, xa) or contains(xa, xb)) as dup
+              from fl
+            ), shr as (
+              select doc_id, ixa, ixb,
+                     string_split(trim(xa), ' ') as wa,
+                     string_split(trim(xb), ' ') as wb
+              from fl2
+              where partial and not small and not empty_a and not empty_b and not dup
+            ), pa as (
+              select doc_id, ixa, ixb,
+                unnest([{'pa': i, 'tok': wa[i]} for i in range(1, len(wa) + 1)],
+                       recursive := true)
+              from shr
+            ), pb as (
+              select doc_id, ixa, ixb,
+                unnest([{'pb': i, 'tok': wb[i]} for i in range(1, len(wb) + 1)],
+                       recursive := true)
+              from shr
+            ), mm as (
+              select a.doc_id, a.ixa, a.ixb, a.pa, b.pb
+              from pa a join pb b
+                on a.doc_id = b.doc_id and a.ixa = b.ixa and a.ixb = b.ixb
+                and a.tok = b.tok
+            ), runs as (
+              select doc_id, ixa, ixb, count(*) as rl from (
+                select *, pa - row_number() over (
+                  partition by doc_id, ixa, ixb, pa - pb order by pa) as isl
+                from mm
+              ) group by doc_id, ixa, ixb, pa - pb, isl
+            ), lrun as (
+              select doc_id, ixa, ixb, max(rl) as lr
+              from runs group by doc_id, ixa, ixb
+            ), ng as (
+              select s.doc_id, s.ixa, s.ixb,
+                     least(coalesce(l.lr, 0), least(len(s.wa), len(s.wb)) - 1)
+                       as nstar,
+                     len(s.wa) as na, len(s.wb) as nb, s.wa, s.wb
+              from shr s left join lrun l
+                on s.doc_id = l.doc_id and s.ixa = l.ixa and s.ixb = l.ixb
+            ), ngp as (
+              select doc_id, ixa, ixb, nstar, na, nb,
+                len(list_intersect(
+                  list_distinct([array_to_string(wa[i+1 : i+nstar], ' ')
+                                 for i in range(0, na - nstar + 1)]),
+                  list_distinct([array_to_string(wb[i+1 : i+nstar], ' ')
+                                 for i in range(0, nb - nstar + 1)])
+                )) as common
+              from ng where nstar >= 1
+            ), ngf as (
+              select doc_id, ixa, ixb, nstar,
+                floor(common * 1.0 / (least(na, nb) - nstar + 1) * 100 * 100 + 0.5)
+                  / 100 as npct
+              from ngp where common > 0
+            )
+            select f.doc_id, f.page,
+              case when f.nested_b or f.empty_b
+                   then f.tb || '(ix=' || cast(f.ixb as varchar) || ')'
+                   else f.ta || '(ix=' || cast(f.ixa as varchar) || ')'
+              end as element_a,
+              case when f.nested_b or f.empty_b
+                   then f.ta || '(ix=' || cast(f.ixa as varchar) || ')'
+                   else f.tb || '(ix=' || cast(f.ixb as varchar) || ')'
+              end as element_b,
+              case when f.nested_a then f.ta || '(ix=' || cast(f.ixa as varchar) || ')'
+                   when f.nested_b then f.tb || '(ix=' || cast(f.ixb as varchar) || ')'
+              end as parent_element,
+              case
+                when f.nested_a then 'nested ' || f.tb || ' in ' || f.ta
+                when f.nested_b then 'nested ' || f.ta || ' in ' || f.tb
+                when f.small then 'Small partial overlap'
+                when f.empty_a then 'partial overlap with empty content in ' || f.ta
+                when f.empty_b then 'partial overlap with empty content in ' || f.tb
+                when f.dup then 'partial overlap with duplicate text'
+                when g.npct is not null then
+                  'partial overlap sharing ' || cast(g.npct as varchar)
+                  || '% of the text from'
+                  || case when len(string_split(trim(f.xa), ' '))
+                            < len(string_split(trim(f.xb), ' '))
+                          then f.ta else f.tb end
+                  || '(' || cast(g.nstar as varchar) || '-gram)'
+                else 'partial overlap without sharing text'
+              end as overlapping_case,
+              case when f.nested_a or f.nested_b then 100.0
+                   else f.pct_partial end as overlap_pct,
+              f.pct_total as overlap_pct_total,
+              coalesce(g.npct, 0.0) as largest_ngram_pct,
+              floor(greatest(f.area_a, f.area_b) * 100 + 0.5) / 100 as max_area,
+              floor(least(f.area_a, f.area_b) * 100 + 0.5) / 100 as min_area,
+              floor((f.area_a + f.area_b) * 100 + 0.5) / 100 as total_area
+            from fl2 f left join ngf g
+              on f.doc_id = g.doc_id and f.ixa = g.ixa and f.ixb = g.ixb
+        """,
         "q_bm25_search": """
             with t as (
               select doc_id, string_split(trim(text), ' ') as w,
