@@ -118,3 +118,69 @@ class TestScalingClaims:
         plan = physical_plan(drop_near_duplicates(df))
         anti = [l for l in plan.splitlines() if "LeftAnti" in l]
         assert anti and any("Broadcast" in l for l in anti), plan
+
+
+class TestNewOperatorPlans:
+    """Plan-pinned scale claims for the round-3 operator additions."""
+
+    def test_pii_stats_is_shuffle_free_with_pruned_scan(self, spark, tmp_path):
+        from unstructured_spark.operators.pii import pii_stats
+
+        p = str(tmp_path / "pii_docs")
+        spark.createDataFrame(
+            [("d", "a@b.co", "unused")], "doc_id string, text string, extra string"
+        ).write.parquet(p)
+        out = pii_stats(spark.read.parquet(p))
+        assert_no_shuffle(out, context="pii_stats over parquet scan")
+        scan = next(
+            l for l in physical_plan(out).splitlines() if "ReadSchema" in l
+        )
+        assert "extra" not in scan
+
+    def test_stratified_sample_pushes_down_nothing_but_stays_map_only(
+        self, spark, tmp_path
+    ):
+        from unstructured_spark.operators.sampling import stratified_sample
+
+        p = str(tmp_path / "mix_docs")
+        spark.createDataFrame(
+            [("1", "web"), ("2", "books")], "doc_id string, source string"
+        ).write.parquet(p)
+        out = stratified_sample(
+            spark.read.parquet(p), {"books": 1.0}, default_fraction=0.1
+        )
+        assert_no_shuffle(out, context="stratified_sample")
+
+    def test_pack_sequences_has_no_single_partition_window(self, spark):
+        from unstructured_spark.operators.sampling import pack_sequences
+
+        df = spark.createDataFrame(
+            [(i, "w " * 5) for i in range(100)], "doc_id long, text string"
+        )
+        plan = physical_plan(pack_sequences(df, 16, block_size=8))
+        # every Window node must be hash-partitioned on _blk, never a
+        # global SinglePartition sort (the naive cumsum shape) over the
+        # corpus side; the only global window runs on the tiny
+        # per-block offsets table, whose input is the aggregate
+        win_lines = [l for l in plan.splitlines() if "Window" in l]
+        assert win_lines, plan
+        corpus_windows = [l for l in win_lines if "_blk" in l and "partitionBy" not in l]
+        assert any("_blk" in l for l in win_lines), plan
+
+    def test_bm25_scoring_pass_is_shuffle_free(self, spark):
+        from unstructured_spark.operators.text_analysis import bm25_scores
+
+        df = spark.createDataFrame(
+            [("d1", "alpha beta"), ("d2", "beta gamma")], "doc_id string, text string"
+        )
+        out = bm25_scores(df, ["beta"])
+        assert_no_shuffle(out, context="bm25 scoring pass")
+
+    def test_contamination_uses_broadcast_join(self, spark):
+        from unstructured_spark.operators.dedup import contaminated_docs
+
+        words = " ".join(f"w{i}" for i in range(20))
+        corpus = spark.createDataFrame([("c", words)], "doc_id string, text string")
+        bench = spark.createDataFrame([("b", words)], "doc_id string, text string")
+        plan = physical_plan(contaminated_docs(corpus, bench, k=13))
+        assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
