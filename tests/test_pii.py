@@ -72,3 +72,36 @@ class TestRedaction:
         col = redact_pii(F.lit("a@b.co and 10.0.0.1"), kinds=("email",))
         [r] = spark.range(1).select(col.alias("t")).collect()
         assert r["t"] == "[EMAIL] and 10.0.0.1"
+
+
+class TestStreamingCompatibility:
+    """PII redaction and hash sampling are pure map-only expressions,
+    so they must run unchanged inside Structured Streaming (the
+    streaming ingest path applies the same hygiene stages)."""
+
+    def test_redact_and_sample_in_stream(self, spark, tmp_path):
+        from unstructured_spark.operators.pii import redact_pii
+        from unstructured_spark.operators.sampling import hash_uniform
+
+        import pyspark.sql.functions as F
+
+        src = tmp_path / "in"
+        spark.createDataFrame(
+            [("a", "mail a@b.co now"), ("b", "no pii here")],
+            "doc_id string, text string",
+        ).coalesce(1).write.json(str(src))
+        stream = spark.readStream.schema("doc_id string, text string").json(str(src))
+        out = stream.select(
+            "doc_id",
+            redact_pii(F.col("text")).alias("text"),
+            (hash_uniform(F.col("doc_id")) < 2.0).alias("kept"),  # keep all
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName("pii_stream")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {r["doc_id"]: r["text"] for r in spark.sql("select * from pii_stream").collect()}
+        assert got == {"a": "mail [EMAIL] now", "b": "no pii here"}
