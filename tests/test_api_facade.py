@@ -141,3 +141,84 @@ class TestStaging:
         els = partition(text="hello world this is narrative text.")
         s = elements_to_json(els)
         assert json.loads(s)[0]["text"].startswith("hello")
+
+
+class TestStagingConverters:
+    """Local staging/base.py converter parity (md/text/csv/ndjson/
+    filter/b64 codec)."""
+
+    def _els(self):
+        from unstructured_spark import api
+
+        return api.partition(
+            text="Section One\n\nSome narrative text here follows the heading."
+        )
+
+    def test_convert_to_text_joins_nonempty(self):
+        from unstructured_spark import api
+
+        els = self._els()
+        out = api.convert_to_text(els)
+        assert "Section One" in out and "narrative text" in out
+        assert out.count("\n") == len(els) - 1
+
+    def test_elements_to_md_title_heading(self):
+        from unstructured_spark import api
+
+        md = api.elements_to_md(self._els())
+        assert md.startswith("# Section One")
+
+    def test_element_to_md_shapes(self):
+        from unstructured_spark import api
+
+        table = api.Element.from_dict(
+            {"type": "Table", "text": "a b", "metadata": {"text_as_html": "<table/>"}}
+        )
+        code = api.Element.from_dict({"type": "CodeSnippet", "text": "x = 1"})
+        img = api.Element.from_dict(
+            {"type": "Image", "text": "alt", "metadata": {"image_url": "http://x/y.png"}}
+        )
+        li = api.Element.from_dict({"type": "ListItem", "text": "item"})
+        assert api.element_to_md(table) == "<table/>"
+        assert api.element_to_md(code) == "```\nx = 1\n```"
+        assert api.element_to_md(img) == "![alt](http://x/y.png)"
+        assert api.element_to_md(li) == "- item"
+
+    def test_ndjson_round_trip(self):
+        from unstructured_spark import api
+
+        els = self._els()
+        nd = api.elements_to_ndjson(els)
+        back = [api.Element.from_dict(__import__("json").loads(l)) for l in nd.splitlines()]
+        assert [e.to_dict()["text"] for e in back] == [e.to_dict()["text"] for e in els]
+
+    def test_csv_and_dataframe(self):
+        from unstructured_spark import api
+
+        els = self._els()
+        csv_text = api.convert_to_csv(els)
+        assert csv_text.splitlines()[0].startswith("type,text,element_id")
+        df = api.convert_to_dataframe(els)
+        assert list(df["type"]) == [e.to_dict()["type"] for e in els]
+
+    def test_filter_element_types(self):
+        from unstructured_spark import api
+
+        els = self._els()
+        only_titles = api.filter_element_types(els, include_element_types=["Title"])
+        assert all(e.to_dict()["type"] == "Title" for e in only_titles)
+        no_titles = api.filter_element_types(els, exclude_element_types=["Title"])
+        assert len(only_titles) + len(no_titles) == len(els)
+        try:
+            api.filter_element_types(els)
+            raise AssertionError("expected ValueError")
+        except ValueError:
+            pass
+
+    def test_b64_gzip_codec_round_trip(self):
+        from unstructured_spark import api
+
+        els = self._els()
+        enc = api.elements_to_base64_gzipped_json(els)
+        back = api.elements_from_base64_gzipped_json(enc)
+        assert [e.to_dict() for e in back] == [e.to_dict() for e in els]

@@ -344,3 +344,163 @@ partition_odt = _format_partitioner(
 partition_org = _format_partitioner("text/org", "partition_org")
 partition_rst = _format_partitioner("text/x-rst", "partition_rst")
 partition_json = _format_partitioner("application/json", "partition_json")
+
+
+# ---------------------------------------------------------------------------
+# staging converters (reference staging/base.py:263-733) — local forms of
+# the distributed serde/staging operators, same render rules
+# ---------------------------------------------------------------------------
+
+
+def convert_to_text(elements: Iterable[Element]) -> str:
+    """Clean concatenated text (reference staging/base.py:529-532:
+    newline join of non-empty texts)."""
+    return "\n".join(e.text for e in elements if getattr(e, "text", None))
+
+
+def elements_to_text(
+    elements: Iterable[Element], filename: str | None = None, encoding: str = "utf-8"
+) -> str | None:
+    out = convert_to_text(elements)
+    if filename is not None:
+        with open(filename, "w", encoding=encoding) as f:
+            f.write(out)
+        return None
+    return out
+
+
+def element_to_md(element: Element) -> str:
+    """Markdown for one element (reference staging/base.py:273-305 and
+    the distributed ``serde.render_markdown_expr`` rules): Title →
+    heading at category_depth, ListItem → bullet, Table → its HTML,
+    Image → data-URI/image-URL link, CodeSnippet → fenced block."""
+    t = element.to_dict()
+    typ = t.get("type")
+    text = t.get("text") or ""
+    meta = t.get("metadata", {}) or {}
+    if typ == "Title":
+        depth = int(meta.get("category_depth") or 0)
+        return "#" * (depth + 1) + " " + text
+    if typ == "ListItem":
+        return "- " + text
+    if typ == "CodeSnippet":
+        return "```\n" + text + "\n```"
+    if typ in ("Table", "TableChunk") and meta.get("text_as_html"):
+        return meta["text_as_html"]
+    if typ == "Image":
+        if meta.get("image_base64"):
+            mime = meta.get("image_mime_type") or "image/*"
+            return f"![{text}](data:{mime};base64,{meta['image_base64']})"
+        if meta.get("image_url"):
+            return f"![{text}]({meta['image_url']})"
+    return text
+
+
+def elements_to_md(
+    elements: Iterable[Element], filename: str | None = None, encoding: str = "utf-8"
+) -> str | None:
+    out = "\n\n".join(element_to_md(e) for e in elements)
+    if filename is not None:
+        with open(filename, "w", encoding=encoding) as f:
+            f.write(out)
+        return None
+    return out
+
+
+def elements_to_ndjson(
+    elements: Iterable[Element], filename: str | None = None, encoding: str = "utf-8"
+) -> str | None:
+    """One JSON element-dict per line (reference staging/base.py:458-478)."""
+    out = "\n".join(json.dumps(e.to_dict(), sort_keys=True) for e in elements)
+    if filename is not None:
+        with open(filename, "w", encoding=encoding) as f:
+            f.write(out)
+        return None
+    return out
+
+
+def flatten_dict(d: dict, separator: str = "_") -> dict:
+    """Flatten nested dicts into separator-joined keys (reference
+    staging/base.py:551-597; lists kept as-is)."""
+    out: dict = {}
+    for k, v in d.items():
+        if isinstance(v, dict):
+            for kk, vv in flatten_dict(v, separator).items():
+                out[f"{k}{separator}{kk}"] = vv
+        else:
+            out[k] = v
+    return out
+
+
+def convert_to_csv(elements: Iterable[Element]) -> str:
+    """CSV with type/text/element_id + flattened metadata columns
+    (reference staging/base.py:604-630 shape: union of populated
+    fields, stable order)."""
+    import csv as _csv
+
+    rows = []
+    for e in elements:
+        d = e.to_dict()
+        flat = flatten_dict(d.get("metadata", {}) or {})
+        rows.append(
+            {"type": d.get("type"), "text": d.get("text"), "element_id": d.get("element_id"), **flat}
+        )
+    fieldnames = ["type", "text", "element_id"] + sorted(
+        {k for r in rows for k in r} - {"type", "text", "element_id"}
+    )
+    buf = io.StringIO()
+    w = _csv.DictWriter(buf, fieldnames=fieldnames, extrasaction="ignore")
+    w.writeheader()
+    for r in rows:
+        w.writerow({k: r.get(k, "") for k in fieldnames})
+    return buf.getvalue()
+
+
+def convert_to_dataframe(elements: Iterable[Element]):
+    """pandas DataFrame of the CSV shape (reference staging/base.py:681-704)."""
+    import pandas as pd
+
+    rows = []
+    for e in elements:
+        d = e.to_dict()
+        flat = flatten_dict(d.get("metadata", {}) or {})
+        rows.append(
+            {"type": d.get("type"), "text": d.get("text"), "element_id": d.get("element_id"), **flat}
+        )
+    return pd.DataFrame(rows)
+
+
+def filter_element_types(
+    elements: Iterable[Element],
+    include_element_types: list[str] | None = None,
+    exclude_element_types: list[str] | None = None,
+) -> list[Element]:
+    """Keep/drop by element type tag (reference staging/base.py:705-732;
+    types given as tag strings here — this engine has no class
+    hierarchy). Exactly one of include/exclude must be given."""
+    if (include_element_types is None) == (exclude_element_types is None):
+        raise ValueError(
+            "Exactly one of include_element_types and exclude_element_types "
+            "must be specified."
+        )
+    if include_element_types is not None:
+        allowed = set(include_element_types)
+        return [e for e in elements if e.to_dict().get("type") in allowed]
+    blocked = set(exclude_element_types or ())
+    return [e for e in elements if e.to_dict().get("type") not in blocked]
+
+
+def elements_to_base64_gzipped_json(elements: Iterable[Element]) -> str:
+    """Compressed orig_elements codec (reference staging/base.py:241-260),
+    via the same pure-Python codec the Spark serde operator uses."""
+    from unstructured_spark.operators.serde import encode_orig_elements
+
+    return encode_orig_elements([e.to_dict() for e in elements])
+
+
+def elements_from_base64_gzipped_json(encoded: str) -> list[Element]:
+    """Inverse codec with the 200 MB decompression-bomb guard
+    (reference staging/base.py:167-192)."""
+    from unstructured_spark.operators.serde import decode_orig_elements
+
+    return [Element.from_dict(d) for d in decode_orig_elements(encoded)]
