@@ -4,6 +4,7 @@ reference ``partition/pdf.py:430-587`` fast path semantics)."""
 from __future__ import annotations
 
 import os
+from pathlib import Path
 
 import pytest
 
@@ -379,3 +380,45 @@ class TestComplexityGate:
         assert determine_pdf_strategy(
             pdf, inference_installed=True, ocr_installed=True
         ) == "ocr_only"
+
+
+class TestEncryptedPdf:
+    """Standard security handler (parsers/pdf_crypto.py): owner-only
+    'copy-protected' docs decrypt with the empty user password
+    (reference test_strategies.py:34-41 expects them text-extractable);
+    real user passwords raise."""
+
+    def test_aes_and_rc4_primitives_match_published_vectors(self):
+        from unstructured_spark.parsers.pdf_crypto import (
+            _aes_decrypt_block,
+            _expand_key,
+            rc4,
+        )
+
+        key = bytes(range(16))
+        ct = bytes.fromhex("69c4e0d86a7b0430d8cdb78070b4c55a")  # FIPS-197 C.1
+        assert _aes_decrypt_block(_expand_key(key), ct).hex() == (
+            "00112233445566778899aabbccddeeff"
+        )
+        assert rc4(b"Key", bytes.fromhex("BBF316E8D940AF0AD3")) == b"Plaintext"
+
+    def test_copy_protected_pdf_extracts_text(self):
+        raw = Path("/root/reference/example-docs/pdf/copy-protected.pdf").read_bytes()
+        els = pdf_to_elements(raw)
+        joined = " ".join(e["text"] for e in els)
+        assert "Uniﬁed Toolkit for Deep Learning Based Document Image Analysis" in joined
+        assert sorted({e.get("page_number") for e in els}) == [1, 2]
+
+    def test_password_protected_pdf_raises(self):
+        from unstructured_spark.parsers.pdf_crypto import PdfEncryptedError
+
+        raw = Path("/root/reference/example-docs/pdf/password.pdf").read_bytes()
+        with pytest.raises(PdfEncryptedError):
+            pdf_to_elements(raw)
+
+    def test_macroman_base_encoding_maps_ligatures(self):
+        # the copy-protected fixture's fonts use MacRoman, where 0xDE
+        # is 'fi' — a latin-1 fallback would read 'Þ'
+        raw = Path("/root/reference/example-docs/pdf/copy-protected.pdf").read_bytes()
+        joined = " ".join(e["text"] for e in pdf_to_elements(raw))
+        assert "Þ" not in joined

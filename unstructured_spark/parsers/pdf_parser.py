@@ -225,12 +225,57 @@ class _PdfDoc:
     def __init__(self, data: bytes):
         self.objects: dict[int, object] = {}
         self.streams: dict[int, bytes] = {}
+        self.gens: dict[int, int] = {}
         self._scan(data)
+        self._decrypt_if_needed(data)
         self._expand_object_streams()
+
+    def _decrypt_if_needed(self, data: bytes) -> None:
+        """Standard-handler decryption for owner-password-only
+        ("copy-protected") documents — the reference extracts these
+        via pdfminer (test_strategies.py:34-41); a true user password
+        raises PdfEncryptedError. Runs BEFORE object-stream expansion
+        (ObjStm payloads decrypt as whole streams; the objects inside
+        are not separately encrypted)."""
+        from unstructured_spark.parsers.pdf_crypto import StandardDecryptor
+
+        m = None
+        for m2 in re.finditer(rb"/Encrypt\s+(\d+)\s+(\d+)\s+R", data):
+            m = m2  # last trailer wins (incremental updates)
+        if m is None:
+            return
+        enc_num = int(m.group(1))
+        enc = self.objects.get(enc_num)
+        if not isinstance(enc, dict) or enc.get("/Filter") != "/Standard":
+            return
+        idm = re.search(rb"/ID\s*\[\s*<([0-9A-Fa-f]+)>", data)
+        file_id = bytes.fromhex(idm.group(1).decode()) if idm else b""
+        enc_resolved = {k: self.resolve(v) for k, v in enc.items()}
+        dec = StandardDecryptor(enc_resolved, file_id)
+        for num, raw in list(self.streams.items()):
+            obj = self.objects.get(num)
+            if isinstance(obj, dict) and obj.get("/Type") == "/XRef":
+                continue  # cross-reference streams are never encrypted
+            self.streams[num] = dec.decrypt(num, self.gens.get(num, 0), raw)
+
+        def walk(x, num: int, gen: int):
+            if isinstance(x, dict):
+                return {k: walk(v, num, gen) for k, v in x.items()}
+            if isinstance(x, list):
+                return [walk(v, num, gen) for v in x]
+            if isinstance(x, bytes):
+                return dec.decrypt(num, gen, x)
+            return x
+
+        for num, obj in list(self.objects.items()):
+            if num == enc_num:
+                continue  # /O and /U are stored in the clear
+            self.objects[num] = walk(obj, num, self.gens.get(num, 0))
 
     def _scan(self, data: bytes) -> None:
         for m in _OBJ_RE.finditer(data):
             num = int(m.group(1))
+            self.gens[num] = int(m.group(2))
             lex = _Lexer(data, m.end())
             try:
                 obj = lex.parse()
@@ -400,6 +445,43 @@ class _PdfDoc:
             fdict = self.resolve(ref)
             if not isinstance(fdict, dict):
                 continue
+            fmap: dict[int, str] = {}
+            # base encoding name (the decoder's fallback is latin-1;
+            # MacRoman and WinAnsi differ in the upper half — MacRoman
+            # 0xDE is 'ﬁ', not 'Þ') and /Differences glyph overrides
+            encd = self.resolve(fdict.get("/Encoding"))
+            base_name = encd if isinstance(encd, str) else None
+            if isinstance(encd, dict):
+                base_name = encd.get("/BaseEncoding")
+            codec = {
+                "/MacRomanEncoding": "mac_roman",
+                "/WinAnsiEncoding": "cp1252",
+            }.get(base_name or "")
+            if codec:
+                for c in range(32, 256):
+                    try:
+                        fmap[c] = bytes([c]).decode(codec)
+                    except UnicodeDecodeError:
+                        pass
+            if isinstance(encd, dict):
+                diffs = self.resolve(encd.get("/Differences"))
+                if isinstance(diffs, list):
+                    code = 0
+                    for item in diffs:
+                        if isinstance(item, (int, float)):
+                            code = int(item)
+                        elif isinstance(item, str) and item.startswith("/"):
+                            ch = _glyph_to_char(item[1:])
+                            if ch:
+                                fmap[code] = ch
+                            code += 1
+            if fmap:
+                # a Differences map only overrides specific codes; the
+                # rest follow the base (≈ latin-1) encoding — fill the
+                # identity so the decoder's complete-coverage check
+                # takes the mapped path for mixed strings
+                for c in range(32, 256):
+                    fmap.setdefault(c, chr(c))
             tu = fdict.get("/ToUnicode")
             if isinstance(tu, _Ref):
                 sdict = self.resolve(tu)
@@ -407,8 +489,98 @@ class _PdfDoc:
                 if isinstance(sdict, dict) and raw is not None:
                     cmap_data = _decode_stream(raw, sdict)
                     if cmap_data:
-                        out[name] = _parse_tounicode(cmap_data)
+                        fmap.update(_parse_tounicode(cmap_data))
+            if fmap:
+                out[name] = fmap
         return out
+
+
+# common Adobe-Glyph-List names → characters (the subset simple-font
+# /Differences arrays actually use: ligatures, quotes, dashes, symbols,
+# accented Latin). Names like uni04AB decode positionally.
+_GLYPHS = {
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+    "dollar": "$", "percent": "%", "ampersand": "&", "quotesingle": "'",
+    "parenleft": "(", "parenright": ")", "asterisk": "*", "plus": "+",
+    "comma": ",", "hyphen": "-", "period": ".", "slash": "/",
+    "colon": ":", "semicolon": ";", "less": "<", "equal": "=",
+    "greater": ">", "question": "?", "at": "@", "bracketleft": "[",
+    "backslash": "\\", "bracketright": "]", "asciicircum": "^",
+    "underscore": "_", "grave": "`", "braceleft": "{", "bar": "|",
+    "braceright": "}", "asciitilde": "~",
+    "fi": "ﬁ", "fl": "ﬂ", "ff": "ﬀ",
+    "ffi": "ﬃ", "ffl": "ﬄ",
+    "quoteleft": "‘", "quoteright": "’",
+    "quotedblleft": "“", "quotedblright": "”",
+    "quotesinglbase": "‚", "quotedblbase": "„",
+    "endash": "–", "emdash": "—", "bullet": "•",
+    "dagger": "†", "daggerdbl": "‡", "ellipsis": "…",
+    "perthousand": "‰", "guilsinglleft": "‹",
+    "guilsinglright": "›", "guillemotleft": "«",
+    "guillemotright": "»", "trademark": "™",
+    "copyright": "©", "registered": "®", "degree": "°",
+    "plusminus": "±", "multiply": "×", "divide": "÷",
+    "sterling": "£", "yen": "¥", "cent": "¢",
+    "Euro": "€", "florin": "ƒ", "section": "§",
+    "paragraph": "¶", "periodcentered": "·",
+    "dotlessi": "ı", "OE": "Œ", "oe": "œ",
+    "AE": "Æ", "ae": "æ", "Oslash": "Ø", "oslash": "ø",
+    "germandbls": "ß", "Lslash": "Ł", "lslash": "ł",
+    "Scaron": "Š", "scaron": "š", "Zcaron": "Ž",
+    "zcaron": "ž", "Ydieresis": "Ÿ",
+    "circumflex": "ˆ", "tilde": "˜", "macron": "¯",
+    "breve": "˘", "dotaccent": "˙", "ring": "˚",
+    "cedilla": "¸", "hungarumlaut": "˝", "ogonek": "˛",
+    "caron": "ˇ", "minus": "−", "fraction": "⁄",
+    "nbspace": " ", "exclamdown": "¡", "questiondown": "¿",
+}
+# single letters and digits map to themselves; accented forms like
+# 'eacute' decompose as letter + accent name
+_ACCENTS = {
+    "acute": "́", "grave": "̀", "circumflex": "̂",
+    "tilde": "̃", "dieresis": "̈", "ring": "̊",
+    "cedilla": "̧", "caron": "̌", "breve": "̆",
+    "macron": "̄", "hungarumlaut": "̋", "ogonek": "̨",
+    "dotaccent": "̇", "slash": "̷",
+}
+_DIGIT_NAMES = {
+    "zero": "0", "one": "1", "two": "2", "three": "3", "four": "4",
+    "five": "5", "six": "6", "seven": "7", "eight": "8", "nine": "9",
+}
+
+
+def _glyph_to_char(name: str) -> str | None:
+    """Resolve a glyph name to text: AGL-common table, letters/digits,
+    uniXXXX / uXXXX forms, letter+accent compositions."""
+    import unicodedata
+
+    if not name:
+        return None
+    if name in _GLYPHS:
+        return _GLYPHS[name]
+    if name in _DIGIT_NAMES:
+        return _DIGIT_NAMES[name]
+    if len(name) == 1 and name.isalpha():
+        return name
+    if name.startswith("uni") and len(name) >= 7:
+        try:
+            return "".join(
+                chr(int(name[i : i + 4], 16)) for i in range(3, len(name) - 3, 4)
+            )
+        except ValueError:
+            return None
+    if name.startswith("u") and 5 <= len(name) <= 7:
+        try:
+            return chr(int(name[1:], 16))
+        except ValueError:
+            return None
+    # letter + accent ('eacute', 'Ntilde', 'udieresis')
+    for acc, mark in _ACCENTS.items():
+        if name.endswith(acc):
+            base = name[: -len(acc)]
+            if len(base) == 1 and base.isalpha():
+                return unicodedata.normalize("NFC", base + mark)
+    return None
 
 
 _BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.S)
