@@ -866,6 +866,17 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_analysis.bm25_scores(docs, ["spark", "vector", "customer"])
 
 
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view→click→purchase funnel within 24h of the first view:
+    per-user first-touch step timestamps (min-based semantics, tie-
+    proof across engines) and reached stage. One groupBy(user) shuffle;
+    the step chain is array expressions over the collected events."""
+    from unstructured_spark.operators.funnel import funnel
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel(ev, ["view", "click", "purchase"], within_seconds=24 * 3600)
+
+
 def q_overlap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Element bounding-box QA audit (reference utils.py
     catch_overlapping_and_nested_bboxes): four synthetic elements per
@@ -1990,6 +2001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pack_sequences": q_pack_sequences,
         "q_bm25_search": q_bm25_search,
         "q_overlap_audit": q_overlap_audit,  # oracle below replays the decision tree
+        "q_funnel": q_funnel,
         "q_salted_user_value": q_salted_user_value,
         "q04_order_priority_check": q04_order_priority_check,
         "q09_product_type_profit": q09_product_type_profit,
@@ -2137,6 +2149,31 @@ def oracle_sql() -> dict[str, str]:
                                         order by ts desc, event_id desc) as rn
               from events
             ) where rn = 1
+        """,
+        "q_funnel": """
+            with e as (
+              select user_id, epoch_us(ts) as us, event_type from events
+            ), s1 as (
+              select user_id, min(us) as t1 from e
+              where event_type = 'view' group by user_id
+            ), s2 as (
+              select e.user_id, min(us) as t2
+              from e join s1 using (user_id)
+              where event_type = 'click' and us >= t1
+                and us <= t1 + 86400000000
+              group by e.user_id
+            ), s3 as (
+              select e.user_id, min(us) as t3
+              from e join s2 using (user_id) join s1 using (user_id)
+              where event_type = 'purchase' and us >= t2
+                and us <= t1 + 86400000000
+              group by e.user_id
+            )
+            select s1.user_id, t1, t2, t3,
+                   cast(1 + case when t2 is not null then 1 else 0 end
+                          + case when t3 is not null then 1 else 0 end as bigint)
+                     as stage
+            from s1 left join s2 using (user_id) left join s3 using (user_id)
         """,
         "q_events_sessionize": """
             with gaps as (
