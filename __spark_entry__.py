@@ -866,6 +866,26 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_analysis.bm25_scores(docs, ["spark", "vector", "customer"])
 
 
+def q_quantized_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization of the embeddings table
+    (4× memory for billion-vector ANN candidate storage) — exploded
+    to (vec_id, pos, code, scale) rows for engine-stable comparison."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = similarity.quantize_int8(emb)
+    return q.select(
+        "vec_id", F.posexplode("codes").alias("pos", "code"), "scale"
+    )
+
+
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss reduction 64→8 dims with md5-deterministic
+    planes (the pre-IVF/k-means shrink step at corpus scale); map-only,
+    replayed in SQL from the same md5 plane family."""
+    emb = _t(spark, sf_dir, "embeddings")
+    red = similarity.random_projection(emb, 8, in_dim=64)
+    return red.select("vec_id", F.posexplode("reduced").alias("pos", "value"))
+
+
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """view→click→purchase funnel within 24h of the first view:
     per-user first-touch step timestamps (min-based semantics, tie-
@@ -2002,6 +2022,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bm25_search": q_bm25_search,
         "q_overlap_audit": q_overlap_audit,  # oracle below replays the decision tree
         "q_funnel": q_funnel,
+        "q_quantized_codes": q_quantized_codes,
+        "q_random_projection": q_random_projection,
         "q_salted_user_value": q_salted_user_value,
         "q04_order_priority_check": q04_order_priority_check,
         "q09_product_type_profit": q09_product_type_profit,
@@ -2149,6 +2171,44 @@ def oracle_sql() -> dict[str, str]:
                                         order by ts desc, event_id desc) as rn
               from events
             ) where rn = 1
+        """,
+        "q_quantized_codes": """
+            with base as (
+              select vec_id,
+                     list_transform(embedding, x -> cast(x as double)) as e
+              from embeddings
+            ), s as (
+              select vec_id, e,
+                     list_max(list_transform(e, x -> abs(x))) / 127.0 as scale
+              from base
+            )
+            select vec_id,
+                   unnest([{'pos': i - 1,
+                            'code': case when scale > 0
+                                         then cast(floor(e[i] / scale + 0.5) as int)
+                                         else 0 end}
+                           for i in range(1, len(e) + 1)], recursive := true),
+                   scale
+            from s
+        """,
+        "q_random_projection": """
+            with base as (
+              select vec_id,
+                     list_transform(embedding, x -> cast(x as double)) as e
+              from embeddings
+            ), planes as (
+              select p,
+                list_transform(range(0, 64), i ->
+                  (cast(('0x' || substr(md5('plane' || cast(p as varchar) || ':'
+                                             || cast(i as varchar)), 1, 8))
+                        as bigint) / 4294967295.0) * 2 - 1) as h
+              from (select unnest(range(0, 8)) as p)
+            )
+            select b.vec_id, cast(p.p as int) as pos,
+                   floor(list_aggregate([b.e[i + 1] * p.h[i + 1]
+                                         for i in range(0, 64)], 'sum')
+                         * 1000000000.0 + 0.5) / 1000000000.0 as value
+            from base b cross join planes p
         """,
         "q_funnel": """
             with e as (

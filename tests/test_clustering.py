@@ -45,3 +45,52 @@ class TestKmeans:
         )
         # floor(x*1e6 + 0.5): 0.5 -> 1, -0.5 -> 0, 1e6 stays
         assert list(r["q"]) == [1, 0, 1000000]
+
+
+class TestQuantization:
+    def test_int8_codes_bounds_and_reconstruction(self, spark):
+        from unstructured_spark.operators.similarity import quantize_int8
+
+        df = spark.createDataFrame(
+            [(1, [0.5, -1.0, 0.25, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])],
+            "vec_id long, embedding array<double>",
+        )
+        rows = {r["vec_id"]: r for r in quantize_int8(df).collect()}
+        codes = list(rows[1]["codes"])
+        scale = rows[1]["scale"]
+        assert max(abs(c) for c in codes) == 127  # amax maps to ±127
+        # reconstruction error bounded by scale/2 per component
+        for c, x in zip(codes, [0.5, -1.0, 0.25, 0.0]):
+            assert abs(c * scale - x) <= scale / 2 + 1e-12
+        assert list(rows[2]["codes"]) == [0, 0, 0, 0] and rows[2]["scale"] == 0.0
+
+    def test_quantized_topk_ranks_like_exact(self, spark):
+        from unstructured_spark.operators.similarity import (
+            dequantize_cosine_topk,
+            quantize_int8,
+        )
+
+        vecs = [(i, [float(i == j) + 0.01 * j for j in range(4)]) for i in range(8)]
+        df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+        top = dequantize_cosine_topk(quantize_int8(df), [1.0, 0.0, 0.0, 0.0], k=3)
+        rows = top.collect()
+        assert rows[0]["vec_id"] == 0  # the aligned vector wins
+        assert [r["rank"] for r in rows] == [1, 2, 3]
+
+    def test_random_projection_deterministic_and_linear(self, spark):
+        from unstructured_spark.operators.similarity import random_projection
+
+        df = spark.createDataFrame(
+            [(1, [1.0, 0.0, 0.0]), (2, [2.0, 0.0, 0.0]), (3, [0.0, 0.0, 0.0])],
+            "vec_id long, embedding array<double>",
+        )
+        out = {r["vec_id"]: list(r["reduced"]) for r in
+               random_projection(df, 4, in_dim=3).collect()}
+        assert len(out[1]) == 4
+        # linearity: doubling the input doubles every component
+        for a, b in zip(out[1], out[2]):
+            assert abs(b - 2 * a) < 1e-6
+        assert out[3] == [0.0, 0.0, 0.0, 0.0]
+        again = {r["vec_id"]: list(r["reduced"]) for r in
+                 random_projection(df, 4, in_dim=3).collect()}
+        assert out == again

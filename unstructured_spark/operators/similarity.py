@@ -350,3 +350,81 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def quantize_int8(
+    df: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-vector symmetric int8 scalar quantization: q_j =
+    round(x_j / scale) with scale = max|x_j| / 127 — the standard 4×
+    memory reduction for billion-vector ANN candidate storage (the
+    index keeps int8 codes + one float scale; exact re-ranking refetches
+    full vectors for the final top-k only).
+
+    Deterministic and engine-portable: the rounding is
+    floor(x/scale + 0.5) over doubles, and scale = amax/127 uses one
+    division — a DuckDB oracle reproduces codes bit-for-bit. Map-only.
+
+    Returns (vec_id, codes array<int>, scale double). Zero vectors get
+    scale 0 and all-zero codes.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    amax = F.array_max(F.transform(v, F.abs))
+    scale = amax / F.lit(127.0)
+    codes = F.when(
+        amax > 0,
+        F.transform(v, lambda x: F.floor(x / scale + F.lit(0.5)).cast("int")),
+    ).otherwise(F.transform(v, lambda x: F.lit(0)))
+    return df.select(
+        F.col(id_col).alias("vec_id"), codes.alias("codes"), scale.alias("scale")
+    )
+
+
+def dequantize_cosine_topk(
+    quantized: DataFrame, query_vec: list[float], k: int = 10
+) -> DataFrame:
+    """Brute-force cosine over int8 codes (codes·scale approximates the
+    original vector) — the cheap first-pass ranking over a quantized
+    index. Returns (vec_id, approx_cosine, rank)."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    qn = sum(x * x for x in query_vec) ** 0.5
+    approx = F.transform(F.col("codes"), lambda c: c.cast("double") * F.col("scale"))
+    sim = dot(approx, q) / (l2_norm(approx) * F.lit(qn))
+    scored = quantized.select(
+        "vec_id", F.round(sim, 6).alias("approx_cosine")
+    ).filter(F.col("approx_cosine").isNotNull())
+    w = Window.orderBy(F.desc("approx_cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def random_projection(
+    df: DataFrame,
+    out_dim: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    in_dim: int | None = None,
+) -> DataFrame:
+    """Johnson–Lindenstrauss dimensionality reduction with the same
+    md5-deterministic plane family as ``srp_bucket``: y_p = x·h_p for
+    ``out_dim`` planes (no 1/√k scaling — downstream cosine is
+    scale-invariant). Map-only, engine-replayable; the cheap way to
+    take 1024-dim embeddings to 64 dims before IVF/k-means at corpus
+    scale.
+
+    Returns (vec_id, reduced array<double>).
+    """
+    if in_dim is None:
+        first = df.select(F.size(vec_col)).first()
+        in_dim = int(first[0]) if first else 0
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    comps = [
+        F.round(dot(v, F.array(*[F.lit(val) for val in _hyperplane(in_dim, p)])), 9)
+        for p in range(out_dim)
+    ]
+    return df.select(
+        F.col(id_col).alias("vec_id"), F.array(*comps).alias("reduced")
+    )
