@@ -24,7 +24,12 @@ def __getattr__(name):
     # (local single-document facade, api.py) without importing the
     # facade on package import
     if name in ("partition", "Element", "ElementMetadata", "elements_from_json",
-                "elements_to_json", "chunk_elements", "chunk_by_title"):
+                "elements_to_json", "chunk_elements", "chunk_by_title",
+                "convert_to_text", "elements_to_text", "element_to_md",
+                "elements_to_md", "elements_to_ndjson", "convert_to_csv",
+                "convert_to_dataframe", "filter_element_types", "flatten_dict",
+                "elements_to_base64_gzipped_json",
+                "elements_from_base64_gzipped_json"):
         from unstructured_spark import api
 
         return getattr(api, name)
