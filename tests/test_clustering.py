@@ -94,3 +94,48 @@ class TestQuantization:
         again = {r["vec_id"]: list(r["reduced"]) for r in
                  random_projection(df, 4, in_dim=3).collect()}
         assert out == again
+
+
+class TestProductQuantization:
+    def _vecs(self, spark, n=40, dim=8):
+        rows = [
+            (i, [((i * 7 + j * 3) % 11) / 10.0 for j in range(dim)])
+            for i in range(n)
+        ]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def test_codes_shape_and_range(self, spark):
+        from unstructured_spark.operators.similarity import pq_codes
+
+        df = self._vecs(spark)
+        rows = pq_codes(df, m=2, ksub=4).collect()
+        assert len(rows) == 40
+        for r in rows:
+            assert len(r["codes"]) == 2
+            assert all(0 <= c < 4 for c in r["codes"])
+
+    def test_seed_vector_codes_itself(self, spark):
+        from unstructured_spark.operators.similarity import pq_codes
+
+        # the lowest-id vectors ARE the codebook: each quantizes to its
+        # own ordinal (distance 0) in every subspace
+        df = self._vecs(spark)
+        got = {r["vec_id"]: list(r["codes"]) for r in pq_codes(df, m=2, ksub=4).collect()}
+        for vid in range(4):
+            # ties can only go to a LOWER ordinal with equal (zero) dist
+            assert all(c <= vid for c in got[vid])
+            d = dict(self._vecs(spark, n=4).collect())
+        assert got[0] == [0, 0]
+
+    def test_adc_topk_finds_query_duplicate(self, spark):
+        from unstructured_spark.operators.similarity import pq_topk
+
+        df = self._vecs(spark)
+        # vec 17's embedding as the query; its PQ distance to itself is
+        # minimal, so with exclude_id it still surfaces near-identical
+        # vectors first and ranks are contiguous
+        qv = [((17 * 7 + j * 3) % 11) / 10.0 for j in range(8)]
+        rows = pq_topk(df, qv, m=2, ksub=4, k=5, exclude_id=17).collect()
+        assert [r["rank"] for r in rows] == [1, 2, 3, 4, 5]
+        assert all(r["vec_id"] != 17 for r in rows)
+        assert rows[0]["pq_dist"] <= rows[-1]["pq_dist"]

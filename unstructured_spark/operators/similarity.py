@@ -428,3 +428,118 @@ def random_projection(
     return df.select(
         F.col(id_col).alias("vec_id"), F.array(*comps).alias("reduced")
     )
+
+
+def _pq_seeds(corpus: DataFrame, m: int, ksub: int, id_col: str, vec_col: str):
+    """Deterministic PQ codebook: the ksub lowest-id vectors, integer-
+    quantized (floor(x·10⁶+0.5)) and sliced into m subvectors. Returns
+    [subspace][ordinal] -> list[int] plus the subspace dim."""
+    from unstructured_spark.operators.clustering import quantize_vec
+
+    rows = (
+        corpus.select(F.col(id_col).alias("_id"), quantize_vec(F.col(vec_col)).alias("_q"))
+        .orderBy("_id")
+        .limit(ksub)
+        .collect()
+    )
+    dim = len(rows[0]["_q"])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d = dim // m
+    cents = [
+        [[int(x) for x in r["_q"][s * d : (s + 1) * d]] for r in rows]
+        for s in range(m)
+    ]
+    return cents, d
+
+
+def pq_codes(
+    corpus: DataFrame,
+    *,
+    m: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization codes: each vector stored as m small
+    centroid ordinals (m·log2(ksub) bits — the billion-vector ANN
+    memory format; IVF-PQ = ivf_topk lists + these codes).
+
+    Engine-exact determinism, same scheme as ``clustering``: vectors
+    and codebooks are integer-quantized, subspace distances are exact
+    integer sums in fixed order, ties break to the smaller ordinal —
+    so a DuckDB oracle reproduces every code. Map-only (codebook is a
+    driver literal: ksub·dim ints).
+    """
+    from unstructured_spark.operators.clustering import quantize_vec
+
+    cents, d = _pq_seeds(corpus, m, ksub, id_col, vec_col)
+    q = corpus.select(F.col(id_col).alias("vec_id"), quantize_vec(F.col(vec_col)).alias("q"))
+    code_cols = []
+    for s in range(m):
+        sub = F.slice(F.col("q"), s * d + 1, d)
+        scored = F.array(
+            *[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            sub,
+                            F.array(*[F.lit(c) for c in cents[s][o]]),
+                            lambda a, b: (a - b) * (a - b),
+                        ),
+                        F.lit(0).cast("bigint"),
+                        lambda acc, x: acc + x,
+                    ).alias("dist"),
+                    F.lit(o).alias("o"),
+                )
+                for o in range(ksub)
+            ]
+        )
+        code_cols.append(
+            F.element_at(F.array_sort(scored), 1).getField("o").alias(f"c{s}")
+        )
+    coded = q.select("vec_id", *code_cols)
+    return coded.select(
+        "vec_id", F.array(*[f"c{s}" for s in range(m)]).alias("codes")
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    query_vec: list[float],
+    *,
+    m: int = 8,
+    ksub: int = 16,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id=None,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: the query builds
+    m distance tables of ksub exact-integer entries (driver-side), and
+    each corpus vector scores as the sum of m table lookups — map-only
+    scan over codes, then one top-k. Returns (vec_id, pq_dist, rank)."""
+    import math
+
+    cents, d = _pq_seeds(corpus, m, ksub, id_col, vec_col)
+    # match quantize_vec exactly: floor(x*1e6 + 0.5)
+    qint = [int(math.floor(float(x) * 1_000_000 + 0.5)) for x in query_vec]
+    tables = []
+    for s in range(m):
+        qs = qint[s * d : (s + 1) * d]
+        tables.append(
+            [sum((a - b) * (a - b) for a, b in zip(qs, cent)) for cent in cents[s]]
+        )
+    codes = pq_codes(corpus, m=m, ksub=ksub, id_col=id_col, vec_col=vec_col)
+    if exclude_id is not None:
+        codes = codes.filter(F.col("vec_id") != F.lit(exclude_id))
+    score = F.lit(0).cast("bigint")
+    for s in range(m):
+        table = F.array(*[F.lit(v).cast("bigint") for v in tables[s]])
+        score = score + F.element_at(table, F.element_at(F.col("codes"), s + 1) + 1)
+    scored = codes.select("vec_id", score.alias("pq_dist"))
+    w = Window.orderBy(F.asc("pq_dist"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )
