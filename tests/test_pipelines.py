@@ -97,3 +97,53 @@ class TestStreamingQualityGate:
         q.awaitTermination(120)
         out = {r["doc_id"]: r["keep"] for r in spark.sql("select * from quality_stream").collect()}
         assert out == {"s1": True, "s2": False}
+
+
+class TestPrepareTrainingCorpus:
+    def test_full_chain(self, spark):
+        from unstructured_spark.pipelines import prepare_training_corpus
+
+        good = (
+            "the quick brown fox jumps over the lazy dog and then "
+            "continues running through the quiet forest for a while longer. "
+        ) * 3
+        rows = [
+            (1, good + " contact me at a@b.co", "web"),
+            (2, good + " another good doc with different tail words here", "web"),
+            (3, "zz " * 80, "web"),  # fails quality (no stopwords)
+            (4, good + " contact me at a@b.co", "books"),  # near-dup of 1
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        bench = spark.createDataFrame(
+            [(99, "totally unrelated benchmark text that matches nothing")],
+            "doc_id long, text string",
+        )
+        out = prepare_training_corpus(
+            docs,
+            decontaminate_against=bench,
+            sample_fractions={"web": 1.0, "books": 1.0},
+        )
+        got = {r["doc_id"]: r["text"] for r in out.collect()}
+        assert 3 not in got  # quality-dropped
+        # near-dup keeps exactly one of {1, 4}
+        assert len({1, 4} & set(got)) == 1
+        # PII was redacted before anything else
+        kept = got[min(got)]
+        assert "[EMAIL]" in kept and "a@b.co" not in kept
+
+    def test_packing_output_shape(self, spark):
+        from unstructured_spark.pipelines import prepare_training_corpus
+
+        docs = spark.createDataFrame(
+            [(i, "the quick brown fox jumps over the lazy dog again " * 4, "s")
+             for i in range(4)],
+            "doc_id long, text string, source string",
+        )
+        out = prepare_training_corpus(
+            docs, quality_filter=False, near_dedup=False, pack_tokens=16
+        )
+        rows = out.collect()
+        assert {"doc_id", "seq_id", "doc_token_start", "doc_token_end",
+                "seq_token_start"} <= set(rows[0].asDict())
+        total = sum(r["doc_token_end"] - r["doc_token_start"] for r in rows)
+        assert total == 4 * 40

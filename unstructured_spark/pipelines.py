@@ -102,3 +102,76 @@ def rag_ingest_pipeline(
         Window.partitionBy(F.md5(F.col("text"))).orderBy("doc_id", "element_index")
     )
     return out.withColumn("_rn", w).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def prepare_training_corpus(
+    documents: DataFrame,
+    *,
+    redact: bool = True,
+    quality_filter: bool = True,
+    quality_kwargs: dict | None = None,
+    near_dedup: bool = True,
+    dedup_kwargs: dict | None = None,
+    decontaminate_against: DataFrame | None = None,
+    contamination_threshold: float = 0.05,
+    sample_fractions: dict[str, float] | None = None,
+    strata_col: str = "source",
+    pack_tokens: int | None = None,
+) -> DataFrame:
+    """Raw text corpus (doc_id, text[, source]) → training-ready rows:
+    the full hygiene chain a pre-training data pipeline runs —
+
+        PII redact → quality gate → near-dup drop → benchmark
+        decontamination → stratified source mixing → sequence packing
+
+    Every stage is optional. With ``pack_tokens`` set the output is
+    packing placements (doc_id, seq_id, token ranges); otherwise the
+    filtered document rows.
+
+    Shuffle bill: redact/quality/sampling are MAP-ONLY; dedup is the
+    bucket-keyed dedup sub-pipeline + a broadcast anti-join;
+    decontamination is a broadcast join + per-doc agg; packing is the
+    distributed prefix sum. Nothing here is all-pairs or
+    single-partition.
+    """
+    from unstructured_spark.operators.dedup import (
+        contaminated_docs,
+        drop_near_duplicates,
+    )
+    from unstructured_spark.operators.pii import redact_docs
+    from unstructured_spark.operators.quality_filters import (
+        gopher_keep_expr,
+        gopher_stats_exprs,
+        line_repetition_exprs,
+    )
+    from unstructured_spark.operators.sampling import (
+        pack_sequences,
+        stratified_sample,
+    )
+
+    out = documents
+    if redact:
+        out = redact_docs(out)
+    if quality_filter:
+        qkw = dict(quality_kwargs or {})
+        stats = {**gopher_stats_exprs("text"), **line_repetition_exprs("text")}
+        with_stats = out.select("*", *[c.alias(n) for n, c in stats.items()])
+        out = with_stats.filter(gopher_keep_expr(**qkw)).drop(*stats.keys())
+    if near_dedup:
+        dkw = {"n": 3, "threshold": 0.5}
+        dkw.update(dedup_kwargs or {})
+        out = drop_near_duplicates(out, **dkw)
+    if decontaminate_against is not None:
+        bad = (
+            contaminated_docs(out, decontaminate_against)
+            .filter(F.col("contamination") >= contamination_threshold)
+            .select("doc_id")
+        )
+        out = out.join(F.broadcast(bad), "doc_id", "left_anti")
+    if sample_fractions:
+        out = stratified_sample(
+            out, sample_fractions, strata_col=strata_col, default_fraction=1.0
+        )
+    if pack_tokens:
+        return pack_sequences(out, pack_tokens)
+    return out
