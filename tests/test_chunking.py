@@ -52,9 +52,22 @@ class TestSplitOversized:
         assert frags == ["a" * 10, "a" * 10, "a" * 5]
 
     def test_overlap(self):
+        # reference arithmetic (base.py:1620-1624): the separator is
+        # replaced by one space inside the overlap, so the carried tail
+        # is overlap-1 characters — 'bb' + ' ' here, not 'bbb '
         frags = _split_oversized("aaa bbb ccc ddd eee", 9, 3)
         assert all(len(f) <= 9 for f in frags)
-        assert frags[1].startswith("bbb ")  # tail of previous fragment
+        assert frags[1].startswith("bb ")
+
+    def test_overlap_matches_reference_chunked_golden(self):
+        # byte-exact parity with reference-PRODUCED chunk output
+        # (local-single-file-basic-chunking/handbook-1p.docx.json,
+        # max_characters=150, overlap=20) — asserted end-to-end in
+        # tests/test_golden_parity.py; here pin the splitter-level
+        # rule: hard-cut fallback carries RAW overlap chars, no space
+        frags = _split_oversized("x" * 25, 10, 4)
+        assert frags[0] == "x" * 10
+        assert frags[1].startswith("xxxx")  # s[maxlen-overlap:]
 
 
 class TestBasicChunking:

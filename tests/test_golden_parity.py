@@ -165,3 +165,18 @@ def test_serde_wire_type_round_trip(spark):
         filename="x.json",
     )
     assert els[0]["type"] == "Text"
+
+
+def test_chunked_golden_byte_exact():
+    """Chunk-boundary parity with reference-PRODUCED chunked output:
+    basic chunking at max_characters=150, overlap=20 over
+    handbook-1p.docx reproduces every chunk text byte-for-byte
+    (pins the _TextSplitter overlap arithmetic: separator replaced by
+    a space inside an overlap-1-char tail, base.py:1584-1624)."""
+    from unstructured_spark import api
+
+    ref = _golden("local-single-file-basic-chunking/handbook-1p.docx.json")
+    els = api.partition(filename=str(DOCS / "handbook-1p.docx"))
+    ours = api.chunk_elements(els, max_characters=150, overlap=20)
+    assert [c.to_dict()["text"] for c in ours] == [c["text"] for c in ref]
+    assert [c.to_dict()["type"] for c in ours] == [c["type"] for c in ref]

@@ -100,36 +100,41 @@ class ChunkingOptions:
 _SEP = "\n\n"
 
 
+def _split_once(s: str, maxlen: int, overlap: int) -> tuple[str, str]:
+    """One reference-exact split step (_TextSplitter.__call__ +
+    _split_from_maxlen, base.py:1418-1460,1584-1624): rightmost
+    separator with match start in [overlap+1, maxlen]; the separator
+    is removed and, when overlap > 1, replaced by a single space in
+    the ``overlap-1``-char tail carried into the remainder; arb-char
+    fallback cuts at maxlen and carries ``overlap`` raw chars with NO
+    separator."""
+    for sep in ("\n", " "):
+        sep_len = len(sep)
+        start = s.rfind(sep, overlap + 1, maxlen + sep_len)
+        if start == -1:
+            continue
+        fragment = s[:start].rstrip()
+        raw_remainder = s[start + sep_len :].lstrip()
+        if overlap <= sep_len:
+            remainder = raw_remainder
+        else:
+            tail = fragment[-(overlap - sep_len) :].lstrip()
+            remainder = tail + " " + raw_remainder
+        if not fragment or len(remainder) >= len(s):
+            continue  # no progress with this separator
+        return fragment, remainder.lstrip()
+    return s[:maxlen].rstrip(), s[maxlen - overlap :].lstrip()
+
+
 def _split_oversized(text: str, maxlen: int, overlap: int) -> list[str]:
     """Rightmost-separator split: prefer "\\n", then " ", else hard cut
-    at maxlen; later fragments carry ``overlap`` tail chars of the
-    previous fragment (reference _TextSplitter, base.py:1396-1624).
-    """
+    at maxlen; later fragments carry the reference's overlap tail
+    (reference _TextSplitter, base.py:1396-1624)."""
     out: list[str] = []
     remainder = text
     while len(remainder) > maxlen:
-        window = remainder[: maxlen + 1]
-        cut = -1
-        for sep in ("\n", " "):
-            cut = window.rfind(sep)
-            if cut > 0:
-                break
-        if cut <= 0:
-            cut = maxlen
-        fragment = remainder[:cut].rstrip()
+        fragment, remainder = _split_once(remainder, maxlen, overlap)
         out.append(fragment)
-        tail = fragment[-overlap:].lstrip() + " " if overlap else ""
-        nxt = (tail + remainder[cut:].lstrip()).strip()
-        if len(nxt) >= len(remainder):
-            # the overlap tail re-created the same remainder (separator
-            # inside the overlap window) — hard-cut to guarantee progress
-            fragment = remainder[:maxlen]
-            out[-1] = fragment
-            tail = fragment[-overlap:].lstrip() + " " if overlap else ""
-            nxt = (tail + remainder[maxlen:].lstrip()).strip()
-            if len(nxt) >= len(remainder):
-                nxt = remainder[maxlen:].strip()
-        remainder = nxt
     if remainder:
         out.append(remainder)
     return out
