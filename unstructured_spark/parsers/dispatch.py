@@ -25,6 +25,12 @@ class UnsupportedFormatError(NotImplementedError):
     pass
 
 
+class MalformedDocumentError(ValueError):
+    """A format parser hit bytes it could not make sense of (truncated,
+    bit-rotted, or mislabeled input) — the dispatcher's catch-all so
+    executor-side partitioning raises one predictable type."""
+
+
 def _decode(content: bytes | str) -> str:
     """BOM/NUL-heuristic/declared-charset decode (parsers/encoding.py);
     replaces the old blind utf-16-before-latin-1 chain that garbled
@@ -210,15 +216,32 @@ def partition_bytes(
         first = head.lstrip()[:200]
         if first.startswith((b"Received:", b"From:", b"Return-Path:", b"MIME-Version:")):
             ft = "eml"
-    if ft == "eml":
-        from unstructured_spark.parsers.email_parser import email_to_elements
+    # robustness boundary: at corpus scale the input WILL contain
+    # truncated/bit-rotted/mislabeled blobs, and one stray low-level
+    # exception (zipfile.BadZipFile, struct.error, IndexError, ...)
+    # inside a mapInPandas partitioner kills the whole task. The
+    # documented contract is list-or-ValueError; anything else raised
+    # by a format parser converts to MalformedDocumentError here.
+    try:
+        if ft == "eml":
+            from unstructured_spark.parsers.email_parser import email_to_elements
 
-        els = email_to_elements(content if isinstance(content, bytes) else content.encode())
-    else:
-        fn = _PARTITIONERS.get(ft)
-        if fn is None:
-            raise UnsupportedFormatError(f"no partitioner registered for {ft!r}")
-        els = fn(content, html_parser_version=html_parser_version)
+            els = email_to_elements(
+                content if isinstance(content, bytes) else content.encode()
+            )
+        else:
+            fn = _PARTITIONERS.get(ft)
+            if fn is None:
+                raise UnsupportedFormatError(f"no partitioner registered for {ft!r}")
+            els = fn(content, html_parser_version=html_parser_version)
+    except (UnsupportedFormatError, ValueError):
+        raise
+    except RecursionError:
+        raise
+    except Exception as e:
+        raise MalformedDocumentError(
+            f"malformed {ft} document: {type(e).__name__}: {e}"
+        ) from e
     mime = ft_mod.MIME_FOR.get(ft, "application/octet-stream")
     for el in els:
         el.setdefault("filetype", mime)
