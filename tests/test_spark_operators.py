@@ -225,3 +225,31 @@ class TestPartitionAndChunk:
 
         out = partition_and_chunk(docs_df).collect()
         assert any(r["type"] == "Title" for r in out)
+
+
+class TestErrorCapture:
+    def test_on_error_capture_emits_error_rows(self, spark):
+        from unstructured_spark.operators.partition_auto import partition_documents
+
+        rows = [
+            ("good", b"Hello world.\n\nA fine document.", "good.txt"),
+            ("bad", b"\xd0\xcf\x11\xe0 truncated cfb", "broken.doc"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id string, content binary, path string")
+        out = partition_documents(df, on_error="capture").collect()
+        by_doc = {}
+        for r in out:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        assert any(r["type"] != "Error" for r in by_doc["good"])
+        [err] = by_doc["bad"]
+        assert err["type"] == "Error"
+        assert err["text"]  # carries the exception summary
+
+    def test_on_error_skip_drops_silently(self, spark):
+        from unstructured_spark.operators.partition_auto import partition_documents
+
+        df = spark.createDataFrame(
+            [("bad", b"\xd0\xcf\x11\xe0 nope", "b.doc")],
+            "doc_id string, content binary, path string",
+        )
+        assert partition_documents(df, on_error="skip").count() == 0

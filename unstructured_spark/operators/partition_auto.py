@@ -36,7 +36,7 @@ def partition_documents(
     content: str = "content",
     path: str | None = "path",
     content_type: str | None = "content_type",
-    on_error: str = "skip",  # 'skip' | 'fail'
+    on_error: str = "skip",  # 'skip' | 'fail' | 'capture'
     apply_metadata: bool = True,
     num_partitions: int | None = None,
 ) -> DataFrame:
@@ -84,13 +84,22 @@ def partition_documents(
                     els = partition_bytes(
                         raw, filename=fname, content_type=ctype
                     )
-                except UnsupportedFormatError:
+                except (UnsupportedFormatError, Exception) as e:
                     if on_error == "fail":
                         raise
-                    continue
-                except Exception:
-                    if on_error == "fail":
-                        raise
+                    if on_error == "capture":
+                        # auditable failure row: at corpus scale the
+                        # drop rate and its causes must be queryable,
+                        # not silently vanished
+                        row = {c: None for c in _OUT_COLUMNS}
+                        row.update(
+                            doc_id=str(rec_d[doc_id]),
+                            element_index=0,
+                            type="Error",
+                            text=f"{type(e).__name__}: {e}",
+                            filename=(fname or "").rsplit("/", 1)[-1] or None,
+                        )
+                        rows.append(row)
                     continue
                 did = str(rec_d[doc_id])
                 doc_rows: list[dict] = []
