@@ -184,3 +184,29 @@ class TestNewOperatorPlans:
         bench = spark.createDataFrame([("b", words)], "doc_id string, text string")
         plan = physical_plan(contaminated_docs(corpus, bench, k=13))
         assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+class TestCompaction:
+    def test_compacts_many_small_files(self, spark, tmp_path):
+        from unstructured_spark.operators.storage import compact_small_files
+
+        p = str(tmp_path / "many")
+        spark.range(0, 10000).repartition(50).write.parquet(p)
+        import glob
+
+        before = len(glob.glob(p + "/*.parquet"))
+        assert before >= 50
+        n = compact_small_files(spark, p, target_file_bytes=1 << 30)
+        after = glob.glob(p + "/*.parquet")
+        assert n == 1 and len(after) == 1
+        assert spark.read.parquet(p).count() == 10000
+
+    def test_out_of_place_keeps_source(self, spark, tmp_path):
+        from unstructured_spark.operators.storage import compact_small_files
+
+        src = str(tmp_path / "src")
+        dst = str(tmp_path / "dst")
+        spark.range(0, 100).repartition(10).write.parquet(src)
+        compact_small_files(spark, src, target_file_bytes=1 << 30, out_path=dst)
+        assert spark.read.parquet(src).count() == 100
+        assert spark.read.parquet(dst).count() == 100

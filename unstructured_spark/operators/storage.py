@@ -116,3 +116,42 @@ def scan_pushdown_info(df: DataFrame) -> dict[str, bool]:
 
 def drop_table(spark: SparkSession, table: str) -> None:
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def compact_small_files(
+    spark: SparkSession,
+    path: str,
+    *,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    out_path: str | None = None,
+) -> int:
+    """Small-file compaction for a parquet directory: rewrite into
+    files of ~``target_file_bytes`` and return the output file count.
+
+    Streaming ingest and per-microbatch writers leave thousands of
+    KB-sized files; at 100 TB the NameNode/listing cost and the
+    per-file scan overhead dominate. Sizing uses the actual on-disk
+    byte size (not row counts), coalesce (no shuffle) when shrinking.
+    In-place compaction writes to a temp sibling then swaps, so a
+    failure never destroys the source.
+    """
+    import math
+    import os
+    import shutil
+
+    size = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                size += os.path.getsize(os.path.join(root, f))
+    n_files = max(1, math.ceil(size / target_file_bytes))
+    df = spark.read.parquet(path)
+    in_place = out_path is None
+    dest = (path.rstrip("/") + "._compact_tmp") if in_place else out_path
+    df.coalesce(n_files).write.mode("overwrite").parquet(dest)
+    if in_place:
+        backup = path.rstrip("/") + "._compact_old"
+        os.rename(path, backup)
+        os.rename(dest, path)
+        shutil.rmtree(backup)
+    return n_files
