@@ -430,10 +430,15 @@ def random_projection(
     )
 
 
-def _pq_seeds(corpus: DataFrame, m: int, ksub: int, id_col: str, vec_col: str):
+def _pq_seeds(
+    corpus: DataFrame, m: int, ksub: int, id_col: str, vec_col: str, _seeds=None
+):
     """Deterministic PQ codebook: the ksub lowest-id vectors, integer-
     quantized (floor(x·10⁶+0.5)) and sliced into m subvectors. Returns
-    [subspace][ordinal] -> list[int] plus the subspace dim."""
+    [subspace][ordinal] -> list[int] plus the subspace dim. Pass a
+    prior result via ``_seeds`` to skip the driver collect."""
+    if _seeds is not None:
+        return _seeds
     from unstructured_spark.operators.clustering import quantize_vec
 
     rows = (
@@ -460,6 +465,7 @@ def pq_codes(
     ksub: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    _seeds=None,
 ) -> DataFrame:
     """Product-quantization codes: each vector stored as m small
     centroid ordinals (m·log2(ksub) bits — the billion-vector ANN
@@ -473,30 +479,38 @@ def pq_codes(
     """
     from unstructured_spark.operators.clustering import quantize_vec
 
-    cents, d = _pq_seeds(corpus, m, ksub, id_col, vec_col)
-    q = corpus.select(F.col(id_col).alias("vec_id"), quantize_vec(F.col(vec_col)).alias("q"))
+    cents, d = _pq_seeds(corpus, m, ksub, id_col, vec_col, _seeds=_seeds)
+    # checkpoint the quantized vectors: the assignment below references
+    # `q` m·ksub times, and the quantize transform is a higher-order
+    # function — interpreted (not codegen), so there is no common-
+    # subexpression elimination and every reference would re-run the
+    # 64-element floor transform (measured 5.5s → ~1s at sf0.1)
+    q = corpus.select(
+        F.col(id_col).alias("vec_id"), quantize_vec(F.col(vec_col)).alias("q")
+    ).localCheckpoint(eager=False)
+    # stage the m subvector slices as their own columns first: each
+    # fold below then references a small d-element column instead of
+    # re-slicing (and re-evaluating) the full vector per centroid
+    q = q.select(
+        "vec_id",
+        *[F.slice(F.col("q"), s * d + 1, d).alias(f"s{s}") for s in range(m)],
+    )
+    # build each code column as ONE textual F.expr: constructing the
+    # m·ksub fold lambdas through the Column API costs thousands of
+    # py4j round trips (~5s of pure driver time for 8×16); a SQL
+    # string parses JVM-side in a single call
     code_cols = []
     for s in range(m):
-        sub = F.slice(F.col("q"), s * d + 1, d)
-        scored = F.array(
-            *[
-                F.struct(
-                    F.aggregate(
-                        F.zip_with(
-                            sub,
-                            F.array(*[F.lit(c) for c in cents[s][o]]),
-                            lambda a, b: (a - b) * (a - b),
-                        ),
-                        F.lit(0).cast("bigint"),
-                        lambda acc, x: acc + x,
-                    ).alias("dist"),
-                    F.lit(o).alias("o"),
-                )
-                for o in range(ksub)
-            ]
+        structs = ", ".join(
+            "named_struct('dist', aggregate(zip_with(s{s}, array({cent}), "
+            "(a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x), "
+            "'o', {o})".format(
+                s=s, o=o, cent=", ".join(str(int(c)) for c in cents[s][o])
+            )
+            for o in range(ksub)
         )
         code_cols.append(
-            F.element_at(F.array_sort(scored), 1).getField("o").alias(f"c{s}")
+            F.expr(f"array_sort(array({structs}))[0].o").alias(f"c{s}")
         )
     coded = q.select("vec_id", *code_cols)
     return coded.select(
@@ -530,7 +544,9 @@ def pq_topk(
         tables.append(
             [sum((a - b) * (a - b) for a, b in zip(qs, cent)) for cent in cents[s]]
         )
-    codes = pq_codes(corpus, m=m, ksub=ksub, id_col=id_col, vec_col=vec_col)
+    codes = pq_codes(
+        corpus, m=m, ksub=ksub, id_col=id_col, vec_col=vec_col, _seeds=(cents, d)
+    )
     if exclude_id is not None:
         codes = codes.filter(F.col("vec_id") != F.lit(exclude_id))
     score = F.lit(0).cast("bigint")
