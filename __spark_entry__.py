@@ -1890,6 +1890,28 @@ def q_hash_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def q_metrics_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped evaluation rollup (reference get_mean_grouping,
+    evaluate.py:510-597): per-doctype mean/stdev/pstdev/count of the
+    edit-distance accuracy — the reference's pandas groupby loop as a
+    single hash aggregate."""
+    from unstructured_spark.operators import metrics
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.substring("text", 1, 120).alias("source_text"),
+        F.regexp_replace(F.substring("text", 1, 120), "[aeiou]", "").alias(
+            "output_text"
+        ),
+    )
+    scored = metrics.score_edit_distance(docs).withColumn(
+        "doctype", F.concat(F.lit("type"), (F.col("doc_id") % 4).cast("string"))
+    )
+    return metrics.mean_grouping(scored, "doctype", ["accuracy"]).withColumn(
+        "accuracy_count", F.col("accuracy_count").cast("bigint")
+    )
+
+
 def q_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc edit-distance accuracy between a doc and a degraded copy
     (native levenshtein; reference text_extraction.py:59-224)."""
@@ -2041,6 +2063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bm25_search": q_bm25_search,
         "q_overlap_audit": q_overlap_audit,  # oracle below replays the decision tree
         "q_funnel": q_funnel,
+        "q_metrics_grouped": q_metrics_grouped,
         "q_quantized_codes": q_quantized_codes,
         "q_random_projection": q_random_projection,
         "q_pq_topk": q_pq_topk,
@@ -2802,6 +2825,33 @@ left join stats s using (doc_id)
         """,
         # q_partition_elements / q_chunk_by_title: per-format parsing +
         # order-sensitive chunk fold → rows-only check.
+        "q_metrics_grouped": """
+            with prep as (
+              select doc_id,
+                trim(regexp_replace(substr(text, 1, 120), '\\s+', ' ', 'g')) as a,
+                trim(regexp_replace(
+                  regexp_replace(substr(text, 1, 120), '[aeiou]', '', 'g'),
+                  '\\s+', ' ', 'g')) as b
+              from documents
+            ), scored as (
+              select doc_id,
+                'type' || cast(doc_id % 4 as varchar) as doctype,
+                round(case when greatest(length(a), length(b)) = 0 then 1.0
+                  else greatest(0.0,
+                    1.0 - cast(levenshtein(a, b) as double)
+                          / greatest(length(a), length(b)))
+                  end, 6) as accuracy
+              from prep
+            )
+            select doctype,
+                   floor(avg(accuracy) * 1000 + 0.5) / 1000 as accuracy_mean,
+                   floor(stddev_samp(accuracy) * 1000 + 0.5) / 1000
+                     as accuracy_stdev,
+                   floor(stddev_pop(accuracy) * 1000 + 0.5) / 1000
+                     as accuracy_pstdev,
+                   cast(count(accuracy) as bigint) as accuracy_count
+            from scored group by doctype
+        """,
         "q_edit_distance": """
             with prep as (
               select doc_id,

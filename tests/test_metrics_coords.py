@@ -178,3 +178,21 @@ class TestOrigElementsCodec:
         )
         out = df.select(dec(enc(F.col("payload"))).alias("roundtrip")).collect()[0]
         assert json.loads(out["roundtrip"]) == [{"type": "Text", "text": "x"}]
+
+
+class TestMeanGrouping:
+    def test_group_stats(self, spark):
+        from unstructured_spark.operators.metrics import mean_grouping
+
+        rows = [("a", 0.5), ("a", 0.7), ("b", 1.0)]
+        df = spark.createDataFrame(rows, "doctype string, accuracy double")
+        got = {r["doctype"]: r for r in mean_grouping(df, "doctype", ["accuracy"]).collect()}
+        assert got["a"]["accuracy_mean"] == 0.6
+        assert got["a"]["accuracy_stdev"] == 0.141  # sample stdev of {.5,.7}
+        assert got["a"]["accuracy_pstdev"] == 0.1
+        assert got["a"]["accuracy_count"] == 2
+        # singleton group: sample stdev undefined -> null (reference
+        # _stdev returns None below 2 scores), pstdev 0
+        assert got["b"]["accuracy_stdev"] is None
+        assert got["b"]["accuracy_pstdev"] == 0.0
+        assert got["b"]["accuracy_count"] == 1

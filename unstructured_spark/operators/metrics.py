@@ -126,3 +126,23 @@ def aggregate_scores(df: DataFrame, score: str = "accuracy") -> DataFrame:
         F.round(F.stddev_samp(score), 6).alias("stdev"),
         F.count(score).alias("n"),
     )
+
+
+def mean_grouping(
+    df: DataFrame, group_by: str, fields: list[str]
+) -> DataFrame:
+    """Grouped metric aggregation (reference evaluate.py:510-597 /
+    metrics/utils.py:180-215): per group and metric field — mean,
+    sample stdev, population stdev (each rounded to 3, null when
+    undefined) and count. The reference loops pandas groupbys per
+    field and writes TSVs; here it is one hash aggregate with map-side
+    partials, one shuffle keyed by the grouping column."""
+    aggs = []
+    for f in fields:
+        aggs += [
+            F.round(F.avg(f), 3).alias(f"{f}_mean"),
+            F.round(F.stddev_samp(f), 3).alias(f"{f}_stdev"),
+            F.round(F.stddev_pop(f), 3).alias(f"{f}_pstdev"),
+            F.count(f).alias(f"{f}_count"),
+        ]
+    return df.groupBy(group_by).agg(*aggs)
