@@ -277,3 +277,34 @@ class TestParserRobustnessRegressions:
         els = email_to_elements(raw)
         att = [e for e in els if e.get("filename") == "note.txt"]
         assert att and all(e["attached_to_filename"] == "message.eml" for e in att)
+
+
+class TestExtraExtractors:
+    def test_ip_address_name_and_mapi_id(self, spark):
+        from pyspark.sql import functions as F
+
+        from unstructured_spark.functions.extract import (
+            extract_ip_address_name,
+            extract_mapi_id,
+        )
+
+        df = spark.createDataFrame(
+            [("host ab-1.example.com mapi 1.2.3.4; end",)], "text string"
+        )
+        r = df.select(
+            extract_ip_address_name(F.col("text")).alias("h"),
+            extract_mapi_id(F.col("text")).alias("m"),
+        ).collect()[0]
+        assert r["h"] == ["ab-1.example.com"]
+        assert r["m"] == ["1.2.3.4"]  # trailing ';' stripped
+
+    def test_contains_english_word(self, spark):
+        from pyspark.sql import functions as F
+
+        from unstructured_spark.functions.text_type import contains_english_word
+
+        df = spark.createDataFrame(
+            [("The quick result",), ("zzz qqq urwx",), ("",)], "text string"
+        )
+        vals = [r[0] for r in df.select(contains_english_word(F.col("text"))).collect()]
+        assert vals == [True, False, False]

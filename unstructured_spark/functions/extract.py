@@ -67,3 +67,15 @@ def extract_ordered_bullets(col: Column) -> Column:
         F.when(F.size(parts) >= 2, F.element_at(parts, 2)).alias("sub_section"),
         F.when(F.size(parts) >= 3, F.element_at(parts, 3)).alias("sub_sub_section"),
     )
+
+
+def extract_ip_address_name(col: Column) -> Column:
+    """Dotted host names (reference extract.py:69-70)."""
+    return F.regexp_extract_all(col, F.lit(f"({patterns.IP_ADDRESS_NAME})"), 1)
+
+
+def extract_mapi_id(col: Column) -> Column:
+    """Outlook MAPI ids with the trailing ';' stripped (reference
+    extract.py:73-76)."""
+    raw = F.regexp_extract_all(col, F.lit(f"({patterns.MAPI_ID})"), 1)
+    return F.transform(raw, lambda m: F.regexp_replace(m, ";", ""))

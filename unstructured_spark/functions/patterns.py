@@ -81,3 +81,12 @@ CREDIT_CARD_CANDIDATE = r"\b(?:\d[- ]?){12,18}\d\b"
 # numbers, ids) don't double-count as phones — unlike the permissive
 # US_PHONE used for extraction parity with the reference
 US_PHONE_STRICT = r"(\+?1[-. ])?\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}\b"
+
+# dotted host names like server.example.com (reference nlp/patterns.py
+# IP_ADDRESS_NAME_PATTERN — deliberately loose, it matches any dotted
+# triple)
+IP_ADDRESS_NAME = r"[a-zA-Z0-9-]*\.[a-zA-Z]*\.[a-zA-Z]*"
+
+# Outlook MAPI ids: dotted numeric quad ending in ';'
+# (reference nlp/patterns.py MAPI_ID_PATTERN)
+MAPI_ID = r"[0-9]*\.[0-9]*\.[0-9]*\.[0-9]*;"

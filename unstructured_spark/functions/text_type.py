@@ -171,3 +171,21 @@ def element_type_from_text(col: Column) -> Column:
         .when(is_possible_title(text), F.lit("Title"))
         .otherwise(F.lit("Text"))
     )
+
+
+def contains_english_word(col: Column) -> Column:
+    """True when any whitespace token (lowercased, len>1) is a common
+    English word — the reference's language sanity check
+    (text_type.py:190-207 over its nltk-derived word list; here the
+    engine's stopword + common-verb lexicons serve as the word set,
+    which covers the check's real purpose of catching non-English
+    text mislabeled as English)."""
+    from unstructured_spark.operators.text_analysis import STOPWORDS
+
+    words = F.array(
+        *[F.lit(w) for w in sorted(set(STOPWORDS) | set(_COMMON_VERBS))]
+    )
+    toks = F.filter(
+        F.split(F.lower(F.trim(col)), "\\s+"), lambda t: F.length(t) > 1
+    )
+    return F.exists(toks, lambda t: F.array_contains(words, F.regexp_replace(t, "[^a-z]", "")))
