@@ -905,6 +905,26 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN (the billion-vector layout): integer-exact coarse
+    quantizer prunes to nprobe/nlist of the corpus, PQ ADC scores the
+    survivors with m table lookups. One corpus pass computes coarse
+    list + code; the probe filter is a literal IN-list. The oracle
+    replays coarse assignment, probes, codes, and scores."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qrow = emb.orderBy("vec_id").select("vec_id", "embedding").first()
+    return similarity.ivfpq_topk(
+        emb,
+        [float(x) for x in qrow["embedding"]],
+        nlist=8,
+        nprobe=2,
+        m=8,
+        ksub=16,
+        k=10,
+        exclude_id=qrow["vec_id"],
+    )
+
+
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """view→click→purchase funnel within 24h of the first view:
     per-user first-touch step timestamps (min-based semantics, tie-
@@ -2067,6 +2087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quantized_codes": q_quantized_codes,
         "q_random_projection": q_random_projection,
         "q_pq_topk": q_pq_topk,
+        "q_ivfpq_topk": q_ivfpq_topk,
         "q_salted_user_value": q_salted_user_value,
         "q04_order_priority_check": q04_order_priority_check,
         "q09_product_type_profit": q09_product_type_profit,
@@ -2214,6 +2235,78 @@ def oracle_sql() -> dict[str, str]:
                                         order by ts desc, event_id desc) as rn
               from events
             ) where rn = 1
+        """,
+        "q_ivfpq_topk": """
+            with base as (
+              select cast(vec_id as bigint) as vec_id,
+                [cast(floor(cast(x as double) * 1000000 + 0.5) as bigint)
+                 for x in embedding] as q
+              from embeddings
+            ), seeds as (
+              select row_number() over (order by vec_id) - 1 as o, q
+              from (select * from base order by vec_id limit 16)
+            ), coarse as (
+              select o, q from seeds where o < 8
+            ), qv as (
+              select q from base order by vec_id limit 1
+            ), qid as (
+              select min(vec_id) as qid from base
+            ), cassign as (
+              select vec_id, o as list_id from (
+                select b.vec_id, c.o,
+                  row_number() over (partition by b.vec_id order by
+                    list_aggregate([(b.q[i] - c.q[i]) * (b.q[i] - c.q[i])
+                                    for i in range(1, 65)], 'sum') asc,
+                    c.o asc) as rn
+                from base b cross join coarse c
+              ) where rn = 1
+            ), probes as (
+              select o as list_id from (
+                select c.o,
+                  row_number() over (order by
+                    list_aggregate([(qv.q[i] - c.q[i]) * (qv.q[i] - c.q[i])
+                                    for i in range(1, 65)], 'sum') asc,
+                    c.o asc) as rn
+                from qv cross join coarse c
+              ) where rn <= 2
+            ), subs as (
+              select unnest(range(0, 8)) as s
+            ), dists as (
+              select b.vec_id, subs.s, se.o,
+                list_aggregate(
+                  [(b.q[subs.s * 8 + i] - se.q[subs.s * 8 + i])
+                   * (b.q[subs.s * 8 + i] - se.q[subs.s * 8 + i])
+                   for i in range(1, 9)], 'sum') as dist
+              from base b cross join subs cross join seeds se
+            ), assign as (
+              select vec_id, s, o from (
+                select *, row_number() over (
+                  partition by vec_id, s order by dist asc, o asc) as rn
+                from dists
+              ) where rn = 1
+            ), qd as (
+              select subs.s, se.o,
+                list_aggregate(
+                  [(qv.q[subs.s * 8 + i] - se.q[subs.s * 8 + i])
+                   * (qv.q[subs.s * 8 + i] - se.q[subs.s * 8 + i])
+                   for i in range(1, 9)], 'sum') as qdist
+              from qv cross join subs cross join seeds se
+            ), score as (
+              select a.vec_id, any_value(ca.list_id) as list_id,
+                     cast(sum(qd.qdist) as bigint) as pq_dist
+              from assign a
+              join qd on a.s = qd.s and a.o = qd.o
+              join cassign ca on ca.vec_id = a.vec_id
+              where ca.list_id in (select list_id from probes)
+                and a.vec_id <> (select qid from qid)
+              group by a.vec_id
+            )
+            select vec_id, cast(list_id as int) as list_id, pq_dist,
+                   cast(rank as bigint) as rank from (
+              select *, row_number() over (order by pq_dist asc, vec_id asc)
+                as rank
+              from score
+            ) where rank <= 10
         """,
         "q_pq_topk": """
             with base as (

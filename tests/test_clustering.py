@@ -139,3 +139,39 @@ class TestProductQuantization:
         assert [r["rank"] for r in rows] == [1, 2, 3, 4, 5]
         assert all(r["vec_id"] != 17 for r in rows)
         assert rows[0]["pq_dist"] <= rows[-1]["pq_dist"]
+
+
+class TestIvfPq:
+    def test_probed_lists_only_and_ranked(self, spark):
+        from unstructured_spark.operators.similarity import ivfpq_topk
+
+        rows = [
+            (i, [((i * 7 + j * 3) % 11) / 10.0 for j in range(8)])
+            for i in range(60)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        qv = [((5 * 7 + j * 3) % 11) / 10.0 for j in range(8)]
+        out = ivfpq_topk(
+            df, qv, nlist=4, nprobe=2, m=2, ksub=4, k=5, exclude_id=5
+        ).collect()
+        assert len(out) == 5
+        assert [r["rank"] for r in out] == [1, 2, 3, 4, 5]
+        assert len({r["list_id"] for r in out}) <= 2  # only probed lists
+        assert all(r["vec_id"] != 5 for r in out)
+        assert out[0]["pq_dist"] <= out[-1]["pq_dist"]
+
+    def test_full_probe_equals_pq(self, spark):
+        # probing EVERY list must reproduce plain PQ ADC ranking
+        from unstructured_spark.operators.similarity import ivfpq_topk, pq_topk
+
+        rows = [
+            (i, [((i * 5 + j * 2) % 9) / 8.0 for j in range(8)])
+            for i in range(40)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        qv = [0.3] * 8
+        a = [(r["vec_id"], r["pq_dist"]) for r in
+             ivfpq_topk(df, qv, nlist=2, nprobe=2, m=2, ksub=4, k=8).collect()]
+        b = [(r["vec_id"], r["pq_dist"]) for r in
+             pq_topk(df, qv, m=2, ksub=4, k=8).collect()]
+        assert a == b

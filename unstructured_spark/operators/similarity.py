@@ -559,3 +559,120 @@ def pq_topk(
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
     )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    query_vec: list[float],
+    *,
+    nlist: int = 8,
+    nprobe: int = 2,
+    m: int = 8,
+    ksub: int = 16,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id=None,
+) -> DataFrame:
+    """IVF-PQ: the billion-vector ANN layout — a coarse inverted-file
+    quantizer prunes the corpus to ``nprobe``/``nlist`` of its lists,
+    and PQ ADC scores only the survivors (codes are m ordinals per
+    vector; candidate scoring is m table lookups).
+
+    Everything is integer-exact (same quantization scheme as
+    ``clustering``/``pq_codes``): coarse centroids are the ``nlist``
+    lowest-id quantized vectors, PQ codebooks the ``ksub`` lowest-id
+    subvectors, distances exact integer sums with smaller-ordinal tie
+    breaks — so a DuckDB oracle replays coarse assignment, probes,
+    codes, and ADC scores verbatim.
+
+    Plan shape: ONE pass over the checkpointed quantized corpus
+    computes coarse list + PQ code per vector; the probe filter is a
+    literal IN-list (map-only pruning — at rest, partition the code
+    table by list_id and this prune becomes partition pruning); the
+    only shuffle is the final top-k.
+    """
+    import math
+
+    from unstructured_spark.operators.clustering import quantize_vec
+
+    n_seed = max(nlist, ksub)
+    rows = (
+        corpus.select(
+            F.col(id_col).alias("_id"), quantize_vec(F.col(vec_col)).alias("_q")
+        )
+        .orderBy("_id")
+        .limit(n_seed)
+        .collect()
+    )
+    dim = len(rows[0]["_q"])
+    d = dim // m
+    coarse = [[int(x) for x in r["_q"]] for r in rows[:nlist]]
+    cents = [
+        [[int(x) for x in r["_q"][s * d : (s + 1) * d]] for r in rows[:ksub]]
+        for s in range(m)
+    ]
+    qint = [int(math.floor(float(x) * 1_000_000 + 0.5)) for x in query_vec]
+
+    # driver-side probes: nprobe nearest coarse lists to the query
+    def idist(a: list[int], b: list[int]) -> int:
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    probe_ids = [
+        o for o, _ in sorted(
+            ((o, idist(qint, c)) for o, c in enumerate(coarse)),
+            key=lambda t: (t[1], t[0]),
+        )[:nprobe]
+    ]
+    tables = [
+        [idist(qint[s * d : (s + 1) * d], cent) for cent in cents[s]]
+        for s in range(m)
+    ]
+
+    q = corpus.select(
+        F.col(id_col).alias("vec_id"), quantize_vec(F.col(vec_col)).alias("q")
+    ).localCheckpoint(eager=False)
+    q = q.select(
+        "vec_id",
+        "q",
+        *[F.slice(F.col("q"), s * d + 1, d).alias(f"s{s}") for s in range(m)],
+    )
+
+    def _argmin_expr(entries: list[str]) -> str:
+        return f"array_sort(array({', '.join(entries)}))[0].o"
+
+    coarse_structs = [
+        "named_struct('dist', aggregate(zip_with(q, array({c}), "
+        "(a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x), 'o', {o})".format(
+            c=", ".join(str(v) for v in cv), o=o
+        )
+        for o, cv in enumerate(coarse)
+    ]
+    code_cols = []
+    for s in range(m):
+        structs = [
+            "named_struct('dist', aggregate(zip_with(s{s}, array({c}), "
+            "(a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x), 'o', {o})".format(
+                s=s, c=", ".join(str(v) for v in cents[s][o]), o=o
+            )
+            for o in range(ksub)
+        ]
+        code_cols.append(F.expr(_argmin_expr(structs)).alias(f"c{s}"))
+    assigned = q.select(
+        "vec_id",
+        F.expr(_argmin_expr(coarse_structs)).alias("list_id"),
+        *code_cols,
+    )
+    pruned = assigned.filter(F.col("list_id").isin([int(p) for p in probe_ids]))
+    if exclude_id is not None:
+        pruned = pruned.filter(F.col("vec_id") != F.lit(exclude_id))
+    score = F.lit(0).cast("bigint")
+    for s in range(m):
+        table = F.array(*[F.lit(int(v)).cast("bigint") for v in tables[s]])
+        score = score + F.element_at(table, F.col(f"c{s}") + 1)
+    scored = pruned.select("vec_id", "list_id", score.alias("pq_dist"))
+    w = Window.orderBy(F.asc("pq_dist"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )
