@@ -422,3 +422,45 @@ class TestEncryptedPdf:
         raw = Path("/root/reference/example-docs/pdf/copy-protected.pdf").read_bytes()
         joined = " ".join(e["text"] for e in pdf_to_elements(raw))
         assert "Þ" not in joined
+
+
+class TestAes256Encryption:
+    """AES-256 (V5/R6) Standard handler: FIPS-197 vectors for the
+    block cipher, and a full build-then-recover round trip of the
+    /U validation + /UE file-key unwrap (ISO 32000-2 Algorithms
+    2.A/2.B with the empty user password)."""
+
+    def test_fips_197_vectors(self):
+        from unstructured_spark.parsers import pdf_crypto as pc
+
+        pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+        k128, k256 = bytes(range(16)), bytes(range(32))
+        assert pc._aes_encrypt_block(pc._expand_key(k128), pt).hex() == (
+            "69c4e0d86a7b0430d8cdb78070b4c55a"
+        )
+        ct = pc._aes_encrypt_block(pc._expand_key(k256), pt)
+        assert ct.hex() == "8ea2b7ca516745bfeafc49904b496089"
+        assert pc._aes_decrypt_block(pc._expand_key(k256), ct) == pt
+
+    def test_v5_round_trip_and_password_rejection(self):
+        from unstructured_spark.parsers import pdf_crypto as pc
+
+        file_key = bytes(range(32))
+        vsalt, ksalt = b"VALSALT1", b"KEYSALT2"
+        u = pc._hardened_hash(b"", vsalt) + vsalt + ksalt
+        ue = pc._aes_cbc_encrypt_nopad(
+            pc._hardened_hash(b"", ksalt), b"\x00" * 16, file_key
+        )
+        enc = {"/V": 5, "/R": 6, "/U": u, "/UE": ue, "/O": b"x" * 48, "/P": -1}
+        d = pc.StandardDecryptor(enc, b"")
+        assert d.key == file_key
+        iv = b"\x01" * 16
+        ct = iv + pc._aes_cbc_encrypt_nopad(
+            file_key, iv, b"secret content!!" + bytes([16]) * 16
+        )
+        assert pc.aes_cbc_decrypt(d.object_key(7, 0), ct) == b"secret content!!"
+        # a real user password (different validation hash) must reject
+        bad = dict(enc)
+        bad["/U"] = pc._hardened_hash(b"hunter2", vsalt) + vsalt + ksalt
+        with pytest.raises(pc.PdfEncryptedError):
+            pc.StandardDecryptor(bad, b"")

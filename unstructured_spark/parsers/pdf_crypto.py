@@ -86,7 +86,7 @@ for _c in range(256):
     for _p in (2, 4, 8):
         x = _xtime(x)
         acc[_p] = x
-    for _f in (9, 11, 13, 14):
+    for _f in (2, 3, 9, 11, 13, 14):
         v = 0
         for _bit in (1, 2, 4, 8):
             if _f & _bit:
@@ -95,24 +95,83 @@ for _c in range(256):
 
 
 def _expand_key(key: bytes) -> list[bytes]:
-    words = [key[i : i + 4] for i in range(0, 16, 4)]
+    """AES key schedule for 128- or 256-bit keys (FIPS-197 §5.2):
+    returns the 11 (AES-128) or 15 (AES-256) round keys."""
+    nk = len(key) // 4
+    rounds = {4: 10, 8: 14}[nk]
+    words = [key[i : i + 4] for i in range(0, len(key), 4)]
     rcon = 1
-    for i in range(4, 44):
+    for i in range(nk, 4 * (rounds + 1)):
         t = words[i - 1]
-        if i % 4 == 0:
+        if i % nk == 0:
             t = bytes(
                 (_SBOX[t[1]] ^ (rcon if j == 0 else 0)) if j == 0
                 else _SBOX[t[(j + 1) % 4]]
                 for j in range(4)
             )
             rcon = _xtime(rcon)
-        words.append(bytes(a ^ b for a, b in zip(words[i - 4], t)))
-    return [b"".join(words[r * 4 : r * 4 + 4]) for r in range(11)]
+        elif nk == 8 and i % nk == 4:
+            t = bytes(_SBOX[b] for b in t)
+        words.append(bytes(a ^ b for a, b in zip(words[i - nk], t)))
+    return [b"".join(words[r * 4 : r * 4 + 4]) for r in range(rounds + 1)]
+
+
+def _aes_encrypt_block(rk: list[bytes], block: bytes) -> bytes:
+    """Forward cipher (needed by the R6 hardened hash, which AES-CBC-
+    ENCRYPTS its round input)."""
+    n = len(rk) - 1
+    s = bytearray(a ^ b for a, b in zip(block, rk[0]))
+    for rnd in range(1, n):
+        # SubBytes + ShiftRows (row r rotates LEFT by r)
+        t = bytearray(16)
+        for c in range(4):
+            for r in range(4):
+                t[c * 4 + r] = _SBOX[s[((c + r) % 4) * 4 + r]]
+        # MixColumns
+        for c in range(4):
+            a0, a1, a2, a3 = t[c * 4 : c * 4 + 4]
+            s[c * 4 + 0] = _MUL[2][a0] ^ _MUL[3][a1] ^ a2 ^ a3
+            s[c * 4 + 1] = a0 ^ _MUL[2][a1] ^ _MUL[3][a2] ^ a3
+            s[c * 4 + 2] = a0 ^ a1 ^ _MUL[2][a2] ^ _MUL[3][a3]
+            s[c * 4 + 3] = _MUL[3][a0] ^ a1 ^ a2 ^ _MUL[2][a3]
+        s = bytearray(a ^ b for a, b in zip(s, rk[rnd]))
+    t = bytearray(16)
+    for c in range(4):
+        for r in range(4):
+            t[c * 4 + r] = _SBOX[s[((c + r) % 4) * 4 + r]]
+    return bytes(a ^ b for a, b in zip(t, rk[n]))
+
+
+def _aes_cbc_encrypt_nopad(key: bytes, iv: bytes, data: bytes) -> bytes:
+    rk = _expand_key(key)
+    out = bytearray()
+    prev = iv
+    for i in range(0, len(data), 16):
+        blk = bytes(a ^ b for a, b in zip(data[i : i + 16], prev))
+        enc = _aes_encrypt_block(rk, blk)
+        out.extend(enc)
+        prev = enc
+    return bytes(out)
+
+
+def _aes_cbc_decrypt_raw(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """CBC decrypt with an explicit IV and no padding strip (the
+    AES-256 /UE file-key unwrap uses a zero IV and no padding)."""
+    rk = _expand_key(key)
+    out = bytearray()
+    prev = iv
+    for i in range(0, (len(data) // 16) * 16, 16):
+        blk = data[i : i + 16]
+        dec = _aes_decrypt_block(rk, blk)
+        out.extend(a ^ b for a, b in zip(dec, prev))
+        prev = blk
+    return bytes(out)
 
 
 def _aes_decrypt_block(rk: list[bytes], block: bytes) -> bytes:
-    s = bytearray(a ^ b for a, b in zip(block, rk[10]))
-    for rnd in range(9, 0, -1):
+    n = len(rk) - 1
+    s = bytearray(a ^ b for a, b in zip(block, rk[n]))
+    for rnd in range(n - 1, 0, -1):
         # InvShiftRows + InvSubBytes
         t = bytearray(16)
         for c in range(4):
@@ -156,13 +215,55 @@ def aes_cbc_decrypt(key: bytes, data: bytes) -> bytes:
     return bytes(out)
 
 
+def _hardened_hash(pwd: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    """Revision-6 hash (ISO 32000-2 Algorithm 2.B): SHA-256 seed, then
+    rounds of AES-128-CBC-encrypting 64 repetitions of pwd+K+udata and
+    rehashing with SHA-256/384/512 chosen by the ciphertext mod 3,
+    until round ≥ 64 and the last ciphertext byte ≤ round - 32."""
+    k = hashlib.sha256(pwd + salt + udata).digest()
+    i = 0
+    while True:
+        k1 = (pwd + k + udata) * 64
+        e = _aes_cbc_encrypt_nopad(k[:16], k[16:32], k1)
+        mod = sum(e[:16]) % 3
+        if mod == 0:
+            k = hashlib.sha256(e).digest()
+        elif mod == 1:
+            k = hashlib.sha384(e).digest()
+        else:
+            k = hashlib.sha512(e).digest()
+        i += 1
+        if i >= 64 and e[-1] <= i - 32:
+            return k[:32]
+
+
 class StandardDecryptor:
-    """Per-object decryptor for the Standard handler, V≤4, empty user
-    password."""
+    """Per-object decryptor for the Standard handler: V1/2 (RC4),
+    V4 (RC4 or AES-128 crypt filters), V5 (AES-256, R5/R6) — empty
+    user password only."""
 
     def __init__(self, enc: dict, file_id: bytes):
         v = int(enc.get("/V", 0) or 0)
         r = int(enc.get("/R", 2) or 2)
+        if v == 5:
+            u, ue = enc.get("/U"), enc.get("/UE")
+            if not (isinstance(u, bytes) and len(u) >= 48 and isinstance(ue, bytes)):
+                raise PdfEncryptedError("malformed AES-256 /U//UE entries")
+            vsalt, ksalt = u[32:40], u[40:48]
+            if r >= 6:
+                check = _hardened_hash(b"", vsalt)
+                inter = _hardened_hash(b"", ksalt)
+            else:  # R5 (deprecated Adobe extension): plain SHA-256
+                check = hashlib.sha256(vsalt).digest()
+                inter = hashlib.sha256(ksalt).digest()
+            if check != u[:32]:
+                raise PdfEncryptedError("document requires a user password")
+            self.key = _aes_cbc_decrypt_raw(inter, b"\x00" * 16, ue[:32])
+            self.aes = True
+            self.v5 = True
+            self.r = r
+            return
+        self.v5 = False
         if v not in (1, 2, 4):
             raise PdfEncryptedError(f"unsupported /Encrypt /V {v}")
         length = int(enc.get("/Length", 40) or 40) // 8
@@ -209,6 +310,8 @@ class StandardDecryptor:
                 raise PdfEncryptedError("document requires a user password")
 
     def object_key(self, num: int, gen: int) -> bytes:
+        if self.v5:
+            return self.key  # AES-256 uses the file key for every object
         h = hashlib.md5()
         h.update(self.key)
         h.update(struct.pack("<i", num)[:3])
