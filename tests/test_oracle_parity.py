@@ -89,3 +89,18 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) >= 0
     assert df.columns
+
+
+def test_registry_consistency():
+    """Every oracle key maps to a registered query; the rows-only set
+    stays the small, justified list (parse/chunk folds, difflib table
+    eval, iterative box merge)."""
+    q = set(entry_mod.queries())
+    o = set(entry_mod.oracle_sql())
+    assert o <= q, f"oracles without queries: {sorted(o - q)}"
+    assert q - o == {
+        "q_partition_elements",
+        "q_chunk_by_title",
+        "q_table_eval",
+        "q_layout_merge",
+    }, f"unexpected rows-only queries: {sorted(q - o)}"
