@@ -160,7 +160,7 @@ class TestStagingConverters:
         els = self._els()
         out = api.convert_to_text(els)
         assert "Section One" in out and "narrative text" in out
-        assert out.count("\n") == len(els) - 1
+        assert out.count("\n") == len(els) - 1  # single-newline join
 
     def test_elements_to_md_title_heading(self):
         from unstructured_spark import api
@@ -169,6 +169,8 @@ class TestStagingConverters:
         assert md.startswith("# Section One")
 
     def test_element_to_md_shapes(self):
+        # reference-exact rules (staging/base.py:273-305): no bullet or
+        # fence decoration — list items and code render as plain text
         from unstructured_spark import api
 
         table = api.Element.from_dict(
@@ -179,10 +181,12 @@ class TestStagingConverters:
             {"type": "Image", "text": "alt", "metadata": {"image_url": "http://x/y.png"}}
         )
         li = api.Element.from_dict({"type": "ListItem", "text": "item"})
+        formula = api.Element.from_dict({"type": "Formula", "text": "E = mc^2"})
         assert api.element_to_md(table) == "<table/>"
-        assert api.element_to_md(code) == "```\nx = 1\n```"
+        assert api.element_to_md(code) == "x = 1"
         assert api.element_to_md(img) == "![alt](http://x/y.png)"
-        assert api.element_to_md(li) == "- item"
+        assert api.element_to_md(li) == "item"
+        assert api.element_to_md(formula) == "$$\nE = mc^2\n$$"
 
     def test_ndjson_round_trip(self):
         from unstructured_spark import api

@@ -180,3 +180,50 @@ def test_chunked_golden_byte_exact():
     ours = api.chunk_elements(els, max_characters=150, overlap=20)
     assert [c.to_dict()["text"] for c in ours] == [c["text"] for c in ref]
     assert [c.to_dict()["type"] for c in ours] == [c["type"] for c in ref]
+
+
+def test_markdown_render_matches_every_reference_golden():
+    """elements_to_md reproduces ALL 172 reference-produced markdown
+    renders byte-for-byte (expected-structured-output-markdown tree:
+    Title/Formula/Table/Image rules, '\\n' join, $$ heuristics)."""
+    import json as _json
+
+    from unstructured_spark import api
+
+    base = Path("/root/reference/test_unstructured_ingest")
+    mds = sorted((base / "expected-structured-output-markdown").rglob("*.md"))
+    assert len(mds) > 150
+    checked = 0
+    for md in mds:
+        rel = md.relative_to(base / "expected-structured-output-markdown")
+        ej = base / "expected-structured-output" / rel.with_suffix(".json")
+        if not ej.exists():
+            continue
+        els = [api.Element.from_dict(d) for d in _json.loads(ej.read_text())]
+        assert api.elements_to_md(els).rstrip("\n") == md.read_text().rstrip("\n"), rel
+        checked += 1
+    assert checked == len(mds)
+
+
+def test_html_render_matches_every_reference_golden():
+    """elements_to_html reproduces ALL 172 reference BeautifulSoup-
+    prettify renders byte-for-byte (expected-structured-output-html:
+    indentation, attribute sorting/quoting, void tags, table style
+    injection, minimal escaping)."""
+    import json as _json
+
+    from unstructured_spark.html_render import elements_to_html
+
+    base = Path("/root/reference/test_unstructured_ingest")
+    hs = sorted((base / "expected-structured-output-html").rglob("*.html"))
+    assert len(hs) > 150
+    checked = 0
+    for h in hs:
+        rel = h.relative_to(base / "expected-structured-output-html")
+        ej = base / "expected-structured-output" / rel.with_suffix(".json")
+        if not ej.exists():
+            continue
+        ours = elements_to_html(_json.loads(ej.read_text()), no_group_by_page=True)
+        assert ours.rstrip("\n") == h.read_text().rstrip("\n"), rel
+        checked += 1
+    assert checked == len(hs)

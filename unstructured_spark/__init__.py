@@ -29,7 +29,8 @@ def __getattr__(name):
                 "elements_to_md", "elements_to_ndjson", "convert_to_csv",
                 "convert_to_dataframe", "filter_element_types", "flatten_dict",
                 "elements_to_base64_gzipped_json",
-                "elements_from_base64_gzipped_json"):
+                "elements_from_base64_gzipped_json",
+                "elements_to_html", "create_file_from_elements"):
         from unstructured_spark import api
 
         return getattr(api, name)

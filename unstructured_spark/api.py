@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import io
 import json
+import re
 from typing import IO, Any, Iterable
 
 from unstructured_spark.schema import ELEMENT_SCHEMA
@@ -369,37 +370,120 @@ def elements_to_text(
     return out
 
 
-def element_to_md(element: Element) -> str:
-    """Markdown for one element (reference staging/base.py:273-305 and
-    the distributed ``serde.render_markdown_expr`` rules): Title →
-    heading at category_depth, ListItem → bullet, Table → its HTML,
-    Image → data-URI/image-URL link, CodeSnippet → fenced block."""
+# Formula → $$ display-math heuristics (reference staging/base.py:40-165;
+# behavior pinned against expected-structured-output-markdown goldens).
+_FORMULA_PROSE_HINT = re.compile(
+    r"\b(was|were|using|calculated|where|respectively|determined|following)\b",
+    re.IGNORECASE,
+)
+_FORMULA_SUBS = {
+    "−": "-",
+    "×": r"\times{}",
+    "÷": r"\div{}",
+    "∞": r"\infty{}",
+    "∈": r"\in{}",
+    "∉": r"\notin{}",
+    "≤": r"\leq{}",
+    "≥": r"\geq{}",
+    "≈": r"\approx{}",
+    "≠": r"\neq{}",
+}
+
+
+def _formula_math_signal_score(text: str) -> int:
+    score = 0
+    if re.search(r"\\[a-zA-Z]+", text):
+        score += 3
+    if "^" in text:
+        score += 1
+    if re.search(r"_(\{|[0-9A-Za-z])", text):
+        score += 1
+    score += min(len(re.findall(r"[∈∉≤≥≠≈×÷∞∑∫√∂∇]", text)) * 2, 6)
+    if re.search(r"[¼½¾]", text):
+        score += 1
+    score += min(
+        len(re.findall(r"(?<=[A-Za-z0-9\)\]])\s*=\s*(?=[A-Za-z0-9\(\\])", text)), 2
+    )
+    if re.search(r"(?<=[A-Za-z])\([^)]*\)\s*=\s*", text):
+        score += 2
+    return score
+
+
+def _emit_formula_markdown(
+    raw_text: str, *, normalize_formula: bool = True, style: str = "auto"
+) -> str:
+    raw = raw_text.strip()
+    if not raw or style == "plain" or "$" in raw:
+        return raw
+    if style == "display_math":
+        use = True
+    else:  # auto
+        score = _formula_math_signal_score(raw)
+        prose = len(raw) >= 80 and _FORMULA_PROSE_HINT.search(raw) is not None
+        use = score >= (3 if prose else 2)
+    if not use:
+        return raw
+    body = raw
+    if normalize_formula:
+        for src, dst in _FORMULA_SUBS.items():
+            body = body.replace(src, dst)
+    return f"$$\n{body}\n$$"
+
+
+def element_to_md(
+    element: Element,
+    exclude_binary_image_data: bool = False,
+    normalize_formula: bool = True,
+    *,
+    formula_markdown_style: str = "auto",
+) -> str:
+    """Markdown for one element — reference-exact
+    (staging/base.py:273-305, behavior pinned byte-for-byte against
+    the expected-structured-output-markdown goldens): Title → '# ',
+    Formula → $$ heuristics, Table with HTML → its HTML, Image →
+    data-URI / URL link, everything else → its text."""
     t = element.to_dict()
     typ = t.get("type")
     text = t.get("text") or ""
     meta = t.get("metadata", {}) or {}
     if typ == "Title":
-        depth = int(meta.get("category_depth") or 0)
-        return "#" * (depth + 1) + " " + text
-    if typ == "ListItem":
-        return "- " + text
-    if typ == "CodeSnippet":
-        return "```\n" + text + "\n```"
-    if typ in ("Table", "TableChunk") and meta.get("text_as_html"):
+        return f"# {text}"
+    if typ == "Formula":
+        return _emit_formula_markdown(
+            text,
+            normalize_formula=normalize_formula,
+            style=formula_markdown_style,
+        )
+    if typ in ("Table", "TableChunk") and meta.get("text_as_html") is not None:
         return meta["text_as_html"]
     if typ == "Image":
-        if meta.get("image_base64"):
-            mime = meta.get("image_mime_type") or "image/*"
-            return f"![{text}](data:{mime};base64,{meta['image_base64']})"
-        if meta.get("image_url"):
+        b64 = meta.get("image_base64")
+        if b64 is not None and not exclude_binary_image_data:
+            mime = meta.get("image_mime_type")
+            return f"![{text}](data:{mime or 'image/*'};base64,{b64})"
+        if meta.get("image_url") is not None:
             return f"![{text}]({meta['image_url']})"
     return text
 
 
 def elements_to_md(
-    elements: Iterable[Element], filename: str | None = None, encoding: str = "utf-8"
+    elements: Iterable[Element],
+    filename: str | None = None,
+    exclude_binary_image_data: bool = False,
+    encoding: str = "utf-8",
+    normalize_formula: bool = True,
+    *,
+    formula_markdown_style: str = "auto",
 ) -> str | None:
-    out = "\n\n".join(element_to_md(e) for e in elements)
+    out = "\n".join(
+        element_to_md(
+            e,
+            exclude_binary_image_data=exclude_binary_image_data,
+            normalize_formula=normalize_formula,
+            formula_markdown_style=formula_markdown_style,
+        )
+        for e in elements
+    )
     if filename is not None:
         with open(filename, "w", encoding=encoding) as f:
             f.write(out)
@@ -504,3 +588,62 @@ def elements_from_base64_gzipped_json(encoded: str) -> list[Element]:
     from unstructured_spark.operators.serde import decode_orig_elements
 
     return [Element.from_dict(d) for d in decode_orig_elements(encoded)]
+
+
+def elements_to_html(
+    elements: Iterable[Element],
+    exclude_binary_image_data: bool = False,
+    no_group_by_page: bool = False,
+) -> str:
+    """Standalone HTML document render (reference
+    partition/html/convert.py elements_to_html) — byte-identical to
+    the reference's BeautifulSoup prettify output (pinned against
+    every expected-structured-output-html golden)."""
+    from unstructured_spark.html_render import elements_to_html as _render
+
+    return _render(
+        [e.to_dict() for e in elements],
+        exclude_binary_image_data=exclude_binary_image_data,
+        no_group_by_page=no_group_by_page,
+    )
+
+
+def create_file_from_elements(
+    elements: Iterable[Element],
+    output_format: str = "markdown",
+    filename: str | None = None,
+    encoding: str = "utf-8",
+    exclude_binary_image_data: bool = False,
+    no_group_by_page: bool = True,
+    normalize_formula: bool = True,
+    *,
+    formula_markdown_style: str = "auto",
+) -> str:
+    """Re-create a document file from elements (reference
+    staging/base.py:353-431): markdown, html, or text."""
+    fmt = output_format.strip().lower()
+    if fmt not in ("markdown", "html", "text"):
+        raise ValueError(
+            f"Unsupported format: {output_format!r}. "
+            "Supported formats: 'markdown', 'html', 'text'."
+        )
+    els = list(elements)
+    if fmt == "markdown":
+        content = elements_to_md(
+            els,
+            exclude_binary_image_data=exclude_binary_image_data,
+            normalize_formula=normalize_formula,
+            formula_markdown_style=formula_markdown_style,
+        )
+    elif fmt == "html":
+        content = elements_to_html(
+            els,
+            exclude_binary_image_data=exclude_binary_image_data,
+            no_group_by_page=no_group_by_page,
+        )
+    else:
+        content = convert_to_text(els)
+    if filename is not None:
+        with open(filename, "w", encoding=encoding) as f:
+            f.write(content)
+    return content
