@@ -178,7 +178,9 @@ class TestSerde:
         els = partition_documents(docs_df.filter(F.col("doc_id") == "doc-md"))
         md = elements_to_markdown(els).collect()[0]["markdown"]
         assert md.startswith("# Heading One")
-        assert "- bullet one" in md
+        # reference-exact rules: list items render as plain text
+        # (staging/base.py:273-305 has no ListItem case)
+        assert "\nbullet one" in md
 
     def test_html_render(self, spark, docs_df):
         from unstructured_spark.operators.serde import elements_to_html

@@ -146,3 +146,52 @@ class TestChunkDocTvf:
             "SELECT detect_language('the quick brown fox and the lazy dog together') AS l"
         ).first()["l"]
         assert got == "eng"
+
+
+class TestMarkdownExprFacadeParity:
+    def test_native_render_matches_facade_over_golden_corpus(self, spark):
+        """render_markdown_expr (native, whole-stage codegen) and
+        api.element_to_md (reference-exact, golden-pinned) must agree
+        row-for-row — exercised over every element of the reference's
+        markdown-golden corpus (incl. all Formula/$$ cases)."""
+        import json as _json
+        from pathlib import Path
+
+        from pyspark.sql import functions as F
+
+        from unstructured_spark import api
+        from unstructured_spark.operators.serde import render_markdown_expr
+
+        base = Path("/root/reference/test_unstructured_ingest/expected-structured-output")
+        rows, expected = [], []
+        for j, p in enumerate(sorted(base.rglob("*.json"))):
+            try:
+                els = _json.loads(p.read_text())
+            except Exception:
+                continue
+            if not (isinstance(els, list) and els and isinstance(els[0], dict)
+                    and "type" in els[0]):
+                continue
+            for i, d in enumerate(els):
+                meta = d.get("metadata") or {}
+                rows.append((
+                    f"{j}:{i}",
+                    d.get("type") or "Text",
+                    d.get("text") or "",
+                    meta.get("text_as_html"),
+                    _json.dumps(meta),
+                ))
+                expected.append(
+                    (f"{j}:{i}", api.element_to_md(api.Element.from_dict(d)))
+                )
+        assert len(rows) > 3000
+        df = spark.createDataFrame(
+            rows, "rid string, type string, text string, text_as_html string, metadata_json string"
+        )
+        got = dict(
+            df.select("rid", render_markdown_expr().alias("md")).collect()
+        )
+        mismatches = [
+            (rid, got[rid], want) for rid, want in expected if got[rid] != want
+        ]
+        assert not mismatches, mismatches[:3]

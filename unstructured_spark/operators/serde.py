@@ -124,29 +124,78 @@ def render_text_expr() -> Column:
     return F.col("text")
 
 
+def _formula_md_expr(text: Column) -> Column:
+    """Native form of the reference Formula→$$ heuristics
+    (staging/base.py:90-165, behavior pinned by the facade's
+    markdown-golden sweep; ``tests/test_staging_sql.py`` asserts this
+    expression agrees with ``api.element_to_md`` row-for-row): math-
+    signal score from regexp counts, prose demotion for long OCR
+    captions, unsafe-$ passthrough, unicode→LaTeX normalization."""
+    raw = F.trim(text)
+    score = (
+        F.when(raw.rlike(r"\\[a-zA-Z]+"), F.lit(3)).otherwise(F.lit(0))
+        + F.when(F.contains(raw, F.lit("^")), F.lit(1)).otherwise(F.lit(0))
+        + F.when(raw.rlike(r"_(\{|[0-9A-Za-z])"), F.lit(1)).otherwise(F.lit(0))
+        + F.least(F.regexp_count(raw, F.lit(r"[∈∉≤≥≠≈×÷∞∑∫√∂∇]")) * 2, F.lit(6))
+        + F.when(raw.rlike(r"[¼½¾]"), F.lit(1)).otherwise(F.lit(0))
+        + F.least(
+            F.regexp_count(raw, F.lit(r"(?<=[A-Za-z0-9\)\]])\s*=\s*(?=[A-Za-z0-9\(\\])")),
+            F.lit(2),
+        )
+        + F.when(raw.rlike(r"(?<=[A-Za-z])\([^)]*\)\s*="), F.lit(2)).otherwise(F.lit(0))
+    )
+    prose = (F.length(raw) >= 80) & raw.rlike(
+        r"(?i)\b(was|were|using|calculated|where|respectively|determined|following)\b"
+    )
+    use = F.when(prose, score >= 3).otherwise(score >= 2)
+    body = raw
+    for src, dst in (
+        ("−", "-"), ("×", "\\times{}"), ("÷", "\\div{}"), ("∞", "\\infty{}"),
+        ("∈", "\\in{}"), ("∉", "\\notin{}"), ("≤", "\\leq{}"),
+        ("≥", "\\geq{}"), ("≈", "\\approx{}"), ("≠", "\\neq{}"),
+    ):
+        body = F.replace(body, F.lit(src), F.lit(dst))
+    return F.when(
+        (raw == "") | F.contains(raw, F.lit("$")) | ~use, raw
+    ).otherwise(F.concat(F.lit("$$\n"), body, F.lit("\n$$")))
+
+
 def render_markdown_expr() -> Column:
-    """Markdown rendering of one element (reference staging/base.py
-    md render): Titles → '#'*depth, ListItem → '- ', Table → html,
-    CodeSnippet → fenced."""
-    depth = F.coalesce(F.col("category_depth"), F.lit(0))
-    hashes = F.substring(F.lit("#######"), 1, (depth + 1).cast("int"))
+    """Markdown rendering of one element — reference-exact
+    (staging/base.py:273-305; the same rules the facade pins
+    byte-for-byte against all 172 markdown goldens): Title → '# ',
+    Formula → $$ heuristics, Table with HTML → its HTML, Image →
+    data-URI/URL link, everything else → its text."""
+    meta_b64 = F.get_json_object(F.col("metadata_json"), "$.image_base64")
+    meta_mime = F.get_json_object(F.col("metadata_json"), "$.image_mime_type")
+    meta_url = F.get_json_object(F.col("metadata_json"), "$.image_url")
     return (
-        F.when(F.col("type") == "Title", F.concat(hashes, F.lit(" "), F.col("text")))
-        .when(F.col("type") == "ListItem", F.concat(F.lit("- "), F.col("text")))
+        F.when(F.col("type") == "Title", F.concat(F.lit("# "), F.col("text")))
+        .when(F.col("type") == "Formula", _formula_md_expr(F.col("text")))
         .when(
-            F.col("type") == "CodeSnippet",
-            F.concat(F.lit("```\n"), F.col("text"), F.lit("\n```")),
+            F.col("type").isin("Table", "TableChunk")
+            & F.col("text_as_html").isNotNull(),
+            F.col("text_as_html"),
         )
         .when(
-            (F.col("type") == "Table") & F.col("text_as_html").isNotNull(),
-            F.col("text_as_html"),
+            (F.col("type") == "Image") & meta_b64.isNotNull(),
+            F.concat(
+                F.lit("!["), F.col("text"), F.lit("](data:"),
+                F.coalesce(meta_mime, F.lit("image/*")),
+                F.lit(";base64,"), meta_b64, F.lit(")"),
+            ),
+        )
+        .when(
+            (F.col("type") == "Image") & meta_url.isNotNull(),
+            F.concat(F.lit("!["), F.col("text"), F.lit("]("), meta_url, F.lit(")")),
         )
         .otherwise(F.col("text"))
     )
 
 
 def elements_to_markdown(df: DataFrame) -> DataFrame:
-    """One markdown string per document (order-correct agg)."""
+    """One markdown string per document (order-correct agg; the "\\n"
+    join matches reference elements_to_md, staging/base.py:334-343)."""
     rendered = df.withColumn("_md", render_markdown_expr())
     return (
         rendered.groupBy("doc_id")
@@ -158,7 +207,7 @@ def elements_to_markdown(df: DataFrame) -> DataFrame:
                     ),
                     lambda s: s["_md"],
                 ),
-                "\n\n",
+                "\n",
             ).alias("markdown")
         )
     )
