@@ -195,3 +195,36 @@ class TestMarkdownExprFacadeParity:
             (rid, got[rid], want) for rid, want in expected if got[rid] != want
         ]
         assert not mismatches, mismatches[:3]
+
+
+class TestHtmlDocumentRenderer:
+    def test_distributed_matches_local_renderer(self, spark):
+        import json as _json
+        from pathlib import Path
+
+        from unstructured_spark.html_render import elements_to_html as local_render
+        from unstructured_spark.operators.serde import elements_to_html_document
+
+        gold = Path(
+            "/root/reference/test_unstructured_ingest/expected-structured-output/"
+            "gcs/nested-1/fake-text.txt.json"
+        )
+        dicts = _json.loads(gold.read_text())
+        rows = [
+            ("d1", i, d.get("element_id"), d["type"], d["text"],
+             (d.get("metadata") or {}).get("text_as_html"),
+             _json.dumps(d.get("metadata") or {}))
+            for i, d in enumerate(dicts)
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "doc_id string, element_index long, element_id string, type string, "
+            "text string, text_as_html string, metadata_json string",
+        )
+        [row] = elements_to_html_document(df).collect()
+        assert row["html"] == local_render(dicts, no_group_by_page=True)
+        ref = Path(
+            "/root/reference/test_unstructured_ingest/expected-structured-output-html/"
+            "gcs/nested-1/fake-text.txt.html"
+        ).read_text()
+        assert row["html"].rstrip("\n") == ref.rstrip("\n")

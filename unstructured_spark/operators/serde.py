@@ -339,3 +339,51 @@ def orig_elements_codec_udfs():
     _enc.__annotations__ = {"s": pd.Series, "return": pd.Series}
     _dec.__annotations__ = {"s": pd.Series, "return": pd.Series}
     return pandas_udf(_enc, "string"), pandas_udf(_dec, "string")
+
+
+def elements_to_html_document(df: DataFrame) -> DataFrame:
+    """One REFERENCE-EXACT standalone HTML document per doc_id — the
+    distributed form of ``html_render.elements_to_html`` (the renderer
+    pinned byte-for-byte against all 172 reference prettify goldens).
+    ``elements_to_html`` above stays the compact native-expression
+    variant; this one runs the pure-Python renderer per doc group
+    (document = parallel unit, same contract as the chunker)."""
+    import json as _json
+
+    import pandas as pd
+
+    from unstructured_spark.html_render import elements_to_html as _render
+
+    cols = ["doc_id", "element_index", "element_id", "type", "text", "text_as_html", "metadata_json"]
+    present = [c for c in cols if c in df.columns]
+
+    def render(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("element_index")
+        dicts = []
+        for rec in pdf.itertuples(index=False):
+            d = rec._asdict()
+            meta = {}
+            if d.get("metadata_json"):
+                try:
+                    meta = _json.loads(d["metadata_json"]) or {}
+                except ValueError:
+                    meta = {}
+            if d.get("text_as_html"):
+                meta.setdefault("text_as_html", d["text_as_html"])
+            dicts.append(
+                {
+                    "type": d.get("type"),
+                    "text": d.get("text") or "",
+                    "element_id": d.get("element_id"),
+                    "metadata": meta,
+                }
+            )
+        return pd.DataFrame(
+            {"doc_id": [key[0]], "html": [_render(dicts, no_group_by_page=True)]}
+        )
+
+    return (
+        df.select(*present)
+        .groupBy("doc_id")
+        .applyInPandas(render, schema="doc_id string, html string")
+    )
