@@ -308,3 +308,13 @@ class TestExtraExtractors:
         )
         vals = [r[0] for r in df.select(contains_english_word(F.col("text"))).collect()]
         assert vals == [True, False, False]
+
+
+class TestGoogleDriveTypes:
+    def test_google_apps_mime_maps_to_export_format(self):
+        from unstructured_spark.parsers.filetype import detect_filetype
+
+        assert detect_filetype(content_type="application/vnd.google-apps.document") == "docx"
+        assert detect_filetype(content_type="application/vnd.google-apps.spreadsheet") == "xlsx"
+        assert detect_filetype(content_type="application/vnd.google-apps.presentation") == "pptx"
+        assert detect_filetype(content_type="application/vnd.google-apps.photo") == "jpg"

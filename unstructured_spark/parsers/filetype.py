@@ -56,6 +56,16 @@ FILETYPES: dict[str, tuple[tuple[str, ...], tuple[str, ...]]] = {
 
 _EXT_MAP = {ext: ft for ft, (exts, _) in FILETYPES.items() for ext in exts}
 _MIME_MAP = {m: ft for ft, (_, mimes) in FILETYPES.items() for m in mimes}
+# Google-Drive native types map to their standard export format
+# (reference file_utils/google_filetype.py)
+_MIME_MAP.update(
+    {
+        "application/vnd.google-apps.document": "docx",
+        "application/vnd.google-apps.spreadsheet": "xlsx",
+        "application/vnd.google-apps.presentation": "pptx",
+        "application/vnd.google-apps.photo": "jpg",
+    }
+)
 
 MIME_FOR: dict[str, str] = {ft: mimes[0] for ft, (_, mimes) in FILETYPES.items()}
 
