@@ -464,3 +464,32 @@ class TestAes256Encryption:
         bad["/U"] = pc._hardened_hash(b"hunter2", vsalt) + vsalt + ksalt
         with pytest.raises(pc.PdfEncryptedError):
             pc.StandardDecryptor(bad, b"")
+
+
+class TestHiResMaxPages:
+    def test_page_count_gate(self):
+        from unstructured_spark.parsers import image_parser
+        from unstructured_spark.parsers.pdf_parser import (
+            PageCountExceededError,
+            pdf_to_elements,
+        )
+
+        # the gate applies once hi_res is actually viable (agents
+        # registered); a 76-page scan against a 10-page cap fails fast
+        raw = Path(f"{REF_PDF_DIR}/failure-after-repair.pdf").read_bytes()
+        try:
+            image_parser.set_ocr_agent(lambda arr, w, h: [])
+            with pytest.raises(PageCountExceededError) as ei:
+                pdf_to_elements(raw, strategy="hi_res", pdf_hi_res_max_pages=10)
+            assert ei.value.document_pages == 76
+            assert ei.value.pdf_hi_res_max_pages == 10
+        finally:
+            image_parser.set_ocr_agent(None)
+
+    def test_cap_of_none_disables_gate(self):
+        from unstructured_spark.parsers.pdf_parser import pdf_to_elements
+
+        raw = Path(f"{REF_PDF_DIR}/layout-parser-paper-fast.pdf").read_bytes()
+        # fast strategy: the cap is irrelevant and partition succeeds
+        els = pdf_to_elements(raw, strategy="fast", pdf_hi_res_max_pages=1)
+        assert len(els) > 10

@@ -1089,11 +1089,35 @@ def determine_pdf_strategy(
     )
 
 
+class PageCountExceededError(ValueError):
+    """Page count above ``pdf_hi_res_max_pages`` (reference
+    errors.py:1-11 / pdf.py:604-612) — hi_res inference cost is
+    per-page, so oversized docs fail fast instead of monopolizing an
+    executor."""
+
+    def __init__(self, document_pages: int, pdf_hi_res_max_pages: int):
+        self.document_pages = document_pages
+        self.pdf_hi_res_max_pages = pdf_hi_res_max_pages
+        super().__init__(
+            f"Maximum number of PDF file pages exceeded - "
+            f"pages={document_pages}, maximum={pdf_hi_res_max_pages}."
+        )
+
+
 def pdf_to_elements(
-    content: bytes, strategy: str = "auto", extract_images: bool = False
+    content: bytes,
+    strategy: str = "auto",
+    extract_images: bool = False,
+    pdf_hi_res_max_pages: int | None = None,
 ) -> list[dict]:
     doc = _PdfDoc(content)  # parsed once; probe + extraction + images share it
     strategy = determine_pdf_strategy(content, strategy, _doc=doc)
+    if (
+        pdf_hi_res_max_pages
+        and strategy in ("hi_res", "ocr_only")
+        and len(doc.pages()) > pdf_hi_res_max_pages
+    ):
+        raise PageCountExceededError(len(doc.pages()), pdf_hi_res_max_pages)
     if strategy in ("hi_res", "ocr_only"):
         from unstructured_spark.parsers import image_parser as _ip
 
