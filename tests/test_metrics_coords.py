@@ -196,3 +196,19 @@ class TestMeanGrouping:
         assert got["b"]["accuracy_stdev"] is None
         assert got["b"]["accuracy_pstdev"] == 0.0
         assert got["b"]["accuracy_count"] == 1
+
+
+class TestFilterMetrics:
+    def test_filters_and_validates(self, spark):
+        from unstructured_spark.operators.metrics import filter_metrics
+
+        df = spark.createDataFrame(
+            [("a.pdf", 0.9), ("b.pdf", 0.5)], "filename string, accuracy double"
+        )
+        out = filter_metrics(df, ["a.pdf"]).collect()
+        assert [r["filename"] for r in out] == ["a.pdf"]
+        try:
+            filter_metrics(df, ["x"], filter_by="nope")
+            raise AssertionError("expected ValueError")
+        except ValueError:
+            pass

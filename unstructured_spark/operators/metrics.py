@@ -146,3 +146,15 @@ def mean_grouping(
             F.count(f).alias(f"{f}_count"),
         ]
     return df.groupBy(group_by).agg(*aggs)
+
+
+def filter_metrics(
+    df: DataFrame, filter_list: list[str], filter_by: str = "filename"
+) -> DataFrame:
+    """Keep only metric rows whose ``filter_by`` value is in
+    ``filter_list`` (reference evaluate.py:599-662 — its pandas isin
+    over CSV/TSV inputs; here a native IN filter that pushes to the
+    scan). Raises on a missing column like the reference."""
+    if filter_by not in df.columns:
+        raise ValueError("`filter_by` key does not exists in the data provided.")
+    return df.filter(F.col(filter_by).isin([str(x) for x in filter_list]))
