@@ -856,6 +856,21 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(docs, 256)
 
 
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per doc by tf·ln(N/df): one
+    word-count shuffle + broadcast vocabulary join + per-doc top-k
+    window."""
+    docs = _t(spark, sf_dir, "documents")
+    return text_analysis.tfidf_top_terms(docs, k=3)
+
+
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading ease from deterministic word/sentence/syllable
+    counts — native regexp expressions, zero shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    return text_analysis.readability(docs)
+
+
 def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 corpus search for ['spark','vector','customer']: one exact
     integer-stats aggregate (N, Σdl, per-term df) folded to literals,
@@ -2081,6 +2096,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stratified_sample": q_stratified_sample,
         "q_pack_sequences": q_pack_sequences,
         "q_bm25_search": q_bm25_search,
+        "q_tfidf_top_terms": q_tfidf_top_terms,
+        "q_readability": q_readability,
         "q_overlap_audit": q_overlap_audit,  # oracle below replays the decision tree
         "q_funnel": q_funnel,
         "q_metrics_grouped": q_metrics_grouped,
@@ -3279,6 +3296,51 @@ left join stats s using (doc_id)
               floor((f.area_a + f.area_b) * 100 + 0.5) / 100 as total_area
             from fl2 f left join ngf g
               on f.doc_id = g.doc_id and f.ixa = g.ixa and f.ixb = g.ixb
+        """,
+        "q_tfidf_top_terms": """
+            with tf as (
+              select doc_id, unnest(string_split(trim(text), ' ')) as term
+              from documents
+            ), tfc as (
+              select doc_id, term, count(*) as tf
+              from tf group by doc_id, term
+            ), dfreq as (
+              select term, count(distinct doc_id) as df from tfc group by term
+            ), n as (
+              select cast(count(*) as double) as n from documents
+            ), scored as (
+              select t.doc_id, t.term,
+                floor(t.tf * ln((select n from n) / cast(d.df as double))
+                      * 1000000 + 0.5) / 1000000 as tfidf
+              from tfc t join dfreq d on t.term = d.term
+            )
+            select doc_id, term, tfidf, cast(rank as bigint) as rank from (
+              select *, row_number() over (
+                partition by doc_id order by tfidf desc, term asc) as rank
+              from scored
+            ) where rank <= 3
+        """,
+        "q_readability": """
+            with t as (
+              select doc_id, trim(text) as s,
+                cast(len(string_split(trim(text), ' ')) as bigint) as words
+              from documents
+            ), c as (
+              select doc_id, words,
+                cast(greatest(len(regexp_extract_all(s, '[.!?]+')), 1)
+                     as bigint) as sentences,
+                cast(len(regexp_extract_all(lower(s), '[aeiouy]+'))
+                  + len(list_filter(string_split(lower(s), ' '),
+                                    x -> not regexp_matches(x, '[aeiouy]')))
+                  as bigint) as syllables
+              from t
+            )
+            select doc_id, words, sentences, syllables,
+              floor((206.835
+                     - 1.015 * (cast(words as double) / cast(sentences as double))
+                     - 84.6 * (cast(syllables as double) / cast(words as double)))
+                    * 10000 + 0.5) / 10000 as flesch
+            from c
         """,
         "q_bm25_search": """
             with t as (

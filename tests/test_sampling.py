@@ -121,3 +121,32 @@ class TestBm25:
         a = sorted(map(tuple, bm25_scores(df, ["w1", "w7"]).collect()))
         b = sorted(map(tuple, bm25_scores(df, ["w1", "w7"]).collect()))
         assert a == b and len(a) > 0
+
+
+class TestTfidfReadability:
+    def test_tfidf_ranks_distinctive_terms(self, spark):
+        from unstructured_spark.operators.text_analysis import tfidf_top_terms
+
+        rows = [
+            (1, "shared shared unique1"),
+            (2, "shared shared unique2"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {(r["doc_id"], r["rank"]): r["term"] for r in
+               tfidf_top_terms(df, k=2).collect()}
+        # the corpus-wide term scores 0 (ln(2/2)); the unique term wins
+        assert got[(1, 1)] == "unique1" and got[(2, 1)] == "unique2"
+
+    def test_readability_counts(self, spark):
+        from unstructured_spark.operators.text_analysis import readability
+
+        [r] = readability(
+            spark.createDataFrame(
+                [(1, "The cat sat. The dog ran!")], "doc_id long, text string"
+            )
+        ).collect()
+        assert r["words"] == 6
+        assert r["sentences"] == 2
+        assert r["syllables"] == 6  # one vowel group per word
+        # 206.835 - 1.015*3 - 84.6*1 = 119.19
+        assert abs(r["flesch"] - 119.19) < 0.001

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # Common English stopwords used for quality scoring.
 STOPWORDS = (
@@ -238,4 +239,74 @@ def bm25_scores(
         )
         .filter(F.col("_m") > 0)
         .drop("_m")
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    *,
+    text: str = "text",
+    doc_id: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """Top-k characteristic terms per document by tf·idf (idf =
+    ln(N/df), ties → lexicographic term) — the classic corpus-keyword
+    primitive. One word-count shuffle on (doc, term), a broadcast-sized
+    df join (vocabulary ≪ corpus), and a per-doc top-k window.
+    Returns (doc_id, term, tfidf, rank)."""
+    n = df.count()
+    toks = F.explode(F.split(F.trim(F.col(text)), "\\s+")).alias("term")
+    tf = (
+        df.select(F.col(doc_id).alias("doc"), toks)
+        .groupBy("doc", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.countDistinct("doc").alias("df"))
+    scored = tf.join(F.broadcast(dfreq), "term").select(
+        F.col("doc").alias(doc_id),
+        "term",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n)) / F.col("df").cast("double")), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy(doc_id).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def readability(
+    df: DataFrame, *, text: str = "text", doc_id: str = "doc_id"
+) -> DataFrame:
+    """Flesch reading-ease per document from deterministic counts:
+    words (whitespace tokens), sentences (terminator runs, min 1),
+    syllables (vowel-group runs per word, min 1 per word). All native
+    regexp counts — zero shuffle, engine-portable. Returns
+    (doc_id, words, sentences, syllables, flesch)."""
+    t = F.trim(F.col(text))
+    words = F.size(F.split(t, "\\s+")).cast("bigint")
+    sentences = F.greatest(
+        F.regexp_count(t, F.lit(r"[.!?]+")), F.lit(1)
+    ).cast("bigint")
+    vowel_groups = F.regexp_count(F.lower(t), F.lit(r"[aeiouy]+"))
+    # every word counts at least one syllable
+    no_vowel_words = F.size(
+        F.filter(
+            F.split(F.lower(t), "\\s+"),
+            lambda x: ~x.rlike("[aeiouy]"),
+        )
+    )
+    syllables = (vowel_groups + no_vowel_words).cast("bigint")
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (words.cast("double") / sentences.cast("double"))
+        - F.lit(84.6) * (syllables.cast("double") / words.cast("double"))
+    )
+    return df.select(
+        F.col(doc_id),
+        words.alias("words"),
+        sentences.alias("sentences"),
+        syllables.alias("syllables"),
+        F.round(flesch, 4).alias("flesch"),
     )
