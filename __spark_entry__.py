@@ -951,6 +951,15 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel(ev, ["view", "click", "purchase"], within_seconds=24 * 3600)
 
 
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle over events: first-activity
+    week per user, users-still-active per (cohort, offset). Integer
+    epoch-microsecond buckets — engine-exact."""
+    from unstructured_spark.operators.funnel import cohort_retention
+
+    return cohort_retention(_t(spark, sf_dir, "events"))
+
+
 def q_overlap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Element bounding-box QA audit (reference utils.py
     catch_overlapping_and_nested_bboxes): four synthetic elements per
@@ -2100,6 +2109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_readability": q_readability,
         "q_overlap_audit": q_overlap_audit,  # oracle below replays the decision tree
         "q_funnel": q_funnel,
+        "q_cohort_retention": q_cohort_retention,
         "q_metrics_grouped": q_metrics_grouped,
         "q_quantized_codes": q_quantized_codes,
         "q_random_projection": q_random_projection,
@@ -2409,6 +2419,20 @@ def oracle_sql() -> dict[str, str]:
                                          for i in range(0, 64)], 'sum')
                          * 1000000000.0 + 0.5) / 1000000000.0 as value
             from base b cross join planes p
+        """,
+        "q_cohort_retention": """
+            with active as (
+              select distinct user_id as u,
+                     epoch_us(ts) // 604800000000 as p
+              from events
+            ), cohorts as (
+              select u, min(p) as cohort_p from active group by u
+            )
+            select c.cohort_p as cohort_period,
+                   a.p - c.cohort_p as period_offset,
+                   cast(count(distinct a.u) as bigint) as users
+            from active a join cohorts c on a.u = c.u
+            group by 1, 2
         """,
         "q_funnel": """
             with e as (

@@ -64,3 +64,32 @@ class TestFunnel:
         per_user = funnel(ev, ["view", "click", "purchase"], within_seconds=60)
         got = {r["step"]: r["users"] for r in funnel_summary(per_user, 3).collect()}
         assert got == {1: 3, 2: 2, 3: 1}
+
+
+class TestCohortRetention:
+    def test_triangle_counts(self, spark):
+        from unstructured_spark.operators.funnel import cohort_retention
+
+        # users 1,2 start week 0; user 1 returns week 1; user 3 starts week 1
+        week = 7 * 86400
+        ev = _ev(
+            spark,
+            [
+                (1, 0, "view"), (2, 0, "view"),
+                (1, week + 10, "view"),
+                (3, week + 20, "view"),
+            ],
+        )
+        rows = cohort_retention(ev).collect()
+        base = min(r["cohort_period"] for r in rows)
+        got = {(r["cohort_period"] - base, r["period_offset"]): r["users"] for r in rows}
+        assert got[(0, 0)] == 2  # cohort week 0 size
+        assert got[(0, 1)] == 1  # user 1 retained
+        assert got[(1, 0)] == 1  # cohort week 1
+
+    def test_duplicate_events_count_once(self, spark):
+        from unstructured_spark.operators.funnel import cohort_retention
+
+        ev = _ev(spark, [(1, 0, "view"), (1, 5, "click"), (1, 9, "view")])
+        rows = cohort_retention(ev).collect()
+        assert len(rows) == 1 and rows[0]["users"] == 1

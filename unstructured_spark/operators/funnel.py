@@ -103,3 +103,42 @@ def funnel_summary(per_user: DataFrame, num_steps: int) -> DataFrame:
             "r.users",
         )
     )
+
+
+def cohort_retention(
+    events: DataFrame,
+    *,
+    user: str = "user_id",
+    ts: str = "ts",
+    period_seconds: int = 7 * 86400,
+) -> DataFrame:
+    """Cohort retention: users grouped by first-activity period, then
+    for each later period the count still active — the standard
+    retention-triangle input (cohort_period, period_offset, users).
+
+    Integer-exact: periods are epoch-microsecond floor-divisions, so
+    any engine computes identical buckets. Shape: one per-user min
+    aggregate (the cohort), one distinct over (user, period), a
+    shuffle-aligned join on user, and the final count-distinct — all
+    keyed on uniform ids.
+    """
+    p_us = int(period_seconds) * 1_000_000
+    active = (
+        events.select(
+            F.col(user).alias("u"), F.unix_micros(F.col(ts)).alias("_us")
+        )
+        # integer division, not floor(double/double): at ~1.7e15 µs a
+        # double quotient can land one ulp below an exact multiple and
+        # floor off-by-one; `div` is exact in both engines
+        .select("u", F.expr(f"_us div {p_us}").cast("bigint").alias("p"))
+        .distinct()
+    )
+    cohorts = active.groupBy("u").agg(F.min("p").alias("cohort_p"))
+    joined = active.join(cohorts, "u")
+    return (
+        joined.groupBy(
+            F.col("cohort_p").alias("cohort_period"),
+            (F.col("p") - F.col("cohort_p")).alias("period_offset"),
+        )
+        .agg(F.count_distinct("u").alias("users"))
+    )
