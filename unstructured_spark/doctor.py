@@ -42,6 +42,7 @@ AGENT_FORMATS: dict[str, tuple[str, str]] = {
 UNSUPPORTED_FORMATS: dict[str, str] = {
     "mp3": "an MP3 decoder + speech-to-text model",
     "mp4": "an MP4 demuxer + speech-to-text model",
+    "heic": "an HEIC/HEVC decoder (pillow-heif)",
 }
 
 _FAMILIES: dict[str, tuple[str, ...]] = {

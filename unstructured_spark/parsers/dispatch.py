@@ -163,6 +163,10 @@ _PARTITIONERS: dict[str, Callable[..., list[dict]]] = {
     "wav": lambda c, **kw: _lazy("audio_parser", "audio_to_elements")(c),
     "mp3": _unsupported("audio", "a speech-to-text model"),
     "mp4": _unsupported("audio", "a speech-to-text model"),
+    # detection knows the brand (filetype.py HEIC sniff); decode needs
+    # an HEVC codec the stdlib pipeline cannot provide (the reference
+    # needs pillow-heif for the same reason)
+    "heic": _unsupported("image", "an HEIC/HEVC decoder (pillow-heif)"),
 }
 
 
