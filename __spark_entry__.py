@@ -951,6 +951,29 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel(ev, ["view", "click", "purchase"], within_seconds=24 * 3600)
 
 
+def q_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-user outlier detection on event values: median /
+    MAD (sort-based statistics — deterministic across engines, unlike
+    mean/stdev whose distributed summation order varies), flagging
+    |value − median| > 3·MAD. Two grouped percentile aggregates and
+    shuffle-aligned joins on user_id."""
+    ev = _t(spark, sf_dir, "events")
+    med = ev.groupBy("user_id").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    j = ev.join(med, "user_id").withColumn(
+        "absdev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = j.groupBy("user_id").agg(
+        F.percentile("absdev", F.lit(0.5)).alias("mad")
+    )
+    return (
+        j.join(mad, "user_id")
+        .filter(F.col("absdev") > 3.0 * F.col("mad"))
+        .select("user_id", "event_id", F.round("value", 6).alias("value"))
+    )
+
+
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention triangle over events: first-activity
     week per user, users-still-active per (cohort, offset). Integer
@@ -2110,6 +2133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_overlap_audit": q_overlap_audit,  # oracle below replays the decision tree
         "q_funnel": q_funnel,
         "q_cohort_retention": q_cohort_retention,
+        "q_value_outliers": q_value_outliers,
         "q_metrics_grouped": q_metrics_grouped,
         "q_quantized_codes": q_quantized_codes,
         "q_random_projection": q_random_projection,
@@ -2419,6 +2443,23 @@ def oracle_sql() -> dict[str, str]:
                                          for i in range(0, 64)], 'sum')
                          * 1000000000.0 + 0.5) / 1000000000.0 as value
             from base b cross join planes p
+        """,
+        "q_value_outliers": """
+            with med as (
+              select user_id, quantile_cont(value, 0.5) as med
+              from events group by user_id
+            ), j as (
+              select e.user_id, e.event_id, e.value,
+                     abs(e.value - m.med) as absdev
+              from events e join med m using (user_id)
+            ), mad as (
+              select user_id, quantile_cont(absdev, 0.5) as mad
+              from j group by user_id
+            )
+            select j.user_id, j.event_id,
+                   floor(j.value * 1000000 + 0.5) / 1000000 as value
+            from j join mad using (user_id)
+            where j.absdev > 3.0 * mad.mad
         """,
         "q_cohort_retention": """
             with active as (
