@@ -301,3 +301,41 @@ class TestQualityFilterProperties:
         ):
             assert 0.0 <= r[c] <= 1.0, (c, r[c], repr(text))
         assert r["word_count"] >= 0 and r["mean_word_len"] >= 0.0
+
+
+class TestPackingProperties:
+    def test_token_conservation_and_contiguity(self, spark):
+        """pack_sequences is a bijection on token positions: ranges
+        cover every document token exactly once, and global positions
+        (seq_id·L + seq_token_start) reconstruct the cumsum order."""
+        import random
+
+        from unstructured_spark.operators.sampling import pack_sequences
+
+        rng = random.Random(7)
+        sizes = [rng.randrange(1, 40) for _ in range(60)]
+        rows = [(i, " ".join(["w"] * n)) for i, n in enumerate(sizes)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = pack_sequences(df, 32, block_size=16).collect()
+        per_doc = {}
+        for r in out:
+            per_doc.setdefault(r["doc_id"], []).append(r)
+        assert set(per_doc) == set(range(60))
+        for i, n in enumerate(sizes):
+            spans = sorted(
+                (r["doc_token_start"], r["doc_token_end"]) for r in per_doc[i]
+            )
+            # contiguous, non-overlapping, covering [0, n)
+            assert spans[0][0] == 0 and spans[-1][1] == n
+            for (a1, b1), (a2, b2) in zip(spans, spans[1:]):
+                assert b1 == a2
+        total = sum(r["doc_token_end"] - r["doc_token_start"] for r in out)
+        assert total == sum(sizes)
+        # every sequence except the last is exactly full
+        seq_fill = {}
+        for r in out:
+            seq_fill[r["seq_id"]] = seq_fill.get(r["seq_id"], 0) + (
+                r["doc_token_end"] - r["doc_token_start"]
+            )
+        last = max(seq_fill)
+        assert all(v == 32 for s, v in seq_fill.items() if s != last)
