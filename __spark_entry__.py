@@ -688,6 +688,15 @@ def q_shared_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.shared_ngram_spans(docs, k=15)
 
 
+def q_remove_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-dedup ACTION (Lee et al. 2022): documents rewritten
+    with >=15-token verbatim shared passages cut from the later doc
+    (first occurrence kept). Span positions explode to a removal set,
+    a left-anti join drops them, an ordered agg rebuilds the text."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.remove_shared_spans(docs, k=15)
+
+
 def q_contaminated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: 13-gram verbatim overlap of each
     corpus doc against a held-out 'benchmark' slice (deterministic
@@ -2121,6 +2130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dup_clusters": q_dup_clusters,
         "q_drop_near_duplicates": q_drop_near_duplicates,
         "q_shared_ngram_spans": q_shared_ngram_spans,
+        "q_remove_shared_spans": q_remove_shared_spans,
         "q_contaminated_docs": q_contaminated_docs,
         "q_pii_stats": q_pii_stats,
         "q_redacted_docs": q_redacted_docs,
@@ -3145,6 +3155,55 @@ left join stats s using (doc_id)
             select doc_a, doc_b, min(pos_a) as start_a, min(pos_b) as start_b,
                    cast(count(*) + 15 - 1 as bigint) as match_tokens
             from isl group by doc_a, doc_b, diag, islid
+        """,
+        "q_remove_shared_spans": """
+            with toks0 as (
+              select doc_id, string_split(trim(text), ' ') as t from documents
+            ), pos as (
+              select doc_id, t, unnest(range(0, len(t) - 15 + 1)) as pos
+              from toks0 where len(t) >= 15
+            ), gh as (
+              select doc_id, pos,
+                     cast(('0x' || substr(md5(array_to_string(t[pos+1 : pos+15], ' ')),
+                                          1, 15)) as bigint) as gh
+              from pos
+            ), m as (
+              select a.doc_id as doc_a, b.doc_id as doc_b,
+                     a.pos as pos_a, b.pos as pos_b
+              from gh a join gh b on a.gh = b.gh and a.doc_id < b.doc_id
+            ), isl as (
+              select *, pos_a - pos_b as diag,
+                     pos_a - row_number() over (
+                       partition by doc_a, doc_b, pos_a - pos_b
+                       order by pos_a) as islid
+              from m
+            ), spans as (
+              select doc_b, min(pos_b) as start_b,
+                     count(*) + 15 - 1 as mt
+              from isl group by doc_a, doc_b, diag, islid
+            ), removal as (
+              select distinct doc_b as doc,
+                     unnest(range(start_b, start_b + mt)) as pos
+              from spans
+            ), tokpos as (
+              select doc_id as doc,
+                     unnest([{'pos': i - 1, 'tok': t[i]}
+                             for i in range(1, len(t) + 1)], recursive := true)
+              from toks0
+            ), kept as (
+              select tp.doc, tp.pos, tp.tok
+              from tokpos tp anti join removal r
+                on tp.doc = r.doc and tp.pos = r.pos
+            ), rebuilt as (
+              select doc, string_agg(tok, ' ' order by pos) as text,
+                     cast(count(*) as bigint) as kept
+              from kept group by doc
+            ), ntok as (
+              select doc_id as doc, cast(len(t) as bigint) as n from toks0
+            )
+            select n.doc as doc_id, coalesce(r.text, '') as text,
+                   n.n - coalesce(r.kept, 0) as removed_tokens
+            from ntok n left join rebuilt r on n.doc = r.doc
         """,
         "q_contaminated_docs": """
             with toks as (

@@ -89,3 +89,52 @@ class TestContaminatedDocs:
         )
         [r] = contaminated_docs(corpus, bench, k=13).collect()
         assert r["contaminated_grams"] == 1
+
+
+class TestRemoveSharedSpans:
+    def test_keeps_first_occurrence_cuts_second(self, spark):
+        shared = _words("s", 8)
+        df = spark.createDataFrame(
+            [
+                ("a", shared + " " + _words("x", 4)),
+                ("b", _words("y", 3) + " " + shared + " " + _words("z", 2)),
+            ],
+            "doc_id string, text string",
+        )
+        from unstructured_spark.operators.dedup import remove_shared_spans
+
+        got = {r["doc_id"]: r for r in remove_shared_spans(df, k=5).collect()}
+        assert got["a"]["removed_tokens"] == 0
+        assert got["a"]["text"] == shared + " " + _words("x", 4)
+        assert got["b"]["removed_tokens"] == 8
+        assert got["b"]["text"] == _words("y", 3) + " " + _words("z", 2)
+
+    def test_no_spans_no_change(self, spark):
+        from unstructured_spark.operators.dedup import remove_shared_spans
+
+        df = spark.createDataFrame(
+            [("a", _words("p", 6)), ("b", _words("q", 6))],
+            "doc_id string, text string",
+        )
+        got = {r["doc_id"]: r for r in remove_shared_spans(df, k=5).collect()}
+        assert all(r["removed_tokens"] == 0 for r in got.values())
+
+    def test_overlapping_spans_union(self, spark):
+        # doc c shares one long run with a and a shifted overlapping run
+        # with b; removal is the positional UNION, counted once
+        base = _words("s", 12)
+        from unstructured_spark.operators.dedup import remove_shared_spans
+
+        df = spark.createDataFrame(
+            [
+                ("a", base),
+                ("b", _words("s", 12)),  # identical -> same spans
+                ("c", base + " tail1 tail2"),
+            ],
+            "doc_id string, text string",
+        )
+        got = {r["doc_id"]: r for r in remove_shared_spans(df, k=5).collect()}
+        assert got["a"]["removed_tokens"] == 0  # first occurrence everywhere
+        assert got["b"]["removed_tokens"] == 12
+        assert got["c"]["removed_tokens"] == 12
+        assert got["c"]["text"] == "tail1 tail2"

@@ -668,3 +668,69 @@ def contaminated_docs(
             F.count("*") / (F.first("_ntok") - k + 1).cast("double"), 6
         ).alias("contamination"),
     )
+
+
+def remove_shared_spans(
+    df: DataFrame,
+    *,
+    text: str = "text",
+    doc_id: str = "doc_id",
+    k: int = 15,
+    max_gram_freq: int | None = None,
+) -> DataFrame:
+    """The substring-dedup ACTION (Lee et al. 2022): rewrite each
+    document with verbatim shared passages removed, keeping the FIRST
+    occurrence (the span stays in the lower doc id, is cut from the
+    higher). Returns (doc_id, text, removed_tokens).
+
+    Shape on top of ``shared_ngram_spans``: spans explode to a distinct
+    (doc, position) removal set; the corpus explodes to (doc, position,
+    token); a left-anti join drops removed positions and an ordered
+    per-doc aggregate rebuilds the text. Token-position volume equals
+    the tokenization volume the span finder already processes — no new
+    asymptotic cost, and every stage is keyed on uniform (doc, pos).
+    """
+    spans = shared_ngram_spans(
+        df, text=text, doc_id=doc_id, k=k, max_gram_freq=max_gram_freq
+    )
+    removal = (
+        spans.select(
+            F.col("doc_b").alias("doc"),
+            F.explode(
+                F.sequence(
+                    F.col("start_b"),
+                    F.col("start_b") + F.col("match_tokens") - 1,
+                )
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    toks = df.select(
+        F.col(doc_id).alias("doc"),
+        F.posexplode(F.split(F.trim(F.col(text)), "\\s+")).alias("pos", "tok"),
+    )
+    kept = toks.join(removal, ["doc", "pos"], "left_anti")
+    n_tokens = toks.groupBy("doc").agg(F.count("*").alias("_n"))
+    rebuilt = (
+        kept.groupBy("doc")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("text"),
+            F.count("*").alias("_kept"),
+        )
+    )
+    return (
+        n_tokens.join(rebuilt, "doc", "left")
+        .select(
+            F.col("doc").alias(doc_id),
+            F.coalesce(F.col("text"), F.lit("")).alias("text"),
+            (F.col("_n") - F.coalesce(F.col("_kept"), F.lit(0)))
+            .cast("bigint")
+            .alias("removed_tokens"),
+        )
+    )
