@@ -3429,7 +3429,7 @@ left join stats s using (doc_id)
               from documents
             ), tfc as (
               select doc_id, term, count(*) as tf
-              from tf group by doc_id, term
+              from tf where term != '' group by doc_id, term
             ), dfreq as (
               select term, count(distinct doc_id) as df from tfc group by term
             ), n as (
@@ -3449,7 +3449,9 @@ left join stats s using (doc_id)
         "q_readability": """
             with t as (
               select doc_id, trim(text) as s,
-                cast(len(string_split(trim(text), ' ')) as bigint) as words
+                cast(greatest(len(list_filter(string_split(trim(text), ' '),
+                                              x -> x != '')), 1)
+                     as bigint) as words
               from documents
             ), c as (
               select doc_id, words,
@@ -3471,7 +3473,8 @@ left join stats s using (doc_id)
         "q_bm25_search": """
             with t as (
               select doc_id, string_split(trim(text), ' ') as w,
-                     cast(len(string_split(trim(text), ' ')) as bigint) as dl
+                     cast(len(list_filter(string_split(trim(text), ' '),
+                                          x -> x != '')) as bigint) as dl
               from documents
             ), tf as (
               select doc_id, dl,
@@ -3519,7 +3522,8 @@ left join stats s using (doc_id)
         "q_pack_sequences": """
             with t as (
               select doc_id,
-                     cast(len(string_split(trim(text), ' ')) as bigint) as n
+                     cast(len(list_filter(string_split(trim(text), ' '),
+                                          x -> x != '')) as bigint) as n
               from documents
             ), p as (
               select doc_id, n,

@@ -25,10 +25,13 @@ summation, so vectors are quantized to integers (``floor(x·10⁶+0.5)``)
 and centroid state is kept as EXACT integer component sums plus a
 count — order-independent in any engine. Distances compare
 ``Σ (q_j·n_c − s_cj)²`` (the squared distance to the mean scaled by
-n_c², all inputs exact integers, summed in fixed index order), so
-assignment ties and argmins replay bit-for-bit in SQL. Clusters that
-lose every member simply disappear (both engines drop them the same
-way).
+n_c²). The inputs are exact integers but the fold itself runs in
+IEEE-double (``(q_j·n − s_j)²`` can exceed 2⁵³ for ~10⁶-scale
+quantized components, so the squares/sums are NOT exact); the oracle
+replays the identical double arithmetic in the identical fixed index
+order, which is what makes argmins and ties match engine-to-engine.
+Clusters that lose every member simply disappear (both engines drop
+them the same way).
 """
 
 from __future__ import annotations

@@ -583,15 +583,21 @@ def shared_ngram_spans(
     exact.
     """
     toks = F.split(F.trim(F.col(text)), "\\s+")
-    base = df.select(F.col(doc_id).alias("doc"), toks.alias("_t")).filter(
-        F.size("_t") >= k
+    # checkpoint the COMPACT tokenized base (one row/doc, ~corpus text
+    # size) rather than the exploded (doc, pos, gh) gram table (one row
+    # per corpus TOKEN): both self-join sides still skip the parquet
+    # scan + tokenize re-run, but executor storage pins O(docs) not
+    # O(tokens). The md5 gram hashing re-runs per side — map-only CPU,
+    # the right trade at 100 TB where a token-sized localCheckpoint is
+    # a non-replicated single-point-of-failure materialization.
+    base = (
+        df.select(F.col(doc_id).alias("doc"), toks.alias("_t"))
+        .filter(F.size("_t") >= k)
+        .localCheckpoint(eager=False)
     )
-    # checkpoint before the self-join: both join sides would otherwise
-    # re-run tokenize+md5 over the corpus (same rationale as
-    # simhash_pairs — a broadcast build side gets no ReusedExchange)
     grams = base.select(
         "doc", F.posexplode(_gram_hashes(F.col("_t"), k)).alias("pos", "gh")
-    ).localCheckpoint(eager=False)
+    )
     if max_gram_freq is not None:
         w = Window.partitionBy("gh")
         grams = (

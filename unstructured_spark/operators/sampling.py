@@ -98,7 +98,11 @@ def pack_sequences(
     back and added to the within-block cumulative window. No stage
     sees a single-partition global window.
     """
-    ntok = F.size(F.split(F.trim(F.col(text)), "\\s+"))
+    # split('') yields [''], so filter empties: a whitespace-only document
+    # must contribute 0 tokens, not a phantom 1 that shifts global offsets.
+    ntok = F.size(
+        F.filter(F.split(F.trim(F.col(text)), "\\s+"), lambda x: x != F.lit(""))
+    )
     base = df.select(
         F.col(doc_id).alias("doc"),
         (F.col(doc_id) / block_size).cast("bigint").alias("_blk"),

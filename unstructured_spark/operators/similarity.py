@@ -606,6 +606,8 @@ def ivfpq_topk(
         .collect()
     )
     dim = len(rows[0]["_q"])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
     d = dim // m
     coarse = [[int(x) for x in r["_q"]] for r in rows[:nlist]]
     cents = [

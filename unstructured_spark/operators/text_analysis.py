@@ -202,7 +202,9 @@ def bm25_scores(
     double argument), and the final score rounds to 6 decimals.
     """
     toks = F.split(F.trim(F.col(text)), "\\s+")
-    dl = F.size(toks).cast("long")
+    # split('') == [''] — drop empties so a whitespace-only doc has dl=0
+    # instead of a phantom token inflating sum_dl/avgdl.
+    dl = F.size(F.filter(toks, lambda x: x != F.lit(""))).cast("long")
 
     def tf(term: str) -> Column:
         return F.size(F.filter(toks, lambda x: x == F.lit(term)))
@@ -258,6 +260,7 @@ def tfidf_top_terms(
     toks = F.explode(F.split(F.trim(F.col(text)), "\\s+")).alias("term")
     tf = (
         df.select(F.col(doc_id).alias("doc"), toks)
+        .filter(F.col("term") != "")  # split('') == [''] phantom token
         .groupBy("doc", "term")
         .agg(F.count("*").alias("tf"))
     )
@@ -285,7 +288,13 @@ def readability(
     regexp counts — zero shuffle, engine-portable. Returns
     (doc_id, words, sentences, syllables, flesch)."""
     t = F.trim(F.col(text))
-    words = F.size(F.split(t, "\\s+")).cast("bigint")
+    # empty-doc guard: split('') == [''], so filter empties and floor the
+    # word count at 1 to keep the flesch divisions defined (mirrored in
+    # the DuckDB oracle).
+    words = F.greatest(
+        F.size(F.filter(F.split(t, "\\s+"), lambda x: x != F.lit(""))),
+        F.lit(1),
+    ).cast("bigint")
     sentences = F.greatest(
         F.regexp_count(t, F.lit(r"[.!?]+")), F.lit(1)
     ).cast("bigint")

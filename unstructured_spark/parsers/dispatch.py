@@ -240,7 +240,10 @@ def partition_bytes(
             els = fn(content, html_parser_version=html_parser_version)
     except (UnsupportedFormatError, ValueError):
         raise
-    except RecursionError:
+    except (RecursionError, MemoryError):
+        # resource exhaustion is an executor problem, not malformed input —
+        # reclassifying it would silently drop healthy documents under
+        # on_error='skip'.
         raise
     except Exception as e:
         raise MalformedDocumentError(
