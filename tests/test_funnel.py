@@ -65,6 +65,41 @@ class TestFunnel:
         got = {r["step"]: r["users"] for r in funnel_summary(per_user, 3).collect()}
         assert got == {1: 3, 2: 2, 3: 1}
 
+    def test_strategies_agree(self, spark):
+        ev = _ev(
+            spark,
+            [
+                (1, 0, "view"), (1, 5, "purchase"), (1, 10, "click"),
+                (2, 0, "view"), (2, 60, "click"), (2, 7200, "purchase"),
+                (3, 0, "click"),
+                (4, 0, "view"), (4, 0, "click"), (4, 1, "purchase"),
+                (5, 0, "view"), (5, 100, "view"), (5, 110, "click"),
+            ],
+        )
+        kw = dict(within_seconds=3600)
+        a = sorted(
+            funnel(ev, ["view", "click", "purchase"], strategy="window", **kw)
+            .collect(),
+            key=lambda r: r["user_id"],
+        )
+        b = sorted(
+            funnel(ev, ["view", "click", "purchase"], strategy="collect", **kw)
+            .collect(),
+            key=lambda r: r["user_id"],
+        )
+        assert [r.asDict() for r in a] == [r.asDict() for r in b]
+
+    def test_default_plan_has_no_collect_list_and_one_exchange(self, spark):
+        # the scale contract: the default funnel never materializes a
+        # per-user event array, and the whole chain hangs off ONE
+        # exchange on user_id
+        ev = _ev(spark, [(1, 0, "view"), (1, 10, "click")])
+        df = funnel(ev, ["view", "click"], within_seconds=60)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "collect_list" not in plan
+        n_exchange = plan.count("Exchange hashpartitioning")
+        assert n_exchange == 1, plan
+
 
 class TestCohortRetention:
     def test_triangle_counts(self, spark):
