@@ -1214,6 +1214,99 @@ def _small_text_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _form_detections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic FormKey/FormValue/Table detections, one form page per
+    doc, exercising every pairing rule: inline (key 1), below (key 2),
+    parity-alternating nearest-of-two (key 3), orphan (key 4),
+    value-conflict where the closer key 6 beats key 5, and a
+    table-hosted pair (key 7 + value 205) that skip_table_regions
+    drops. The whole page is rigidly translated by (doc%7, doc%11) so
+    coordinates vary per doc while relations stay fixed."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("_d")
+    dx = (d % 7).cast("double")
+    dy = (d % 11).cast("double")
+    ga = (10 + (d % 2) * 40).cast("double")
+    gb = (30 - (d % 2) * 20).cast("double")
+
+    def box(bid, kind, tag, x1, y1, x2, y2):
+        txt = (
+            F.lit(None).cast("string")
+            if tag is None
+            else F.concat(F.lit(tag + "_"), F.col("doc_id"))
+        )
+        return F.struct(
+            F.lit(bid).cast("int").alias("box_id"),
+            F.lit(kind).alias("kind"),
+            txt.alias("text"),
+            (x1 + dx).cast("double").alias("x1"),
+            (y1 + dy).cast("double").alias("y1"),
+            (x2 + dx).cast("double").alias("x2"),
+            (y2 + dy).cast("double").alias("y2"),
+        )
+
+    z = F.lit(0.0)
+    boxes = F.array(
+        box(1, "FormKey", "k1", z + 50, z, z + 150, z + 20),
+        box(2, "FormKey", "k2", z + 50, z + 100, z + 150, z + 120),
+        box(3, "FormKey", "k3", z + 50, z + 200, z + 150, z + 220),
+        box(4, "FormKey", "k4", z + 50, z + 400, z + 150, z + 420),
+        box(5, "FormKey", "k5", z + 600, z, z + 700, z + 20),
+        box(6, "FormKey", "k6", z + 720, z, z + 780, z + 20),
+        box(7, "FormKey", "k7", z + 60, z + 300, z + 160, z + 320),
+        box(200, "FormValue", "v200", z + 160, z, z + 260, z + 20),
+        box(201, "FormValue", "v201", z + 50, z + 130, z + 150, z + 150),
+        box(202, "FormValue", "v202", ga + 160, z + 200, ga + 260, z + 220),
+        box(203, "FormValue", "v203", gb + 160, z + 200, gb + 260, z + 220),
+        box(204, "FormValue", "v204", z + 800, z, z + 900, z + 20),
+        box(205, "FormValue", "v205", z + 170, z + 300, z + 270, z + 320),
+        box(900, "Table", None, z + 40, z + 290, z + 400, z + 400),
+    )
+    return (
+        docs.select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.col("doc_id").cast("long").alias("_d"),
+        )
+        .select("doc_id", F.explode(boxes).alias("b"))
+        .select(
+            "doc_id",
+            F.lit(1).alias("page_number"),
+            F.col("b.box_id").alias("box_id"),
+            F.col("b.kind").alias("kind"),
+            F.col("b.text").alias("text"),
+            F.col("b.x1").alias("x1"),
+            F.col("b.y1").alias("y1"),
+            F.col("b.x2").alias("x2"),
+            F.col("b.y2").alias("y2"),
+        )
+    )
+
+
+def q_form_kv_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hi_res form extraction — the reference's extract_forms surface
+    (partition/pdf.py:1047-1080; FormKeyValuePair shape
+    documents/elements.py:138-147; run_form_extraction itself is a
+    NotImplementedError stub in the reference, so the model-free
+    geometry here defines the semantics). Injectable detections →
+    native per-page pairing join + two windows; the oracle replays the
+    full geometry in SQL."""
+    from unstructured_spark.operators.form_extraction import form_kv_pairs
+
+    det = _form_detections(spark, sf_dir)
+    out = form_kv_pairs(det)
+    return out.select(
+        "doc_id",
+        F.col("page_number").cast("bigint").alias("page_number"),
+        F.col("key_box_id").cast("bigint").alias("key_box_id"),
+        "key_text",
+        F.col("value_box_id").cast("bigint").alias("value_box_id"),
+        "value_text",
+        "relation",
+        "gap",
+        "confidence",
+    )
+
+
 def q_box_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fake-bold/shadow-text bbox dedup: drop boxes whose IoU with a
     later box exceeds 0.5 (reference remove_duplicate_elements,
@@ -2085,6 +2178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embed_topk": q_embed_topk,
         "q_embed_centroids": q_embed_centroids,
         "q_embed_neardup": q_embed_neardup,
+        "q_form_kv_pairs": q_form_kv_pairs,
         "q_srp_ann_topk": q_srp_ann_topk,
         "q_ivf_ann_topk": q_ivf_ann_topk,
         "q_edit_distance": q_edit_distance,
@@ -2908,6 +3002,116 @@ left join stats s using (doc_id)
             )
             select id_a, id_b, cosine_sim from scored
             where cosine_sim >= 0.3
+        """,
+        "q_form_kv_pairs": """
+            with base as (
+              select cast(doc_id as varchar) as doc_id,
+                     cast(doc_id as bigint) as d
+              from documents
+            ), p as (
+              select doc_id, cast(d % 7 as double) as dx,
+                     cast(d % 11 as double) as dy,
+                     cast(10 + (d % 2) * 40 as double) as ga,
+                     cast(30 - (d % 2) * 20 as double) as gb
+              from base
+            ), tmpl(box_id, kind, tag, gx, bx1, by1, bx2, by2) as (
+              values (1,'FormKey','k1',0, 50,0,150,20),
+                     (2,'FormKey','k2',0, 50,100,150,120),
+                     (3,'FormKey','k3',0, 50,200,150,220),
+                     (4,'FormKey','k4',0, 50,400,150,420),
+                     (5,'FormKey','k5',0, 600,0,700,20),
+                     (6,'FormKey','k6',0, 720,0,780,20),
+                     (7,'FormKey','k7',0, 60,300,160,320),
+                     (200,'FormValue','v200',0, 160,0,260,20),
+                     (201,'FormValue','v201',0, 50,130,150,150),
+                     (202,'FormValue','v202',1, 160,200,260,220),
+                     (203,'FormValue','v203',2, 160,200,260,220),
+                     (204,'FormValue','v204',0, 800,0,900,20),
+                     (205,'FormValue','v205',0, 170,300,270,320),
+                     (900,'Table',null,0, 40,290,400,400)
+            ), det as (
+              select p.doc_id, 1 as page_number, t.box_id, t.kind,
+                case when t.tag is null then null
+                     else t.tag || '_' || p.doc_id end as text,
+                t.bx1 + p.dx
+                  + case t.gx when 1 then p.ga when 2 then p.gb
+                              else 0 end as x1,
+                t.by1 + p.dy as y1,
+                t.bx2 + p.dx
+                  + case t.gx when 1 then p.ga when 2 then p.gb
+                              else 0 end as x2,
+                t.by2 + p.dy as y2
+              from p cross join tmpl t
+            ), tbl as (
+              select * from det where kind = 'Table'
+            ), keys as (
+              select k.* from det k
+              where k.kind = 'FormKey' and not exists (
+                select 1 from tbl t
+                where t.doc_id = k.doc_id and t.page_number = k.page_number
+                  and greatest(least(k.x2,t.x2)-greatest(k.x1,t.x1)+1, 0)
+                      * greatest(least(k.y2,t.y2)-greatest(k.y1,t.y1)+1, 0)
+                      > 0.5 * greatest(0.01, (k.x2-k.x1+1)*(k.y2-k.y1+1))
+                  and (k.x2-k.x1+1)*(k.y2-k.y1+1)
+                      <= (t.x2-t.x1+1)*(t.y2-t.y1+1))
+            ), vals as (
+              select v.* from det v
+              where v.kind = 'FormValue' and not exists (
+                select 1 from tbl t
+                where t.doc_id = v.doc_id and t.page_number = v.page_number
+                  and greatest(least(v.x2,t.x2)-greatest(v.x1,t.x1)+1, 0)
+                      * greatest(least(v.y2,t.y2)-greatest(v.y1,t.y1)+1, 0)
+                      > 0.5 * greatest(0.01, (v.x2-v.x1+1)*(v.y2-v.y1+1))
+                  and (v.x2-v.x1+1)*(v.y2-v.y1+1)
+                      <= (t.x2-t.x1+1)*(t.y2-t.y1+1))
+            ), cand as (
+              select k.doc_id, k.page_number,
+                     k.box_id as kid, k.text as ktext,
+                     v.box_id as vid, v.text as vtext,
+                     case when (v.x1 - k.x2) >= 0 and (v.x1 - k.x2) <= 200
+                               and least(k.y2,v.y2) - greatest(k.y1,v.y1)
+                                   > 0.5 * least(k.y2-k.y1, v.y2-v.y1)
+                          then 'inline' else 'below' end as relation,
+                     cast(case when (v.x1 - k.x2) >= 0 and (v.x1 - k.x2) <= 200
+                               and least(k.y2,v.y2) - greatest(k.y1,v.y1)
+                                   > 0.5 * least(k.y2-k.y1, v.y2-v.y1)
+                          then v.x1 - k.x2 else v.y1 - k.y2 end
+                          as double) as gap
+              from keys k join vals v
+                on k.doc_id = v.doc_id and k.page_number = v.page_number
+               and (((v.x1 - k.x2) >= 0 and (v.x1 - k.x2) <= 200
+                     and least(k.y2,v.y2) - greatest(k.y1,v.y1)
+                         > 0.5 * least(k.y2-k.y1, v.y2-v.y1))
+                 or ((v.y1 - k.y2) >= 0 and (v.y1 - k.y2) <= 200
+                     and least(k.x2,v.x2) - greatest(k.x1,v.x1)
+                         > 0.5 * least(k.x2-k.x1, v.x2-v.x1)))
+            ), best as (
+              select * from (
+                select c.*, row_number() over (
+                  partition by doc_id, page_number, kid
+                  order by case when relation = 'inline' then 0 else 1 end,
+                           gap, vid) as rk
+                from cand c) where rk = 1
+            ), won as (
+              select * from (
+                select b.*, row_number() over (
+                  partition by doc_id, page_number, vid
+                  order by case when relation = 'inline' then 0 else 1 end,
+                           gap, kid) as rv
+                from best b) where rv = 1
+            )
+            select k.doc_id,
+                   cast(k.page_number as bigint) as page_number,
+                   cast(k.box_id as bigint) as key_box_id,
+                   k.text as key_text,
+                   cast(w.vid as bigint) as value_box_id,
+                   w.vtext as value_text,
+                   w.relation as relation,
+                   w.gap as gap,
+                   round(1.0 / (1.0 + w.gap / 100.0), 6) as confidence
+            from keys k left join won w
+              on w.doc_id = k.doc_id and w.page_number = k.page_number
+             and w.kid = k.box_id
         """,
         "q04_order_priority_check": """
             select o_orderpriority, cast(count(*) as bigint) as order_count
