@@ -56,6 +56,11 @@ class TestOpenAIShape:
                 "https://api.mixedbread.ai/v1/embeddings",
                 "mixedbread-ai/mxbai-embed-large-v1",
             ),
+            (
+                embed.OctoAIEncoder,
+                "https://text.octoai.run/v1/embeddings",
+                "thenlper/gte-large",
+            ),
         ],
     )
     def test_sibling_providers_share_wire_shape(self, cls, endpoint, model):

@@ -179,6 +179,17 @@ class MixedbreadAIEncoder(_OpenAIShapedEncoder):
         super().__init__(api_key, model_name, **kw)
 
 
+class OctoAIEncoder(_OpenAIShapedEncoder):
+    """reference embed/octoai.py (OctoAI serves the OpenAI embeddings
+    wire shape at text.octoai.run; default model thenlper/gte-large)."""
+
+    _endpoint = "https://text.octoai.run/v1"
+
+    def __init__(self, api_key: str,
+                 model_name: str = "thenlper/gte-large", **kw):
+        super().__init__(api_key, model_name, **kw)
+
+
 class BedrockEncoder:
     """reference embed/bedrock.py (Titan text embeddings). AWS sigv4
     auth needs boto3 — gated; tests inject a fake ``client`` exposing
@@ -269,6 +280,7 @@ _PROVIDERS: dict[str, Callable[..., EmbeddingEncoder]] = {
     "openai": OpenAIEncoder,
     "voyageai": VoyageAIEncoder,
     "mixedbreadai": MixedbreadAIEncoder,
+    "octoai": OctoAIEncoder,
     "bedrock": BedrockEncoder,
     "vertexai": VertexAIEncoder,
 }
