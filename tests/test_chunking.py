@@ -245,6 +245,60 @@ class TestTokenMode:
             ChunkingOptions(length_unit="words")
 
 
+class _FakeEncoding:
+    """Whitespace-word ids: enough to exercise the tiktoken seam
+    (measure by encode(), oversized split by id-window + decode)."""
+
+    def encode(self, text):
+        return text.split()
+
+    def decode(self, ids):
+        return " ".join(ids)
+
+
+class TestTiktokenSeam:
+    def _opts(self, **kw):
+        from unstructured_spark.operators import chunking
+
+        chunking._TIKTOKEN_ENCODERS["fake-model"] = _FakeEncoding()
+        return chunking.ChunkingOptions(
+            length_unit="tokens", tokenizer="fake-model", **kw
+        )
+
+    def test_measure_uses_configured_encoder(self):
+        opts = self._opts()
+        # fake counts whitespace words: "end." is 1 (tiktoken-style
+        # counts differ from the built-in _TOKEN_RE's 2)
+        assert opts.measure("end.") == 1
+        assert opts.measure("a, b") == 2
+
+    def test_split_windows_on_encoder_ids(self):
+        opts = self._opts(max_characters=5, overlap=2)
+        frags = opts.split(" ".join(f"w{i}" for i in range(12)))
+        assert all(len(f.split()) <= 5 for f in frags)
+        assert frags[1].split()[:2] == frags[0].split()[-2:]
+
+    def test_tokenizer_requires_token_mode(self):
+        import pytest
+
+        from unstructured_spark.operators.chunking import ChunkingOptions
+
+        with pytest.raises(ValueError, match="length_unit='tokens'"):
+            ChunkingOptions(tokenizer="cl100k_base")
+
+    def test_gated_without_tiktoken(self):
+        import importlib.util
+
+        import pytest
+
+        from unstructured_spark.operators.chunking import ChunkingOptions
+
+        if importlib.util.find_spec("tiktoken") is not None:
+            pytest.skip("tiktoken installed; gate not reachable")
+        with pytest.raises(ImportError, match="tiktoken"):
+            ChunkingOptions(length_unit="tokens", tokenizer="cl100k_base")
+
+
 class TestOverlapAll:
     def test_overlap_must_be_less_than_max(self):
         with pytest.raises(ValueError):

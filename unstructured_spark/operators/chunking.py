@@ -60,10 +60,21 @@ class ChunkingOptions:
     include_orig_elements: bool = True
     length_unit: str = "chars"  # 'chars' | 'tokens' (token-mode windows)
     repeat_table_headers: bool = True  # repeat header rows on TableChunks (base.py:200-206)
+    # tiktoken model/encoding name ("gpt-4", "cl100k_base", ...) for
+    # reference-exact token counts (base.py:54-77). None = the
+    # dependency-free deterministic tokenizer. Requires token mode and
+    # an installed tiktoken (import-gated; `doctor` lists the gate).
+    tokenizer: str | None = None
 
     def __post_init__(self) -> None:
         if self.length_unit not in ("chars", "tokens"):
             raise ValueError("length_unit must be 'chars' or 'tokens'")
+        if self.tokenizer is not None:
+            if self.length_unit != "tokens":
+                raise ValueError("'tokenizer' requires length_unit='tokens'")
+            # fail fast on the driver; executors re-resolve from the
+            # per-process cache (Encoding objects don't ship in closures)
+            _tiktoken_encoder(self.tokenizer)
         # overlap must be less than the hard max or the oversized-split
         # remainder never shrinks and the executor-side fold loops forever
         # (reference base.py:380-384 raises the same way)
@@ -85,6 +96,8 @@ class ChunkingOptions:
     def measure(self, text: str) -> int:
         if self.length_unit == "chars":
             return len(text)
+        if self.tokenizer is not None:
+            return len(_tiktoken_encoder(self.tokenizer).encode(text))
         return len(_TOKEN_RE.findall(text))
 
     def sep_cost(self) -> int:
@@ -94,6 +107,13 @@ class ChunkingOptions:
     def split(self, text: str) -> list[str]:
         if self.length_unit == "chars":
             return _split_oversized(text, self.max_characters, self.overlap)
+        if self.tokenizer is not None:
+            return _split_oversized_tiktoken(
+                text,
+                self.max_characters,
+                self.overlap,
+                _tiktoken_encoder(self.tokenizer),
+            )
         return _split_oversized_tokens(text, self.max_characters, self.overlap)
 
 
@@ -137,6 +157,56 @@ def _split_oversized(text: str, maxlen: int, overlap: int) -> list[str]:
         out.append(fragment)
     if remainder:
         out.append(remainder)
+    return out
+
+
+_TIKTOKEN_ENCODERS: dict[str, object] = {}
+
+
+def _tiktoken_encoder(name: str):
+    """Resolve a tiktoken encoding by model name then encoding name
+    (reference TokenCounter, chunking/base.py:54-77), cached
+    per-process. Import-gated: the container ships without tiktoken, so
+    the dependency-free tokenizer stays the default and this raises a
+    named gate when requested without the package (`doctor` lists it)."""
+    enc = _TIKTOKEN_ENCODERS.get(name)
+    if enc is None:
+        try:
+            import tiktoken
+        except ImportError as e:  # pragma: no cover - tiktoken not in container
+            raise ImportError(
+                "ChunkingOptions(tokenizer=...) needs the optional 'tiktoken' "
+                "package for reference-exact token counts; install it or use "
+                "tokenizer=None for the built-in deterministic tokenizer "
+                "(python -m unstructured_spark.doctor lists this gate)"
+            ) from e
+        try:
+            enc = tiktoken.encoding_for_model(name)
+        except KeyError:
+            enc = tiktoken.get_encoding(name)
+        _TIKTOKEN_ENCODERS[name] = enc
+    return enc
+
+
+def _split_oversized_tiktoken(
+    text: str, max_tokens: int, overlap: int, enc
+) -> list[str]:
+    """Oversized split on exact tiktoken ids: sliding window of
+    ``max_tokens`` ids stepping by ``max_tokens - overlap``, decoded
+    back to text. Mirrors _split_oversized_tokens' invariants (every
+    fragment <= max_tokens, overlap ids carried) with the reference's
+    token arithmetic."""
+    ids = enc.encode(text)
+    if len(ids) <= max_tokens:
+        return [text]
+    out: list[str] = []
+    step = max_tokens - overlap
+    start = 0
+    while start < len(ids):
+        out.append(enc.decode(ids[start : start + max_tokens]))
+        if start + max_tokens >= len(ids):
+            break
+        start += step
     return out
 
 
