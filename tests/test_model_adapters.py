@@ -1,0 +1,174 @@
+"""Contract tests for the import-gated model-runtime adapters (fakes
+stand in for pytesseract / onnxruntime, which the container lacks)."""
+
+import math
+
+import numpy as np
+import pytest
+
+from unstructured_spark.parsers import model_adapters as ma
+
+
+class _FakeOutput:
+    DICT = "dict"
+
+
+class _FakePytesseract:
+    Output = _FakeOutput
+
+    def __init__(self, data):
+        self._data = data
+        self.calls = []
+
+    def image_to_data(self, arr, lang, output_type):
+        self.calls.append((arr.shape, lang, output_type))
+        return self._data
+
+
+class TestTesseractOcrAgent:
+    def test_word_boxes_to_agent_dicts(self):
+        fake = _FakePytesseract(
+            {
+                "text": ["Hello", "  ", "world", ""],
+                "left": [10, 0, 60, 0],
+                "top": [20, 0, 20, 0],
+                "width": [40, 5, 45, 0],
+                "height": [12, 5, 12, 0],
+                "conf": [96, -1, 90, -1],
+            }
+        )
+        agent = ma.TesseractOcrAgent("deu", pytesseract=fake)
+        arr = np.zeros((100, 200, 3), dtype=np.uint8)
+        out = agent(arr, 200, 100)
+        assert [d["text"] for d in out] == ["Hello", "world"]
+        assert out[0] == {"text": "Hello", "x1": 10.0, "y1": 20.0, "x2": 50.0, "y2": 32.0}
+        assert fake.calls[0] == ((100, 200, 3), "deu", "dict")
+
+    def test_min_confidence_filter(self):
+        fake = _FakePytesseract(
+            {
+                "text": ["lo", "hi"],
+                "left": [0, 0],
+                "top": [0, 0],
+                "width": [10, 10],
+                "height": [10, 10],
+                "conf": [30, 95],
+            }
+        )
+        agent = ma.TesseractOcrAgent(pytesseract=fake, min_confidence=50)
+        assert [d["text"] for d in agent(np.zeros((8, 8, 3), np.uint8), 8, 8)] == ["hi"]
+
+    def test_gated_without_pytesseract(self):
+        import importlib.util
+
+        if importlib.util.find_spec("pytesseract") is not None:
+            pytest.skip("pytesseract installed")
+        with pytest.raises(ImportError, match="pytesseract"):
+            ma.TesseractOcrAgent()
+
+    def test_register(self):
+        from unstructured_spark.parsers import image_parser
+
+        fake = _FakePytesseract({"text": [], "left": [], "top": [],
+                                 "width": [], "height": [], "conf": []})
+        agent = ma.TesseractOcrAgent(pytesseract=fake).register()
+        try:
+            assert image_parser._OCR_AGENT is agent
+        finally:
+            image_parser.set_ocr_agent(None)
+
+
+class TestLetterbox:
+    def test_ratio_and_padding(self):
+        arr = np.full((50, 100, 3), 200, dtype=np.uint8)
+        chw, r = ma.letterbox(arr, (64, 64))
+        assert chw.shape == (1, 3, 64, 64)
+        assert r == 64 / 100
+        # resized content occupies the top rows, gray 114 pad below
+        assert chw[0, 0, 0, 0] == 200.0
+        assert chw[0, 0, 63, 63] == 114.0
+
+
+class TestNms:
+    def test_overlap_suppressed(self):
+        boxes = np.array([[0, 0, 10, 10], [1, 1, 11, 11], [50, 50, 60, 60]], float)
+        scores = np.array([0.9, 0.8, 0.7])
+        assert ma.nms(boxes, scores, 0.45) == [0, 2]
+
+
+class _FakeInput:
+    name = "images"
+
+
+class _FakeSession:
+    """Raw YOLOX head for input 64x64, strides 8/16/32 → 84 anchors."""
+
+    def __init__(self, raw):
+        self._raw = raw
+        self.feeds = []
+
+    def get_inputs(self):
+        return [_FakeInput()]
+
+    def run(self, _outs, feeds):
+        self.feeds.append(feeds)
+        return [self._raw]
+
+
+class TestOnnxLayoutModel:
+    def _raw_one_box(self):
+        raw = np.zeros((1, 84, 7), dtype=np.float32)
+        # anchor 0: stride-8 grid cell (0,0); center=(4+0)*8=(32,16),
+        # wh=(e^ln2*8, e^0*8)=(16,8); obj=1; class 0 scores 0.9
+        raw[0, 0, :2] = (4.0, 2.0)
+        raw[0, 0, 2:4] = (math.log(2.0), 0.0)
+        raw[0, 0, 4] = 1.0
+        raw[0, 0, 5] = 0.9
+        raw[0, 0, 6] = 0.1
+        return raw
+
+    def test_decode_threshold_and_mapping(self):
+        sess = _FakeSession(self._raw_one_box())
+        model = ma.OnnxLayoutModel(session=sess, input_size=(64, 64))
+        arr = np.zeros((64, 64, 3), dtype=np.uint8)
+        [det] = model(arr, 64, 64)
+        assert det["type"] == "Caption"  # DocLayNet label 0
+        assert (det["x1"], det["y1"], det["x2"], det["y2"]) == (24.0, 12.0, 40.0, 20.0)
+        assert abs(det["score"] - 0.9) < 1e-6
+        assert "images" in sess.feeds[0]
+
+    def test_score_threshold_drops_all(self):
+        sess = _FakeSession(self._raw_one_box())
+        model = ma.OnnxLayoutModel(
+            session=sess, input_size=(64, 64), score_threshold=0.95
+        )
+        assert model(np.zeros((64, 64, 3), np.uint8), 64, 64) == []
+
+    def test_ratio_rescales_to_original_pixels(self):
+        sess = _FakeSession(self._raw_one_box())
+        model = ma.OnnxLayoutModel(session=sess, input_size=(64, 64))
+        # original image 128x128 → ratio 0.5 → boxes double back
+        [det] = model(np.zeros((128, 128, 3), np.uint8), 128, 128)
+        assert (det["x1"], det["y1"], det["x2"], det["y2"]) == (48.0, 24.0, 80.0, 40.0)
+
+    def test_gated_without_onnxruntime(self):
+        import importlib.util
+
+        if importlib.util.find_spec("onnxruntime") is not None:
+            pytest.skip("onnxruntime installed")
+        with pytest.raises(ImportError, match="onnxruntime"):
+            ma.OnnxLayoutModel("model.onnx")
+
+    def test_register_and_pipeline(self):
+        from unstructured_spark.parsers import image_parser
+
+        sess = _FakeSession(self._raw_one_box())
+        model = ma.OnnxLayoutModel(session=sess, input_size=(64, 64)).register()
+        try:
+            assert image_parser._LAYOUT_MODEL is model
+            els = image_parser.elements_from_pixels(
+                np.zeros((64, 64, 3), dtype=np.uint8), 64, 64
+            )
+            assert isinstance(els, list)
+        finally:
+            image_parser.set_layout_model(None)

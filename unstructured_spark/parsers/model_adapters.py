@@ -1,0 +1,261 @@
+"""Import-gated adapters from real model runtimes to the hi_res plug
+points.
+
+The hi_res pipeline (``image_parser.py``, ``pdf_images.py``) consumes
+two process-global callables:
+
+    set_layout_model(fn)   # fn(rgb_ndarray, w, h) -> [{"type","x1","y1","x2","y2","score"}]
+    set_ocr_agent(fn)      # fn(rgb_ndarray, w, h) -> [{"text","x1","y1","x2","y2"}]
+
+This module supplies the glue a user with real weights/binaries needs
+so they never write it themselves (the reference wires the same two
+runtimes in ``unstructured_inference/models/yolox`` and
+``partition/utils/ocr_models/tesseract_ocr.py``):
+
+- ``TesseractOcrAgent`` — pytesseract ``image_to_data`` word boxes →
+  OCR-agent dicts (the reference's parse_data keeps non-empty text and
+  converts left/top/width/height to corner coords the same way).
+- ``OnnxLayoutModel`` — an onnxruntime detector session with
+  YOLOX-style decode (letterbox preprocess, grid/stride decode,
+  class-score threshold, NMS) → layout-model dicts. The label map
+  defaults to the 11-class DocLayNet set the reference's yolox layout
+  model emits.
+
+Neither runtime ships in this container: construction raises a NAMED
+import gate (``doctor`` lists both), and every pixel-independent piece
+(preprocess, decode, NMS, dict mapping) is covered by fake-backed
+contract tests so pointing real weights at it is wiring, not work.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Mapping, Sequence
+
+import numpy as np
+
+# DocLayNet classes in the order the reference's yolox layout model
+# predicts them (public label map).
+YOLOX_LABEL_MAP: dict[int, str] = {
+    0: "Caption",
+    1: "Footnote",
+    2: "Formula",
+    3: "ListItem",
+    4: "PageFooter",
+    5: "PageHeader",
+    6: "Picture",
+    7: "SectionHeader",
+    8: "Table",
+    9: "Text",
+    10: "Title",
+}
+
+
+# ---------------------------------------------------------------------------
+# Tesseract OCR agent
+# ---------------------------------------------------------------------------
+
+
+class TesseractOcrAgent:
+    """OCR agent backed by pytesseract's word-box TSV.
+
+    ``fn(arr, w, h)`` returns one dict per non-empty word:
+    left/top/width/height → (x1, y1, x2, y2), empty/whitespace text
+    dropped — the reference's ``OCRAgentTesseract.parse_data`` mask
+    (tesseract_ocr.py:198-241).
+    """
+
+    def __init__(
+        self,
+        language: str = "eng",
+        *,
+        min_confidence: float = 0.0,
+        pytesseract=None,
+    ):
+        if pytesseract is None:
+            try:
+                import pytesseract  # type: ignore[no-redef]
+            except ImportError as e:  # pragma: no cover - not in container
+                raise ImportError(
+                    "TesseractOcrAgent needs the optional 'pytesseract' package "
+                    "(plus a tesseract binary); python -m unstructured_spark.doctor "
+                    "lists this gate"
+                ) from e
+        self._pt = pytesseract
+        self.language = language
+        self.min_confidence = float(min_confidence)
+
+    def __call__(self, arr, w: int, h: int) -> list[dict]:
+        data: Mapping[str, Sequence] = self._pt.image_to_data(
+            arr, lang=self.language, output_type=self._pt.Output.DICT
+        )
+        out: list[dict] = []
+        for text, left, top, width, height, conf in zip(
+            data["text"], data["left"], data["top"],
+            data["width"], data["height"], data["conf"],
+        ):
+            text = str(text).strip()
+            if not text or float(conf) < self.min_confidence:
+                continue
+            x1, y1 = float(left), float(top)
+            out.append(
+                {
+                    "text": text,
+                    "x1": x1,
+                    "y1": y1,
+                    "x2": x1 + float(width),
+                    "y2": y1 + float(height),
+                }
+            )
+        return out
+
+    def register(self) -> "TesseractOcrAgent":
+        from unstructured_spark.parsers.image_parser import set_ocr_agent
+
+        set_ocr_agent(self)
+        return self
+
+
+# ---------------------------------------------------------------------------
+# ONNX layout model (YOLOX-style decode)
+# ---------------------------------------------------------------------------
+
+
+def letterbox(arr: np.ndarray, input_size: tuple[int, int]) -> tuple[np.ndarray, float]:
+    """Resize-with-aspect onto a gray (114) canvas of ``input_size``
+    (h, w) using pure-numpy nearest-neighbor; returns (chw float32
+    tensor, ratio) — the standard YOLOX preprocess without cv2."""
+    ih, iw = input_size
+    h, w = arr.shape[:2]
+    r = min(ih / h, iw / w)
+    nh, nw = int(round(h * r)), int(round(w * r))
+    rows = (np.arange(nh) / r).astype(np.int64).clip(0, h - 1)
+    cols = (np.arange(nw) / r).astype(np.int64).clip(0, w - 1)
+    resized = arr[rows][:, cols]
+    canvas = np.full((ih, iw, 3), 114, dtype=np.uint8)
+    canvas[:nh, :nw] = resized[..., :3]
+    chw = canvas.transpose(2, 0, 1)[None].astype(np.float32)
+    return chw, r
+
+
+def yolox_decode(
+    raw: np.ndarray, input_size: tuple[int, int], strides: Sequence[int] = (8, 16, 32)
+) -> np.ndarray:
+    """Grid/stride decode of raw YOLOX head output (1, N, 5+C):
+    xy = (pred_xy + grid) * stride, wh = exp(pred_wh) * stride.
+    Returns (N, 5+C) with xywh in input-image pixels."""
+    ih, iw = input_size
+    grids, expanded = [], []
+    for s in strides:
+        gy, gx = np.meshgrid(
+            np.arange(ih // s), np.arange(iw // s), indexing="ij"
+        )
+        grid = np.stack((gx, gy), axis=2).reshape(-1, 2)
+        grids.append(grid)
+        expanded.append(np.full((grid.shape[0], 1), s))
+    grid = np.concatenate(grids, axis=0)
+    stride = np.concatenate(expanded, axis=0)
+    out = raw[0].copy()
+    out[:, :2] = (out[:, :2] + grid) * stride
+    out[:, 2:4] = np.exp(out[:, 2:4]) * stride
+    return out
+
+
+def nms(boxes: np.ndarray, scores: np.ndarray, iou_threshold: float) -> list[int]:
+    """Standard greedy IoU NMS over xyxy boxes; returns kept indices."""
+    order = scores.argsort()[::-1]
+    keep: list[int] = []
+    while order.size:
+        i = int(order[0])
+        keep.append(i)
+        if order.size == 1:
+            break
+        rest = order[1:]
+        xx1 = np.maximum(boxes[i, 0], boxes[rest, 0])
+        yy1 = np.maximum(boxes[i, 1], boxes[rest, 1])
+        xx2 = np.minimum(boxes[i, 2], boxes[rest, 2])
+        yy2 = np.minimum(boxes[i, 3], boxes[rest, 3])
+        inter = np.maximum(xx2 - xx1, 0) * np.maximum(yy2 - yy1, 0)
+        area_i = (boxes[i, 2] - boxes[i, 0]) * (boxes[i, 3] - boxes[i, 1])
+        area_r = (boxes[rest, 2] - boxes[rest, 0]) * (boxes[rest, 3] - boxes[rest, 1])
+        iou = inter / np.maximum(area_i + area_r - inter, 1e-9)
+        order = rest[iou <= iou_threshold]
+    return keep
+
+
+class OnnxLayoutModel:
+    """Layout detector backed by an onnxruntime session running a
+    YOLOX-style model (raw head output, decode+NMS done here).
+
+    ``fn(arr, w, h)`` returns [{"type","x1","y1","x2","y2","score"}]
+    in ORIGINAL image pixels (letterbox ratio undone).
+    """
+
+    def __init__(
+        self,
+        model_path: str | None = None,
+        *,
+        label_map: Mapping[int, str] | None = None,
+        input_size: tuple[int, int] = (1024, 768),
+        score_threshold: float = 0.25,
+        nms_threshold: float = 0.45,
+        session=None,
+    ):
+        if session is None:
+            try:
+                import onnxruntime
+            except ImportError as e:  # pragma: no cover - not in container
+                raise ImportError(
+                    "OnnxLayoutModel needs the optional 'onnxruntime' package "
+                    "and a model file; python -m unstructured_spark.doctor "
+                    "lists this gate"
+                ) from e
+            session = onnxruntime.InferenceSession(model_path)
+        self._session = session
+        self.label_map = dict(label_map or YOLOX_LABEL_MAP)
+        self.input_size = input_size
+        self.score_threshold = float(score_threshold)
+        self.nms_threshold = float(nms_threshold)
+
+    def __call__(self, arr, w: int, h: int) -> list[dict]:
+        tensor, ratio = letterbox(np.asarray(arr), self.input_size)
+        input_name = self._session.get_inputs()[0].name
+        raw = self._session.run(None, {input_name: tensor})[0]
+        pred = yolox_decode(raw, self.input_size)
+        boxes_xywh, obj, cls = pred[:, :4], pred[:, 4], pred[:, 5:]
+        scores = obj[:, None] * cls
+        cls_id = scores.argmax(axis=1)
+        score = scores[np.arange(len(cls_id)), cls_id]
+        mask = score >= self.score_threshold
+        if not mask.any():
+            return []
+        boxes_xywh, cls_id, score = boxes_xywh[mask], cls_id[mask], score[mask]
+        xyxy = np.empty_like(boxes_xywh)
+        xyxy[:, 0] = boxes_xywh[:, 0] - boxes_xywh[:, 2] / 2
+        xyxy[:, 1] = boxes_xywh[:, 1] - boxes_xywh[:, 3] / 2
+        xyxy[:, 2] = boxes_xywh[:, 0] + boxes_xywh[:, 2] / 2
+        xyxy[:, 3] = boxes_xywh[:, 1] + boxes_xywh[:, 3] / 2
+        xyxy /= ratio
+        out: list[dict] = []
+        # per-class NMS, deterministic order: score desc then box index
+        for c in np.unique(cls_id):
+            idx = np.where(cls_id == c)[0]
+            for k in nms(xyxy[idx], score[idx], self.nms_threshold):
+                i = idx[k]
+                out.append(
+                    {
+                        "type": self.label_map.get(int(c), "UncategorizedText"),
+                        "x1": float(np.clip(xyxy[i, 0], 0, w)),
+                        "y1": float(np.clip(xyxy[i, 1], 0, h)),
+                        "x2": float(np.clip(xyxy[i, 2], 0, w)),
+                        "y2": float(np.clip(xyxy[i, 3], 0, h)),
+                        "score": float(score[i]),
+                    }
+                )
+        out.sort(key=lambda d: (-d["score"], d["x1"], d["y1"]))
+        return out
+
+    def register(self) -> "OnnxLayoutModel":
+        from unstructured_spark.parsers.image_parser import set_layout_model
+
+        set_layout_model(self)
+        return self
