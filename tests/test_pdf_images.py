@@ -310,3 +310,62 @@ class TestFiltersAndPredictors:
         finally:
             set_ocr_agent(None)
         assert [e["page_number"] for e in els] == [1]  # page 2 skipped, not fatal
+
+
+class TestScannedGolden:
+    """Fidelity pin for the scanned hi_res route on a REAL reference
+    scan (pdf-with-ocr-text.pdf, one 1254x1638 full-page image):
+    deterministic fake agents derive their boxes from the decoded pixel
+    dimensions, so the golden covers XObject extraction, pixel decode,
+    OCR aggregation into detections, the uncovered-region supplement,
+    XY-cut ordering and coordinate metadata end-to-end."""
+
+    GOLDEN = Path(__file__).parent / "goldens" / "scanned_pdf_golden.json"
+
+    @staticmethod
+    def _layout_model(arr, w, h):
+        # title band on top, body block below — plus mean-pixel in the
+        # text so the golden also pins the decoded pixel content
+        mean = int(arr.mean())
+        return [
+            {"type": "Title", "x1": w * 0.1, "y1": h * 0.05,
+             "x2": w * 0.9, "y2": h * 0.12, "score": 0.9,
+             "text": f"mean={mean}"},
+            {"type": "NarrativeText", "x1": w * 0.1, "y1": h * 0.2,
+             "x2": w * 0.9, "y2": h * 0.7, "score": 0.8},
+        ]
+
+    @staticmethod
+    def _ocr_agent(arr, w, h):
+        words = []
+        # two lines inside the body block (aggregated into it)
+        for line in range(2):
+            for col in range(3):
+                words.append({
+                    "text": f"w{line}{col}",
+                    "x1": w * (0.15 + 0.2 * col),
+                    "y1": h * (0.25 + 0.1 * line),
+                    "x2": w * (0.15 + 0.2 * col) + w * 0.1,
+                    "y2": h * (0.25 + 0.1 * line) + h * 0.03,
+                })
+        # one word outside every detection (supplement path)
+        words.append({"text": "footer", "x1": w * 0.4, "y1": h * 0.9,
+                      "x2": w * 0.6, "y2": h * 0.93})
+        return words
+
+    def test_matches_checked_in_golden(self):
+        import json
+
+        raw = (PDFS / "pdf-with-ocr-text.pdf").read_bytes()
+        set_layout_model(self._layout_model)
+        set_ocr_agent(self._ocr_agent)
+        try:
+            els = scanned_pdf_to_elements(raw)
+        finally:
+            set_layout_model(None)
+            set_ocr_agent(None)
+        got = json.dumps(els, indent=1, sort_keys=True, ensure_ascii=False)
+        if not self.GOLDEN.exists():
+            self.GOLDEN.write_text(got, encoding="utf-8")
+            pytest.fail("golden written; re-run to compare")
+        assert got == self.GOLDEN.read_text(encoding="utf-8")
