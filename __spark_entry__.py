@@ -1307,6 +1307,46 @@ def q_form_kv_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bigram_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/KenLM-style perplexity filter reduced to an in-engine
+    add-one-smoothed bigram LM: per-doc avg -ln P(w2|w1) under the
+    corpus's own bigram statistics. High scores = gibberish/boilerplate
+    candidates for the training-data quality gate."""
+    docs = _t(spark, sf_dir, "documents")
+    return text_analysis.bigram_cross_entropy(docs)
+
+
+def q_token_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KL(p_shard || p_corpus) over smoothed token
+    distributions — the shard-drift monitor run before mixing
+    multi-source training data."""
+    docs = _t(spark, sf_dir, "documents")
+    return text_analysis.token_kl_drift(docs)
+
+
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid RAG retrieval: BM25 lexical top-20 + brute-cosine vector
+    top-20 (query = embedding of vec_id 0, corpus = embeddings of doc
+    ids) fused with reciprocal-rank fusion (k=60), top 10. Fusion is a
+    union + one aggregate over <=40 rows; the heavy lifting stays in
+    the scale-shaped retrievers."""
+    from unstructured_spark.operators import retrieval
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = (
+        _t(spark, sf_dir, "embeddings")
+        .withColumn("embedding", F.transform("embedding", lambda x: x.cast("double")))
+        .join(docs.select(F.col("doc_id").alias("vec_id")), "vec_id")
+    )
+    bm25 = text_analysis.bm25_scores(docs, ["spark", "vector", "customer"])
+    lex = retrieval.rank_by(bm25, "score", "doc_id", 20)
+    ann = (
+        similarity.cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=20)
+        .select(F.col("neighbor_id").alias("doc_id"), F.col("rank").cast("bigint").alias("rank"))
+    )
+    return retrieval.reciprocal_rank_fusion([lex, ann], top=10)
+
+
 def q_box_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fake-bold/shadow-text bbox dedup: drop boxes whose IoU with a
     later box exceeds 0.5 (reference remove_duplicate_elements,
@@ -2179,6 +2219,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embed_centroids": q_embed_centroids,
         "q_embed_neardup": q_embed_neardup,
         "q_form_kv_pairs": q_form_kv_pairs,
+        "q_bigram_cross_entropy": q_bigram_cross_entropy,
+        "q_token_kl_drift": q_token_kl_drift,
+        "q_hybrid_rrf": q_hybrid_rrf,
         "q_srp_ann_topk": q_srp_ann_topk,
         "q_ivf_ann_topk": q_ivf_ann_topk,
         "q_edit_distance": q_edit_distance,
@@ -3716,6 +3759,149 @@ left join stats s using (doc_id)
             )
             select doc_id, floor(raw * 1000000.0 + 0.5) / 1000000.0 as score
             from scored where anytf > 0
+        """,
+        "q_bigram_cross_entropy": """
+            with t as (
+              select doc_id,
+                     list_filter(string_split(trim(text), ' '), x -> x != '') as w
+              from documents
+            ), tb as (
+              select doc_id, w from t where len(w) >= 2
+            ), b as (
+              select doc_id, w[i] as w1, w[i + 1] as w2
+              from tb, unnest(range(1, len(w))) as u(i)
+            ), bc as (
+              select w1, w2, count(*) as c12 from b group by w1, w2
+            ), uc as (
+              select w1, count(*) as c1 from b group by w1
+            ), vocab as (
+              select count(distinct t) as v from (
+                select w1 as t from b union select w2 as t from b)
+            ), nll as (
+              select b.doc_id,
+                -ln(cast(bc.c12 + 1 as double)
+                    / cast(uc.c1 + (select v from vocab) as double)) as nl
+              from b join bc on b.w1 = bc.w1 and b.w2 = bc.w2
+                     join uc on b.w1 = uc.w1
+            )
+            select doc_id,
+                   floor(avg(nl) * 1000000.0 + 0.5) / 1000000.0 as cross_entropy,
+                   cast(count(*) as bigint) as n_bigrams
+            from nll group by doc_id
+        """,
+        "q_token_kl_drift": """
+            with tok as (
+              select source as shard,
+                     unnest(list_filter(string_split(trim(text), ' '),
+                                        x -> x != '')) as t
+              from documents
+            ), sc as (
+              select shard, t, count(*) as cs from tok group by shard, t
+            ), cc as (
+              select t, count(*) as c from tok group by t
+            ), stot as (
+              select shard, count(*) as ns from tok group by shard
+            ), tot as (
+              select count(*) as n, count(distinct t) as v from tok
+            ), grid as (
+              select s.shard, s.ns, c.t, c.c from stot s cross join cc c
+            ), terms as (
+              select g.shard,
+                cast(coalesce(sc.cs, 0) + 1 as double)
+                  / cast(g.ns + (select v from tot) as double) as ps,
+                cast(g.c + 1 as double)
+                  / cast((select n from tot) + (select v from tot) as double) as q
+              from grid g left join sc on sc.shard = g.shard and sc.t = g.t
+            )
+            select shard as source,
+                   floor(sum(ps * ln(ps / q)) * 1000000.0 + 0.5) / 1000000.0
+                     as kl_divergence
+            from terms group by shard
+        """,
+        "q_hybrid_rrf": """
+            with t as (
+              select doc_id, string_split(trim(text), ' ') as w,
+                     cast(len(list_filter(string_split(trim(text), ' '),
+                                          x -> x != '')) as bigint) as dl
+              from documents
+            ), tf as (
+              select doc_id, dl,
+                     cast(len(list_filter(w, x -> x = 'spark')) as double) as tf0,
+                     cast(len(list_filter(w, x -> x = 'vector')) as double) as tf1,
+                     cast(len(list_filter(w, x -> x = 'customer')) as double) as tf2
+              from t
+            ), st as (
+              select cast(count(*) as bigint) as n, sum(dl) as sum_dl,
+                     sum(case when tf0 > 0 then 1 else 0 end) as df0,
+                     sum(case when tf1 > 0 then 1 else 0 end) as df1,
+                     sum(case when tf2 > 0 then 1 else 0 end) as df2
+              from tf
+            ), scored as (
+              select doc_id,
+                0.0
+                + ln((cast(st.n - st.df0 as double) + 0.5)
+                     / (cast(st.df0 as double) + 0.5) + 1)
+                  * (tf0 * 2.2 / (tf0 + 1.2 * (0.25 + 0.75 * cast(dl as double)
+                       / (cast(st.sum_dl as double) / cast(st.n as double)))))
+                + ln((cast(st.n - st.df1 as double) + 0.5)
+                     / (cast(st.df1 as double) + 0.5) + 1)
+                  * (tf1 * 2.2 / (tf1 + 1.2 * (0.25 + 0.75 * cast(dl as double)
+                       / (cast(st.sum_dl as double) / cast(st.n as double)))))
+                + ln((cast(st.n - st.df2 as double) + 0.5)
+                     / (cast(st.df2 as double) + 0.5) + 1)
+                  * (tf2 * 2.2 / (tf2 + 1.2 * (0.25 + 0.75 * cast(dl as double)
+                       / (cast(st.sum_dl as double) / cast(st.n as double)))))
+                as raw,
+                tf0 + tf1 + tf2 as anytf
+              from tf cross join st
+            ), lex as (
+              select doc_id, rank from (
+                select doc_id,
+                  cast(row_number() over (
+                    order by floor(raw * 1000000.0 + 0.5) / 1000000.0 desc,
+                             doc_id asc) as bigint) as rank
+                from scored where anytf > 0
+              ) where rank <= 20
+            ), demb as (
+              select e.vec_id,
+                     list_transform(e.embedding, x -> cast(x as double)) as v
+              from embeddings e join documents d on e.vec_id = d.doc_id
+            ), qv as (
+              select v as q from demb where vec_id = 0
+            ), sims as (
+              select c.vec_id as doc_id,
+                round(list_aggregate(list_transform(range(1, 65),
+                    i -> c.v[i] * qv.q[i]), 'sum')
+                  / (sqrt(list_aggregate(list_transform(c.v, x -> x * x), 'sum'))
+                     * sqrt(list_aggregate(list_transform(qv.q, x -> x * x), 'sum'))),
+                  6) as cos
+              from demb c cross join qv
+              where c.vec_id <> 0
+            ), ann as (
+              select doc_id, rank from (
+                select doc_id,
+                  cast(row_number() over (order by cos desc, doc_id asc)
+                       as bigint) as rank
+                from sims
+              ) where rank <= 20
+            ), unioned as (
+              select doc_id, rank from lex
+              union all
+              select doc_id, rank from ann
+            ), fused as (
+              select doc_id, sum(1.0 / (60.0 + cast(rank as double))) as rrf,
+                     cast(count(*) as bigint) as n_lists
+              from unioned group by doc_id
+            )
+            select doc_id,
+                   floor(rrf * 1000000.0 + 0.5) / 1000000.0 as rrf_score,
+                   n_lists,
+                   cast(fused_rank as bigint) as fused_rank
+            from (
+              select *, row_number() over (order by rrf desc, doc_id asc)
+                        as fused_rank
+              from fused
+            ) where fused_rank <= 10
         """,
         "q_stratified_sample": """
             select doc_id, source from documents

@@ -1,0 +1,76 @@
+"""Bigram-LM cross-entropy, token KL drift, and RRF fusion units."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from unstructured_spark.operators.retrieval import (
+    rank_by,
+    reciprocal_rank_fusion,
+)
+from unstructured_spark.operators.text_analysis import (
+    bigram_cross_entropy,
+    token_kl_drift,
+)
+
+
+class TestBigramCrossEntropy:
+    def test_hand_computed(self, spark):
+        # corpus: "a b a b" + "a b" → bigrams: (a,b)x3, (b,a)x1
+        # V=2; C(a)=3, C(b)=1
+        # P(b|a) = (3+1)/(3+2) = 0.8 ; P(a|b) = (1+1)/(1+2) = 2/3
+        df = spark.createDataFrame(
+            [(1, "a b a b"), (2, "a b")], "doc_id long, text string"
+        )
+        rows = {r["doc_id"]: r for r in bigram_cross_entropy(df).collect()}
+        e1 = -(2 * math.log(0.8) + math.log(2 / 3)) / 3
+        assert rows[1]["n_bigrams"] == 3
+        assert abs(rows[1]["cross_entropy"] - round(e1, 6)) < 2e-6
+        assert abs(rows[2]["cross_entropy"] - round(-math.log(0.8), 6)) < 2e-6
+
+    def test_single_token_doc_dropped(self, spark):
+        df = spark.createDataFrame(
+            [(1, "word"), (2, "two words")], "doc_id long, text string"
+        )
+        assert [r["doc_id"] for r in bigram_cross_entropy(df).collect()] == [2]
+
+
+class TestTokenKlDrift:
+    def test_identical_shards_near_zero(self, spark):
+        # identical shard distributions → KL ~ 0 (not exactly 0: the
+        # add-one smoothing denominators differ, ns+V vs n+V)
+        df = spark.createDataFrame(
+            [("s1", "a a b"), ("s2", "a a b")],
+            "source string, text string",
+        )
+        rows = token_kl_drift(df).collect()
+        assert all(abs(r["kl_divergence"]) < 0.01 for r in rows)
+        assert rows[0]["kl_divergence"] == rows[1]["kl_divergence"]
+
+    def test_drifted_shard_positive(self, spark):
+        df = spark.createDataFrame(
+            [("s1", "a a a a"), ("s2", "b b b b")],
+            "source string, text string",
+        )
+        rows = {r["source"]: r["kl_divergence"] for r in token_kl_drift(df).collect()}
+        assert rows["s1"] > 0 and rows["s2"] > 0
+
+
+class TestRrf:
+    def test_fusion_prefers_doubly_ranked(self, spark):
+        a = spark.createDataFrame([(10, 1), (20, 2)], "doc_id long, rank long")
+        b = spark.createDataFrame([(20, 1), (30, 2)], "doc_id long, rank long")
+        out = {r["doc_id"]: r for r in reciprocal_rank_fusion([a, b]).collect()}
+        # 20 appears in both lists → highest fused score
+        assert out[20]["fused_rank"] == 1 and out[20]["n_lists"] == 2
+        assert abs(out[20]["rrf_score"] - round(1 / 61 + 1 / 62, 6)) < 2e-6
+        assert out[10]["n_lists"] == 1
+
+    def test_rank_by_orders_and_truncates(self, spark):
+        df = spark.createDataFrame(
+            [(1, 0.5), (2, 0.9), (3, 0.9), (4, 0.1)],
+            "doc_id long, score double",
+        )
+        rows = rank_by(df, "score", "doc_id", 3).orderBy("rank").collect()
+        # ties break by id asc
+        assert [(r["doc_id"], r["rank"]) for r in rows] == [(2, 1), (3, 2), (1, 3)]

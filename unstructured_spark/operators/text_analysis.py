@@ -319,3 +319,111 @@ def readability(
         syllables.alias("syllables"),
         F.round(flesch, 4).alias("flesch"),
     )
+
+
+def bigram_cross_entropy(
+    df: DataFrame,
+    *,
+    text: str = "text",
+    doc_id: str = "doc_id",
+) -> DataFrame:
+    """Per-document corpus-self cross-entropy under an add-one-smoothed
+    bigram language model — the CCNet/KenLM-style perplexity filter
+    reduced to an in-engine model: documents whose token transitions
+    are improbable under the corpus's own bigram statistics (gibberish,
+    boilerplate soup, wrong-language shards) score high and get
+    filtered before training.
+
+        P(w2|w1) = (C(w1,w2) + 1) / (C(w1) + V)
+        score    = round(avg over bigrams of -ln P, 6)
+
+    Scale shape: one map-side bigram explode, one (w1,w2) count
+    shuffle, a (w1) count shuffle off the same exploded base, then a
+    join back keyed on the bigram — every shuffle keys on uniform
+    token hashes, the corpus text itself is never re-shuffled. V and
+    corpus totals are scalar literals. Docs with <2 tokens are dropped
+    (no bigrams to score).
+    """
+    toks = F.filter(
+        F.split(F.trim(F.col(text)), "\\s+"), lambda x: x != F.lit("")
+    )
+    base = df.select(F.col(doc_id).alias("doc"), toks.alias("_t")).filter(
+        F.size("_t") >= 2
+    )
+    bigrams = base.select(
+        "doc",
+        F.explode(
+            F.expr("transform(slice(_t, 1, size(_t) - 1), (x, i) -> struct(x as w1, _t[i + 1] as w2))")
+        ).alias("bg"),
+    ).select("doc", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    big_counts = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    uni_counts = bigrams.groupBy("w1").agg(F.count("*").alias("c1"))
+    # V = distinct tokens anywhere in the corpus (first AND last
+    # positions participate: union of w1 and w2 vocabularies)
+    v = (
+        bigrams.select(F.col("w1").alias("t"))
+        .unionByName(bigrams.select(F.col("w2").alias("t")))
+        .agg(F.countDistinct("t"))
+        .collect()[0][0]
+    )
+    p = (F.col("c12") + 1).cast("double") / (F.col("c1") + F.lit(int(v))).cast(
+        "double"
+    )
+    scored = (
+        bigrams.join(big_counts, ["w1", "w2"])
+        .join(F.broadcast(uni_counts), "w1")
+        .select("doc", (-F.log(p)).alias("_nll"))
+    )
+    return scored.groupBy(F.col("doc").alias(doc_id)).agg(
+        F.round(F.avg("_nll"), 6).alias("cross_entropy"),
+        F.count("*").cast("bigint").alias("n_bigrams"),
+    )
+
+
+def token_kl_drift(
+    df: DataFrame,
+    *,
+    text: str = "text",
+    doc_id: str = "doc_id",
+    shard: str = "source",
+) -> DataFrame:
+    """Per-shard KL divergence of the token distribution against the
+    whole corpus — the distribution-drift monitor a multi-source
+    training pipeline runs before mixing shards:
+
+        p_s(t) = (c_s(t) + 1) / (n_s + V)    (add-one smoothing)
+        q(t)   = (c(t) + 1)   / (n + V)
+        KL(s)  = round(Σ_{t ∈ corpus vocab} p_s(t) · ln(p_s(t)/q(t)), 6)
+
+    The sum runs over the FULL corpus vocabulary for every shard
+    (absent terms contribute the smoothed floor), materialized as
+    shards × vocab: fine while |vocab| × |shards| fits a shuffle
+    (typical dedup'd web vocab 10⁷ × tens of sources); past that,
+    restrict to a top-|V'| vocabulary by corpus frequency first.
+    """
+    toks = F.filter(
+        F.split(F.trim(F.col(text)), "\\s+"), lambda x: x != F.lit("")
+    )
+    exploded = df.select(
+        F.col(shard).alias("shard"), F.explode(toks).alias("t")
+    )
+    shard_counts = exploded.groupBy("shard", "t").agg(F.count("*").alias("cs"))
+    corpus_counts = exploded.groupBy("t").agg(F.count("*").alias("c"))
+    shard_totals = exploded.groupBy("shard").agg(F.count("*").alias("ns"))
+    tot_row = exploded.agg(
+        F.count("*").alias("n"), F.countDistinct("t").alias("v")
+    ).collect()[0]
+    n, v = int(tot_row["n"]), int(tot_row["v"])
+    grid = shard_totals.crossJoin(F.broadcast(corpus_counts))
+    joined = grid.join(shard_counts, ["shard", "t"], "left").fillna(
+        {"cs": 0}
+    )
+    ps = (F.col("cs") + 1).cast("double") / (F.col("ns") + F.lit(v)).cast("double")
+    q = (F.col("c") + 1).cast("double") / F.lit(float(n + v))
+    return (
+        joined.select(
+            "shard", (ps * F.log(ps / q)).alias("_term")
+        )
+        .groupBy(F.col("shard").alias(shard))
+        .agg(F.round(F.sum("_term"), 6).alias("kl_divergence"))
+    )
