@@ -172,3 +172,53 @@ class TestOnnxLayoutModel:
             assert isinstance(els, list)
         finally:
             image_parser.set_layout_model(None)
+
+
+class _FakeWhisperModel:
+    def __init__(self):
+        self.calls = []
+
+    def transcribe(self, audio, **kw):
+        self.calls.append((audio.shape, audio.dtype, kw))
+        return {"segments": [
+            {"start": 0.0, "end": 1.5, "text": " hello world "},
+            {"start": 1.5, "end": 2.0, "text": ""},
+        ]}
+
+
+class TestWhisperSttAgent:
+    def test_transcribe_contract(self):
+        model = _FakeWhisperModel()
+        agent = ma.WhisperSttAgent(model=model)
+        pcm = (np.sin(np.linspace(0, 100, 8000)) * 1000).astype(np.int16)
+        segs = list(agent(pcm, 8000, "en"))
+        assert segs[0] == {"start": 0.0, "end": 1.5, "text": " hello world "}
+        shape, dtype, kw = model.calls[0]
+        # 8000 samples at 8kHz -> 16000 samples at 16kHz, float32, language passed
+        assert shape == (16000,) and dtype == np.float32
+        assert kw == {"language": "en"}
+
+    def test_normalization_range(self):
+        model = _FakeWhisperModel()
+        agent = ma.WhisperSttAgent(model=model)
+        pcm = np.full(16000, 16384, dtype=np.int16)
+        list(agent(pcm, 16000, None))
+        shape, dtype, kw = model.calls[0]
+        assert shape == (16000,) and kw == {}
+
+    def test_gated_without_whisper(self):
+        import importlib.util
+
+        if importlib.util.find_spec("whisper") is not None:
+            pytest.skip("whisper installed")
+        with pytest.raises(ImportError, match="whisper"):
+            ma.WhisperSttAgent()
+
+    def test_register_feeds_audio_parser(self):
+        from unstructured_spark.parsers import audio_parser
+
+        agent = ma.WhisperSttAgent(model=_FakeWhisperModel()).register()
+        try:
+            assert audio_parser._STT_AGENT is agent
+        finally:
+            audio_parser.set_speech_to_text(None)

@@ -259,3 +259,68 @@ class OnnxLayoutModel:
 
         set_layout_model(self)
         return self
+
+
+# ---------------------------------------------------------------------------
+# Whisper speech-to-text agent
+# ---------------------------------------------------------------------------
+
+
+class WhisperSttAgent:
+    """Speech-to-text agent backed by an openai-whisper-shaped model
+    (``model.transcribe(float32_mono_16k, language=..) ->
+    {"segments": [{"start","end","text"}, ...]}`` — the public Whisper
+    API; the reference's partition_audio wires the same runtime).
+
+    ``fn(samples_int16, rate, language)`` converts PCM to the float32
+    mono 16 kHz tensor Whisper expects (linear resample in numpy, no
+    ffmpeg) and yields the segment dicts ``audio_parser`` consumes.
+    """
+
+    TARGET_RATE = 16_000
+
+    def __init__(self, model_name: str = "base", *, model=None):
+        if model is None:
+            try:
+                import whisper  # type: ignore
+            except ImportError as e:  # pragma: no cover - not in container
+                raise ImportError(
+                    "WhisperSttAgent needs the optional 'openai-whisper' "
+                    "package (or pass model=); python -m "
+                    "unstructured_spark.doctor lists this gate"
+                ) from e
+            model = whisper.load_model(model_name)
+        self._model = model
+
+    def _prepare(self, samples: np.ndarray, rate: int) -> np.ndarray:
+        x = np.asarray(samples, dtype=np.float32)
+        if x.ndim > 1:  # downmix channels
+            x = x.mean(axis=1)
+        x = x / 32768.0
+        if rate != self.TARGET_RATE and len(x) > 1:
+            n_out = int(round(len(x) * self.TARGET_RATE / rate))
+            pos = np.linspace(0.0, len(x) - 1.0, max(n_out, 1))
+            lo = np.floor(pos).astype(np.int64)
+            hi = np.minimum(lo + 1, len(x) - 1)
+            frac = (pos - lo).astype(np.float32)
+            x = x[lo] * (1.0 - frac) + x[hi] * frac
+        return x
+
+    def __call__(self, samples, rate: int, language=None):
+        audio = self._prepare(samples, rate)
+        kwargs = {}
+        if language:
+            kwargs["language"] = language
+        result = self._model.transcribe(audio, **kwargs)
+        for seg in result.get("segments", []):
+            yield {
+                "start": float(seg["start"]),
+                "end": float(seg["end"]),
+                "text": str(seg.get("text", "")),
+            }
+
+    def register(self) -> "WhisperSttAgent":
+        from unstructured_spark.parsers.audio_parser import set_speech_to_text
+
+        set_speech_to_text(self)
+        return self
