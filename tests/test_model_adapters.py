@@ -222,3 +222,58 @@ class TestWhisperSttAgent:
             assert audio_parser._STT_AGENT is agent
         finally:
             audio_parser.set_speech_to_text(None)
+
+
+class _FakeMarian:
+    """loader() -> (model, tokenizer) fakes speaking the HF API shape."""
+
+    class Tok:
+        def __call__(self, texts, **kw):
+            return {"inputs": texts}
+
+        def decode(self, ids, **kw):
+            return f"<{ids}>"
+
+    class Model:
+        def generate(self, inputs):
+            return [f"T:{inputs[0]}"]
+
+    def __init__(self):
+        self.loaded = []
+
+    def __call__(self, name):
+        self.loaded.append(name)
+        return (self.Model(), self.Tok())
+
+
+class TestMarianTranslator:
+    def test_translates_and_caches_model_pair(self):
+        loader = _FakeMarian()
+        tr = ma.MarianTranslator("de", loader=loader)
+        out = tr(["hallo", "", "welt"], "en")
+        assert out == ["<T:hallo>", "", "<T:welt>"]
+        tr(["nochmal"], "en")
+        assert loader.loaded == ["Helsinki-NLP/opus-mt-de-en"]  # cached
+
+    def test_same_language_passthrough(self):
+        tr = ma.MarianTranslator("en", loader=_FakeMarian())
+        assert tr(["hello"], "en") == ["hello"]
+
+    def test_chinese_normalization(self):
+        loader = _FakeMarian()
+        tr = ma.MarianTranslator("zh-cn", loader=loader)
+        tr(["你好"], "en")
+        assert loader.loaded == ["Helsinki-NLP/opus-mt-zh-en"]
+
+    def test_register_wires_cleaners_plug(self):
+        # executing the pandas UDF would ship this test module's fake
+        # in the closure (executors can't import it); the Spark wiring
+        # itself is covered by cleaners' own translate tests
+        from unstructured_spark.functions import cleaners
+
+        tr = ma.MarianTranslator("de", loader=_FakeMarian()).register()
+        try:
+            assert cleaners._TRANSLATOR is tr
+            assert tr(["hallo"], "en") == ["<T:hallo>"]
+        finally:
+            cleaners.set_translator(None)

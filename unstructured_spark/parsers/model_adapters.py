@@ -324,3 +324,83 @@ class WhisperSttAgent:
 
         set_speech_to_text(self)
         return self
+
+
+# ---------------------------------------------------------------------------
+# MarianMT (opus-mt) translator
+# ---------------------------------------------------------------------------
+
+
+class MarianTranslator:
+    """Batch translator backed by Helsinki-NLP opus-mt MarianMT models
+    — the runtime the reference's ``translate_text`` wires
+    (``cleaners/translate.py:24-75``: model name
+    ``Helsinki-NLP/opus-mt-{src}-{tgt}``, Chinese variants normalized
+    to ``zh``).
+
+    Conforms to the ``cleaners.set_translator`` contract
+    ``fn(texts, target_lang) -> texts``. Models/tokenizers load lazily
+    per (src, tgt) pair and are cached per process; ``source_lang``
+    fixes the source (default assumes the reference's auto-detect
+    happened upstream — pass the detected code).
+    """
+
+    def __init__(self, source_lang: str = "en", *, loader=None):
+        if loader is None:
+            try:
+                from transformers import MarianMTModel, MarianTokenizer
+            except ImportError as e:  # pragma: no cover - not in container
+                raise ImportError(
+                    "MarianTranslator needs the optional 'transformers' "
+                    "package (plus opus-mt weights); python -m "
+                    "unstructured_spark.doctor lists this gate"
+                ) from e
+
+            def loader(model_name):
+                return (
+                    MarianMTModel.from_pretrained(model_name),
+                    MarianTokenizer.from_pretrained(model_name),
+                )
+
+        self._loader = loader
+        self._cache: dict[str, tuple] = {}
+        self.source_lang = self._normalize(source_lang)
+
+    @staticmethod
+    def _normalize(lang: str) -> str:
+        lang = lang.lower()
+        return "zh" if lang.startswith("zh") else lang
+
+    @staticmethod
+    def model_name(src: str, tgt: str) -> str:
+        return f"Helsinki-NLP/opus-mt-{src}-{tgt}"
+
+    def _pair(self, src: str, tgt: str):
+        name = self.model_name(src, tgt)
+        if name not in self._cache:
+            self._cache[name] = self._loader(name)
+        return self._cache[name]
+
+    def __call__(self, texts, target_lang: str):
+        tgt = self._normalize(target_lang)
+        src = self.source_lang
+        if src == tgt:
+            return list(texts)
+        model, tokenizer = self._pair(src, tgt)
+        out = []
+        for text in texts:
+            if not str(text).strip():
+                out.append(text)
+                continue
+            batch = tokenizer([str(text)], return_tensors="pt", truncation=True)
+            ids = model.generate(**batch)
+            out.append(
+                tokenizer.decode(ids[0], skip_special_tokens=True)
+            )
+        return out
+
+    def register(self) -> "MarianTranslator":
+        from unstructured_spark.functions.cleaners import set_translator
+
+        set_translator(self)
+        return self
