@@ -493,3 +493,51 @@ class TestHiResMaxPages:
         # fast strategy: the cap is irrelevant and partition succeeds
         els = pdf_to_elements(raw, strategy="fast", pdf_hi_res_max_pages=1)
         assert len(els) > 10
+
+
+class TestExtractForms:
+    """extract_forms=True: AcroForm fields → FormKeysValues (the engine
+    reads DECLARED field bindings the reference's run_form_extraction
+    stub never could — partition/pdf.py:1047-1080 raises)."""
+
+    @staticmethod
+    def _form_pdf() -> bytes:
+        return (
+            b"%PDF-1.4\n"
+            b"1 0 obj\n<</Type/Catalog/Pages 2 0 R>>\nendobj\n"
+            b"2 0 obj\n<</Type/Pages/Kids[3 0 R]/Count 1>>\nendobj\n"
+            b"3 0 obj\n<</Type/Page/Parent 2 0 R/MediaBox[0 0 612 792]"
+            b"/Contents 4 0 R/Annots[5 0 R 6 0 R 7 0 R]>>\nendobj\n"
+            b"4 0 obj\n<</Length 44>>\nstream\n"
+            b"BT /F1 12 Tf 72 700 Td (Please fill in) Tj ET\n"
+            b"endstream\nendobj\n"
+            b"5 0 obj\n<</Subtype/Widget/Rect[100 650 300 670]"
+            b"/T(Name)/V(Jane Doe)>>\nendobj\n"
+            b"6 0 obj\n<</Subtype/Widget/Rect[100 600 300 620]"
+            b"/T(Email)>>\nendobj\n"
+            b"7 0 obj\n<</Subtype/Widget/Rect[100 550 300 570]"
+            b"/V(orphan value)>>\nendobj\n"
+            b"trailer<</Root 1 0 R>>\n%%EOF"
+        )
+
+    def test_form_keys_values_element(self):
+        import json
+
+        els = pdf_to_elements(self._form_pdf(), extract_forms=True)
+        [form] = [e for e in els if e["type"] == "FormKeysValues"]
+        assert form["text"] == "Name: Jane Doe\nEmail: "
+        meta = json.loads(form["metadata_json"])
+        kv = meta["key_value_pairs"]
+        assert [p["key_text"] for p in kv] == ["Name", "Email"]
+        assert kv[0]["value_text"] == "Jane Doe"
+        assert kv[1]["value_text"] is None
+        assert meta["detection_origin"] == "acroform"
+        # filled values still emit their own text elements
+        assert any(e["text"] == "Jane Doe" for e in els)
+        assert any(e["text"] == "orphan value" for e in els)
+
+    def test_default_off_unchanged(self):
+        els = pdf_to_elements(self._form_pdf())
+        assert not any(e["type"] == "FormKeysValues" for e in els)
+        texts = [e["text"] for e in els]
+        assert "Jane Doe" in texts and "orphan value" in texts

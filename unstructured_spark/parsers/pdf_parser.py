@@ -862,8 +862,26 @@ def _page_annotations(doc: "_PdfDoc", page: dict, page_h: float) -> tuple[list[d
             v = doc.resolve(a.get("/V"))
             if isinstance(v, bytes):
                 v = v.decode("latin-1", "replace")
-            if isinstance(v, str) and v.strip() and not v.startswith("/"):
-                widgets.append({"text": v.strip(), "box": box})
+            text = (
+                v.strip()
+                if isinstance(v, str) and v.strip() and not v.startswith("/")
+                else ""
+            )
+            # field name: /T on the widget (merged field) else the
+            # parent field node — feeds extract_forms kv pairs
+            name = doc.resolve(a.get("/T"))
+            if name is None:
+                parent = doc.resolve(a.get("/Parent"))
+                if isinstance(parent, dict):
+                    name = doc.resolve(parent.get("/T"))
+            if isinstance(name, bytes):
+                name = name.decode("latin-1", "replace")
+            if not isinstance(name, str) or not name.strip():
+                name = None
+            else:
+                name = name.strip()
+            if text or name:
+                widgets.append({"text": text, "box": box, "name": name})
     return links, widgets
 
 
@@ -1108,6 +1126,7 @@ def pdf_to_elements(
     content: bytes,
     strategy: str = "auto",
     extract_images: bool = False,
+    extract_forms: bool = False,
     pdf_hi_res_max_pages: int | None = None,
 ) -> list[dict]:
     doc = _PdfDoc(content)  # parsed once; probe + extraction + images share it
@@ -1187,7 +1206,46 @@ def pdf_to_elements(
             )
         # filled AcroForm widget values (content stream misses them;
         # reference pdf.py:563-583)
+        if extract_forms:
+            named = sorted(
+                (w for w in widgets if w["name"]),
+                key=lambda w: (w["box"][1], w["box"][0]),
+            )
+            if named:
+                import json as _json
+
+                pairs = [
+                    {
+                        "key_text": w["name"],
+                        "value_text": w["text"] or None,
+                        "x1": w["box"][0],
+                        "y1": w["box"][1],
+                        "x2": w["box"][2],
+                        "y2": w["box"][3],
+                        "confidence": 1.0,  # declared binding, not geometric
+                    }
+                    for w in named
+                ]
+                out.append(
+                    {
+                        "type": "FormKeysValues",
+                        "text": "\n".join(
+                            f"{p['key_text']}: {p['value_text'] or ''}"
+                            for p in pairs
+                        ),
+                        "page_number": page_no,
+                        "metadata_json": _json.dumps(
+                            {
+                                "key_value_pairs": pairs,
+                                "detection_origin": "acroform",
+                            },
+                            ensure_ascii=False,
+                        ),
+                    }
+                )
         for wdg in widgets:
+            if not wdg["text"]:
+                continue  # unfilled field: no value element
             wx0, wtop, wx1, wbot = wdg["box"]
             out.append(
                 {
