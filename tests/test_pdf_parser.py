@@ -541,3 +541,14 @@ class TestExtractForms:
         assert not any(e["type"] == "FormKeysValues" for e in els)
         texts = [e["text"] for e in els]
         assert "Jane Doe" in texts and "orphan value" in texts
+
+    def test_api_partition_extract_forms(self, tmp_path):
+        import json
+
+        from unstructured_spark.api import partition
+
+        p = tmp_path / "form.pdf"
+        p.write_bytes(self._form_pdf())
+        els = partition(str(p), extract_forms=True)
+        [form] = [e for e in els if e.category == "FormKeysValues"]
+        assert form.text.startswith("Name: Jane Doe")

@@ -176,6 +176,9 @@ def partition(
     headers: dict[str, str] | None = None,
     request_timeout: float | None = None,
     html_parser_version: str | None = None,
+    strategy: str | None = None,
+    extract_forms: bool = False,
+    extract_images_in_pdf: bool = False,
     chunking_strategy: str | None = None,
     **chunking_kwargs: Any,
 ) -> list[Element]:
@@ -191,11 +194,19 @@ def partition(
         filename, file, text, url, headers, request_timeout, content_type
     )
     display_name = metadata_filename or name
+    parser_kwargs: dict[str, Any] = {}
+    if strategy is not None:
+        parser_kwargs["strategy"] = strategy
+    if extract_forms:
+        parser_kwargs["extract_forms"] = True
+    if extract_images_in_pdf:
+        parser_kwargs["extract_images"] = True
     els = partition_bytes(
         data,
         filename=display_name,
         content_type=ctype,
         html_parser_version=html_parser_version,
+        **parser_kwargs,
     )
     rows: list[dict] = []
     for idx, el in enumerate(els):

@@ -140,7 +140,19 @@ _PARTITIONERS: dict[str, Callable[..., list[dict]]] = {
     "rtf": lambda c, **kw: _lazy("misc_formats", "rtf_to_elements")(c),
     # PDF fast strategy: stdlib content-stream extraction; hi_res/ocr
     # strategies need layout/OCR models (stubs below route to fast)
-    "pdf": lambda c, **kw: _lazy("pdf_parser", "pdf_to_elements")(c),
+    "pdf": lambda c, **kw: _lazy("pdf_parser", "pdf_to_elements")(
+        c,
+        **{
+            k: kw[k]
+            for k in (
+                "strategy",
+                "extract_images",
+                "extract_forms",
+                "pdf_hi_res_max_pages",
+            )
+            if kw.get(k) is not None
+        },
+    ),
     # legacy binary Office via the stdlib CFB reader (the reference
     # shells out to soffice for these)
     "doc": lambda c, **kw: _lazy("legacy_office", "doc_to_elements")(c),
@@ -182,12 +194,17 @@ def partition_bytes(
     filename: str | None = None,
     content_type: str | None = None,
     html_parser_version: str | None = None,
+    **parser_kwargs,
 ) -> list[dict]:
     """Detect + dispatch one document; returns ordered element dicts.
 
     ``html_parser_version="v2"`` routes HTML through the ontology
     partitioner (parsers/html_ontology.py; reference
     html/partition.py:280-293) instead of the v1 flow parser.
+    Extra ``parser_kwargs`` flow to the format partitioner (every
+    registry entry accepts-and-ignores unknown ones), e.g. the PDF
+    surface: ``strategy``, ``extract_images``, ``extract_forms``,
+    ``pdf_hi_res_max_pages``.
     """
     head = content[:8192] if isinstance(content, bytes) else content[:8192].encode()
     ft = ft_mod.detect_filetype(filename=filename, content_type=content_type, head=head)
@@ -237,7 +254,11 @@ def partition_bytes(
             fn = _PARTITIONERS.get(ft)
             if fn is None:
                 raise UnsupportedFormatError(f"no partitioner registered for {ft!r}")
-            els = fn(content, html_parser_version=html_parser_version)
+            els = fn(
+                content,
+                html_parser_version=html_parser_version,
+                **parser_kwargs,
+            )
     except (UnsupportedFormatError, ValueError):
         raise
     except (RecursionError, MemoryError):
