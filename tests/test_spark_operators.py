@@ -255,3 +255,21 @@ class TestErrorCapture:
             "doc_id string, content binary, path string",
         )
         assert partition_documents(df, on_error="skip").count() == 0
+
+
+class TestParserKwargsPassThrough:
+    def test_extract_forms_reaches_pdf_partitioner(self, spark):
+        from tests.test_pdf_parser import TestExtractForms
+
+        pdf = TestExtractForms._form_pdf()
+        docs = spark.createDataFrame(
+            [("f1", bytearray(pdf), "form.pdf")],
+            "doc_id string, content binary, path string",
+        )
+        els = partition_documents(docs, extract_forms=True).collect()
+        forms = [e for e in els if e["type"] == "FormKeysValues"]
+        assert len(forms) == 1
+        assert forms[0]["text"].startswith("Name: Jane Doe")
+        # default stays off
+        els2 = partition_documents(docs).collect()
+        assert not any(e["type"] == "FormKeysValues" for e in els2)

@@ -39,6 +39,7 @@ def partition_documents(
     on_error: str = "skip",  # 'skip' | 'fail' | 'capture'
     apply_metadata: bool = True,
     num_partitions: int | None = None,
+    **parser_kwargs,
 ) -> DataFrame:
     """Partition a documents DataFrame into the canonical element schema.
 
@@ -48,6 +49,10 @@ def partition_documents(
     whole partition+metadata pipeline (the separate DataFrame operators
     in ``operators.metadata`` each cost an exchange and exist for
     element tables read back from storage).
+
+    Extra ``parser_kwargs`` flow through ``partition_bytes`` to the
+    per-format partitioners (e.g. ``strategy=``, ``extract_forms=``,
+    ``extract_images=`` for PDFs).
     """
     cols = [doc_id, content]
     if path and path in df.columns:
@@ -82,7 +87,8 @@ def partition_documents(
                 ctype = rec_d.get(ct_col) if ct_col else None
                 try:
                     els = partition_bytes(
-                        raw, filename=fname, content_type=ctype
+                        raw, filename=fname, content_type=ctype,
+                        **parser_kwargs,
                     )
                 except (UnsupportedFormatError, Exception) as e:
                     if on_error == "fail":
