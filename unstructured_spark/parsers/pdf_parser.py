@@ -1122,6 +1122,67 @@ class PageCountExceededError(ValueError):
         )
 
 
+def _hires_born_digital(doc: "_PdfDoc") -> list[dict]:
+    """hi_res on born-digital pages with a registered layout model and
+    no rasterizer: per page, render the geometry-surrogate raster
+    (pdf_raster.rasterize_page), run the layout model, scale detections
+    back to point space, and merge with the extracted text blocks via
+    the reference's 5-rule page merge. Text always comes from the
+    content stream; the model contributes region types and grouping."""
+    from unstructured_spark.parsers import image_parser as _ip
+    from unstructured_spark.parsers import pdf_raster
+    from unstructured_spark.schema import TYPE_NORMALIZATION
+
+    out: list[dict] = []
+    for page_no, page in enumerate(doc.pages(), start=1):
+        stream = doc.page_content(page)
+        if not stream:
+            continue
+        runs = _extract_runs(stream, doc.page_fonts(page))
+        if not runs:
+            continue
+        media = doc.page_attr(page, "/MediaBox") or [0, 0, 612, 792]
+        try:
+            page_w = float(doc.resolve(media[2])) - float(doc.resolve(media[0]))
+            page_h = float(doc.resolve(media[3])) - float(doc.resolve(media[1]))
+        except (TypeError, ValueError, IndexError):
+            page_w, page_h = 612.0, 792.0
+        blocks = _runs_to_blocks(runs, page_h)
+        arr, w, h, scale = pdf_raster.rasterize_page(runs, page_w, page_h)
+        detections = list(_ip._LAYOUT_MODEL(arr, w, h))
+        merged = pdf_raster.merge_detections_with_blocks(
+            detections, blocks, page_w, page_h, scale
+        )
+        for m in merged:
+            text = " ".join((m.get("text") or "").split())
+            kind = m.get("kind") or "Text"
+            if not text and kind not in ("Image", "Picture", "Figure", "Table"):
+                continue
+            if kind == "Text" and text:
+                etype = classify.element_type_from_text(text)
+            else:
+                etype = TYPE_NORMALIZATION.get(kind, kind)
+            out.append(
+                {
+                    "type": etype,
+                    "text": text,
+                    "page_number": page_no,
+                    "coordinates": {
+                        "points": [
+                            {"x": m["x1"], "y": m["y1"]},
+                            {"x": m["x1"], "y": m["y2"]},
+                            {"x": m["x2"], "y": m["y2"]},
+                            {"x": m["x2"], "y": m["y1"]},
+                        ],
+                        "system": "PixelSpace",
+                        "layout_width": page_w,
+                        "layout_height": page_h,
+                    },
+                }
+            )
+    return out
+
+
 def pdf_to_elements(
     content: bytes,
     strategy: str = "auto",
@@ -1146,12 +1207,20 @@ def pdf_to_elements(
             els = scanned_pdf_to_elements(content, doc=doc)
             if els:
                 return els
+        if strategy == "hi_res" and _ip._LAYOUT_MODEL is not None:
+            # born-digital hi_res without poppler: surrogate raster →
+            # layout model → 5-rule merge with extracted text blocks
+            # (parsers/pdf_raster.py)
+            els = _hires_born_digital(doc)
+            if els:
+                return els
         raise NotImplementedError(
             f"partition_pdf strategy {strategy!r} needs a layout/OCR model; "
             "register agents via parsers.image_parser.set_layout_model / "
-            "set_ocr_agent (scanned pages then partition via embedded-image "
-            "extraction, parsers/pdf_images.py) — born-digital pages "
-            "additionally need a PDF rasterizer (poppler) on executors."
+            "set_ocr_agent (scanned pages partition via embedded-image "
+            "extraction, born-digital hi_res via the surrogate raster + "
+            "merge path in parsers/pdf_raster.py; ocr_only on born-digital "
+            "pages needs real rasterized glyphs, i.e. poppler, on executors)."
         )
     out: list[dict] = []
     for page_no, page in enumerate(doc.pages(), start=1):
