@@ -1347,6 +1347,60 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retrieval.reciprocal_rank_fusion([lex, ann], top=10)
 
 
+def q_image_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup: 64-bit dHash (grayscale 9x8 downsample,
+    adjacent-cell comparisons) + lossless pigeonhole Hamming blocking
+    (dedup.hamming_pairs — never all-pairs). The pixel grids here are
+    md5-deterministic surrogates (doc groups of 4 sharing a base image
+    with per-variant bumps) so the oracle replays grid, resize, hash
+    and pairs bit-for-bit in SQL; the REAL byte-decode path is
+    multimodal.image_dhash (same hash function, unit-tested on encoded
+    pixels)."""
+    from functools import reduce as _reduce
+
+    from unstructured_spark.operators.dedup import hamming_pairs
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+    grp = F.expr("doc_id div 4")
+    var = F.col("doc_id") % 4
+
+    def byte(r: int, c: int):
+        h = F.md5(
+            F.concat(
+                F.lit("img:"), grp.cast("string"), F.lit(":"), F.lit(str(r))
+            )
+        )
+        base = F.conv(F.substring(h, c * 2 + 1, 2), 16, 10).cast("long")
+        bump0 = (
+            F.when(var.isin(1, 3) & F.lit(r == 0) & F.lit(c <= 3), 60)
+            .otherwise(0)
+        )
+        bump3 = (
+            F.when((var >= 2) & F.lit(r == 3) & F.lit(c <= 3), 60).otherwise(0)
+        )
+        return base + bump0 + bump3
+
+    terms = []
+    for r2 in range(8):
+        for c2 in range(8):
+            idx = r2 * 8 + c2
+            val = -(1 << 63) if idx == 63 else (1 << idx)
+            terms.append(
+                F.when(
+                    byte(r2 * 2, (c2 * 16) // 9)
+                    < byte(r2 * 2, ((c2 + 1) * 16) // 9),
+                    F.lit(val).cast("long"),
+                ).otherwise(F.lit(0).cast("long"))
+            )
+    dhash = _reduce(lambda a, b: a + b, terms)
+    hashed = docs.select("doc_id", dhash.alias("dhash"))
+    return hamming_pairs(
+        hashed, hash_col="dhash", doc_id="doc_id", bits=64, max_distance=6
+    )
+
+
 def q_box_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fake-bold/shadow-text bbox dedup: drop boxes whose IoU with a
     later box exceeds 0.5 (reference remove_duplicate_elements,
@@ -2222,6 +2276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bigram_cross_entropy": q_bigram_cross_entropy,
         "q_token_kl_drift": q_token_kl_drift,
         "q_hybrid_rrf": q_hybrid_rrf,
+        "q_image_dhash_pairs": q_image_dhash_pairs,
         "q_srp_ann_topk": q_srp_ann_topk,
         "q_ivf_ann_topk": q_ivf_ann_topk,
         "q_edit_distance": q_edit_distance,
@@ -2323,6 +2378,42 @@ _LSH_PAIRS_CTE = _MINHASH_SIG_CTE + """
     on l.b = r.b and l.band_key = r.band_key and l.doc_id < r.doc_id
 )
 """
+
+
+def _dhash_pairs_sql() -> str:
+    """Brute-force SQL replay of q_image_dhash_pairs: identical grid
+    bytes, identical 9x8 nearest-neighbor source cells, identical
+    64-bit dhash arithmetic (bit 63 as the int64 min constant), pairs
+    by plain crossjoin + bit_count(xor)."""
+
+    def byte(r: int, c: int) -> str:
+        return (
+            f"(cast(('0x'||substr(md5('img:'||cast((d//4) as varchar)||':'||'{r}'),"
+            f" {c * 2 + 1}, 2)) as bigint)"
+            f" + case when (d%4) in (1,3) and {int(r == 0)} = 1 and {int(c <= 3)} = 1"
+            f" then 60 else 0 end"
+            f" + case when (d%4) >= 2 and {int(r == 3)} = 1 and {int(c <= 3)} = 1"
+            f" then 60 else 0 end)"
+        )
+
+    terms = []
+    for r2 in range(8):
+        for c2 in range(8):
+            idx = r2 * 8 + c2
+            val = "(-9223372036854775807 - 1)" if idx == 63 else str(1 << idx)
+            terms.append(
+                f"case when {byte(r2 * 2, (c2 * 16) // 9)}"
+                f" < {byte(r2 * 2, ((c2 + 1) * 16) // 9)} then {val} else 0 end"
+            )
+    expr = " + ".join(terms)
+    return f"""
+        with base as (select cast(doc_id as bigint) as d from documents),
+        h as (select d as doc_id, ({expr}) as dhash from base)
+        select a.doc_id as doc_a, b.doc_id as doc_b,
+               cast(bit_count(xor(a.dhash, b.dhash)) as bigint) as hamming
+        from h a join h b on a.doc_id < b.doc_id
+        where bit_count(xor(a.dhash, b.dhash)) <= 6
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3760,6 +3851,7 @@ left join stats s using (doc_id)
             select doc_id, floor(raw * 1000000.0 + 0.5) / 1000000.0 as score
             from scored where anytf > 0
         """,
+        "q_image_dhash_pairs": _dhash_pairs_sql(),
         "q_bigram_cross_entropy": """
             with t as (
               select doc_id,

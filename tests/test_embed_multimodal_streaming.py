@@ -299,3 +299,52 @@ class TestStreamingDedup:
         assert wins.get("a", 0) == 8  # first copy holds all 8 band buckets
         assert wins.get("b", 0) == 0  # exact near-dup loses every bucket
         assert wins.get("c", 0) == 8  # novel doc wins all 8 bands
+
+
+class TestImageDhash:
+    @staticmethod
+    def _png(pixels, w, h):
+        from unstructured_spark.parsers.image_codec import encode_png
+
+        return encode_png(w, h, 1, bytes(pixels))
+
+    def test_near_dup_images_close_far_images_far(self, spark):
+        import random
+
+        from unstructured_spark.operators.multimodal import image_dhash
+
+        rnd = random.Random(7)
+        base = [rnd.randrange(256) for _ in range(32 * 32)]
+        nearby = list(base)
+        for i in range(5):  # tiny perturbation
+            nearby[i] = (nearby[i] + 8) % 256
+        other = [rnd.randrange(256) for _ in range(32 * 32)]
+        df = spark.createDataFrame(
+            [
+                ("a", bytearray(self._png(base, 32, 32))),
+                ("b", bytearray(self._png(nearby, 32, 32))),
+                ("c", bytearray(self._png(other, 32, 32))),
+                ("bad", bytearray(b"not an image")),
+            ],
+            "doc_id string, content binary",
+        )
+        rows = {r["doc_id"]: r["dhash"] for r in image_dhash(df).collect()}
+        assert rows["bad"] is None
+
+        def ham(x, y):
+            return bin((x ^ y) & ((1 << 64) - 1)).count("1")
+
+        assert ham(rows["a"], rows["b"]) <= 6
+        assert ham(rows["a"], rows["c"]) > 10
+
+    def test_hamming_pairs_on_dhash(self, spark):
+        from unstructured_spark.operators.dedup import hamming_pairs
+
+        df = spark.createDataFrame(
+            [(1, 0b1111), (2, 0b1110), (3, -(1 << 63))],
+            "doc_id long, dhash long",
+        )
+        rows = hamming_pairs(
+            df, hash_col="dhash", doc_id="doc_id", bits=64, max_distance=2
+        ).collect()
+        assert [(r["doc_a"], r["doc_b"], r["hamming"]) for r in rows] == [(1, 2, 1)]

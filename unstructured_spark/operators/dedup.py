@@ -262,9 +262,6 @@ def simhash_pairs(
       needed — at 100 TB that dedup exchange over the (quadratic-ish)
       candidate stream would dwarf the banded join itself.
     """
-    segs = max_distance + 1
-    widths = [bits // segs + (1 if i < bits % segs else 0) for i in range(segs)]
-    starts = [sum(widths[:i]) for i in range(segs)]
     toks = F.array_distinct(F.split(F.trim(F.col(text)), "\\s+"))
     staged = df.select(
         F.col(doc_id).alias("doc"), F.transform(toks, token_hash).alias("_h")
@@ -272,6 +269,31 @@ def simhash_pairs(
     base = staged.select(
         "doc", _simhash_from_hashes(F.col("_h"), bits).alias("fp")
     ).localCheckpoint(eager=False)
+    return hamming_pairs(
+        base,
+        hash_col="fp",
+        doc_id="doc",
+        bits=bits,
+        max_distance=max_distance,
+        max_bucket_size=max_bucket_size,
+    )
+
+
+def hamming_pairs(
+    df: DataFrame, *, hash_col: str = "fp", doc_id: str = "doc_id",
+    bits: int = 64, max_distance: int = 2,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Lossless pigeonhole Hamming pairs over ANY precomputed integer
+    fingerprint column — the simhash_pairs blocking decoupled from text
+    hashing, so perceptual image dHashes, audio fingerprints, or
+    externally-computed sketches get the same bucketed (never all-pairs)
+    plan. Returns (doc_a, doc_b, hamming) with hamming <= max_distance;
+    the segment split guarantees no pair within the bound is missed."""
+    segs = max_distance + 1
+    widths = [bits // segs + (1 if i < bits % segs else 0) for i in range(segs)]
+    starts = [sum(widths[:i]) for i in range(segs)]
+    base = df.select(F.col(doc_id).alias("doc"), F.col(hash_col).alias("fp"))
     seg_structs = F.array(
         *[
             F.struct(

@@ -311,3 +311,62 @@ def sample_frame_offsets(
             F.col("frame.byte_offset").alias("byte_offset"),
         )
     )
+
+
+def dhash_from_pixels(w: int, h: int, c: int, px) -> int:
+    """64-bit perceptual difference hash (dHash) of decoded pixels:
+    grayscale → 9x8 nearest-neighbor downsample → bit (r*8+c) set when
+    gray[r][c] < gray[r][c+1]. Returned in signed-int64 space (bit 63
+    maps to the sign bit) so the value round-trips through a Spark
+    LongType column and XOR/bit_count work unchanged."""
+    gw, gh = 9, 8
+    # grayscale nearest-neighbor downsample without numpy dependency
+    # at call sites that already hold a buffer
+    gray = [[0] * gw for _ in range(gh)]
+    for r in range(gh):
+        sr = r * h // gh
+        for col in range(gw):
+            sc = col * w // gw
+            base = (sr * w + sc) * c
+            vals = px[base : base + c]
+            gray[r][col] = sum(vals) // max(len(vals), 1)
+    v = 0
+    for r in range(8):
+        for col in range(8):
+            if gray[r][col] < gray[r][col + 1]:
+                v |= 1 << (r * 8 + col)
+    return v - (1 << 64) if v >= 1 << 63 else v
+
+
+def image_dhash(
+    df: DataFrame,
+    *,
+    content_col: str = "content",
+    out_col: str = "dhash",
+) -> DataFrame:
+    """Perceptual near-dup signature per image: REAL pixel decode via
+    the dependency-free codec, then :func:`dhash_from_pixels`.
+    Undecodable rows yield null (per-row isolation). Feed the result to
+    ``dedup.hamming_pairs`` for the bucketed (never all-pairs)
+    near-duplicate pair plan — the visual twin of simhash_pairs."""
+    in_fields = [f for f in df.schema.fields if f.name != out_col]
+    schema = T.StructType(in_fields + [T.StructField(out_col, T.LongType())])
+    names = [f.name for f in in_fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from unstructured_spark.parsers.image_codec import decode_image
+
+        for pdf in batches:
+            out_vals = []
+            for b in pdf[content_col]:
+                data = b if isinstance(b, bytes) else (bytes(b) if b is not None else b"")
+                try:
+                    w, h, c, px = decode_image(data)
+                    out_vals.append(dhash_from_pixels(w, h, c, px))
+                except Exception:
+                    out_vals.append(None)
+            out = pdf[names].copy()
+            out[out_col] = pd.array(out_vals, dtype="Int64")
+            yield out
+
+    return df.select(*names).mapInPandas(run, schema=schema)
