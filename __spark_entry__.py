@@ -1347,6 +1347,30 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retrieval.reciprocal_rank_fusion([lex, ann], top=10)
 
 
+def q_form_kv_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based "Label: value" form extraction from plain text
+    (operators/form_extraction.form_kv_from_text — the zero-detection
+    fallback of the extract_forms surface). Lines are synthesized
+    deterministically from document tokens (first two tokens label,
+    next three value) so the regex pass has real input and the oracle
+    replays construction + extraction."""
+    from unstructured_spark.operators.form_extraction import form_kv_from_text
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.trim(F.col("text")), "\\s+"), lambda x: x != F.lit("")
+    )
+    line = F.concat(
+        F.concat_ws(" ", F.slice(toks, 1, 2)),
+        F.lit(": "),
+        F.concat_ws(" ", F.slice(toks, 3, 3)),
+    )
+    synth = docs.select("doc_id", line.alias("text")).filter(
+        F.size(toks) >= 5
+    )
+    return form_kv_from_text(synth)
+
+
 def q_image_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual image near-dup: 64-bit dHash (grayscale 9x8 downsample,
     adjacent-cell comparisons) + lossless pigeonhole Hamming blocking
@@ -2277,6 +2301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_token_kl_drift": q_token_kl_drift,
         "q_hybrid_rrf": q_hybrid_rrf,
         "q_image_dhash_pairs": q_image_dhash_pairs,
+        "q_form_kv_text": q_form_kv_text,
         "q_srp_ann_topk": q_srp_ann_topk,
         "q_ivf_ann_topk": q_ivf_ann_topk,
         "q_edit_distance": q_edit_distance,
@@ -3852,6 +3877,26 @@ left join stats s using (doc_id)
             from scored where anytf > 0
         """,
         "q_image_dhash_pairs": _dhash_pairs_sql(),
+        "q_form_kv_text": r"""
+            with toks as (
+              select doc_id,
+                     list_filter(string_split(trim(text), ' '), x -> x != '') as w
+              from documents
+            ), synth as (
+              select doc_id,
+                     array_to_string(w[1:2], ' ') || ': '
+                       || array_to_string(w[3:5], ' ') as line
+              from toks where len(w) >= 5
+            )
+            select doc_id, cast(0 as bigint) as line_no,
+                   regexp_extract(line, '^\s*([^:]{1,80}?)\s*:\s*(.*\S)\s*$', 1)
+                     as key,
+                   regexp_extract(line, '^\s*([^:]{1,80}?)\s*:\s*(.*\S)\s*$', 2)
+                     as value
+            from synth
+            where regexp_extract(line, '^\s*([^:]{1,80}?)\s*:\s*(.*\S)\s*$', 1)
+                  != ''
+        """,
         "q_bigram_cross_entropy": """
             with t as (
               select doc_id,
