@@ -1,0 +1,69 @@
+"""Registry-wide plan-shape guard: the scale contract, pinned.
+
+Every registered query must plan WITHOUT a CartesianProduct, and
+BroadcastNestedLoopJoin may appear only where a deliberately tiny
+(single-row / scalar / seed-table) build side makes it free at any
+scale. A regression that turns a keyed join into an all-pairs plan
+fails here before it ever reaches a cluster.
+"""
+
+import importlib.util
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+# queries whose plan intentionally carries a BroadcastNestedLoopJoin:
+# the build side is one row (query vector, centroid frame, corpus
+# scalar) or a seed table of <= nlist rows — free at any corpus size
+BNLJ_ALLOWED = {
+    "q_embed_topk",       # broadcast query vectors (<=10 rows)
+    "q_token_kl_drift",   # broadcast corpus vocabulary counts
+    "q_hybrid_rrf",       # broadcast single query vector
+    "q_ivf_ann_topk",     # broadcast seed-centroid frame (nlist rows)
+    "q22_idle_customers", # broadcast scalar avg-acctbal threshold
+    "q11_important_stock",# broadcast scalar value threshold
+    "q_kmeans_clusters",  # broadcast 1-row centroid frame per round
+}
+
+
+def _entry():
+    spec = importlib.util.spec_from_file_location(
+        "spark_entry_planshapes",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "__spark_entry__.py"),
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    return m
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    m = _entry()
+    out = {}
+    for name, q in m.queries().items():
+        df = q(spark, SF_DIR)
+        out[name] = df._jdf.queryExecution().sparkPlan().toString()
+    return out
+
+
+def test_no_cartesian_products_anywhere(plans):
+    offenders = [n for n, p in plans.items() if "CartesianProduct" in p]
+    assert offenders == [], f"all-pairs plans crept in: {offenders}"
+
+
+def test_bnlj_only_where_build_side_is_tiny(plans):
+    offenders = [
+        n
+        for n, p in plans.items()
+        if "BroadcastNestedLoopJoin" in p and n not in BNLJ_ALLOWED
+    ]
+    assert offenders == [], (
+        f"unexpected BroadcastNestedLoopJoin in {offenders}; if the build "
+        "side is genuinely tiny, add the query to BNLJ_ALLOWED with a reason"
+    )
