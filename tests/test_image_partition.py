@@ -127,3 +127,92 @@ class TestTranslateHook:
         finally:
             cleaners.set_translator(None)
         assert out == ["[en] hola", "[en] bonjour"]
+
+
+class TestTableStructureSupplement:
+    def test_cells_to_html(self):
+        from unstructured_spark.parsers.image_parser import cells_to_html
+
+        cells = [
+            {"row": 0, "col": 0, "text": "H1", "is_header": True},
+            {"row": 0, "col": 1, "text": "H2", "is_header": True},
+            {"row": 1, "col": 0, "text": "a", "row_span": 2},
+            {"row": 1, "col": 1, "text": "b"},
+            {"row": 2, "col": 1, "text": "c", "col_span": 2},
+        ]
+        html = cells_to_html(cells)
+        assert html == (
+            "<table><thead><tr><th>H1</th><th>H2</th></tr></thead>"
+            '<tbody><tr><td rowspan="2">a</td><td>b</td></tr>'
+            '<tr><td colspan="2">c</td></tr></tbody></table>'
+        )
+        assert cells_to_html([]) == ""
+
+    def test_pipeline_attaches_text_as_html(self):
+        import numpy as np
+
+        from unstructured_spark.parsers.image_parser import (
+            elements_from_pixels,
+            set_layout_model,
+            set_ocr_agent,
+            set_table_model,
+        )
+
+        seen = {}
+
+        def layout(arr, w, h):
+            return [{"type": "Table", "x1": 50, "y1": 50, "x2": 250, "y2": 150}]
+
+        def ocr(arr, w, h):
+            return [
+                {"text": "v1", "x1": 60, "y1": 60, "x2": 90, "y2": 80},
+                {"text": "outside", "x1": 300, "y1": 300, "x2": 340, "y2": 320},
+            ]
+
+        def table_model(crop, tokens):
+            seen["crop"] = crop.shape
+            seen["tokens"] = tokens
+            return [{"row": 0, "col": 0, "text": tokens[0]["text"]}]
+
+        set_layout_model(layout)
+        set_ocr_agent(ocr)
+        set_table_model(table_model)
+        try:
+            els = elements_from_pixels(
+                np.zeros((400, 400, 3), dtype=np.uint8), 400, 400
+            )
+        finally:
+            set_layout_model(None)
+            set_ocr_agent(None)
+            set_table_model(None)
+        [table] = [e for e in els if e["type"] == "Table"]
+        assert table["text_as_html"] == (
+            "<table><tbody><tr><td>v1</td></tr></tbody></table>"
+        )
+        # crop padded by 12px each side: (150-50+24, 250-50+24, 3)
+        assert seen["crop"] == (124, 224, 3)
+        # only the contained token, in crop-relative coords
+        assert len(seen["tokens"]) == 1
+        assert seen["tokens"][0]["x1"] == 60 - (50 - 12)
+
+    def test_no_table_model_no_html(self):
+        import numpy as np
+
+        from unstructured_spark.parsers.image_parser import (
+            elements_from_pixels,
+            set_layout_model,
+            set_ocr_agent,
+        )
+
+        set_layout_model(lambda a, w, h: [
+            {"type": "Table", "x1": 0, "y1": 0, "x2": 50, "y2": 50}])
+        set_ocr_agent(lambda a, w, h: [
+            {"text": "x", "x1": 5, "y1": 5, "x2": 15, "y2": 15}])
+        try:
+            els = elements_from_pixels(
+                np.zeros((100, 100, 3), dtype=np.uint8), 100, 100
+            )
+        finally:
+            set_layout_model(None)
+            set_ocr_agent(None)
+        assert all("text_as_html" not in e for e in els)

@@ -69,6 +69,7 @@ def _agents_registered() -> dict[str, bool]:
     return {
         "layout model": image_parser._LAYOUT_MODEL is not None,
         "OCR agent": image_parser._OCR_AGENT is not None,
+        "table structure": image_parser._TABLE_MODEL is not None,
         "speech-to-text": audio_parser._STT_AGENT is not None,
         "translator": cleaners._TRANSLATOR is not None,
     }

@@ -31,9 +31,16 @@ OCR_SUBREGION_THRESHOLD = 0.5  # reference ocr.py OCR_LAYOUT_SUBREGION_THRESHOLD
 
 LayoutModel = Callable[["object", int, int], Iterable[dict]]
 OcrAgent = Callable[["object", int, int], Iterable[dict]]
+# fn(table_crop_rgb, tokens) -> cell dicts {"row","col","row_span",
+# "col_span","text","is_header"} — the TATR-style structure model
+# (reference supplement_element_with_table_extraction, ocr.py:292-341)
+TableModel = Callable[["object", list], Iterable[dict]]
 
 _LAYOUT_MODEL: LayoutModel | None = None
 _OCR_AGENT: OcrAgent | None = None
+_TABLE_MODEL: TableModel | None = None
+
+TABLE_CROP_PAD = 12  # reference env_config.TABLE_IMAGE_CROP_PAD
 
 
 def set_layout_model(fn: LayoutModel | None) -> None:
@@ -44,6 +51,59 @@ def set_layout_model(fn: LayoutModel | None) -> None:
 def set_ocr_agent(fn: OcrAgent | None) -> None:
     global _OCR_AGENT
     _OCR_AGENT = fn
+
+
+def set_table_model(fn: TableModel | None) -> None:
+    global _TABLE_MODEL
+    _TABLE_MODEL = fn
+
+
+def cells_to_html(cells: Iterable[dict]) -> str:
+    """Assemble structure-model cells into table HTML (reference
+    unstructured_inference ``cells_to_html`` contract: row/col spans
+    honored, header rows inside ``<thead>``). Deterministic order:
+    (row, col). Empty cell list → empty string."""
+    cells = sorted(cells, key=lambda c: (int(c["row"]), int(c["col"])))
+    if not cells:
+        return ""
+    rows: dict[int, list[dict]] = {}
+    for c in cells:
+        rows.setdefault(int(c["row"]), []).append(c)
+
+    def render_row(row_cells: list[dict], tag: str) -> str:
+        tds = []
+        for c in row_cells:
+            attrs = ""
+            if int(c.get("row_span", 1)) > 1:
+                attrs += f' rowspan="{int(c["row_span"])}"'
+            if int(c.get("col_span", 1)) > 1:
+                attrs += f' colspan="{int(c["col_span"])}"'
+            text = (c.get("text") or "").strip()
+            tds.append(f"<{tag}{attrs}>{text}</{tag}>")
+        return "<tr>" + "".join(tds) + "</tr>"
+
+    header_rows = [
+        r for r in sorted(rows) if all(c.get("is_header") for c in rows[r])
+    ]
+    # header rows must be the leading rows to form a thead
+    lead: list[int] = []
+    for i, r in enumerate(sorted(rows)):
+        if r in header_rows and len(lead) == i:
+            lead.append(r)
+    parts = ["<table>"]
+    if lead:
+        parts.append("<thead>")
+        for r in lead:
+            parts.append(render_row(rows[r], "th"))
+        parts.append("</thead>")
+    body = [r for r in sorted(rows) if r not in lead]
+    if body:
+        parts.append("<tbody>")
+        for r in body:
+            parts.append(render_row(rows[r], "td"))
+        parts.append("</tbody>")
+    parts.append("</table>")
+    return "".join(parts)
 
 
 def _is_subregion(inner: dict, outer: dict, threshold: float) -> bool:
@@ -131,6 +191,36 @@ def elements_from_pixels(arr, w: int, h: int) -> list[dict]:
         if not used[i] and (word.get("text") or "").strip():
             regions.append({**word, "type": "Text"})
 
+    # table-structure supplement: crop each Table detection (+pad), feed
+    # the contained OCR tokens in crop-relative coords to the structure
+    # model, render cells as text_as_html (reference
+    # supplement_element_with_table_extraction, ocr.py:292-341)
+    if _TABLE_MODEL is not None:
+        for r in regions:
+            if (r.get("type") or "") not in ("Table",):
+                continue
+            x1 = max(int(r["x1"]) - TABLE_CROP_PAD, 0)
+            y1 = max(int(r["y1"]) - TABLE_CROP_PAD, 0)
+            x2 = min(int(r["x2"]) + TABLE_CROP_PAD, w)
+            y2 = min(int(r["y2"]) + TABLE_CROP_PAD, h)
+            if x2 <= x1 or y2 <= y1:
+                continue
+            crop = arr[y1:y2, x1:x2]
+            tokens = [
+                {
+                    "text": s["text"],
+                    "x1": s["x1"] - x1,
+                    "y1": s["y1"] - y1,
+                    "x2": s["x2"] - x1,
+                    "y2": s["y2"] - y1,
+                }
+                for s in words
+                if _is_subregion(s, r, OCR_SUBREGION_THRESHOLD)
+            ]
+            cells = list(_TABLE_MODEL(crop, tokens))
+            if cells:
+                r["text_as_html"] = cells_to_html(cells)
+
     regions = [r for r in regions if (r.get("text") or "").strip()]
     from unstructured_spark.parsers.layout import xy_cut_order
     from unstructured_spark.schema import TYPE_NORMALIZATION
@@ -140,12 +230,13 @@ def elements_from_pixels(arr, w: int, h: int) -> list[dict]:
     for i in order:
         r = regions[i]
         rtype = r.get("type") or "Text"
-        out.append(
-            {
-                "type": TYPE_NORMALIZATION.get(rtype, rtype),
-                "text": " ".join(r["text"].split()),
-                "page_number": 1,
-                "coordinates": _coords(r, w, h),
-            }
-        )
+        el = {
+            "type": TYPE_NORMALIZATION.get(rtype, rtype),
+            "text": " ".join(r["text"].split()),
+            "page_number": 1,
+            "coordinates": _coords(r, w, h),
+        }
+        if r.get("text_as_html"):
+            el["text_as_html"] = r["text_as_html"]
+        out.append(el)
     return out
