@@ -347,8 +347,14 @@ def bigram_cross_entropy(
     toks = F.filter(
         F.split(F.trim(F.col(text)), "\\s+"), lambda x: x != F.lit("")
     )
-    base = df.select(F.col(doc_id).alias("doc"), toks.alias("_t")).filter(
-        F.size("_t") >= 2
+    # checkpoint the COMPACT tokenized base: the bigram table feeds
+    # three consumers (pair counts, prefix counts, the scoring join) —
+    # without it each one re-runs scan+tokenize over the corpus (same
+    # trade as dedup.shared_ngram_spans: O(docs) pinned, not O(tokens))
+    base = (
+        df.select(F.col(doc_id).alias("doc"), toks.alias("_t"))
+        .filter(F.size("_t") >= 2)
+        .localCheckpoint(eager=False)
     )
     bigrams = base.select(
         "doc",
@@ -404,9 +410,13 @@ def token_kl_drift(
     toks = F.filter(
         F.split(F.trim(F.col(text)), "\\s+"), lambda x: x != F.lit("")
     )
-    exploded = df.select(
-        F.col(shard).alias("shard"), F.explode(toks).alias("t")
+    # compact checkpoint, same rationale as bigram_cross_entropy: four
+    # consumers (shard counts, corpus counts, shard totals, the scalar
+    # aggregate) otherwise each re-scan + re-tokenize the corpus
+    base = df.select(F.col(shard).alias("shard"), toks.alias("_t")).localCheckpoint(
+        eager=False
     )
+    exploded = base.select("shard", F.explode(F.col("_t")).alias("t"))
     shard_counts = exploded.groupBy("shard", "t").agg(F.count("*").alias("cs"))
     corpus_counts = exploded.groupBy("t").agg(F.count("*").alias("c"))
     shard_totals = exploded.groupBy("shard").agg(F.count("*").alias("ns"))
