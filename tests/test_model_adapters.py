@@ -277,3 +277,109 @@ class TestMarianTranslator:
             assert tr(["hallo"], "en") == ["<T:hallo>"]
         finally:
             cleaners.set_translator(None)
+
+
+class TestDetrDecode:
+    def test_softmax_threshold_and_box_scale(self):
+        # 2 queries, 3 classes (last = no object)
+        logits = np.zeros((1, 2, 3), dtype=np.float32)
+        logits[0, 0] = [5.0, 0.0, 0.0]   # class 0, confident
+        logits[0, 1] = [0.0, 0.0, 5.0]   # no object
+        boxes = np.zeros((1, 2, 4), dtype=np.float32)
+        boxes[0, 0] = [0.5, 0.5, 0.5, 0.25]  # center, half-size box
+        dets = ma.detr_decode(logits, boxes, (200, 100))
+        assert len(dets) == 1
+        d = dets[0]
+        assert d["label"] == 0
+        assert (d["x1"], d["y1"], d["x2"], d["y2"]) == (50.0, 37.5, 150.0, 62.5)
+
+
+class TestStructureToCells:
+    def _grid(self):
+        return [
+            {"label": 2, "x1": 0, "y1": 0, "x2": 100, "y2": 20, "score": 1.0},
+            {"label": 2, "x1": 0, "y1": 20, "x2": 100, "y2": 40, "score": 1.0},
+            {"label": 1, "x1": 0, "y1": 0, "x2": 50, "y2": 40, "score": 1.0},
+            {"label": 1, "x1": 50, "y1": 0, "x2": 100, "y2": 40, "score": 1.0},
+            {"label": 3, "x1": 0, "y1": 0, "x2": 100, "y2": 20, "score": 1.0},
+        ]
+
+    def test_grid_with_header_and_tokens(self):
+        tokens = [
+            {"text": "A", "x1": 10, "y1": 5, "x2": 20, "y2": 15},
+            {"text": "B", "x1": 60, "y1": 5, "x2": 70, "y2": 15},
+            {"text": "c1", "x1": 10, "y1": 25, "x2": 20, "y2": 35},
+            {"text": "c2a", "x1": 55, "y1": 25, "x2": 65, "y2": 35},
+            {"text": "c2b", "x1": 70, "y1": 25, "x2": 80, "y2": 35},
+        ]
+        cells = ma.structure_to_cells(self._grid(), tokens)
+        assert len(cells) == 4
+        by_pos = {(c["row"], c["col"]): c for c in cells}
+        assert by_pos[(0, 0)]["text"] == "A" and by_pos[(0, 0)]["is_header"]
+        assert by_pos[(1, 1)]["text"] == "c2a c2b"
+        assert not by_pos[(1, 0)]["is_header"]
+
+    def test_cells_feed_html(self):
+        from unstructured_spark.parsers.image_parser import cells_to_html
+
+        cells = ma.structure_to_cells(
+            self._grid(),
+            [{"text": "A", "x1": 10, "y1": 5, "x2": 20, "y2": 15}],
+        )
+        html = cells_to_html(cells)
+        assert html.startswith("<table><thead><tr><th>A</th>")
+
+
+class _FakeTatrSession:
+    def __init__(self):
+        self.feeds = []
+
+    def get_inputs(self):
+        return [_FakeInput()]
+
+    def run(self, _outs, feeds):
+        self.feeds.append(feeds)
+        # one row spanning the crop, one column, one header band
+        logits = np.full((1, 3, 8), -10.0, dtype=np.float32)
+        logits[0, 0, 2] = 10.0  # row
+        logits[0, 1, 1] = 10.0  # column
+        logits[0, 2, 3] = 10.0  # column header
+        boxes = np.array(
+            [[[0.5, 0.5, 1.0, 1.0],
+              [0.5, 0.5, 1.0, 1.0],
+              [0.5, 0.5, 1.0, 1.0]]],
+            dtype=np.float32,
+        )
+        return [logits, boxes]
+
+
+class TestTatrTableModel:
+    def test_end_to_end_cells(self):
+        sess = _FakeTatrSession()
+        model = ma.TatrTableModel(session=sess, input_size=(64, 64))
+        crop = np.zeros((40, 80, 3), dtype=np.uint8)
+        tokens = [{"text": "x", "x1": 10, "y1": 10, "x2": 20, "y2": 20}]
+        cells = model(crop, tokens)
+        assert cells == [
+            {"row": 0, "col": 0, "row_span": 1, "col_span": 1,
+             "text": "x", "is_header": True}
+        ]
+        tensor = sess.feeds[0]["images"]
+        assert tensor.shape == (1, 3, 64, 64)
+
+    def test_gated_without_onnxruntime(self):
+        import importlib.util
+
+        if importlib.util.find_spec("onnxruntime") is not None:
+            pytest.skip("onnxruntime installed")
+        with pytest.raises(ImportError, match="onnxruntime"):
+            ma.TatrTableModel("tatr.onnx")
+
+    def test_register(self):
+        from unstructured_spark.parsers import image_parser
+
+        model = ma.TatrTableModel(session=_FakeTatrSession()).register()
+        try:
+            assert image_parser._TABLE_MODEL is model
+        finally:
+            image_parser.set_table_model(None)

@@ -152,7 +152,7 @@ def _optional_import_rows() -> list[tuple[str, str, str]]:
         ("google.auth", "VertexAI embedding provider"),
         ("tiktoken", "exact OpenAI token counts in token-mode chunking"),
         ("pytesseract", "TesseractOcrAgent adapter (model_adapters.py)"),
-        ("onnxruntime", "OnnxLayoutModel adapter (model_adapters.py)"),
+        ("onnxruntime", "OnnxLayoutModel / TatrTableModel adapters (model_adapters.py)"),
         ("whisper", "WhisperSttAgent adapter (model_adapters.py)"),
     ):
         ok = importlib.util.find_spec(mod.split(".")[0]) is not None

@@ -404,3 +404,147 @@ class MarianTranslator:
 
         set_translator(self)
         return self
+
+
+# ---------------------------------------------------------------------------
+# TATR table-structure model (DETR-style decode → cells)
+# ---------------------------------------------------------------------------
+
+# Table-transformer structure classes (public TATR label set).
+TATR_LABELS = {
+    0: "table",
+    1: "column",
+    2: "row",
+    3: "column header",
+    4: "projected row header",
+    5: "spanning cell",
+    6: "no object",
+}
+
+
+def detr_decode(
+    logits: np.ndarray, pred_boxes: np.ndarray, size: tuple[int, int],
+    threshold: float = 0.5,
+) -> list[dict]:
+    """DETR head decode: per query, softmax over classes, keep
+    non-'no object' detections above threshold; cxcywh (normalized)
+    boxes → absolute xyxy. logits (1, Q, C); pred_boxes (1, Q, 4)."""
+    w, h = size
+    z = logits[0] - logits[0].max(axis=1, keepdims=True)
+    e = np.exp(z)
+    probs = e / e.sum(axis=1, keepdims=True)
+    labels = probs.argmax(axis=1)
+    scores = probs[np.arange(len(labels)), labels]
+    out = []
+    no_obj = logits.shape[2] - 1
+    for q in range(len(labels)):
+        if labels[q] == no_obj or scores[q] < threshold:
+            continue
+        cx, cy, bw, bh = pred_boxes[0, q]
+        out.append(
+            {
+                "label": int(labels[q]),
+                "score": float(scores[q]),
+                "x1": float((cx - bw / 2) * w),
+                "y1": float((cy - bh / 2) * h),
+                "x2": float((cx + bw / 2) * w),
+                "y2": float((cy + bh / 2) * h),
+            }
+        )
+    return out
+
+
+def structure_to_cells(detections: list[dict], tokens: list[dict]) -> list[dict]:
+    """Rows × columns → cell grid; token text assigned by center
+    containment; leading rows covered by a 'column header' region are
+    header cells. The standard TATR postprocess reduced to its
+    deterministic core (no iterative box refinement)."""
+    rows = sorted(
+        (d for d in detections if TATR_LABELS.get(d["label"]) == "row"),
+        key=lambda d: d["y1"],
+    )
+    cols = sorted(
+        (d for d in detections if TATR_LABELS.get(d["label"]) == "column"),
+        key=lambda d: d["x1"],
+    )
+    headers = [
+        d for d in detections if TATR_LABELS.get(d["label"]) == "column header"
+    ]
+    cells = []
+    for ri, row in enumerate(rows):
+        row_cy = (row["y1"] + row["y2"]) / 2
+        is_header = any(hd["y1"] <= row_cy <= hd["y2"] for hd in headers)
+        for ci, col in enumerate(cols):
+            x1, x2 = col["x1"], col["x2"]
+            y1, y2 = row["y1"], row["y2"]
+            texts = [
+                t["text"]
+                for t in tokens
+                if x1 <= (t["x1"] + t["x2"]) / 2 <= x2
+                and y1 <= (t["y1"] + t["y2"]) / 2 <= y2
+            ]
+            cells.append(
+                {
+                    "row": ri,
+                    "col": ci,
+                    "row_span": 1,
+                    "col_span": 1,
+                    "text": " ".join(texts),
+                    "is_header": is_header,
+                }
+            )
+    return cells
+
+
+class TatrTableModel:
+    """Table-structure model backed by an onnxruntime session running a
+    table-transformer (TATR) structure checkpoint: DETR decode →
+    row/column grid → cells, conforming to the
+    ``image_parser.set_table_model`` contract
+    ``fn(crop_rgb, tokens) -> cells``."""
+
+    def __init__(
+        self,
+        model_path: str | None = None,
+        *,
+        input_size: tuple[int, int] = (800, 800),
+        score_threshold: float = 0.5,
+        session=None,
+    ):
+        if session is None:
+            try:
+                import onnxruntime
+            except ImportError as e:  # pragma: no cover - not in container
+                raise ImportError(
+                    "TatrTableModel needs the optional 'onnxruntime' package "
+                    "and a table-transformer model file; python -m "
+                    "unstructured_spark.doctor lists this gate"
+                ) from e
+            session = onnxruntime.InferenceSession(model_path)
+        self._session = session
+        self.input_size = input_size
+        self.score_threshold = float(score_threshold)
+
+    def __call__(self, crop, tokens: list[dict]) -> list[dict]:
+        arr = np.asarray(crop)
+        h, w = arr.shape[:2]
+        ih, iw = self.input_size
+        rows = (np.arange(ih) * h // ih).clip(0, h - 1)
+        cols = (np.arange(iw) * w // iw).clip(0, w - 1)
+        resized = arr[rows][:, cols][..., :3].astype(np.float32) / 255.0
+        # ImageNet normalization (TATR preprocessing)
+        mean = np.array([0.485, 0.456, 0.406], dtype=np.float32)
+        std = np.array([0.229, 0.224, 0.225], dtype=np.float32)
+        tensor = ((resized - mean) / std).transpose(2, 0, 1)[None]
+        input_name = self._session.get_inputs()[0].name
+        logits, boxes = self._session.run(None, {input_name: tensor})[:2]
+        dets = detr_decode(
+            logits, boxes, (w, h), threshold=self.score_threshold
+        )
+        return structure_to_cells(dets, tokens)
+
+    def register(self) -> "TatrTableModel":
+        from unstructured_spark.parsers.image_parser import set_table_model
+
+        set_table_model(self)
+        return self
