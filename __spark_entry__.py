@@ -1380,46 +1380,50 @@ def q_image_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     and pairs bit-for-bit in SQL; the REAL byte-decode path is
     multimodal.image_dhash (same hash function, unit-tested on encoded
     pixels)."""
-    from functools import reduce as _reduce
+    import pandas as pd
+    from pyspark.sql import types as T
 
     from unstructured_spark.operators.dedup import hamming_pairs
+
+    def _dhash_fn(doc_id):
+        import hashlib
+
+        out = []
+        for d in doc_id:
+            grp, var = int(d) // 4, int(d) % 4
+            gray = [[0] * 9 for _ in range(8)]
+            for r2 in range(8):
+                r = r2 * 2
+                hx = hashlib.md5(f"img:{grp}:{r}".encode()).hexdigest()
+                for c2 in range(9):
+                    c = (c2 * 16) // 9
+                    v = int(hx[c * 2 : c * 2 + 2], 16)
+                    if var in (1, 3) and r == 0 and c <= 3:
+                        v += 60
+                    if var >= 2 and r == 3 and c <= 3:
+                        v += 60
+                    gray[r2][c2] = v
+            val = 0
+            for r2 in range(8):
+                for c2 in range(8):
+                    if gray[r2][c2] < gray[r2][c2 + 1]:
+                        val |= 1 << (r2 * 8 + c2)
+            out.append(val - (1 << 64) if val >= 1 << 63 else val)
+        return pd.Series(out, dtype="int64")
+
+    # annotations set explicitly: pandas is imported locally, so inline
+    # hints would be strings the UDF type-inferencer can't resolve
+    _dhash_fn.__annotations__ = {"doc_id": pd.Series, "return": pd.Series}
+    _dhash = F.pandas_udf(_dhash_fn, T.LongType())
 
     docs = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("long").alias("doc_id")
     )
-    grp = F.expr("doc_id div 4")
-    var = F.col("doc_id") % 4
-
-    def byte(r: int, c: int):
-        h = F.md5(
-            F.concat(
-                F.lit("img:"), grp.cast("string"), F.lit(":"), F.lit(str(r))
-            )
-        )
-        base = F.conv(F.substring(h, c * 2 + 1, 2), 16, 10).cast("long")
-        bump0 = (
-            F.when(var.isin(1, 3) & F.lit(r == 0) & F.lit(c <= 3), 60)
-            .otherwise(0)
-        )
-        bump3 = (
-            F.when((var >= 2) & F.lit(r == 3) & F.lit(c <= 3), 60).otherwise(0)
-        )
-        return base + bump0 + bump3
-
-    terms = []
-    for r2 in range(8):
-        for c2 in range(8):
-            idx = r2 * 8 + c2
-            val = -(1 << 63) if idx == 63 else (1 << idx)
-            terms.append(
-                F.when(
-                    byte(r2 * 2, (c2 * 16) // 9)
-                    < byte(r2 * 2, ((c2 + 1) * 16) // 9),
-                    F.lit(val).cast("long"),
-                ).otherwise(F.lit(0).cast("long"))
-            )
-    dhash = _reduce(lambda a, b: a + b, terms)
-    hashed = docs.select("doc_id", dhash.alias("dhash"))
+    # ~16 bytes/doc checkpoint so the blocking self-join's two sides
+    # don't EACH re-run the hash UDF (same rationale as simhash_pairs)
+    hashed = docs.select(
+        "doc_id", _dhash(F.col("doc_id")).alias("dhash")
+    ).localCheckpoint(eager=False)
     return hamming_pairs(
         hashed, hash_col="dhash", doc_id="doc_id", bits=64, max_distance=6
     )
