@@ -348,3 +348,54 @@ class TestImageDhash:
             df, hash_col="dhash", doc_id="doc_id", bits=64, max_distance=2
         ).collect()
         assert [(r["doc_a"], r["doc_b"], r["hamming"]) for r in rows] == [(1, 2, 1)]
+
+
+class TestStreamingHygieneChain:
+    def test_redact_quality_langid_stream(self, spark, tmp_path):
+        """The map-only training-data hygiene stages (PII redaction,
+        Gopher stats + keep filter, language detection) compose
+        unchanged in a Structured Streaming query — zero stateful
+        operators, so no watermark is needed."""
+        import json
+
+        from pyspark.sql import functions as F
+
+        from unstructured_spark.operators.metadata import detect_language_expr
+        from unstructured_spark.operators.pii import redact_docs
+        from unstructured_spark.operators.quality_filters import (
+            gopher_keep_expr,
+            gopher_stats_exprs,
+        )
+
+        src = tmp_path / "docs"
+        rows = [
+            {"doc_id": 1,
+             "text": "Contact jane.doe@example.com for the quarterly report "
+                     "with all of the usual details and some more words here."},
+            {"doc_id": 2, "text": "x"},  # fails the quality gate
+        ]
+        spark.createDataFrame(
+            [(r["doc_id"], r["text"]) for r in rows], "doc_id long, text string"
+        ).write.parquet(str(src))
+
+        stream = spark.readStream.schema("doc_id long, text string").parquet(str(src))
+        stats = gopher_stats_exprs("text")
+        out = (
+            redact_docs(stream)
+            .select("*", *[c.alias(n) for n, c in stats.items()])
+            .filter(gopher_keep_expr(min_words=5, min_stopwords=0))
+            .withColumn("languages", F.array(detect_language_expr(F.col("text"))))
+        )
+        assert out.isStreaming
+        q = (
+            out.writeStream.format("memory")
+            .queryName("hygiene_stream")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql("select * from hygiene_stream").collect()
+        assert [r["doc_id"] for r in got] == [1]
+        assert "jane.doe@example.com" not in got[0]["text"]
+        assert "[EMAIL]" in got[0]["text"] or "EMAIL" in got[0]["text"]
+        assert got[0]["languages"] == ["eng"]
