@@ -1376,7 +1376,7 @@ def q_image_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     adjacent-cell comparisons) + lossless pigeonhole Hamming blocking
     (dedup.hamming_pairs — never all-pairs). The pixel grids here are
     md5-deterministic surrogates (doc groups of 4 sharing a base image
-    with per-variant bumps) so the oracle replays grid, resize, hash
+    with per-variant bumps on sampled rows 0 and 6) so the oracle replays grid, resize, hash
     and pairs bit-for-bit in SQL; the REAL byte-decode path is
     multimodal.image_dhash (same hash function, unit-tested on encoded
     pixels)."""
@@ -1398,10 +1398,13 @@ def q_image_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for c2 in range(9):
                     c = (c2 * 16) // 9
                     v = int(hx[c * 2 : c * 2 + 2], 16)
-                    if var in (1, 3) and r == 0 and c <= 3:
-                        v += 60
-                    if var >= 2 and r == 3 and c <= 3:
-                        v += 60
+                    # variant perturbation: invert whole sampled rows so
+                    # each variant flips a handful of comparisons —
+                    # within-group distances spread across the bound
+                    if var in (1, 3) and r == 0:
+                        v = 255 - v
+                    if var >= 2 and r == 6:
+                        v = 255 - v
                     gray[r2][c2] = v
             val = 0
             for r2 in range(8):
@@ -1425,7 +1428,7 @@ def q_image_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", _dhash(F.col("doc_id")).alias("dhash")
     ).localCheckpoint(eager=False)
     return hamming_pairs(
-        hashed, hash_col="dhash", doc_id="doc_id", bits=64, max_distance=6
+        hashed, hash_col="dhash", doc_id="doc_id", bits=64, max_distance=12
     )
 
 
@@ -2416,13 +2419,17 @@ def _dhash_pairs_sql() -> str:
     by plain crossjoin + bit_count(xor)."""
 
     def byte(r: int, c: int) -> str:
-        return (
-            f"(cast(('0x'||substr(md5('img:'||cast((d//4) as varchar)||':'||'{r}'),"
+        b = (
+            f"cast(('0x'||substr(md5('img:'||cast((d//4) as varchar)||':'||'{r}'),"
             f" {c * 2 + 1}, 2)) as bigint)"
-            f" + case when (d%4) in (1,3) and {int(r == 0)} = 1 and {int(c <= 3)} = 1"
-            f" then 60 else 0 end"
-            f" + case when (d%4) >= 2 and {int(r == 3)} = 1 and {int(c <= 3)} = 1"
-            f" then 60 else 0 end)"
+        )
+        b = (
+            f"(case when (d%4) in (1,3) and {int(r == 0)} = 1"
+            f" then 255 - {b} else {b} end)"
+        )
+        return (
+            f"(case when (d%4) >= 2 and {int(r == 6)} = 1"
+            f" then 255 - {b} else {b} end)"
         )
 
     terms = []
@@ -2441,7 +2448,7 @@ def _dhash_pairs_sql() -> str:
         select a.doc_id as doc_a, b.doc_id as doc_b,
                cast(bit_count(xor(a.dhash, b.dhash)) as bigint) as hamming
         from h a join h b on a.doc_id < b.doc_id
-        where bit_count(xor(a.dhash, b.dhash)) <= 6
+        where bit_count(xor(a.dhash, b.dhash)) <= 12
     """
 
 
@@ -3920,13 +3927,16 @@ left join stats s using (doc_id)
                 select w1 as t from b union select w2 as t from b)
             ), nll as (
               select b.doc_id,
-                -ln(cast(bc.c12 + 1 as double)
-                    / cast(uc.c1 + (select v from vocab) as double)) as nl
+                cast(floor(-ln(cast(bc.c12 + 1 as double)
+                    / cast(uc.c1 + (select v from vocab) as double))
+                    * 1000000000.0 + 0.5) as bigint) as nlq
               from b join bc on b.w1 = bc.w1 and b.w2 = bc.w2
                      join uc on b.w1 = uc.w1
             )
             select doc_id,
-                   floor(avg(nl) * 1000000.0 + 0.5) / 1000000.0 as cross_entropy,
+                   floor(((cast(sum(nlq) as double) / count(*))
+                          / 1000000000.0) * 1000000.0 + 0.5)
+                     / 1000000.0 as cross_entropy,
                    cast(count(*) as bigint) as n_bigrams
             from nll group by doc_id
         """,
@@ -3953,11 +3963,17 @@ left join stats s using (doc_id)
                 cast(g.c + 1 as double)
                   / cast((select n from tot) + (select v from tot) as double) as q
               from grid g left join sc on sc.shard = g.shard and sc.t = g.t
+            ), quant as (
+              select shard,
+                cast(floor(ps * ln(ps / q) * 1000000000000.0 + 0.5)
+                     as bigint) as tq
+              from terms
             )
             select shard as source,
-                   floor(sum(ps * ln(ps / q)) * 1000000.0 + 0.5) / 1000000.0
+                   floor(greatest(cast(sum(tq) as double) / 1000000000000.0,
+                                  0.0) * 1000000.0 + 0.5) / 1000000.0
                      as kl_divergence
-            from terms group by shard
+            from quant group by shard
         """,
         "q_hybrid_rrf": """
             with t as (

@@ -349,6 +349,34 @@ class TestImageDhash:
         ).collect()
         assert [(r["doc_a"], r["doc_b"], r["hamming"]) for r in rows] == [(1, 2, 1)]
 
+    def test_hamming_pairs_cross_sign(self, spark):
+        # dHash maps bit 63 to the int64 sign bit: fingerprints of
+        # opposite sign whose bit patterns are 1 apart MUST still pair
+        # (regression: arithmetic shiftright/% sign-encoded segments)
+        from unstructured_spark.operators.dedup import hamming_pairs
+
+        df = spark.createDataFrame(
+            [(1, (1 << 63) - 1), (2, -1)],  # differ only in bit 63
+            "doc_id long, dhash long",
+        )
+        rows = hamming_pairs(
+            df, hash_col="dhash", doc_id="doc_id", bits=64, max_distance=2
+        ).collect()
+        assert [(r["doc_a"], r["doc_b"], r["hamming"]) for r in rows] == [(1, 2, 1)]
+
+    def test_hamming_pairs_max_distance_zero(self, spark):
+        # segs=1 → the full 64-bit fingerprint is the bucket key
+        # (regression: 2^64 literal did not fit LongType)
+        from unstructured_spark.operators.dedup import hamming_pairs
+
+        df = spark.createDataFrame(
+            [(1, -42), (2, -42), (3, 7)], "doc_id long, dhash long"
+        )
+        rows = hamming_pairs(
+            df, hash_col="dhash", doc_id="doc_id", bits=64, max_distance=0
+        ).collect()
+        assert [(r["doc_a"], r["doc_b"], r["hamming"]) for r in rows] == [(1, 2, 0)]
+
 
 class TestStreamingHygieneChain:
     def test_redact_quality_langid_stream(self, spark, tmp_path):

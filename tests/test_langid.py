@@ -50,6 +50,12 @@ class TestContract:
             "Hi there.", language_fallback=lambda t: ["xx_bogus", "fra"]
         ) == ["fra"]
 
+    def test_short_fallback_keeps_codes_outside_profile_set(self):
+        # valid ISO 639-3 codes beyond langdetect's 55 profiles pass
+        assert detect_languages(
+            "Hi there.", language_fallback=lambda t: ["yor"]
+        ) == ["yor"]
+
     def test_short_default_eng(self):
         assert detect_languages("Hi there.") == ["eng"]
 

@@ -129,10 +129,22 @@ _LATIN_PROFILES: dict[str, tuple[str, ...]] = {
 }
 
 
+_ISO_639_3_SHAPE = re.compile(r"[a-z]{3}")
+
+
 def _validate_fallback_languages(langs: Optional[list[str]]) -> Optional[list[str]]:
+    """The reference validates fallback codes against the full iso639
+    table; without that table, accept anything SHAPED like an ISO 639-3
+    code (exactly three lowercase letters) so valid codes outside the
+    langdetect profile set (e.g. 'yor') survive, while junk like
+    'en_US' or '' is filtered."""
     if langs is None:
         return None
-    kept = [lang for lang in langs if lang in _VALID_639_3]
+    kept = [
+        lang
+        for lang in langs
+        if isinstance(lang, str) and _ISO_639_3_SHAPE.fullmatch(lang)
+    ]
     return kept or None
 
 

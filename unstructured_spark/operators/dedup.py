@@ -293,15 +293,26 @@ def hamming_pairs(
     segs = max_distance + 1
     widths = [bits // segs + (1 if i < bits % segs else 0) for i in range(segs)]
     starts = [sum(widths[:i]) for i in range(segs)]
+
+    def _seg_val(fp: Column, i: int) -> Column:
+        # shiftrightUNSIGNED + bitmask: arithmetic shiftright/% would
+        # sign-encode segments of NEGATIVE fingerprints differently on
+        # two sides whose bit patterns agree (dHash maps bit 63 to the
+        # sign bit), silently losing pairs. A full-width segment
+        # (max_distance=0, bits=64) is the fingerprint itself — the
+        # mask 2^64-1 wouldn't fit a long literal.
+        if widths[i] >= 64:
+            return fp
+        return F.shiftrightunsigned(fp, starts[i]).bitwiseAND(
+            F.lit((1 << widths[i]) - 1)
+        )
+
     base = df.select(F.col(doc_id).alias("doc"), F.col(hash_col).alias("fp"))
     seg_structs = F.array(
         *[
             F.struct(
                 F.lit(i).alias("seg"),
-                (
-                    F.shiftright(F.col("fp"), starts[i])
-                    % F.lit(2 ** widths[i])
-                ).alias("val"),
+                _seg_val(F.col("fp"), i).alias("val"),
             )
             for i in range(segs)
         ]
@@ -320,9 +331,6 @@ def hamming_pairs(
     hamming = F.bit_count(
         F.col("l.fp").bitwiseXOR(F.col("r.fp"))
     ).cast("bigint")
-
-    def _seg_val(fp: Column, i: int) -> Column:
-        return F.shiftright(fp, starts[i]) % F.lit(2 ** widths[i])
 
     # emit each pair only from its first agreeing segment: when the
     # matched segment is i, every segment j < i must differ — a cheap

@@ -375,13 +375,26 @@ def bigram_cross_entropy(
     p = (F.col("c12") + 1).cast("double") / (F.col("c1") + F.lit(int(v))).cast(
         "double"
     )
+    # no broadcast hint on uni_counts: it is vocabulary-sized (10^7+ on
+    # a real web corpus) — a plain token-keyed shuffle join scales, AQE
+    # still broadcasts small vocabularies on its own
     scored = (
         bigrams.join(big_counts, ["w1", "w2"])
-        .join(F.broadcast(uni_counts), "w1")
-        .select("doc", (-F.log(p)).alias("_nll"))
+        .join(uni_counts, "w1")
+        # quantize each -ln P to a 1e-9 grid BEFORE aggregation: long
+        # sums are order-independent under distributed partials, where
+        # a double sum's rounding depends on partition order (the
+        # repo-wide fixed-order-fold discipline; oracle replays the
+        # same quantization)
+        .select(
+            "doc",
+            F.floor(-F.log(p) * F.lit(1e9) + F.lit(0.5)).cast("long").alias("_nlq"),
+        )
     )
     return scored.groupBy(F.col("doc").alias(doc_id)).agg(
-        F.round(F.avg("_nll"), 6).alias("cross_entropy"),
+        F.round(
+            (F.sum("_nlq").cast("double") / F.count("*")) / F.lit(1e9), 6
+        ).alias("cross_entropy"),
         F.count("*").cast("bigint").alias("n_bigrams"),
     )
 
@@ -424,16 +437,29 @@ def token_kl_drift(
         F.count("*").alias("n"), F.countDistinct("t").alias("v")
     ).collect()[0]
     n, v = int(tot_row["n"]), int(tot_row["v"])
-    grid = shard_totals.crossJoin(F.broadcast(corpus_counts))
+    # broadcast the TINY side (shard totals — tens of rows), keep the
+    # vocabulary-sized corpus counts distributed
+    grid = corpus_counts.crossJoin(F.broadcast(shard_totals))
     joined = grid.join(shard_counts, ["shard", "t"], "left").fillna(
         {"cs": 0}
     )
     ps = (F.col("cs") + 1).cast("double") / (F.col("ns") + F.lit(v)).cast("double")
     q = (F.col("c") + 1).cast("double") / F.lit(float(n + v))
+    # quantize terms to a 1e-12 grid so the per-shard sum runs over
+    # exact longs (order-independent under distributed partials; the
+    # oracle replays the identical quantization). Overflow bound:
+    # |term| < ~30 → 3e13/long; safe to ~3e5 vocab terms per shard —
+    # reduce the scale alongside a top-|V'| vocabulary cut beyond that.
+    # True KL >= 0; the quantized sum can land at -epsilon, so clamp
+    # before rounding (avoids a cross-engine -0.0 vs 0.0 hash split).
+    term_q = F.floor(ps * F.log(ps / q) * F.lit(1e12) + F.lit(0.5)).cast("long")
     return (
-        joined.select(
-            "shard", (ps * F.log(ps / q)).alias("_term")
-        )
+        joined.select("shard", term_q.alias("_tq"))
         .groupBy(F.col("shard").alias(shard))
-        .agg(F.round(F.sum("_term"), 6).alias("kl_divergence"))
+        .agg(
+            F.round(
+                F.greatest(F.sum("_tq").cast("double") / F.lit(1e12), F.lit(0.0)),
+                6,
+            ).alias("kl_divergence")
+        )
     )

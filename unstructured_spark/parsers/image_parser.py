@@ -184,7 +184,9 @@ def elements_from_pixels(arr, w: int, h: int) -> list[dict]:
         text = det.get("text") or " ".join(
             s["text"] for s in contained if (s.get("text") or "").strip()
         )
-        regions.append({**det, "text": text})
+        # keep the containment set: the table-structure supplement
+        # reuses it instead of re-running the O(detections x words) scan
+        regions.append({**det, "text": text, "_contained": contained})
     # supplement: uncovered OCR regions appended as UncategorizedText
     # (reference ocr.py:436-491)
     for i, word in enumerate(words):
@@ -214,8 +216,7 @@ def elements_from_pixels(arr, w: int, h: int) -> list[dict]:
                     "x2": s["x2"] - x1,
                     "y2": s["y2"] - y1,
                 }
-                for s in words
-                if _is_subregion(s, r, OCR_SUBREGION_THRESHOLD)
+                for s in r.get("_contained", [])
             ]
             cells = list(_TABLE_MODEL(crop, tokens))
             if cells:
