@@ -1427,8 +1427,12 @@ def q_image_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed = docs.select(
         "doc_id", _dhash(F.col("doc_id")).alias("dhash")
     ).localCheckpoint(eager=False)
+    # max_distance=8: 9 segments of ~7 bits — bucket cardinality 128
+    # per segment keeps the per-bucket self-join tiny (13 segments of
+    # 4-5 bits measured 7x slower from 312-doc buckets; the bits-per-
+    # segment lever from SCALING.md in action)
     return hamming_pairs(
-        hashed, hash_col="dhash", doc_id="doc_id", bits=64, max_distance=12
+        hashed, hash_col="dhash", doc_id="doc_id", bits=64, max_distance=8
     )
 
 
@@ -2448,7 +2452,7 @@ def _dhash_pairs_sql() -> str:
         select a.doc_id as doc_a, b.doc_id as doc_b,
                cast(bit_count(xor(a.dhash, b.dhash)) as bigint) as hamming
         from h a join h b on a.doc_id < b.doc_id
-        where bit_count(xor(a.dhash, b.dhash)) <= 12
+        where bit_count(xor(a.dhash, b.dhash)) <= 8
     """
 
 
