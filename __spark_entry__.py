@@ -946,6 +946,18 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel(ev, ["view", "click", "purchase"], within_seconds=24 * 3600)
 
 
+def q_funnel_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Step-reach counts for the view→click→purchase funnel: one row
+    per step with the number of users who reached it — the headline
+    conversion table on top of q_funnel's per-user frame. One scalar
+    aggregate over the funnel output, exploded back to rows."""
+    from unstructured_spark.operators.funnel import funnel, funnel_summary
+
+    ev = _t(spark, sf_dir, "events")
+    per_user = funnel(ev, ["view", "click", "purchase"], within_seconds=24 * 3600)
+    return funnel_summary(per_user, 3)
+
+
 def q_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust per-user outlier detection on event values: median /
     MAD (sort-based statistics — deterministic across engines, unlike
@@ -2353,6 +2365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_readability": q_readability,
         "q_overlap_audit": q_overlap_audit,  # oracle below replays the decision tree
         "q_funnel": q_funnel,
+        "q_funnel_summary": q_funnel_summary,
         "q_cohort_retention": q_cohort_retention,
         "q_value_outliers": q_value_outliers,
         "q_metrics_grouped": q_metrics_grouped,
@@ -2765,6 +2778,36 @@ def oracle_sql() -> dict[str, str]:
                           + case when t3 is not null then 1 else 0 end as bigint)
                      as stage
             from s1 left join s2 using (user_id) left join s3 using (user_id)
+        """,
+        "q_funnel_summary": """
+            with e as (
+              select user_id, epoch_us(ts) as us, event_type from events
+            ), s1 as (
+              select user_id, min(us) as t1 from e
+              where event_type = 'view' group by user_id
+            ), s2 as (
+              select e.user_id, min(us) as t2
+              from e join s1 using (user_id)
+              where event_type = 'click' and us >= t1
+                and us <= t1 + 86400000000
+              group by e.user_id
+            ), s3 as (
+              select e.user_id, min(us) as t3
+              from e join s2 using (user_id) join s1 using (user_id)
+              where event_type = 'purchase' and us >= t2
+                and us <= t1 + 86400000000
+              group by e.user_id
+            ), per_user as (
+              select cast(1 + case when t2 is not null then 1 else 0 end
+                            + case when t3 is not null then 1 else 0 end
+                          as bigint) as stage
+              from s1 left join s2 using (user_id) left join s3 using (user_id)
+            )
+            select cast(step as bigint) as step,
+                   cast(sum(case when stage >= step then 1 else 0 end)
+                        as bigint) as users
+            from per_user, (select unnest(range(1, 4)) as step)
+            group by step
         """,
         "q_events_sessionize": """
             with gaps as (
