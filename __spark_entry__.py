@@ -946,6 +946,22 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel(ev, ["view", "click", "purchase"], within_seconds=24 * 3600)
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis):
+    50 documents drawn with probability proportional to n_chars via the
+    deterministic md5-uniform exponential race — the quality/size-
+    weighted corpus-mixing primitive. Map-only keys + one top-k."""
+    from unstructured_spark.operators.sampling import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = weighted_sample(docs, 50, weight_col="n_chars")
+    return out.select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.col("_ws_key").alias("sampling_key"),
+    )
+
+
 def q_funnel_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Step-reach counts for the view→click→purchase funnel: one row
     per step with the number of users who reached it — the headline
@@ -2366,6 +2382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_overlap_audit": q_overlap_audit,  # oracle below replays the decision tree
         "q_funnel": q_funnel,
         "q_funnel_summary": q_funnel_summary,
+        "q_weighted_sample": q_weighted_sample,
         "q_cohort_retention": q_cohort_retention,
         "q_value_outliers": q_value_outliers,
         "q_metrics_grouped": q_metrics_grouped,
@@ -4106,6 +4123,27 @@ left join stats s using (doc_id)
                         as fused_rank
               from fused
             ) where fused_rank <= 10
+        """,
+        "q_weighted_sample": """
+            with u as (
+              select doc_id, n_chars,
+                cast(('0x'||substr(md5(cast(doc_id as varchar)||'ws-v1'),
+                                   1, 15)) as bigint)
+                  / 1152921504606846976.0 as u
+              from documents where n_chars > 0
+            ), keyed as (
+              select doc_id, n_chars,
+                     -ln(u) / cast(n_chars as double) as wsk
+              from u
+            )
+            select doc_id, cast(n_chars as bigint) as n_chars,
+                   floor(wsk * 1000000000.0 + 0.5) / 1000000000.0
+                     as sampling_key
+            from (
+              select *, row_number() over (order by wsk asc, doc_id asc)
+                        as rnk
+              from keyed
+            ) where rnk <= 50
         """,
         "q_stratified_sample": """
             select doc_id, source from documents

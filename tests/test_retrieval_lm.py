@@ -74,3 +74,30 @@ class TestRrf:
         rows = rank_by(df, "score", "doc_id", 3).orderBy("rank").collect()
         # ties break by id asc
         assert [(r["doc_id"], r["rank"]) for r in rows] == [(2, 1), (3, 2), (1, 3)]
+
+
+class TestWeightedSample:
+    def test_bias_toward_heavy_weights(self, spark):
+        from unstructured_spark.operators.sampling import weighted_sample
+
+        # 100 light rows (w=1) + 10 heavy rows (w=100): heavy rows must
+        # dominate a k=10 sample far beyond their 9% population share
+        rows = [(i, 1.0) for i in range(100)] + [
+            (100 + i, 100.0) for i in range(10)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, wt double")
+        got = weighted_sample(df, 10, weight_col="wt").collect()
+        assert len(got) == 10
+        heavy = sum(1 for r in got if r["doc_id"] >= 100)
+        assert heavy >= 6
+
+    def test_deterministic_and_zero_weight_excluded(self, spark):
+        from unstructured_spark.operators.sampling import weighted_sample
+
+        df = spark.createDataFrame(
+            [(1, 5.0), (2, 0.0), (3, -1.0), (4, 2.0)],
+            "doc_id long, wt double",
+        )
+        a = sorted(r["doc_id"] for r in weighted_sample(df, 2, weight_col="wt").collect())
+        b = sorted(r["doc_id"] for r in weighted_sample(df, 2, weight_col="wt").collect())
+        assert a == b == [1, 4]  # non-positive weights never win

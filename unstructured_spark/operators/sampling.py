@@ -143,3 +143,44 @@ def pack_sequences(
         (F.least(seq_hi, F.col("_gend")) - F.col("_gstart")).alias("doc_token_end"),
         (F.greatest(seq_lo, F.col("_gstart")) - seq_lo).alias("seq_token_start"),
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    *,
+    weight_col: str,
+    key_col: str = "doc_id",
+    seed: str = "ws-v1",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis 2006):
+    each row draws key = u^(1/w) from its deterministic md5-uniform u
+    and the k largest keys win — inclusion probability proportional to
+    weight, no sequential pass, no rejection loop. The standard
+    quality-weighted corpus-mixing primitive (weight = quality score,
+    token count, source priority...).
+
+    Scale shape: map-only key computation, then ONE top-k (the same
+    rank-truncation any engine runs as a partial top-k per partition +
+    merge). Deterministic: u is md5(key||seed), ln on identical doubles
+    in both engines, ties broken by id.
+
+    Rows with weight <= 0 never win (key -infinity semantics via
+    filter). Returns the winning rows with the sampling key exposed as
+    ``_ws_key`` (rounded for engine-stable comparison downstream).
+    """
+    u = hash_uniform(F.col(key_col), seed)
+    # exponential-race form: E = -ln(u)/w ~ Exp(weight); the k SMALLEST
+    # E win — the monotone transform of 'k largest u^(1/w)' that avoids
+    # pow()'s cross-engine corner cases
+    key = -F.log(u) / F.col(weight_col).cast("double")
+    w = Window.orderBy(F.col("_wsk").asc(), F.col(key_col).asc())
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("_wsk", key)
+        .withColumn("_rank", F.row_number().over(w))
+        .filter(F.col("_rank") <= k)
+        .drop("_rank")
+        .withColumn("_ws_key", F.round(F.col("_wsk"), 9))
+        .drop("_wsk")
+    )
