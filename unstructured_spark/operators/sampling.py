@@ -174,13 +174,14 @@ def weighted_sample(
     # E win — the monotone transform of 'k largest u^(1/w)' that avoids
     # pow()'s cross-engine corner cases
     key = -F.log(u) / F.col(weight_col).cast("double")
-    w = Window.orderBy(F.col("_wsk").asc(), F.col(key_col).asc())
+    # orderBy().limit() plans as TakeOrderedAndProject — per-partition
+    # partial top-k merged on the driver — where a global row_number
+    # window would drag the whole corpus into ONE partition
     return (
         df.filter(F.col(weight_col) > 0)
         .withColumn("_wsk", key)
-        .withColumn("_rank", F.row_number().over(w))
-        .filter(F.col("_rank") <= k)
-        .drop("_rank")
+        .orderBy(F.col("_wsk").asc(), F.col(key_col).asc())
+        .limit(k)
         .withColumn("_ws_key", F.round(F.col("_wsk"), 9))
         .drop("_wsk")
     )
