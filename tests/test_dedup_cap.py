@@ -106,3 +106,44 @@ class TestDropNearDuplicates:
             "doc_id string, text string",
         )
         assert drop_near_duplicates(df).count() == 2
+
+
+class TestHammingBlockingLossless:
+    """hamming_pairs' pigeonhole blocking must find EXACTLY the brute
+    force pair set — including across the int64 sign bit (regression:
+    arithmetic shiftright sign-encoded segments and lost pairs)."""
+
+    def test_matches_brute_force_on_adversarial_fingerprints(self, spark):
+        import itertools
+        import random
+
+        rnd = random.Random(11)
+        fps = []
+        # clusters around a few anchors (near pairs), including anchors
+        # with the top bit set (negative int64), plus uniform noise
+        for anchor in (0, (1 << 63) - 7, -(1 << 62), rnd.getrandbits(63)):
+            for _ in range(4):
+                v = anchor
+                for _ in range(rnd.randrange(0, 4)):
+                    v ^= 1 << rnd.randrange(64)
+                fps.append(v - (1 << 64) if v >= 1 << 63 else v)
+        fps.extend(
+            rnd.getrandbits(64) - (1 << 63) for _ in range(10)
+        )
+        rows = [(i, fp) for i, fp in enumerate(fps)]
+        for d in (0, 2, 5):
+            brute = sorted(
+                (a, b, bin((fa ^ fb) & ((1 << 64) - 1)).count("1"))
+                for (a, fa), (b, fb) in itertools.combinations(rows, 2)
+                if bin((fa ^ fb) & ((1 << 64) - 1)).count("1") <= d
+            )
+            from unstructured_spark.operators.dedup import hamming_pairs
+
+            df = spark.createDataFrame(rows, "doc_id long, fp long")
+            got = sorted(
+                (r["doc_a"], r["doc_b"], r["hamming"])
+                for r in hamming_pairs(
+                    df, hash_col="fp", doc_id="doc_id", bits=64, max_distance=d
+                ).collect()
+            )
+            assert got == brute, f"max_distance={d}"
