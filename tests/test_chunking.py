@@ -246,14 +246,37 @@ class TestTokenMode:
 
 
 class _FakeEncoding:
-    """Whitespace-word ids: enough to exercise the tiktoken seam
-    (measure by encode(), oversized split by id-window + decode)."""
+    """GPT-style byte-faithful word ids (token text includes its
+    leading space, concat of token bytes == original bytes): enough to
+    exercise the tiktoken seam (measure by encode(), oversized split by
+    id-window + boundary-snapped byte slicing)."""
 
     def encode(self, text):
-        return text.split()
+        import re
+
+        return re.findall(r" ?[^ ]+| +$", text)
 
     def decode(self, ids):
-        return " ".join(ids)
+        return "".join(ids)
+
+    def decode_single_token_bytes(self, tok):
+        return tok.encode("utf-8")
+
+
+class _ByteChunkEncoding:
+    """Pathological BPE stand-in: ids are fixed 3-byte chunks of the
+    UTF-8 stream, so token boundaries routinely land mid-character —
+    the exact case where naive id-slice decoding emits U+FFFD."""
+
+    def encode(self, text):
+        raw = text.encode("utf-8")
+        return [raw[i : i + 3] for i in range(0, len(raw), 3)]
+
+    def decode(self, ids):
+        return b"".join(ids).decode("utf-8", errors="replace")
+
+    def decode_single_token_bytes(self, tok):
+        return tok
 
 
 class TestTiktokenSeam:
@@ -277,6 +300,31 @@ class TestTiktokenSeam:
         frags = opts.split(" ".join(f"w{i}" for i in range(12)))
         assert all(len(f.split()) <= 5 for f in frags)
         assert frags[1].split()[:2] == frags[0].split()[-2:]
+
+    def test_split_never_cuts_mid_character(self):
+        # token boundaries landing inside multi-byte chars must not
+        # yield U+FFFD fragment edges (ADVICE r4): edges snap to
+        # character boundaries of the original byte stream
+        from unstructured_spark.operators import chunking
+
+        chunking._TIKTOKEN_ENCODERS["byte-chunk"] = _ByteChunkEncoding()
+        opts = chunking.ChunkingOptions(
+            length_unit="tokens", tokenizer="byte-chunk",
+            max_characters=4, overlap=1,
+        )
+        text = "héllo wörld ünïcode τεχτ δεδομένα ενα"
+        frags = opts.split(text)
+        assert len(frags) > 1
+        for f in frags:
+            assert "�" not in f
+            assert f in text  # exact byte-slice, no lossy round-trip
+        # no bytes skipped: fragments tile the text (with overlap)
+        pos = 0
+        for f in frags:
+            i = text.find(f, max(0, pos - len(f)))
+            assert i != -1 and i <= pos
+            pos = max(pos, i + len(f))
+        assert pos == len(text)
 
     def test_tokenizer_requires_token_mode(self):
         import pytest

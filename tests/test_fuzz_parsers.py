@@ -97,3 +97,34 @@ def test_empty_and_tiny_inputs():
             except ALLOWED:
                 continue
             assert isinstance(out, list)
+
+
+def test_parser_bug_propagates_decode_error_classifies():
+    """The malformed-input boundary is a whitelist of decode exception
+    types: a buggy parser's TypeError must surface as-is (a bug, not
+    malformed input), while zipfile/struct/unicode-style decode errors
+    still classify as MalformedDocumentError."""
+    import zipfile
+
+    from unstructured_spark.parsers.dispatch import (
+        MalformedDocumentError,
+        _PARTITIONERS,
+        register_partitioner,
+    )
+
+    def buggy(content, **kw):
+        raise TypeError("'NoneType' object is not subscriptable")
+
+    def truncated(content, **kw):
+        raise zipfile.BadZipFile("File is not a zip file")
+
+    orig = _PARTITIONERS["csv"]
+    try:
+        register_partitioner("csv", buggy)
+        with pytest.raises(TypeError):
+            partition_bytes(b"a,b\n1,2\n", filename="f.csv")
+        register_partitioner("csv", truncated)
+        with pytest.raises(MalformedDocumentError, match="BadZipFile"):
+            partition_bytes(b"a,b\n1,2\n", filename="f.csv")
+    finally:
+        _PARTITIONERS["csv"] = orig

@@ -148,6 +148,56 @@ class TestTableStructureSupplement:
         )
         assert cells_to_html([]) == ""
 
+    def test_cells_to_html_escapes_markup(self):
+        # OCR text containing markup chars must not break text_as_html
+        # (ADVICE r4): escaped like the xlsx/docx renderers
+        from unstructured_spark.parsers.image_parser import cells_to_html
+
+        html = cells_to_html(
+            [{"row": 0, "col": 0, "text": "a<b & c>d"}]
+        )
+        assert html == (
+            "<table><tbody><tr><td>a&lt;b &amp; c&gt;d</td></tr></tbody></table>"
+        )
+
+    def test_empty_ocr_table_with_html_survives(self):
+        # a Table whose OCR text is empty but whose structure model
+        # produced text_as_html must not be dropped (ADVICE r4)
+        import numpy as np
+
+        from unstructured_spark.parsers.image_parser import (
+            elements_from_pixels,
+            set_layout_model,
+            set_ocr_agent,
+            set_table_model,
+        )
+
+        set_layout_model(
+            lambda a, w, h: [
+                {"type": "Table", "x1": 50, "y1": 50, "x2": 250, "y2": 150}
+            ]
+        )
+        # no OCR tokens land inside the table -> empty text
+        set_ocr_agent(
+            lambda a, w, h: [
+                {"text": "elsewhere", "x1": 300, "y1": 300, "x2": 340, "y2": 320}
+            ]
+        )
+        set_table_model(lambda crop, tokens: [{"row": 0, "col": 0, "text": "x"}])
+        try:
+            els = elements_from_pixels(
+                np.zeros((400, 400, 3), dtype=np.uint8), 400, 400
+            )
+        finally:
+            set_layout_model(None)
+            set_ocr_agent(None)
+            set_table_model(None)
+        [table] = [e for e in els if e["type"] == "Table"]
+        assert table["text"] == ""
+        assert table["text_as_html"] == (
+            "<table><tbody><tr><td>x</td></tr></tbody></table>"
+        )
+
     def test_pipeline_attaches_text_as_html(self):
         import numpy as np
 

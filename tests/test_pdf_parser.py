@@ -542,6 +542,31 @@ class TestExtractForms:
         texts = [e["text"] for e in els]
         assert "Jane Doe" in texts and "orphan value" in texts
 
+    def test_hi_res_path_honors_extract_forms(self):
+        # ADVICE r4: the hi_res born-digital early return used to drop
+        # extract_forms silently; AcroForm elements must now ride along
+        import json
+
+        from unstructured_spark.parsers.image_parser import set_layout_model
+
+        set_layout_model(
+            lambda arr, w, h: [
+                {"type": "Text", "x1": 60, "y1": 60, "x2": 550, "y2": 120}
+            ]
+        )
+        try:
+            els = pdf_to_elements(
+                self._form_pdf(), strategy="hi_res", extract_forms=True
+            )
+        finally:
+            set_layout_model(None)
+        [form] = [e for e in els if e["type"] == "FormKeysValues"]
+        assert form["text"] == "Name: Jane Doe\nEmail: "
+        kv = json.loads(form["metadata_json"])["key_value_pairs"]
+        assert [p["key_text"] for p in kv] == ["Name", "Email"]
+        # filled widget values still emit their own text elements
+        assert any(e["text"] == "Jane Doe" for e in els)
+
     def test_api_partition_extract_forms(self, tmp_path):
         import json
 

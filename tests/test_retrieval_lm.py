@@ -55,6 +55,36 @@ class TestTokenKlDrift:
         rows = {r["source"]: r["kl_divergence"] for r in token_kl_drift(df).collect()}
         assert rows["s1"] > 0 and rows["s2"] > 0
 
+    def test_max_vocab_restricts_grid(self, spark):
+        # 'a' dominates the corpus; with max_vocab=1 only 'a' survives
+        # the cut, so the rare-token drift disappears and both shards
+        # have KL over a single-token distribution (ns+1 vs n+1
+        # smoothing difference only — near zero, and equal by symmetry)
+        df = spark.createDataFrame(
+            [("s1", "a a a x"), ("s2", "a a a y")],
+            "source string, text string",
+        )
+        full = {
+            r["source"]: r["kl_divergence"]
+            for r in token_kl_drift(df).collect()
+        }
+        capped = {
+            r["source"]: r["kl_divergence"]
+            for r in token_kl_drift(df, max_vocab=1).collect()
+        }
+        assert full["s1"] > capped["s1"]
+        assert capped["s1"] == capped["s2"] < 0.01
+
+    def test_max_vocab_tiebreak_deterministic(self, spark):
+        # equal corpus counts → token-order tiebreak: 'a' kept, 'b' cut
+        df = spark.createDataFrame(
+            [("s1", "a b"), ("s2", "a b")],
+            "source string, text string",
+        )
+        r1 = token_kl_drift(df, max_vocab=1).collect()
+        r2 = token_kl_drift(df, max_vocab=1).collect()
+        assert sorted(map(tuple, r1)) == sorted(map(tuple, r2))
+
 
 class TestRrf:
     def test_fusion_prefers_doubly_ranked(self, spark):

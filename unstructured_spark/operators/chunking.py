@@ -195,18 +195,53 @@ def _split_oversized_tiktoken(
     ``max_tokens`` ids stepping by ``max_tokens - overlap``, decoded
     back to text. Mirrors _split_oversized_tokens' invariants (every
     fragment <= max_tokens, overlap ids carried) with the reference's
-    token arithmetic."""
+    token arithmetic.
+
+    BPE token boundaries can land mid-character (a multi-byte UTF-8
+    char split across ids), and decoding a raw id slice there emits
+    U+FFFD at fragment edges. Window edges are therefore snapped to
+    the nearest token boundary that falls on a character boundary of
+    the original byte stream, and fragments are sliced from the
+    original bytes — no lossy round-trip."""
     ids = enc.encode(text)
     if len(ids) <= max_tokens:
         return [text]
+    raw = text.encode("utf-8")
+    # byte offset of each token boundary; boundary i is "clean" when it
+    # lands on a UTF-8 character start in the original byte stream
+    offs = [0]
+    for t in ids:
+        offs.append(offs[-1] + len(enc.decode_single_token_bytes(t)))
+
+    def clean(i: int) -> bool:
+        o = offs[i]
+        return o >= len(raw) or (raw[o] & 0xC0) != 0x80
+
+    def snap_end(s: int, e: int) -> int:
+        # retreat to a clean boundary (fragment stays <= max_tokens);
+        # pathological all-dirty windows (char spanning every id, <= 3
+        # continuation bytes in practice) extend forward instead
+        j = min(e, len(ids))
+        while j > s + 1 and not clean(j):
+            j -= 1
+        if not clean(j):
+            j = min(e, len(ids))
+            while j < len(ids) and not clean(j):
+                j += 1
+        return j
+
     out: list[str] = []
     step = max_tokens - overlap
     start = 0
     while start < len(ids):
-        out.append(enc.decode(ids[start : start + max_tokens]))
-        if start + max_tokens >= len(ids):
+        end = snap_end(start, start + max_tokens)
+        out.append(raw[offs[start] : offs[end]].decode("utf-8"))
+        if end >= len(ids):
             break
-        start += step
+        nxt = start + step
+        while nxt > 0 and not clean(nxt):
+            nxt -= 1  # never skip bytes: widen overlap to stay clean
+        start = nxt if nxt > start else end
     return out
 
 

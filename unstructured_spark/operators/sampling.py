@@ -166,8 +166,10 @@ def weighted_sample(
     in both engines, ties broken by id.
 
     Rows with weight <= 0 never win (key -infinity semantics via
-    filter). Returns the winning rows with the sampling key exposed as
-    ``_ws_key`` (rounded for engine-stable comparison downstream).
+    filter), and a u == 0 draw (p = 2^-60 per row) is filtered too:
+    Spark's ln(0) is NULL (sorts first asc) while SQL engines give
+    -inf (sorts last desc) — dropping the row keeps the replay
+    bit-identical in both engines.
     """
     u = hash_uniform(F.col(key_col), seed)
     # exponential-race form: E = -ln(u)/w ~ Exp(weight); the k SMALLEST
@@ -178,7 +180,7 @@ def weighted_sample(
     # partial top-k merged on the driver — where a global row_number
     # window would drag the whole corpus into ONE partition
     return (
-        df.filter(F.col(weight_col) > 0)
+        df.filter((F.col(weight_col) > 0) & (u > F.lit(0.0)))
         .withColumn("_wsk", key)
         .orderBy(F.col("_wsk").asc(), F.col(key_col).asc())
         .limit(k)

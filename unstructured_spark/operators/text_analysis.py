@@ -405,6 +405,7 @@ def token_kl_drift(
     text: str = "text",
     doc_id: str = "doc_id",
     shard: str = "source",
+    max_vocab: int | None = None,
 ) -> DataFrame:
     """Per-shard KL divergence of the token distribution against the
     whole corpus — the distribution-drift monitor a multi-source
@@ -414,11 +415,17 @@ def token_kl_drift(
         q(t)   = (c(t) + 1)   / (n + V)
         KL(s)  = round(Σ_{t ∈ corpus vocab} p_s(t) · ln(p_s(t)/q(t)), 6)
 
-    The sum runs over the FULL corpus vocabulary for every shard
-    (absent terms contribute the smoothed floor), materialized as
-    shards × vocab: fine while |vocab| × |shards| fits a shuffle
-    (typical dedup'd web vocab 10⁷ × tens of sources); past that,
-    restrict to a top-|V'| vocabulary by corpus frequency first.
+    The sum runs over the corpus vocabulary for every shard (absent
+    terms contribute the smoothed floor), materialized as shards ×
+    vocab: fine while |vocab| × |shards| fits a shuffle (typical
+    dedup'd web vocab 10⁷ × tens of sources). Past that, pass
+    ``max_vocab=N`` to restrict to the top-N vocabulary by corpus
+    frequency (ties broken by token, so the cut is deterministic)
+    BEFORE the grid join — counts, totals, V, and both distributions
+    are then all taken over the restricted vocabulary, so p_s and q
+    stay proper distributions and KL stays >= 0. The top-N cut itself
+    plans as TakeOrderedAndProject (per-partition partial top-N), so
+    the only driver-side materialization is N rows.
     """
     toks = F.filter(
         F.split(F.trim(F.col(text)), "\\s+"), lambda x: x != F.lit("")
@@ -430,8 +437,17 @@ def token_kl_drift(
         eager=False
     )
     exploded = base.select("shard", F.explode(F.col("_t")).alias("t"))
-    shard_counts = exploded.groupBy("shard", "t").agg(F.count("*").alias("cs"))
     corpus_counts = exploded.groupBy("t").agg(F.count("*").alias("c"))
+    if max_vocab is not None:
+        # deterministic top-N vocabulary cut; checkpointed so the three
+        # consumers (grid, semi-join, totals) don't re-run the top-N
+        corpus_counts = (
+            corpus_counts.orderBy(F.col("c").desc(), F.col("t").asc())
+            .limit(int(max_vocab))
+            .localCheckpoint(eager=False)
+        )
+        exploded = exploded.join(corpus_counts.select("t"), "t", "semi")
+    shard_counts = exploded.groupBy("shard", "t").agg(F.count("*").alias("cs"))
     shard_totals = exploded.groupBy("shard").agg(F.count("*").alias("ns"))
     tot_row = exploded.agg(
         F.count("*").alias("n"), F.countDistinct("t").alias("v")

@@ -241,8 +241,31 @@ def partition_bytes(
     # truncated/bit-rotted/mislabeled blobs, and one stray low-level
     # exception (zipfile.BadZipFile, struct.error, IndexError, ...)
     # inside a mapInPandas partitioner kills the whole task. The
-    # documented contract is list-or-ValueError; anything else raised
-    # by a format parser converts to MalformedDocumentError here.
+    # documented contract is list-or-ValueError; the KNOWN decode
+    # exception types convert to MalformedDocumentError here — anything
+    # outside the whitelist (TypeError, AttributeError, ...) is a
+    # parser bug, not malformed input, and propagates so on_error=
+    # 'skip' can't silently bury it.
+    import binascii
+    import csv as _csv
+    import struct
+    import xml.etree.ElementTree as _ET
+    import zipfile
+    import zlib
+
+    _DECODE_ERRORS = (
+        struct.error,
+        zlib.error,
+        binascii.Error,
+        zipfile.BadZipFile,
+        _ET.ParseError,
+        _csv.Error,
+        UnicodeError,
+        KeyError,
+        IndexError,
+        OverflowError,
+        EOFError,
+    )
     try:
         if ft == "eml":
             from unstructured_spark.parsers.email_parser import email_to_elements
@@ -266,7 +289,7 @@ def partition_bytes(
         # reclassifying it would silently drop healthy documents under
         # on_error='skip'.
         raise
-    except Exception as e:
+    except _DECODE_ERRORS as e:
         raise MalformedDocumentError(
             f"malformed {ft} document: {type(e).__name__}: {e}"
         ) from e

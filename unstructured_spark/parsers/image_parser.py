@@ -25,6 +25,7 @@ without, the wire raises the same named dependency gate as before.
 
 from __future__ import annotations
 
+import html as _html
 from typing import Callable, Iterable
 
 OCR_SUBREGION_THRESHOLD = 0.5  # reference ocr.py OCR_LAYOUT_SUBREGION_THRESHOLD
@@ -78,7 +79,7 @@ def cells_to_html(cells: Iterable[dict]) -> str:
                 attrs += f' rowspan="{int(c["row_span"])}"'
             if int(c.get("col_span", 1)) > 1:
                 attrs += f' colspan="{int(c["col_span"])}"'
-            text = (c.get("text") or "").strip()
+            text = _html.escape((c.get("text") or "").strip())
             tds.append(f"<{tag}{attrs}>{text}</{tag}>")
         return "<tr>" + "".join(tds) + "</tr>"
 
@@ -222,7 +223,11 @@ def elements_from_pixels(arr, w: int, h: int) -> list[dict]:
             if cells:
                 r["text_as_html"] = cells_to_html(cells)
 
-    regions = [r for r in regions if (r.get("text") or "").strip()]
+    regions = [
+        r
+        for r in regions
+        if (r.get("text") or "").strip() or r.get("text_as_html")
+    ]
     from unstructured_spark.parsers.layout import xy_cut_order
     from unstructured_spark.schema import TYPE_NORMALIZATION
 

@@ -1183,6 +1183,82 @@ def _hires_born_digital(doc: "_PdfDoc") -> list[dict]:
     return out
 
 
+def _acroform_elements(doc: "_PdfDoc") -> list[dict]:
+    """Filled-AcroForm elements for a parsed doc: one FormKeysValues per
+    page with named widgets (reference pdf.py:563-583) plus one text
+    element per filled widget value. Shared by the fast path and the
+    hi_res/scanned early returns so ``extract_forms=True`` is honored on
+    every strategy."""
+    import json as _json
+
+    out: list[dict] = []
+    for page_no, page in enumerate(doc.pages(), start=1):
+        media = doc.page_attr(page, "/MediaBox") or [0, 0, 612, 792]
+        try:
+            page_w = float(doc.resolve(media[2])) - float(doc.resolve(media[0]))
+            page_h = float(doc.resolve(media[3])) - float(doc.resolve(media[1]))
+        except (TypeError, ValueError, IndexError):
+            page_w, page_h = 612.0, 792.0
+        _links, widgets = _page_annotations(doc, page, page_h)
+        named = sorted(
+            (w for w in widgets if w["name"]),
+            key=lambda w: (w["box"][1], w["box"][0]),
+        )
+        if named:
+            pairs = [
+                {
+                    "key_text": w["name"],
+                    "value_text": w["text"] or None,
+                    "x1": w["box"][0],
+                    "y1": w["box"][1],
+                    "x2": w["box"][2],
+                    "y2": w["box"][3],
+                    "confidence": 1.0,  # declared binding, not geometric
+                }
+                for w in named
+            ]
+            out.append(
+                {
+                    "type": "FormKeysValues",
+                    "text": "\n".join(
+                        f"{p['key_text']}: {p['value_text'] or ''}"
+                        for p in pairs
+                    ),
+                    "page_number": page_no,
+                    "metadata_json": _json.dumps(
+                        {
+                            "key_value_pairs": pairs,
+                            "detection_origin": "acroform",
+                        },
+                        ensure_ascii=False,
+                    ),
+                }
+            )
+        for wdg in widgets:
+            if not wdg["text"]:
+                continue  # unfilled field: no value element
+            wx0, wtop, wx1, wbot = wdg["box"]
+            out.append(
+                {
+                    "type": classify.element_type_from_text(wdg["text"]),
+                    "text": wdg["text"],
+                    "page_number": page_no,
+                    "coordinates": {
+                        "points": [
+                            {"x": wx0, "y": wtop},
+                            {"x": wx0, "y": wbot},
+                            {"x": wx1, "y": wbot},
+                            {"x": wx1, "y": wtop},
+                        ],
+                        "system": "PixelSpace",
+                        "layout_width": page_w,
+                        "layout_height": page_h,
+                    },
+                }
+            )
+    return out
+
+
 def pdf_to_elements(
     content: bytes,
     strategy: str = "auto",
@@ -1206,6 +1282,11 @@ def pdf_to_elements(
 
             els = scanned_pdf_to_elements(content, doc=doc)
             if els:
+                if extract_forms:
+                    els = sorted(
+                        els + _acroform_elements(doc),
+                        key=lambda e: (e.get("page_number") or 0),
+                    )
                 return els
         if strategy == "hi_res" and _ip._LAYOUT_MODEL is not None:
             # born-digital hi_res without poppler: surrogate raster →
@@ -1213,6 +1294,11 @@ def pdf_to_elements(
             # (parsers/pdf_raster.py)
             els = _hires_born_digital(doc)
             if els:
+                if extract_forms:
+                    els = sorted(
+                        els + _acroform_elements(doc),
+                        key=lambda e: (e.get("page_number") or 0),
+                    )
                 return els
         raise NotImplementedError(
             f"partition_pdf strategy {strategy!r} needs a layout/OCR model; "
