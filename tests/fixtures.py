@@ -305,3 +305,16 @@ def make_pdf() -> bytes:
         % (len(objs) + 1, xref_at)
     )
     return bytes(buf)
+
+
+class WordTokenizer:
+    """Duck-typed HF tokenizer for attention-window staging tests:
+    each segment costs one token per 4 chars (ceil), empty segments
+    cost zero. Lives here (an executor-importable module) so Spark can
+    pickle it into the pandas UDF."""
+
+    model_max_length = 10
+
+    def tokenize(self, segment):
+        n = max(1, -(-len(segment) // 4))
+        return ["t"] * n if segment else []

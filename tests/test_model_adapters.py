@@ -383,3 +383,194 @@ class TestTatrTableModel:
             assert image_parser._TABLE_MODEL is model
         finally:
             image_parser.set_table_model(None)
+
+
+class _FakePaddle:
+    """Duck-typed PaddleOCR: .ocr(arr, cls=True) -> per-image nested
+    line list [[quad, (text, conf)], ...]."""
+
+    def __init__(self, result):
+        self._result = result
+        self.calls = []
+
+    def ocr(self, arr, cls):
+        self.calls.append((np.asarray(arr).shape, cls))
+        return self._result
+
+
+class TestPaddleOcrAgent:
+    def test_quads_to_agent_boxes(self):
+        # rotated quad -> axis-aligned min/max box; empty text dropped
+        fake = _FakePaddle(
+            [
+                [
+                    [
+                        [[12.0, 31.0], [98.0, 28.0], [99.0, 52.0], [13.0, 55.0]],
+                        ("Invoice", 0.98),
+                    ],
+                    [
+                        [[0, 0], [5, 0], [5, 5], [0, 5]],
+                        ("   ", 0.50),
+                    ],
+                    [
+                        [[10, 80], [60, 80], [60, 95], [10, 95]],
+                        ("Total", 0.91),
+                    ],
+                ]
+            ]
+        )
+        agent = ma.PaddleOcrAgent(paddle_ocr=fake)
+        out = agent(np.zeros((120, 200, 3), np.uint8), 200, 120)
+        assert [d["text"] for d in out] == ["Invoice", "Total"]
+        assert out[0] == {
+            "text": "Invoice", "x1": 12.0, "y1": 28.0, "x2": 99.0, "y2": 55.0,
+        }
+        assert fake.calls == [((120, 200, 3), True)]
+
+    def test_empty_page_result(self):
+        # paddle returns [None] for a page with no text
+        agent = ma.PaddleOcrAgent(paddle_ocr=_FakePaddle([None]))
+        assert agent(np.zeros((10, 10, 3), np.uint8), 10, 10) == []
+
+    def test_gated_without_paddle(self):
+        import importlib.util
+
+        if importlib.util.find_spec("paddleocr") is not None:
+            pytest.skip("paddleocr installed")
+        with pytest.raises(ImportError, match="paddleocr"):
+            ma.PaddleOcrAgent()
+
+    def test_register(self):
+        from unstructured_spark.parsers import image_parser
+
+        agent = ma.PaddleOcrAgent(paddle_ocr=_FakePaddle([])).register()
+        try:
+            assert image_parser._OCR_AGENT is agent
+        finally:
+            image_parser.set_ocr_agent(None)
+
+
+class _Gv:
+    """Tiny attribute bag for duck-typed Vision API response objects."""
+
+    def __init__(self, **kw):
+        self.__dict__.update(kw)
+
+
+def _gv_symbol(ch, brk=None):
+    return _Gv(text=ch, property=_Gv(detected_break=_Gv(type_=brk)))
+
+
+def _gv_paragraph(words, box):
+    return _Gv(
+        words=words,
+        bounding_box=_Gv(vertices=[_Gv(x=x, y=y) for x, y in box]),
+    )
+
+
+class _FakeVisionClient:
+    def __init__(self, annotation):
+        self._annotation = annotation
+        self.calls = []
+
+    def document_text_detection(self, **kwargs):
+        self.calls.append(kwargs)
+        return _Gv(full_text_annotation=self._annotation)
+
+
+class TestGoogleVisionOcrAgent:
+    def _annotation(self):
+        para1 = _gv_paragraph(
+            [
+                _Gv(symbols=[_gv_symbol("H"), _gv_symbol("i", "SPACE")]),
+                _Gv(
+                    symbols=[
+                        _gv_symbol("t"),
+                        _gv_symbol("o"),
+                        _gv_symbol("o", "LINE_BREAK"),
+                    ]
+                ),
+            ],
+            [(10, 20), (110, 20), (110, 44), (10, 44)],
+        )
+        # EOL_SURE_SPACE: space AND line flush
+        para2 = _gv_paragraph(
+            [
+                _Gv(symbols=[_gv_symbol("a", "EOL_SURE_SPACE")]),
+                _Gv(symbols=[_gv_symbol("b", "LINE_BREAK")]),
+            ],
+            [(10, 60), (50, 60), (50, 80), (10, 80)],
+        )
+        empty = _gv_paragraph(
+            [_Gv(symbols=[_gv_symbol(" ", "LINE_BREAK")])],
+            [(0, 0), (1, 0), (1, 1), (0, 1)],
+        )
+        return _Gv(
+            pages=[_Gv(blocks=[_Gv(paragraphs=[para1, para2, empty])])]
+        )
+
+    def test_paragraph_regions_and_break_assembly(self):
+        client = _FakeVisionClient(self._annotation())
+        agent = ma.GoogleVisionOcrAgent(client=client)
+        out = agent(np.zeros((100, 120, 3), np.uint8), 120, 100)
+        assert [d["text"] for d in out] == ["Hi too", "a b"]
+        assert out[0] == {
+            "text": "Hi too", "x1": 10.0, "y1": 20.0, "x2": 110.0, "y2": 44.0,
+        }
+        # request carried a PNG payload, no language hint by default
+        [call] = client.calls
+        assert call["image"]["content"].startswith(b"\x89PNG")
+        assert "image_context" not in call
+
+    def test_language_hint_passed(self):
+        client = _FakeVisionClient(_Gv(pages=[]))
+        ma.GoogleVisionOcrAgent("de", client=client)(
+            np.zeros((4, 4, 3), np.uint8), 4, 4
+        )
+        assert client.calls[0]["image_context"] == {"language_hints": ["de"]}
+
+    def test_enum_valued_breaks(self):
+        # real lib passes enum members; adapter reads .name
+        class _Brk:
+            def __init__(self, name):
+                self.name = name
+
+        para = _gv_paragraph(
+            [
+                _Gv(
+                    symbols=[
+                        _gv_symbol("x", _Brk("SPACE")),
+                        _gv_symbol("y", _Brk("LINE_BREAK")),
+                    ]
+                )
+            ],
+            [(0, 0), (9, 0), (9, 9), (0, 9)],
+        )
+        client = _FakeVisionClient(
+            _Gv(pages=[_Gv(blocks=[_Gv(paragraphs=[para])])])
+        )
+        out = ma.GoogleVisionOcrAgent(client=client)(
+            np.zeros((4, 4, 3), np.uint8), 4, 4
+        )
+        assert [d["text"] for d in out] == ["x y"]
+
+    def test_gated_without_google_vision(self):
+        try:
+            import google.cloud.vision  # noqa: F401
+
+            pytest.skip("google-cloud-vision installed")
+        except ImportError:
+            pass
+        with pytest.raises(ImportError, match="google-cloud-vision"):
+            ma.GoogleVisionOcrAgent()
+
+    def test_register(self):
+        from unstructured_spark.parsers import image_parser
+
+        agent = ma.GoogleVisionOcrAgent(
+            client=_FakeVisionClient(_Gv(pages=[]))
+        ).register()
+        try:
+            assert image_parser._OCR_AGENT is agent
+        finally:
+            image_parser.set_ocr_agent(None)

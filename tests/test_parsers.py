@@ -318,3 +318,73 @@ class TestGoogleDriveTypes:
         assert detect_filetype(content_type="application/vnd.google-apps.spreadsheet") == "xlsx"
         assert detect_filetype(content_type="application/vnd.google-apps.presentation") == "pptx"
         assert detect_filetype(content_type="application/vnd.google-apps.photo") == "jpg"
+
+
+class TestPosTaggerGate:
+    """contains_verb's POS plug point: reference-exact spaCy semantics
+    when a tagger is active (text_type.py:180-187), lexicon fallback
+    otherwise."""
+
+    def test_injected_tagger_penn_semantics(self):
+        from unstructured_spark.parsers import classify
+
+        calls = []
+
+        def tagger(text):
+            calls.append(text)
+            # "running" tagged VBG => verb; lexicon would also hit, so
+            # use a word the lexicon rejects to prove the tagger decides
+            if "flumph" in text:
+                return [("flumph", "VBZ")]
+            return [("table", "NN")]
+
+        classify.set_pos_tagger(tagger)
+        try:
+            assert classify.contains_verb("flumph") is True
+            assert classify.contains_verb("table") is False
+            # all-caps lowered before tagging (reference :183-184) —
+            # and the lowered form is a cache hit from the first call
+            n = len(calls)
+            assert classify.contains_verb("FLUMPH") is True
+            assert len(calls) == n
+            # cached: same text tags once
+            classify.contains_verb("table")
+            assert len(calls) == n
+        finally:
+            classify.set_pos_tagger(None)
+
+    def test_fallback_without_tagger(self):
+        from unstructured_spark.parsers import classify
+
+        saved = list(classify._SPACY_STATE)
+        classify._SPACY_STATE[:] = [None]
+        classify._pos_tag.cache_clear()
+        try:
+            # lexicon verbs still work with no tagger active
+            assert classify.contains_verb("this is fine") is True
+            assert classify.contains_verb("flumph") is False
+        finally:
+            classify._SPACY_STATE[:] = saved
+            classify._pos_tag.cache_clear()
+
+    def test_spacy_exact_when_installed(self):
+        import pytest
+
+        try:
+            import spacy  # noqa: F401
+
+            spacy.load("en_core_web_sm")
+        except Exception:
+            pytest.skip("spacy en_core_web_sm not installed")
+        from unstructured_spark.parsers import classify
+
+        classify._SPACY_STATE[:] = []
+        classify._pos_tag.cache_clear()
+        try:
+            # POS context resolves what the lexicon can't: 'Dried figs'
+            # has no lexicon verb but VBN 'Dried'
+            assert classify.contains_verb("The figs were dried.") is True
+            assert classify.contains_verb("Total amount") is False
+        finally:
+            classify._SPACY_STATE[:] = []
+            classify._pos_tag.cache_clear()

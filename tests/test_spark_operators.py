@@ -118,12 +118,25 @@ class TestClassifierParity:
     ]
 
     def test_spark_vs_python(self, spark):
-        df = spark.createDataFrame([(t,) for t in self.CASES], "text string")
-        out = df.select(
-            "text", text_type.element_type_from_text(F.col("text")).alias("t")
-        ).collect()
-        for row in out:
-            assert classify.element_type_from_text(row["text"]) == row["t"], row["text"]
+        # lockstep claim is lexicon-vs-lexicon: force the Python mirror's
+        # POS fallback even when spacy happens to be installed (the
+        # spacy-exact path is a documented fidelity divergence from the
+        # JVM-side heuristic)
+        saved = list(classify._SPACY_STATE)
+        classify._SPACY_STATE[:] = [None]
+        classify._pos_tag.cache_clear()
+        try:
+            df = spark.createDataFrame([(t,) for t in self.CASES], "text string")
+            out = df.select(
+                "text", text_type.element_type_from_text(F.col("text")).alias("t")
+            ).collect()
+            for row in out:
+                assert (
+                    classify.element_type_from_text(row["text"]) == row["t"]
+                ), row["text"]
+        finally:
+            classify._SPACY_STATE[:] = saved
+            classify._pos_tag.cache_clear()
 
 
 class TestCleaners:

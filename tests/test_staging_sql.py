@@ -228,3 +228,81 @@ class TestHtmlDocumentRenderer:
             "gcs/nested-1/fake-text.txt.html"
         ).read_text()
         assert row["html"].rstrip("\n") == ref.rstrip("\n")
+
+
+_WordTokenizer = fx.WordTokenizer
+
+
+class TestChunkByAttentionWindow:
+    """Reference-exact replay of staging/huggingface.py:32-98."""
+
+    def test_greedy_packing_and_flush_quirk(self):
+        tok = _WordTokenizer()
+        # words cost 1 token each (<=4 chars); window = 10 - 2 = 8
+        text = " ".join(["word"] * 20)
+        chunks = staging.chunk_by_attention_window(text, tok)
+        # 8 words per chunk; mid-flush appends separator.strip() == ""
+        assert chunks == [
+            " ".join(["word"] * 8),
+            " ".join(["word"] * 8),
+            " ".join(["word"] * 4),
+        ]
+
+    def test_custom_separator_strip_applied_on_flush(self):
+        tok = _WordTokenizer()
+        text = " ".join(["word"] * 10)
+        chunks = staging.chunk_by_attention_window(
+            text, tok, chunk_separator=" | "
+        )
+        # non-space separator: flushed chunk carries the stripped form
+        assert chunks[0].endswith("|")
+        assert " | " in chunks[0]
+
+    def test_empty_segment_zero_tokens(self):
+        tok = _WordTokenizer()
+        # double space -> empty segment, costs 0 tokens, still joined
+        assert staging.chunk_by_attention_window("a  b", tok) == ["a  b"]
+
+    def test_oversized_segment_raises(self):
+        tok = _WordTokenizer()
+        with pytest.raises(ValueError, match="number of tokens"):
+            staging.chunk_by_attention_window("x" * 100, tok)
+
+    def test_buffer_validation(self):
+        tok = _WordTokenizer()
+        with pytest.raises(ValueError, match="buffer"):
+            staging.chunk_by_attention_window("a", tok, buffer=10)
+        with pytest.raises(ValueError, match="buffer"):
+            staging.chunk_by_attention_window("a", tok, buffer=-1)
+
+    def test_max_input_size_overrides_model_max(self):
+        tok = _WordTokenizer()
+        text = " ".join(["word"] * 6)
+        chunks = staging.chunk_by_attention_window(
+            text, tok, max_input_size=5, buffer=2
+        )
+        assert chunks == [" ".join(["word"] * 3), " ".join(["word"] * 3)]
+
+    def test_spark_tokenizer_mode(self, spark):
+        df = spark.createDataFrame(
+            [("d", "e1", " ".join(["word"] * 20)), ("d", "e2", "short")],
+            "doc_id string, element_id string, text string",
+        )
+        rows = staging.stage_for_transformers(
+            df, tokenizer=_WordTokenizer()
+        ).collect()
+        by_el = {}
+        for r in rows:
+            by_el.setdefault(r["element_id"], []).append(r)
+        assert [r["window_index"] for r in sorted(
+            by_el["e1"], key=lambda r: r["window_index"]
+        )] == [0, 1, 2]
+        assert [r["text"] for r in by_el["e2"]] == ["short"]
+        # exact agreement with the local replay
+        local = staging.chunk_by_attention_window(
+            " ".join(["word"] * 20), _WordTokenizer()
+        )
+        assert [
+            r["text"]
+            for r in sorted(by_el["e1"], key=lambda r: r["window_index"])
+        ] == local

@@ -152,8 +152,11 @@ def _optional_import_rows() -> list[tuple[str, str, str]]:
         ("google.auth", "VertexAI embedding provider"),
         ("tiktoken", "exact OpenAI token counts in token-mode chunking"),
         ("pytesseract", "TesseractOcrAgent adapter (model_adapters.py)"),
+        ("paddleocr", "PaddleOcrAgent adapter (model_adapters.py)"),
+        ("google.cloud.vision", "GoogleVisionOcrAgent adapter (model_adapters.py)"),
         ("onnxruntime", "OnnxLayoutModel / TatrTableModel adapters (model_adapters.py)"),
         ("whisper", "WhisperSttAgent adapter (model_adapters.py)"),
+        ("spacy", "reference-exact POS contains_verb (parsers/classify.py)"),
     ):
         ok = importlib.util.find_spec(mod.split(".")[0]) is not None
         rows.append((mod, "ok" if ok else "missing", why))

@@ -5,11 +5,15 @@ the Spark win over the reference's per-string Python functions is that
 ``element_from_text`` becomes ONE ``CASE WHEN`` over predicate columns
 computed once, entirely inside whole-stage codegen.
 
-Deviation from reference: ``contains_verb`` uses an English
-function-word/suffix heuristic instead of an NLTK/spacy POS tagger
-(those models aren't available JVM-side); the reference treats the
-tagger as a fallback signal only (text_type.py:27-88), and the
-``sentence_count >= 2`` branch dominates in practice.
+Deviation from reference: the JVM-side ``contains_verb`` uses an
+English function-word/suffix heuristic instead of a spaCy POS tagger
+(model runtimes aren't available inside codegen); the reference treats
+the tagger as a fallback signal only (text_type.py:27-88), and the
+``sentence_count >= 2`` branch dominates in practice. The Python
+mirror (``parsers/classify.py`` — the path the mapInPandas
+partitioners actually run) upgrades to reference-exact spaCy
+``en_core_web_sm`` Penn tags when the package + model are installed
+(``classify.set_pos_tagger`` / ``_default_pos_tagger``).
 """
 
 from __future__ import annotations

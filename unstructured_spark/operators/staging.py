@@ -101,12 +101,127 @@ def stage_for_label_box(df: DataFrame) -> DataFrame:
     )
 
 
+def chunk_by_attention_window(
+    text: str,
+    tokenizer,
+    buffer: int = 2,
+    max_input_size: int | None = None,
+    split_function=None,
+    chunk_separator: str = " ",
+) -> list[str]:
+    """Reference-exact replay of ``chunk_by_attention_window``
+    (staging/huggingface.py:32-98): greedy word packing where each
+    segment's cost is ``len(tokenizer.tokenize(segment))``, window =
+    ``max_input_size - buffer`` (default ``tokenizer.model_max_length``),
+    separators cost zero tokens, a mid-text flush appends
+    ``chunk_separator.strip()`` (empty for the default space), and an
+    oversized single segment raises ValueError.
+
+    ``tokenizer`` is any object with ``.tokenize(str) -> list`` (a
+    HuggingFace ``PreTrainedTokenizer``, or a duck-typed stand-in —
+    ``.model_max_length`` only needed when ``max_input_size`` is None).
+    """
+    if max_input_size is None:
+        max_input_size = tokenizer.model_max_length
+    if buffer < 0 or buffer >= max_input_size:
+        raise ValueError(
+            f"buffer is set to {buffer}. Must be greater than zero and "
+            f"smaller than max_input_size, which is {max_input_size}."
+        )
+    if split_function is None:
+        split_function = lambda t: t.split(" ")  # noqa: E731
+    max_chunk_size = max_input_size - buffer
+    split_text = split_function(text)
+    num_splits = len(split_text)
+
+    chunks: list[str] = []
+    chunk_text = ""
+    chunk_size = 0
+    for i, segment in enumerate(split_text):
+        num_tokens = len(tokenizer.tokenize(segment))
+        if num_tokens > max_chunk_size:
+            raise ValueError(
+                f"The number of tokens in the segment is {num_tokens}. "
+                f"The maximum number of tokens is {max_chunk_size}. "
+                "Consider using a different split_function to reduce the "
+                "size of the segments under consideration. The text that "
+                f"caused the error is: \n\n{segment}"
+            )
+        if chunk_size + num_tokens > max_chunk_size:
+            chunks.append(chunk_text + chunk_separator.strip())
+            chunk_text = ""
+            chunk_size = 0
+        if chunk_size > 0:
+            chunk_text += chunk_separator
+        chunk_text += segment
+        chunk_size += num_tokens
+        if i == (num_splits - 1) and len(chunk_text) > 0:
+            chunks.append(chunk_text)
+    return chunks
+
+
+def load_hf_tokenizer(model_name: str):
+    """Import-gated HuggingFace tokenizer loader for
+    ``stage_for_transformers(tokenizer=...)`` (the reference passes a
+    ``PreTrainedTokenizer`` in directly; this is the one-liner users
+    without the import habit reach for)."""
+    try:
+        from transformers import AutoTokenizer  # type: ignore
+    except ImportError as e:  # pragma: no cover - not in container
+        raise ImportError(
+            "load_hf_tokenizer needs the optional 'transformers' package; "
+            "python -m unstructured_spark.doctor lists this gate"
+        ) from e
+    return AutoTokenizer.from_pretrained(model_name)
+
+
 def stage_for_transformers(
-    df: DataFrame, *, window_chars: int = 2000
+    df: DataFrame,
+    *,
+    window_chars: int = 2000,
+    tokenizer=None,
+    buffer: int = 2,
+    max_input_size: int | None = None,
 ) -> DataFrame:
-    """Split element text to a model window (reference
-    staging/huggingface.py chunk_by_attention_window, char-approximated;
-    token-mode splitting lives in the chunker)."""
+    """Split element text to a model attention window (reference
+    staging/huggingface.py).
+
+    Two modes:
+
+    - ``tokenizer=None`` (default, dependency-free): char-approximated
+      fixed windows of ``window_chars``; output has ``window_start``
+      (char offset).
+    - ``tokenizer=<HF tokenizer or duck-type>``: reference-exact token
+      packing via :func:`chunk_by_attention_window`, run as an
+      Arrow-batched pandas UDF (the tokenizer ships to executors via
+      pickle — HF fast tokenizers serialize fine); output has
+      ``window_index`` (chunk ordinal). Boundaries match the reference
+      byte-for-byte for the same tokenizer.
+    """
+    if tokenizer is not None:
+        from pyspark.sql.functions import pandas_udf
+
+        if max_input_size is None:
+            # resolve on the driver so executors don't need the attr
+            max_input_size = int(tokenizer.model_max_length)
+
+        def _chunk_series(s):
+            return s.map(
+                lambda t: chunk_by_attention_window(
+                    t or "",
+                    tokenizer,
+                    buffer=buffer,
+                    max_input_size=max_input_size,
+                )
+            )
+
+        _chunks = pandas_udf(_chunk_series, "array<string>")
+
+        return df.select(
+            "doc_id",
+            "element_id",
+            F.posexplode(_chunks(F.col("text"))).alias("window_index", "text"),
+        ).filter(F.col("text") != "")
     starts = F.sequence(
         F.lit(0),
         F.greatest(F.length("text") - 1, F.lit(0)),

@@ -8,6 +8,7 @@ implementations agree on a fixture corpus. Semantics follow reference
 
 from __future__ import annotations
 
+import functools
 import re
 
 from unstructured_spark.functions import patterns
@@ -95,8 +96,64 @@ _VERB_SUFFIX_FALSE_POSITIVES = frozenset(
     "thing wing sterling darling duckling sibling".split()
 )
 
+# Penn Treebank verb tags (reference text_type.py:22)
+POS_VERB_TAGS = ("VB", "VBG", "VBD", "VBN", "VBP", "VBZ")
+
+# POS tagger plug point. The reference tags with spaCy en_core_web_sm
+# (nlp/tokenize.py:23,115,181-185: exclude ner/lemmatizer/
+# attribute_ruler, Penn ``token.tag_``). When spacy + the model are
+# installed the default tagger replays that exactly; otherwise
+# ``contains_verb`` falls back to the deterministic lexicon heuristic.
+# ``set_pos_tagger(fn)`` injects a custom ``fn(text) -> [(word, tag)]``
+# (tests, alternate models).
+_POS_TAGGER = None
+_SPACY_STATE: list = []  # lazy singleton: [] unprobed, [None] absent, [nlp]
+
+
+def set_pos_tagger(fn) -> None:
+    global _POS_TAGGER
+    _POS_TAGGER = fn
+    _pos_tag.cache_clear()
+
+
+def _default_pos_tagger():
+    if not _SPACY_STATE:
+        try:
+            import spacy  # type: ignore
+
+            _SPACY_STATE.append(
+                spacy.load(
+                    "en_core_web_sm",
+                    exclude=["ner", "lemmatizer", "attribute_ruler"],
+                )
+            )
+        except Exception:  # spacy or the pinned model absent
+            _SPACY_STATE.append(None)
+    nlp = _SPACY_STATE[0]
+    if nlp is None:
+        return None
+
+    def tag(text: str):
+        return [(t.text, t.tag_) for t in nlp(str(text))]
+
+    return tag
+
+
+@functools.lru_cache(maxsize=4096)
+def _pos_tag(text: str):
+    """Cached POS tags (reference pos_tag's lru_cache,
+    nlp/tokenize.py:180-185). Only called when a tagger is active."""
+    tagger = _POS_TAGGER or _default_pos_tagger()
+    return tuple(tagger(text))
+
 
 def contains_verb(text: str) -> bool:
+    if _POS_TAGGER is not None or _default_pos_tagger() is not None:
+        # reference text_type.py:180-187: lowercase all-caps text, any
+        # Penn verb tag counts
+        if text.isupper():
+            text = text.lower()
+        return any(tag in POS_VERB_TAGS for _, tag in _pos_tag(text))
     lowered = text.lower().split()
     if _COMMON_VERBS.intersection(lowered):
         return True

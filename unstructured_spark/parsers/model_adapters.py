@@ -116,6 +116,197 @@ class TesseractOcrAgent:
 
 
 # ---------------------------------------------------------------------------
+# PaddleOCR agent
+# ---------------------------------------------------------------------------
+
+
+class PaddleOcrAgent:
+    """OCR agent backed by PaddleOCR's line-quad output, completing the
+    reference's three-agent OCR registry (tesseract/paddle/google-vision;
+    reference ``ocr_models/paddle_ocr.py:19-146``).
+
+    ``fn(arr, w, h)`` runs ``agent.ocr(arr, cls=True)`` and parses the
+    nested per-image result — each line is ``[quad_points,
+    (text, confidence)]`` — into axis-aligned boxes: x1/y1 = quad min,
+    x2/y2 = quad max, empty/whitespace text dropped (the reference's
+    ``parse_data`` loop). Line regions arrive unsorted (paddle is not
+    reading-ordered); downstream xy-cut ordering handles that, matching
+    the reference's ``is_text_sorted() == False`` contract.
+    """
+
+    def __init__(self, language: str = "en", *, paddle_ocr=None):
+        if paddle_ocr is None:
+            try:
+                import paddle  # type: ignore
+                from paddleocr import PaddleOCR  # type: ignore
+            except ImportError as e:  # pragma: no cover - not in container
+                raise ImportError(
+                    "PaddleOcrAgent needs the optional 'paddleocr' + "
+                    "'paddlepaddle' packages (or pass paddle_ocr=); python -m "
+                    "unstructured_spark.doctor lists this gate"
+                ) from e
+            # C++-level signal handlers break executor shutdown
+            # (reference paddle_ocr.py:30-34)
+            paddle.disable_signal_handler()
+            gpu = paddle.device.cuda.device_count() > 0
+            try:
+                paddle_ocr = PaddleOCR(
+                    use_angle_cls=True, use_gpu=gpu, lang=language,
+                    enable_mkldnn=True, show_log=False, rec_batch_num=1,
+                )
+            except AttributeError:  # MKL-DNN unsupported on this OS
+                paddle_ocr = PaddleOCR(
+                    use_angle_cls=True, use_gpu=gpu, lang=language,
+                    enable_mkldnn=False, show_log=False, rec_batch_num=1,
+                )
+        self._agent = paddle_ocr
+        self.language = language
+
+    def __call__(self, arr, w: int, h: int) -> list[dict]:
+        ocr_data = self._agent.ocr(np.asarray(arr), cls=True)
+        out: list[dict] = []
+        for res in ocr_data or []:
+            if not res:
+                continue
+            for line in res:
+                quad, payload = line[0], line[1]
+                text = str(payload[0] or "").strip()
+                if not text:
+                    continue
+                xs = [p[0] for p in quad]
+                ys = [p[1] for p in quad]
+                out.append(
+                    {
+                        "text": text,
+                        "x1": float(min(xs)),
+                        "y1": float(min(ys)),
+                        "x2": float(max(xs)),
+                        "y2": float(max(ys)),
+                    }
+                )
+        return out
+
+    def register(self) -> "PaddleOcrAgent":
+        from unstructured_spark.parsers.image_parser import set_ocr_agent
+
+        set_ocr_agent(self)
+        return self
+
+
+# ---------------------------------------------------------------------------
+# Google Vision OCR agent
+# ---------------------------------------------------------------------------
+
+
+class GoogleVisionOcrAgent:
+    """OCR agent backed by the Google Cloud Vision
+    ``document_text_detection`` API (reference
+    ``ocr_models/google_vision_ocr.py:19-116``).
+
+    ``fn(arr, w, h)`` encodes the pixel array as PNG, calls the API,
+    and walks ``full_text_annotation`` pages → blocks → paragraphs:
+    one region per paragraph, box from bounding vertices 0 (top-left)
+    and 2 (bottom-right), text assembled symbol-by-symbol honoring
+    detected breaks (SPACE / EOL_SURE_SPACE append a space,
+    EOL_SURE_SPACE / LINE_BREAK end the line) — the reference's
+    ``_parse_regions`` + ``_get_text_from_paragraph``, with one
+    deliberate difference: a trailing unflushed line is kept rather
+    than dropped (real GCV paragraphs always terminate in LINE_BREAK,
+    so outputs are identical on real responses; dropping text on
+    nonconforming ones would be silent loss).
+
+    ``client`` is injectable for tests and on-prem endpoints; without
+    it the real ``ImageAnnotatorClient`` is constructed (optional
+    ``api_endpoint`` mirrors GOOGLEVISION_API_ENDPOINT).
+    """
+
+    def __init__(
+        self,
+        language: str | None = None,
+        *,
+        client=None,
+        api_endpoint: str | None = None,
+    ):
+        if client is None:
+            try:
+                from google.cloud.vision import ImageAnnotatorClient  # type: ignore
+            except ImportError as e:  # pragma: no cover - not in container
+                raise ImportError(
+                    "GoogleVisionOcrAgent needs the optional "
+                    "'google-cloud-vision' package (or pass client=); python "
+                    "-m unstructured_spark.doctor lists this gate"
+                ) from e
+            opts = {"api_endpoint": api_endpoint} if api_endpoint else {}
+            client = ImageAnnotatorClient(client_options=opts)
+        self._client = client
+        self.language = language
+
+    def _annotate(self, arr):
+        from unstructured_spark.parsers.image_codec import encode_png
+
+        a = np.asarray(arr, dtype=np.uint8)
+        if a.ndim == 2:
+            a = a[:, :, None]
+        png = encode_png(a.shape[1], a.shape[0], a.shape[2], a.tobytes())
+        kwargs = {"image": {"content": png}}
+        if self.language:
+            kwargs["image_context"] = {"language_hints": [self.language]}
+        response = self._client.document_text_detection(**kwargs)
+        return response.full_text_annotation
+
+    @staticmethod
+    def _paragraph_text(paragraph) -> str:
+        para = ""
+        line = ""
+        for word in paragraph.words:
+            for symbol in word.symbols:
+                line += symbol.text
+                btype = getattr(
+                    getattr(
+                        getattr(symbol, "property", None),
+                        "detected_break",
+                        None,
+                    ),
+                    "type_",
+                    None,
+                )
+                bname = getattr(btype, "name", btype)
+                if bname in ("SPACE", "EOL_SURE_SPACE"):
+                    line += " "
+                if bname in ("EOL_SURE_SPACE", "LINE_BREAK"):
+                    para += line
+                    line = ""
+        return para + line
+
+    def __call__(self, arr, w: int, h: int) -> list[dict]:
+        document = self._annotate(arr)
+        out: list[dict] = []
+        for page in document.pages:
+            for block in page.blocks:
+                for paragraph in block.paragraphs:
+                    v = paragraph.bounding_box.vertices
+                    text = self._paragraph_text(paragraph).strip()
+                    if not text:
+                        continue
+                    out.append(
+                        {
+                            "text": text,
+                            "x1": float(v[0].x),
+                            "y1": float(v[0].y),
+                            "x2": float(v[2].x),
+                            "y2": float(v[2].y),
+                        }
+                    )
+        return out
+
+    def register(self) -> "GoogleVisionOcrAgent":
+        from unstructured_spark.parsers.image_parser import set_ocr_agent
+
+        set_ocr_agent(self)
+        return self
+
+
+# ---------------------------------------------------------------------------
 # ONNX layout model (YOLOX-style decode)
 # ---------------------------------------------------------------------------
 
