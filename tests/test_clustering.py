@@ -175,3 +175,54 @@ class TestIvfPq:
         b = [(r["vec_id"], r["pq_dist"]) for r in
              pq_topk(df, qv, m=2, ksub=4, k=8).collect()]
         assert a == b
+
+
+class TestSemanticDedup:
+    def _corpus(self, spark):
+        # two tight groups far apart + one singleton: k-means (k=2) puts
+        # each group in its own cluster; e=1e-3 jitter keeps cosine
+        # within a group ~1.0 and across groups ~0
+        import math
+
+        rows = []
+        for i in range(3):  # group A along axis 0
+            v = [1.0, i * 1e-3, 0.0, 0.0]
+            rows.append((i, v))
+        for i in range(3, 5):  # group B along axis 2
+            v = [0.0, 0.0, 1.0, (i - 3) * 1e-3]
+            rows.append((i, v))
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def test_min_id_kept_within_cluster(self, spark):
+        from unstructured_spark.operators.clustering import semantic_dedup
+
+        out = {
+            r["vec_id"]: r
+            for r in semantic_dedup(
+                self._corpus(spark), k=2, iterations=1, threshold=0.99
+            ).collect()
+        }
+        # lowest id of each tight group survives; the rest are dups
+        assert out[0]["is_duplicate"] is False
+        assert out[1]["is_duplicate"] and out[2]["is_duplicate"]
+        assert out[3]["is_duplicate"] is False
+        assert out[4]["is_duplicate"] is True
+        # near-dups never cross clusters
+        assert out[0]["cluster_id"] != out[3]["cluster_id"]
+
+    def test_threshold_gates_flagging(self, spark):
+        from unstructured_spark.operators.clustering import semantic_dedup
+
+        # threshold above every intra-cluster cosine -> nothing flagged
+        out = semantic_dedup(
+            self._corpus(spark), k=2, iterations=1, threshold=1.1
+        ).collect()
+        assert not any(r["is_duplicate"] for r in out)
+
+    def test_no_crossjoin_in_plan(self, spark):
+        from unstructured_spark.operators.clustering import semantic_dedup
+
+        plan = semantic_dedup(
+            self._corpus(spark), k=2, iterations=1
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan

@@ -236,6 +236,98 @@ class TestStreamingEvents:
         assert any(r["user_id"] == 2 and r["total_value"] == 8.0 for r in open_)
 
 
+class TestStreamingFunnel:
+    """Stream/batch funnel parity on a shared fixture (r4 verdict #9):
+    the applyInPandasWithState chain must agree with the batch windowed
+    conditional-min chain, including out-of-order arrival across
+    batches (a later, earlier step-1 event lowers every bound)."""
+
+    ROWS = [
+        # user 1 completes view -> cart -> buy inside the window
+        {"ts": "2024-01-01T00:00:00", "user_id": 1, "event_type": "view", "value": 0.0},
+        {"ts": "2024-01-01T00:05:00", "user_id": 1, "event_type": "cart", "value": 0.0},
+        {"ts": "2024-01-01T00:10:00", "user_id": 1, "event_type": "buy", "value": 0.0},
+        # user 2 stalls after view; cart arrives past the deadline
+        {"ts": "2024-01-01T00:00:00", "user_id": 2, "event_type": "view", "value": 0.0},
+        {"ts": "2024-01-01T02:00:00", "user_id": 2, "event_type": "cart", "value": 0.0},
+        # user 3: cart BEFORE its view -> ineligible for t2...
+        {"ts": "2024-01-01T00:00:00", "user_id": 3, "event_type": "cart", "value": 0.0},
+        {"ts": "2024-01-01T00:30:00", "user_id": 3, "event_type": "view", "value": 0.0},
+        # user 4 never starts the funnel
+        {"ts": "2024-01-01T00:00:00", "user_id": 4, "event_type": "buy", "value": 0.0},
+    ]
+    LATE = [
+        # ...until this out-of-order batch-2 view at 23:50 of the
+        # previous day lowers user 3's t1 below the cart time
+        {"ts": "2023-12-31T23:50:00", "user_id": 3, "event_type": "view", "value": 0.0},
+    ]
+    STEPS = ["view", "cart", "buy"]
+    WITHIN = 3600
+
+    def _stream_two_batches(self, spark, tmp_path):
+        import json
+
+        in_dir = tmp_path / "funnel_in"
+        in_dir.mkdir()
+        with open(in_dir / "batch1.json", "w") as f:
+            for r in self.ROWS:
+                f.write(json.dumps(r) + "\n")
+        with open(in_dir / "batch2.json", "w") as f:
+            for r in self.LATE:
+                f.write(json.dumps(r) + "\n")
+        return (
+            spark.readStream.schema(
+                "ts timestamp, user_id long, event_type string, value double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .json(str(in_dir))
+        )
+
+    def test_stream_matches_batch(self, spark, tmp_path):
+        from unstructured_spark.operators.funnel import funnel
+        from unstructured_spark.streaming.events import funnel_stream
+
+        batch_df = spark.createDataFrame(
+            [
+                (r["ts"].replace("T", " "), r["user_id"], r["event_type"])
+                for r in self.ROWS + self.LATE
+            ],
+            "ts string, user_id long, event_type string",
+        ).withColumn("ts", F.to_timestamp("ts"))
+        expected = {
+            r["user_id"]: (r["t1"], r["t2"], r["t3"], r["stage"])
+            for r in funnel(
+                batch_df, self.STEPS, within_seconds=self.WITHIN
+            ).collect()
+        }
+        # fixture sanity: the late view flips user 3 to stage 2
+        assert expected[3][3] == 2 and expected[1][3] == 3 and expected[2][3] == 1
+
+        stream = self._stream_two_batches(spark, tmp_path)
+        out = funnel_stream(stream, self.STEPS, within_seconds=self.WITHIN)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("funnel_updates")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        upd = spark.sql("select * from funnel_updates").collect()
+        # memory-sink row order isn't batch order; the final chain is
+        # the minimal-t1 update (t1 only ever decreases), stage as the
+        # tiebreak
+        final = {}
+        for r in upd:
+            cur = (r["t1"], r["t2"], r["t3"], r["stage"])
+            prev = final.get(r["user_id"])
+            if prev is None or (cur[0], -cur[3]) < (prev[0], -prev[3]):
+                final[r["user_id"]] = cur
+        assert final == expected
+        # mid-stream honesty: user 3 was stage 1 before the late view
+        assert {r["stage"] for r in upd if r["user_id"] == 3} == {1, 2}
+
+
 class TestStreamingDedup:
     def _doc_stream(self, spark, tmp_path, rows):
         import json

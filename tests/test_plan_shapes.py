@@ -28,6 +28,9 @@ BNLJ_ALLOWED = {
     "q22_idle_customers", # broadcast scalar avg-acctbal threshold
     "q11_important_stock",# broadcast scalar value threshold
     "q_kmeans_clusters",  # broadcast 1-row centroid frame per round
+    "q_semantic_dedup",   # same kmeans centroid frame (k rows); the
+                          # pairwise sweep itself is an equi-join on
+                          # cluster_id, never a crossjoin
 }
 
 

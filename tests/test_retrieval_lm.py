@@ -131,3 +131,107 @@ class TestWeightedSample:
         a = sorted(r["doc_id"] for r in weighted_sample(df, 2, weight_col="wt").collect())
         b = sorted(r["doc_id"] for r in weighted_sample(df, 2, weight_col="wt").collect())
         assert a == b == [1, 4]  # non-positive weights never win
+
+
+class TestPerplexityBuckets:
+    def test_thirds_and_determinism(self, spark):
+        from unstructured_spark.operators.text_analysis import (
+            perplexity_buckets,
+        )
+
+        # 9 docs with deliberately different repetition levels so the
+        # bigram LM spreads cross-entropy
+        rows = [
+            (i, " ".join(f"w{j % (i + 1)}" for j in range(10)))
+            for i in range(9)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = perplexity_buckets(df, buckets=3).collect()
+        assert len(out) == 9
+        counts = {}
+        for r in out:
+            counts[r["bucket"]] = counts.get(r["bucket"], 0) + 1
+        assert set(counts) == {1, 2, 3}
+        # rank-quantile: equal thirds when scores are distinct enough
+        assert max(counts.values()) <= 4
+        # lower cross-entropy -> lower bucket
+        by_bucket = sorted(out, key=lambda r: (r["bucket"], r["cross_entropy"]))
+        ces = [r["cross_entropy"] for r in by_bucket]
+        assert ces == sorted(ces)
+
+    def test_ties_share_bucket(self, spark):
+        from unstructured_spark.operators.text_analysis import (
+            perplexity_buckets,
+        )
+
+        # identical docs -> identical scores -> one shared bucket
+        df = spark.createDataFrame(
+            [(i, "a b a b") for i in range(6)], "doc_id long, text string"
+        )
+        out = perplexity_buckets(df, buckets=3).collect()
+        assert len({r["bucket"] for r in out}) == 1
+
+    def test_buckets_validation(self, spark):
+        import pytest
+
+        from unstructured_spark.operators.text_analysis import (
+            perplexity_buckets,
+        )
+
+        df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="buckets"):
+            perplexity_buckets(df, buckets=1)
+
+
+class TestDsirImportance:
+    def test_target_lookalikes_score_higher(self, spark):
+        from unstructured_spark.operators.text_analysis import dsir_importance
+
+        # corpus: half "code-like", half "prose-like"; target = prose
+        corpus = spark.createDataFrame(
+            [(i, "def foo bar baz qux" if i % 2 else "the cat sat on the mat")
+             for i in range(20)],
+            "doc_id long, text string",
+        )
+        target = spark.createDataFrame(
+            [(100, "the dog sat on the rug"), (101, "the cat ran on the mat")],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in
+               dsir_importance(corpus, target, buckets=512).collect()}
+        prose = [out[i]["log_weight"] for i in range(0, 20, 2)]
+        code = [out[i]["log_weight"] for i in range(1, 20, 2)]
+        assert min(prose) > max(code)
+        # weight = exp(log_weight), rounded
+        import math
+        r = out[0]
+        assert abs(r["weight"] - round(math.exp(r["log_weight"]), 6)) < 2e-6
+
+    def test_deterministic(self, spark):
+        from unstructured_spark.operators.text_analysis import dsir_importance
+
+        corpus = spark.createDataFrame(
+            [(i, f"w{i} common text here") for i in range(10)],
+            "doc_id long, text string",
+        )
+        target = corpus.filter(F.col("doc_id") < 3)
+        a = sorted(map(tuple, dsir_importance(corpus, target).collect()))
+        b = sorted(map(tuple, dsir_importance(corpus, target).collect()))
+        assert a == b
+
+    def test_feeds_weighted_sample(self, spark):
+        from unstructured_spark.operators.sampling import weighted_sample
+        from unstructured_spark.operators.text_analysis import dsir_importance
+
+        corpus = spark.createDataFrame(
+            [(i, "alpha beta gamma" if i < 5 else "delta epsilon zeta")
+             for i in range(50)],
+            "doc_id long, text string",
+        )
+        target = spark.createDataFrame(
+            [(99, "alpha beta gamma")], "doc_id long, text string"
+        )
+        w = dsir_importance(corpus, target, buckets=256)
+        got = weighted_sample(w, 5, weight_col="weight").collect()
+        # the 5 target-lookalike docs dominate the resample
+        assert sum(1 for r in got if r["doc_id"] < 5) >= 4

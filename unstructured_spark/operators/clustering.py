@@ -146,3 +146,67 @@ def kmeans_clusters(
     final = _assign(quant, _centroid_df(spark, cents)).select("vec_id", "cluster_id")
     w = Window.partitionBy("cluster_id")
     return final.withColumn("cluster_size", F.count("*").over(w))
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    *,
+    k: int = 8,
+    iterations: int = 2,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): cluster embeddings
+    with k-means, then within each cluster mark as semantic duplicates
+    the vectors whose cosine similarity to a LOWER-id cluster member
+    reaches ``threshold`` (deterministic min-id keep policy — the
+    paper keeps one representative per intra-cluster near-dup group;
+    min-id is the engine-portable tiebreak this repo uses everywhere).
+
+    Scale shape: the O(n²) cosine search is BUCKETED BY CLUSTER — the
+    pair join keys on cluster_id, so work is Σ|cluster|², never a
+    corpus crossjoin, and grows k clusters at a time exactly like the
+    paper's pipeline. Row norms are computed once per vector before
+    the join; the join stage does only the dot product. Cosine is
+    rounded to 6dp before the threshold compare (cross-engine-stable,
+    same discipline as cosine_topk).
+
+    Returns (vec_id, cluster_id, cluster_size, is_duplicate).
+    """
+    from unstructured_spark.operators.similarity import dot, l2_norm
+
+    assign = kmeans_clusters(
+        corpus, k=k, iterations=iterations, id_col=id_col, vec_col=vec_col
+    )
+    vecs = corpus.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("nrm", l2_norm(F.col("v")))
+    av = assign.select("vec_id", "cluster_id").join(vecs, "vec_id")
+    a = av.select(
+        F.col("cluster_id"),
+        F.col("vec_id").alias("a_id"),
+        F.col("v").alias("av"),
+        F.col("nrm").alias("an"),
+    )
+    b = av.select(
+        F.col("cluster_id"),
+        F.col("vec_id").alias("b_id"),
+        F.col("v").alias("bv"),
+        F.col("nrm").alias("bn"),
+    )
+    cos = F.round(dot(F.col("av"), F.col("bv")) / (F.col("an") * F.col("bn")), 6)
+    dups = (
+        a.join(b, "cluster_id")
+        .where(F.col("a_id") < F.col("b_id"))
+        .where(cos >= F.lit(float(threshold)))
+        .select(F.col("b_id").alias("vec_id"))
+        .distinct()
+        .withColumn("is_duplicate", F.lit(True))
+    )
+    return (
+        assign.join(dups, "vec_id", "left")
+        .withColumn("is_duplicate", F.coalesce("is_duplicate", F.lit(False)))
+    )

@@ -479,3 +479,169 @@ def token_kl_drift(
             ).alias("kl_divergence")
         )
     )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    *,
+    buckets: int = 3,
+    text: str = "text",
+    doc_id: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020: head /
+    middle / tail thirds by LM perplexity): score each doc with the
+    corpus bigram-LM cross-entropy, then assign rank-quantile buckets
+    1..``buckets`` (1 = lowest perplexity = "head").
+
+    Exact and engine-portable where a percentile threshold wouldn't
+    be: scores are quantized to the 1e-6 grid they were rounded to,
+    the distinct-value histogram is cumulated, and bucket =
+    ``(docs_strictly_below * buckets) div n + 1`` (capped) — ties
+    share a value so they share a bucket, and the arithmetic is all
+    integer.
+
+    Scale shape: the only global sort is the cumulative window over
+    DISTINCT quantized scores — bounded by the score grid (cross-
+    entropy in [0, ~30] × 1e-6 → <= 3·10⁷ rows no matter the corpus
+    size), not by doc count; everything per-doc is a hash join on the
+    quantized score.
+    """
+    if buckets < 2:
+        raise ValueError("buckets must be >= 2")
+    ce = bigram_cross_entropy(df, text=text, doc_id=doc_id)
+    scored = ce.withColumn(
+        "_q", F.round(F.col("cross_entropy") * 1e6).cast("long")
+    )
+    n = scored.count()
+    hist = scored.groupBy("_q").agg(F.count("*").alias("_cnt"))
+    wcum = Window.orderBy("_q").rowsBetween(Window.unboundedPreceding, 0)
+    mapping = hist.withColumn(
+        "_below", F.sum("_cnt").over(wcum) - F.col("_cnt")
+    ).select(
+        "_q",
+        F.least(
+            F.lit(buckets).cast("bigint"),
+            F.expr(f"(_below * {int(buckets)}) div {int(n)}") + 1,
+        ).alias("bucket"),
+    )
+    return (
+        scored.join(mapping, "_q")
+        .select(doc_id, "cross_entropy", "n_bigrams", "bucket")
+    )
+
+
+def dsir_importance(
+    corpus: DataFrame,
+    target: DataFrame,
+    *,
+    buckets: int = 8192,
+    text: str = "text",
+    doc_id: str = "doc_id",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): hash unigram+bigram
+    features into ``buckets`` via md5, fit add-one-smoothed bag-of-
+    ngrams distributions over the hash buckets for the TARGET sample
+    and the RAW corpus, and score every corpus doc with
+
+        log w(d) = Σ_f c_d(f) · (ln p_target(f) − ln p_raw(f))
+
+    Docs that look like the target get positive log-weights; feed the
+    result to ``sampling.weighted_sample(weight_col='weight')`` for
+    the resampling step.
+
+    Scale shape: both distributions reduce to ``buckets`` rows and
+    broadcast; the scoring pass is explode → broadcast join → one
+    groupBy(doc_id) — a single corpus shuffle on uniform doc keys.
+    Determinism: md5 bucket hashing, per-feature log-ratios quantized
+    to 1e-9 longs before the distributed sum (order-independent), the
+    final log-weight rounded to 6dp — the oracle replays every step.
+
+    Returns (doc_id, n_features, log_weight, weight).
+    """
+
+    def feats(toks: Column) -> Column:
+        # toks must be a plain column reference: Catalyst does not CSE
+        # across lambda levels, so an inline split would re-tokenize
+        # once per bigram (same pitfall staged in winnow_fingerprints)
+        grams = F.when(
+            F.size(toks) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1))),
+                lambda i: F.concat_ws(
+                    "_", F.element_at(toks, i), F.element_at(toks, i + 1)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return F.concat(toks, grams)
+
+    def bucket(g: Column) -> Column:
+        return (
+            F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("bigint")
+            % F.lit(int(buckets))
+        )
+
+    def buckets_of(df: DataFrame) -> DataFrame:
+        # tokenized+hashed ONCE, checkpointed: three consumers (counts,
+        # totals, scoring) would otherwise each re-run the md5 explode
+        toks = F.filter(
+            F.split(F.trim(F.col(text)), "\\s+"), lambda x: x != F.lit("")
+        )
+        return (
+            df.select(F.col(doc_id).alias("doc_id"), toks.alias("_t"))
+            .select("doc_id", F.explode(feats(F.col("_t"))).alias("g"))
+            .select("doc_id", bucket(F.col("g")).alias("b"))
+            .localCheckpoint(eager=False)
+        )
+
+    tgt_ex = buckets_of(target)
+    corpus_ex = buckets_of(corpus)
+    tgt = tgt_ex.groupBy("b").agg(F.count("*").alias("ct"))
+    raw = corpus_ex.groupBy("b").agg(F.count("*").alias("cr"))
+    nt = tgt_ex.count()
+    nr = corpus_ex.count()
+    # full bucket table so absent features still carry the smoothing
+    # floor on both sides (B rows — broadcast)
+    spark = corpus.sparkSession
+    grid = spark.range(int(buckets)).select(F.col("id").alias("b"))
+    dist = (
+        grid.join(tgt, "b", "left")
+        .join(raw, "b", "left")
+        .fillna({"ct": 0, "cr": 0})
+        .select(
+            "b",
+            F.floor(
+                (
+                    F.log((F.col("ct") + 1).cast("double") / F.lit(float(nt + buckets)))
+                    - F.log((F.col("cr") + 1).cast("double") / F.lit(float(nr + buckets)))
+                )
+                * F.lit(1e9)
+                + F.lit(0.5)
+            ).cast("long").alias("lrq"),
+        )
+    )
+    scored = (
+        corpus_ex
+        .join(F.broadcast(dist), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_features"),
+            F.sum("lrq").alias("_lw"),
+        )
+    )
+    # floor(x*1e6+0.5)/1e6 in BOTH engines (F.round's decimal HALF_UP
+    # differs from it for negative values at exact .5 boundaries)
+    lw = (
+        F.floor(
+            (F.col("_lw").cast("double") / F.lit(1e9)) * F.lit(1e6) + F.lit(0.5)
+        )
+        / F.lit(1e6)
+    )
+    return scored.select(
+        "doc_id",
+        "n_features",
+        lw.alias("log_weight"),
+        (F.floor(F.exp(lw) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias(
+            "weight"
+        ),
+    )

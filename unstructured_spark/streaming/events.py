@@ -123,3 +123,127 @@ def sessionize_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def funnel_stream(
+    events: DataFrame,
+    steps: list[str],
+    *,
+    within_seconds: int,
+    idle_timeout_ms: int = 60_000,
+) -> DataFrame:
+    """Streaming twin of ``operators.funnel.funnel`` (the windowed
+    conditional-min chain: t1 = min step-1 time; t_i = min step-i time
+    in ``[t_{i-1}, t1 + within]``) via ``applyInPandasWithState``.
+
+    Exactness under out-of-order arrival: a later batch can lower t1,
+    which lowers every downstream bound, so per-user state keeps, for
+    each step i >= 2, ALL candidate times <= the current deadline
+    ``t1 + within`` — times above it are discarded permanently (the
+    deadline only decreases as t1 decreases), which is what bounds the
+    state: once a user's t1 arrives, per-step state holds at most the
+    step's events inside the funnel window. t1 itself is a plain
+    monotone min. Every update emits the user's current chain
+    (closed=false); the processing-time timeout emits the final chain
+    (closed=true) and drops the state.
+
+    Column-identical to the batch operator (t1..tk epoch-micros, stage)
+    plus ``closed`` — ``tests/test_embed_multimodal_streaming.py`` pins
+    stream/batch agreement on a shared fixture.
+    """
+    if len(steps) < 2:
+        raise ValueError("a funnel needs at least two steps")
+    k = len(steps)
+    w_us = int(within_seconds) * 1_000_000
+
+    out_fields = [T.StructField("user_id", T.LongType())]
+    out_fields += [T.StructField(f"t{i}", T.LongType()) for i in range(1, k + 1)]
+    out_fields += [
+        T.StructField("stage", T.LongType()),
+        T.StructField("closed", T.BooleanType()),
+    ]
+    out_schema = T.StructType(out_fields)
+    state_schema = T.StructType(
+        [T.StructField("t1", T.LongType())]
+        + [
+            T.StructField(f"c{i}", T.ArrayType(T.LongType()))
+            for i in range(2, k + 1)
+        ]
+    )
+    out_cols = [f.name for f in out_fields]
+
+    def chain(t1, cands):
+        """Recompute t2..tk from t1 and per-step candidate lists."""
+        ts = [t1]
+        deadline = None if t1 is None else t1 + w_us
+        prev = t1
+        for c in cands:
+            nxt = None
+            if prev is not None:
+                ok = [u for u in c if prev <= u <= deadline]
+                nxt = min(ok) if ok else None
+            ts.append(nxt)
+            prev = nxt
+        return ts
+
+    def row(user_id, ts, closed):
+        stage = 1
+        for v in ts[1:]:
+            stage += 1 if v is not None else 0
+        return (user_id, *ts, stage, closed)
+
+    def update(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        rows = []
+        if state.hasTimedOut:
+            if state.exists:
+                t1, *cands = state.get
+                ts = chain(t1, [list(c or []) for c in cands])
+                if ts[0] is not None:
+                    rows.append(row(user_id, ts, True))
+                state.remove()
+        else:
+            pdf = pd.concat(list(pdfs))
+            if state.exists:
+                t1, *cands = state.get
+                cands = [list(c or []) for c in cands]
+            else:
+                t1, cands = None, [[] for _ in range(k - 1)]
+            us = (
+                pdf["ts"].astype("datetime64[us]").astype("int64")
+                if "us" not in pdf.columns
+                else pdf["us"]
+            )
+            for u, et in zip(us, pdf["event_type"]):
+                u = int(u)
+                if et == steps[0]:
+                    t1 = u if t1 is None else min(t1, u)
+                else:
+                    for i, s in enumerate(steps[1:]):
+                        if et == s:
+                            cands[i].append(u)
+            # prune: times above the (only-ever-decreasing) deadline
+            # can never re-enter the chain
+            if t1 is not None:
+                deadline = t1 + w_us
+                cands = [sorted(u for u in set(c) if u <= deadline) for c in cands]
+            else:
+                cands = [sorted(set(c)) for c in cands]
+            state.update((t1, *cands))
+            state.setTimeoutDuration(idle_timeout_ms)
+            ts = chain(t1, cands)
+            if ts[0] is not None:
+                rows.append(row(user_id, ts, False))
+        yield pd.DataFrame(rows, columns=out_cols)
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
