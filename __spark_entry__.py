@@ -5023,4 +5023,39 @@ left join stats s using (doc_id)
         # iterates box expansion to a fixpoint (not SQL-expressible);
         # rows-only check + per-rule unit tests in tests/test_layout_merge.py.
         "q_partition_elements": _partition_elements_sql(),
+        # chunk-by-title replay (round 5): the synthetic corpus is
+        # single-paragraph (one element per doc, no combine step), so
+        # the fold reduces to the reference-exact _split_once loop —
+        # rightmost space with match start in [1, maxlen], fragment
+        # rstripped / remainder lstripped, hard cut at maxlen when no
+        # space (overlap=0) — expressed as a RECURSIVE CTE. The Spark
+        # side runs the full grouped chunker; any drift in either
+        # implementation breaks the hash.
+        "q_chunk_by_title": """
+with recursive base as (
+  select cast(doc_id as varchar) as doc_id, trim(text) as t
+  from documents where trim(text) != ''
+), s as (
+  select doc_id, t as rem, cast(-1 as bigint) as idx,
+         cast(null as varchar) as frag
+  from base
+  union all
+  select doc_id,
+    case when len(rem) > 500 then
+      ltrim(substr(rem,
+        (case when regexp_extract(substr(rem, 1, 501), '^(.*) ', 1) != ''
+              then len(regexp_extract(substr(rem, 1, 501), '^(.*) ', 1)) + 1
+              else 500 end) + 1))
+    else '' end as rem,
+    idx + 1 as idx,
+    case when len(rem) > 500 then
+      rtrim(case when regexp_extract(substr(rem, 1, 501), '^(.*) ', 1) != ''
+                 then regexp_extract(substr(rem, 1, 501), '^(.*) ', 1)
+                 else substr(rem, 1, 500) end)
+    else rem end as frag
+  from s where rem != ''
+)
+select doc_id, idx as element_index, 'CompositeElement' as type, frag as text
+from s where idx >= 0
+        """,
     }

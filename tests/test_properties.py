@@ -339,3 +339,84 @@ class TestPackingProperties:
             )
         last = max(seq_fill)
         assert all(v == 32 for s, v in seq_fill.items() if s != last)
+
+
+class TestFunnelStreamFold:
+    """Streaming funnel state invariant: folding ANY partition of an
+    event sequence through _funnel_fold yields the same final chain as
+    one batch — i.e. the deadline pruning never discards a candidate
+    that a later (possibly earlier-timestamped) step-1 event could
+    re-activate."""
+
+    STEPS = ["s1", "s2", "s3"]
+
+    @staticmethod
+    def _brute_chain(events, w_us):
+        # direct transcription of the batch conditional-min semantics
+        s1 = [u for u, e in events if e == "s1"]
+        t1 = min(s1) if s1 else None
+        ts = [t1]
+        prev, deadline = t1, (None if t1 is None else t1 + w_us)
+        for step in ("s2", "s3"):
+            nxt = None
+            if prev is not None:
+                ok = [u for u, e in events if e == step and prev <= u <= deadline]
+                nxt = min(ok) if ok else None
+            ts.append(nxt)
+            prev = nxt
+        return ts
+
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=200),
+                st.sampled_from(["s1", "s2", "s3", "other"]),
+            ),
+            max_size=30,
+        ),
+        st.data(),
+        st.integers(min_value=1, max_value=100),
+    )
+    @settings(max_examples=300, deadline=None)
+    def test_partitioned_fold_equals_batch(self, events, data, w_us):
+        from unstructured_spark.streaming.events import (
+            _funnel_chain,
+            _funnel_fold,
+        )
+
+        # split events into random contiguous batches
+        cuts = sorted(
+            data.draw(
+                st.lists(
+                    st.integers(min_value=0, max_value=len(events)),
+                    max_size=4,
+                )
+            )
+        )
+        bounds = [0] + cuts + [len(events)]
+        state = None
+        for a, b in zip(bounds, bounds[1:]):
+            state = _funnel_fold(state, events[a:b], self.STEPS, w_us)
+        if state is None:
+            state = _funnel_fold(None, [], self.STEPS, w_us)
+        got = _funnel_chain(state, w_us)
+        assert got == self._brute_chain(events, w_us)
+
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=50),
+                st.sampled_from(["s1", "s2"]),
+            ),
+            max_size=40,
+        )
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_state_is_deadline_bounded(self, events):
+        from unstructured_spark.streaming.events import _funnel_fold
+
+        w_us = 10
+        state = _funnel_fold(None, events, ["s1", "s2"], w_us)
+        t1, c2 = state
+        if t1 is not None:
+            assert all(u <= t1 + w_us for u in c2)

@@ -125,6 +125,59 @@ def sessionize_stream(
     )
 
 
+def _funnel_fold(
+    state: tuple | None,
+    events: list[tuple[int, str]],
+    steps: list[str],
+    w_us: int,
+) -> tuple:
+    """One batch of the streaming-funnel state fold, pure and
+    property-testable: merge ``events`` (epoch-micros, event_type)
+    into ``state`` = (t1, candidates_step2, ..., candidates_stepk),
+    pruning step candidates above the only-ever-decreasing deadline
+    ``t1 + w_us``. The invariant the property test pins: folding any
+    partition of an event sequence through this function yields the
+    same chain as one batch over all events."""
+    k = len(steps)
+    if state is None:
+        t1, cands = None, [[] for _ in range(k - 1)]
+    else:
+        t1, *cands = state
+        cands = [list(c or []) for c in cands]
+    for u, et in events:
+        u = int(u)
+        if et == steps[0]:
+            t1 = u if t1 is None else min(t1, u)
+        else:
+            for i, s in enumerate(steps[1:]):
+                if et == s:
+                    cands[i].append(u)
+    if t1 is not None:
+        deadline = t1 + w_us
+        cands = [sorted(u for u in set(c) if u <= deadline) for c in cands]
+    else:
+        cands = [sorted(set(c)) for c in cands]
+    return (t1, *cands)
+
+
+def _funnel_chain(state: tuple, w_us: int) -> list:
+    """Recompute (t1..tk) from folded state: t_i = min step-i candidate
+    in [t_{i-1}, t1 + w_us] — identical to the batch conditional-min
+    window chain (operators/funnel._funnel_window)."""
+    t1, *cands = state
+    ts = [t1]
+    deadline = None if t1 is None else t1 + w_us
+    prev = t1
+    for c in cands:
+        nxt = None
+        if prev is not None:
+            ok = [u for u in c if prev <= u <= deadline]
+            nxt = min(ok) if ok else None
+        ts.append(nxt)
+        prev = nxt
+    return ts
+
+
 def funnel_stream(
     events: DataFrame,
     steps: list[str],
@@ -172,20 +225,6 @@ def funnel_stream(
     )
     out_cols = [f.name for f in out_fields]
 
-    def chain(t1, cands):
-        """Recompute t2..tk from t1 and per-step candidate lists."""
-        ts = [t1]
-        deadline = None if t1 is None else t1 + w_us
-        prev = t1
-        for c in cands:
-            nxt = None
-            if prev is not None:
-                ok = [u for u in c if prev <= u <= deadline]
-                nxt = min(ok) if ok else None
-            ts.append(nxt)
-            prev = nxt
-        return ts
-
     def row(user_id, ts, closed):
         stage = 1
         for v in ts[1:]:
@@ -201,41 +240,26 @@ def funnel_stream(
         rows = []
         if state.hasTimedOut:
             if state.exists:
-                t1, *cands = state.get
-                ts = chain(t1, [list(c or []) for c in cands])
+                ts = _funnel_chain(tuple(state.get), w_us)
                 if ts[0] is not None:
                     rows.append(row(user_id, ts, True))
                 state.remove()
         else:
             pdf = pd.concat(list(pdfs))
-            if state.exists:
-                t1, *cands = state.get
-                cands = [list(c or []) for c in cands]
-            else:
-                t1, cands = None, [[] for _ in range(k - 1)]
             us = (
                 pdf["ts"].astype("datetime64[us]").astype("int64")
                 if "us" not in pdf.columns
                 else pdf["us"]
             )
-            for u, et in zip(us, pdf["event_type"]):
-                u = int(u)
-                if et == steps[0]:
-                    t1 = u if t1 is None else min(t1, u)
-                else:
-                    for i, s in enumerate(steps[1:]):
-                        if et == s:
-                            cands[i].append(u)
-            # prune: times above the (only-ever-decreasing) deadline
-            # can never re-enter the chain
-            if t1 is not None:
-                deadline = t1 + w_us
-                cands = [sorted(u for u in set(c) if u <= deadline) for c in cands]
-            else:
-                cands = [sorted(set(c)) for c in cands]
-            state.update((t1, *cands))
+            st = _funnel_fold(
+                tuple(state.get) if state.exists else None,
+                list(zip(us, pdf["event_type"])),
+                steps,
+                w_us,
+            )
+            state.update(st)
             state.setTimeoutDuration(idle_timeout_ms)
-            ts = chain(t1, cands)
+            ts = _funnel_chain(st, w_us)
             if ts[0] is not None:
                 rows.append(row(user_id, ts, False))
         yield pd.DataFrame(rows, columns=out_cols)
