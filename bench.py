@@ -44,12 +44,21 @@ def main() -> None:
     # warm-up: JVM, parquet footer reads, codegen paths
     for t in ("lineitem", "documents", "embeddings"):
         entry_mod._t(spark, sf_dir, t).limit(1).collect()
+    # process-level JIT warm-up: run three representative query shapes
+    # (multi-join agg, window chain, text/array codegen) untimed so the
+    # first timed queries don't absorb one-off JIT compilation of the
+    # shuffle/join/window machinery. Per-query warm-up below still
+    # covers plan-specific codegen + broadcast builds.
+    all_q = entry_mod.queries()
+    for wname in ("q05_region_revenue", "q_events_moving_avg", "q_gopher_quality"):
+        if wname in all_q:
+            all_q[wname](spark, sf_dir).count()
 
     # reference protocol (BASELINE.md): 1 warm-up call, then avg of N
     iters = int(os.environ.get("BENCH_ITERS", "2"))
     timings: dict[str, float] = {}
     total = 0.0
-    for name, fn in entry_mod.queries().items():
+    for name, fn in all_q.items():
         def run() -> int:
             df = fn(spark, sf_dir)
             return df.count() if name not in _COLLECT_FULL else len(df.collect())
