@@ -33,6 +33,8 @@ Adapter flags (all optional, each import-gated with a named error):
   --tesseract [LANG]   TesseractOcrAgent
   --paddle [LANG]      PaddleOcrAgent
   --gcv [LANG]         GoogleVisionOcrAgent
+  --pdfium [DPI]       PdfiumRasterizer (born-digital ocr_only / hi_res
+                       real pixels)
 """
 
 from __future__ import annotations
@@ -88,6 +90,9 @@ def _register(args) -> list[str]:
     if args.gcv is not None:
         ma.GoogleVisionOcrAgent(args.gcv or None).register()
         active.append("GoogleVisionOcrAgent")
+    if args.pdfium is not None:
+        ma.PdfiumRasterizer(int(args.pdfium or 150)).register()
+        active.append("PdfiumRasterizer")
     return active
 
 
@@ -182,6 +187,7 @@ def main(argv=None) -> int:
     p.add_argument("--tesseract", nargs="?", const="eng", metavar="LANG")
     p.add_argument("--paddle", nargs="?", const="en", metavar="LANG")
     p.add_argument("--gcv", nargs="?", const="", metavar="LANG")
+    p.add_argument("--pdfium", nargs="?", const="150", metavar="DPI")
     p.add_argument("--record", metavar="GOLDEN.json")
     p.add_argument("--diff", metavar="GOLDEN.json")
     args = p.parse_args(argv)
@@ -195,6 +201,7 @@ def main(argv=None) -> int:
         set_ocr_agent,
         set_table_model,
     )
+    from unstructured_spark.parsers.pdf_raster import set_pdf_rasterizer
 
     try:
         active = _register_fakes() if args.demo else _register(args)
@@ -212,6 +219,7 @@ def main(argv=None) -> int:
         set_layout_model(None)
         set_ocr_agent(None)
         set_table_model(None)
+        set_pdf_rasterizer(None)
 
     if args.record:
         Path(args.record).write_text(json.dumps(stable, indent=1) + "\n")

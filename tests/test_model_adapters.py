@@ -574,3 +574,82 @@ class TestGoogleVisionOcrAgent:
             assert image_parser._OCR_AGENT is agent
         finally:
             image_parser.set_ocr_agent(None)
+
+
+class _FakeBitmap:
+    def __init__(self, arr):
+        self._arr = arr
+
+    def to_numpy(self):
+        return self._arr
+
+
+class _FakePdfiumPage:
+    def __init__(self, scale_to_arr):
+        self._f = scale_to_arr
+
+    def render(self, scale):
+        return _FakeBitmap(self._f(scale))
+
+
+class _FakePdfiumDoc:
+    closed = False
+
+    def __init__(self, pages):
+        self._pages = pages
+
+    def __getitem__(self, i):
+        return self._pages[i]
+
+    def close(self):
+        _FakePdfiumDoc.closed = True
+
+
+class _FakePdfium:
+    """Duck-typed pypdfium2: PdfDocument(bytes)[i].render(scale)."""
+
+    def __init__(self, n_pages=2):
+        self.n = n_pages
+
+    def PdfDocument(self, data):
+        def mk(i):
+            def arr(scale):
+                w, h = int(612 * scale), int(792 * scale)
+                a = np.full((h, w, 4), 10 * (i + 1), dtype=np.uint8)
+                return a  # BGRA: alpha channel must be dropped
+
+            return _FakePdfiumPage(arr)
+
+        return _FakePdfiumDoc([mk(i) for i in range(self.n)])
+
+
+class TestPdfiumRasterizer:
+    def test_render_scale_and_channel_handling(self):
+        r = ma.PdfiumRasterizer(dpi=144, pdfium=_FakePdfium())
+        arr, w, h = r(b"%PDF", 1)
+        assert (w, h) == (1224, 1584)
+        assert arr.shape == (1584, 1224, 3)  # alpha dropped
+        assert arr[0, 0, 0] == 20  # page 2 sentinel
+        assert _FakePdfiumDoc.closed
+
+    def test_dpi_override(self):
+        r = ma.PdfiumRasterizer(dpi=144, pdfium=_FakePdfium())
+        _, w, h = r(b"%PDF", 0, dpi=72)
+        assert (w, h) == (612, 792)
+
+    def test_gated_without_pypdfium2(self):
+        import importlib.util
+
+        if importlib.util.find_spec("pypdfium2") is not None:
+            pytest.skip("pypdfium2 installed")
+        with pytest.raises(ImportError, match="pypdfium2"):
+            ma.PdfiumRasterizer()
+
+    def test_register(self):
+        from unstructured_spark.parsers import pdf_raster
+
+        r = ma.PdfiumRasterizer(pdfium=_FakePdfium()).register()
+        try:
+            assert pdf_raster.get_pdf_rasterizer() is r
+        finally:
+            pdf_raster.set_pdf_rasterizer(None)

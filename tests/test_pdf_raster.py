@@ -104,3 +104,88 @@ class TestBornDigitalHiRes:
         raw = (PDFS / "layout-parser-paper-fast.pdf").read_bytes()
         els = pdf_to_elements(raw, strategy="hi_res")
         assert els and all(e["type"] != "Image" for e in els)
+
+
+class _FakeRasterizer:
+    """Contract-true fake: renders a sentinel-valued page so tests can
+    prove real pixels (not the surrogate) reached the agents."""
+
+    def __init__(self, value=200, w=612, h=792):
+        self.value, self.w, self.h = value, w, h
+        self.calls = []
+
+    def __call__(self, pdf_bytes, page_index, dpi):
+        self.calls.append((len(pdf_bytes), page_index, dpi))
+        import numpy as _np
+
+        arr = _np.full((self.h, self.w, 3), self.value, dtype=_np.uint8)
+        return arr, self.w, self.h
+
+
+class TestRealRasterizerPlug:
+    def test_hi_res_uses_real_pixels_when_registered(self):
+        from unstructured_spark.parsers.pdf_raster import set_pdf_rasterizer
+
+        raw = (PDFS / "layout-parser-paper-fast.pdf").read_bytes()
+        rast = _FakeRasterizer(value=200)
+        seen = {}
+
+        def fake_layout(arr, w, h):
+            seen["mean"] = float(np.asarray(arr).mean())
+            return [
+                {"type": "NarrativeText", "x1": 0, "y1": 0,
+                 "x2": w, "y2": h, "score": 0.9},
+            ]
+
+        set_pdf_rasterizer(rast)
+        set_layout_model(fake_layout)
+        try:
+            els = pdf_to_elements(raw, strategy="hi_res")
+        finally:
+            set_layout_model(None)
+            set_pdf_rasterizer(None)
+        assert els
+        # the model saw the fake rasterizer's sentinel pixels, not the
+        # white-background surrogate
+        assert abs(seen["mean"] - 200.0) < 1e-6
+        assert rast.calls and rast.calls[0][1] == 0
+
+    def test_born_digital_ocr_only(self):
+        # the route that used to raise: no layout model, OCR agent +
+        # real rasterizer registered, strategy ocr_only
+        from unstructured_spark.parsers.image_parser import set_ocr_agent
+        from unstructured_spark.parsers.pdf_raster import set_pdf_rasterizer
+
+        raw = (PDFS / "layout-parser-paper-fast.pdf").read_bytes()
+        rast = _FakeRasterizer()
+
+        def ocr(arr, w, h):
+            return [{"text": f"px{int(arr[0, 0, 0])}",
+                     "x1": 10, "y1": 10, "x2": 60, "y2": 30}]
+
+        set_pdf_rasterizer(rast)
+        set_ocr_agent(ocr)
+        try:
+            els = pdf_to_elements(raw, strategy="ocr_only")
+        finally:
+            set_ocr_agent(None)
+            set_pdf_rasterizer(None)
+        assert els
+        # one element per page, page numbers assigned, sentinel pixels
+        assert els[0]["text"] == "px200"
+        assert sorted({e["page_number"] for e in els}) == list(
+            range(1, len({e["page_number"] for e in els}) + 1)
+        )
+
+    def test_without_rasterizer_ocr_only_still_gated(self):
+        import pytest
+
+        from unstructured_spark.parsers.image_parser import set_ocr_agent
+
+        raw = (PDFS / "layout-parser-paper-fast.pdf").read_bytes()
+        set_ocr_agent(lambda a, w, h: [])
+        try:
+            with pytest.raises(NotImplementedError, match="rasterizer"):
+                pdf_to_elements(raw, strategy="ocr_only")
+        finally:
+            set_ocr_agent(None)

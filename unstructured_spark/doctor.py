@@ -157,6 +157,7 @@ def _optional_import_rows() -> list[tuple[str, str, str]]:
         ("onnxruntime", "OnnxLayoutModel / TatrTableModel adapters (model_adapters.py)"),
         ("whisper", "WhisperSttAgent adapter (model_adapters.py)"),
         ("spacy", "reference-exact POS contains_verb (parsers/classify.py)"),
+        ("pypdfium2", "PdfiumRasterizer: born-digital ocr_only / hi_res real pixels"),
     ):
         ok = importlib.util.find_spec(mod.split(".")[0]) is not None
         rows.append((mod, "ok" if ok else "missing", why))

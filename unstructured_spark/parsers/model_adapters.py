@@ -307,6 +307,62 @@ class GoogleVisionOcrAgent:
 
 
 # ---------------------------------------------------------------------------
+# pdfium PDF rasterizer
+# ---------------------------------------------------------------------------
+
+
+class PdfiumRasterizer:
+    """Real PDF page rasterizer backed by pypdfium2 — the plug that
+    replaces the reference's poppler `pdf2image` call
+    (reference pdf.py:1013-1045) for born-digital hi_res pixels and
+    ocr_only glyphs. Register with
+    ``parsers.pdf_raster.set_pdf_rasterizer`` (``.register()``).
+
+    Contract: ``fn(pdf_bytes, page_index, dpi) -> (HxWx3 uint8 array,
+    width_px, height_px)``. ``pdfium`` is injectable for tests; the
+    real import is gated on the optional 'pypdfium2' package.
+    """
+
+    def __init__(self, dpi: int = 150, *, pdfium=None):
+        if pdfium is None:
+            try:
+                import pypdfium2 as pdfium  # type: ignore
+            except ImportError as e:  # pragma: no cover - not in container
+                raise ImportError(
+                    "PdfiumRasterizer needs the optional 'pypdfium2' package "
+                    "(or pass pdfium=); python -m unstructured_spark.doctor "
+                    "lists this gate"
+                ) from e
+        self._pdfium = pdfium
+        self.dpi = int(dpi)
+
+    def __call__(
+        self, pdf_bytes: bytes, page_index: int, dpi: int | None = None
+    ):
+        doc = self._pdfium.PdfDocument(pdf_bytes)
+        try:
+            page = doc[page_index]
+            bitmap = page.render(scale=(dpi or self.dpi) / 72.0)
+            arr = np.asarray(bitmap.to_numpy(), dtype=np.uint8)
+        finally:
+            close = getattr(doc, "close", None)
+            if close is not None:
+                close()
+        if arr.ndim == 2:
+            arr = np.repeat(arr[:, :, None], 3, axis=2)
+        elif arr.shape[2] == 4:  # BGRA/RGBA → drop alpha
+            arr = arr[:, :, :3]
+        h, w = arr.shape[:2]
+        return arr, int(w), int(h)
+
+    def register(self) -> "PdfiumRasterizer":
+        from unstructured_spark.parsers.pdf_raster import set_pdf_rasterizer
+
+        set_pdf_rasterizer(self)
+        return self
+
+
+# ---------------------------------------------------------------------------
 # ONNX layout model (YOLOX-style decode)
 # ---------------------------------------------------------------------------
 

@@ -1122,13 +1122,15 @@ class PageCountExceededError(ValueError):
         )
 
 
-def _hires_born_digital(doc: "_PdfDoc") -> list[dict]:
-    """hi_res on born-digital pages with a registered layout model and
-    no rasterizer: per page, render the geometry-surrogate raster
-    (pdf_raster.rasterize_page), run the layout model, scale detections
-    back to point space, and merge with the extracted text blocks via
-    the reference's 5-rule page merge. Text always comes from the
-    content stream; the model contributes region types and grouping."""
+def _hires_born_digital(doc: "_PdfDoc", raw: bytes | None = None) -> list[dict]:
+    """hi_res on born-digital pages with a registered layout model:
+    per page, rasterize — REAL pixels when a rasterizer plug is
+    registered (pdf_raster.set_pdf_rasterizer, e.g. the pypdfium2
+    adapter), else the geometry surrogate — run the layout model,
+    scale detections back to point space, and merge with the extracted
+    text blocks via the reference's 5-rule page merge. Text always
+    comes from the content stream; the model contributes region types
+    and grouping."""
     from unstructured_spark.parsers import image_parser as _ip
     from unstructured_spark.parsers import pdf_raster
     from unstructured_spark.schema import TYPE_NORMALIZATION
@@ -1148,7 +1150,12 @@ def _hires_born_digital(doc: "_PdfDoc") -> list[dict]:
         except (TypeError, ValueError, IndexError):
             page_w, page_h = 612.0, 792.0
         blocks = _runs_to_blocks(runs, page_h)
-        arr, w, h, scale = pdf_raster.rasterize_page(runs, page_w, page_h)
+        rasterizer = pdf_raster.get_pdf_rasterizer()
+        if rasterizer is not None and raw is not None:
+            arr, w, h = rasterizer(raw, page_no - 1, pdf_raster.DEFAULT_DPI)
+            scale = w / page_w
+        else:
+            arr, w, h, scale = pdf_raster.rasterize_page(runs, page_w, page_h)
         detections = list(_ip._LAYOUT_MODEL(arr, w, h))
         merged = pdf_raster.merge_detections_with_blocks(
             detections, blocks, page_w, page_h, scale
@@ -1259,6 +1266,29 @@ def _acroform_elements(doc: "_PdfDoc") -> list[dict]:
     return out
 
 
+def _ocr_rasterized(content: bytes, doc: "_PdfDoc") -> list[dict]:
+    """ocr_only over a registered real rasterizer: render each page to
+    glyph pixels, run the full agent pipeline (layout model if present,
+    OCR aggregation, table supplement, XY-cut) on them — the
+    reference's poppler route (pdf.py:1013-1045) with the rasterizer
+    as a plug. Elements keep pixel-space coordinates like the scanned
+    route."""
+    from unstructured_spark.parsers import image_parser as _ip
+    from unstructured_spark.parsers import pdf_raster
+
+    rasterizer = pdf_raster.get_pdf_rasterizer()
+    out: list[dict] = []
+    for page_no in range(1, len(doc.pages()) + 1):
+        try:
+            arr, w, h = rasterizer(content, page_no - 1, pdf_raster.DEFAULT_DPI)
+        except (ValueError, IndexError, OSError):
+            continue  # one unrenderable page is not fatal
+        for el in _ip.elements_from_pixels(arr, w, h):
+            el["page_number"] = page_no
+            out.append(el)
+    return out
+
+
 def pdf_to_elements(
     content: bytes,
     strategy: str = "auto",
@@ -1289,10 +1319,24 @@ def pdf_to_elements(
                     )
                 return els
         if strategy == "hi_res" and _ip._LAYOUT_MODEL is not None:
-            # born-digital hi_res without poppler: surrogate raster →
-            # layout model → 5-rule merge with extracted text blocks
-            # (parsers/pdf_raster.py)
-            els = _hires_born_digital(doc)
+            # born-digital hi_res: real raster when a rasterizer plug
+            # is registered, else the geometry surrogate → layout model
+            # → 5-rule merge with extracted text blocks (pdf_raster.py)
+            els = _hires_born_digital(doc, raw=content)
+            if els:
+                if extract_forms:
+                    els = sorted(
+                        els + _acroform_elements(doc),
+                        key=lambda e: (e.get("page_number") or 0),
+                    )
+                return els
+        from unstructured_spark.parsers import pdf_raster as _pr
+
+        if _pr.get_pdf_rasterizer() is not None and _ip._OCR_AGENT is not None:
+            # born-digital ocr_only (and hi_res without a layout model):
+            # real glyph pixels from the registered rasterizer feed the
+            # full agent pipeline — the reference's poppler route
+            els = _ocr_rasterized(content, doc)
             if els:
                 if extract_forms:
                     els = sorted(
@@ -1305,8 +1349,10 @@ def pdf_to_elements(
             "register agents via parsers.image_parser.set_layout_model / "
             "set_ocr_agent (scanned pages partition via embedded-image "
             "extraction, born-digital hi_res via the surrogate raster + "
-            "merge path in parsers/pdf_raster.py; ocr_only on born-digital "
-            "pages needs real rasterized glyphs, i.e. poppler, on executors)."
+            "merge path in parsers/pdf_raster.py; born-digital ocr_only "
+            "needs real glyph pixels — register a rasterizer via "
+            "parsers.pdf_raster.set_pdf_rasterizer, e.g. the pypdfium2 "
+            "adapter model_adapters.PdfiumRasterizer)."
         )
     out: list[dict] = []
     for page_no, page in enumerate(doc.pages(), start=1):

@@ -190,3 +190,26 @@ def _aggregate_block_text(
         text = " ".join(b["text"] for b in covered if b["text"]).strip()
         if text:
             row["text"] = text
+
+
+# ---------------------------------------------------------------------------
+# Real-rasterizer plug point (round 5): when a true PDF rasterizer is
+# registered (e.g. model_adapters.PdfiumRasterizer — pypdfium2-gated),
+# the hi_res merge path runs on real glyph pixels instead of the
+# geometry surrogate, and born-digital ocr_only becomes possible (the
+# ONE route the surrogate cannot serve, since OCR needs real glyphs —
+# reference pdf.py:1013-1045 uses poppler for exactly this).
+# Contract: fn(pdf_bytes, page_index_zero_based, dpi) ->
+#   (HxWx3 uint8 ndarray, width_px, height_px)
+# ---------------------------------------------------------------------------
+
+_PDF_RASTERIZER = None
+
+
+def set_pdf_rasterizer(fn) -> None:
+    global _PDF_RASTERIZER
+    _PDF_RASTERIZER = fn
+
+
+def get_pdf_rasterizer():
+    return _PDF_RASTERIZER
