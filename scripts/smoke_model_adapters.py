@@ -145,6 +145,7 @@ def _demo_pdf() -> bytes:
     # 8-bit gray ramp, FlateDecode DeviceGray image XObject
     pixels = bytes((x * 4) % 256 for _ in range(h) for x in range(w))
     comp = zlib.compress(pixels)
+    content = b"q 612 0 0 792 0 0 cm /Im1 Do Q"
     objs = [
         b"<</Type/Catalog/Pages 2 0 R>>",
         b"<</Type/Pages/Kids[3 0 R]/Count 1>>",
@@ -153,10 +154,9 @@ def _demo_pdf() -> bytes:
         b"<</Type/XObject/Subtype/Image/Width 64/Height 64"
         b"/ColorSpace/DeviceGray/BitsPerComponent 8/Filter/FlateDecode"
         b"/Length %d>>" % len(comp),
-        b"<</Length 40>>",
+        b"<</Length %d>>" % len(content),
     ]
-    streams = {4: comp, 5: b"q 612 0 0 792 0 0 cm /Im1 Do Q"}
-    out = [b"%PDF-1.4"]
+    streams = {4: comp, 5: content}
     offsets = []
     buf = b"%PDF-1.4\n"
     for i, obj in enumerate(objs, start=1):

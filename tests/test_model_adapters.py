@@ -585,11 +585,14 @@ class _FakeBitmap:
 
 
 class _FakePdfiumPage:
-    def __init__(self, scale_to_arr):
+    def __init__(self, scale_to_arr, rev_byteorder_supported=True):
         self._f = scale_to_arr
+        self._rev_ok = rev_byteorder_supported
 
-    def render(self, scale):
-        return _FakeBitmap(self._f(scale))
+    def render(self, scale, **kw):
+        if kw.get("rev_byteorder") and not self._rev_ok:
+            raise TypeError("render() got an unexpected keyword argument")
+        return _FakeBitmap(self._f(scale, bool(kw.get("rev_byteorder"))))
 
 
 class _FakePdfiumDoc:
@@ -608,17 +611,23 @@ class _FakePdfiumDoc:
 class _FakePdfium:
     """Duck-typed pypdfium2: PdfDocument(bytes)[i].render(scale)."""
 
-    def __init__(self, n_pages=2):
+    def __init__(self, n_pages=2, rev_byteorder_supported=True):
         self.n = n_pages
+        self.rev_ok = rev_byteorder_supported
 
     def PdfDocument(self, data):
         def mk(i):
-            def arr(scale):
+            def arr(scale, rgb):
                 w, h = int(612 * scale), int(792 * scale)
-                a = np.full((h, w, 4), 10 * (i + 1), dtype=np.uint8)
-                return a  # BGRA: alpha channel must be dropped
+                a = np.zeros((h, w, 4), dtype=np.uint8)
+                # asymmetric channels expose byte-order bugs:
+                # red=10*(i+1), green=0, blue=99, alpha=255
+                r, b = 10 * (i + 1), 99
+                a[:, :, 0], a[:, :, 2] = (r, b) if rgb else (b, r)
+                a[:, :, 3] = 255
+                return a
 
-            return _FakePdfiumPage(arr)
+            return _FakePdfiumPage(arr, self.rev_ok)
 
         return _FakePdfiumDoc([mk(i) for i in range(self.n)])
 
@@ -629,8 +638,18 @@ class TestPdfiumRasterizer:
         arr, w, h = r(b"%PDF", 1)
         assert (w, h) == (1224, 1584)
         assert arr.shape == (1584, 1224, 3)  # alpha dropped
-        assert arr[0, 0, 0] == 20  # page 2 sentinel
+        # RGB contract: red sentinel in channel 0, blue 99 in channel 2
+        assert (arr[0, 0, 0], arr[0, 0, 2]) == (20, 99)  # page 2
         assert _FakePdfiumDoc.closed
+
+    def test_bgr_fallback_without_rev_byteorder(self):
+        # old pypdfium2: render() lacks rev_byteorder -> adapter must
+        # swap BGR back to RGB itself
+        r = ma.PdfiumRasterizer(
+            dpi=72, pdfium=_FakePdfium(rev_byteorder_supported=False)
+        )
+        arr, w, h = r(b"%PDF", 0)
+        assert (arr[0, 0, 0], arr[0, 0, 2]) == (10, 99)
 
     def test_dpi_override(self):
         r = ma.PdfiumRasterizer(dpi=144, pdfium=_FakePdfium())

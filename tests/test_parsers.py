@@ -356,16 +356,22 @@ class TestPosTaggerGate:
     def test_fallback_without_tagger(self):
         from unstructured_spark.parsers import classify
 
-        saved = list(classify._SPACY_STATE)
-        classify._SPACY_STATE[:] = [None]
-        classify._pos_tag.cache_clear()
-        try:
-            # lexicon verbs still work with no tagger active
-            assert classify.contains_verb("this is fine") is True
-            assert classify.contains_verb("flumph") is False
-        finally:
-            classify._SPACY_STATE[:] = saved
-            classify._pos_tag.cache_clear()
+        # no tagger registered (the default): lexicon heuristic decides
+        assert classify._POS_TAGGER is None
+        assert classify.contains_verb("this is fine") is True
+        assert classify.contains_verb("flumph") is False
+
+    def test_enable_spacy_gated_by_name(self):
+        import importlib.util
+
+        import pytest
+
+        from unstructured_spark.parsers import classify
+
+        if importlib.util.find_spec("spacy") is not None:
+            pytest.skip("spacy installed; gate not reachable")
+        with pytest.raises(ImportError, match="spacy"):
+            classify.enable_spacy_pos()
 
     def test_spacy_exact_when_installed(self):
         import pytest
@@ -378,13 +384,11 @@ class TestPosTaggerGate:
             pytest.skip("spacy en_core_web_sm not installed")
         from unstructured_spark.parsers import classify
 
-        classify._SPACY_STATE[:] = []
-        classify._pos_tag.cache_clear()
+        classify.enable_spacy_pos()
         try:
             # POS context resolves what the lexicon can't: 'Dried figs'
             # has no lexicon verb but VBN 'Dried'
             assert classify.contains_verb("The figs were dried.") is True
             assert classify.contains_verb("Total amount") is False
         finally:
-            classify._SPACY_STATE[:] = []
-            classify._pos_tag.cache_clear()
+            classify.set_pos_tagger(None)

@@ -118,25 +118,19 @@ class TestClassifierParity:
     ]
 
     def test_spark_vs_python(self, spark):
-        # lockstep claim is lexicon-vs-lexicon: force the Python mirror's
-        # POS fallback even when spacy happens to be installed (the
-        # spacy-exact path is a documented fidelity divergence from the
-        # JVM-side heuristic)
-        saved = list(classify._SPACY_STATE)
-        classify._SPACY_STATE[:] = [None]
-        classify._pos_tag.cache_clear()
-        try:
-            df = spark.createDataFrame([(t,) for t in self.CASES], "text string")
-            out = df.select(
-                "text", text_type.element_type_from_text(F.col("text")).alias("t")
-            ).collect()
-            for row in out:
-                assert (
-                    classify.element_type_from_text(row["text"]) == row["t"]
-                ), row["text"]
-        finally:
-            classify._SPACY_STATE[:] = saved
-            classify._pos_tag.cache_clear()
+        # lockstep claim is lexicon-vs-lexicon; the spacy-exact POS path
+        # is an explicit registration (classify.enable_spacy_pos), never
+        # auto-probed, so the default Python mirror always matches the
+        # JVM-side heuristic
+        assert classify._POS_TAGGER is None
+        df = spark.createDataFrame([(t,) for t in self.CASES], "text string")
+        out = df.select(
+            "text", text_type.element_type_from_text(F.col("text")).alias("t")
+        ).collect()
+        for row in out:
+            assert (
+                classify.element_type_from_text(row["text"]) == row["t"]
+            ), row["text"]
 
 
 class TestCleaners:

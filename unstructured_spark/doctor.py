@@ -159,7 +159,13 @@ def _optional_import_rows() -> list[tuple[str, str, str]]:
         ("spacy", "reference-exact POS contains_verb (parsers/classify.py)"),
         ("pypdfium2", "PdfiumRasterizer: born-digital ocr_only / hi_res real pixels"),
     ):
-        ok = importlib.util.find_spec(mod.split(".")[0]) is not None
+        try:
+            # probe the FULL dotted path: find_spec('google') succeeding
+            # (any google namespace package) must not report
+            # google.cloud.vision as present
+            ok = importlib.util.find_spec(mod) is not None
+        except (ImportError, ModuleNotFoundError):
+            ok = False
         rows.append((mod, "ok" if ok else "missing", why))
     return rows
 

@@ -11,9 +11,9 @@ English function-word/suffix heuristic instead of a spaCy POS tagger
 the tagger as a fallback signal only (text_type.py:27-88), and the
 ``sentence_count >= 2`` branch dominates in practice. The Python
 mirror (``parsers/classify.py`` — the path the mapInPandas
-partitioners actually run) upgrades to reference-exact spaCy
-``en_core_web_sm`` Penn tags when the package + model are installed
-(``classify.set_pos_tagger`` / ``_default_pos_tagger``).
+partitioners actually run) offers reference-exact spaCy
+``en_core_web_sm`` Penn tags via explicit registration
+(``classify.enable_spacy_pos()`` / ``set_pos_tagger``).
 """
 
 from __future__ import annotations

@@ -509,9 +509,12 @@ def perplexity_buckets(
     if buckets < 2:
         raise ValueError("buckets must be >= 2")
     ce = bigram_cross_entropy(df, text=text, doc_id=doc_id)
+    # checkpointed: three consumers (the eager count, the histogram
+    # branch, and the final join probe) would otherwise each re-run the
+    # whole bigram-LM aggregation
     scored = ce.withColumn(
         "_q", F.round(F.col("cross_entropy") * 1e6).cast("long")
-    )
+    ).localCheckpoint(eager=False)
     n = scored.count()
     hist = scored.groupBy("_q").agg(F.count("*").alias("_cnt"))
     wcum = Window.orderBy("_q").rowsBetween(Window.unboundedPreceding, 0)

@@ -101,54 +101,59 @@ POS_VERB_TAGS = ("VB", "VBG", "VBD", "VBN", "VBP", "VBZ")
 
 # POS tagger plug point. The reference tags with spaCy en_core_web_sm
 # (nlp/tokenize.py:23,115,181-185: exclude ner/lemmatizer/
-# attribute_ruler, Penn ``token.tag_``). When spacy + the model are
-# installed the default tagger replays that exactly; otherwise
-# ``contains_verb`` falls back to the deterministic lexicon heuristic.
-# ``set_pos_tagger(fn)`` injects a custom ``fn(text) -> [(word, tag)]``
-# (tests, alternate models).
+# attribute_ruler, Penn ``token.tag_``). The exact replay is an
+# EXPLICIT registration — ``enable_spacy_pos()`` or
+# ``set_pos_tagger(fn)`` — never an import-probe: like every other
+# model plug in this repo (layout/OCR/STT/translator/rasterizer),
+# engine output must be a function of configuration, not of which
+# optional packages happen to be importable (an auto-probe would also
+# silently break the q_partition_elements oracle hash on hosts with
+# spacy installed). Without a registered tagger ``contains_verb`` uses
+# the deterministic lexicon heuristic.
 _POS_TAGGER = None
-_SPACY_STATE: list = []  # lazy singleton: [] unprobed, [None] absent, [nlp]
 
 
 def set_pos_tagger(fn) -> None:
+    """Register ``fn(text) -> [(word, tag)]`` (Penn tags) as the POS
+    backend for ``contains_verb``; ``None`` restores the lexicon."""
     global _POS_TAGGER
     _POS_TAGGER = fn
     _pos_tag.cache_clear()
 
 
-def _default_pos_tagger():
-    if not _SPACY_STATE:
-        try:
-            import spacy  # type: ignore
+def enable_spacy_pos(model: str = "en_core_web_sm"):
+    """Load spaCy with the reference's exclude set and register it as
+    the POS tagger — reference-exact ``contains_verb`` in one call.
+    Import-gated on the optional 'spacy' package + model."""
+    try:
+        import spacy  # type: ignore
 
-            _SPACY_STATE.append(
-                spacy.load(
-                    "en_core_web_sm",
-                    exclude=["ner", "lemmatizer", "attribute_ruler"],
-                )
-            )
-        except Exception:  # spacy or the pinned model absent
-            _SPACY_STATE.append(None)
-    nlp = _SPACY_STATE[0]
-    if nlp is None:
-        return None
+        nlp = spacy.load(
+            model, exclude=["ner", "lemmatizer", "attribute_ruler"]
+        )
+    except ImportError as e:  # pragma: no cover - not in container
+        raise ImportError(
+            "enable_spacy_pos needs the optional 'spacy' package plus the "
+            f"'{model}' model; python -m unstructured_spark.doctor lists "
+            "this gate"
+        ) from e
 
     def tag(text: str):
         return [(t.text, t.tag_) for t in nlp(str(text))]
 
+    set_pos_tagger(tag)
     return tag
 
 
 @functools.lru_cache(maxsize=4096)
 def _pos_tag(text: str):
     """Cached POS tags (reference pos_tag's lru_cache,
-    nlp/tokenize.py:180-185). Only called when a tagger is active."""
-    tagger = _POS_TAGGER or _default_pos_tagger()
-    return tuple(tagger(text))
+    nlp/tokenize.py:180-185). Only called when a tagger is registered."""
+    return tuple(_POS_TAGGER(text))
 
 
 def contains_verb(text: str) -> bool:
-    if _POS_TAGGER is not None or _default_pos_tagger() is not None:
+    if _POS_TAGGER is not None:
         # reference text_type.py:180-187: lowercase all-caps text, any
         # Penn verb tag counts
         if text.isupper():

@@ -11,7 +11,13 @@ mirrors the reference's extension point (file_utils/model.py:584-591).
 
 from __future__ import annotations
 
+import binascii
+import csv as _csv
 import json
+import struct
+import xml.etree.ElementTree as _ET
+import zipfile
+import zlib
 from typing import Callable
 
 from unstructured_spark.parsers import filetype as ft_mod
@@ -29,6 +35,24 @@ class MalformedDocumentError(ValueError):
     """A format parser hit bytes it could not make sense of (truncated,
     bit-rotted, or mislabeled input) — the dispatcher's catch-all so
     executor-side partitioning raises one predictable type."""
+
+
+# decode-exception whitelist for partition_bytes: these reclassify as
+# MalformedDocumentError; everything else is a parser BUG and
+# propagates (fuzz-grown: csv.Error joined via the mutation suite)
+_DECODE_ERRORS = (
+    struct.error,
+    zlib.error,
+    binascii.Error,
+    zipfile.BadZipFile,
+    _ET.ParseError,
+    _csv.Error,
+    UnicodeError,
+    KeyError,
+    IndexError,
+    OverflowError,
+    EOFError,
+)
 
 
 def _decode(content: bytes | str) -> str:
@@ -242,30 +266,11 @@ def partition_bytes(
     # exception (zipfile.BadZipFile, struct.error, IndexError, ...)
     # inside a mapInPandas partitioner kills the whole task. The
     # documented contract is list-or-ValueError; the KNOWN decode
-    # exception types convert to MalformedDocumentError here — anything
-    # outside the whitelist (TypeError, AttributeError, ...) is a
-    # parser bug, not malformed input, and propagates so on_error=
-    # 'skip' can't silently bury it.
-    import binascii
-    import csv as _csv
-    import struct
-    import xml.etree.ElementTree as _ET
-    import zipfile
-    import zlib
-
-    _DECODE_ERRORS = (
-        struct.error,
-        zlib.error,
-        binascii.Error,
-        zipfile.BadZipFile,
-        _ET.ParseError,
-        _csv.Error,
-        UnicodeError,
-        KeyError,
-        IndexError,
-        OverflowError,
-        EOFError,
-    )
+    # exception types (_DECODE_ERRORS, module scope — this is the
+    # per-document hot path) convert to MalformedDocumentError here —
+    # anything outside the whitelist (TypeError, AttributeError, ...)
+    # is a parser bug, not malformed input, and propagates so
+    # on_error='skip' can't silently bury it.
     try:
         if ft == "eml":
             from unstructured_spark.parsers.email_parser import email_to_elements

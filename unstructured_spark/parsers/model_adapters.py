@@ -342,7 +342,14 @@ class PdfiumRasterizer:
         doc = self._pdfium.PdfDocument(pdf_bytes)
         try:
             page = doc[page_index]
-            bitmap = page.render(scale=(dpi or self.dpi) / 72.0)
+            scale = (dpi or self.dpi) / 72.0
+            try:
+                # pdfium renders BGR(A) natively; rev_byteorder gives RGB
+                bitmap = page.render(scale=scale, rev_byteorder=True)
+                swapped = False
+            except TypeError:  # older pypdfium2 without the kwarg
+                bitmap = page.render(scale=scale)
+                swapped = True
             arr = np.asarray(bitmap.to_numpy(), dtype=np.uint8)
         finally:
             close = getattr(doc, "close", None)
@@ -350,10 +357,13 @@ class PdfiumRasterizer:
                 close()
         if arr.ndim == 2:
             arr = np.repeat(arr[:, :, None], 3, axis=2)
-        elif arr.shape[2] == 4:  # BGRA/RGBA → drop alpha
+            swapped = False
+        elif arr.shape[2] == 4:  # drop alpha
             arr = arr[:, :, :3]
+        if swapped:
+            arr = arr[:, :, ::-1]  # BGR → the contract's RGB
         h, w = arr.shape[:2]
-        return arr, int(w), int(h)
+        return np.ascontiguousarray(arr), int(w), int(h)
 
     def register(self) -> "PdfiumRasterizer":
         from unstructured_spark.parsers.pdf_raster import set_pdf_rasterizer

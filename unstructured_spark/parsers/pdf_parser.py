@@ -1152,7 +1152,8 @@ def _hires_born_digital(doc: "_PdfDoc", raw: bytes | None = None) -> list[dict]:
         blocks = _runs_to_blocks(runs, page_h)
         rasterizer = pdf_raster.get_pdf_rasterizer()
         if rasterizer is not None and raw is not None:
-            arr, w, h = rasterizer(raw, page_no - 1, pdf_raster.DEFAULT_DPI)
+            # dpi=None honors the DPI configured on the plug itself
+            arr, w, h = rasterizer(raw, page_no - 1, None)
             scale = w / page_w
         else:
             arr, w, h, scale = pdf_raster.rasterize_page(runs, page_w, page_h)
@@ -1190,14 +1191,83 @@ def _hires_born_digital(doc: "_PdfDoc", raw: bytes | None = None) -> list[dict]:
     return out
 
 
-def _acroform_elements(doc: "_PdfDoc") -> list[dict]:
-    """Filled-AcroForm elements for a parsed doc: one FormKeysValues per
-    page with named widgets (reference pdf.py:563-583) plus one text
-    element per filled widget value. Shared by the fast path and the
-    hi_res/scanned early returns so ``extract_forms=True`` is honored on
-    every strategy."""
+def _page_form_elements(
+    widgets: list[dict],
+    page_w: float,
+    page_h: float,
+    page_no: int,
+    include_kv: bool,
+) -> list[dict]:
+    """THE AcroForm element constructor — single source for every
+    strategy (fast path and the hi_res/scanned/ocr early returns):
+    with ``include_kv`` (extract_forms), one FormKeysValues element
+    per page with named widgets (reference pdf.py:563-583), then
+    unconditionally one text element per filled widget value."""
     import json as _json
 
+    out: list[dict] = []
+    named = sorted(
+        (w for w in widgets if w["name"]),
+        key=lambda w: (w["box"][1], w["box"][0]),
+    )
+    if include_kv and named:
+        pairs = [
+            {
+                "key_text": w["name"],
+                "value_text": w["text"] or None,
+                "x1": w["box"][0],
+                "y1": w["box"][1],
+                "x2": w["box"][2],
+                "y2": w["box"][3],
+                "confidence": 1.0,  # declared binding, not geometric
+            }
+            for w in named
+        ]
+        out.append(
+            {
+                "type": "FormKeysValues",
+                "text": "\n".join(
+                    f"{p['key_text']}: {p['value_text'] or ''}" for p in pairs
+                ),
+                "page_number": page_no,
+                "metadata_json": _json.dumps(
+                    {
+                        "key_value_pairs": pairs,
+                        "detection_origin": "acroform",
+                    },
+                    ensure_ascii=False,
+                ),
+            }
+        )
+    for wdg in widgets:
+        if not wdg["text"]:
+            continue  # unfilled field: no value element
+        wx0, wtop, wx1, wbot = wdg["box"]
+        out.append(
+            {
+                "type": classify.element_type_from_text(wdg["text"]),
+                "text": wdg["text"],
+                "page_number": page_no,
+                "coordinates": {
+                    "points": [
+                        {"x": wx0, "y": wtop},
+                        {"x": wx0, "y": wbot},
+                        {"x": wx1, "y": wbot},
+                        {"x": wx1, "y": wtop},
+                    ],
+                    "system": "PixelSpace",
+                    "layout_width": page_w,
+                    "layout_height": page_h,
+                },
+            }
+        )
+    return out
+
+
+def _acroform_elements(doc: "_PdfDoc") -> list[dict]:
+    """Filled-AcroForm elements for a parsed doc (per-page
+    ``_page_form_elements``), used by the hi_res/scanned/ocr early
+    returns so ``extract_forms=True`` is honored on every strategy."""
     out: list[dict] = []
     for page_no, page in enumerate(doc.pages(), start=1):
         media = doc.page_attr(page, "/MediaBox") or [0, 0, 612, 792]
@@ -1207,62 +1277,7 @@ def _acroform_elements(doc: "_PdfDoc") -> list[dict]:
         except (TypeError, ValueError, IndexError):
             page_w, page_h = 612.0, 792.0
         _links, widgets = _page_annotations(doc, page, page_h)
-        named = sorted(
-            (w for w in widgets if w["name"]),
-            key=lambda w: (w["box"][1], w["box"][0]),
-        )
-        if named:
-            pairs = [
-                {
-                    "key_text": w["name"],
-                    "value_text": w["text"] or None,
-                    "x1": w["box"][0],
-                    "y1": w["box"][1],
-                    "x2": w["box"][2],
-                    "y2": w["box"][3],
-                    "confidence": 1.0,  # declared binding, not geometric
-                }
-                for w in named
-            ]
-            out.append(
-                {
-                    "type": "FormKeysValues",
-                    "text": "\n".join(
-                        f"{p['key_text']}: {p['value_text'] or ''}"
-                        for p in pairs
-                    ),
-                    "page_number": page_no,
-                    "metadata_json": _json.dumps(
-                        {
-                            "key_value_pairs": pairs,
-                            "detection_origin": "acroform",
-                        },
-                        ensure_ascii=False,
-                    ),
-                }
-            )
-        for wdg in widgets:
-            if not wdg["text"]:
-                continue  # unfilled field: no value element
-            wx0, wtop, wx1, wbot = wdg["box"]
-            out.append(
-                {
-                    "type": classify.element_type_from_text(wdg["text"]),
-                    "text": wdg["text"],
-                    "page_number": page_no,
-                    "coordinates": {
-                        "points": [
-                            {"x": wx0, "y": wtop},
-                            {"x": wx0, "y": wbot},
-                            {"x": wx1, "y": wbot},
-                            {"x": wx1, "y": wtop},
-                        ],
-                        "system": "PixelSpace",
-                        "layout_width": page_w,
-                        "layout_height": page_h,
-                    },
-                }
-            )
+        out.extend(_page_form_elements(widgets, page_w, page_h, page_no, True))
     return out
 
 
@@ -1280,9 +1295,12 @@ def _ocr_rasterized(content: bytes, doc: "_PdfDoc") -> list[dict]:
     out: list[dict] = []
     for page_no in range(1, len(doc.pages()) + 1):
         try:
-            arr, w, h = rasterizer(content, page_no - 1, pdf_raster.DEFAULT_DPI)
-        except (ValueError, IndexError, OSError):
-            continue  # one unrenderable page is not fatal
+            # dpi=None honors the DPI configured on the plug itself
+            arr, w, h = rasterizer(content, page_no - 1, None)
+        except (ValueError, IndexError, OSError, RuntimeError):
+            # one unrenderable page is not fatal; RuntimeError covers
+            # pypdfium2's PdfiumError (its subclass) on corrupt pages
+            continue
         for el in _ip.elements_from_pixels(arr, w, h):
             el["page_number"] = page_no
             out.append(el)
@@ -1307,29 +1325,27 @@ def pdf_to_elements(
     if strategy in ("hi_res", "ocr_only"):
         from unstructured_spark.parsers import image_parser as _ip
 
+        def _with_forms(els: list[dict]) -> list[dict]:
+            if not extract_forms:
+                return els
+            return sorted(
+                els + _acroform_elements(doc),
+                key=lambda e: (e.get("page_number") or 0),
+            )
+
         if _ip._LAYOUT_MODEL is not None or _ip._OCR_AGENT is not None:
             from unstructured_spark.parsers.pdf_images import scanned_pdf_to_elements
 
             els = scanned_pdf_to_elements(content, doc=doc)
             if els:
-                if extract_forms:
-                    els = sorted(
-                        els + _acroform_elements(doc),
-                        key=lambda e: (e.get("page_number") or 0),
-                    )
-                return els
+                return _with_forms(els)
         if strategy == "hi_res" and _ip._LAYOUT_MODEL is not None:
             # born-digital hi_res: real raster when a rasterizer plug
             # is registered, else the geometry surrogate → layout model
             # → 5-rule merge with extracted text blocks (pdf_raster.py)
             els = _hires_born_digital(doc, raw=content)
             if els:
-                if extract_forms:
-                    els = sorted(
-                        els + _acroform_elements(doc),
-                        key=lambda e: (e.get("page_number") or 0),
-                    )
-                return els
+                return _with_forms(els)
         from unstructured_spark.parsers import pdf_raster as _pr
 
         if _pr.get_pdf_rasterizer() is not None and _ip._OCR_AGENT is not None:
@@ -1338,12 +1354,7 @@ def pdf_to_elements(
             # full agent pipeline — the reference's poppler route
             els = _ocr_rasterized(content, doc)
             if els:
-                if extract_forms:
-                    els = sorted(
-                        els + _acroform_elements(doc),
-                        key=lambda e: (e.get("page_number") or 0),
-                    )
-                return els
+                return _with_forms(els)
         raise NotImplementedError(
             f"partition_pdf strategy {strategy!r} needs a layout/OCR model; "
             "register agents via parsers.image_parser.set_layout_model / "
@@ -1406,66 +1417,11 @@ def pdf_to_elements(
                 }
             )
         # filled AcroForm widget values (content stream misses them;
-        # reference pdf.py:563-583)
-        if extract_forms:
-            named = sorted(
-                (w for w in widgets if w["name"]),
-                key=lambda w: (w["box"][1], w["box"][0]),
-            )
-            if named:
-                import json as _json
-
-                pairs = [
-                    {
-                        "key_text": w["name"],
-                        "value_text": w["text"] or None,
-                        "x1": w["box"][0],
-                        "y1": w["box"][1],
-                        "x2": w["box"][2],
-                        "y2": w["box"][3],
-                        "confidence": 1.0,  # declared binding, not geometric
-                    }
-                    for w in named
-                ]
-                out.append(
-                    {
-                        "type": "FormKeysValues",
-                        "text": "\n".join(
-                            f"{p['key_text']}: {p['value_text'] or ''}"
-                            for p in pairs
-                        ),
-                        "page_number": page_no,
-                        "metadata_json": _json.dumps(
-                            {
-                                "key_value_pairs": pairs,
-                                "detection_origin": "acroform",
-                            },
-                            ensure_ascii=False,
-                        ),
-                    }
-                )
-        for wdg in widgets:
-            if not wdg["text"]:
-                continue  # unfilled field: no value element
-            wx0, wtop, wx1, wbot = wdg["box"]
-            out.append(
-                {
-                    "type": classify.element_type_from_text(wdg["text"]),
-                    "text": wdg["text"],
-                    "page_number": page_no,
-                    "coordinates": {
-                        "points": [
-                            {"x": wx0, "y": wtop},
-                            {"x": wx0, "y": wbot},
-                            {"x": wx1, "y": wbot},
-                            {"x": wx1, "y": wtop},
-                        ],
-                        "system": "PixelSpace",
-                        "layout_width": page_w,
-                        "layout_height": page_h,
-                    },
-                }
-            )
+        # reference pdf.py:563-583) — same constructor as the
+        # hi_res/scanned early returns
+        out.extend(
+            _page_form_elements(widgets, page_w, page_h, page_no, extract_forms)
+        )
     if extract_images:
         # extract_images_in_pdf parity: Image elements with base64
         # payloads, interleaved in page order after each page's text

@@ -200,7 +200,9 @@ def _aggregate_block_text(
 # ONE route the surrogate cannot serve, since OCR needs real glyphs —
 # reference pdf.py:1013-1045 uses poppler for exactly this).
 # Contract: fn(pdf_bytes, page_index_zero_based, dpi) ->
-#   (HxWx3 uint8 ndarray, width_px, height_px)
+#   (HxWx3 uint8 RGB ndarray, width_px, height_px); dpi=None means
+#   "use the DPI the rasterizer was configured with" — the pipeline
+#   always passes None so the plug's own setting wins.
 # ---------------------------------------------------------------------------
 
 _PDF_RASTERIZER = None

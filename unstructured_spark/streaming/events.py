@@ -209,6 +209,18 @@ def funnel_stream(
     k = len(steps)
     w_us = int(within_seconds) * 1_000_000
 
+    # epoch conversion happens JVM-side (unix_micros) BEFORE the
+    # stateful operator: pandas inside applyInPandasWithState sees
+    # session-timezone-naive datetimes, so converting there would skew
+    # t1..tk by the tz offset vs the batch operator's unix_micros
+    # whenever the session timezone is not UTC
+    if "us" not in events.columns:
+        events = events.select(
+            "user_id",
+            F.unix_micros(F.col("ts")).alias("us"),
+            "event_type",
+        )
+
     out_fields = [T.StructField("user_id", T.LongType())]
     out_fields += [T.StructField(f"t{i}", T.LongType()) for i in range(1, k + 1)]
     out_fields += [
@@ -246,14 +258,9 @@ def funnel_stream(
                 state.remove()
         else:
             pdf = pd.concat(list(pdfs))
-            us = (
-                pdf["ts"].astype("datetime64[us]").astype("int64")
-                if "us" not in pdf.columns
-                else pdf["us"]
-            )
             st = _funnel_fold(
                 tuple(state.get) if state.exists else None,
-                list(zip(us, pdf["event_type"])),
+                list(zip(pdf["us"], pdf["event_type"])),
                 steps,
                 w_us,
             )
