@@ -779,6 +779,15 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware train/val/test split: LSH clusters pin every
+    near-duplicate group to one split (md5-uniform draw of the cluster
+    label at 0.9/0.05/0.05) — the evaluation-leakage guard a training
+    pipeline runs before sharding."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.leakage_safe_split(docs)
+
+
 def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd k-means over the embeddings table (k=8, 2
     update rounds, deterministic lowest-id init). Integer-quantized
@@ -2414,6 +2423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_semantic_dedup": q_semantic_dedup,
         "q_perplexity_buckets": q_perplexity_buckets,
         "q_dsir_importance": q_dsir_importance,
+        "q_leakage_split": q_leakage_split,
         "q_stratified_sample": q_stratified_sample,
         "q_pack_sequences": q_pack_sequences,
         "q_bm25_search": q_bm25_search,
@@ -3726,6 +3736,37 @@ left join stats s using (doc_id)
             )
             select a as doc_id, least(a, min(b)) as cluster_id
             from reach group by a
+        """,
+        "q_leakage_split": _LSH_PAIRS_CTE.replace("with ", "with recursive ", 1)
+        + """
+            , edges as (
+              select doc_a as a, doc_b as b from pairs
+              union
+              select doc_b as a, doc_a as b from pairs
+            ), reach as (
+              select a, b from edges
+              union
+              select r.a, e.b from reach r join edges e on r.b = e.a
+                where e.b <> r.a
+            ), labels as (
+              select a as doc, least(a, min(b)) as lbl from reach group by a
+            ), assigned as (
+              select d.doc_id,
+                     coalesce(l.lbl, d.doc_id) as split_group
+              from (select cast(doc_id as bigint) as doc_id from documents) d
+              left join labels l on d.doc_id = l.doc
+            )
+            select doc_id, split_group,
+              case
+                when cast(('0x' || substr(md5(cast(split_group as varchar)
+                     || 'split-v1'), 1, 15)) as bigint)
+                     / 1152921504606846976.0 < 0.9 then 'train'
+                when cast(('0x' || substr(md5(cast(split_group as varchar)
+                     || 'split-v1'), 1, 15)) as bigint)
+                     / 1152921504606846976.0 < 0.95 then 'validation'
+                else 'test'
+              end as split
+            from assigned
         """,
         "q_drop_near_duplicates": _LSH_PAIRS_CTE.replace("with ", "with recursive ", 1)
         + """

@@ -147,3 +147,50 @@ class TestHammingBlockingLossless:
                 ).collect()
             )
             assert got == brute, f"max_distance={d}"
+
+
+class TestLeakageSafeSplit:
+    def test_cluster_members_share_split(self, spark):
+        from unstructured_spark.operators.dedup import leakage_safe_split
+
+        # docs 1-3 are near-identical (shared shingles); 4-9 unique
+        shared = "alpha beta gamma delta epsilon zeta eta theta"
+        rows = [(i, shared + f" tail{i}") for i in (1, 2, 3)] + [
+            (i, f"doc {i} " + " ".join(f"u{i}w{j}" for j in range(8)))
+            for i in range(4, 10)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r for r in leakage_safe_split(df).collect()}
+        assert len(out) == 9
+        # the near-dup trio shares a group AND a split
+        assert out[1]["split_group"] == out[2]["split_group"] == out[3]["split_group"] == 1
+        assert out[1]["split"] == out[2]["split"] == out[3]["split"]
+        # uniques are their own group
+        assert all(out[i]["split_group"] == i for i in range(4, 10))
+        assert set(r["split"] for r in out.values()) <= {
+            "train", "validation", "test"
+        }
+
+    def test_deterministic_and_append_stable(self, spark):
+        from unstructured_spark.operators.dedup import leakage_safe_split
+
+        rows = [(i, f"unique doc {i} " + " ".join(f"x{i}y{j}" for j in range(8)))
+                for i in range(20)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        a = {r["doc_id"]: r["split"] for r in leakage_safe_split(df).collect()}
+        # appending new unique docs must not move existing assignments
+        more = rows + [(100, "brand new document " + " ".join(f"z{j}" for j in range(8)))]
+        df2 = spark.createDataFrame(more, "doc_id long, text string")
+        b = {r["doc_id"]: r["split"] for r in leakage_safe_split(df2).collect()}
+        assert all(b[i] == a[i] for i in a)
+
+    def test_validation(self, spark):
+        import pytest
+
+        from unstructured_spark.operators.dedup import leakage_safe_split
+
+        df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="sum to 1"):
+            leakage_safe_split(df, fractions=(0.5, 0.1), names=("a", "b"))
+        with pytest.raises(ValueError, match="align"):
+            leakage_safe_split(df, fractions=(0.5, 0.5), names=("a",))

@@ -770,3 +770,61 @@ def remove_shared_spans(
             .alias("removed_tokens"),
         )
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    *,
+    fractions: tuple[float, ...] = (0.9, 0.05, 0.05),
+    names: tuple[str, ...] = ("train", "validation", "test"),
+    seed: str = "split-v1",
+    text: str = "text",
+    doc_id: str = "doc_id",
+    **lsh_kwargs,
+) -> DataFrame:
+    """Near-dup-aware train/validation/test assignment: every member of
+    a near-duplicate cluster (LSH candidates → connected components)
+    lands in the SAME split — closing the classic evaluation-leakage
+    hole where one copy of a document trains while its near-twin sits
+    in the test set inflating scores.
+
+    Assignment is the deterministic md5-uniform draw of the CLUSTER
+    label (min doc id of the component; unclustered docs are their own
+    label), cut at cumulative ``fractions`` — reproducible,
+    append-stable for unclustered docs, and engine-portable (the
+    oracle replays the label and the draw bit-for-bit).
+
+    Scale shape: the dedup clustering dominates (see
+    ``duplicate_clusters``); the assignment itself is one left join on
+    doc id plus a map-only case expression.
+
+    Returns (doc_id, split_group, split).
+    """
+    if len(fractions) != len(names):
+        raise ValueError("fractions and names must align")
+    if abs(sum(fractions) - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {sum(fractions)}")
+    from unstructured_spark.operators.sampling import hash_uniform
+
+    clusters = duplicate_clusters(
+        df, text=text, doc_id=doc_id, **lsh_kwargs
+    ).select(F.col("doc"), F.col("label"))
+    base = df.select(F.col(doc_id).cast("long").alias("doc_id"))
+    labeled = (
+        base.join(clusters, base.doc_id == clusters.doc, "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("label"), F.col("doc_id")).alias("split_group"),
+        )
+    )
+    u = hash_uniform(F.col("split_group"), seed)
+    cut = 0.0
+    expr = None
+    for frac, name in zip(fractions[:-1], names[:-1]):
+        cut += frac
+        cond = u < F.lit(cut)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    expr = (
+        F.lit(names[0]) if expr is None else expr.otherwise(F.lit(names[-1]))
+    )
+    return labeled.withColumn("split", expr)
