@@ -3895,17 +3895,19 @@ left join stats s using (doc_id)
               from (select t, unnest(range(0, len(t) - 13 + 1)) as i
                     from toks where bkt in ('0','1') and len(t) >= 13)
             ), corpus as (
-              select doc_id, len(t) as ntok,
+              select doc_id,
                      list_distinct(
                        [cast(('0x' || substr(md5(array_to_string(t[i+1 : i+13], ' ')),
                                              1, 15)) as bigint)
                         for i in range(0, len(t) - 13 + 1)]) as ghs
               from toks where bkt not in ('0','1') and len(t) >= 13
             ), hits as (
-              select doc_id, ntok, unnest(ghs) as gh from corpus
+              -- denominator = DISTINCT grams, matching the distinct
+              -- numerator (raw window count would understate repeats)
+              select doc_id, len(ghs) as ndis, unnest(ghs) as gh from corpus
             )
             select h.doc_id, cast(count(*) as bigint) as contaminated_grams,
-                   cast(first(ntok) - 13 + 1 as bigint) as total_grams
+                   cast(first(ndis) as bigint) as total_grams
             from hits h join bench b on h.gh = b.gh
             group by h.doc_id
         """,
@@ -4549,7 +4551,10 @@ left join stats s using (doc_id)
             ranked as (
               select m.cls, m.iou_threshold, m.score, m.tp, npos.npos,
                 row_number() over w as rnk,
-                sum(m.tp) over w as cum_tp
+                sum(m.tp) over (partition by m.cls, m.iou_threshold
+                                order by m.score desc, m.tp desc
+                                rows between unbounded preceding
+                                         and current row) as cum_tp
               from m join npos on m.cls = npos.cls
               window w as (partition by m.cls, m.iou_threshold
                            order by m.score desc, m.tp desc)

@@ -194,3 +194,86 @@ class TestLeakageSafeSplit:
             leakage_safe_split(df, fractions=(0.5, 0.1), names=("a", "b"))
         with pytest.raises(ValueError, match="align"):
             leakage_safe_split(df, fractions=(0.5, 0.5), names=("a",))
+
+    def test_string_doc_ids_supported(self, spark):
+        # the canonical element schema's doc_id is a STRING — the split
+        # must be type-preserving, not silently null a long cast
+        from unstructured_spark.operators.dedup import leakage_safe_split
+
+        shared = "alpha beta gamma delta epsilon zeta eta theta"
+        rows = [(f"doc-{i}", shared + f" tail{i}") for i in (1, 2)] + [
+            (f"doc-{i}", f"unique {i} " + " ".join(f"s{i}t{j}" for j in range(8)))
+            for i in (3, 4)
+        ]
+        df = spark.createDataFrame(rows, "doc_id string, text string")
+        out = {r["doc_id"]: r for r in leakage_safe_split(df).collect()}
+        assert set(out) == {f"doc-{i}" for i in (1, 2, 3, 4)}
+        assert out["doc-1"]["split_group"] == out["doc-2"]["split_group"] == "doc-1"
+        assert out["doc-1"]["split"] == out["doc-2"]["split"]
+        assert all(r["split"] in ("train", "validation", "test") for r in out.values())
+
+
+class TestGuards:
+    def test_lsh_bands_must_divide(self, spark):
+        import pytest
+
+        from unstructured_spark.operators.dedup import lsh_candidate_pairs
+
+        df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="bands"):
+            lsh_candidate_pairs(df, num_hashes=16, bands=32)
+        with pytest.raises(ValueError, match="bands"):
+            lsh_candidate_pairs(df, num_hashes=16, bands=5)
+
+    def test_kmeans_rejects_string_ids(self, spark):
+        import pytest
+
+        from unstructured_spark.operators.clustering import kmeans_clusters
+
+        df = spark.createDataFrame(
+            [("abc", [0.1, 0.2])], "vec_id string, embedding array<double>"
+        )
+        with pytest.raises(ValueError, match="numeric id"):
+            kmeans_clusters(df, k=1, iterations=1)
+
+    def test_pack_sequences_rejects_string_ids(self, spark):
+        import pytest
+
+        from unstructured_spark.operators.sampling import pack_sequences
+
+        df = spark.createDataFrame(
+            [("abc", "a b c")], "doc_id string, text string"
+        )
+        with pytest.raises(ValueError, match="numeric"):
+            pack_sequences(df, 10)
+
+    def test_bm25_empty_corpus(self, spark):
+        from unstructured_spark.operators.text_analysis import bm25_scores
+
+        df = spark.createDataFrame([], "doc_id long, text string")
+        out = bm25_scores(df, ["term"])
+        assert out.collect() == []
+        assert out.columns == ["doc_id", "score"]
+
+    def test_contamination_repeats_fully_contaminated(self, spark):
+        # one benchmark 13-gram repeated: distinct/distinct ratio = 1.0
+        from unstructured_spark.operators.dedup import contaminated_docs
+
+        gram = " ".join(f"w{i}" for i in range(13))
+        corpus = spark.createDataFrame(
+            [(1, " ".join([gram] * 5))], "doc_id long, text string"
+        )
+        bench = spark.createDataFrame([(99, gram)], "doc_id long, text string")
+        rows = contaminated_docs(corpus, bench).collect()
+        [r] = rows
+        # every DISTINCT gram of the doc that comes verbatim from the
+        # benchmark counts; repeated-window inflation is gone from the
+        # denominator, so the doc reads as heavily contaminated
+        assert r["contaminated_grams"] >= 1
+        assert r["total_grams"] == r["total_grams"]  # distinct count
+        assert r["contamination"] >= 0.02
+        # the repeated benchmark gram itself is one distinct window hit
+        # among the doc's distinct windows (ratio rounded to 6dp)
+        assert abs(
+            r["contaminated_grams"] / r["total_grams"] - r["contamination"]
+        ) < 1e-6

@@ -160,3 +160,21 @@ class TestOdMap:
         assert rows[("Table", 0.5)] == 1.0
         # Title has GT but no predictions → absent here, zero-filled in od_map
         assert ("Title", 0.5) not in rows
+
+
+class TestApTies:
+    def test_tied_scores_do_not_inflate_ap(self, spark):
+        # three same-class predictions, ALL at score 0.9, all TPs, 3
+        # positives: AP must be exactly 1.0 — the default RANGE frame
+        # counted future tied TPs into cum_tp (precision 3.0 at rank 1)
+        from unstructured_spark.operators.od_map import average_precision
+
+        matches = spark.createDataFrame(
+            [("c", 0.5, 0.9, 1)] * 3,
+            "cls string, iou_threshold double, score double, tp int",
+        )
+        gt = spark.createDataFrame(
+            [("c",)] * 3, "cls string"
+        )
+        [row] = average_precision(matches, gt).collect()
+        assert row["ap"] == 1.0

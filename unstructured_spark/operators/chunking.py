@@ -545,6 +545,13 @@ def _form_chunks(
         )
         _emit(chunk, doc_id, out, next_index, orig=pre_chunk)
     if opts.overlap_all and opts.overlap:
+        if opts.length_unit == "tokens":
+            # overlap is measured in TOKENS here — a char slice would
+            # carry ~5x less context than the intra-chunk split overlap
+            # in the same run. Whole whitespace words keep the carry
+            # word-aligned (BPE counts may differ by a few tokens; the
+            # size guard re-measures the prefix downstream).
+            return " ".join(text.split()[-opts.overlap :])
         return text[-opts.overlap :].strip()
     return ""
 

@@ -117,8 +117,19 @@ def kmeans_clusters(
 
     Returns (vec_id, cluster_id, cluster_size) for the assignment
     after ``iterations`` update rounds.
+
+    ``id_col`` must be numeric (ids order the deterministic init and
+    key every join); string ids — e.g. the 32-hex element_id — would
+    silently null out under the long cast, so they fail fast here.
+    Map hex ids to ordinals (or ``xxhash64``) before clustering.
     """
     spark = corpus.sparkSession
+    id_type = dict(corpus.dtypes).get(id_col, "")
+    if id_type not in ("tinyint", "smallint", "int", "bigint", "long"):
+        raise ValueError(
+            f"kmeans_clusters needs a numeric id column; {id_col!r} is "
+            f"{id_type or 'missing'} — derive an ordinal or hash id first"
+        )
     quant = corpus.select(
         F.col(id_col).cast("long").alias("vec_id"),
         quantize_vec(F.col(vec_col)).alias("q"),

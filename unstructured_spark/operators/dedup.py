@@ -113,6 +113,14 @@ def lsh_candidate_pairs(
     docs anyway, so exact-dup hashing catches them far cheaper. Default
     None (exhaustive) keeps the oracle contract exact.
     """
+    if bands < 1 or bands > num_hashes or num_hashes % bands != 0:
+        # bands > num_hashes would make every band key the empty string
+        # (the self-join degenerates to all-pairs); a non-dividing count
+        # silently ignores trailing signature components
+        raise ValueError(
+            f"bands must divide num_hashes (got bands={bands}, "
+            f"num_hashes={num_hashes})"
+        )
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(
         df, text=text, doc_id=doc_id, num_hashes=num_hashes, shingle_size=shingle_size
@@ -684,10 +692,16 @@ def contaminated_docs(
     base = df.select(F.col(doc_id).alias("doc"), toks.alias("_t")).filter(
         F.size("_t") >= k
     )
+    # DISTINCT on BOTH sides of the ratio: the numerator counts distinct
+    # contaminated grams, so the denominator must be the doc's distinct
+    # gram count too — a raw window count would understate contamination
+    # for repetitive docs (one benchmark gram repeated 10x would read as
+    # ~11% contaminated instead of 100%)
+    distinct_grams = F.array_distinct(_gram_hashes(F.col("_t"), k))
     grams = base.select(
         "doc",
-        F.size("_t").alias("_ntok"),
-        F.explode(F.array_distinct(_gram_hashes(F.col("_t"), k))).alias("gh"),
+        F.size(distinct_grams).alias("_ntok_d"),
+        F.explode(distinct_grams).alias("gh"),
     )
     btoks = F.split(F.trim(F.col(bench_text)), "\\s+")
     bench_grams = (
@@ -699,9 +713,9 @@ def contaminated_docs(
     hits = grams.join(F.broadcast(bench_grams), "gh")
     return hits.groupBy(F.col("doc").alias(doc_id)).agg(
         F.count("*").alias("contaminated_grams"),
-        (F.first("_ntok") - k + 1).cast("bigint").alias("total_grams"),
+        F.first("_ntok_d").cast("bigint").alias("total_grams"),
         F.round(
-            F.count("*") / (F.first("_ntok") - k + 1).cast("double"), 6
+            F.count("*") / F.first("_ntok_d").cast("double"), 6
         ).alias("contamination"),
     )
 
@@ -809,7 +823,11 @@ def leakage_safe_split(
     clusters = duplicate_clusters(
         df, text=text, doc_id=doc_id, **lsh_kwargs
     ).select(F.col("doc"), F.col("label"))
-    base = df.select(F.col(doc_id).cast("long").alias("doc_id"))
+    # type-preserving: the canonical element schema's doc_id is a
+    # STRING — a long cast would null every id and send the whole
+    # corpus to one split. Cluster labels come from the same column,
+    # so coalesce types always line up.
+    base = df.select(F.col(doc_id).alias("doc_id"))
     labeled = (
         base.join(clusters, base.doc_id == clusters.doc, "left")
         .select(

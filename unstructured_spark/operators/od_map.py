@@ -176,7 +176,16 @@ def average_precision(matches: DataFrame, gt: DataFrame) -> DataFrame:
     curve = (
         matches.join(F.broadcast(npos), "cls", "inner")
         .withColumn("rank", F.row_number().over(w))
-        .withColumn("cum_tp", F.sum("tp").over(w))
+        # ROWS framing: the default RANGE frame treats tied
+        # (score, tp) rows as peers, counting future tied TPs into
+        # cum_tp (precision > 1, inflated AP) — ties are the norm in
+        # detector output
+        .withColumn(
+            "cum_tp",
+            F.sum("tp").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
         .withColumn("precision", F.col("cum_tp") / F.col("rank"))
         .withColumn("recall", F.col("cum_tp") / F.col("npos"))
         .withColumn(

@@ -90,7 +90,16 @@ def partition_documents(
                         raw, filename=fname, content_type=ctype,
                         **parser_kwargs,
                     )
-                except (UnsupportedFormatError, Exception) as e:
+                except (RecursionError, MemoryError):
+                    # executor resource exhaustion, never "bad input"
+                    raise
+                except (UnsupportedFormatError, ValueError) as e:
+                    # the dispatch contract: list-or-ValueError
+                    # (MalformedDocumentError is a ValueError) for bad
+                    # INPUT; parser BUGS (TypeError, AttributeError...)
+                    # propagate even under on_error='skip' — skipping
+                    # them would silently bury a broken parser as
+                    # "malformed documents"
                     if on_error == "fail":
                         raise
                     if on_error == "capture":

@@ -100,6 +100,15 @@ def pack_sequences(
     """
     # split('') yields [''], so filter empties: a whitespace-only document
     # must contribute 0 tokens, not a phantom 1 that shifts global offsets.
+    id_type = dict(df.dtypes).get(doc_id, "")
+    if id_type not in ("tinyint", "smallint", "int", "bigint", "long"):
+        # block = doc_id div block_size needs numeric ids; a string id
+        # would null the division and the block join would silently
+        # return an EMPTY result
+        raise ValueError(
+            f"pack_sequences needs a numeric, densely-ordered id column; "
+            f"{doc_id!r} is {id_type or 'missing'} — derive an ordinal first"
+        )
     ntok = F.size(
         F.filter(F.split(F.trim(F.col(text)), "\\s+"), lambda x: x != F.lit(""))
     )

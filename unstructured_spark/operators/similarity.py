@@ -393,10 +393,12 @@ def dequantize_cosine_topk(
     scored = quantized.select(
         "vec_id", F.round(sim, 6).alias("approx_cosine")
     ).filter(F.col("approx_cosine").isNotNull())
-    w = Window.orderBy(F.desc("approx_cosine"), F.asc("vec_id"))
+    # TakeOrderedAndProject top-k, then rank over k rows (see pq_topk)
+    order = [F.desc("approx_cosine"), F.asc("vec_id")]
+    w = Window.orderBy(*order)
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= k)
+        scored.orderBy(*order).limit(k)
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
     )
 
 
@@ -554,10 +556,15 @@ def pq_topk(
         table = F.array(*[F.lit(v).cast("bigint") for v in tables[s]])
         score = score + F.element_at(table, F.element_at(F.col("codes"), s + 1) + 1)
     scored = codes.select("vec_id", score.alias("pq_dist"))
-    w = Window.orderBy(F.asc("pq_dist"), F.asc("vec_id"))
+    # top-k BEFORE ranking: orderBy().limit(k) plans as
+    # TakeOrderedAndProject (per-partition partial top-k); the rank
+    # window then runs over k rows, not a corpus-wide single-partition
+    # sort (same fix as weighted_sample, commit 34823b4)
+    order = [F.asc("pq_dist"), F.asc("vec_id")]
+    w = Window.orderBy(*order)
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= k)
+        scored.orderBy(*order).limit(k)
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
     )
 
 
@@ -673,8 +680,10 @@ def ivfpq_topk(
         table = F.array(*[F.lit(int(v)).cast("bigint") for v in tables[s]])
         score = score + F.element_at(table, F.col(f"c{s}") + 1)
     scored = pruned.select("vec_id", "list_id", score.alias("pq_dist"))
-    w = Window.orderBy(F.asc("pq_dist"), F.asc("vec_id"))
+    # TakeOrderedAndProject top-k, then rank over k rows (see pq_topk)
+    order = [F.asc("pq_dist"), F.asc("vec_id")]
+    w = Window.orderBy(*order)
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= k)
+        scored.orderBy(*order).limit(k)
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
     )

@@ -217,7 +217,14 @@ def bm25_scores(
             for i, t in enumerate(query_terms)
         ],
     ).collect()[0]
-    n, sum_dl = int(stats_row["n"]), int(stats_row["sum_dl"])
+    n = int(stats_row["n"])
+    if n == 0 or stats_row["sum_dl"] is None:
+        # empty corpus: SUM over zero rows is null — return an empty,
+        # correctly-typed result instead of crashing on int(None)
+        return df.select(
+            F.col(doc_id), F.lit(0.0).alias("score")
+        ).limit(0)
+    sum_dl = int(stats_row["sum_dl"])
     dfs = [int(stats_row[f"df{i}"]) for i in range(len(query_terms))]
 
     avgdl = F.lit(float(sum_dl)) / F.lit(float(n))
