@@ -2609,10 +2609,17 @@ with base as (
     (len(nonspace) > 0 and
      cast(len(regexp_replace(nonspace, '[^\\p{{L}}]', '', 'g')) as double)
        / len(nonspace) >= 0.5) as alpha_ok,
-    (case when len(list_filter(toks, w -> regexp_matches(w, '\\p{{L}}'))) = 0 then true
-      else cast(len(list_filter(toks, w -> regexp_matches(w, '\\p{{L}}')
-                    and regexp_matches(w, '^\\p{{Lu}}'))) as double)
-           / len(list_filter(toks, w -> regexp_matches(w, '\\p{{L}}'))) > 0.5
+    -- exceeds_cap_ratio, reference text_type.py:236-267: multi-
+    -- sentence exempt; all-caps exceeds; no alpha tokens exceeds;
+    -- capitalized = istitle-or-isupper over ALPHA-ONLY tokens
+    (case when len(list_filter(sparts, p -> trim(p) != '' and
+            len(list_filter(string_split_regex(trim(p), '\\s+'), w -> w != '')) >= 3)) > 1
+        then false
+      when t = upper(t) and regexp_matches(t, '\\p{{Lu}}') then true
+      when len(list_filter(toks, w -> regexp_full_match(w, '\\p{{L}}+'))) = 0 then true
+      else cast(len(list_filter(toks, w -> regexp_full_match(w,
+                    '\\p{{Lu}}(\\p{{Ll}}*|\\p{{Lu}}*)'))) as double)
+           / len(list_filter(toks, w -> regexp_full_match(w, '\\p{{L}}+'))) > 0.5
      end) as caps_exceed,
     (len(list_intersect(ltoks, [{verbs}])) > 0
      or len(list_filter(regexp_extract_all(t, '(?i)\\b\\p{{L}}{{3,}}(?:ing|ed)\\b'),
@@ -2629,10 +2636,12 @@ with base as (
       when email_ then 'EmailAddress'
       when zip_ then 'Address'
       when numlist_ then 'ListItem'
-      when (not numeric_) and not (t != upper(t) and caps_exceed)
+      when (not numeric_) and not caps_exceed
            and alpha_ok and (has_verb or sent3 >= 2) then 'NarrativeText'
       when wc <= 12 and sent5 <= 1 and (not numeric_) and alpha_ok
-           and not t like '%,' then 'Title'
+           and not t like '%,'
+           and not (t = upper(t) and regexp_matches(t, '\\p{{Lu}}')
+                    and regexp_matches(t, '[^\\w\\s]$')) then 'Title'
       else 'Text'
     end as type
   from preds

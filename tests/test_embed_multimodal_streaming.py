@@ -393,6 +393,104 @@ class TestStreamingDedup:
         assert wins.get("c", 0) == 8  # novel doc wins all 8 bands
 
 
+class TestStreamingDedupSameBatch:
+    def test_same_batch_identical_docs_keep_exactly_one(self, spark, tmp_path):
+        # regression (r5 review): two identical docs in ONE microbatch
+        # used to split the band-bucket wins so NEITHER won all bands
+        # and both were suppressed — the dedup stream lost the content
+        import json
+
+        from unstructured_spark.streaming.dedup import near_dedup_stream
+
+        in_dir = tmp_path / "docs_in"
+        in_dir.mkdir()
+        rows = [
+            {"ingest_ts": "2024-01-01T00:00:00", "doc_id": "a",
+             "text": "the exact same document text appears twice here"},
+            {"ingest_ts": "2024-01-01T00:00:01", "doc_id": "b",
+             "text": "the exact same document text appears twice here"},
+            {"ingest_ts": "2024-01-01T00:00:02", "doc_id": "c",
+             "text": "something entirely different about spark plans"},
+        ]
+        with open(in_dir / "batch1.json", "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        stream = spark.readStream.schema(
+            "ingest_ts timestamp, doc_id string, text string"
+        ).json(str(in_dir))
+        out = near_dedup_stream(stream)
+        q = (
+            out.writeStream.format("memory").queryName("nd_same_batch")
+            .outputMode("update").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        got = {r["doc_id"] for r in spark.sql("select * from nd_same_batch").collect()}
+        # exactly ONE of the identical pair survives, plus the distinct doc
+        assert "c" in got
+        assert len(got & {"a", "b"}) == 1
+
+    def test_bands_validation(self, spark):
+        import pytest
+
+        from unstructured_spark.streaming.dedup import near_dedup_stream
+
+        df = spark.readStream.format("rate").load()
+        with pytest.raises(ValueError, match="bands"):
+            near_dedup_stream(df, num_hashes=16, bands=32)
+
+
+class TestSessionizerLateEvents:
+    def test_cross_batch_late_event_extends_backwards(self, spark, tmp_path):
+        # regression (r5 review): a late event used to overwrite the
+        # session end backwards, corrupting session_end and inflating
+        # the next gap measurement
+        import json
+
+        from unstructured_spark.streaming.events import sessionize_stream
+
+        in_dir = tmp_path / "late_in"
+        in_dir.mkdir()
+        with open(in_dir / "b1.json", "w") as f:
+            for r in [
+                {"ts": "2024-01-01T10:00:00", "user_id": 1, "event_type": "c", "value": 1.0},
+                {"ts": "2024-01-01T10:05:00", "user_id": 1, "event_type": "c", "value": 2.0},
+            ]:
+                f.write(json.dumps(r) + "\n")
+        with open(in_dir / "b2.json", "w") as f:
+            # late (before the current end) + a follow-up 25 min after
+            # the TRUE end: must stay ONE session
+            for r in [
+                {"ts": "2024-01-01T09:58:00", "user_id": 1, "event_type": "c", "value": 4.0},
+                {"ts": "2024-01-01T10:30:00", "user_id": 1, "event_type": "c", "value": 8.0},
+            ]:
+                f.write(json.dumps(r) + "\n")
+        # force batch order: the file source picks oldest-mtime first
+        import os as _os
+
+        _os.utime(in_dir / "b1.json", (1_000_000, 1_000_000))
+        _os.utime(in_dir / "b2.json", (2_000_000, 2_000_000))
+        stream = (
+            spark.readStream.schema(
+                "ts timestamp, user_id long, event_type string, value double"
+            ).option("maxFilesPerTrigger", 1).json(str(in_dir))
+        )
+        out = sessionize_stream(stream, gap_seconds=1800)
+        q = (
+            out.writeStream.format("memory").queryName("late_sessions")
+            .outputMode("update").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        rows = spark.sql("select * from late_sessions").collect()
+        # the idle-timeout flush at stream end closes the (single)
+        # session — but no PARTIAL session may have been falsely closed
+        # by a regressed end (the old bug split it at 4 events vs 2)
+        assert all(r["n_events"] == 4 for r in rows if r["closed"])
+        final = max(rows, key=lambda r: r["n_events"])
+        assert final["n_events"] == 4
+        assert str(final["session_start"]).startswith("2024-01-01 09:58")
+        assert str(final["session_end"]).startswith("2024-01-01 10:30")
+
+
 class TestImageDhash:
     @staticmethod
     def _png(pixels, w, h):

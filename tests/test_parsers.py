@@ -35,6 +35,41 @@ class TestClassify:
     def test_address(self):
         assert classify.element_type_from_text("Austin, TX 78701") == "Address"
 
+    def test_all_caps_single_sentence_not_narrative(self):
+        # reference text_type.py:251-253: isupper -> exceeds_cap_ratio
+        # True -> narrative rejected; ends-in-punct all-caps is also not
+        # a title (:125-126) -> plain Text
+        t = "THE SYSTEM IS RUNNING AND IT CONTAINS A VERB."
+        assert not classify.is_possible_narrative_text(t)
+        assert not classify.is_possible_title(t)
+        assert classify.element_type_from_text(t) == "Text"
+
+    def test_all_caps_multi_sentence_can_be_narrative(self):
+        # multi-sentence exemption (:247-249): cap check skipped, verb
+        # check sees the lowered text
+        t = "THE SYSTEM IS RUNNING WELL TODAY. IT HAS BEEN STABLE FOR DAYS."
+        assert classify.is_possible_narrative_text(t)
+
+    def test_capitalized_words_reject_narrative(self):
+        # title-cased single sentence with a verb: cap ratio > 0.5
+        t = "The Quick Brown Fox Is Running"
+        assert classify.exceeds_cap_ratio(t)
+        assert not classify.is_possible_narrative_text(t)
+
+    def test_multi_sentence_capitalized_is_narrative(self):
+        # >1 real sentence -> cap check exempt; sentences satisfy the
+        # narrative gate even without a lexicon verb
+        t = "The Quick Brown Fox Runs Far Away. The Lazy Dog Sleeps All Day."
+        assert not classify.exceeds_cap_ratio(t)
+        assert classify.is_possible_narrative_text(t)
+
+    def test_non_alpha_threshold_sense(self):
+        # accept iff alpha/non-space >= threshold (reference sense for
+        # NON-default thresholds)
+        assert classify.under_non_alpha_ratio("ab-cd", 0.5)       # 4/5
+        assert not classify.under_non_alpha_ratio("a---b", 0.5)   # 2/5
+        assert not classify.under_non_alpha_ratio("abc--", 0.7)   # 3/5 < 0.7
+
 
 class TestText:
     def test_fake_text_sequence(self):

@@ -306,3 +306,90 @@ class TestChunkByAttentionWindow:
             r["text"]
             for r in sorted(by_el["e1"], key=lambda r: r["window_index"])
         ] == local
+
+
+class TestReferenceExactCleaners:
+    """Round-5 reference-parity fixes: clean/extract ordered bullets
+    (dot + <=2-char-first-segment rule), mojibake repair, RFC-2822
+    extraction, verbatim quote map."""
+
+    def test_clean_ordered_bullets_reference_rules(self, spark):
+        from unstructured_spark.functions import cleaners as cl
+
+        cases = [
+            ("1.1 This is a point", "This is a point"),
+            ("a.b This is a point", "This is a point"),
+            # bare number / bare word are NOT bullets (reference :63)
+            ("5 apples cost ten dollars", "5 apples cost ten dollars"),
+            ("Hello world", "Hello world"),
+            # '..' disqualifies; >2-char first segment disqualifies
+            ("1..2 weird", "1..2 weird"),
+            ("abcd.ef Some heading", "abcd.ef Some heading"),
+            # trailing dot is fine
+            ("1. Numbered with dot", "Numbered with dot"),
+        ]
+        df = spark.createDataFrame([(t,) for t, _ in cases], "t string")
+        got = [r["o"] for r in df.select(
+            cl.clean_ordered_bullets(F.col("t")).alias("o")).collect()]
+        assert got == [e for _, e in cases]
+
+    def test_extract_ordered_bullets_reference_rules(self, spark):
+        from unstructured_spark.functions.extract import extract_ordered_bullets
+
+        cases = [
+            ("1.1 This is a very important point", ("1", "1", None)),
+            ("a.1 This is a very important point", ("a", "1", None)),
+            ("1.1.2 Deep point", ("1", "1", "2")),
+            ("This is a very important point", (None, None, None)),
+            ("Hello world", (None, None, None)),
+            ("5 apples", (None, None, None)),
+            ("1.1.2", ("1", "1", "2")),  # bullet-only text still parses
+        ]
+        df = spark.createDataFrame([(t,) for t, _ in cases], "t string")
+        got = [
+            (r["b"]["section"], r["b"]["sub_section"], r["b"]["sub_sub_section"])
+            for r in df.select(
+                extract_ordered_bullets(F.col("t")).alias("b")).collect()
+        ]
+        assert got == [e for _, e in cases]
+
+    def test_extract_datetimetz_parses(self, spark):
+        from unstructured_spark.functions.extract import extract_datetimetz
+
+        df = spark.createDataFrame(
+            [("Received: from x by y; Fri, 26 Mar 2021 11:04:09 +1200",),
+             ("no date here",)],
+            "t string",
+        )
+        rows = df.select(extract_datetimetz(F.col("t")).alias("d")).collect()
+        assert rows[0]["d"] is not None
+        # +1200 offset: 11:04:09 local == 23:04:09 UTC previous day
+        assert str(rows[0]["d"]).startswith("2021-03-2")
+        assert rows[1]["d"] is None
+
+    def test_bytes_string_to_string_repairs_mojibake(self, spark):
+        from unstructured_spark.functions import cleaners as cl
+
+        # UTF-8 bytes of the right single quote read as latin-1 ->
+        # codepoints E2 80 99; the repair must yield the character back
+        mojibake = "\u00e2\u0080\u0099"
+        df = spark.createDataFrame([(mojibake,)], "t string")
+        val = df.select(
+            cl.bytes_string_to_string(F.col("t")).alias("o")
+        ).collect()[0]["o"]
+        assert val == "\u2019"
+
+    def test_quote_fixes_match_reference_table(self, spark):
+        from unstructured_spark.functions import cleaners as cl
+
+        df = spark.createDataFrame(
+            [("\x93What a lovely quote!\x94",),
+             # the reference's two-codepoint mojibake prefix + stray
+             # \x80 tail: the bare catch-all strips it
+             ("rest\u00c3\u00a2\x80over",)],
+            "t string",
+        )
+        got = [r["o"] for r in df.select(
+            cl.replace_unicode_quotes(F.col("t")).alias("o")).collect()]
+        assert got[0] == "\u201cWhat a lovely quote!\u201d"
+        assert got[1] == "restover"

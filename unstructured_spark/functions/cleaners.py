@@ -31,27 +31,37 @@ LIGATURES: dict[str, str] = {
     "\u02a6": "ts",
 }
 
-# cp1252/unicode quote artifacts -> standard forms
-# (reference cleaners/core.py:271-303 semantics).
+# cp1252/unicode quote artifacts -> standard forms, replayed VERBATIM
+# and IN ORDER from reference cleaners/core.py:271-303 (insertion order
+# = application order; the bare catch-all runs LAST). The reference's
+# "â" keys are themselves the two-codepoint mojibake "\u00c3\u00a2"
+# in its source, and several third characters are multi-codepoint —
+# spelled out here as explicit escapes so parity is byte-exact, not
+# what the glyphs look like.
+_M = "\u00c3\u00a2\x80"  # the reference's "â\x80" prefix, verbatim
 UNICODE_QUOTE_FIXES: dict[str, str] = {
     "\x91": "\u2018",
     "\x92": "\u2019",
     "\x93": "\u201c",
     "\x94": "\u201d",
     "&apos;": "'",
-    "\u00e2\x80\x99": "'",
-    "\u00e2\x80\x93": "\u2014",
-    "\u00e2\x80\x94": "\u2013",
-    "\u00e2\x80\x98": "\u2018",
-    "\u00e2\x80\xa6": "\u2026",
-    "\u00e2\x80\xa2": "\u2022",
-    "\u00e2\x80\x9c": "\u201c",
-    "\u00e2\x80\x9d": "\u201d",
-    "\u00e2\x80\xa8": "\n",
-    "\u00e2\x80\x8e": "",
-    "\u00e2\x80\x82": "",
-    "\u00e2\x80\x89": "",
-    "\u00e2\x80\x8b": "",
+    _M + "\x99": "'",
+    _M + "\u00e2\x80\x9c": "\u2014",
+    _M + "\u00e2\x80\x9d": "\u2013",
+    _M + "\u00cb\x9c": "\u2018",
+    _M + "\u00c2\u00a6": "\u2026",
+    _M + "\u00e2\x84\u00a2": "\u2019",
+    _M + "\u00c5\x93": "\u201c",
+    _M + "?": "\u201d",
+    _M + "\u00c5\u00a5": "\u201d",
+    _M + "\u00c5\x9b": "\u201c",
+    _M + "\u00c2\u00a8": "\u2014",
+    _M + "\u00c5\x82": "\u2033",
+    _M + "\u00c5\u00bd": "",
+    _M + "\u00e2\x80\x9a": "",
+    _M + "\u00e2\x80\u00b0": "",
+    _M + "\u00e2\x80\u00b9": "",
+    _M: "",
 }
 
 
@@ -150,21 +160,34 @@ def group_broken_paragraphs(col: Column) -> Column:
 
 
 def bytes_string_to_string(col: Column, encoding: str = "utf-8") -> Column:
-    """Decode mis-encoded text via encode/decode round trip (core.py:432-437)."""
-    return F.decode(F.encode(col, encoding), encoding)
+    """Repair mojibake: reinterpret each codepoint as a raw byte, then
+    decode those bytes with ``encoding`` (reference core.py:432-437:
+    ``bytes([ord(c) for c in text]).decode(encoding)``). The
+    codepoint→byte step is exactly a latin-1 encode — encoding with the
+    TARGET charset instead would round-trip every string unchanged and
+    never repair anything."""
+    return F.decode(F.encode(col, "ISO-8859-1"), encoding)
 
 
 def clean_ordered_bullets(col: Column) -> Column:
-    """Strip leading ordered-bullet prefixes like "1.1.2 " / "a.ii "
-    (reference cleaners/core.py:37-73 ordered variant): up to three
-    dot-joined alphanumeric segments followed by whitespace."""
-    # a bare word is NOT a bullet: require dot-joined segments ("1.1",
-    # "a.ii", "1.") or a pure number
-    return F.regexp_replace(
-        col,
-        r"^\s*(?:\d{1,3}|[a-zA-Z0-9]{1,4}(?:\.[a-zA-Z0-9]{1,4}){1,2})\.?\s+",
-        "",
+    """Strip a leading ordered-bullet token like "1.1.2" / "a.ii"
+    (reference cleaners/core.py:52-73 exactly): the FIRST whitespace
+    token must contain a '.' (no '..') and its first dot segment must
+    be <= 2 chars — a bare number or word is NOT a bullet ('5 apples'
+    keeps its 5). On a match the whole first token is dropped and the
+    remainder rejoined with single spaces; otherwise the text is
+    returned unchanged."""
+    toks = F.split(F.trim(col), "\\s+")
+    first = F.element_at(toks, 1)
+    head = F.regexp_replace(first, r"\.$", "")
+    sec = F.element_at(F.split(head, "\\."), 1)
+    valid = (
+        first.contains(".") & ~first.contains("..") & (F.length(sec) <= 2)
     )
+    rest = F.array_join(
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))), " "
+    )
+    return F.when(valid, rest).otherwise(col)
 
 
 def replace_mime_encodings(col: Column, encoding: str = "utf-8") -> Column:

@@ -48,24 +48,44 @@ def extract_text_after(col: Column, pattern: str) -> Column:
 
 
 def extract_datetimetz(col: Column) -> Column:
-    """RFC-2822 date from e.g. an email Received header (extract.py:79-84)."""
+    """RFC-2822 date from e.g. an email Received header (extract.py:79-84).
+
+    The day-of-week prefix is stripped before parsing: Spark's
+    CORRECTED datetime parser forbids 'E' as a PARSING symbol, so a
+    'EEE, ...' pattern throws at runtime (the day name is redundant
+    with the date anyway)."""
     rfc2822 = r"[A-Za-z]{3},\s\d{1,2}\s[A-Za-z]{3}\s\d{4}\s\d{2}:\d{2}:\d{2}\s[+-]\d{4}"
     raw = F.regexp_extract(col, f"({rfc2822})", 1)
+    no_dow = F.regexp_replace(raw, r"^[A-Za-z]{3},\s", "")
     return F.when(
-        raw != "", F.to_timestamp(raw, "EEE, d MMM yyyy HH:mm:ss Z")
+        raw != "", F.to_timestamp(no_dow, "d MMM yyyy HH:mm:ss Z")
     )
 
 
 def extract_ordered_bullets(col: Column) -> Column:
     """Split a leading ordered bullet like ``1.1.2`` into a struct
-    (section, sub_section, sub_sub_section) (extract.py:104-139).
-    """
-    head = F.regexp_extract(F.trim(col), r"^([0-9A-Za-z]+(?:\.[0-9A-Za-z]+)*)[.)]?\s", 1)
+    (section, sub_section, sub_sub_section) (reference
+    extract.py:104-139 exactly): the FIRST whitespace token must
+    contain a '.' (no '..'), its first segment must be <= 2 chars, a
+    trailing '.' is dropped; anything else yields all-null (plain
+    prose like 'Hello world' is NOT a bullet)."""
+    first = F.element_at(F.split(F.trim(col), "\\s+"), 1)
+    head = F.regexp_replace(first, r"\.$", "")
     parts = F.split(head, "\\.")
+    sec = F.element_at(parts, 1)
+    valid = (
+        first.contains(".")
+        & ~first.contains("..")
+        & (F.length(sec) <= 2)
+    )
     return F.struct(
-        F.element_at(parts, 1).alias("section"),
-        F.when(F.size(parts) >= 2, F.element_at(parts, 2)).alias("sub_section"),
-        F.when(F.size(parts) >= 3, F.element_at(parts, 3)).alias("sub_sub_section"),
+        F.when(valid, sec).alias("section"),
+        F.when(valid & (F.size(parts) >= 2), F.element_at(parts, 2)).alias(
+            "sub_section"
+        ),
+        F.when(valid & (F.size(parts) >= 3), F.element_at(parts, 3)).alias(
+            "sub_sub_section"
+        ),
     )
 
 

@@ -54,25 +54,40 @@ def sentence_count(col: Column, min_length: int | None = None) -> Column:
 
 
 def under_non_alpha_ratio(col: Column, threshold: float = 0.5) -> Column:
-    """True when alpha chars / non-space chars > (1 - threshold)
-    (reference text_type.py:270-303: fraction of non-alpha must stay
-    *under* the threshold).
-    """
+    """ACCEPT side of the reference's non-alpha gate: True when alpha
+    chars / non-space chars >= ``threshold`` (reference
+    text_type.py:270-303 returns True when the ratio is UNDER the
+    threshold and callers reject on True; this column is the kept
+    condition, so the threshold sense matches the reference for every
+    value, not just the 0.5 default)."""
     non_space = F.length(F.regexp_replace(col, "\\s", ""))
     alpha = F.length(F.regexp_replace(col, "[^\\p{L}]", ""))
     return F.when(non_space == 0, F.lit(False)).otherwise(
-        (alpha / non_space) >= F.lit(1.0 - threshold)
+        (alpha / non_space) >= F.lit(threshold)
     )
 
 
 def exceeds_cap_ratio(col: Column, threshold: float = 0.5) -> Column:
     """True when the ratio of capitalized words exceeds ``threshold``
-    (reference text_type.py:236-267). All-caps text is exempt upstream.
-    """
-    words = F.filter(F.split(F.trim(col), "\\s+"), lambda w: w.rlike("\\p{L}"))
-    caps = F.filter(words, lambda w: w.rlike("^\\p{Lu}"))
-    return F.when(F.size(words) == 0, F.lit(True)).otherwise(
-        (F.size(caps) / F.size(words)) > F.lit(threshold)
+    (reference text_type.py:236-267, all three special cases): multi-
+    sentence text is exempt (titles are single sentences), all-caps
+    text always exceeds, and text with no alphabetic tokens exceeds
+    (avoids misclassifying symbol runs as narrative). Capitalized =
+    istitle-or-isupper over ALPHA-ONLY tokens."""
+    multi = sentence_count(col, 3) > 1
+    t = F.trim(col)
+    all_caps = (t == F.upper(t)) & t.rlike("\\p{Lu}")
+    tokens = F.filter(
+        F.split(t, "\\s+"), lambda w: w.rlike("^\\p{L}+$")
+    )
+    caps = F.filter(
+        tokens, lambda w: w.rlike("^\\p{Lu}(\\p{Ll}*|\\p{Lu}*)$")
+    )
+    return (
+        F.when(multi, F.lit(False))
+        .when(all_caps, F.lit(True))
+        .when(F.size(tokens) == 0, F.lit(True))
+        .otherwise((F.size(caps) / F.size(tokens)) > F.lit(threshold))
     )
 
 
@@ -129,11 +144,13 @@ def is_possible_narrative_text(
     ≥2 sentences of ≥3 words).
     """
     text = F.trim(col)
-    all_caps = text == F.upper(text)
     return (
         (F.length(text) > 0)
         & ~is_numeric(text)
-        & (all_caps | ~exceeds_cap_ratio(text, cap_threshold))
+        # exceeds_cap_ratio itself carries the reference's exemptions
+        # (multi-sentence False, all-caps True) — no caller-side
+        # all-caps bypass (reference :73-76 simply rejects on exceed)
+        & ~exceeds_cap_ratio(text, cap_threshold)
         & under_non_alpha_ratio(text, non_alpha_threshold)
         & (contains_verb(text) | (sentence_count(text, 3) >= 2))
     )
@@ -149,8 +166,13 @@ def is_possible_title(
     sentence, not pure numeric, doesn't end with a comma, alpha ratio ok.
     """
     text = F.trim(col)
+    all_caps = (text == F.upper(text)) & text.rlike("\\p{Lu}")
+    ends_punct = text.rlike("[^\\w\\s]$")  # ENDS_IN_PUNCT, patterns.py:110
     return (
         (F.length(text) > 0)
+        # all-caps ending in punctuation is a sentence shout, not a
+        # title (reference text_type.py:125-126)
+        & ~(all_caps & ends_punct)
         & (word_count(text) <= title_max_word_length)
         & (sentence_count(text, sentence_min_length) <= 1)
         & ~is_numeric(text)

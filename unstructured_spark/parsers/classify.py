@@ -42,19 +42,29 @@ def sentence_count(text: str, min_length: int | None = None) -> int:
 
 
 def under_non_alpha_ratio(text: str, threshold: float = 0.5) -> bool:
+    """ACCEPT condition: alpha/non-space >= threshold (the reference's
+    under_non_alpha_ratio returns the REJECT side — kept in lockstep
+    with functions/text_type.py's column form)."""
     non_space = [c for c in text if not c.isspace()]
     if not non_space:
         return False
     alpha = sum(1 for c in non_space if c.isalpha())
-    return (alpha / len(non_space)) >= (1.0 - threshold)
+    return (alpha / len(non_space)) >= threshold
 
 
 def exceeds_cap_ratio(text: str, threshold: float = 0.5) -> bool:
-    words = [w for w in text.strip().split() if any(c.isalpha() for c in w)]
-    if not words:
+    """Reference text_type.py:236-267: multi-sentence exemption,
+    all-caps always exceeds, no-alpha-tokens exceeds, capitalized =
+    istitle-or-isupper over alpha-only tokens."""
+    if sentence_count(text, 3) > 1:
+        return False
+    if text.isupper():
         return True
-    caps = sum(1 for w in words if w[0].isupper())
-    return (caps / len(words)) > threshold
+    tokens = [w for w in text.strip().split() if w.isalpha()]
+    if not tokens:
+        return True
+    caps = sum(1 for w in tokens if w.istitle() or w.isupper())
+    return (caps / len(tokens)) > threshold
 
 
 def is_bulleted_text(text: str) -> bool:
@@ -172,7 +182,9 @@ def is_possible_narrative_text(text: str, cap_threshold: float = 0.5) -> bool:
     t = text.strip()
     if not t or is_numeric(t):
         return False
-    if t != t.upper() and exceeds_cap_ratio(t, cap_threshold):
+    # exceeds_cap_ratio carries the reference's exemptions itself
+    # (multi-sentence False, all-caps True) — no caller-side bypass
+    if exceeds_cap_ratio(t, cap_threshold):
         return False
     if not under_non_alpha_ratio(t):
         return False
@@ -186,6 +198,10 @@ def is_possible_title(
 ) -> bool:
     t = text.strip()
     if not t or word_count(t) > title_max_word_length:
+        return False
+    # all-caps ending in punctuation is a sentence shout, not a title
+    # (reference text_type.py:125-126, ENDS_IN_PUNCT patterns.py:110)
+    if t.isupper() and re.search(r"[^\w\s]\Z", t):
         return False
     if sentence_count(t, sentence_min_length) > 1:
         return False

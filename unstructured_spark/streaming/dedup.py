@@ -75,6 +75,15 @@ def near_dedup_stream(
     normalization as exact dedup). Set ``normalize=False`` for
     bit-exact batch ``minhash_signatures`` parity.
 
+    Exact duplicates are collapsed BEFORE band claiming (fingerprint
+    dedup within the watermark), so identical copies landing in the
+    same microbatch cannot split the bucket wins between them and all
+    vanish — exactly one survivor claims the buckets. Known caveat:
+    NON-identical near-duplicates arriving in the SAME microbatch can
+    still split wins (dropDuplicatesWithinWatermark picks an arbitrary
+    surviving row per bucket) and in the worst case suppress every
+    copy; any copy arriving in a later batch is suppressed correctly.
+
     State: one entry per distinct (band, key) for the bucket claims
     plus one per in-flight (ts, doc) for the count — both aged by the
     watermark (the count groups on the event-time column, so its state
@@ -89,11 +98,27 @@ def near_dedup_stream(
         token_hash,
     )
 
+    if bands < 1 or bands > num_hashes or num_hashes % bands != 0:
+        # same guard as the batch lsh_candidate_pairs: bands >
+        # num_hashes degenerates every band key to a constant (first
+        # doc claims everything, the rest of the stream silently drops)
+        raise ValueError(
+            f"bands must divide num_hashes (got bands={bands}, "
+            f"num_hashes={num_hashes})"
+        )
     rows_per_band = num_hashes // bands
     txt = (
         F.lower(F.trim(F.regexp_replace(F.col(text), "\\s+", " ")))
         if normalize
         else F.col(text)
+    )
+    # collapse exact copies first (see docstring: prevents same-batch
+    # identical docs splitting band wins and ALL being suppressed)
+    docs = (
+        docs.withColumn("_xfp", fingerprint(F.col(text)))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["_xfp"])
+        .drop("_xfp")
     )
     grams = shingles(txt, shingle_size)
     # too-short docs get a per-doc pseudo-shingle: they can never be
@@ -133,10 +158,10 @@ def near_dedup_stream(
         ]
     )
     exploded = staged.select("doc_id", ts_col, F.explode(band_keys).alias("bucket"))
-    winners = (
-        exploded.withWatermark(ts_col, watermark)
-        .dropDuplicatesWithinWatermark(["bucket"])
-    )
+    # the watermark is already defined upstream (exact-copy collapse);
+    # redefining it on the same column is disallowed with multiple
+    # stateful operators
+    winners = exploded.dropDuplicatesWithinWatermark(["bucket"])
     counts = (
         winners.groupBy(ts_col, "doc_id")
         .agg(F.count("*").alias("bucket_wins"))

@@ -99,9 +99,13 @@ def sessionize_stream(
                     rows.append((user_id, start, end, n, float(total), True))
                     start = end = None
                     n, total = 0, 0.0
-                if start is None:
-                    start = ts
-                end = ts
+                # min/max, not overwrite: sort_values only orders WITHIN
+                # a batch, so a late cross-batch event must extend the
+                # session backwards instead of regressing its end (which
+                # would both corrupt session_end and inflate the next
+                # gap measurement)
+                start = ts if start is None else min(start, ts)
+                end = ts if end is None else max(end, ts)
                 n += 1
                 total += float(ev.value)
             state.update((start, end, n, float(total)))
