@@ -2394,11 +2394,18 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # Registry order = driver correctness window. Round 5 rotation:
-        # slots 1-44 are the oracled queries that were OUTSIDE the r4
-        # 50-slot window (so every oracled query gets at least one
-        # external driver hash check across rounds); slots 45-50 re-check
-        # the r4-green head. Rows-only folds stay last.
+        # Registry order = driver correctness window (the driver hashes
+        # the FIRST 50 entries). Round 7 rotation: slots 1-4 are the
+        # four queries that have NEVER had an external driver row
+        # (q_partition_elements + q_chunk_by_title are SQL-oracled —
+        # this is the document-ETL spine's first external hash check;
+        # q_table_eval + q_layout_merge are rows-only by necessity).
+        # q_perplexity_buckets stays in-window so the r7 quantization
+        # fix gets a fresh driver hash row.
+        "q_partition_elements": q_partition_elements,
+        "q_chunk_by_title": q_chunk_by_title,
+        "q_table_eval": q_table_eval,
+        "q_layout_merge": q_layout_merge,
         "q07_nation_volume": q07_nation_volume,
         "q08_market_share": q08_market_share,
         "q10_returned_items": q10_returned_items,
@@ -2497,15 +2504,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q12_late_lines": q12_late_lines,
         "q14_promo_revenue": q14_promo_revenue,
         "q19_bracket_revenue": q19_bracket_revenue,
-        # --- tail queries. q_partition_elements is oracled (SQL replay
-        # of the whole classify/langid/hash-id spine, round 5); the
-        # remaining three are rows-only (order-sensitive chunk fold,
-        # difflib table eval, iterative box merge) and go LAST so the
-        # driver's 50-row correctness window lands entirely on oracled entries.
-        "q_partition_elements": q_partition_elements,
-        "q_chunk_by_title": q_chunk_by_title,
-        "q_table_eval": q_table_eval,
-        "q_layout_merge": q_layout_merge,
     }
 
 
@@ -4242,14 +4240,13 @@ left join stats s using (doc_id)
               select b.doc_id,
                 cast(floor(-ln(cast(bc.c12 + 1 as double)
                     / cast(uc.c1 + (select v from vocab) as double))
-                    * 1000000000.0 + 0.5) as bigint) as nlq
+                    * 1000000.0 + 0.5) as bigint) as nlq
               from b join bc on b.w1 = bc.w1 and b.w2 = bc.w2
                      join uc on b.w1 = uc.w1
             )
             select doc_id,
-                   floor(((cast(sum(nlq) as double) / count(*))
-                          / 1000000000.0) * 1000000.0 + 0.5)
-                     / 1000000.0 as cross_entropy,
+                   cast((2 * sum(nlq) + count(*)) // (2 * count(*))
+                        as double) / 1000000.0 as cross_entropy,
                    cast(count(*) as bigint) as n_bigrams
             from nll group by doc_id
         """,
@@ -4325,14 +4322,13 @@ left join stats s using (doc_id)
               select b.doc_id,
                 cast(floor(-ln(cast(bc.c12 + 1 as double)
                     / cast(uc.c1 + (select v from vocab) as double))
-                    * 1000000000.0 + 0.5) as bigint) as nlq
+                    * 1000000.0 + 0.5) as bigint) as nlq
               from b join bc on b.w1 = bc.w1 and b.w2 = bc.w2
                      join uc on b.w1 = uc.w1
             ), ced as (
               select doc_id,
-                     floor(((cast(sum(nlq) as double) / count(*))
-                            / 1000000000.0) * 1000000.0 + 0.5)
-                       / 1000000.0 as cross_entropy,
+                     cast((2 * sum(nlq) + count(*)) // (2 * count(*))
+                          as double) / 1000000.0 as cross_entropy,
                      cast(count(*) as bigint) as n_bigrams
               from nll group by doc_id
             ), qd as (

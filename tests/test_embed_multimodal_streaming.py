@@ -429,6 +429,43 @@ class TestStreamingDedupSameBatch:
         assert "c" in got
         assert len(got & {"a", "b"}) == 1
 
+    def test_normalize_false_keeps_raw_variants_distinct(self, spark, tmp_path):
+        # regression (r6 ADVICE): with normalize=False the exact-copy
+        # collapse used to key off NORMALIZED text, so raw-distinct
+        # case variants were silently collapsed, breaking bit-exact
+        # parity with the batch minhash_signatures operator
+        import json
+
+        from unstructured_spark.streaming.dedup import near_dedup_stream
+
+        in_dir = tmp_path / "nd_raw_in"
+        in_dir.mkdir()
+        base = "the quick brown fox jumps over the lazy dog again and again"
+        rows = [
+            {"ingest_ts": "2024-01-01T00:00:00", "doc_id": "a", "text": base},
+            # normalized-equal but raw-distinct: must be SCORED, not
+            # collapsed, when normalize=False (raw shingles differ ->
+            # distinct buckets -> novel in its own right)
+            {"ingest_ts": "2024-01-01T00:01:00", "doc_id": "b",
+             "text": base.upper()},
+        ]
+        with open(in_dir / "b1.json", "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        stream = spark.readStream.schema(
+            "ingest_ts timestamp, doc_id string, text string"
+        ).json(str(in_dir))
+        out = near_dedup_stream(stream, normalize=False, emit="all")
+        q = (
+            out.writeStream.format("memory").queryName("nd_rawfp")
+            .outputMode("update").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        got = {r["doc_id"]: r for r in spark.sql("select * from nd_rawfp").collect()}
+        # both raw variants scored; raw shingles differ so both novel
+        assert set(got) == {"a", "b"}
+        assert got["a"]["is_novel"] and got["b"]["is_novel"]
+
     def test_bands_validation(self, spark):
         import pytest
 

@@ -263,6 +263,55 @@ class TestErrorCapture:
         )
         assert partition_documents(df, on_error="skip").count() == 0
 
+    def test_oserror_from_codec_is_malformed_not_fatal(self):
+        # r6 ADVICE: PIL-style codecs and native decode layers raise
+        # OSError on corrupt input; one bad doc must reclassify as
+        # MalformedDocumentError (so on_error='skip' survives), not
+        # kill the task
+        from unstructured_spark.parsers import dispatch
+
+        def _raising_parser(content, **kwargs):
+            raise OSError("broken data stream when reading image file")
+
+        orig = dispatch._PARTITIONERS.get("png")
+        dispatch._PARTITIONERS["png"] = _raising_parser
+        try:
+            import pytest
+
+            with pytest.raises(dispatch.MalformedDocumentError):
+                dispatch.partition_bytes(
+                    b"\x89PNG\r\n\x1a\n" + b"\x00" * 64,
+                    filename="x.png",
+                )
+        finally:
+            if orig is None:
+                dispatch._PARTITIONERS.pop("png", None)
+            else:
+                dispatch._PARTITIONERS["png"] = orig
+
+    def test_pdfium_error_wrapped_as_malformed(self):
+        # the adapter boundary translates pypdfium2's PdfiumError
+        # (a RuntimeError subclass) to MalformedDocumentError
+        import numpy as np
+        import pytest
+
+        from unstructured_spark.parsers.dispatch import MalformedDocumentError
+        from unstructured_spark.parsers.model_adapters import PdfiumRasterizer
+
+        class FakePdfiumError(RuntimeError):
+            pass
+
+        class FakePdfium:
+            PdfiumError = FakePdfiumError
+
+            class PdfDocument:
+                def __init__(self, data):
+                    raise FakePdfiumError("Failed to load document (PDFium: corrupt)")
+
+        rast = PdfiumRasterizer(pdfium=FakePdfium())
+        with pytest.raises(MalformedDocumentError, match="pdfium open failed"):
+            rast(b"%PDF- corrupt", 0)
+
 
 class TestParserKwargsPassThrough:
     def test_extract_forms_reaches_pdf_partitioner(self, spark):

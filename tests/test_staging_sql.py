@@ -384,12 +384,30 @@ class TestReferenceExactCleaners:
 
         df = spark.createDataFrame(
             [("\x93What a lovely quote!\x94",),
-             # the reference's two-codepoint mojibake prefix + stray
-             # \x80 tail: the bare catch-all strips it
-             ("rest\u00c3\u00a2\x80over",)],
+             # real-world mojibake the reference repairs: U+00E2 \x80
+             # \x99 -> apostrophe (reference core.py:285)
+             ("It\u00e2\x80\x99s",),
+             # bare "\u00e2\x80" tail: the catch-all strips it
+             ("rest\u00e2\x80over",),
+             # em/en-dash and ellipsis keys (core.py:286-289)
+             ("a\u00e2\x80\u201cb and dots\u00e2\x80\xa6 end",)],
             "t string",
         )
         got = [r["o"] for r in df.select(
             cl.replace_unicode_quotes(F.col("t")).alias("o")).collect()]
         assert got[0] == "\u201cWhat a lovely quote!\u201d"
-        assert got[1] == "restover"
+        assert got[1] == "It's"
+        assert got[2] == "restover"
+        assert got[3] == "a\u2014b and dots\u2026 end"
+
+    def test_bytes_string_to_string_passes_non_latin1_through(self, spark):
+        from unstructured_spark.functions import cleaners as cl
+
+        # codepoints > U+00FF cannot be byte-reinterpreted; the
+        # reference raises ValueError -- we must NOT mangle to '?'
+        clean = "don\u2019t touch \u4e2d\u6587"
+        df = spark.createDataFrame([(clean,)], "t string")
+        val = df.select(
+            cl.bytes_string_to_string(F.col("t")).alias("o")
+        ).collect()[0]["o"]
+        assert val == clean

@@ -33,12 +33,12 @@ LIGATURES: dict[str, str] = {
 
 # cp1252/unicode quote artifacts -> standard forms, replayed VERBATIM
 # and IN ORDER from reference cleaners/core.py:271-303 (insertion order
-# = application order; the bare catch-all runs LAST). The reference's
-# "â" keys are themselves the two-codepoint mojibake "\u00c3\u00a2"
-# in its source, and several third characters are multi-codepoint —
-# spelled out here as explicit escapes so parity is byte-exact, not
-# what the glyphs look like.
-_M = "\u00c3\u00a2\x80"  # the reference's "â\x80" prefix, verbatim
+# = application order; the bare catch-all runs second-to-last, so the
+# final "â\x80s'" entry can never fire -- replayed anyway for parity).
+# The reference keys are the single codepoint U+00E2 + "\x80" + ONE
+# third codepoint (verified against the reference's raw source bytes:
+# core.py:285 is ['0xe2','0x80','0x99'] -> "'").
+_M = "\u00e2\x80"  # the reference's "â\x80" prefix, verbatim
 UNICODE_QUOTE_FIXES: dict[str, str] = {
     "\x91": "\u2018",
     "\x92": "\u2019",
@@ -46,22 +46,23 @@ UNICODE_QUOTE_FIXES: dict[str, str] = {
     "\x94": "\u201d",
     "&apos;": "'",
     _M + "\x99": "'",
-    _M + "\u00e2\x80\x9c": "\u2014",
-    _M + "\u00e2\x80\x9d": "\u2013",
-    _M + "\u00cb\x9c": "\u2018",
-    _M + "\u00c2\u00a6": "\u2026",
-    _M + "\u00e2\x84\u00a2": "\u2019",
-    _M + "\u00c5\x93": "\u201c",
+    _M + "\u201c": "\u2014",
+    _M + "\u201d": "\u2013",
+    _M + "\u02dc": "\u2018",
+    _M + "\xa6": "\u2026",
+    _M + "\u2122": "\u2019",
+    _M + "\u0153": "\u201c",
     _M + "?": "\u201d",
-    _M + "\u00c5\u00a5": "\u201d",
-    _M + "\u00c5\x9b": "\u201c",
-    _M + "\u00c2\u00a8": "\u2014",
-    _M + "\u00c5\x82": "\u2033",
-    _M + "\u00c5\u00bd": "",
-    _M + "\u00e2\x80\x9a": "",
-    _M + "\u00e2\x80\u00b0": "",
-    _M + "\u00e2\x80\u00b9": "",
+    _M + "\u0165": "\u201d",
+    _M + "\u015b": "\u201c",
+    _M + "\xa8": "\u2014",
+    _M + "\u0142": "\u2033",
+    _M + "\u017d": "",
+    _M + "\u201a": "",
+    _M + "\u2030": "",
+    _M + "\u2039": "",
     _M: "",
+    _M + "s'": "",
 }
 
 
@@ -165,8 +166,16 @@ def bytes_string_to_string(col: Column, encoding: str = "utf-8") -> Column:
     ``bytes([ord(c) for c in text]).decode(encoding)``). The
     codepoint→byte step is exactly a latin-1 encode — encoding with the
     TARGET charset instead would round-trip every string unchanged and
-    never repair anything."""
-    return F.decode(F.encode(col, "ISO-8859-1"), encoding)
+    never repair anything.
+
+    Rows containing codepoints > U+00FF cannot be reinterpreted as raw
+    bytes — the reference raises ValueError there (``bytes([ord(c)...])``
+    overflows). Java's charset layer would instead substitute '?' and
+    silently corrupt the text, so such rows pass through UNCHANGED here
+    (the closest non-corrupting column semantics to a per-row raise)."""
+    return F.when(
+        col.rlike("[^\\x00-\\xff]"), col
+    ).otherwise(F.decode(F.encode(col, "ISO-8859-1"), encoding))
 
 
 def clean_ordered_bullets(col: Column) -> Column:

@@ -342,7 +342,8 @@ def bigram_cross_entropy(
     filtered before training.
 
         P(w2|w1) = (C(w1,w2) + 1) / (C(w1) + V)
-        score    = round(avg over bigrams of -ln P, 6)
+        score    = avg over bigrams of -ln P, on a 1e-6 grid
+                   (per-bigram quantize, integer HALF_UP average)
 
     Scale shape: one map-side bigram explode, one (w1,w2) count
     shuffle, a (w1) count shuffle off the same exploded base, then a
@@ -388,19 +389,29 @@ def bigram_cross_entropy(
     scored = (
         bigrams.join(big_counts, ["w1", "w2"])
         .join(uni_counts, "w1")
-        # quantize each -ln P to a 1e-9 grid BEFORE aggregation: long
+        # quantize each -ln P to a 1e-6 grid BEFORE aggregation: long
         # sums are order-independent under distributed partials, where
         # a double sum's rounding depends on partition order (the
         # repo-wide fixed-order-fold discipline; oracle replays the
-        # same quantization)
+        # same quantization). 1e-6 — not finer — on purpose: the
+        # output is 6 dp anyway, and a coarser grid makes a 1-ulp
+        # cross-environment libm ln() difference ~1000× less likely to
+        # flip the floor across a .5 boundary (r5/r6 driver hash-red
+        # root cause analysis).
         .select(
             "doc",
-            F.floor(-F.log(p) * F.lit(1e9) + F.lit(0.5)).cast("long").alias("_nlq"),
+            F.floor(-F.log(p) * F.lit(1e6) + F.lit(0.5)).cast("long").alias("_nlq"),
         )
     )
+    # integer HALF_UP average over grid units — (2·sum + n) div (2·n) —
+    # then ONE IEEE division by 1e6: no double rounding step at all, so
+    # halfway averages (sum/n = k + 0.5 exactly) cannot split between
+    # engines the way round(sum/n/1e6, 6) could.
     return scored.groupBy(F.col("doc").alias(doc_id)).agg(
-        F.round(
-            (F.sum("_nlq").cast("double") / F.count("*")) / F.lit(1e9), 6
+        (
+            F.expr("(2 * sum(_nlq) + count(*)) div (2 * count(*))")
+            .cast("double")
+            / F.lit(1e6)
         ).alias("cross_entropy"),
         F.count("*").cast("bigint").alias("n_bigrams"),
     )
@@ -507,11 +518,14 @@ def perplexity_buckets(
     share a value so they share a bucket, and the arithmetic is all
     integer.
 
-    Scale shape: the only global sort is the cumulative window over
-    DISTINCT quantized scores — bounded by the score grid (cross-
-    entropy in [0, ~30] × 1e-6 → <= 3·10⁷ rows no matter the corpus
-    size), not by doc count; everything per-doc is a hash join on the
-    quantized score.
+    Scale shape: NO global sort. The cumulative count over distinct
+    quantized scores runs as a distributed prefix sum (the
+    ``pack_sequences`` block-totals pattern): per-block count totals
+    (block = score div 65536 — the histogram is grid-bounded to
+    <= 3·10⁷ distinct values, so <= ~460 blocks), exclusive block
+    offsets via a window over that tiny table, broadcast back and
+    added to the within-block cumulative window. Everything per-doc
+    is a hash join on the quantized score.
     """
     if buckets < 2:
         raise ValueError("buckets must be >= 2")
@@ -524,15 +538,34 @@ def perplexity_buckets(
     ).localCheckpoint(eager=False)
     n = scored.count()
     hist = scored.groupBy("_q").agg(F.count("*").alias("_cnt"))
-    wcum = Window.orderBy("_q").rowsBetween(Window.unboundedPreceding, 0)
-    mapping = hist.withColumn(
-        "_below", F.sum("_cnt").over(wcum) - F.col("_cnt")
-    ).select(
-        "_q",
-        F.least(
-            F.lit(buckets).cast("bigint"),
-            F.expr(f"(_below * {int(buckets)}) div {int(n)}") + 1,
-        ).alias("bucket"),
+    # distributed prefix sum over the histogram: -ln P >= 0 so _q >= 0
+    # and block ids order exactly like the scores they contain
+    blocks = hist.groupBy(F.expr("_q div 65536").alias("_blk")).agg(
+        F.sum("_cnt").alias("_bn")
+    )
+    wb = Window.orderBy("_blk").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = blocks.withColumn(
+        "_boff", F.coalesce(F.sum("_bn").over(wb), F.lit(0))
+    )
+    wd = (
+        Window.partitionBy("_blk")
+        .orderBy("_q")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    mapping = (
+        hist.withColumn("_blk", F.expr("_q div 65536"))
+        .join(F.broadcast(offsets.select("_blk", "_boff")), "_blk")
+        .withColumn(
+            "_below",
+            F.col("_boff") + F.coalesce(F.sum("_cnt").over(wd), F.lit(0)),
+        )
+        .select(
+            "_q",
+            F.least(
+                F.lit(buckets).cast("bigint"),
+                F.expr(f"(_below * {int(buckets)}) div {int(n)}") + 1,
+            ).alias("bucket"),
+        )
     )
     return (
         scored.join(mapping, "_q")

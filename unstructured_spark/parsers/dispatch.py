@@ -39,7 +39,14 @@ class MalformedDocumentError(ValueError):
 
 # decode-exception whitelist for partition_bytes: these reclassify as
 # MalformedDocumentError; everything else is a parser BUG and
-# propagates (fuzz-grown: csv.Error joined via the mutation suite)
+# propagates (fuzz-grown: csv.Error joined via the mutation suite).
+# OSError covers PIL-style codec raises and any native decode layer
+# that reports corrupt input as an I/O error (r6 ADVICE: one malformed
+# doc must not kill the task under on_error='skip'). Plain
+# RuntimeError stays OUT — it would mask real parser bugs; native
+# adapters that raise RuntimeError subclasses (pypdfium2's
+# PdfiumError) are wrapped at the adapter boundary instead
+# (model_adapters.PdfiumRasterizer.__call__).
 _DECODE_ERRORS = (
     struct.error,
     zlib.error,
@@ -52,6 +59,7 @@ _DECODE_ERRORS = (
     IndexError,
     OverflowError,
     EOFError,
+    OSError,
 )
 
 

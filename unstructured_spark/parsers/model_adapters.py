@@ -339,7 +339,18 @@ class PdfiumRasterizer:
     def __call__(
         self, pdf_bytes: bytes, page_index: int, dpi: int | None = None
     ):
-        doc = self._pdfium.PdfDocument(pdf_bytes)
+        from unstructured_spark.parsers.dispatch import MalformedDocumentError
+
+        # pypdfium2 raises PdfiumError (a RuntimeError subclass) on
+        # corrupt/undecodable input; surface that as the dispatcher's
+        # one malformed-input type so on_error='skip' survives it
+        # (r6 ADVICE — RuntimeError itself must NOT be whitelisted
+        # globally, so the translation happens at this boundary).
+        _pdfium_err = getattr(self._pdfium, "PdfiumError", ())
+        try:
+            doc = self._pdfium.PdfDocument(pdf_bytes)
+        except _pdfium_err as e:
+            raise MalformedDocumentError(f"pdfium open failed: {e}") from e
         try:
             page = doc[page_index]
             scale = (dpi or self.dpi) / 72.0
@@ -351,6 +362,8 @@ class PdfiumRasterizer:
                 bitmap = page.render(scale=scale)
                 swapped = True
             arr = np.asarray(bitmap.to_numpy(), dtype=np.uint8)
+        except _pdfium_err as e:
+            raise MalformedDocumentError(f"pdfium render failed: {e}") from e
         finally:
             close = getattr(doc, "close", None)
             if close is not None:

@@ -65,15 +65,26 @@ def near_dedup_stream(
 
     - ``'novel'`` (default): only novel docs, i.e. the deduplicated
       stream;
-    - ``'all'``: every doc with ``bucket_wins``/``bands``/``is_novel``
-      so consumers can apply their own margin.
+    - ``'all'``: every SCORED doc with ``bucket_wins``/``bands``/
+      ``is_novel`` so consumers can apply their own margin. CONTRACT
+      NOTE — exact-duplicate elision: identical copies (same raw text
+      when ``normalize=False``, same normalized text otherwise) inside
+      the watermark horizon are collapsed upstream and do NOT re-appear
+      as ``is_novel=false`` rows; one representative per distinct text
+      is scored. Re-emitting the collapsed copies would need a
+      stream-stream anti-join or an arbitrary-stateful op chained
+      before the bucket dedup, neither of which structured streaming
+      supports in one query — consumers needing exact-copy visibility
+      should run :func:`dedup_stream` side-by-side and diff.
 
     Signatures reuse the batch operator's shingling + md5 hashing
     (operators/dedup.py — identical constants), so a stream can be
     cross-checked against a batch LSH index; ``normalize=True``
     additionally lowercases/collapses whitespace first (the same
     normalization as exact dedup). Set ``normalize=False`` for
-    bit-exact batch ``minhash_signatures`` parity.
+    bit-exact batch ``minhash_signatures`` parity — in that mode the
+    exact-collapse key is md5 of the RAW text too, so case/whitespace
+    variants are scored as distinct docs, matching the batch operator.
 
     Exact duplicates are collapsed BEFORE band claiming (fingerprint
     dedup within the watermark), so identical copies landing in the
@@ -113,9 +124,13 @@ def near_dedup_stream(
         else F.col(text)
     )
     # collapse exact copies first (see docstring: prevents same-batch
-    # identical docs splitting band wins and ALL being suppressed)
+    # identical docs splitting band wins and ALL being suppressed).
+    # The collapse key must honor `normalize`: with normalize=False the
+    # engine scores raw text, so raw-distinct variants ("Foo" vs "foo")
+    # must NOT be collapsed together — key off md5 of the raw text.
+    xfp = fingerprint(F.col(text)) if normalize else F.md5(F.col(text))
     docs = (
-        docs.withColumn("_xfp", fingerprint(F.col(text)))
+        docs.withColumn("_xfp", xfp)
         .withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(["_xfp"])
         .drop("_xfp")
