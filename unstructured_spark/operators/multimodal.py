@@ -134,9 +134,10 @@ def decode_image_features(
 ) -> DataFrame:
     """Pixel decode → normalized luminance-histogram feature vector.
 
-    REAL pixel decoding for PNG/BMP/GIF/baseline-JPEG via the
-    dependency-free codec (``parsers/image_codec.py``); undecodable
-    rows (corrupt bytes, progressive JPEG) yield null features —
+    REAL pixel decoding for PNG/BMP/GIF/JPEG (baseline+progressive)/
+    TIFF (incl. CCITT fax) via the dependency-free codec
+    (``parsers/image_codec.py``); undecodable rows (corrupt bytes,
+    exotic variants) yield null features —
     per-row isolation, the corpus job never dies on one bad image.
     ``fake=True`` keeps the deterministic byte-histogram stand-in (no
     pixel decode at all) for plumbing tests.

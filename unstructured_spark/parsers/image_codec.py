@@ -1,16 +1,20 @@
-"""Pure-stdlib+numpy image codec: PNG / BMP / GIF / baseline JPEG
-decode, PNG encode, resize.
+"""Pure-stdlib+numpy image codec: PNG / BMP / GIF / JPEG (baseline +
+progressive) / TIFF (incl. CCITT fax) decode, PNG encode, resize.
 
 The container has no PIL/opencv, but PNG is just zlib (stdlib) plus
 per-scanline unfiltering, BMP is raw pixels, GIF is classic LZW, and
-baseline JPEG is Huffman + dequant + a numpy IDCT — all implementable
-with ``zlib`` + ``struct`` + numpy. This makes the engine's image
+JPEG is Huffman + dequant + a numpy IDCT — all implementable with
+``zlib`` + ``struct`` + numpy. This makes the engine's image
 operators (feature extraction, resize, thumbnailing, partition_image)
-REAL pixel pipelines for the four dominant formats. Correctness of the
+REAL pixel pipelines for the dominant formats. Correctness of the
 JPEG path is pinned by a cross-format test: the reference ships the
 same page as DA-1p.png and DA-1p.jpg, and our two independent decoders
 agree to mean-abs-diff 0.04/255 (tests/test_image_codec.py).
-Progressive JPEG (SOF2) raises an explicit gate.
+Progressive JPEG (SOF2: spectral selection + successive approximation)
+decodes through the multi-scan path, validated against hand-assembled
+bitstreams AND the baseline decoder on identical coefficients.
+Scanned-fax TIFF (CCITT G3/G4, compression 2/3/4) decodes via
+parsers/ccitt.py.
 
 Decoded images are ``(width, height, channels, bytearray pixels)`` in
 row-major RGB/RGBA/gray order — a plain buffer so numpy can wrap it
@@ -373,7 +377,10 @@ def _packbits_decode(data: bytes, expected: int) -> bytearray:
 
 def decode_tiff_pages(data: bytes) -> list[tuple[int, int, int, bytearray]]:
     """Every page of a baseline TIFF (compression none/LZW/PackBits,
-    8-bit or 1-bit samples, gray/RGB(A)/palette, predictor 2)."""
+    8-bit or 1-bit samples, gray/RGB(A)/palette, predictor 2) or a
+    CCITT fax TIFF (compression 2 = 1-D MH, 3 = G3/T.4, 4 = G4/T.6 —
+    decoded by parsers/ccitt.py; the reference reads these through
+    PIL's libtiff binding, partition/image.py:17-123)."""
     import numpy as np
 
     pages = []
@@ -391,10 +398,39 @@ def decode_tiff_pages(data: bytes) -> list[tuple[int, int, int, bytearray]]:
             rows_per_strip = tags.get(278, (h,))[0]
         except (KeyError, IndexError):
             continue
+        if comp in (2, 3, 4):  # CCITT fax: always 1-bit
+            from unstructured_spark.parsers import ccitt
+
+            fill_order = tags.get(266, (1,))[0]
+            t4opts = tags.get(292, (0,))[0]
+            strips = []
+            for si, (soff, scnt) in enumerate(zip(offsets, counts)):
+                strip = data[soff : soff + scnt]
+                nrows = min(rows_per_strip, h - si * rows_per_strip)
+                if comp == 4:
+                    bits = ccitt.decode_g4(strip, w, nrows, fill_order=fill_order)
+                elif comp == 3:
+                    bits = ccitt.decode_g3(
+                        strip, w, nrows,
+                        two_d=bool(t4opts & 1), fill_order=fill_order,
+                    )
+                else:
+                    bits = ccitt.decode_mh(strip, w, nrows, fill_order=fill_order)
+                strips.append(bits)
+            bits = np.vstack(strips)[:h]
+            # decoder polarity: 1 = black. Photometric 0 (WhiteIsZero,
+            # the fax norm): black -> 0; photometric 1 inverts.
+            px = ((1 - bits) * np.uint8(255)) if photo == 0 else (
+                bits * np.uint8(255)
+            )
+            pages.append(
+                (w, h, 1, bytearray(np.ascontiguousarray(px.astype(np.uint8)).tobytes()))
+            )
+            continue
         if comp not in (1, 5, 32773) or bps not in (1, 8):
             raise ImageDecodeError(
                 f"TIFF compression {comp} / {bps}-bit not supported "
-                "(none/LZW/PackBits, 1- or 8-bit)"
+                "(none/LZW/PackBits/CCITT-G3/G4, 1- or 8-bit)"
             )
         row_bytes = (w * spp * bps + 7) // 8
         raw = bytearray()
@@ -527,9 +563,166 @@ def _extend(v: int, size: int) -> int:
     return v - (1 << size) + 1 if v < (1 << (size - 1)) else v
 
 
+def _next_marker(data: bytes, p: int) -> int:
+    """Byte offset of the next real marker (skips fill bytes, stuffed
+    0xFF00 and RSTn) at or after ``p``."""
+    while p + 1 < len(data):
+        if (
+            data[p] == 0xFF
+            and data[p + 1] not in (0x00, 0xFF)
+            and not (0xD0 <= data[p + 1] <= 0xD7)
+        ):
+            return p
+        p += 1
+    return len(data)
+
+
+def _progressive_scan(
+    r: "_BitReader",
+    scan_comps: list[dict],
+    huff_dc: dict[int, dict],
+    huff_ac: dict[int, dict],
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    mcux: int,
+    mcuy: int,
+    restart_interval: int,
+) -> None:
+    """One progressive scan into the components' coefficient grids —
+    the standard successive-approximation algorithm (spectral-selection
+    first scans + refinement scans, EOB-run bookkeeping per ITU T.81
+    §G.2; the refinement control flow mirrors the public libjpeg
+    decode_mcu_AC_refine semantics)."""
+    p1, m1 = 1 << al, -(1 << al)
+    state = {"eobrun": 0}
+
+    def dc_first(c: dict, blk) -> None:
+        size = _huff_decode(r, huff_dc[c["dc"]])
+        diff = _extend(r.bits(size), size) if size else 0
+        c["pred"] += diff
+        blk[0] = c["pred"] << al
+
+    def dc_refine(blk) -> None:
+        if r.bits(1):
+            blk[0] = int(blk[0]) | p1
+
+    def ac_first(c: dict, blk) -> None:
+        if state["eobrun"] > 0:
+            state["eobrun"] -= 1
+            return
+        act = huff_ac[c["ac"]]
+        k = ss
+        while k <= se:
+            rs = _huff_decode(r, act)
+            run, size = rs >> 4, rs & 15
+            if size == 0:
+                if run == 15:
+                    k += 16
+                    continue
+                state["eobrun"] = (1 << run) - 1
+                if run:
+                    state["eobrun"] += r.bits(run)
+                break
+            k += run
+            if k > se:
+                raise ImageDecodeError("progressive AC run overflow")
+            blk[_ZIGZAG[k]] = _extend(r.bits(size), size) << al
+            k += 1
+
+    def ac_refine(c: dict, blk) -> None:
+        act = huff_ac[c["ac"]]
+        k = ss
+        if state["eobrun"] == 0:
+            while k <= se:
+                rs = _huff_decode(r, act)
+                run, size = rs >> 4, rs & 15
+                sval = 0
+                if size == 0:
+                    if run < 15:
+                        # NOTE: 1<<run here, NOT (1<<run)-1 — the
+                        # current block's decrement happens after the
+                        # tail-refinement pass below (T.81 §G.2)
+                        state["eobrun"] = 1 << run
+                        if run:
+                            state["eobrun"] += r.bits(run)
+                        break
+                    # ZRL: run=15 skips 16 zero-history coefficients
+                else:
+                    if size != 1:
+                        raise ImageDecodeError("bad refinement magnitude")
+                    sval = p1 if r.bits(1) else m1
+                while k <= se:
+                    z = _ZIGZAG[k]
+                    v = int(blk[z])
+                    if v != 0:
+                        if r.bits(1) and (v & p1) == 0:
+                            blk[z] = v + (p1 if v >= 0 else m1)
+                    else:
+                        if run == 0:
+                            break
+                        run -= 1
+                    k += 1
+                if sval and k <= se:
+                    blk[_ZIGZAG[k]] = sval
+                k += 1
+        if state["eobrun"] > 0:
+            while k <= se:
+                z = _ZIGZAG[k]
+                v = int(blk[z])
+                if v != 0:
+                    if r.bits(1) and (v & p1) == 0:
+                        blk[z] = v + (p1 if v >= 0 else m1)
+                k += 1
+            state["eobrun"] -= 1
+
+    def do_block(c: dict, idx: int) -> None:
+        blk = c["blocks"][idx]
+        if ss == 0:
+            dc_first(c, blk) if ah == 0 else dc_refine(blk)
+        else:
+            ac_first(c, blk) if ah == 0 else ac_refine(c, blk)
+
+    for c in scan_comps:
+        c["pred"] = 0
+    unit = 0
+    if len(scan_comps) > 1:  # interleaved (DC scans only per T.81)
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart_interval and unit and unit % restart_interval == 0:
+                    r.restart()
+                    state["eobrun"] = 0
+                    for c in scan_comps:
+                        c["pred"] = 0
+                for c in scan_comps:
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            do_block(
+                                c,
+                                (my * c["v"] + by) * c["bw"] + (mx * c["h"] + bx),
+                            )
+                unit += 1
+    else:
+        # non-interleaved: the MCU is ONE block on the component's
+        # TIGHT grid (ceil(comp_size/8)), indexed into padded storage
+        c = scan_comps[0]
+        bw_t = (c["cw"] + 7) // 8
+        bh_t = (c["ch"] + 7) // 8
+        for by in range(bh_t):
+            for bx in range(bw_t):
+                if restart_interval and unit and unit % restart_interval == 0:
+                    r.restart()
+                    state["eobrun"] = 0
+                    c["pred"] = 0
+                do_block(c, by * c["bw"] + bx)
+                unit += 1
+
+
 def decode_jpeg(data: bytes) -> tuple[int, int, int, bytearray]:
-    """Decode a baseline-sequential JFIF (SOF0/SOF1). Progressive
-    (SOF2) and arithmetic-coded streams raise."""
+    """Decode a JFIF image: baseline sequential (SOF0/SOF1) or
+    progressive (SOF2, spectral selection + successive approximation).
+    Arithmetic-coded and lossless variants raise."""
     import numpy as np
 
     if data[:3] != b"\xff\xd8\xff":
@@ -543,6 +736,20 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytearray]:
     pos = 2
     scan_pos = None
     scan_comps: list[dict] = []
+    progressive = False
+    mcux = mcuy = 0
+    hmax = vmax = 1
+    saw_scan = False
+
+    def alloc_blocks() -> None:
+        for c in comps:
+            c["bw"] = mcux * c["h"]
+            c["bh"] = mcuy * c["v"]
+            c["cw"] = (width * c["h"] + hmax - 1) // hmax
+            c["ch"] = (height * c["v"] + vmax - 1) // vmax
+            c["blocks"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int32)
+            c["pred"] = 0
+
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             pos += 1
@@ -569,16 +776,24 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytearray]:
                 tbl = np.zeros(64, dtype=np.int32)
                 tbl[_ZIGZAG] = vals
                 qt[tq] = tbl.reshape(8, 8)
-        elif marker in (0xC0, 0xC1):  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+            progressive = marker == 0xC2
             height, width = struct.unpack(">HH", seg[1:5])
             ncomp = seg[5]
             comps = []
             for c in range(ncomp):
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcux = (width + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+            if progressive:
+                alloc_blocks()
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ImageDecodeError(
-                f"JPEG SOF{marker - 0xC0} (progressive/extended) not supported (baseline only)"
+                f"JPEG SOF{marker - 0xC0} (lossless/arithmetic/hierarchical) "
+                "not supported (baseline + progressive only)"
             )
         elif marker == 0xC4:  # DHT
             i = 0
@@ -597,57 +812,71 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytearray]:
             for c in range(ns):
                 cs, tdta = seg[1 + 2 * c], seg[2 + 2 * c]
                 comp = next(x for x in comps if x["id"] == cs)
-                scan_comps.append({**comp, "dc": tdta >> 4, "ac": tdta & 15})
-            scan_pos = pos + 2 + seglen
-            break
+                comp["dc"], comp["ac"] = tdta >> 4, tdta & 15
+                scan_comps.append(comp)
+            if not progressive:
+                scan_pos = pos + 2 + seglen
+                break
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            r = _BitReader(data, pos + 2 + seglen)
+            _progressive_scan(
+                r, scan_comps, huff_dc, huff_ac,
+                ss, se, ahal >> 4, ahal & 15,
+                mcux, mcuy, restart_interval,
+            )
+            saw_scan = True
+            pos = _next_marker(data, r.pos)
+            continue
         pos += 2 + seglen
-    if scan_pos is None or not comps:
-        raise ImageDecodeError("JPEG missing SOS/SOF")
 
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcux = (width + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
-    r = _BitReader(data, scan_pos)
-    # per-component coefficient block grids
-    for c in scan_comps:
-        c["bw"] = mcux * c["h"]
-        c["bh"] = mcuy * c["v"]
-        c["blocks"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int32)
-        c["pred"] = 0
-    mcu_count = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                r.restart()
+    if progressive:
+        if not saw_scan:
+            raise ImageDecodeError("progressive JPEG with no scans")
+        scan_comps = comps
+    elif scan_pos is None or not comps:
+        raise ImageDecodeError("JPEG missing SOS/SOF")
+    else:
+        # baseline: single interleaved full-band scan
+        r = _BitReader(data, scan_pos)
+        for c in scan_comps:
+            c["bw"] = mcux * c["h"]
+            c["bh"] = mcuy * c["v"]
+            c["blocks"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int32)
+            c["pred"] = 0
+        mcu_count = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                    r.restart()
+                    for c in scan_comps:
+                        c["pred"] = 0
                 for c in scan_comps:
-                    c["pred"] = 0
-            for c in scan_comps:
-                dct, act = huff_dc[c["dc"]], huff_ac[c["ac"]]
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        blk = c["blocks"][
-                            (my * c["v"] + by) * c["bw"] + (mx * c["h"] + bx)
-                        ]
-                        size = _huff_decode(r, dct)
-                        diff = _extend(r.bits(size), size) if size else 0
-                        c["pred"] += diff
-                        blk[0] = c["pred"]
-                        k = 1
-                        while k < 64:
-                            rs = _huff_decode(r, act)
-                            run, size = rs >> 4, rs & 15
-                            if size == 0:
-                                if run == 15:
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += run
-                            if k > 63:
-                                raise ImageDecodeError("AC run overflow")
-                            blk[_ZIGZAG[k]] = _extend(r.bits(size), size)
-                            k += 1
-            mcu_count += 1
+                    dct, act = huff_dc[c["dc"]], huff_ac[c["ac"]]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            blk = c["blocks"][
+                                (my * c["v"] + by) * c["bw"] + (mx * c["h"] + bx)
+                            ]
+                            size = _huff_decode(r, dct)
+                            diff = _extend(r.bits(size), size) if size else 0
+                            c["pred"] += diff
+                            blk[0] = c["pred"]
+                            k = 1
+                            while k < 64:
+                                rs = _huff_decode(r, act)
+                                run, size = rs >> 4, rs & 15
+                                if size == 0:
+                                    if run == 15:
+                                        k += 16
+                                        continue
+                                    break  # EOB
+                                k += run
+                                if k > 63:
+                                    raise ImageDecodeError("AC run overflow")
+                                blk[_ZIGZAG[k]] = _extend(r.bits(size), size)
+                                k += 1
+                mcu_count += 1
 
     # dequantize + IDCT all blocks per component in one einsum
     n = np.arange(8)

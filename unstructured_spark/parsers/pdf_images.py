@@ -143,9 +143,9 @@ def _decode_pre_filters(
 
 
 def _jpeg_is_baseline(data: bytes) -> bool:
-    """Probe SOF markers: our codec decodes SOF0/SOF1 with 1 or 3
-    components; progressive (SOF2 etc.) and CMYK export fine as files
-    but are not decodable in-repo."""
+    """Probe SOF markers: our codec decodes SOF0/SOF1/SOF2 with 1 or
+    3 components; lossless/arithmetic variants and CMYK export fine as
+    files but are not decodable in-repo."""
     i = 2
     while i + 4 < len(data):
         if data[i] != 0xFF:
@@ -158,7 +158,7 @@ def _jpeg_is_baseline(data: bytes) -> bool:
         if 0xC0 <= m <= 0xCF and m not in (0xC4, 0xC8, 0xCC):
             if i + 9 >= len(data):
                 return False  # truncated SOF segment
-            return m in (0xC0, 0xC1) and data[i + 9] in (1, 3)
+            return m in (0xC0, 0xC1, 0xC2) and data[i + 9] in (1, 3)
         if m == 0xDA:
             return False
         i += 2 + int.from_bytes(data[i + 2 : i + 4], "big")
@@ -208,8 +208,8 @@ def extract_pdf_images(content: bytes, doc: _PdfDoc | None = None) -> list[dict]
     portable payload, with the raw plane kept in ``pixels`` as
     ``(channels, bytes)`` so in-process consumers skip the PNG
     round-trip. ``decodable`` means decodable by this repo's codec;
-    JPEG variants we can't decode (progressive/CMYK) still export with
-    ``mime=image/jpeg``."""
+    JPEG variants we can't decode (lossless/arithmetic/CMYK) still
+    export with ``mime=image/jpeg``."""
     from unstructured_spark.parsers.image_codec import encode_png
 
     doc = doc or _PdfDoc(content)
