@@ -147,3 +147,65 @@ class TestPrepareTrainingCorpus:
                 "seq_token_start"} <= set(rows[0].asDict())
         total = sum(r["doc_token_end"] - r["doc_token_start"] for r in rows)
         assert total == 4 * 40
+
+
+class TestPretrainingCorpusE2E:
+    def test_single_job_chain(self, spark):
+        from unstructured_spark.pipelines import pretraining_corpus_e2e
+
+        body = (
+            "Introduction\n\n"
+            + ("the quick brown fox jumps over the lazy dog and keeps "
+               "running through the quiet forest for quite a while. ") * 4
+            + "\n\nDetails\n\n"
+            + ("every good sentence in this section carries enough real "
+               "words and stopwords to clear the gopher thresholds. ") * 4
+        )
+        rows = [
+            (1, (body + " contact me at a@b.co").encode(), "d1.txt"),
+            # near/exact dup of doc 1 at chunk level -> deduped
+            (2, (body + " contact me at a@b.co").encode(), "d2.txt"),
+            (3, ("Junk\n\n" + "zz " * 80).encode(), "d3.txt"),
+        ]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, content binary, path string"
+        )
+        packed, splits = pretraining_corpus_e2e(docs, pack_tokens=64)
+        srows = splits.collect()
+        assert srows, "no chunks survived the chain"
+        # doc 3's junk failed the quality gate
+        assert not [r for r in srows if r["doc_id"] == "3"]
+        # chunk-level near-dedup: every surviving text unique
+        texts = [r["text"] for r in srows]
+        assert len(texts) == len(set(texts))
+        # PII redacted before the split
+        assert all("a@b.co" not in t for t in texts)
+        assert any("[EMAIL]" in t for t in texts)
+        # split column present and valid
+        assert {r["split"] for r in srows} <= {"train", "validation", "test"}
+        # packing placements reference the train split only and tile
+        # sequences contiguously from offset 0
+        prows = packed.collect()
+        if [r for r in srows if r["split"] == "train"]:
+            assert prows
+            seq0 = [r for r in prows if r["seq_id"] == min(p["seq_id"] for p in prows)]
+            assert any(r["seq_token_start"] == 0 for r in seq0)
+
+    def test_unpacked_returns_train_rows(self, spark):
+        from unstructured_spark.pipelines import pretraining_corpus_e2e
+
+        body = (
+            "Heading\n\n"
+            + ("a perfectly ordinary sentence with the usual english "
+               "stopwords in it keeps the quality gate happy. ") * 5
+        )
+        docs = spark.createDataFrame(
+            [(7, body.encode(), "a.txt")],
+            "doc_id long, content binary, path string",
+        )
+        train, splits = pretraining_corpus_e2e(docs, pack_tokens=None)
+        trows = train.collect()
+        assert all(r["split"] == "train" for r in trows)
+        assert {r["element_id"] for r in trows} <= {
+            r["element_id"] for r in splits.collect()
+        }

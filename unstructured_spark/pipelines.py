@@ -175,3 +175,92 @@ def prepare_training_corpus(
     if pack_tokens:
         return pack_sequences(out, pack_tokens)
     return out
+
+
+def pretraining_corpus_e2e(
+    documents: DataFrame,
+    *,
+    chunk_kwargs: dict | None = None,
+    languages: tuple[str, ...] | None = ("eng",),
+    quality_kwargs: dict | None = None,
+    dedup_kwargs: dict | None = None,
+    split_fractions: tuple[float, ...] = (0.9, 0.05, 0.05),
+    pack_tokens: int | None = 2048,
+) -> tuple[DataFrame, DataFrame]:
+    """The single-job 100×-shape demo chain — every stage a real
+    training-data run needs, composed as ONE lazy plan:
+
+        partition → chunk(by_title) → hygiene (langid gate, PII
+        redact, Gopher quality) → one-call near-dup drop →
+        leakage-safe split → sequence packing of the train split
+
+    Returns ``(packed_or_train, splits)``: the train split's packing
+    placements (or its chunk rows when ``pack_tokens`` is None) plus
+    the full per-chunk split assignment table.
+
+    Shuffle bill (scripts/demo_corpus_e2e.py measures the realized
+    exchange count; SCALING.md records it): partition and hygiene are
+    map-only; chunking is one doc-clustered exchange; dedup/split are
+    the bucket-keyed LSH + pointer-doubling sub-plans (never
+    all-pairs) ending in a broadcast anti-join/left join against the
+    corpus; packing is the block-totals distributed prefix sum.
+
+    Packing keys on ``doc_id * 1_000_000 + element_index`` — numeric
+    doc ids required (the parquet corpus tables' bigint ids); string
+    ids raise in ``pack_sequences`` rather than packing garbage.
+    """
+    from unstructured_spark.operators.chunking import chunk as chunk_op
+    from unstructured_spark.operators.dedup import (
+        drop_near_duplicates,
+        leakage_safe_split,
+    )
+    from unstructured_spark.operators.metadata import detect_language_expr
+    from unstructured_spark.operators.partition_auto import partition_documents
+    from unstructured_spark.operators.pii import redact_docs
+    from unstructured_spark.operators.quality_filters import (
+        gopher_keep_expr,
+        gopher_stats_exprs,
+        line_repetition_exprs,
+    )
+    from unstructured_spark.operators.sampling import pack_sequences
+
+    elements = partition_documents(documents)
+    chunks = chunk_op(elements, strategy="by_title", **(chunk_kwargs or {}))
+
+    # hygiene — all three stages map-only
+    if languages:
+        chunks = chunks.filter(
+            detect_language_expr(F.col("text")).isin(*languages)
+        )
+    chunks = redact_docs(chunks)
+    qkw = {"min_words": 10, "min_stopwords": 0, "min_mean_word_len": 2.0}
+    qkw.update(quality_kwargs or {})
+    stats = {**gopher_stats_exprs("text"), **line_repetition_exprs("text")}
+    with_stats = chunks.select("*", *[c.alias(n) for n, c in stats.items()])
+    chunks = with_stats.filter(gopher_keep_expr(**qkw)).drop(*stats.keys())
+
+    dkw = {"n": 3, "threshold": 0.5}
+    dkw.update(dedup_kwargs or {})
+    chunks = drop_near_duplicates(chunks, doc_id="element_id", text="text", **dkw)
+    # the dedup survivors feed two consumers (split assignment + the
+    # join back); checkpoint so the partition/chunk/hygiene tree runs once
+    chunks = chunks.localCheckpoint(eager=False)
+
+    assignment = leakage_safe_split(
+        chunks, doc_id="element_id", fractions=split_fractions
+    )
+    splits = chunks.join(
+        assignment.withColumnRenamed("doc_id", "element_id"), "element_id"
+    )
+    train = splits.filter(F.col("split") == "train")
+    if pack_tokens is None:
+        return train, splits
+    packed = pack_sequences(
+        train.withColumn(
+            "pack_id",
+            (F.col("doc_id").cast("bigint") * 1_000_000 + F.col("element_index")),
+        ),
+        pack_tokens,
+        doc_id="pack_id",
+    )
+    return packed, splits
