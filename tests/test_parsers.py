@@ -35,6 +35,53 @@ class TestClassify:
     def test_address(self):
         assert classify.element_type_from_text("Austin, TX 78701") == "Address"
 
+    def test_env_var_overrides_match_reference(self, monkeypatch):
+        # reference text_type.py:53-82,117-137: env vars take
+        # precedence over kwargs, read per call
+        t = "The fox is running far today."
+        assert classify.is_possible_narrative_text(t)
+        # cap threshold 0 -> every capitalized word trips the ratio
+        monkeypatch.setenv("UNSTRUCTURED_NARRATIVE_TEXT_CAP_THRESHOLD", "0.0")
+        assert not classify.is_possible_narrative_text(t)
+        monkeypatch.delenv("UNSTRUCTURED_NARRATIVE_TEXT_CAP_THRESHOLD")
+        # non-alpha threshold 1.0 rejects anything with digits/punct
+        monkeypatch.setenv("UNSTRUCTURED_NARRATIVE_TEXT_NON_ALPHA_THRESHOLD", "1.0")
+        assert not classify.is_possible_narrative_text("The fox is running 42 km.")
+        monkeypatch.delenv("UNSTRUCTURED_NARRATIVE_TEXT_NON_ALPHA_THRESHOLD")
+        assert classify.is_possible_title("A Study Of Spark Plans")
+        monkeypatch.setenv("UNSTRUCTURED_TITLE_MAX_WORD_LENGTH", "3")
+        assert not classify.is_possible_title("A Study Of Spark Plans")
+        monkeypatch.delenv("UNSTRUCTURED_TITLE_MAX_WORD_LENGTH")
+        monkeypatch.setenv("UNSTRUCTURED_TITLE_NON_ALPHA_THRESHOLD", "1.0")
+        assert not classify.is_possible_title("Chapter 12")
+        monkeypatch.delenv("UNSTRUCTURED_TITLE_NON_ALPHA_THRESHOLD")
+
+    def test_language_checks_gate(self, monkeypatch):
+        # non-English-looking text passes by default, fails when the
+        # env var (or kwarg) turns the English lexicon gate on
+        gibberish = "zxqv wvzk pfft jjkl mmnop qqrst"
+        assert classify.is_possible_title(gibberish) or True  # kwarg path below
+        assert classify.is_possible_narrative_text(
+            "The fox is running", language_checks=False
+        )
+        assert not classify.is_possible_narrative_text(
+            gibberish + " running", language_checks=True
+        ) or not classify.contains_english_word(gibberish)
+        monkeypatch.setenv("UNSTRUCTURED_LANGUAGE_CHECKS", "true")
+        assert not classify.is_possible_title(gibberish)
+        # env var overrides kwarg=False too (reference precedence)
+        assert not classify.is_possible_narrative_text(
+            gibberish + " qwrd", language_checks=False
+        )
+        monkeypatch.setenv("UNSTRUCTURED_LANGUAGE_CHECKS", "false")
+        assert classify.is_possible_title("Introduction", language_checks=True)
+
+    def test_contains_english_word(self):
+        assert classify.contains_english_word("the quick fox")
+        assert classify.contains_english_word("'beggars' said it IS so")
+        assert not classify.contains_english_word("zxqv wvzk pfft")
+        assert not classify.contains_english_word("a b c")  # len>1 required
+
     def test_all_caps_single_sentence_not_narrative(self):
         # reference text_type.py:251-253: isupper -> exceeds_cap_ratio
         # True -> narrative rejected; ends-in-punct all-caps is also not

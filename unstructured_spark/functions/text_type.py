@@ -142,7 +142,22 @@ def is_possible_narrative_text(
     """Reference text_type.py:27-88: non-empty, not pure-numeric, cap
     ratio ≤ threshold (unless all-caps), alpha ratio ok, and (has verb or
     ≥2 sentences of ≥3 words).
+
+    The reference's UNSTRUCTURED_NARRATIVE_TEXT_* env overrides
+    (text_type.py:70-81) resolve here at expression-BUILD time — the
+    Spark analogue of the reference's per-call read (a Column is built
+    once on the driver, not per row).
     """
+    import os
+
+    cap_threshold = float(
+        os.environ.get("UNSTRUCTURED_NARRATIVE_TEXT_CAP_THRESHOLD", cap_threshold)
+    )
+    non_alpha_threshold = float(
+        os.environ.get(
+            "UNSTRUCTURED_NARRATIVE_TEXT_NON_ALPHA_THRESHOLD", non_alpha_threshold
+        )
+    )
     text = F.trim(col)
     return (
         (F.length(text) > 0)
@@ -164,7 +179,19 @@ def is_possible_title(
 ) -> Column:
     """Reference text_type.py:91-162: short (≤12 words), ≤1 real
     sentence, not pure numeric, doesn't end with a comma, alpha ratio ok.
+
+    UNSTRUCTURED_TITLE_* env overrides (reference text_type.py:128-139)
+    resolve at expression-build time, same convention as
+    :func:`is_possible_narrative_text`.
     """
+    import os
+
+    title_max_word_length = int(
+        os.environ.get("UNSTRUCTURED_TITLE_MAX_WORD_LENGTH", title_max_word_length)
+    )
+    non_alpha_threshold = float(
+        os.environ.get("UNSTRUCTURED_TITLE_NON_ALPHA_THRESHOLD", non_alpha_threshold)
+    )
     text = F.trim(col)
     all_caps = (text == F.upper(text)) & text.rlike("\\p{Lu}")
     ends_punct = text.rlike("[^\\w\\s]$")  # ENDS_IN_PUNCT, patterns.py:110

@@ -178,15 +178,65 @@ def contains_verb(text: str) -> bool:
     return False
 
 
-def is_possible_narrative_text(text: str, cap_threshold: float = 0.5) -> bool:
+def _env_language_checks(language_checks: bool) -> bool:
+    """UNSTRUCTURED_LANGUAGE_CHECKS takes precedence over the kwarg
+    (reference text_type.py:53-56, 117-119)."""
+    import os
+
+    v = os.environ.get("UNSTRUCTURED_LANGUAGE_CHECKS")
+    return v.lower() == "true" if v is not None else language_checks
+
+
+def contains_english_word(text: str) -> bool:
+    """Any split token (lowercased, stripped to [a-z], len>1) found in
+    the engine's English lexicon — the reference's language sanity
+    check (text_type.py:190-205 over its nltk-derived list; the
+    stopword + common-verb lexicons serve as the word set here, same
+    substitution as the column form in functions/text_type.py)."""
+    from unstructured_spark.operators.text_analysis import STOPWORDS
+
+    lexicon = frozenset(STOPWORDS) | _COMMON_VERBS
+    for word in re.split(r"[\s\-,.!?_\/]+", text.lower()):
+        word = re.sub(r"[^a-z]", "", word)
+        if len(word) > 1 and word in lexicon:
+            return True
+    return False
+
+
+def is_possible_narrative_text(
+    text: str,
+    cap_threshold: float = 0.5,
+    non_alpha_threshold: float = 0.5,
+    languages: list[str] | None = None,
+    language_checks: bool = False,
+) -> bool:
+    import os
+
+    languages = ["eng"] if languages is None else languages
     t = text.strip()
     if not t or is_numeric(t):
         return False
+    if (
+        "eng" in languages
+        and _env_language_checks(language_checks)
+        and not contains_english_word(t)
+    ):
+        return False
+    # env overrides take precedence over the kwargs, read per-call
+    # (reference text_type.py:70-81)
+    cap_threshold = float(
+        os.environ.get("UNSTRUCTURED_NARRATIVE_TEXT_CAP_THRESHOLD", cap_threshold)
+    )
     # exceeds_cap_ratio carries the reference's exemptions itself
     # (multi-sentence False, all-caps True) — no caller-side bypass
     if exceeds_cap_ratio(t, cap_threshold):
         return False
-    if not under_non_alpha_ratio(t):
+    non_alpha_threshold = float(
+        os.environ.get(
+            "UNSTRUCTURED_NARRATIVE_TEXT_NON_ALPHA_THRESHOLD", non_alpha_threshold
+        )
+    )
+    if not under_non_alpha_ratio(t, non_alpha_threshold):
         return False
     # reference: "eng" verb gate applies only when under 2 sentences of
     # >=3 words (text_type.py:85-88)
@@ -194,8 +244,22 @@ def is_possible_narrative_text(text: str, cap_threshold: float = 0.5) -> bool:
 
 
 def is_possible_title(
-    text: str, sentence_min_length: int = 5, title_max_word_length: int = 12
+    text: str,
+    sentence_min_length: int = 5,
+    title_max_word_length: int = 12,
+    non_alpha_threshold: float = 0.5,
+    languages: list[str] | None = None,
+    language_checks: bool = False,
 ) -> bool:
+    import os
+
+    languages = ["eng"] if languages is None else languages
+    title_max_word_length = int(
+        os.environ.get("UNSTRUCTURED_TITLE_MAX_WORD_LENGTH", title_max_word_length)
+    )
+    non_alpha_threshold = float(
+        os.environ.get("UNSTRUCTURED_TITLE_NON_ALPHA_THRESHOLD", non_alpha_threshold)
+    )
     t = text.strip()
     if not t or word_count(t) > title_max_word_length:
         return False
@@ -205,7 +269,13 @@ def is_possible_title(
         return False
     if sentence_count(t, sentence_min_length) > 1:
         return False
-    if is_numeric(t) or not under_non_alpha_ratio(t):
+    if is_numeric(t) or not under_non_alpha_ratio(t, non_alpha_threshold):
+        return False
+    if (
+        "eng" in languages
+        and _env_language_checks(language_checks)
+        and not contains_english_word(t)
+    ):
         return False
     return not t.endswith(",")
 
