@@ -653,6 +653,15 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_remove_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus-level line dedup: lines whose normalized
+    fingerprint appears in >= 2 distinct documents are boilerplate;
+    every occurrence is removed and docs reassembled in line order
+    (operators/dedup.py remove_boilerplate_lines)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.remove_boilerplate_lines(docs, min_docs=2)
+
+
 def q_drop_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-call corpus dedup: exact md5 groups + LSH→Jaccard-verified
     near-dup clusters, keep-min per cluster, broadcast anti-join drop
@@ -2406,6 +2415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_chunk_by_title": q_chunk_by_title,
         "q_table_eval": q_table_eval,
         "q_layout_merge": q_layout_merge,
+        "q_remove_boilerplate": q_remove_boilerplate,
         "q07_nation_volume": q07_nation_volume,
         "q08_market_share": q08_market_share,
         "q10_returned_items": q10_returned_items,
@@ -4218,6 +4228,34 @@ left join stats s using (doc_id)
             from synth
             where regexp_extract(line, '^\s*([^:]{1,80}?)\s*:\s*(.*\S)\s*$', 1)
                   != ''
+        """,
+        "q_remove_boilerplate": """
+            with lines as (
+              select doc_id, i as pos, ls[i] as line,
+                     md5(lower(trim(regexp_replace(ls[i], '\\s+', ' ', 'g'))))
+                       as fp,
+                     trim(ls[i]) != '' as nonblank
+              from (select doc_id, string_split(text, chr(10)) as ls
+                    from documents) t,
+                   unnest(range(1, len(ls) + 1)) as u(i)
+            ), frequent as (
+              select fp from lines where nonblank
+              group by fp having count(distinct doc_id) >= 2
+            ), kept as (
+              select * from lines where fp not in (select fp from frequent)
+            ), rebuilt as (
+              select doc_id,
+                     string_agg(line, chr(10) order by pos) as clean,
+                     count(*) as nkept
+              from kept group by doc_id
+            ), counts as (
+              select doc_id, count(*) as nlines from lines group by doc_id
+            )
+            select c.doc_id,
+                   coalesce(r.clean, '') as text,
+                   cast(c.nlines - coalesce(r.nkept, 0) as bigint)
+                     as removed_lines
+            from counts c left join rebuilt r using (doc_id)
         """,
         "q_bigram_cross_entropy": """
             with t as (

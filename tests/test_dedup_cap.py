@@ -277,3 +277,98 @@ class TestGuards:
         assert abs(
             r["contaminated_grams"] / r["total_grams"] - r["contamination"]
         ) < 1e-6
+
+
+class TestRemoveBoilerplateLines:
+    def test_cross_doc_lines_removed_unique_kept(self, spark):
+        from unstructured_spark.operators.dedup import remove_boilerplate_lines
+
+        banner = "Accept all cookies to continue"
+        rows = [
+            (1, f"{banner}\nReal article text one.\n\nSecond paragraph."),
+            (2, f"{banner}\nCompletely different story here."),
+            (3, "No boilerplate in this one at all."),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r for r in remove_boilerplate_lines(docs).collect()}
+        assert out[1]["text"] == "Real article text one.\n\nSecond paragraph."
+        assert out[1]["removed_lines"] == 1
+        assert out[2]["text"] == "Completely different story here."
+        assert out[3]["text"] == "No boilerplate in this one at all."
+        assert out[3]["removed_lines"] == 0
+
+    def test_normalization_collapses_case_and_spaces(self, spark):
+        from unstructured_spark.operators.dedup import remove_boilerplate_lines
+
+        rows = [
+            (1, "COOKIE   notice\nkeep me"),
+            (2, "cookie notice\nother text"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r["text"] for r in remove_boilerplate_lines(docs).collect()}
+        assert out[1] == "keep me"
+        assert out[2] == "other text"
+
+    def test_all_boilerplate_doc_comes_back_empty(self, spark):
+        from unstructured_spark.operators.dedup import remove_boilerplate_lines
+
+        rows = [(1, "same line"), (2, "same line"), (3, "unique content")]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r for r in remove_boilerplate_lines(docs).collect()}
+        assert out[1]["text"] == "" and out[1]["removed_lines"] == 1
+        assert out[2]["text"] == ""
+        assert out[3]["text"] == "unique content"
+
+    def test_blank_lines_survive_and_min_docs_threshold(self, spark):
+        from unstructured_spark.operators.dedup import remove_boilerplate_lines
+
+        shared = "footer text"
+        rows = [
+            (1, f"a\n\n{shared}"),
+            (2, f"b\n\n{shared}"),
+            (3, f"c\n\n{shared}"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        # blank separator lines appear in every doc but are never
+        # counted as boilerplate; threshold 4 keeps the shared footer
+        out4 = {r["doc_id"]: r["text"]
+                for r in remove_boilerplate_lines(docs, min_docs=4).collect()}
+        assert out4[1] == f"a\n\n{shared}"
+        out2 = {r["doc_id"]: r["text"]
+                for r in remove_boilerplate_lines(docs, min_docs=2).collect()}
+        assert out2[1] == "a\n"
+
+    def test_duckdb_parity_on_boilerplate_rich_corpus(self, spark):
+        # the sf tables have no duplicated lines, so the registered
+        # oracle exercises the no-op path only; this pins the REMOVAL
+        # path cross-engine on a corpus that actually shares lines
+        import duckdb
+
+        import __spark_entry__ as entry_mod
+        from unstructured_spark.operators.dedup import remove_boilerplate_lines
+
+        rows = [
+            (1, "Accept cookies\nStory one.\n\nTail one."),
+            (2, "accept   COOKIES\nStory two."),
+            (3, "Unique doc\nwith its own lines."),
+            (4, "Accept cookies\n\nStory four."),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = sorted(
+            tuple(str(x) for x in r)
+            for r in remove_boilerplate_lines(docs).collect()
+        )
+        con = duckdb.connect()
+        con.sql(
+            "create table documents(doc_id bigint, text varchar)"
+        )
+        con.executemany(
+            "insert into documents values (?, ?)", rows
+        )
+        want = sorted(
+            tuple(str(x) for x in r)
+            for r in con.sql(
+                entry_mod.oracle_sql()["q_remove_boilerplate"]
+            ).fetchall()
+        )
+        assert got == want

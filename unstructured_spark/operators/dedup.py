@@ -786,6 +786,76 @@ def remove_shared_spans(
     )
 
 
+def remove_boilerplate_lines(
+    df: DataFrame,
+    *,
+    text: str = "text",
+    doc_id: str = "doc_id",
+    min_docs: int = 2,
+) -> DataFrame:
+    """CCNet-style corpus-level line/paragraph dedup (Wenzek et al.
+    2020 §3.1 — their first preprocessing step removes paragraphs
+    duplicated across shards: navigation chrome, cookie banners,
+    license headers): a LINE is boilerplate when its normalized
+    fingerprint appears in >= ``min_docs`` DISTINCT documents; every
+    occurrence is removed and each document is reassembled from its
+    surviving lines in original order. Returns (doc_id, text,
+    removed_lines) — documents whose every line is boilerplate come
+    back with empty text, not dropped (the caller's quality gate
+    decides their fate).
+
+    Distinct from :func:`shared_ngram_spans` (token n-gram passages
+    WITHIN near-dup pairs) — this is the cheap corpus-wide structural
+    pass that runs first.
+
+    Scale shape: posexplode (map-only) → one count shuffle keyed on
+    the line fingerprint (uniform md5) → one anti-join against the
+    frequent-line set (boilerplate table is tiny relative to the
+    corpus; AQE broadcasts it when it fits) → one groupBy(doc)
+    reassembly. Never all-pairs, nothing driver-side.
+    """
+    lines = df.select(
+        F.col(doc_id).alias("doc"),
+        F.posexplode(F.split(F.col(text), "\n")).alias("pos", "line"),
+    ).withColumn(
+        "_fp",
+        F.md5(F.lower(F.trim(F.regexp_replace(F.col("line"), "\\s+", " ")))),
+    )
+    norm_nonempty = F.trim(F.col("line")) != ""
+    frequent = (
+        lines.filter(norm_nonempty)
+        .groupBy("_fp")
+        .agg(F.countDistinct("doc").alias("_df"))
+        .filter(F.col("_df") >= int(min_docs))
+        .select("_fp")
+    )
+    # blank lines keep paragraph structure: they are excluded from the
+    # frequency count above, so their fingerprint is never in
+    # `frequent` and the anti-join always keeps them
+    kept = lines.join(frequent, "_fp", "left_anti")
+    rebuilt = kept.groupBy("doc").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("_clean"),
+        F.count("*").alias("_nkept"),
+    )
+    counts = lines.groupBy("doc").agg(F.count("*").alias("_nlines"))
+    return (
+        counts.join(rebuilt, "doc", "left")
+        .select(
+            F.col("doc").alias(doc_id),
+            F.coalesce(F.col("_clean"), F.lit("")).alias("text"),
+            (F.col("_nlines") - F.coalesce(F.col("_nkept"), F.lit(0)))
+            .cast("bigint")
+            .alias("removed_lines"),
+        )
+    )
+
+
 def leakage_safe_split(
     df: DataFrame,
     *,
