@@ -843,7 +843,12 @@ def remove_boilerplate_lines(
         ).alias("_clean"),
         F.count("*").alias("_nkept"),
     )
-    counts = lines.groupBy("doc").agg(F.count("*").alias("_nlines"))
+    # per-doc line totals straight off the source table (map-only) —
+    # going through `lines` would re-run the posexplode a third time
+    counts = df.select(
+        F.col(doc_id).alias("doc"),
+        F.size(F.split(F.col(text), "\n")).cast("bigint").alias("_nlines"),
+    )
     return (
         counts.join(rebuilt, "doc", "left")
         .select(

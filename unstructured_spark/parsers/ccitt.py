@@ -131,7 +131,12 @@ _EOL_BITS = 12  # 000000000001
 
 class _Bits:
     """MSB-first bit reader over the fax stream; ``fill_order=2``
-    (TIFF FillOrder LSB-first) reverses each byte up front."""
+    (TIFF FillOrder LSB-first) reverses each byte up front.
+
+    ``peek`` reads one 4-byte window per call (codes are <= 14 bits,
+    window offset <= 7, so 32 bits always suffice) — a real fax page
+    is millions of code reads, so per-bit Python loops are the
+    difference between milliseconds and seconds per page."""
 
     __slots__ = ("data", "bitpos", "nbits")
 
@@ -139,7 +144,7 @@ class _Bits:
         if fill_order == 2:
             rev = bytes(int(f"{b:08b}"[::-1], 2) for b in range(256))
             data = bytes(rev[b] for b in data)
-        self.data = data
+        self.data = data + b"\x00\x00\x00\x00"  # zero pad past EOF
         self.bitpos = 0
         self.nbits = len(data) * 8
 
@@ -147,13 +152,11 @@ class _Bits:
         return self.bitpos >= self.nbits
 
     def peek(self, n: int) -> int:
-        """Next n bits, zero-padded past EOF."""
-        out = 0
-        for i in range(n):
-            p = self.bitpos + i
-            bit = (self.data[p >> 3] >> (7 - (p & 7))) & 1 if p < self.nbits else 0
-            out = (out << 1) | bit
-        return out
+        """Next n bits (n <= 14), zero-padded past EOF."""
+        byte = self.bitpos >> 3
+        off = self.bitpos & 7
+        chunk = int.from_bytes(self.data[byte : byte + 4], "big")
+        return (chunk >> (32 - off - n)) & ((1 << n) - 1)
 
     def skip(self, n: int) -> None:
         self.bitpos += n
