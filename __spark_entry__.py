@@ -4234,7 +4234,8 @@ left join stats s using (doc_id)
               select doc_id, i as pos, ls[i] as line,
                      md5(lower(trim(regexp_replace(ls[i], '\\s+', ' ', 'g'))))
                        as fp,
-                     trim(ls[i]) != '' as nonblank
+                     trim(regexp_replace(ls[i], '\\s+', ' ', 'g')) != ''
+                       as nonblank
               from (select doc_id, string_split(text, chr(10)) as ls
                     from documents) t,
                    unnest(range(1, len(ls) + 1)) as u(i)

@@ -161,6 +161,22 @@ class TestCcittTiff:
         arr = np.frombuffer(bytes(px), np.uint8).reshape(h, w)
         assert (arr == _EXP * 255).all()
 
+    def test_truncated_fax_strips_raise(self):
+        import pytest
+
+        # one strip of 2 rows but the IFD claims h=10: must raise, not
+        # return a short buffer claimed as 10 rows
+        strip = _bits("001 0111 10 1 111")
+        tif = _make_tiff(8, 10, 4, strip)
+        # rows_per_strip=h in _make_tiff; rewrite tag 278 to 2 so the
+        # single strip legitimately decodes only 2 rows
+        tif = tif.replace(
+            struct.pack("<HHI", 278, 3, 1) + struct.pack("<I", 10),
+            struct.pack("<HHI", 278, 3, 1) + struct.pack("<I", 2),
+        )
+        with pytest.raises(ImageDecodeError, match="truncated"):
+            decode_tiff_pages(tif)
+
     def test_corrupt_fax_surfaces_image_decode_error(self):
         import pytest
 

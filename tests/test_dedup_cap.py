@@ -372,3 +372,20 @@ class TestRemoveBoilerplateLines:
             ).fetchall()
         )
         assert got == want
+
+    def test_crlf_blank_lines_survive(self, spark):
+        # regression (r7 review): "\r"-only lines from CRLF documents
+        # used to count as content, put md5("") into the frequent set,
+        # and delete every blank separator line corpus-wide
+        from unstructured_spark.operators.dedup import remove_boilerplate_lines
+
+        rows = [
+            (1, "alpha\r\n\r\nbeta one"),
+            (2, "gamma\r\n\r\ndelta two"),
+            (3, "epsilon\r\n\r\nzeta three"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r for r in remove_boilerplate_lines(docs).collect()}
+        # nothing shares content -> nothing removed, \r blanks intact
+        assert out[1]["removed_lines"] == 0
+        assert out[1]["text"] == "alpha\r\n\r\nbeta one"

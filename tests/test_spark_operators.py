@@ -289,6 +289,31 @@ class TestErrorCapture:
             else:
                 dispatch._PARTITIONERS["png"] = orig
 
+    def test_infra_oserror_propagates_not_skipped(self):
+        # r7 review: FileNotFoundError/PermissionError are executor
+        # problems — reclassifying them as malformed would silently
+        # skip the whole corpus under on_error='skip'
+        import pytest
+
+        from unstructured_spark.parsers import dispatch
+
+        def _infra_parser(content, **kwargs):
+            raise FileNotFoundError("/models/weights.onnx missing")
+
+        orig = dispatch._PARTITIONERS.get("png")
+        dispatch._PARTITIONERS["png"] = _infra_parser
+        try:
+            with pytest.raises(FileNotFoundError):
+                dispatch.partition_bytes(
+                    b"\x89PNG\r\n\x1a\n" + b"\x00" * 64,
+                    filename="x.png",
+                )
+        finally:
+            if orig is None:
+                dispatch._PARTITIONERS.pop("png", None)
+            else:
+                dispatch._PARTITIONERS["png"] = orig
+
     def test_pdfium_error_wrapped_as_malformed(self):
         # the adapter boundary translates pypdfium2's PdfiumError
         # (a RuntimeError subclass) to MalformedDocumentError

@@ -821,7 +821,13 @@ def remove_boilerplate_lines(
         "_fp",
         F.md5(F.lower(F.trim(F.regexp_replace(F.col("line"), "\\s+", " ")))),
     )
-    norm_nonempty = F.trim(F.col("line")) != ""
+    # blank = empty under the SAME normalization as the fingerprint —
+    # F.trim alone strips only spaces, so a CRLF corpus's "\r" lines
+    # would otherwise count as content, put md5("") into the frequent
+    # set, and delete every blank separator line corpus-wide
+    norm_nonempty = (
+        F.trim(F.regexp_replace(F.col("line"), "\\s+", " ")) != ""
+    )
     frequent = (
         lines.filter(norm_nonempty)
         .groupBy("_fp")

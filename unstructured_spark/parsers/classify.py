@@ -180,11 +180,25 @@ def contains_verb(text: str) -> bool:
 
 def _env_language_checks(language_checks: bool) -> bool:
     """UNSTRUCTURED_LANGUAGE_CHECKS takes precedence over the kwarg
-    (reference text_type.py:53-56, 117-119)."""
+    (reference text_type.py:53-56, 117-119).
+
+    Cluster note: these predicates run inside partition UDFs on
+    EXECUTORS, so the env var must be visible there — set it via
+    ``spark.executorEnv.UNSTRUCTURED_*`` on a real cluster (the
+    column mirrors in functions/text_type.py instead resolve env at
+    expression-build time on the driver). In local[] mode both paths
+    share one process and always agree."""
     import os
 
     v = os.environ.get("UNSTRUCTURED_LANGUAGE_CHECKS")
     return v.lower() == "true" if v is not None else language_checks
+
+
+@functools.lru_cache(maxsize=1)
+def _english_lexicon() -> frozenset[str]:
+    from unstructured_spark.operators.text_analysis import STOPWORDS
+
+    return frozenset(STOPWORDS) | _COMMON_VERBS
 
 
 def contains_english_word(text: str) -> bool:
@@ -193,9 +207,7 @@ def contains_english_word(text: str) -> bool:
     check (text_type.py:190-205 over its nltk-derived list; the
     stopword + common-verb lexicons serve as the word set here, same
     substitution as the column form in functions/text_type.py)."""
-    from unstructured_spark.operators.text_analysis import STOPWORDS
-
-    lexicon = frozenset(STOPWORDS) | _COMMON_VERBS
+    lexicon = _english_lexicon()
     for word in re.split(r"[\s\-,.!?_\/]+", text.lower()):
         word = re.sub(r"[^a-z]", "", word)
         if len(word) > 1 and word in lexicon:

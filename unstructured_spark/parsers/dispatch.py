@@ -62,6 +62,22 @@ _DECODE_ERRORS = (
     OSError,
 )
 
+# ...but OSError subtypes that signal executor/infrastructure trouble
+# (missing model file, unreadable dir, dropped connection) must stay
+# FATAL: under on_error='skip' a misconfigured executor would
+# otherwise silently skip the whole corpus as "malformed" and report
+# success with zero elements.
+_INFRA_ERRORS = (
+    FileNotFoundError,
+    PermissionError,
+    IsADirectoryError,
+    NotADirectoryError,
+    InterruptedError,
+    BlockingIOError,
+    ConnectionError,
+    TimeoutError,
+)
+
 
 def _decode(content: bytes | str) -> str:
     """BOM/NUL-heuristic/declared-charset decode (parsers/encoding.py);
@@ -301,6 +317,10 @@ def partition_bytes(
         # resource exhaustion is an executor problem, not malformed input —
         # reclassifying it would silently drop healthy documents under
         # on_error='skip'.
+        raise
+    except _INFRA_ERRORS:
+        # checked BEFORE the OSError whitelist: infrastructure
+        # failures propagate loudly instead of skipping per-document
         raise
     except _DECODE_ERRORS as e:
         raise MalformedDocumentError(

@@ -418,6 +418,12 @@ def decode_tiff_pages(data: bytes) -> list[tuple[int, int, int, bytearray]]:
                     bits = ccitt.decode_mh(strip, w, nrows, fill_order=fill_order)
                 strips.append(bits)
             bits = np.vstack(strips)[:h]
+            if bits.shape[0] < h:
+                # same guard as the baseline strip path ("TIFF strip
+                # data truncated"): a short buffer claimed as h rows
+                # would blow up in consumers' reshape OUTSIDE the
+                # ImageDecodeError gate
+                raise ImageDecodeError("TIFF fax strip data truncated")
             # decoder polarity: 1 = black. Photometric 0 (WhiteIsZero,
             # the fax norm): black -> 0; photometric 1 inverts.
             px = ((1 - bits) * np.uint8(255)) if photo == 0 else (

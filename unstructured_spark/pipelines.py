@@ -206,8 +206,10 @@ def pretraining_corpus_e2e(
     corpus; packing is the block-totals distributed prefix sum.
 
     Packing keys on ``doc_id * 1_000_000 + element_index`` — numeric
-    doc ids required (the parquet corpus tables' bigint ids); string
-    ids raise in ``pack_sequences`` rather than packing garbage.
+    doc ids required (the parquet corpus tables' bigint ids). A
+    non-numeric id raises at runtime via the null-cast check below —
+    a blind cast would null every id, pass ``pack_sequences``' dtype
+    guard, and return an EMPTY packed result with no error.
     """
     from unstructured_spark.operators.chunking import chunk as chunk_op
     from unstructured_spark.operators.dedup import (
@@ -255,11 +257,17 @@ def pretraining_corpus_e2e(
     train = splits.filter(F.col("split") == "train")
     if pack_tokens is None:
         return train, splits
+    numeric_id = F.col("doc_id").cast("bigint")
+    pack_id = F.when(
+        F.col("doc_id").isNotNull() & numeric_id.isNull(),
+        F.raise_error(
+            "pretraining_corpus_e2e packing needs numeric doc ids "
+            "(got a value that does not cast to bigint); pass "
+            "pack_tokens=None or derive an ordinal id first"
+        ).cast("bigint"),
+    ).otherwise(numeric_id * 1_000_000 + F.col("element_index"))
     packed = pack_sequences(
-        train.withColumn(
-            "pack_id",
-            (F.col("doc_id").cast("bigint") * 1_000_000 + F.col("element_index")),
-        ),
+        train.withColumn("pack_id", pack_id),
         pack_tokens,
         doc_id="pack_id",
     )
