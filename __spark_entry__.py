@@ -662,6 +662,20 @@ def q_remove_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.remove_boilerplate_lines(docs, min_docs=2)
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup, the 100 TB production shape: even doc_ids
+    play the historical corpus (persisted minhash_band_index rows),
+    odd doc_ids the newly-arrived batch; survivors = new docs with no
+    signature-est-Jaccard >= 0.5 bucket collision against history,
+    then intra-batch one-call dedup (operators/dedup.py
+    dedup_against_index)."""
+    docs = _t(spark, sf_dir, "documents")
+    hist = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    index = dedup.minhash_band_index(hist)
+    return dedup.dedup_against_index(new, index).select("doc_id", "text")
+
+
 def q_drop_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-call corpus dedup: exact md5 groups + LSH→Jaccard-verified
     near-dup clusters, keep-min per cluster, broadcast anti-join drop
@@ -2416,6 +2430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_table_eval": q_table_eval,
         "q_layout_merge": q_layout_merge,
         "q_remove_boilerplate": q_remove_boilerplate,
+        "q_dedup_incremental": q_dedup_incremental,
         "q07_nation_volume": q07_nation_volume,
         "q08_market_share": q08_market_share,
         "q10_returned_items": q10_returned_items,
@@ -2553,6 +2568,33 @@ _LSH_PAIRS_CTE = _MINHASH_SIG_CTE + """
   select distinct l.doc_id as doc_a, r.doc_id as doc_b, l.sig as sig_a, r.sig as sig_b
   from bands l join bands r
     on l.b = r.b and l.band_key = r.band_key and l.doc_id < r.doc_id
+)
+"""
+
+
+# incremental-dedup oracle base: signatures + bands over ALL docs,
+# even doc_ids as the historical index, odd as the new batch;
+# `newdocs` = vs-history survivors, `pairs2` = intra-batch candidates
+_LSH_SPLIT_CTE = _MINHASH_SIG_CTE.replace("with ", "with recursive ", 1) + """
+, bands as (
+  select doc_id, sig, b, sig[2*b+1] || ':' || sig[2*b+2] as band_key
+  from sigs, (select unnest(range(0, 8)) as b)
+), hits as (
+  select distinct n.doc_id as nd
+  from bands n join bands h
+    on n.b = h.b and n.band_key = h.band_key
+  where n.doc_id % 2 = 1 and h.doc_id % 2 = 0
+    and len(list_filter(range(1, 17), i -> n.sig[i] = h.sig[i])) / 16.0
+        >= 0.5
+), newdocs as (
+  select doc_id, text from documents
+  where doc_id % 2 = 1 and doc_id not in (select nd from hits)
+), pairs2 as (
+  select distinct l.doc_id as doc_a, r.doc_id as doc_b
+  from bands l join bands r
+    on l.b = r.b and l.band_key = r.band_key and l.doc_id < r.doc_id
+  where l.doc_id in (select doc_id from newdocs)
+    and r.doc_id in (select doc_id from newdocs)
 )
 """
 
@@ -4228,6 +4270,45 @@ left join stats s using (doc_id)
             from synth
             where regexp_extract(line, '^\s*([^:]{1,80}?)\s*:\s*(.*\S)\s*$', 1)
                   != ''
+        """,
+        "q_dedup_incremental": _LSH_SPLIT_CTE + """
+            , sh as (
+              select doc_id,
+                     list_distinct([t.toks[i] || '_' || t.toks[i+1] || '_' || t.toks[i+2]
+                                    for i in range(1, len(t.toks) - 1)]) as sh
+              from (select doc_id, string_split(trim(text), ' ') as toks
+                    from newdocs) t
+            ), vpairs as (
+              select doc_a, doc_b
+              from pairs2
+              join sh a on a.doc_id = doc_a
+              join sh b on b.doc_id = doc_b
+              where round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+                          len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.5
+            ), edges as (
+              select doc_a as a, doc_b as b from vpairs
+              union
+              select doc_b as a, doc_a as b from vpairs
+            ), reach as (
+              select a, b from edges
+              union
+              select r.a, e.b from reach r join edges e on r.b = e.a
+                where e.b <> r.a
+            ), labels as (
+              select a as doc, least(a, min(b)) as lbl from reach group by a
+            ), fp as (
+              select doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) as f
+              from newdocs
+            ), keepers as (
+              select f, min(doc_id) as keep from fp group by f
+            ), drops as (
+              select doc from labels where lbl <> doc
+              union
+              select fp.doc_id as doc from fp join keepers using (f)
+              where fp.doc_id <> keepers.keep
+            )
+            select d.doc_id, d.text from newdocs d
+            where d.doc_id not in (select doc from drops)
         """,
         "q_remove_boilerplate": """
             with lines as (

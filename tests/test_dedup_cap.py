@@ -389,3 +389,92 @@ class TestRemoveBoilerplateLines:
         # nothing shares content -> nothing removed, \r blanks intact
         assert out[1]["removed_lines"] == 0
         assert out[1]["text"] == "alpha\r\n\r\nbeta one"
+
+
+class TestIncrementalDedup:
+    BASE = ("the quick brown fox jumps over the lazy dog and keeps "
+            "running through the quiet forest for a long while today")
+
+    def test_new_near_dup_of_history_dropped(self, spark):
+        from unstructured_spark.operators.dedup import (
+            dedup_against_index,
+            minhash_band_index,
+        )
+
+        hist = spark.createDataFrame(
+            [(2, self.BASE)], "doc_id long, text string"
+        )
+        new = spark.createDataFrame(
+            [
+                (11, self.BASE),  # exact copy of history -> dropped
+                (13, "completely different content about spark physical plans"),
+            ],
+            "doc_id long, text string",
+        )
+        index = minhash_band_index(hist)
+        got = {r["doc_id"] for r in dedup_against_index(new, index).collect()}
+        assert got == {13}
+
+    def test_intra_batch_dedup_after_history_pass(self, spark):
+        from unstructured_spark.operators.dedup import (
+            dedup_against_index,
+            minhash_band_index,
+        )
+
+        hist = spark.createDataFrame(
+            [(2, "some old corpus document that matches nothing new here at all")],
+            "doc_id long, text string",
+        )
+        other = ("an unrelated brand new document with plenty of words "
+                 "to shingle properly")
+        new = spark.createDataFrame(
+            [(11, other), (13, other), (15, self.BASE)],
+            "doc_id long, text string",
+        )
+        index = minhash_band_index(hist)
+        got = {r["doc_id"] for r in dedup_against_index(new, index).collect()}
+        # 11/13 are intra-batch twins -> min kept; 15 unrelated to history
+        assert got == {11, 15}
+        # with intra_batch off both twins survive (history-only pass)
+        got2 = {
+            r["doc_id"]
+            for r in dedup_against_index(new, index, intra_batch=False).collect()
+        }
+        assert got2 == {11, 13, 15}
+
+    def test_index_append_keeps_future_batches_clean(self, spark):
+        from unstructured_spark.operators.dedup import (
+            dedup_against_index,
+            minhash_band_index,
+        )
+
+        hist = spark.createDataFrame(
+            [(2, self.BASE)], "doc_id long, text string"
+        )
+        batch1 = spark.createDataFrame(
+            [(11, "fresh content number one with enough words for shingles")],
+            "doc_id long, text string",
+        )
+        index = minhash_band_index(hist)
+        s1 = dedup_against_index(batch1, index)
+        assert s1.count() == 1
+        # append batch1 survivors' rows; a batch-2 copy of batch-1 now drops
+        index2 = index.unionByName(minhash_band_index(s1))
+        batch2 = spark.createDataFrame(
+            [(21, "fresh content number one with enough words for shingles")],
+            "doc_id long, text string",
+        )
+        assert dedup_against_index(batch2, index2).count() == 0
+
+    def test_short_docs_never_near_dups(self, spark):
+        from unstructured_spark.operators.dedup import (
+            dedup_against_index,
+            minhash_band_index,
+        )
+
+        hist = spark.createDataFrame([(2, "hi")], "doc_id long, text string")
+        new = spark.createDataFrame([(11, "hi")], "doc_id long, text string")
+        index = minhash_band_index(hist)
+        # too short to shingle: no signature, survives the near-dup pass
+        # (exact dedup vs history is the fingerprint store's job)
+        assert dedup_against_index(new, index).count() == 1

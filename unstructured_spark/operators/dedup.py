@@ -121,27 +121,13 @@ def lsh_candidate_pairs(
             f"bands must divide num_hashes (got bands={bands}, "
             f"num_hashes={num_hashes})"
         )
-    rows_per_band = num_hashes // bands
     sigs = minhash_signatures(
         df, text=text, doc_id=doc_id, num_hashes=num_hashes, shingle_size=shingle_size
     )
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws(
-                    ":",
-                    *[
-                        F.element_at("sig", b * rows_per_band + r + 1).cast("string")
-                        for r in range(rows_per_band)
-                    ],
-                ).alias("key"),
-            )
-            for b in range(bands)
-        ]
-    )
     banded = sigs.select(
-        F.col(doc_id).alias("doc"), F.col("sig"), F.explode(band_structs).alias("bk")
+        F.col(doc_id).alias("doc"),
+        F.col("sig"),
+        F.explode(_band_key_structs(num_hashes, bands)).alias("bk"),
     ).select("doc", "sig", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
 
     if max_bucket_size is not None:
@@ -784,6 +770,122 @@ def remove_shared_spans(
             .alias("removed_tokens"),
         )
     )
+
+
+def _band_key_structs(num_hashes: int, bands: int):
+    """Band-bucket key structs over a ``sig`` column — ONE construction
+    shared by lsh_candidate_pairs / minhash_band_index so a persisted
+    index stays join-compatible with freshly computed batch keys."""
+    rows_per_band = num_hashes // bands
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    ":",
+                    *[
+                        F.element_at("sig", b * rows_per_band + r + 1).cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                ).alias("key"),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def minhash_band_index(
+    df: DataFrame,
+    *,
+    text: str = "text",
+    doc_id: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """Persistable LSH index for INCREMENTAL dedup: one row per
+    (doc, band) carrying the bucket key and the full signature —
+    ``(doc_id, sig, band, key)``. Write it out partitioned by
+    ``band`` (and bucketed by ``key`` for the 100 TB layout) and feed
+    it to :func:`dedup_against_index` as new batches arrive; append
+    the survivors' own index rows to keep it current. The whole
+    historical corpus is never re-shuffled — only its (tiny) key rows.
+
+    Docs too short to shingle (< ``shingle_size`` tokens) have no
+    signature and produce no index rows — they can never be near-dups
+    of anything (same contract as the batch and streaming operators).
+    """
+    if bands < 1 or bands > num_hashes or num_hashes % bands != 0:
+        raise ValueError(
+            f"bands must divide num_hashes (got bands={bands}, "
+            f"num_hashes={num_hashes})"
+        )
+    sigs = minhash_signatures(
+        df, text=text, doc_id=doc_id, num_hashes=num_hashes,
+        shingle_size=shingle_size,
+    )
+    return sigs.select(
+        F.col(doc_id).alias("doc_id"),
+        "sig",
+        F.explode(_band_key_structs(num_hashes, bands)).alias("bk"),
+    ).select("doc_id", "sig", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
+def dedup_against_index(
+    new_docs: DataFrame,
+    index: DataFrame,
+    *,
+    text: str = "text",
+    doc_id: str = "doc_id",
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_size: int = 3,
+    intra_batch: bool = True,
+) -> DataFrame:
+    """Incremental near-dedup — the production shape at 100 TB: dedup
+    each day's NEW batch against the historical corpus's persisted
+    :func:`minhash_band_index` instead of re-deduplicating everything.
+
+    Drop rule vs history: a new doc sharing any band bucket with an
+    indexed doc whose signature-estimated Jaccard (fraction of equal
+    minhash components) >= ``threshold``. History stores only keys and
+    signatures, so the verify step is signature-estimated — the exact
+    n-gram Jaccard verify needs both texts and runs only INSIDE the
+    batch (``intra_batch=True`` chains :func:`drop_near_duplicates`
+    over the vs-history survivors).
+
+    Scale shape: batch keys equi-join the index on (band, key) —
+    bucket-collision pairs only, never batch × history; the Jaccard
+    estimate is an array zip on those pairs; the final drop is an
+    anti-join keyed on doc id. Returns the surviving new-batch rows
+    (all input columns).
+    """
+    new_banded = minhash_band_index(
+        new_docs, text=text, doc_id=doc_id, num_hashes=num_hashes,
+        bands=bands, shingle_size=shingle_size,
+    )
+    idx = index.select(
+        F.col("sig").alias("_old_sig"), F.col("band"), F.col("key")
+    )
+    matches = F.size(
+        F.filter(F.zip_with("sig", "_old_sig", lambda a, b: a == b), lambda x: x)
+    )
+    hits = (
+        new_banded.join(idx, ["band", "key"])
+        .filter(matches / F.lit(num_hashes) >= F.lit(threshold))
+        .select(F.col("doc_id").alias("_hit"))
+        .distinct()
+    )
+    survivors = new_docs.join(
+        hits, new_docs[doc_id] == F.col("_hit"), "left_anti"
+    )
+    if intra_batch:
+        survivors = drop_near_duplicates(
+            survivors, text=text, doc_id=doc_id, n=shingle_size,
+            threshold=threshold, num_hashes=num_hashes, bands=bands,
+        )
+    return survivors
 
 
 def remove_boilerplate_lines(
