@@ -393,6 +393,133 @@ class TestStreamingDedup:
         assert wins.get("c", 0) == 8  # novel doc wins all 8 bands
 
 
+class TestStreamNearDedupAgainstIndex:
+    def test_history_collisions_suppressed(self, spark, tmp_path):
+        import json
+
+        from unstructured_spark.operators.dedup import minhash_band_index
+        from unstructured_spark.streaming.dedup import (
+            near_dedup_stream_against_index,
+        )
+
+        base = ("the quick brown fox jumps over the lazy dog and keeps "
+                "running through the quiet forest for a long while today")
+        hist = spark.createDataFrame([(2, base)], "doc_id long, text string")
+        index = minhash_band_index(hist)
+
+        in_dir = tmp_path / "ndi_in"
+        in_dir.mkdir()
+        rows = [
+            {"ingest_ts": "2024-01-01T00:00:00", "doc_id": "a", "text": base},
+            {"ingest_ts": "2024-01-01T00:01:00", "doc_id": "b",
+             "text": "completely different content about spark physical plans"},
+            # too short to shingle -> always novel in the near-dup pass
+            {"ingest_ts": "2024-01-01T00:02:00", "doc_id": "c", "text": "hi"},
+        ]
+        with open(in_dir / "b1.json", "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        stream = spark.readStream.schema(
+            "ingest_ts timestamp, doc_id string, text string"
+        ).json(str(in_dir))
+        out = near_dedup_stream_against_index(stream, index, emit="all")
+        q = (
+            out.writeStream.format("memory").queryName("ndi_all")
+            .outputMode("update").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        got = {r["doc_id"]: r for r in spark.sql("select * from ndi_all").collect()}
+        assert set(got) == {"a", "b", "c"}
+        assert not got["a"]["is_novel"]  # exact copy of history
+        assert got["a"]["max_est_jaccard"] == 1.0
+        assert got["b"]["is_novel"] and got["c"]["is_novel"]
+
+    def test_batch_parity_with_dedup_against_index(self, spark, tmp_path):
+        # the stream's verdicts must agree with the batch operator's
+        # vs-history pass (intra_batch=False) on the same data
+        import json
+
+        from unstructured_spark.operators.dedup import (
+            dedup_against_index,
+            minhash_band_index,
+        )
+        from unstructured_spark.streaming.dedup import (
+            near_dedup_stream_against_index,
+        )
+
+        base = ("the quick brown fox jumps over the lazy dog and keeps "
+                "running through the quiet forest for a long while today")
+        hist = spark.createDataFrame(
+            [(2, base),
+             (4, "an older article about database engine internals and joins")],
+            "doc_id long, text string",
+        )
+        index = minhash_band_index(hist)
+        texts = {
+            "a": base,
+            "b": base.replace("quick", "swift"),
+            "c": "entirely novel text with no relation to the history corpus",
+        }
+        batch = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts.values())],
+            "doc_id long, text string",
+        )
+        batch_survivor_texts = {
+            r["text"]
+            for r in dedup_against_index(batch, index, intra_batch=False).collect()
+        }
+
+        in_dir = tmp_path / "ndi_par"
+        in_dir.mkdir()
+        with open(in_dir / "b1.json", "w") as f:
+            for i, (k, t) in enumerate(texts.items()):
+                f.write(json.dumps(
+                    {"ingest_ts": f"2024-01-01T00:0{i}:00", "doc_id": k,
+                     "text": t}) + "\n")
+        stream = spark.readStream.schema(
+            "ingest_ts timestamp, doc_id string, text string"
+        ).json(str(in_dir))
+        out = near_dedup_stream_against_index(stream, index)
+        q = (
+            out.writeStream.format("memory").queryName("ndi_par")
+            .outputMode("update").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        stream_novel_texts = {
+            texts[r["doc_id"]]
+            for r in spark.sql("select * from ndi_par").collect()
+        }
+        assert stream_novel_texts == batch_survivor_texts
+
+
+class TestExactIncrementalDedup:
+    def test_history_and_intra_batch(self, spark):
+        from unstructured_spark.operators.dedup import (
+            exact_dedup_against_index,
+            fingerprint_index,
+        )
+
+        hist = spark.createDataFrame(
+            [(2, "Known   Document")], "doc_id long, text string"
+        )
+        index = fingerprint_index(hist)
+        new = spark.createDataFrame(
+            [
+                (11, "known document"),   # normalized copy of history
+                (13, "fresh one"),
+                (15, "FRESH  one"),       # normalized copy of 13
+            ],
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"] for r in exact_dedup_against_index(new, index).collect()}
+        assert got == {13}
+        got2 = {
+            r["doc_id"]
+            for r in exact_dedup_against_index(new, index, intra_batch=False).collect()
+        }
+        assert got2 == {13, 15}
+
+
 class TestStreamingDedupSameBatch:
     def test_same_batch_identical_docs_keep_exactly_one(self, spark, tmp_path):
         # regression (r5 review): two identical docs in ONE microbatch

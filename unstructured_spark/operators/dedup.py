@@ -888,6 +888,55 @@ def dedup_against_index(
     return survivors
 
 
+def fingerprint_index(
+    df: DataFrame, *, text: str = "text", doc_id: str = "doc_id"
+) -> DataFrame:
+    """Persistable EXACT-dup index: (fingerprint, doc_id) rows keyed on
+    the normalized-text md5 — the cheap companion to
+    :func:`minhash_band_index` covering what signatures can't (docs too
+    short to shingle) and what they needn't (bit-identical copies).
+    One row per doc; append survivors' rows after each batch."""
+    from unstructured_spark.operators.text_analysis import fingerprint
+
+    return df.select(
+        fingerprint(F.col(text)).alias("fingerprint"),
+        F.col(doc_id).alias("doc_id"),
+    )
+
+
+def exact_dedup_against_index(
+    new_docs: DataFrame,
+    index: DataFrame,
+    *,
+    text: str = "text",
+    doc_id: str = "doc_id",
+    intra_batch: bool = True,
+) -> DataFrame:
+    """Incremental EXACT dedup: drop new docs whose normalized-text
+    fingerprint already exists in the historical
+    :func:`fingerprint_index`; with ``intra_batch`` also keep only the
+    min-id copy per fingerprint inside the batch. One anti-join keyed
+    on the fingerprint + one batch-side groupBy — history never
+    re-shuffled. Returns the surviving new-batch rows."""
+    from unstructured_spark.operators.text_analysis import fingerprint
+
+    fp = fingerprint(F.col(text))
+    staged = new_docs.withColumn("_nfp", fp)
+    survivors = staged.join(
+        index.select(F.col("fingerprint").alias("_nfp")).distinct(),
+        "_nfp",
+        "left_anti",
+    )
+    if intra_batch:
+        w_min = survivors.groupBy("_nfp").agg(
+            F.min(F.col(doc_id)).alias("_keep")
+        )
+        survivors = survivors.join(w_min, "_nfp").filter(
+            F.col(doc_id) == F.col("_keep")
+        ).drop("_keep")
+    return survivors.drop("_nfp")
+
+
 def remove_boilerplate_lines(
     df: DataFrame,
     *,

@@ -43,6 +43,135 @@ def dedup_stream(
     )
 
 
+def near_dedup_stream_against_index(
+    docs: DataFrame,
+    index: DataFrame,
+    *,
+    ts_col: str = "ingest_ts",
+    text: str = "text",
+    doc_id: str = "doc_id",
+    watermark: str = "1 hour",
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_size: int = 3,
+    emit: str = "novel",  # 'novel' | 'all'
+) -> DataFrame:
+    """Streaming near-dup suppression against a STATIC historical
+    corpus index (``operators.dedup.minhash_band_index`` output read
+    as a batch DataFrame) — the streaming half of the incremental
+    production architecture: vs-history runs in the stream,
+    intra-corpus dedup in the periodic batch compaction
+    (``dedup_against_index``). Within-stream duplicates are NOT
+    collapsed here — chain :func:`dedup_stream` upstream or compact in
+    batch (structured streaming allows limited stateful chaining).
+
+    A doc is novel iff no band bucket it occupies collides with an
+    indexed doc at signature-estimated Jaccard >= ``threshold``. Docs
+    too short to shingle carry no signature and are always novel
+    (same contract as the batch operator).
+
+    Shape: band keys map-side per doc → stream-static equi-join on
+    (band, key) — collisions only, never stream × history — → one
+    watermark-bounded (ts, doc) aggregate of the max estimate.
+
+    Emits (doc_id, ts, max_est_jaccard, is_novel); ``emit='novel'``
+    filters to the suppressed stream.
+    """
+    from unstructured_spark.operators.dedup import (
+        HASH_A,
+        HASH_B,
+        HASH_STEP,
+        MERSENNE31,
+        shingles,
+        token_hash,
+    )
+
+    if bands < 1 or bands > num_hashes or num_hashes % bands != 0:
+        raise ValueError(
+            f"bands must divide num_hashes (got bands={bands}, "
+            f"num_hashes={num_hashes})"
+        )
+    rows_per_band = num_hashes // bands
+    grams = shingles(F.col(text), shingle_size)
+    staged = docs.select(
+        F.col(doc_id).alias("doc_id"), F.col(ts_col), grams.alias("_g")
+    )
+    hashes = F.transform(F.col("_g"), lambda g: token_hash(g) % F.lit(MERSENNE31))
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    F.col("_h"),
+                    lambda v: (
+                        F.lit(HASH_A + 2 * h) * v + F.lit(HASH_B + HASH_STEP * h)
+                    )
+                    % F.lit(MERSENNE31),
+                )
+            )
+            for h in range(num_hashes)
+        ]
+    )
+    staged = staged.select("doc_id", ts_col, hashes.alias("_h")).select(
+        "doc_id", ts_col, F.col("_h"), sig.alias("sig")
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    ":",
+                    *[
+                        F.element_at("sig", b * rows_per_band + r + 1).cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                )
+                .alias("key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    # short docs (empty shingle set -> empty _h -> null sig mins) keep
+    # a row with no band explode via the size guard below
+    banded = (
+        staged.filter(F.size("_h") > 0)
+        .select("doc_id", ts_col, "sig", F.explode(band_structs).alias("bk"))
+        .select(
+            "doc_id", ts_col, "sig",
+            F.col("bk.band").alias("band"), F.col("bk.key").alias("key"),
+        )
+    )
+    idx = index.select(
+        F.col("sig").alias("_old_sig"), F.col("band"), F.col("key")
+    )
+    est = F.size(
+        F.filter(F.zip_with("sig", "_old_sig", lambda a, b: a == b), lambda x: x)
+    ) / F.lit(num_hashes)
+    collided = banded.join(idx, ["band", "key"], "left").select(
+        "doc_id",
+        ts_col,
+        F.coalesce(
+            F.when(F.col("_old_sig").isNotNull(), est), F.lit(0.0)
+        ).alias("_est"),
+    )
+    short = staged.filter(F.size("_h") == 0).select(
+        "doc_id", ts_col, F.lit(0.0).alias("_est")
+    )
+    scored = (
+        collided.unionByName(short)
+        .withWatermark(ts_col, watermark)
+        .groupBy(ts_col, "doc_id")
+        .agg(F.max("_est").alias("max_est_jaccard"))
+        .select(
+            "doc_id",
+            ts_col,
+            F.round("max_est_jaccard", 6).alias("max_est_jaccard"),
+            (F.col("max_est_jaccard") < F.lit(threshold)).alias("is_novel"),
+        )
+    )
+    return scored.filter(F.col("is_novel")) if emit == "novel" else scored
+
+
 def near_dedup_stream(
     docs: DataFrame,
     *,
