@@ -935,6 +935,19 @@ def _semantic_dedup_oracle(
     )
 
 
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing (T5/XLM-R convention): source
+    weight ∝ n^0.5, 200-doc target, fractions 1e-9-quantized, applied
+    as the deterministic per-stratum hash filter
+    (operators/sampling.py temperature_mix)."""
+    from unstructured_spark.operators.sampling import temperature_mix
+
+    docs = _t(spark, sf_dir, "documents")
+    return temperature_mix(
+        docs, 200, alpha=0.5, seed="temp-v1"
+    ).select("doc_id", "source")
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic source-mixing: per-stratum md5-hash sampling
     (keep 100% of src0, 50% of src1, 10% of everything else) — the
@@ -2457,6 +2470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dsir_importance": q_dsir_importance,
         "q_leakage_split": q_leakage_split,
         "q_stratified_sample": q_stratified_sample,
+        "q_temperature_mix": q_temperature_mix,
         "q_pack_sequences": q_pack_sequences,
         "q_bm25_search": q_bm25_search,
         "q_tfidf_top_terms": q_tfidf_top_terms,
@@ -4612,6 +4626,24 @@ left join stats s using (doc_id)
                         as rnk
               from keyed
             ) where rnk <= 50
+        """,
+        "q_temperature_mix": """
+            with counts as (
+              select source, count(*) as n from documents group by source
+            ), z as (
+              select sum(pow(n, 0.5)) as z from counts
+            ), fr as (
+              select source,
+                     floor(least(1.0, 200.0 * (pow(n, 0.5) / (select z from z))
+                                 / n) * 1000000000.0 + 0.5)
+                       / 1000000000.0 as f
+              from counts
+            )
+            select d.doc_id, d.source
+            from documents d join fr using (source)
+            where cast(('0x' || substr(md5(cast(d.doc_id as varchar) || 'temp-v1'),
+                                       1, 15)) as bigint)
+                  / 1152921504606846976.0 < fr.f
         """,
         "q_stratified_sample": """
             select doc_id, source from documents

@@ -150,3 +150,68 @@ class TestTfidfReadability:
         assert r["syllables"] == 6  # one vowel group per word
         # 206.835 - 1.015*3 - 84.6*1 = 119.19
         assert abs(r["flesch"] - 119.19) < 0.001
+
+
+class TestTemperatureMix:
+    def _docs(self, spark, per_source):
+        rows = []
+        i = 0
+        for s, n in per_source.items():
+            for _ in range(n):
+                rows.append((i, s))
+                i += 1
+        return spark.createDataFrame(rows, "doc_id long, source string")
+
+    def test_alpha_one_is_proportional(self, spark):
+        from unstructured_spark.operators.sampling import temperature_mix
+
+        docs = self._docs(spark, {"big": 900, "small": 100})
+        out = temperature_mix(docs, 500, alpha=1.0, seed="t1")
+        by_src = {
+            r["source"]: r["n"]
+            for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+        }
+        # proportional: ~450 big / ~50 small (hash sampling jitter)
+        assert 400 <= by_src.get("big", 0) <= 500
+        assert 25 <= by_src.get("small", 0) <= 75
+
+    def test_low_alpha_upweights_small_sources(self, spark):
+        from unstructured_spark.operators.sampling import temperature_mix
+
+        docs = self._docs(spark, {"big": 900, "small": 100})
+        out = temperature_mix(docs, 500, alpha=0.2, seed="t1")
+        by_src = {
+            r["source"]: r["n"]
+            for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+        }
+        # alpha=0.2: small's target share jumps from 10% to ~39% of
+        # 500 = ~195 > |small|, so the cap keeps ALL 100 small docs;
+        # big gets ~305 of its 900 (fraction ~0.34)
+        assert by_src.get("small", 0) == 100
+        assert 250 <= by_src.get("big", 0) <= 370
+
+    def test_small_source_capped_at_full(self, spark):
+        from unstructured_spark.operators.sampling import temperature_mix
+
+        docs = self._docs(spark, {"big": 990, "tiny": 10})
+        out = temperature_mix(docs, 900, alpha=0.1, seed="t2")
+        tiny = out.filter(F.col("source") == "tiny").count()
+        # fraction capped at 1.0: every tiny doc kept, never oversampled
+        assert tiny == 10
+
+    def test_deterministic_and_append_stable(self, spark):
+        from unstructured_spark.operators.sampling import temperature_mix
+
+        docs = self._docs(spark, {"a": 200, "b": 50})
+        ids1 = {r["doc_id"] for r in temperature_mix(docs, 100, seed="s").collect()}
+        ids2 = {r["doc_id"] for r in temperature_mix(docs, 100, seed="s").collect()}
+        assert ids1 == ids2
+
+    def test_target_validation(self, spark):
+        import pytest
+
+        from unstructured_spark.operators.sampling import temperature_mix
+
+        docs = self._docs(spark, {"a": 5})
+        with pytest.raises(ValueError, match="target_docs"):
+            temperature_mix(docs, 0)

@@ -72,6 +72,54 @@ def stratified_sample(
     return df.filter(hash_uniform(F.col(key_col), seed) < thresh)
 
 
+def temperature_mix(
+    df: DataFrame,
+    target_docs: int,
+    *,
+    alpha: float = 0.7,
+    strata_col: str = "source",
+    key_col: str = "doc_id",
+    seed: str = "",
+) -> DataFrame:
+    """Temperature-scaled source mixing (the T5 / XLM-R / Pile
+    convention): source i with n_i docs gets sampling weight
+    q_i ∝ n_i^alpha, and the batch draws ``target_docs`` docs in those
+    proportions — ``alpha=1`` is proportional sampling, ``alpha→0``
+    equal share per source (upweights low-resource sources). Keep
+    fractions f_i = min(1, target·q_i/n_i) are quantized to a 1e-9
+    grid (the repo's cross-engine float discipline) and applied as the
+    deterministic per-stratum hash filter of
+    :func:`stratified_sample` — reproducible and append-stable.
+
+    Scale shape: ONE tiny groupBy(source) count (rows = number of
+    sources, tens), fractions computed driver-side from it, then the
+    map-only stratified filter. The ``collect`` is bounded by the
+    source count, same pattern as the k-means centroid fetch.
+    """
+    import math
+
+    if target_docs <= 0:
+        raise ValueError(f"target_docs must be positive, got {target_docs}")
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(strata_col).agg(F.count("*").alias("n")).collect()
+    }
+    if not counts:
+        return stratified_sample(
+            df, {}, strata_col=strata_col, key_col=key_col,
+            default_fraction=0.0, seed=seed,
+        )
+    z = sum(n ** alpha for n in counts.values())
+    fractions = {}
+    for s, n in counts.items():
+        f = min(1.0, target_docs * ((n ** alpha) / z) / n)
+        fractions[s] = math.floor(f * 1e9 + 0.5) / 1e9
+    return stratified_sample(
+        df, fractions, strata_col=strata_col, key_col=key_col,
+        default_fraction=0.0, seed=seed,
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     max_tokens: int,
