@@ -146,3 +146,87 @@ class TestSegmentAudioOperator:
         assert "b" in by_doc
         assert "bad" not in by_doc  # per-row isolation
         assert all(r["end_seconds"] > r["start_seconds"] for r in rows)
+
+
+class TestCompressedAudioPlug:
+    def _fake_mp3(self):
+        # ID3v2 header so detect_filetype routes to mp3
+        return b"ID3\x04\x00\x00\x00\x00\x00\x00" + b"\xff\xfb" + b"\x00" * 64
+
+    def test_mp3_without_decoder_names_the_gate(self):
+        from unstructured_spark.parsers.audio_parser import (
+            set_audio_decoder,
+            set_speech_to_text,
+        )
+        from unstructured_spark.parsers.dispatch import (
+            UnsupportedFormatError,
+            partition_bytes,
+        )
+
+        set_audio_decoder(None)
+        set_speech_to_text(vad_transcriber(lambda chunk, rate: "hi"))
+        try:
+            with pytest.raises(UnsupportedFormatError, match="set_audio_decoder"):
+                partition_bytes(self._fake_mp3(), filename="a.mp3")
+        finally:
+            set_speech_to_text(None)
+
+    def test_mp3_with_fake_decoder_partitions_end_to_end(self):
+        from unstructured_spark.parsers.audio_parser import (
+            set_audio_decoder,
+            set_speech_to_text,
+        )
+        from unstructured_spark.parsers.dispatch import partition_bytes
+
+        def fake_decoder(content, fmt):
+            assert fmt == "mp3"
+            return 8000, _tone_silence_tone()
+
+        set_audio_decoder(fake_decoder)
+        set_speech_to_text(vad_transcriber(lambda chunk, rate: "segment text"))
+        try:
+            els = partition_bytes(self._fake_mp3(), filename="a.mp3")
+        finally:
+            set_audio_decoder(None)
+            set_speech_to_text(None)
+        assert len(els) == 2  # two tone bursts -> two VAD segments
+        assert all(e["type"] == "NarrativeText" for e in els)
+        assert els[0]["segment_start_seconds"] < els[1]["segment_start_seconds"]
+
+    def test_ffmpeg_adapter_contract_with_injected_runner(self):
+        from unstructured_spark.parsers.model_adapters import FfmpegAudioDecoder
+
+        captured = {}
+
+        def runner(argv, stdin):
+            captured["argv"] = argv
+            captured["stdin"] = stdin
+            # 4 samples of s16le PCM: 0, max, min, 0
+            return struct.pack("<4h", 0, 32767, -32768, 0)
+
+        dec = FfmpegAudioDecoder(rate=16000, runner=runner)
+        rate, samples = dec(b"fake-bytes", "mp4")
+        assert rate == 16000
+        assert captured["stdin"] == b"fake-bytes"
+        assert "-f" in captured["argv"] and "mp4" in captured["argv"]
+        assert "s16le" in captured["argv"]
+        assert samples.dtype == np.float32
+        assert np.allclose(samples, [0.0, 32767 / 32768, -1.0, 0.0])
+
+    def test_ffmpeg_adapter_failure_is_malformed(self):
+        from unstructured_spark.parsers.dispatch import MalformedDocumentError
+        from unstructured_spark.parsers.model_adapters import FfmpegAudioDecoder
+
+        class Proc:
+            returncode = 1
+            stdout = b""
+            stderr = b"pipe:0: Invalid data found when processing input"
+
+        def runner(argv, stdin):
+            # simulate the real runner path: re-use the adapter's own
+            # error translation by raising what _run_ffmpeg raises
+            raise MalformedDocumentError("ffmpeg decode failed: invalid data")
+
+        dec = FfmpegAudioDecoder(runner=runner)
+        with pytest.raises(MalformedDocumentError):
+            dec(b"corrupt", "mp3")

@@ -36,12 +36,20 @@ AGENT_FORMATS: dict[str, tuple[str, str]] = {
     "bmp": ("layout/OCR", "image_parser.set_layout_model / set_ocr_agent"),
     "gif": ("layout/OCR", "image_parser.set_layout_model / set_ocr_agent"),
     "wav": ("speech-to-text", "audio_parser.set_speech_to_text"),
+    "mp3": (
+        "audio decoder + speech-to-text",
+        "audio_parser.set_audio_decoder (model_adapters.FfmpegAudioDecoder) "
+        "+ set_speech_to_text",
+    ),
+    "mp4": (
+        "audio decoder + speech-to-text",
+        "audio_parser.set_audio_decoder (model_adapters.FfmpegAudioDecoder) "
+        "+ set_speech_to_text",
+    ),
 }
 
 # formats the container cannot decode at all without new executors deps
 UNSUPPORTED_FORMATS: dict[str, str] = {
-    "mp3": "an MP3 decoder + speech-to-text model",
-    "mp4": "an MP4 demuxer + speech-to-text model",
     "heic": "an HEIC/HEVC decoder (pillow-heif)",
 }
 
@@ -71,6 +79,7 @@ def _agents_registered() -> dict[str, bool]:
         "OCR agent": image_parser._OCR_AGENT is not None,
         "table structure": image_parser._TABLE_MODEL is not None,
         "speech-to-text": audio_parser._STT_AGENT is not None,
+        "audio decoder": audio_parser._AUDIO_DECODER is not None,
         "translator": cleaners._TRANSLATOR is not None,
     }
 
@@ -87,10 +96,17 @@ def evaluate_format(fmt: str) -> CapabilityResult:
         agents = _agents_registered()
         if fmt == "wav":
             ready = agents["speech-to-text"]
+        elif fmt in ("mp3", "mp4"):
+            ready = agents["speech-to-text"] and agents["audio decoder"]
         else:
             ready = agents["layout model"] or agents["OCR agent"]
+        decoded = (
+            "dispatch routing ready (decode itself is the plug)"
+            if fmt in ("mp3", "mp4")
+            else "container/pixel decode ready (stdlib codec)"
+        )
         msgs = [
-            f"{fmt}: container/pixel decode ready (stdlib codec); "
+            f"{fmt}: {decoded}; "
             f"{need} agent {'registered' if ready else 'NOT registered'}"
         ]
         if not ready:

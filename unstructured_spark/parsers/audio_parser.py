@@ -43,6 +43,45 @@ def get_speech_to_text() -> SpeechToText | None:
     return _STT_AGENT
 
 
+# decoder contract: (container_bytes, format_hint) -> (rate, mono float32
+# samples). The reference never decodes compressed audio itself — Whisper's
+# ffmpeg does (reference partition/audio.py:36-43, "any format that ffmpeg
+# supports") — so compressed formats here route through a registered
+# decoder plug (model_adapters.FfmpegAudioDecoder is the stock one).
+AudioDecoder = Callable[[bytes, str], tuple[int, np.ndarray]]
+
+_AUDIO_DECODER: AudioDecoder | None = None
+
+
+def set_audio_decoder(decoder: AudioDecoder | None) -> None:
+    """Register (or clear) the process-global compressed-audio decoder
+    used for non-WAV containers (mp3/mp4/...)."""
+    global _AUDIO_DECODER
+    _AUDIO_DECODER = decoder
+
+
+def get_audio_decoder() -> AudioDecoder | None:
+    return _AUDIO_DECODER
+
+
+def decode_audio(content: bytes, fmt: str = "wav") -> tuple[int, np.ndarray]:
+    """(rate, mono float32 samples) for any supported container: WAV
+    decodes in-repo (stdlib ``wave``); compressed formats need the
+    registered decoder and raise a named gate without one."""
+    if fmt == "wav":
+        return parse_wav(content)
+    if _AUDIO_DECODER is None:
+        from unstructured_spark.parsers.dispatch import UnsupportedFormatError
+
+        raise UnsupportedFormatError(
+            f"decoding {fmt} audio requires a registered audio decoder; "
+            "register one with unstructured_spark.parsers.audio_parser."
+            "set_audio_decoder (stock adapter: "
+            "model_adapters.FfmpegAudioDecoder)"
+        )
+    return _AUDIO_DECODER(content, fmt)
+
+
 def parse_wav(data: bytes) -> tuple[int, np.ndarray]:
     """PCM WAV → (sample_rate, mono float32 samples in [-1, 1])."""
     with wave.open(io.BytesIO(data), "rb") as w:
@@ -126,14 +165,17 @@ def audio_to_elements(
     *,
     filename: str | None = None,
     language: str | None = None,
+    audio_format: str = "wav",
     **_: object,
 ) -> list[dict]:
-    """WAV bytes → NarrativeText elements, one per transcribed segment
-    (reference partition/audio.py:96-112 shape: skip empty text,
-    segment_start/end_seconds, detection_origin=speech_to_text).
+    """Audio bytes → NarrativeText elements, one per transcribed
+    segment (reference partition/audio.py:96-112 shape: skip empty
+    text, segment_start/end_seconds, detection_origin=speech_to_text).
 
     Requires a registered speech-to-text agent; the segmentation the
-    agent receives is real (energy VAD over decoded PCM)."""
+    agent receives is real (energy VAD over decoded PCM). WAV decodes
+    in-repo; compressed containers (``audio_format='mp3'/'mp4'``)
+    route through the :func:`set_audio_decoder` plug."""
     agent = _STT_AGENT
     if agent is None:
         from unstructured_spark.parsers.dispatch import UnsupportedFormatError
@@ -143,7 +185,7 @@ def audio_to_elements(
             "with unstructured_spark.parsers.audio_parser.set_speech_to_text "
             "(reference default: Whisper)"
         )
-    rate, samples = parse_wav(content)
+    rate, samples = decode_audio(content, audio_format)
     elements: list[dict] = []
     for seg in agent(samples, rate, language):
         text = (seg.get("text") or "").strip()

@@ -221,8 +221,16 @@ _PARTITIONERS: dict[str, Callable[..., list[dict]]] = {
     # numpy); transcription needs a registered speech-to-text agent
     # (audio_parser.set_speech_to_text) and raises a named gate without.
     "wav": lambda c, **kw: _lazy("audio_parser", "audio_to_elements")(c),
-    "mp3": _unsupported("audio", "a speech-to-text model"),
-    "mp4": _unsupported("audio", "a speech-to-text model"),
+    # compressed audio: the reference hands these bytes to Whisper,
+    # whose ffmpeg does the decode (reference partition/audio.py:36-43)
+    # — here the decode is the set_audio_decoder plug + the same VAD/
+    # STT pipeline; both plugs raise named gates when absent
+    "mp3": lambda c, **kw: _lazy("audio_parser", "audio_to_elements")(
+        c, audio_format="mp3"
+    ),
+    "mp4": lambda c, **kw: _lazy("audio_parser", "audio_to_elements")(
+        c, audio_format="mp4"
+    ),
     # detection knows the brand (filetype.py HEIC sniff); decode needs
     # an HEVC codec the stdlib pipeline cannot provide (the reference
     # needs pillow-heif for the same reason)

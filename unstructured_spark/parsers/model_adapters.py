@@ -536,6 +536,68 @@ class OnnxLayoutModel:
 # ---------------------------------------------------------------------------
 
 
+class FfmpegAudioDecoder:
+    """Compressed-audio decoder plug backed by the ffmpeg CLI — the
+    same decode layer the reference reaches through Whisper
+    (reference partition/audio.py:36-43: "any format that ffmpeg
+    supports"). Decodes any container to mono float32 PCM via
+    ``ffmpeg -i pipe:0 -f s16le -ac 1 pipe:1``.
+
+    Contract: ``fn(container_bytes, format_hint) -> (rate, float32
+    mono samples)``; register with
+    ``audio_parser.set_audio_decoder(FfmpegAudioDecoder())``.
+    ``runner`` is injectable for tests (called with the argv list and
+    the input bytes, returns stdout bytes); the default requires the
+    ffmpeg binary on PATH and raises a named gate without it.
+    """
+
+    def __init__(self, rate: int = 16000, *, runner=None):
+        self.rate = int(rate)
+        if runner is None:
+            import shutil
+
+            if shutil.which("ffmpeg") is None:
+                raise ImportError(
+                    "FfmpegAudioDecoder needs the ffmpeg binary on PATH "
+                    "(or pass runner=); python -m unstructured_spark.doctor "
+                    "lists this gate"
+                )
+            runner = self._run_ffmpeg
+        self._runner = runner
+
+    def _run_ffmpeg(self, argv: list[str], stdin: bytes) -> bytes:
+        import subprocess
+
+        proc = subprocess.run(
+            argv, input=stdin, stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE, check=False,
+        )
+        if proc.returncode != 0:
+            from unstructured_spark.parsers.dispatch import MalformedDocumentError
+
+            raise MalformedDocumentError(
+                f"ffmpeg decode failed: {proc.stderr[-300:].decode(errors='replace')}"
+            )
+        return proc.stdout
+
+    def __call__(self, content: bytes, fmt: str = "mp3"):
+        argv = [
+            "ffmpeg", "-hide_banner", "-loglevel", "error",
+            "-f", fmt, "-i", "pipe:0",
+            "-f", "s16le", "-acodec", "pcm_s16le",
+            "-ac", "1", "-ar", str(self.rate), "pipe:1",
+        ]
+        raw = self._runner(argv, content)
+        samples = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+        return self.rate, samples
+
+    def register(self) -> "FfmpegAudioDecoder":
+        from unstructured_spark.parsers.audio_parser import set_audio_decoder
+
+        set_audio_decoder(self)
+        return self
+
+
 class WhisperSttAgent:
     """Speech-to-text agent backed by an openai-whisper-shaped model
     (``model.transcribe(float32_mono_16k, language=..) ->
