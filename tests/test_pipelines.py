@@ -209,3 +209,23 @@ class TestPretrainingCorpusE2E:
         assert {r["element_id"] for r in trows} <= {
             r["element_id"] for r in splits.collect()
         }
+
+
+class TestBoilerplateStage:
+    def test_opt_in_boilerplate_removal_runs_first(self, spark):
+        from unstructured_spark.pipelines import prepare_training_corpus
+
+        banner = "subscribe to our newsletter today"
+        good = ("the quick brown fox jumps over the lazy dog and then "
+                "continues running through the quiet forest for a while. ") * 3
+        rows = [
+            (1, f"{banner}\n{good}", "web"),
+            (2, f"{banner}\nanother {good}", "web"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        out = prepare_training_corpus(
+            docs, boilerplate_lines=True, near_dedup=False, redact=False
+        )
+        texts = {r["doc_id"]: r["text"] for r in out.collect()}
+        assert all(banner not in t for t in texts.values())
+        assert len(texts) == 2

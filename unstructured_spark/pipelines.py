@@ -107,6 +107,8 @@ def rag_ingest_pipeline(
 def prepare_training_corpus(
     documents: DataFrame,
     *,
+    boilerplate_lines: bool = False,
+    boilerplate_min_docs: int = 2,
     redact: bool = True,
     quality_filter: bool = True,
     quality_kwargs: dict | None = None,
@@ -121,15 +123,20 @@ def prepare_training_corpus(
     """Raw text corpus (doc_id, text[, source]) → training-ready rows:
     the full hygiene chain a pre-training data pipeline runs —
 
-        PII redact → quality gate → near-dup drop → benchmark
-        decontamination → stratified source mixing → sequence packing
+        boilerplate line removal (CCNet, opt-in) → PII redact →
+        quality gate → near-dup drop → benchmark decontamination →
+        stratified source mixing → sequence packing
 
     Every stage is optional. With ``pack_tokens`` set the output is
     packing placements (doc_id, seq_id, token ranges); otherwise the
-    filtered document rows.
+    filtered document rows. ``boilerplate_lines=True`` runs CCNet's
+    corpus-level duplicated-line removal FIRST (their §3.1 order:
+    structural dedup before any scoring), rejoining the cleaned text
+    onto the remaining columns.
 
-    Shuffle bill: redact/quality/sampling are MAP-ONLY; dedup is the
-    bucket-keyed dedup sub-pipeline + a broadcast anti-join;
+    Shuffle bill: redact/quality/sampling are MAP-ONLY; boilerplate is
+    one line-fingerprint count + anti-join + per-doc reassembly; dedup
+    is the bucket-keyed dedup sub-pipeline + a broadcast anti-join;
     decontamination is a broadcast join + per-doc agg; packing is the
     distributed prefix sum. Nothing here is all-pairs or
     single-partition.
@@ -137,6 +144,7 @@ def prepare_training_corpus(
     from unstructured_spark.operators.dedup import (
         contaminated_docs,
         drop_near_duplicates,
+        remove_boilerplate_lines,
     )
     from unstructured_spark.operators.pii import redact_docs
     from unstructured_spark.operators.quality_filters import (
@@ -150,6 +158,15 @@ def prepare_training_corpus(
     )
 
     out = documents
+    if boilerplate_lines:
+        cleaned = remove_boilerplate_lines(
+            out, min_docs=boilerplate_min_docs
+        ).select("doc_id", F.col("text").alias("_bp_text"))
+        out = (
+            out.drop("text")
+            .join(cleaned, "doc_id")
+            .withColumnRenamed("_bp_text", "text")
+        )
     if redact:
         out = redact_docs(out)
     if quality_filter:
