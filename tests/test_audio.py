@@ -205,13 +205,42 @@ class TestCompressedAudioPlug:
             return struct.pack("<4h", 0, 32767, -32768, 0)
 
         dec = FfmpegAudioDecoder(rate=16000, runner=runner)
-        rate, samples = dec(b"fake-bytes", "mp4")
+        rate, samples = dec(b"fake-bytes", "mp3")
         assert rate == 16000
         assert captured["stdin"] == b"fake-bytes"
-        assert "-f" in captured["argv"] and "mp4" in captured["argv"]
+        assert "-f" in captured["argv"] and "mp3" in captured["argv"]
+        assert "pipe:0" in captured["argv"]
         assert "s16le" in captured["argv"]
         assert samples.dtype == np.float32
         assert np.allclose(samples, [0.0, 32767 / 32768, -1.0, 0.0])
+
+    def test_ffmpeg_adapter_spools_seekable_containers_to_file(self):
+        # a non-faststart mp4 (moov after mdat) can't be demuxed from a
+        # pipe — the adapter must hand ffmpeg a real path instead
+        from unstructured_spark.parsers.model_adapters import FfmpegAudioDecoder
+
+        captured = {}
+
+        def runner(argv, stdin):
+            captured["argv"] = argv
+            captured["stdin"] = stdin
+            path = argv[argv.index("-i") + 1]
+            with open(path, "rb") as f:
+                captured["spooled"] = f.read()
+            return struct.pack("<2h", 0, 32767)
+
+        dec = FfmpegAudioDecoder(rate=16000, runner=runner)
+        rate, samples = dec(b"moov-at-end-bytes", "mp4")
+        assert rate == 16000
+        assert captured["stdin"] == b""
+        assert "pipe:0" not in captured["argv"]
+        in_path = captured["argv"][captured["argv"].index("-i") + 1]
+        assert in_path.endswith(".mp4")
+        assert captured["spooled"] == b"moov-at-end-bytes"
+        import os
+
+        assert not os.path.exists(in_path)  # temp file cleaned up
+        assert np.allclose(samples, [0.0, 32767 / 32768])
 
     def test_ffmpeg_adapter_failure_is_malformed(self):
         from unstructured_spark.parsers.dispatch import MalformedDocumentError

@@ -442,6 +442,50 @@ class TestIncrementalDedup:
         }
         assert got2 == {11, 13, 15}
 
+    def test_mismatched_index_params_fail_fast(self, spark):
+        # an index built with other num_hashes/bands would never
+        # key-match — history dedup silently becomes a no-op — so the
+        # guard must raise instead
+        import pytest
+
+        from unstructured_spark.operators.dedup import (
+            dedup_against_index,
+            minhash_band_index,
+        )
+
+        hist = spark.createDataFrame([(2, self.BASE)], "doc_id long, text string")
+        new = spark.createDataFrame([(11, self.BASE)], "doc_id long, text string")
+        idx_fewer_bands = minhash_band_index(hist, bands=4)
+        with pytest.raises(Exception, match="incompatible"):
+            dedup_against_index(new, idx_fewer_bands, intra_batch=False).collect()
+        idx_more_bands = minhash_band_index(hist, bands=16)
+        with pytest.raises(Exception, match="incompatible"):
+            dedup_against_index(new, idx_more_bands, intra_batch=False).collect()
+        idx_fewer_hashes = minhash_band_index(hist, num_hashes=8, bands=8)
+        with pytest.raises(Exception, match="incompatible"):
+            dedup_against_index(new, idx_fewer_hashes, intra_batch=False).collect()
+
+    def test_exact_index_null_text_passes_through(self, spark):
+        # NULL text -> NULL fingerprint: must survive both the
+        # vs-history anti-join and the intra-batch keep-min (the inner
+        # join on the NULL key used to silently drop these rows)
+        from unstructured_spark.operators.dedup import (
+            exact_dedup_against_index,
+            fingerprint_index,
+        )
+
+        index = fingerprint_index(
+            spark.createDataFrame([(0, "old history doc")], "doc_id long, text string")
+        )
+        new = spark.createDataFrame(
+            [(1, None), (2, "same text"), (3, "same text"), (4, None)],
+            "doc_id long, text string",
+        )
+        got = sorted(
+            r["doc_id"] for r in exact_dedup_against_index(new, index).collect()
+        )
+        assert got == [1, 2, 4]
+
     def test_index_append_keeps_future_batches_clean(self, spark):
         from unstructured_spark.operators.dedup import (
             dedup_against_index,

@@ -215,3 +215,28 @@ class TestTemperatureMix:
         docs = self._docs(spark, {"a": 5})
         with pytest.raises(ValueError, match="target_docs"):
             temperature_mix(docs, 0)
+
+    def test_null_source_rows_excluded_not_crashing(self, spark):
+        # a NULL stratum used to reach sorted(fractions.items()) and
+        # raise TypeError (str < NoneType); it must instead be excluded
+        # from both the normalizer and the output
+        from unstructured_spark.operators.sampling import temperature_mix
+
+        docs = spark.createDataFrame(
+            [(i, "web") for i in range(100)] + [(100 + i, None) for i in range(50)],
+            "doc_id long, source string",
+        )
+        out = temperature_mix(docs, 100, alpha=1.0, seed="n1")
+        rows = out.collect()
+        assert all(r["source"] == "web" for r in rows)
+        # nulls excluded from z: web is the only source, so f=1.0 keeps
+        # every web doc (with nulls inflating z this would be ~2/3)
+        assert len(rows) == 100
+
+    def test_all_null_sources_returns_empty(self, spark):
+        from unstructured_spark.operators.sampling import temperature_mix
+
+        docs = spark.createDataFrame(
+            [(i, None) for i in range(20)], "doc_id long, source string"
+        )
+        assert temperature_mix(docs, 10, seed="n2").count() == 0

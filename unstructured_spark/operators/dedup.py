@@ -53,6 +53,37 @@ def shingles(col: Column, n: int = 3) -> Column:
     )).otherwise(F.array().cast("array<string>"))
 
 
+def rowwise_token_hashes(grams: Column) -> Column:
+    """Per-row shingle-hash array — project this into its own column
+    BEFORE :func:`rowwise_minhash_sig` so each shingle is md5-hashed
+    once, not once per signature component."""
+    return F.transform(grams, lambda g: token_hash(g) % F.lit(MERSENNE31))
+
+
+def rowwise_minhash_sig(hashes: Column, num_hashes: int) -> Column:
+    """Per-row (no-shuffle) minhash signature over a
+    :func:`rowwise_token_hashes` column — the streaming twin of
+    :func:`minhash_signatures`. Uses the identical per-function
+    multiplier/offset constants, so signatures from a stream are
+    join-compatible with a batch-built :func:`minhash_band_index`.
+    Empty hash arrays yield all-null components (array_min of []) —
+    callers must guard short docs themselves."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    hashes,
+                    lambda v: (
+                        F.lit(HASH_A + 2 * h) * v + F.lit(HASH_B + HASH_STEP * h)
+                    )
+                    % F.lit(MERSENNE31),
+                )
+            )
+            for h in range(num_hashes)
+        ]
+    )
+
+
 def minhash_signatures(
     df: DataFrame, *, text: str = "text", doc_id: str = "doc_id",
     num_hashes: int = 16, shingle_size: int = 3,
@@ -831,6 +862,41 @@ def minhash_band_index(
     ).select("doc_id", "sig", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
 
 
+def _guarded_index(index: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """Fail-fast wrapper over a persisted :func:`minhash_band_index`: a
+    mismatched index (other ``num_hashes``/``bands``) would never
+    key-match a fresh batch and history dedup silently becomes a no-op,
+    so every row is checked map-side (``raise_error`` riding the
+    consumer join's own scan — no extra action)."""
+    sig_ok = (
+        (F.size("sig") == num_hashes)
+        & (F.col("band") >= 0)
+        & (F.col("band") < bands)
+        # keys are ':'-joined longs, so arity == components per band;
+        # catches an index built with MORE bands (its band ids all fit
+        # under `bands` but its keys are shorter and never match)
+        & (F.size(F.split("key", ":")) == num_hashes // bands)
+    )
+    return index.withColumn(
+        "sig",
+        F.when(sig_ok, F.col("sig")).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "minhash_band_index row incompatible with "
+                        f"num_hashes={num_hashes}, bands={bands}: "
+                        "sig length "
+                    ),
+                    F.size("sig").cast("string"),
+                    F.lit(", band "),
+                    F.col("band").cast("string"),
+                    F.lit(" — was the index built with other parameters?"),
+                )
+            )
+        ),
+    )
+
+
 def dedup_against_index(
     new_docs: DataFrame,
     index: DataFrame,
@@ -860,12 +926,18 @@ def dedup_against_index(
     estimate is an array zip on those pairs; the final drop is an
     anti-join keyed on doc id. Returns the surviving new-batch rows
     (all input columns).
+
+    An index persisted with different ``num_hashes``/``bands`` would
+    never key-match the batch — history dedup silently becomes a no-op
+    — so every index row is guarded with a ``raise_error`` check on
+    signature length and band range (map-side, no extra action: it
+    rides the join's own scan).
     """
     new_banded = minhash_band_index(
         new_docs, text=text, doc_id=doc_id, num_hashes=num_hashes,
         bands=bands, shingle_size=shingle_size,
     )
-    idx = index.select(
+    idx = _guarded_index(index, num_hashes, bands).select(
         F.col("sig").alias("_old_sig"), F.col("band"), F.col("key")
     )
     matches = F.size(
@@ -881,6 +953,13 @@ def dedup_against_index(
         hits, new_docs[doc_id] == F.col("_hit"), "left_anti"
     )
     if intra_batch:
+        # drop_near_duplicates references its input ~4 times (exact
+        # fingerprint path, n-gram pairs, final anti-join); without a
+        # lineage cut each reference replays the whole vs-history
+        # pipeline (both minhash passes + the bucket join). The batch's
+        # survivors are day-sized, not corpus-sized — checkpointing
+        # them is the production shape too.
+        survivors = survivors.localCheckpoint(eager=False)
         survivors = drop_near_duplicates(
             survivors, text=text, doc_id=doc_id, n=shingle_size,
             threshold=threshold, num_hashes=num_hashes, bands=bands,
@@ -917,13 +996,17 @@ def exact_dedup_against_index(
     :func:`fingerprint_index`; with ``intra_batch`` also keep only the
     min-id copy per fingerprint inside the batch. One anti-join keyed
     on the fingerprint + one batch-side groupBy — history never
-    re-shuffled. Returns the surviving new-batch rows."""
+    re-shuffled (anti-join semantics are unaffected by duplicate keys
+    on the build side, so the index is used as-is). NULL-text docs
+    have a NULL fingerprint and pass through untouched — same contract
+    as :func:`drop_near_duplicates` and :func:`dedup_against_index`.
+    Returns the surviving new-batch rows."""
     from unstructured_spark.operators.text_analysis import fingerprint
 
     fp = fingerprint(F.col(text))
     staged = new_docs.withColumn("_nfp", fp)
     survivors = staged.join(
-        index.select(F.col("fingerprint").alias("_nfp")).distinct(),
+        index.select(F.col("fingerprint").alias("_nfp")),
         "_nfp",
         "left_anti",
     )
@@ -931,9 +1014,15 @@ def exact_dedup_against_index(
         w_min = survivors.groupBy("_nfp").agg(
             F.min(F.col(doc_id)).alias("_keep")
         )
-        survivors = survivors.join(w_min, "_nfp").filter(
-            F.col(doc_id) == F.col("_keep")
-        ).drop("_keep")
+        # inner equi-join never matches the NULL fingerprint group, so
+        # keep-min applies only to real fingerprints and NULL-text rows
+        # survive via the union, not silently vanish
+        kept = survivors.filter(F.col("_nfp").isNotNull()).join(
+            w_min, "_nfp"
+        ).filter(F.col(doc_id) == F.col("_keep")).drop("_keep")
+        survivors = kept.unionByName(
+            survivors.filter(F.col("_nfp").isNull())
+        )
     return survivors.drop("_nfp")
 
 

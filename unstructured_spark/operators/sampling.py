@@ -86,10 +86,18 @@ def temperature_mix(
     q_i ∝ n_i^alpha, and the batch draws ``target_docs`` docs in those
     proportions — ``alpha=1`` is proportional sampling, ``alpha→0``
     equal share per source (upweights low-resource sources). Keep
-    fractions f_i = min(1, target·q_i/n_i) are quantized to a 1e-9
-    grid (the repo's cross-engine float discipline) and applied as the
-    deterministic per-stratum hash filter of
-    :func:`stratified_sample` — reproducible and append-stable.
+    fractions f_i = min(1, target·q_i/n_i) are quantized to a 1e-6
+    grid — coarse enough that a 1-ulp cross-engine libm difference in
+    ``n**alpha`` can't flip the floor (the same discipline that fixed
+    the perplexity-bucket driver red; 1e-9 puts grid points ~1000×
+    closer to the pow/div roundoff) — and applied as the deterministic
+    per-stratum hash filter of :func:`stratified_sample` —
+    reproducible and append-stable.
+
+    Rows with a NULL ``strata_col`` are unlabeled: they are excluded
+    from the weight computation and from the output (a NULL stratum
+    can never equi-match a CASE arm, and letting it inflate the
+    normalizer would skew every real source's share).
 
     Scale shape: ONE tiny groupBy(source) count (rows = number of
     sources, tens), fractions computed driver-side from it, then the
@@ -103,6 +111,7 @@ def temperature_mix(
     counts = {
         r[0]: r[1]
         for r in df.groupBy(strata_col).agg(F.count("*").alias("n")).collect()
+        if r[0] is not None
     }
     if not counts:
         return stratified_sample(
@@ -113,7 +122,7 @@ def temperature_mix(
     fractions = {}
     for s, n in counts.items():
         f = min(1.0, target_docs * ((n ** alpha) / z) / n)
-        fractions[s] = math.floor(f * 1e9 + 0.5) / 1e9
+        fractions[s] = math.floor(f * 1e6 + 0.5) / 1e6
     return stratified_sample(
         df, fractions, strata_col=strata_col, key_col=key_col,
         default_fraction=0.0, seed=seed,

@@ -580,14 +580,38 @@ class FfmpegAudioDecoder:
             )
         return proc.stdout
 
+    # containers whose demuxer needs seekable input: a non-faststart
+    # mp4/mov (moov atom after mdat — the default for many encoders)
+    # fails on pipe:0 with "moov atom not found", so these are spooled
+    # to a temp file instead of piped
+    _SEEKABLE_FORMATS = frozenset({"mp4", "mov", "m4a", "3gp", "3g2"})
+
     def __call__(self, content: bytes, fmt: str = "mp3"):
-        argv = [
-            "ffmpeg", "-hide_banner", "-loglevel", "error",
-            "-f", fmt, "-i", "pipe:0",
+        out_args = [
             "-f", "s16le", "-acodec", "pcm_s16le",
             "-ac", "1", "-ar", str(self.rate), "pipe:1",
         ]
-        raw = self._runner(argv, content)
+        if fmt in self._SEEKABLE_FORMATS:
+            import os
+            import tempfile
+
+            fd, path = tempfile.mkstemp(suffix=f".{fmt}")
+            try:
+                with os.fdopen(fd, "wb") as f:
+                    f.write(content)
+                argv = [
+                    "ffmpeg", "-hide_banner", "-loglevel", "error",
+                    "-f", fmt, "-i", path, *out_args,
+                ]
+                raw = self._runner(argv, b"")
+            finally:
+                os.unlink(path)
+        else:
+            argv = [
+                "ffmpeg", "-hide_banner", "-loglevel", "error",
+                "-f", fmt, "-i", "pipe:0", *out_args,
+            ]
+            raw = self._runner(argv, content)
         samples = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
         return self.rate, samples
 

@@ -79,12 +79,11 @@ def near_dedup_stream_against_index(
     filters to the suppressed stream.
     """
     from unstructured_spark.operators.dedup import (
-        HASH_A,
-        HASH_B,
-        HASH_STEP,
-        MERSENNE31,
+        _band_key_structs,
+        _guarded_index,
+        rowwise_minhash_sig,
+        rowwise_token_hashes,
         shingles,
-        token_hash,
     )
 
     if bands < 1 or bands > num_hashes or num_hashes % bands != 0:
@@ -92,56 +91,30 @@ def near_dedup_stream_against_index(
             f"bands must divide num_hashes (got bands={bands}, "
             f"num_hashes={num_hashes})"
         )
-    rows_per_band = num_hashes // bands
     grams = shingles(F.col(text), shingle_size)
     staged = docs.select(
         F.col(doc_id).alias("doc_id"), F.col(ts_col), grams.alias("_g")
     )
-    hashes = F.transform(F.col("_g"), lambda g: token_hash(g) % F.lit(MERSENNE31))
-    sig = F.array(
-        *[
-            F.array_min(
-                F.transform(
-                    F.col("_h"),
-                    lambda v: (
-                        F.lit(HASH_A + 2 * h) * v + F.lit(HASH_B + HASH_STEP * h)
-                    )
-                    % F.lit(MERSENNE31),
-                )
-            )
-            for h in range(num_hashes)
-        ]
-    )
-    staged = staged.select("doc_id", ts_col, hashes.alias("_h")).select(
-        "doc_id", ts_col, F.col("_h"), sig.alias("sig")
-    )
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws(
-                    ":",
-                    *[
-                        F.element_at("sig", b * rows_per_band + r + 1).cast("string")
-                        for r in range(rows_per_band)
-                    ],
-                )
-                .alias("key"),
-            )
-            for b in range(bands)
-        ]
+    staged = staged.select(
+        "doc_id", ts_col, rowwise_token_hashes(F.col("_g")).alias("_h")
+    ).select(
+        "doc_id", ts_col, F.col("_h"),
+        rowwise_minhash_sig(F.col("_h"), num_hashes).alias("sig"),
     )
     # short docs (empty shingle set -> empty _h -> null sig mins) keep
     # a row with no band explode via the size guard below
     banded = (
         staged.filter(F.size("_h") > 0)
-        .select("doc_id", ts_col, "sig", F.explode(band_structs).alias("bk"))
+        .select(
+            "doc_id", ts_col, "sig",
+            F.explode(_band_key_structs(num_hashes, bands)).alias("bk"),
+        )
         .select(
             "doc_id", ts_col, "sig",
             F.col("bk.band").alias("band"), F.col("bk.key").alias("key"),
         )
     )
-    idx = index.select(
+    idx = _guarded_index(index, num_hashes, bands).select(
         F.col("sig").alias("_old_sig"), F.col("band"), F.col("key")
     )
     est = F.size(
@@ -230,12 +203,10 @@ def near_dedup_stream(
     is evicted too; the old doc_id-only aggregate grew forever).
     """
     from unstructured_spark.operators.dedup import (
-        HASH_A,
-        HASH_B,
-        HASH_STEP,
-        MERSENNE31,
+        _band_key_structs,
+        rowwise_minhash_sig,
+        rowwise_token_hashes,
         shingles,
-        token_hash,
     )
 
     if bands < 1 or bands > num_hashes or num_hashes % bands != 0:
@@ -246,7 +217,6 @@ def near_dedup_stream(
             f"bands must divide num_hashes (got bands={bands}, "
             f"num_hashes={num_hashes})"
         )
-    rows_per_band = num_hashes // bands
     txt = (
         F.lower(F.trim(F.regexp_replace(F.col(text), "\\s+", " ")))
         if normalize
@@ -271,35 +241,18 @@ def near_dedup_stream(
         F.array(F.concat(F.lit("__short__:"), F.col(doc_id).cast("string")))
     )
     staged = docs.select(F.col(doc_id).alias("doc_id"), F.col(ts_col), grams.alias("_g"))
-    hashes = F.transform(F.col("_g"), lambda g: token_hash(g) % F.lit(MERSENNE31))
-    staged = staged.select("doc_id", ts_col, hashes.alias("_h"))
-    sig = F.array(
-        *[
-            F.array_min(
-                F.transform(
-                    F.col("_h"),
-                    lambda v: (
-                        F.lit(HASH_A + 2 * h) * v + F.lit(HASH_B + HASH_STEP * h)
-                    )
-                    % F.lit(MERSENNE31),
-                )
-            )
-            for h in range(num_hashes)
-        ]
+    staged = staged.select(
+        "doc_id", ts_col, rowwise_token_hashes(F.col("_g")).alias("_h")
     )
-    staged = staged.select("doc_id", ts_col, sig.alias("sig"))
-    band_keys = F.array(
-        *[
-            F.concat_ws(
-                ":",
-                F.lit(str(b)),
-                *[
-                    F.element_at("sig", b * rows_per_band + r + 1).cast("string")
-                    for r in range(rows_per_band)
-                ],
-            )
-            for b in range(bands)
-        ]
+    staged = staged.select(
+        "doc_id", ts_col, rowwise_minhash_sig(F.col("_h"), num_hashes).alias("sig")
+    )
+    # flat "band:key" strings from the shared band-struct construction —
+    # ONE source of truth for the key format across batch index,
+    # stream-vs-index, and in-stream bucket claims
+    band_keys = F.transform(
+        _band_key_structs(num_hashes, bands),
+        lambda s: F.concat_ws(":", s["band"].cast("string"), s["key"]),
     )
     exploded = staged.select("doc_id", ts_col, F.explode(band_keys).alias("bucket"))
     # the watermark is already defined upstream (exact-copy collapse);
