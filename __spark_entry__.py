@@ -2438,13 +2438,18 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Registry order = driver correctness window (the driver hashes
-        # the FIRST 50 entries). Round 7 rotation: slots 1-4 are the
-        # four queries that have NEVER had an external driver row
+        # the FIRST 50 entries). Round 7 rotation: slots 1-6 are the
+        # queries that have NEVER had an external driver row
         # (q_partition_elements + q_chunk_by_title are SQL-oracled —
         # this is the document-ETL spine's first external hash check;
-        # q_table_eval + q_layout_merge are rows-only by necessity).
-        # q_perplexity_buckets stays in-window so the r7 quantization
-        # fix gets a fresh driver hash row.
+        # q_table_eval + q_layout_merge are rows-only by necessity;
+        # q_remove_boilerplate + q_dedup_incremental are new this
+        # round). q_perplexity_buckets stays in-window so the r7
+        # quantization fix gets a fresh driver hash row, and slots
+        # 41-49 rotate in the nine queries whose only green row is
+        # r3/r4 (form-kv, bigram-CE, KL drift, RRF, dHash, SRP ANN,
+        # Gopher, n-gram repetition) in place of nine r5+r6
+        # double-greens.
         "q_partition_elements": q_partition_elements,
         "q_chunk_by_title": q_chunk_by_title,
         "q_table_eval": q_table_eval,
@@ -2485,15 +2490,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_overlap_audit": q_overlap_audit,
         "q_funnel": q_funnel,
         "q_funnel_summary": q_funnel_summary,
-        "q_weighted_sample": q_weighted_sample,
-        "q_cohort_retention": q_cohort_retention,
-        "q_value_outliers": q_value_outliers,
-        "q_metrics_grouped": q_metrics_grouped,
-        "q_quantized_codes": q_quantized_codes,
-        "q_random_projection": q_random_projection,
-        "q_pq_topk": q_pq_topk,
-        "q_ivfpq_topk": q_ivfpq_topk,
-        "q_salted_user_value": q_salted_user_value,
+        "q_form_kv_pairs": q_form_kv_pairs,
+        "q_bigram_cross_entropy": q_bigram_cross_entropy,
+        "q_token_kl_drift": q_token_kl_drift,
+        "q_hybrid_rrf": q_hybrid_rrf,
+        "q_image_dhash_pairs": q_image_dhash_pairs,
+        "q_form_kv_text": q_form_kv_text,
+        "q_srp_ann_topk": q_srp_ann_topk,
+        "q_gopher_quality": q_gopher_quality,
+        "q_ngram_repetition": q_ngram_repetition,
         "q04_order_priority_check": q04_order_priority_check,
         "q09_product_type_profit": q09_product_type_profit,
         "q_box_dedup": q_box_dedup,
@@ -2519,8 +2524,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_doc_quantiles": q_doc_quantiles,
         "q_element_type_match": q_element_type_match,
         "q_token_freq": q_token_freq,
-        "q_gopher_quality": q_gopher_quality,
-        "q_ngram_repetition": q_ngram_repetition,
+        "q_ivfpq_topk": q_ivfpq_topk,
+        "q_salted_user_value": q_salted_user_value,
         "q_exact_dups": q_exact_dups,
         "q_minhash_signatures": q_minhash_signatures,
         "q_lsh_candidate_pairs": q_lsh_candidate_pairs,
@@ -2532,13 +2537,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embed_topk": q_embed_topk,
         "q_embed_centroids": q_embed_centroids,
         "q_embed_neardup": q_embed_neardup,
-        "q_form_kv_pairs": q_form_kv_pairs,
-        "q_bigram_cross_entropy": q_bigram_cross_entropy,
-        "q_token_kl_drift": q_token_kl_drift,
-        "q_hybrid_rrf": q_hybrid_rrf,
-        "q_image_dhash_pairs": q_image_dhash_pairs,
-        "q_form_kv_text": q_form_kv_text,
-        "q_srp_ann_topk": q_srp_ann_topk,
+        "q_weighted_sample": q_weighted_sample,
+        "q_cohort_retention": q_cohort_retention,
+        "q_value_outliers": q_value_outliers,
+        "q_metrics_grouped": q_metrics_grouped,
+        "q_quantized_codes": q_quantized_codes,
+        "q_random_projection": q_random_projection,
+        "q_pq_topk": q_pq_topk,
         "q_ivf_ann_topk": q_ivf_ann_topk,
         "q_edit_distance": q_edit_distance,
         "q_eval_summary": q_eval_summary,

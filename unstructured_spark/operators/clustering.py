@@ -39,7 +39,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
-from pyspark.sql.window import Window
 
 QUANT_SCALE = 1_000_000
 
@@ -155,8 +154,20 @@ def kmeans_clusters(
         ]
 
     final = _assign(quant, _centroid_df(spark, cents)).select("vec_id", "cluster_id")
-    w = Window.partitionBy("cluster_id")
-    return final.withColumn("cluster_size", F.count("*").over(w))
+    # cluster_size via one k-row collect + literal map, NOT a window: a
+    # window partitioned by cluster_id funnels the whole corpus into k
+    # sort tasks (12.5M rows/task at 100M vectors, k=8). The count
+    # aggregate is map-side partial with k shuffled rows (the same
+    # k-bounded driver fetch as the iteration updates), and the
+    # returned plan stays map-only over the checkpoint.
+    size_rows = final.groupBy("cluster_id").agg(F.count("*").alias("n")).collect()
+    size_map = F.map_from_arrays(
+        F.array(*[F.lit(int(r["cluster_id"])) for r in size_rows]),
+        F.array(*[F.lit(int(r["n"])) for r in size_rows]),
+    )
+    return final.withColumn(
+        "cluster_size", F.element_at(size_map, F.col("cluster_id"))
+    )
 
 
 def semantic_dedup(
@@ -188,9 +199,13 @@ def semantic_dedup(
     """
     from unstructured_spark.operators.similarity import dot, l2_norm
 
+    # the assignment feeds three plan branches (pair-join a-side,
+    # b-side, final output join); a lineage cut keeps the k-means
+    # chain from re-executing per branch — the checkpoint is 3 longs
+    # per vector, tiny next to the vectors themselves
     assign = kmeans_clusters(
         corpus, k=k, iterations=iterations, id_col=id_col, vec_col=vec_col
-    )
+    ).localCheckpoint(eager=False)
     vecs = corpus.select(
         F.col(id_col).cast("long").alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("v"),
