@@ -695,6 +695,21 @@ def q_drop_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "text")
 
 
+def q_drop_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-call corpus dedup with the production keep policy: per
+    exact-fingerprint group / near-dup cluster keep the member
+    maximizing n_chars (ties -> min doc_id) instead of blindly keeping
+    the lowest id — what corpus builds actually do (retain the
+    longest / highest-quality copy). Same LSH->Jaccard->CC pipeline as
+    q_drop_near_duplicates; only the representative choice differs
+    (operators/dedup.py drop_near_duplicates keep='best')."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.drop_near_duplicates(
+        docs, n=3, threshold=0.5, num_hashes=16, bands=8,
+        keep="best", quality_col="n_chars",
+    ).select("doc_id", "text")
+
+
 def q_shared_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact substring dedup (Lee et al. 2022): maximal runs of >= 15
     consecutive shared tokens between document pairs — k-gram position
@@ -2545,6 +2560,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_random_projection": q_random_projection,
         "q_pq_topk": q_pq_topk,
         "q_ivf_ann_topk": q_ivf_ann_topk,
+        # new in round 7, parked past the window head — rotates into
+        # the driver's first-50 hash window next round
+        "q_drop_keep_best": q_drop_keep_best,
         "q_edit_distance": q_edit_distance,
         "q_eval_summary": q_eval_summary,
         "q_percent_missing": q_percent_missing,
@@ -3883,6 +3901,60 @@ left join stats s using (doc_id)
               union
               select fp.doc_id as doc from fp join keepers using (f)
               where fp.doc_id <> keepers.keep
+            )
+            select d.doc_id, d.text from documents d
+            where d.doc_id not in (select doc from drops)
+        """,
+        "q_drop_keep_best": _LSH_PAIRS_CTE.replace("with ", "with recursive ", 1)
+        + """
+            , sh as (
+              select doc_id,
+                     list_distinct([t.toks[i] || '_' || t.toks[i+1] || '_' || t.toks[i+2]
+                                    for i in range(1, len(t.toks) - 1)]) as sh
+              from (select doc_id, string_split(trim(text), ' ') as toks
+                    from documents) t
+            ), vpairs as (
+              select doc_a, doc_b
+              from pairs
+              join sh a on a.doc_id = doc_a
+              join sh b on b.doc_id = doc_b
+              where round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+                          len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.5
+            ), edges as (
+              select doc_a as a, doc_b as b from vpairs
+              union
+              select doc_b as a, doc_a as b from vpairs
+            ), reach as (
+              select a, b from edges
+              union
+              select r.a, e.b from reach r join edges e on r.b = e.a
+                where e.b <> r.a
+            ), labels as (
+              select a as doc, least(a, min(b)) as lbl from reach group by a
+            ), ck as (
+              select lbl, doc as keep from (
+                select l.lbl, l.doc,
+                       row_number() over (partition by l.lbl
+                                          order by d.n_chars desc, l.doc asc) as rn
+                from labels l join documents d on d.doc_id = l.doc
+              ) where rn = 1
+            ), fpq as (
+              select doc_id,
+                     md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) as f,
+                     n_chars as q
+              from documents
+            ), fkeep as (
+              select f, doc_id as keep from (
+                select f, doc_id,
+                       row_number() over (partition by f
+                                          order by q desc, doc_id asc) as rn
+                from fpq
+              ) where rn = 1
+            ), drops as (
+              select l.doc from labels l join ck using (lbl) where l.doc <> ck.keep
+              union
+              select fpq.doc_id as doc from fpq join fkeep using (f)
+              where fpq.doc_id <> fkeep.keep
             )
             select d.doc_id, d.text from documents d
             where d.doc_id not in (select doc from drops)

@@ -107,6 +107,56 @@ class TestDropNearDuplicates:
         )
         assert drop_near_duplicates(df).count() == 2
 
+    def test_keep_best_quality_representative(self, spark):
+        from unstructured_spark.operators.dedup import drop_near_duplicates
+
+        base = "the quick brown fox jumps over the lazy dog again and again today"
+        near = base.replace("today", "tonight and tomorrow as well")
+        rows = [
+            # near-dup cluster: id 1 lowest, but id 3 highest quality
+            (1, base, 10),
+            (2, base + " x", 20),
+            (3, near, 30),
+            # exact pair with DIFFERING quality metadata: keep id 5
+            (4, "hi", 1),
+            (5, "hi", 2),
+            (6, "completely different text about spark query planning", 0),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string, score long")
+        kept = sorted(
+            r["doc_id"]
+            for r in drop_near_duplicates(
+                df, threshold=0.4, keep="best", quality_col="score"
+            ).collect()
+        )
+        assert kept == [3, 5, 6]
+
+    def test_keep_best_quality_tie_breaks_to_min_id(self, spark):
+        from unstructured_spark.operators.dedup import drop_near_duplicates
+
+        df = spark.createDataFrame(
+            [(7, "hi", 5), (3, "hi", 5), (9, "hi", 5)],
+            "doc_id long, text string, score long",
+        )
+        kept = [
+            r["doc_id"]
+            for r in drop_near_duplicates(
+                df, keep="best", quality_col="score"
+            ).collect()
+        ]
+        assert kept == [3]
+
+    def test_keep_policy_validation(self, spark):
+        import pytest
+
+        from unstructured_spark.operators.dedup import drop_near_duplicates
+
+        df = spark.createDataFrame([(1, "x", 1)], "doc_id long, text string, s long")
+        with pytest.raises(ValueError, match="keep must be"):
+            drop_near_duplicates(df, keep="newest")
+        with pytest.raises(ValueError, match="quality_col"):
+            drop_near_duplicates(df, keep="best")
+
 
 class TestHammingBlockingLossless:
     """hamming_pairs' pigeonhole blocking must find EXACTLY the brute

@@ -530,6 +530,8 @@ def drop_near_duplicates(
     threshold: float = 0.5,
     num_hashes: int = 16,
     bands: int = 8,
+    keep: str = "min_id",
+    quality_col: str | None = None,
 ) -> DataFrame:
     """One-call corpus dedup — the full pipeline a training-data run
     applies, returning the corpus with non-canonical duplicates REMOVED:
@@ -539,24 +541,59 @@ def drop_near_duplicates(
     2. verified near-duplicates (MinHash-LSH candidates → exact n-gram
        Jaccard ≥ ``threshold``);
     3. connected components over the verified pairs → clusters;
-    4. keep the minimum ``doc_id`` per cluster / fingerprint group,
-       drop the rest.
+    4. keep ONE representative per cluster / fingerprint group, drop
+       the rest.
+
+    ``keep`` selects the representative:
+
+    - ``'min_id'`` (default): the minimum ``doc_id`` — fully
+      deterministic with no extra inputs;
+    - ``'best'``: the member maximizing ``quality_col`` (ties → min
+      ``doc_id``) — what production corpus builds usually want (keep
+      the longest / highest-quality copy, e.g. a Gopher or perplexity
+      score, not whichever arrived first). A doc that maximizes
+      quality over its cluster also maximizes it over its exact
+      fingerprint group (the group is a subset), so the two drop sets
+      always agree on the survivor.
 
     Scale shape: the drop set is a tiny fraction of the corpus (the
     duplicates), so the final filter is a broadcast anti-join — the
-    corpus itself is never shuffled. Steps 1-3 are the oracle-checked
-    operators above, composed.
+    corpus itself is never shuffled. The ``'best'`` keeper choice is
+    one ``max_by`` hash-aggregate per group (map-side partials, no
+    window sort); the quality lookup joins only the duplicate members,
+    never the corpus. Steps 1-3 are the oracle-checked operators
+    above, composed.
     """
-    # exact groups: every doc whose fingerprint-group min is another doc
-    fp = F.md5(F.lower(F.trim(F.regexp_replace(F.col(text), "\\s+", " "))))
-    fps = df.select(F.col(doc_id).alias("doc"), fp.alias("fingerprint"))
-    exact_drop = (
-        fps.join(
-            exact_duplicates(df, text=text, doc_id=doc_id).select(
-                "fingerprint", "keep_id"
-            ),
-            "fingerprint",
+    if keep not in ("min_id", "best"):
+        raise ValueError(f"keep must be 'min_id' or 'best', got {keep!r}")
+    if keep == "best" and quality_col is None:
+        raise ValueError("keep='best' needs quality_col")
+    # (quality, -doc) max == quality desc, doc asc — the id tie-break
+    # keeps 'best' as deterministic as 'min_id'
+    def _best(doc_col: str, q_col: str):
+        return F.max_by(
+            F.col(doc_col),
+            F.struct(F.col(q_col).alias("q"), (-F.col(doc_col)).alias("nd")),
         )
+
+    # exact groups: every doc whose group representative is another doc
+    fp = F.md5(F.lower(F.trim(F.regexp_replace(F.col(text), "\\s+", " "))))
+    if keep == "min_id":
+        fps = df.select(F.col(doc_id).alias("doc"), fp.alias("fingerprint"))
+        exact_keep = exact_duplicates(df, text=text, doc_id=doc_id).select(
+            "fingerprint", "keep_id"
+        )
+    else:
+        fps = df.select(
+            F.col(doc_id).alias("doc"),
+            fp.alias("fingerprint"),
+            F.col(quality_col).alias("_q"),
+        )
+        exact_keep = fps.groupBy("fingerprint").agg(
+            _best("doc", "_q").alias("keep_id")
+        )
+    exact_drop = (
+        fps.join(exact_keep, "fingerprint")
         .filter(F.col("doc") != F.col("keep_id"))
         .select("doc")
     )
@@ -569,11 +606,21 @@ def drop_near_duplicates(
         num_hashes=num_hashes, bands=bands,
     ).persist()
     try:
-        near_drop = (
-            connected_components(pairs)
-            .filter(F.col("doc") != F.col("label"))
-            .select("doc")
-        )
+        members = connected_components(pairs)
+        if keep == "min_id":
+            # the min-label IS the min cluster id — no extra pass
+            near_drop = members.filter(F.col("doc") != F.col("label")).select("doc")
+        else:
+            mq = members.join(
+                df.select(F.col(doc_id).alias("doc"), F.col(quality_col).alias("_q")),
+                "doc",
+            )
+            cluster_keep = mq.groupBy("label").agg(_best("doc", "_q").alias("_keep"))
+            near_drop = (
+                mq.join(cluster_keep, "label")
+                .filter(F.col("doc") != F.col("_keep"))
+                .select("doc")
+            )
         drops = exact_drop.union(near_drop).distinct()
         return df.join(
             F.broadcast(drops.withColumnRenamed("doc", doc_id)), doc_id, "left_anti"
