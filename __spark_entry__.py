@@ -702,7 +702,14 @@ def q_drop_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     the lowest id — what corpus builds actually do (retain the
     longest / highest-quality copy). Same LSH->Jaccard->CC pipeline as
     q_drop_near_duplicates; only the representative choice differs
-    (operators/dedup.py drop_near_duplicates keep='best')."""
+    (operators/dedup.py drop_near_duplicates keep='best').
+
+    Registered despite overlapping q_drop_near_duplicates because the
+    keeper rule is a DIFFERENT aggregation path (max_by over quality
+    joined onto cluster members vs the free min-label) whose
+    correctness deserves its own external hash row; its cost sits in
+    the existing dedup-composite band (~2.5s at sf0.1), unlike the
+    intra-batch chain q_dedup_incremental deliberately excludes."""
     docs = _t(spark, sf_dir, "documents")
     return dedup.drop_near_duplicates(
         docs, n=3, threshold=0.5, num_hashes=16, bands=8,
@@ -819,9 +826,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from unstructured_spark.operators.clustering import semantic_dedup
 
     emb = _t(spark, sf_dir, "embeddings")
-    return semantic_dedup(emb, k=8, iterations=2, threshold=0.42).withColumn(
-        "cluster_size", F.col("cluster_size").cast("bigint")
-    )
+    return semantic_dedup(emb, k=8, iterations=2, threshold=0.42)
 
 
 def q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -842,9 +847,7 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from unstructured_spark.operators.clustering import kmeans_clusters
 
     emb = _t(spark, sf_dir, "embeddings")
-    return kmeans_clusters(emb, k=8, iterations=2).withColumn(
-        "cluster_size", F.col("cluster_size").cast("bigint")
-    )
+    return kmeans_clusters(emb, k=8, iterations=2)
 
 
 def _kmeans_cte_chain(k: int = 8, iters: int = 2, dim: int = 64) -> str:
@@ -2637,6 +2640,39 @@ _LSH_SPLIT_CTE = _MINHASH_SIG_CTE + """
 """
 
 
+# verified near-dup cluster labels: LSH candidates -> trigram-Jaccard
+# >= 0.5 verify -> recursive transitive closure -> min-reachable label.
+# ONE definition shared by the q_drop_* oracles so the verify
+# threshold / shingle size / CC formulation can't silently diverge.
+_VERIFIED_LABELS_CTE = _LSH_PAIRS_CTE.replace("with ", "with recursive ", 1) + """
+, sh as (
+  select doc_id,
+         list_distinct([t.toks[i] || '_' || t.toks[i+1] || '_' || t.toks[i+2]
+                        for i in range(1, len(t.toks) - 1)]) as sh
+  from (select doc_id, string_split(trim(text), ' ') as toks
+        from documents) t
+), vpairs as (
+  select doc_a, doc_b
+  from pairs
+  join sh a on a.doc_id = doc_a
+  join sh b on b.doc_id = doc_b
+  where round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+              len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.5
+), edges as (
+  select doc_a as a, doc_b as b from vpairs
+  union
+  select doc_b as a, doc_a as b from vpairs
+), reach as (
+  select a, b from edges
+  union
+  select r.a, e.b from reach r join edges e on r.b = e.a
+    where e.b <> r.a
+), labels as (
+  select a as doc, least(a, min(b)) as lbl from reach group by a
+)
+"""
+
+
 def _partition_elements_sql() -> str:
     """SQL replay of the .txt partition spine (q_partition_elements):
     CASE classification over the reference predicate chain (bullet →
@@ -3865,33 +3901,8 @@ left join stats s using (doc_id)
               end as split
             from assigned
         """,
-        "q_drop_near_duplicates": _LSH_PAIRS_CTE.replace("with ", "with recursive ", 1)
-        + """
-            , sh as (
-              select doc_id,
-                     list_distinct([t.toks[i] || '_' || t.toks[i+1] || '_' || t.toks[i+2]
-                                    for i in range(1, len(t.toks) - 1)]) as sh
-              from (select doc_id, string_split(trim(text), ' ') as toks
-                    from documents) t
-            ), vpairs as (
-              select doc_a, doc_b
-              from pairs
-              join sh a on a.doc_id = doc_a
-              join sh b on b.doc_id = doc_b
-              where round(len(list_intersect(a.sh, b.sh)) * 1.0 /
-                          len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.5
-            ), edges as (
-              select doc_a as a, doc_b as b from vpairs
-              union
-              select doc_b as a, doc_a as b from vpairs
-            ), reach as (
-              select a, b from edges
-              union
-              select r.a, e.b from reach r join edges e on r.b = e.a
-                where e.b <> r.a
-            ), labels as (
-              select a as doc, least(a, min(b)) as lbl from reach group by a
-            ), fp as (
+        "q_drop_near_duplicates": _VERIFIED_LABELS_CTE + """
+            , fp as (
               select doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) as f
               from documents
             ), keepers as (
@@ -3905,33 +3916,8 @@ left join stats s using (doc_id)
             select d.doc_id, d.text from documents d
             where d.doc_id not in (select doc from drops)
         """,
-        "q_drop_keep_best": _LSH_PAIRS_CTE.replace("with ", "with recursive ", 1)
-        + """
-            , sh as (
-              select doc_id,
-                     list_distinct([t.toks[i] || '_' || t.toks[i+1] || '_' || t.toks[i+2]
-                                    for i in range(1, len(t.toks) - 1)]) as sh
-              from (select doc_id, string_split(trim(text), ' ') as toks
-                    from documents) t
-            ), vpairs as (
-              select doc_a, doc_b
-              from pairs
-              join sh a on a.doc_id = doc_a
-              join sh b on b.doc_id = doc_b
-              where round(len(list_intersect(a.sh, b.sh)) * 1.0 /
-                          len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.5
-            ), edges as (
-              select doc_a as a, doc_b as b from vpairs
-              union
-              select doc_b as a, doc_a as b from vpairs
-            ), reach as (
-              select a, b from edges
-              union
-              select r.a, e.b from reach r join edges e on r.b = e.a
-                where e.b <> r.a
-            ), labels as (
-              select a as doc, least(a, min(b)) as lbl from reach group by a
-            ), ck as (
+        "q_drop_keep_best": _VERIFIED_LABELS_CTE + """
+            , ck as (
               select lbl, doc as keep from (
                 select l.lbl, l.doc,
                        row_number() over (partition by l.lbl

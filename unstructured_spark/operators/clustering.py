@@ -161,9 +161,13 @@ def kmeans_clusters(
     # k-bounded driver fetch as the iteration updates), and the
     # returned plan stays map-only over the checkpoint.
     size_rows = final.groupBy("cluster_id").agg(F.count("*").alias("n")).collect()
+    # cast both arrays: literals type by magnitude (int under 2^31),
+    # which would make the output schema data-dependent
     size_map = F.map_from_arrays(
-        F.array(*[F.lit(int(r["cluster_id"])) for r in size_rows]),
-        F.array(*[F.lit(int(r["n"])) for r in size_rows]),
+        F.array(*[F.lit(int(r["cluster_id"])) for r in size_rows]).cast(
+            "array<bigint>"
+        ),
+        F.array(*[F.lit(int(r["n"])) for r in size_rows]).cast("array<bigint>"),
     )
     return final.withColumn(
         "cluster_size", F.element_at(size_map, F.col("cluster_id"))

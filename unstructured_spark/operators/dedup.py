@@ -551,10 +551,13 @@ def drop_near_duplicates(
     - ``'best'``: the member maximizing ``quality_col`` (ties → min
       ``doc_id``) — what production corpus builds usually want (keep
       the longest / highest-quality copy, e.g. a Gopher or perplexity
-      score, not whichever arrived first). A doc that maximizes
-      quality over its cluster also maximizes it over its exact
-      fingerprint group (the group is a subset), so the two drop sets
-      always agree on the survivor.
+      score, not whichever arrived first). For same-case duplicates
+      the exact fingerprint group is a subset of the near-dup cluster,
+      so a doc maximizing quality over the cluster also wins its
+      group and the two drop sets agree on the survivor. Caveat
+      (shared with ``'min_id'``): fingerprints case-fold but shingles
+      don't, so an exact group of CASE-variants can straddle clusters
+      — each path then keeps its own representative independently.
 
     Scale shape: the drop set is a tiny fraction of the corpus (the
     duplicates), so the final filter is a broadcast anti-join — the
@@ -616,8 +619,11 @@ def drop_near_duplicates(
                 "doc",
             )
             cluster_keep = mq.groupBy("label").agg(_best("doc", "_q").alias("_keep"))
+            # join keepers back onto members, not mq — the quality
+            # column is spent after the aggregate and re-deriving mq
+            # would run the corpus-projection join twice
             near_drop = (
-                mq.join(cluster_keep, "label")
+                members.join(cluster_keep, "label")
                 .filter(F.col("doc") != F.col("_keep"))
                 .select("doc")
             )
