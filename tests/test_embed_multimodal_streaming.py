@@ -491,6 +491,45 @@ class TestStreamNearDedupAgainstIndex:
         }
         assert stream_novel_texts == batch_survivor_texts
 
+    def test_mismatched_index_params_fail_in_stream(self, spark, tmp_path):
+        # the stream path shares the batch's fail-fast guard: an index
+        # built with other bands would silently never key-match and the
+        # stream would pass every historical duplicate through
+        import json
+
+        from unstructured_spark.operators.dedup import minhash_band_index
+        from unstructured_spark.streaming.dedup import (
+            near_dedup_stream_against_index,
+        )
+
+        base = ("the quick brown fox jumps over the lazy dog and keeps "
+                "running through the quiet forest for a long while today")
+        hist = spark.createDataFrame([(2, base)], "doc_id long, text string")
+        bad_index = minhash_band_index(hist, bands=4)
+
+        in_dir = tmp_path / "ndi_guard"
+        in_dir.mkdir()
+        with open(in_dir / "b1.json", "w") as f:
+            f.write(json.dumps(
+                {"ingest_ts": "2024-01-01T00:00:00", "doc_id": "a",
+                 "text": base}) + "\n")
+        stream = spark.readStream.schema(
+            "ingest_ts timestamp, doc_id string, text string"
+        ).json(str(in_dir))
+        out = near_dedup_stream_against_index(stream, bad_index)
+        q = (
+            out.writeStream.format("memory").queryName("ndi_guard")
+            .outputMode("update").trigger(availableNow=True).start()
+        )
+        try:
+            with pytest.raises(Exception) as ei:
+                q.awaitTermination(120)
+        finally:
+            q.stop()
+        assert "incompatible" in str(ei.value) or "incompatible" in str(
+            q.exception()
+        )
+
 
 class TestExactIncrementalDedup:
     def test_history_and_intra_batch(self, spark):
