@@ -28,8 +28,30 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from unstructured_spark.operators import dedup, similarity, text_analysis
+from unstructured_spark.operators.text_analysis import fxln_select_sql
 
 SF_DEFAULT = "/root/testdata/sf0.001"
+
+# Shared bigram-LM scoring tail for the bigram-CE / perplexity oracles:
+# -ln P through the fixed-point INTEGER log (text_analysis.fxln_steps) so
+# DuckDB reproduces Spark's bigints exactly — no libm ln(), no 1-ulp
+# floor(+0.5) flips across engines (the r5-r7 driver-red root cause).
+_NLL_FX_CTE = f""", margs as (
+              select b.doc_id,
+                     uc.c1 + (select v from vocab) as ma,
+                     bc.c12 + 1 as mb
+              from b join bc on b.w1 = bc.w1 and b.w2 = bc.w2
+                     join uc on b.w1 = uc.w1
+            ), nllx as (
+              select doc_id,
+                     {fxln_select_sql("ma", "a_")},
+                     {fxln_select_sql("mb", "b_")}
+              from margs
+            ), nll as (
+              select doc_id,
+                     ((a_ln - b_ln) * 1000000 + 1073741824) // 2147483648 as nlq
+              from nllx
+            )"""
 
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
@@ -634,12 +656,17 @@ def q_partition_elements(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_chunk_by_title(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Partition then chunk with the by_title strategy (grouped fold)."""
-    from unstructured_spark.operators.chunking import chunk_by_title
-    from unstructured_spark.operators.partition_auto import partition_documents
+    """Partition then chunk with the by_title strategy — the reference's
+    one-call ``partition(file, chunking_strategy='by_title')`` flow,
+    fused: the chunk fold rides the parse UDF (one stage, no doc_id
+    re-exchange; tests/test_chunking.py pins fused == unfused)."""
+    from unstructured_spark.operators.partition_auto import partition_and_chunk
 
-    els = partition_documents(_docs_as_files(spark, sf_dir))
-    chunks = chunk_by_title(els, max_characters=500, combine_text_under_n_chars=200)
+    chunks = partition_and_chunk(
+        _docs_as_files(spark, sf_dir),
+        chunking_strategy="by_title",
+        chunk_kwargs={"max_characters": 500, "combine_text_under_n_chars": 200},
+    )
     return chunks.select("doc_id", "element_index", "type", "text")
 
 
@@ -4381,7 +4408,7 @@ left join stats s using (doc_id)
                      as removed_lines
             from counts c left join rebuilt r using (doc_id)
         """,
-        "q_bigram_cross_entropy": """
+        "q_bigram_cross_entropy": f"""
             with t as (
               select doc_id,
                      list_filter(string_split(trim(text), ' '), x -> x != '') as w
@@ -4398,14 +4425,7 @@ left join stats s using (doc_id)
             ), vocab as (
               select count(distinct t) as v from (
                 select w1 as t from b union select w2 as t from b)
-            ), nll as (
-              select b.doc_id,
-                cast(floor(-ln(cast(bc.c12 + 1 as double)
-                    / cast(uc.c1 + (select v from vocab) as double))
-                    * 1000000.0 + 0.5) as bigint) as nlq
-              from b join bc on b.w1 = bc.w1 and b.w2 = bc.w2
-                     join uc on b.w1 = uc.w1
-            )
+            ){_NLL_FX_CTE}
             select doc_id,
                    cast((2 * sum(nlq) + count(*)) // (2 * count(*))
                         as double) / 1000000.0 as cross_entropy,
@@ -4463,7 +4483,7 @@ left join stats s using (doc_id)
                          * 1000000.0 + 0.5) / 1000000.0 as weight
             from scored
         """,
-        "q_perplexity_buckets": """
+        "q_perplexity_buckets": f"""
             with t as (
               select doc_id,
                      list_filter(string_split(trim(text), ' '), x -> x != '') as w
@@ -4480,14 +4500,7 @@ left join stats s using (doc_id)
             ), vocab as (
               select count(distinct t) as v from (
                 select w1 as t from b union select w2 as t from b)
-            ), nll as (
-              select b.doc_id,
-                cast(floor(-ln(cast(bc.c12 + 1 as double)
-                    / cast(uc.c1 + (select v from vocab) as double))
-                    * 1000000.0 + 0.5) as bigint) as nlq
-              from b join bc on b.w1 = bc.w1 and b.w2 = bc.w2
-                     join uc on b.w1 = uc.w1
-            ), ced as (
+            ){_NLL_FX_CTE}, ced as (
               select doc_id,
                      cast((2 * sum(nlq) + count(*)) // (2 * count(*))
                           as double) / 1000000.0 as cross_entropy,

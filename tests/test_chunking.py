@@ -201,6 +201,31 @@ class TestSparkChunking:
         assert len(out) == 1
         assert out[0]["text"].count("\n\n") == 3
 
+    def test_fused_partition_and_chunk_matches_operator_path(self, spark):
+        # the fused one-call flow (chunk fold inside the parse UDF) must
+        # be row-identical to partition → exchange → chunk_by_title
+        from unstructured_spark.operators.partition_auto import partition_and_chunk
+
+        docs = spark.createDataFrame(
+            [
+                ("1", b"Intro\n\nSome text about things.\n\nMethods\n\nDetail text.", "d1.txt"),
+                ("2", b"Short doc.", "d2.txt"),
+                ("3", ("A title\n\n" + "long paragraph word " * 40).encode(), "d3.txt"),
+            ],
+            "doc_id string, content binary, path string",
+        )
+        kw = {"max_characters": 120, "combine_text_under_n_chars": 50}
+        cols = ["doc_id", "element_index", "element_id", "type", "text", "parent_id"]
+        fused = partition_and_chunk(
+            docs, chunking_strategy="by_title", chunk_kwargs=kw
+        ).select(*cols)
+        unfused = partition_and_chunk(
+            docs, chunking_strategy="by_title", chunk_kwargs=kw, fused=False
+        ).select(*cols)
+        assert sorted(map(tuple, fused.collect())) == sorted(
+            map(tuple, unfused.collect())
+        )
+
 
 class TestTokenMode:
     def test_token_window_respected(self):

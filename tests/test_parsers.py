@@ -56,6 +56,48 @@ class TestClassify:
         assert not classify.is_possible_title("Chapter 12")
         monkeypatch.delenv("UNSTRUCTURED_TITLE_NON_ALPHA_THRESHOLD")
 
+    def test_isspace_table_is_complete(self):
+        # the C-speed translate table must delete EXACTLY the chars
+        # str.isspace() accepts, over the whole codepoint space
+        table = classify._ISSPACE_DELETE
+        mismatches = [
+            cp
+            for cp in range(0x110000)
+            if (cp in table) != chr(cp).isspace()
+        ]
+        assert mismatches == []
+
+    def test_under_non_alpha_ratio_matches_per_char_loop(self):
+        samples = [
+            "", "   ", "abc", "a b c", "42 7%", "Ab3 -- x!", "日本語 テスト",
+            " mixed space　tab\ttext", "½Ⅻª", "ṩǟ", "a" * 500,
+        ]
+        for s in samples:
+            non_space = [c for c in s if not c.isspace()]
+            expect = (
+                bool(non_space)
+                and sum(1 for c in non_space if c.isalpha()) / len(non_space) >= 0.5
+            )
+            assert classify.under_non_alpha_ratio(s, 0.5) == expect, repr(s)
+
+    def test_env_snapshot_freezes_overrides(self, monkeypatch):
+        # inside env_snapshot() the overrides are batch-frozen: mid-batch
+        # env mutation must NOT change answers (and the exit restores
+        # live-read semantics)
+        t = "The fox is running far today."
+        with classify.env_snapshot():
+            assert classify.is_possible_narrative_text(t)
+            monkeypatch.setenv("UNSTRUCTURED_NARRATIVE_TEXT_CAP_THRESHOLD", "0.0")
+            assert classify.is_possible_narrative_text(t)  # frozen
+        assert not classify.is_possible_narrative_text(t)  # live again
+        monkeypatch.delenv("UNSTRUCTURED_NARRATIVE_TEXT_CAP_THRESHOLD")
+        # snapshot taken WITH the var set applies it throughout
+        monkeypatch.setenv("UNSTRUCTURED_TITLE_MAX_WORD_LENGTH", "3")
+        with classify.env_snapshot():
+            monkeypatch.delenv("UNSTRUCTURED_TITLE_MAX_WORD_LENGTH")
+            assert not classify.is_possible_title("A Study Of Spark Plans")
+        assert classify.is_possible_title("A Study Of Spark Plans")
+
     def test_language_checks_gate(self, monkeypatch):
         # non-English-looking text passes by default, fails when the
         # env var (or kwarg) turns the English lexicon gate on

@@ -140,20 +140,36 @@ def kmeans_clusters(
 
     for _ in range(iterations):
         assigned = _assign(quant, _centroid_df(spark, cents))
+        # centroid update as a NARROW (cluster_id, component) aggregate:
+        # posexplode + sum shuffles k·dim partial rows after map-side
+        # combine (same kilobyte payload as before), but the generated
+        # code is one 3-column agg instead of a dim-wide sum list — the
+        # dim-wide variant re-compiled ~dim·k codegen columns per
+        # iteration and dominated toy-scale wall time (r7 bench). The
+        # sums are exact integers either way, so hashes are unchanged.
         upd = (
-            assigned.groupBy("cluster_id")
-            .agg(
-                F.count("*").alias("n"),
-                *[F.sum(F.col("q").getItem(j)).alias(f"s{j}") for j in range(dim)],
-            )
+            assigned.select("cluster_id", F.posexplode("q").alias("j", "qj"))
+            .groupBy("cluster_id", "j")
+            .agg(F.sum("qj").alias("s"), F.count("*").alias("n"))
             .collect()
         )
-        cents = [
-            (int(r["cluster_id"]), [int(r[f"s{j}"]) for j in range(dim)], int(r["n"]))
-            for r in upd
-        ]
+        by_cid: dict[int, list] = {}
+        for r in upd:
+            by_cid.setdefault(int(r["cluster_id"]), [0] * dim)[int(r["j"])] = int(
+                r["s"]
+            )
+        n_by_cid = {int(r["cluster_id"]): int(r["n"]) for r in upd}
+        cents = [(cid, s, n_by_cid[cid]) for cid, s in sorted(by_cid.items())]
 
-    final = _assign(quant, _centroid_df(spark, cents)).select("vec_id", "cluster_id")
+    # checkpoint the FINAL assignment: the size collect below
+    # materializes it once, and the returned frame re-reads the
+    # checkpoint instead of re-running the whole assignment pass when
+    # the caller consumes it (one fewer corpus pass per kmeans call)
+    final = (
+        _assign(quant, _centroid_df(spark, cents))
+        .select("vec_id", "cluster_id")
+        .localCheckpoint(eager=False)
+    )
     # cluster_size via one k-row collect + literal map, NOT a window: a
     # window partitioned by cluster_id funnels the whole corpus into k
     # sort tasks (12.5M rows/task at 100M vectors, k=8). The count
@@ -182,6 +198,7 @@ def semantic_dedup(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assignments: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
     at web-scale through semantic deduplication"): cluster embeddings
@@ -200,6 +217,11 @@ def semantic_dedup(
     same discipline as cosine_topk).
 
     Returns (vec_id, cluster_id, cluster_size, is_duplicate).
+
+    ``assignments`` short-circuits the Lloyd run with a precomputed
+    clustering — any frame shaped (vec_id, cluster_id, cluster_size),
+    e.g. a persisted ``kmeans_clusters`` output shared across several
+    dedup sweeps at different thresholds.
     """
     from unstructured_spark.operators.similarity import dot, l2_norm
 
@@ -207,8 +229,12 @@ def semantic_dedup(
     # b-side, final output join); a lineage cut keeps the k-means
     # chain from re-executing per branch — the checkpoint is 3 longs
     # per vector, tiny next to the vectors themselves
-    assign = kmeans_clusters(
-        corpus, k=k, iterations=iterations, id_col=id_col, vec_col=vec_col
+    assign = (
+        assignments.select("vec_id", "cluster_id", "cluster_size")
+        if assignments is not None
+        else kmeans_clusters(
+            corpus, k=k, iterations=iterations, id_col=id_col, vec_col=vec_col
+        )
     ).localCheckpoint(eager=False)
     vecs = corpus.select(
         F.col(id_col).cast("long").alias("vec_id"),

@@ -25,6 +25,87 @@ def tokens(col: Column) -> Column:
     return F.split(F.trim(col), "\\s+")
 
 
+# ---------------------------------------------------------------------------
+# Fixed-point integer logarithm — the cross-engine determinism primitive.
+#
+# ln() from libm differs by 1 ulp across platforms/engines, which is enough
+# to flip a floor(x + 0.5) grid cell and hash-split Spark vs an external
+# oracle (the q_perplexity_buckets driver-red of rounds 5-7). When the log's
+# argument is an INTEGER (smoothed-count LMs: -ln P = ln(c1+V) - ln(c12+1)),
+# the log can instead be computed in pure 64-bit integer arithmetic that
+# both engines evaluate bit-identically:
+#
+#   m = 2^k · x,  x ∈ [1, 2)   (k via the binary digit count, no libm)
+#   X = round-down fixed-point x at scale S = 2^31
+#   z = (x-1)/(x+1) ∈ [0, 1/3] → ln x = 2·atanh(z) = 2·Σ z^(2i+1)/(2i+1)
+#   ln m ≈ k·round(ln2·S) + 2·Σ T_i,  T_i chained as (T·z²)/S in BIGINT
+#
+# Ten series terms give |error| < 6e-9 in ln (z² ≤ 1/9 decay), far inside
+# the 1e-6 output grid; every step is integer mul / truncating int-div, so
+# Spark and DuckDB produce the SAME bigint — determinism by construction,
+# not by probability. Emitted as SQL text so one generator serves both the
+# Spark plan (F.expr, whole-stage codegen) and the DuckDB oracle replay;
+# the only dialect split is the integer-division operator (`div` vs `//`),
+# which both truncate toward zero.
+# ---------------------------------------------------------------------------
+
+FXLN_SCALE = 2147483648  # 2^31
+FXLN_HALF = 1073741824  # 2^30, the HALF_UP offset at scale
+_FXLN_LN2 = 1488522236  # round(ln(2) · 2^31)
+
+
+def fxln_steps(m: str, prefix: str, idiv: str) -> list[tuple[str, str]]:
+    """Emit ``(column_name, sql_expr)`` steps computing the fixed-point
+    ``ln(m)·2^31`` as chained integer expressions for BIGINT ``m >= 1``.
+
+    ``m`` is a SQL expression string, ``prefix`` namespaces the
+    intermediate columns, ``idiv`` is the dialect's truncating integer
+    division (Spark ``div``, DuckDB ``//``). Steps reference earlier
+    steps by name: apply as chained projections (Spark ``withColumn``)
+    or a lateral-alias SELECT list (DuckDB). Final column: ``{prefix}ln``.
+    """
+    S = FXLN_SCALE
+    p = prefix
+    steps = [
+        # k = floor(log2 m) from the binary digit count — no libm
+        (f"{p}k", f"length(bin({m})) - 1"),
+        # X = floor(m · S / 2^k) ∈ [S, 2S) without overflow either side
+        (
+            f"{p}x",
+            f"case when {p}k <= 31 then {m} * (cast(1 as bigint) << (31 - {p}k)) "
+            f"else {m} {idiv} (cast(1 as bigint) << ({p}k - 31)) end",
+        ),
+        # z = (x-1)/(x+1) at scale: (X-S)·S fits — X-S < S = 2^31
+        (f"{p}z", f"(({p}x - {S}) * {S}) {idiv} ({p}x + {S})"),
+        (f"{p}z2", f"({p}z * {p}z) {idiv} {S}"),
+    ]
+    prev = f"{p}z"
+    for d in (3, 5, 7, 9, 11, 13, 15, 17, 19):
+        steps.append((f"{p}t{d}", f"({prev} * {p}z2) {idiv} {S}"))
+        prev = f"{p}t{d}"
+    series = " + ".join(f"{p}t{d} {idiv} {d}" for d in (3, 5, 7, 9, 11, 13, 15, 17, 19))
+    steps.append(
+        (f"{p}ln", f"cast({p}k as bigint) * {_FXLN_LN2} + 2 * ({p}z + {series})")
+    )
+    return steps
+
+
+def fxln_select_sql(m: str, prefix: str, idiv: str = "//") -> str:
+    """The ``fxln_steps`` chain as one SELECT-list fragment relying on
+    lateral column aliases (DuckDB + Spark both resolve them)."""
+    return ",\n".join(f"{expr} as {name}" for name, expr in fxln_steps(m, prefix, idiv))
+
+
+def with_fxln(df: DataFrame, m: str, prefix: str) -> DataFrame:
+    """Append the fixed-point ``ln`` chain for column-expression ``m``
+    to ``df`` as chained projections; result lands in ``{prefix}ln``.
+    Intermediates stay until the caller's next ``select`` prunes them
+    (Catalyst column-prunes unreferenced steps out of the final plan)."""
+    for name, expr in fxln_steps(m, prefix, "div"):
+        df = df.withColumn(name, F.expr(expr))
+    return df
+
+
 def bpe_ish_tokens(col: Column) -> Column:
     """A BPE-ish regex tokenization: word pieces, numbers, punctuation
     runs (approximates GPT-2's pre-tokenizer split)."""
@@ -380,28 +461,36 @@ def bigram_cross_entropy(
         .agg(F.countDistinct("t"))
         .collect()[0][0]
     )
-    p = (F.col("c12") + 1).cast("double") / (F.col("c1") + F.lit(int(v))).cast(
-        "double"
-    )
     # no broadcast hint on uni_counts: it is vocabulary-sized (10^7+ on
     # a real web corpus) — a plain token-keyed shuffle join scales, AQE
     # still broadcasts small vocabularies on its own
-    scored = (
+    joined = (
         bigrams.join(big_counts, ["w1", "w2"])
         .join(uni_counts, "w1")
-        # quantize each -ln P to a 1e-6 grid BEFORE aggregation: long
-        # sums are order-independent under distributed partials, where
-        # a double sum's rounding depends on partition order (the
-        # repo-wide fixed-order-fold discipline; oracle replays the
-        # same quantization). 1e-6 — not finer — on purpose: the
-        # output is 6 dp anyway, and a coarser grid makes a 1-ulp
-        # cross-environment libm ln() difference ~1000× less likely to
-        # flip the floor across a .5 boundary (r5/r6 driver hash-red
-        # root cause analysis).
+        # -ln P = ln(c1+V) - ln(c12+1): both log arguments are INTEGERS,
+        # so the 1e-6-grid quantization runs through the fixed-point
+        # integer log (fxln_steps above) instead of libm — Spark and the
+        # DuckDB oracle compute bit-identical bigints, closing the
+        # r5-r7 cross-engine 1-ulp floor(+0.5) hash flips for good.
+        # Per-bigram it is ~26 codegen'd integer ops, no extra shuffle.
         .select(
             "doc",
-            F.floor(-F.log(p) * F.lit(1e6) + F.lit(0.5)).cast("long").alias("_nlq"),
+            (F.col("c1") + F.lit(int(v))).alias("_ma"),
+            (F.col("c12") + F.lit(1)).alias("_mb"),
         )
+    )
+    joined = with_fxln(joined, "_ma", "_a")
+    joined = with_fxln(joined, "_mb", "_b")
+    # quantize each -ln P to a 1e-6 grid BEFORE aggregation: long sums
+    # are order-independent under distributed partials, where a double
+    # sum's rounding depends on partition order (the repo-wide
+    # fixed-order-fold discipline; oracle replays the same quantization).
+    # HALF_UP on the scale grid: (D·1e6 + 2^30) div 2^31, all integer.
+    scored = joined.select(
+        "doc",
+        F.expr(f"((_aln - _bln) * 1000000 + {FXLN_HALF}) div {FXLN_SCALE}").alias(
+            "_nlq"
+        ),
     )
     # integer HALF_UP average over grid units — (2·sum + n) div (2·n) —
     # then ONE IEEE division by 1e6: no double rounding step at all, so
