@@ -1300,17 +1300,25 @@ def q_od_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_table_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TEDS-like table-structure evaluation per doc: token grid from
-    each document as ground truth; prediction row-shifted for every
-    5th doc. difflib alignment isn't SQL-expressible → rows-only."""
+    """TEDS-like table-structure evaluation per doc: a 4-column cell
+    grid per document as ground truth; prediction row-shifted for every
+    5th doc. Cell contents are synthetic-distinct (``doc_id_pos``) ON
+    PURPOSE: with no cross-cell token collisions, every difflib score
+    in the pipeline is closed-form — unshifted docs score 1.0
+    everywhere; shifted docs score exactly (row_idx 0.0, col_idx 1.0,
+    row_cont 0.0, col_cont 1.0, composite 0.5) — so the full output
+    hash-checks against a first-principles SQL oracle (upgraded from
+    rows-only in r8; arbitrary-text alignment itself stays pinned by
+    tests/test_table_eval_odmap.py on real varied fixtures)."""
     from unstructured_spark.operators.table_eval import table_eval
 
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select(
         F.col("doc_id").cast("string").alias("doc_id"),
-        F.posexplode(F.slice(F.split("text", r"\s+"), 1, 12)).alias(
-            "pos", "content"
-        ),
+        F.posexplode(F.slice(F.split("text", r"\s+"), 1, 12)).alias("pos", "_t"),
+    ).select(
+        "doc_id", "pos",
+        F.concat_ws("_", "doc_id", "pos").alias("content"),
     )
     gt = toks.select(
         "doc_id", F.lit(0).alias("table_id"),
@@ -1702,31 +1710,109 @@ def q_ocr_supplement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# One page constellation per doc for q_layout_merge, rigidly translated
+# by (dx, dy) = (3d % 97, 7d % 89) so coordinates vary per doc while the
+# rule interactions stay FIXED — which makes the merged output a single
+# hand-derived pattern the DuckDB oracle can state from first principles
+# (the r8 upgrade of this query from rows-only to hash-checked). Boxes
+# and the rule each exercises:
+#   E0 full-page Image (0,0,1000,1000), untranslated   → rule 0 drop
+#   E1 Image  (600,600,680,660)   + I1 Image same box  → rule 1 drops I1
+#   E2 Text   (100,100,200,140)   + I2 Narrative (98,98,202,142):
+#       IoU 4141/4725 = 0.876 > 0.75                   → rule 2: I2 keeps
+#       its box, adopts E2's text, E2 dropped
+#   E3a Text  (310,310,340,320) inside I3 (300,300,500,400) and
+#   E3b Text  (450,350,510,400): inter 2601 > .75·3111 → rule 3 merges
+#       both into I3, EXPANDING it to (300,300,510,400)
+#   E4 Text   (700,100,730,120) inside I4 Figure (695,95,735,125):
+#       I4 is image-like                               → rule 4 drops I4
+#   E5 Text   (820,820,840,835) inside I5 Table (800,800,900,900):
+#       Tables are exempt from rules 3/4               → both kept
+#   E6 Text   (850,50,880,70) and I6 Title (50,600,150,700): untouched
+# Survivors after the top-left re-sort + renumber (8 per doc):
+#   0:E6  1:I2(text=e2_d)  2:E4  3:I3(expanded)  4:I6  5:E1  6:I5  7:E5
+_LAYOUT_CONSTELLATION = {
+    # (base coords, kind, text prefix or None) — translated unless noted
+    "extracted": [
+        (0, "Image", (0, 0, 1000, 1000), None, False),  # E0, page-anchored
+        (1, "Image", (600, 600, 680, 660), None, True),
+        (2, "Text", (100, 100, 200, 140), "e2_", True),
+        (3, "Text", (310, 310, 340, 320), "e3a_", True),
+        (4, "Text", (450, 350, 510, 400), "e3b_", True),
+        (5, "Text", (700, 100, 730, 120), "e4_", True),
+        (6, "Text", (820, 820, 840, 835), "e5_", True),
+        (7, "Text", (850, 50, 880, 70), "e6_", True),
+    ],
+    "inferred": [
+        (100, "Image", (600, 600, 680, 660), None, True),
+        (101, "NarrativeText", (98, 98, 202, 142), None, True),
+        (102, "NarrativeText", (300, 300, 500, 400), None, True),
+        (103, "Figure", (695, 95, 735, 125), None, True),
+        (104, "Table", (800, 800, 900, 900), None, True),
+        (105, "Title", (50, 600, 150, 700), None, True),
+    ],
+}
+
+
+def _constellation_boxes(spark: SparkSession, sf_dir: str, side: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.col("doc_id").cast("long").alias("_d"),
+    )
+    d = F.col("_d")
+    dx, dy = (d * 3 % 97).cast("double"), (d * 7 % 89).cast("double")
+    rows = []
+    for bid, kind, (x1, y1, x2, y2), tpre, translated in _LAYOUT_CONSTELLATION[side]:
+        ox = dx if translated else F.lit(0.0)
+        oy = dy if translated else F.lit(0.0)
+        rows.append(
+            F.struct(
+                F.lit(bid).cast("int").alias("box_id"),
+                F.lit(kind).alias("kind"),
+                (F.lit(float(x1)) + ox).alias("x1"),
+                (F.lit(float(y1)) + oy).alias("y1"),
+                (F.lit(float(x2)) + ox).alias("x2"),
+                (F.lit(float(y2)) + oy).alias("y2"),
+                (
+                    F.concat(F.lit(tpre), F.col("doc_id"))
+                    if tpre
+                    else F.lit(None).cast("string")
+                ).alias("text"),
+            )
+        )
+    src = "pdfminer" if side == "extracted" else "inferred"
+    return docs.select(
+        "doc_id", F.explode(F.array(*rows)).alias("b")
+    ).select(
+        "doc_id",
+        F.lit(1).alias("page_number"),
+        F.col("b.box_id").alias("box_id"),
+        F.lit(src).alias("source"),
+        F.col("b.kind").alias("kind"),
+        F.col("b.x1").alias("x1"),
+        F.col("b.y1").alias("y1"),
+        F.col("b.x2").alias("x2"),
+        F.col("b.y2").alias("y2"),
+        F.col("b.text").alias("text"),
+        F.lit("true" if side == "extracted" else None).cast("string").alias(
+            "is_extracted"
+        ),
+    )
+
+
 def q_layout_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 5-rule inferred/extracted page merge
     (array_merge_inferred_layout_with_extracted_layout,
-    pdfminer_processing.py:250-410) over synthetic detections. The
-    rule-3 fixpoint (box expansion re-entering the subregion test) is
-    iterative → rows-only check; unit tests in tests/test_layout_merge.py
-    pin each rule against the reference's fixtures."""
+    pdfminer_processing.py:250-410) over a rigid-translation
+    constellation that exercises every rule incl. the rule-3 box
+    expansion — hand-derived expected output, hash-checked against the
+    oracle (upgraded from rows-only in r8); unit tests in
+    tests/test_layout_merge.py still pin each rule against the
+    reference's own fixtures."""
     from unstructured_spark.operators.layout_merge import merge_inferred_with_extracted
 
-    inferred = _host_boxes(spark, sf_dir)
-    extracted = _small_text_boxes(spark, sf_dir).unionByName(
-        _t(spark, sf_dir, "documents").select(
-            F.col("doc_id").cast("string").alias("doc_id"),
-            F.lit(1).alias("page_number"),
-            F.lit(6).cast("int").alias("box_id"),
-            F.lit("pdfminer").alias("source"),
-            F.lit("Image").alias("kind"),
-            ((F.col("doc_id").cast("long") * 31) % 700).cast("double").alias("x1"),
-            ((F.col("doc_id").cast("long") * 47) % 700).cast("double").alias("y1"),
-            ((F.col("doc_id").cast("long") * 31) % 700 + 120).cast("double").alias("x2"),
-            ((F.col("doc_id").cast("long") * 47) % 700 + 90).cast("double").alias("y2"),
-            F.lit(None).cast("string").alias("text"),
-            F.lit(None).cast("string").alias("is_extracted"),
-        )
-    )
+    inferred = _constellation_boxes(spark, sf_dir, "inferred")
+    extracted = _constellation_boxes(spark, sf_dir, "extracted")
     merged = merge_inferred_with_extracted(inferred, extracted, 1000.0, 1000.0)
     return merged.select(
         "doc_id", F.col("box_id").cast("bigint").alias("box_id"),
@@ -4386,7 +4472,8 @@ left join stats s using (doc_id)
                        as fp,
                      trim(regexp_replace(ls[i], '\\s+', ' ', 'g')) != ''
                        as nonblank
-              from (select doc_id, string_split(text, chr(10)) as ls
+              from (select doc_id,
+                           string_split(coalesce(text, ''), chr(10)) as ls
                     from documents) t,
                    unnest(range(1, len(ls) + 1)) as u(i)
             ), frequent as (
@@ -5264,9 +5351,71 @@ left join stats s using (doc_id)
                 and (o.x2-o.x1+1)*(o.y2-o.y1+1) <= (h.x2-h.x1+1)*(h.y2-h.y1+1)
             )
         """,
-        # q_layout_merge: intentionally no oracle — the rule-3 merge
-        # iterates box expansion to a fixpoint (not SQL-expressible);
-        # rows-only check + per-rule unit tests in tests/test_layout_merge.py.
+        # q_layout_merge (upgraded from rows-only in r8): the fixture
+        # is one rule-exercising constellation rigidly translated per
+        # doc (see _LAYOUT_CONSTELLATION), so the merged page is a
+        # single hand-derived 8-box pattern with per-doc offsets — the
+        # oracle states it from first principles and the engine must
+        # reproduce it through rules 0-5, the rule-3 expansion, the
+        # top-left re-sort, and the renumber.
+        "q_layout_merge": """
+            with d as (
+              select cast(doc_id as varchar) as doc_id,
+                     cast((doc_id * 3) % 97 as double) as dx,
+                     cast((doc_id * 7) % 89 as double) as dy
+              from documents
+            )
+            select d.doc_id,
+                   cast(u.b.box_id as bigint) as box_id,
+                   u.b.source as source, u.b.kind as kind,
+                   u.b.x1 + dx as x1, u.b.y1 + dy as y1,
+                   u.b.x2 + dx as x2, u.b.y2 + dy as y2,
+                   case when u.b.tpre is null then null
+                        else u.b.tpre || d.doc_id end as text
+            from d, unnest([
+              {box_id: 0, source: 'pdfminer', kind: 'Text',
+               x1: 850.0, y1: 50.0, x2: 880.0, y2: 70.0, tpre: 'e6_'},
+              {box_id: 1, source: 'inferred', kind: 'NarrativeText',
+               x1: 98.0, y1: 98.0, x2: 202.0, y2: 142.0, tpre: 'e2_'},
+              {box_id: 2, source: 'pdfminer', kind: 'Text',
+               x1: 700.0, y1: 100.0, x2: 730.0, y2: 120.0, tpre: 'e4_'},
+              {box_id: 3, source: 'inferred', kind: 'NarrativeText',
+               x1: 300.0, y1: 300.0, x2: 510.0, y2: 400.0,
+               tpre: cast(null as varchar)},
+              {box_id: 4, source: 'inferred', kind: 'Title',
+               x1: 50.0, y1: 600.0, x2: 150.0, y2: 700.0,
+               tpre: cast(null as varchar)},
+              {box_id: 5, source: 'pdfminer', kind: 'Image',
+               x1: 600.0, y1: 600.0, x2: 680.0, y2: 660.0,
+               tpre: cast(null as varchar)},
+              {box_id: 6, source: 'inferred', kind: 'Table',
+               x1: 800.0, y1: 800.0, x2: 900.0, y2: 900.0,
+               tpre: cast(null as varchar)},
+              {box_id: 7, source: 'pdfminer', kind: 'Text',
+               x1: 820.0, y1: 820.0, x2: 840.0, y2: 835.0, tpre: 'e5_'}
+            ]) as u(b)
+        """,
+        #
+        # q_table_eval (upgraded from rows-only in r8): the fixture's
+        # synthetic-distinct cell contents make every difflib score
+        # closed-form, derived by hand from the metric definitions —
+        # unshifted docs are all-1.0; a doc with every row index
+        # shifted by one keeps perfect table/col scores but fails all
+        # row checks: row_idx 0.0, row_cont 0.0 (disjoint row lanes),
+        # so composite = (1 + 0 + (1+0)/2)/3 = 0.5. The oracle states
+        # those values from first principles; the engine must reproduce
+        # them through cogroup + bucketing + difflib + rounding.
+        "q_table_eval": """
+            select cast(doc_id as varchar) as doc_id,
+                   1.0 as table_level_acc,
+                   1.0 as table_detection_f1,
+                   case when doc_id % 5 = 0 then 0.0 else 1.0 end
+                     as element_row_level_index_acc,
+                   1.0 as element_col_level_index_acc,
+                   case when doc_id % 5 = 0 then 0.5 else 1.0 end
+                     as composite_structure_acc
+            from documents
+        """,
         "q_partition_elements": _partition_elements_sql(),
         # chunk-by-title replay (round 5): the synthetic corpus is
         # single-paragraph (one element per doc, no combine step), so

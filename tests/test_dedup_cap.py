@@ -157,6 +157,46 @@ class TestDropNearDuplicates:
         with pytest.raises(ValueError, match="quality_col"):
             drop_near_duplicates(df, keep="best")
 
+    def test_keep_best_with_string_doc_ids(self, spark):
+        # regression: the old tie-break negated doc_id, which casts
+        # string ids to double → null → arbitrary survivor
+        from unstructured_spark.operators.dedup import drop_near_duplicates
+
+        df = spark.createDataFrame(
+            [("e7", "hi", 5), ("e3", "hi", 5), ("e9", "hi", 9)],
+            "doc_id string, text string, score long",
+        )
+        kept = [
+            r["doc_id"]
+            for r in drop_near_duplicates(
+                df, keep="best", quality_col="score"
+            ).collect()
+        ]
+        assert kept == ["e9"]
+        # quality tie among strings → lexicographic min id
+        df2 = spark.createDataFrame(
+            [("e7", "hi", 5), ("e3", "hi", 5)],
+            "doc_id string, text string, score long",
+        )
+        kept2 = [
+            r["doc_id"]
+            for r in drop_near_duplicates(
+                df2, keep="best", quality_col="score"
+            ).collect()
+        ]
+        assert kept2 == ["e3"]
+
+    def test_keep_best_rejects_non_numeric_quality(self, spark):
+        import pytest
+
+        from unstructured_spark.operators.dedup import drop_near_duplicates
+
+        df = spark.createDataFrame(
+            [(1, "x", "high")], "doc_id long, text string, score string"
+        )
+        with pytest.raises(ValueError, match="numeric quality_col"):
+            drop_near_duplicates(df, keep="best", quality_col="score")
+
 
 class TestHammingBlockingLossless:
     """hamming_pairs' pigeonhole blocking must find EXACTLY the brute
@@ -368,6 +408,22 @@ class TestRemoveBoilerplateLines:
         assert out[1]["text"] == "" and out[1]["removed_lines"] == 1
         assert out[2]["text"] == ""
         assert out[3]["text"] == "unique content"
+
+    def test_null_text_and_custom_text_column(self, spark):
+        # null text behaves as an empty doc (0 lines removed, empty
+        # output — never removed_lines=-1), and the output honors the
+        # caller's text column name
+        from unstructured_spark.operators.dedup import remove_boilerplate_lines
+
+        rows = [(1, None), (2, "same"), (3, "same")]
+        docs = spark.createDataFrame(rows, "doc_id long, body string")
+        out = {
+            r["doc_id"]: r
+            for r in remove_boilerplate_lines(docs, text="body").collect()
+        }
+        assert "body" in remove_boilerplate_lines(docs, text="body").columns
+        assert out[1]["body"] == "" and out[1]["removed_lines"] == 0
+        assert out[2]["body"] == "" and out[2]["removed_lines"] == 1
 
     def test_blank_lines_survive_and_min_docs_threshold(self, spark):
         from unstructured_spark.operators.dedup import remove_boilerplate_lines

@@ -128,3 +128,34 @@ def test_parser_bug_propagates_decode_error_classifies():
             partition_bytes(b"a,b\n1,2\n", filename="f.csv")
     finally:
         _PARTITIONERS["csv"] = orig
+
+
+def test_plain_oserror_infra_errno_propagates():
+    """A PLAIN OSError carrying an infra errno (disk full, fd
+    exhaustion) is executor trouble and must propagate — only
+    codec-style OSErrors without an infra errno classify as malformed
+    input."""
+    import errno
+
+    from unstructured_spark.parsers.dispatch import (
+        MalformedDocumentError,
+        _PARTITIONERS,
+        register_partitioner,
+    )
+
+    def disk_full(content, **kw):
+        raise OSError(errno.ENOSPC, "No space left on device")
+
+    def codec_oserror(content, **kw):
+        raise OSError("broken data stream when reading image file")
+
+    orig = _PARTITIONERS["csv"]
+    try:
+        register_partitioner("csv", disk_full)
+        with pytest.raises(OSError, match="No space left"):
+            partition_bytes(b"a,b\n1,2\n", filename="f.csv")
+        register_partitioner("csv", codec_oserror)
+        with pytest.raises(MalformedDocumentError, match="broken data stream"):
+            partition_bytes(b"a,b\n1,2\n", filename="f.csv")
+    finally:
+        _PARTITIONERS["csv"] = orig

@@ -571,12 +571,25 @@ def drop_near_duplicates(
         raise ValueError(f"keep must be 'min_id' or 'best', got {keep!r}")
     if keep == "best" and quality_col is None:
         raise ValueError("keep='best' needs quality_col")
-    # (quality, -doc) max == quality desc, doc asc — the id tie-break
-    # keeps 'best' as deterministic as 'min_id'
+    if keep == "best":
+        q_type = dict(df.dtypes).get(quality_col, "")
+        if q_type.split("(")[0] not in (
+            "tinyint", "smallint", "int", "bigint", "long", "float",
+            "double", "decimal",
+        ):
+            raise ValueError(
+                f"keep='best' needs a numeric quality_col; {quality_col!r} "
+                f"is {q_type or 'missing'}"
+            )
+
+    # min over (-quality, doc) == quality desc, doc asc — negating the
+    # QUALITY (numeric by the guard above) instead of the doc id keeps
+    # the tie-break correct for string doc ids too, where a unary minus
+    # would cast to double, yield null, and pick an arbitrary survivor
     def _best(doc_col: str, q_col: str):
-        return F.max_by(
+        return F.min_by(
             F.col(doc_col),
-            F.struct(F.col(q_col).alias("q"), (-F.col(doc_col)).alias("nd")),
+            F.struct((-F.col(q_col)).alias("nq"), F.col(doc_col).alias("d")),
         )
 
     # exact groups: every doc whose group representative is another doc
@@ -1107,7 +1120,11 @@ def remove_boilerplate_lines(
     corpus; AQE broadcasts it when it fits) → one groupBy(doc)
     reassembly. Never all-pairs, nothing driver-side.
     """
-    lines = df.select(
+    # NULL text → treat as empty doc (coalesce BEFORE the split: split
+    # of null yields no posexplode rows but size() of null is -1, which
+    # would publish removed_lines=-1 and diverge from the oracle)
+    src = df.withColumn(text, F.coalesce(F.col(text), F.lit("")))
+    lines = src.select(
         F.col(doc_id).alias("doc"),
         F.posexplode(F.split(F.col(text), "\n")).alias("pos", "line"),
     ).withColumn(
@@ -1144,7 +1161,7 @@ def remove_boilerplate_lines(
     )
     # per-doc line totals straight off the source table (map-only) —
     # going through `lines` would re-run the posexplode a third time
-    counts = df.select(
+    counts = src.select(
         F.col(doc_id).alias("doc"),
         F.size(F.split(F.col(text), "\n")).cast("bigint").alias("_nlines"),
     )
@@ -1152,7 +1169,9 @@ def remove_boilerplate_lines(
         counts.join(rebuilt, "doc", "left")
         .select(
             F.col("doc").alias(doc_id),
-            F.coalesce(F.col("_clean"), F.lit("")).alias("text"),
+            # honor the caller's text column name (a caller passing
+            # text='body' gets 'body' back, not a silent rename)
+            F.coalesce(F.col("_clean"), F.lit("")).alias(text),
             (F.col("_nlines") - F.coalesce(F.col("_nkept"), F.lit(0)))
             .cast("bigint")
             .alias("removed_lines"),

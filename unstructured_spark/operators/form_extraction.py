@@ -86,6 +86,22 @@ def form_kv_pairs(
     value_text, relation, gap, confidence) — value columns NULL for
     unpaired keys.
     """
+    # ONE doc-keyed exchange for the whole operator: every downstream
+    # clustering requirement — the candidate join (doc,page), both
+    # windows (doc,page,key_box)/(doc,page,value_box), the final key
+    # join (doc,page,box) — is a SUPERSET of {doc_id}, so Spark's
+    # subset rule lets HashPartitioning(doc_id) satisfy them all and no
+    # further hash exchanges are planned (r7 audit: 4 exchanges when
+    # each window/join repartitioned on its own key set). doc_id alone
+    # — not (doc_id, page_number) — because a constant page column
+    # (single-page corpora) is constant-folded out of window specs,
+    # which would defeat the subset match. The lazy checkpoint stops
+    # Catalyst pushing the k/v/table filters below the repartition,
+    # which would split the shared exchange into per-branch copies;
+    # partitioning survives it (LogicalRDD preserves outputPartitioning).
+    # Skew bound: one partition holds whole documents — boxes per doc,
+    # never corpus-sized.
+    detections = detections.repartition("doc_id").localCheckpoint(eager=False)
     keys = detections.filter(F.col("kind") == key_kind)
     vals = detections.filter(F.col("kind") == value_kind)
     if skip_table_regions:

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import binascii
 import csv as _csv
+import errno as _errno
 import json
 import struct
 import xml.etree.ElementTree as _ET
@@ -77,6 +78,22 @@ _INFRA_ERRORS = (
     ConnectionError,
     TimeoutError,
 )
+
+# PLAIN OSError carrying an infrastructure errno (disk full, fd
+# exhaustion, I/O failure) has no dedicated subclass — without this
+# check a full disk would be skipped document-by-document as
+# "malformed" under on_error='skip'
+_INFRA_ERRNOS = frozenset(
+    (_errno.ENOSPC, _errno.EMFILE, _errno.ENFILE, _errno.EIO, _errno.EDQUOT)
+)
+
+
+def _is_infra_oserror(e: BaseException) -> bool:
+    return (
+        isinstance(e, OSError)
+        and not isinstance(e, _INFRA_ERRORS)  # subclasses handled upstream
+        and e.errno in _INFRA_ERRNOS
+    )
 
 
 def _decode(content: bytes | str) -> str:
@@ -331,6 +348,10 @@ def partition_bytes(
         # failures propagate loudly instead of skipping per-document
         raise
     except _DECODE_ERRORS as e:
+        if _is_infra_oserror(e):
+            # plain OSError with an infra errno (ENOSPC/EMFILE/...):
+            # executor trouble, not malformed input
+            raise
         raise MalformedDocumentError(
             f"malformed {ft} document: {type(e).__name__}: {e}"
         ) from e
