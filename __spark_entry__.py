@@ -2568,24 +2568,87 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # Registry order = driver correctness window (the driver hashes
-        # the FIRST 50 entries). Round 7 rotation: slots 1-6 are the
-        # queries that have NEVER had an external driver row
-        # (q_partition_elements + q_chunk_by_title are SQL-oracled —
-        # this is the document-ETL spine's first external hash check;
-        # q_table_eval + q_layout_merge are rows-only by necessity;
-        # q_remove_boilerplate + q_dedup_incremental are new this
-        # round). q_perplexity_buckets stays in-window so the r7
-        # quantization fix gets a fresh driver hash row, and slots
-        # 41-49 rotate in the nine queries whose only green row is
-        # r3/r4 (form-kv, bigram-CE, KL drift, RRF, dHash, SRP ANN,
-        # Gopher, n-gram repetition) in place of nine r5+r6
-        # double-greens.
+        # Registry order = driver correctness window (first 50 entries
+        # are hashed externally). Round 8 rotation: slots 1-11 are this
+        # round's changed or never-green queries — the fxln rewrite
+        # (q_perplexity_buckets, the only ever-red row, + bigram CE),
+        # the fused/optimized spine (partition, chunk_by_title), the
+        # two rows-only→hash-oracle upgrades (table_eval, layout_merge),
+        # the review-fixed q_remove_boilerplate, the re-planned kmeans/
+        # semantic_dedup/form_kv, and q_drop_keep_best (parked r7,
+        # never externally checked). Slots 12-50 are ALL 39 queries
+        # whose last green row is r4 — after this window every entry's
+        # most recent green is r6+; the 16 r6-stale entries lead the
+        # tail for the r9 rotation.
+        "q_perplexity_buckets": q_perplexity_buckets,
+        "q_bigram_cross_entropy": q_bigram_cross_entropy,
         "q_partition_elements": q_partition_elements,
         "q_chunk_by_title": q_chunk_by_title,
         "q_table_eval": q_table_eval,
         "q_layout_merge": q_layout_merge,
         "q_remove_boilerplate": q_remove_boilerplate,
+        "q_kmeans_clusters": q_kmeans_clusters,
+        "q_semantic_dedup": q_semantic_dedup,
+        "q_form_kv_pairs": q_form_kv_pairs,
+        "q_drop_keep_best": q_drop_keep_best,
+        # --- 39 r4-stale entries (rest of the r8 window) ---
+        "q05_region_revenue": q05_region_revenue,
+        "q06_forecast_revenue": q06_forecast_revenue,
+        "q_top_customers": q_top_customers,
+        "q_order_priority": q_order_priority,
+        "q_part_brand_stats": q_part_brand_stats,
+        "q_nation_acctbal_rollup": q_nation_acctbal_rollup,
+        "q_events_daily": q_events_daily,
+        "q_events_last_per_user": q_events_last_per_user,
+        "q_events_sessionize": q_events_sessionize,
+        "q_events_json": q_events_json,
+        "q_events_moving_avg": q_events_moving_avg,
+        "q_doc_stats": q_doc_stats,
+        "q_winnow_fingerprints": q_winnow_fingerprints,
+        "q_simhash_pairs": q_simhash_pairs,
+        "q_doc_quantiles": q_doc_quantiles,
+        "q_element_type_match": q_element_type_match,
+        "q_token_freq": q_token_freq,
+        "q_exact_dups": q_exact_dups,
+        "q_minhash_signatures": q_minhash_signatures,
+        "q_lsh_candidate_pairs": q_lsh_candidate_pairs,
+        "q_ngram_jaccard_dups": q_ngram_jaccard_dups,
+        "q_simhash": q_simhash,
+        "q_chunk_fixed": q_chunk_fixed,
+        "q_langid": q_langid,
+        "q_cleaned_docs": q_cleaned_docs,
+        "q_embed_topk": q_embed_topk,
+        "q_embed_centroids": q_embed_centroids,
+        "q_embed_neardup": q_embed_neardup,
+        "q_ivf_ann_topk": q_ivf_ann_topk,
+        "q_edit_distance": q_edit_distance,
+        "q_eval_summary": q_eval_summary,
+        "q_percent_missing": q_percent_missing,
+        "q_hash_embeddings": q_hash_embeddings,
+        "q_asof_join": q_asof_join,
+        "q_range_join": q_range_join,
+        "q_od_map": q_od_map,
+        "q12_late_lines": q12_late_lines,
+        "q14_promo_revenue": q14_promo_revenue,
+        "q19_bracket_revenue": q19_bracket_revenue,
+        # --- tail: 16 r6-stale (r9 window candidates) ---
+        "q09_product_type_profit": q09_product_type_profit,
+        "q_box_dedup": q_box_dedup,
+        "q_clean_inner_boxes": q_clean_inner_boxes,
+        "q_embed_text_agg": q_embed_text_agg,
+        "q_ocr_supplement": q_ocr_supplement,
+        "q01_pricing_summary": q01_pricing_summary,
+        "q03_shipping_priority": q03_shipping_priority,
+        "q_ivfpq_topk": q_ivfpq_topk,
+        "q_salted_user_value": q_salted_user_value,
+        "q_weighted_sample": q_weighted_sample,
+        "q_cohort_retention": q_cohort_retention,
+        "q_value_outliers": q_value_outliers,
+        "q_metrics_grouped": q_metrics_grouped,
+        "q_quantized_codes": q_quantized_codes,
+        "q_random_projection": q_random_projection,
+        "q_pq_topk": q_pq_topk,
+        # --- tail: r7-green entries ---
         "q_dedup_incremental": q_dedup_incremental,
         "q07_nation_volume": q07_nation_volume,
         "q08_market_share": q08_market_share,
@@ -2607,9 +2670,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_contaminated_docs": q_contaminated_docs,
         "q_pii_stats": q_pii_stats,
         "q_redacted_docs": q_redacted_docs,
-        "q_kmeans_clusters": q_kmeans_clusters,
-        "q_semantic_dedup": q_semantic_dedup,
-        "q_perplexity_buckets": q_perplexity_buckets,
         "q_dsir_importance": q_dsir_importance,
         "q_leakage_split": q_leakage_split,
         "q_stratified_sample": q_stratified_sample,
@@ -2621,8 +2681,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_overlap_audit": q_overlap_audit,
         "q_funnel": q_funnel,
         "q_funnel_summary": q_funnel_summary,
-        "q_form_kv_pairs": q_form_kv_pairs,
-        "q_bigram_cross_entropy": q_bigram_cross_entropy,
         "q_token_kl_drift": q_token_kl_drift,
         "q_hybrid_rrf": q_hybrid_rrf,
         "q_image_dhash_pairs": q_image_dhash_pairs,
@@ -2631,64 +2689,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_gopher_quality": q_gopher_quality,
         "q_ngram_repetition": q_ngram_repetition,
         "q04_order_priority_check": q04_order_priority_check,
-        "q09_product_type_profit": q09_product_type_profit,
-        "q_box_dedup": q_box_dedup,
-        "q_clean_inner_boxes": q_clean_inner_boxes,
-        "q_embed_text_agg": q_embed_text_agg,
-        "q_ocr_supplement": q_ocr_supplement,
-        "q01_pricing_summary": q01_pricing_summary,
-        "q03_shipping_priority": q03_shipping_priority,
-        "q05_region_revenue": q05_region_revenue,
-        "q06_forecast_revenue": q06_forecast_revenue,
-        "q_top_customers": q_top_customers,
-        "q_order_priority": q_order_priority,
-        "q_part_brand_stats": q_part_brand_stats,
-        "q_nation_acctbal_rollup": q_nation_acctbal_rollup,
-        "q_events_daily": q_events_daily,
-        "q_events_last_per_user": q_events_last_per_user,
-        "q_events_sessionize": q_events_sessionize,
-        "q_events_json": q_events_json,
-        "q_events_moving_avg": q_events_moving_avg,
-        "q_doc_stats": q_doc_stats,
-        "q_winnow_fingerprints": q_winnow_fingerprints,
-        "q_simhash_pairs": q_simhash_pairs,
-        "q_doc_quantiles": q_doc_quantiles,
-        "q_element_type_match": q_element_type_match,
-        "q_token_freq": q_token_freq,
-        "q_ivfpq_topk": q_ivfpq_topk,
-        "q_salted_user_value": q_salted_user_value,
-        "q_exact_dups": q_exact_dups,
-        "q_minhash_signatures": q_minhash_signatures,
-        "q_lsh_candidate_pairs": q_lsh_candidate_pairs,
-        "q_ngram_jaccard_dups": q_ngram_jaccard_dups,
-        "q_simhash": q_simhash,
-        "q_chunk_fixed": q_chunk_fixed,
-        "q_langid": q_langid,
-        "q_cleaned_docs": q_cleaned_docs,
-        "q_embed_topk": q_embed_topk,
-        "q_embed_centroids": q_embed_centroids,
-        "q_embed_neardup": q_embed_neardup,
-        "q_weighted_sample": q_weighted_sample,
-        "q_cohort_retention": q_cohort_retention,
-        "q_value_outliers": q_value_outliers,
-        "q_metrics_grouped": q_metrics_grouped,
-        "q_quantized_codes": q_quantized_codes,
-        "q_random_projection": q_random_projection,
-        "q_pq_topk": q_pq_topk,
-        "q_ivf_ann_topk": q_ivf_ann_topk,
-        # new in round 7, parked past the window head — rotates into
-        # the driver's first-50 hash window next round
-        "q_drop_keep_best": q_drop_keep_best,
-        "q_edit_distance": q_edit_distance,
-        "q_eval_summary": q_eval_summary,
-        "q_percent_missing": q_percent_missing,
-        "q_hash_embeddings": q_hash_embeddings,
-        "q_asof_join": q_asof_join,
-        "q_range_join": q_range_join,
-        "q_od_map": q_od_map,
-        "q12_late_lines": q12_late_lines,
-        "q14_promo_revenue": q14_promo_revenue,
-        "q19_bracket_revenue": q19_bracket_revenue,
     }
 
 

@@ -120,6 +120,40 @@ class TestClassify:
 
     def test_contains_english_word(self):
         assert classify.contains_english_word("the quick fox")
+
+    def test_contains_english_word_reference_cases(self, spark):
+        # the reference's own case table (test_text_type.py:196-215),
+        # run against BOTH the Python mirror and the column form
+        from pyspark.sql import functions as F
+
+        from unstructured_spark.functions import text_type
+
+        cases = [
+            ("PARROT BEAK", True),
+            ("Parrot Beak", True),
+            ("parrot beak", True),
+            ("parrot!", True),
+            ("?parrot", True),
+            ("zombie?parrot", True),
+            ("notaWordHa 'parrot'", True),
+            ("notaWordHa'parrot'", False),
+            ('notaWordHa "parrot,"', True),
+            ("daljdf adlfajldj ajadfa", False),
+            ("BTAR ADFJA L", False),
+            ("Unstructured Technologies", True),
+            ("1.A.RISKS", True),
+            ("Big/Brown/Sheep", True),
+        ]
+        for text, expected in cases:
+            assert classify.contains_english_word(text) is expected, text
+        df = spark.createDataFrame([(t,) for t, _ in cases], "t string")
+        got = [
+            r["e"]
+            for r in df.select(
+                text_type.contains_english_word(F.col("t")).alias("e")
+            ).collect()
+        ]
+        assert got == [e for _, e in cases]
         assert classify.contains_english_word("'beggars' said it IS so")
         assert not classify.contains_english_word("zxqv wvzk pfft")
         assert not classify.contains_english_word("a b c")  # len>1 required

@@ -227,18 +227,26 @@ def element_type_from_text(col: Column) -> Column:
 
 
 def contains_english_word(col: Column) -> Column:
-    """True when any whitespace token (lowercased, len>1) is a common
-    English word — the reference's language sanity check
-    (text_type.py:190-207 over its nltk-derived word list; here the
-    engine's stopword + common-verb lexicons serve as the word set,
-    which covers the check's real purpose of catching non-English
-    text mislabeled as English)."""
+    """True when any whitespace token (lowercased, stripped to [a-z],
+    len>1) is a common English word — the reference's language sanity
+    check (text_type.py:190-207 over its nltk-derived word list; the
+    vendored common-word list in functions/english_words.py serves as
+    the word set, shared with the Python mirror in parsers/classify).
+
+    Membership compiles to a Catalyst ``InSet`` hash probe (``isin``
+    over a >2k literal set crosses the InSet conversion threshold), so
+    the per-token cost is O(1) — a literal-array ``array_contains``
+    would scan all ~2.4k entries per token."""
+    from unstructured_spark.functions.english_words import ENGLISH_WORDS
     from unstructured_spark.operators.text_analysis import STOPWORDS
 
-    words = F.array(
-        *[F.lit(w) for w in sorted(set(STOPWORDS) | set(_COMMON_VERBS))]
+    words = sorted(ENGLISH_WORDS | set(STOPWORDS) | set(_COMMON_VERBS))
+    # same split class as the Python mirror (parsers/classify.py):
+    # dots/slashes/dashes separate crammed-together words ("1.A.RISKS",
+    # "Big/Brown/Sheep" — reference test_text_type.py:190-215)
+    toks = F.split(F.lower(F.trim(col)), r"[\s\-,.!?_/]+")
+    return F.exists(
+        toks,
+        lambda t: (F.length(F.regexp_replace(t, "[^a-z]", "")) > 1)
+        & F.regexp_replace(t, "[^a-z]", "").isin(words),
     )
-    toks = F.filter(
-        F.split(F.lower(F.trim(col)), "\\s+"), lambda t: F.length(t) > 1
-    )
-    return F.exists(toks, lambda t: F.array_contains(words, F.regexp_replace(t, "[^a-z]", "")))

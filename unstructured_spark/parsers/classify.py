@@ -268,17 +268,18 @@ def _env_language_checks(language_checks: bool) -> bool:
 
 @functools.lru_cache(maxsize=1)
 def _english_lexicon() -> frozenset[str]:
+    from unstructured_spark.functions.english_words import ENGLISH_WORDS
     from unstructured_spark.operators.text_analysis import STOPWORDS
 
-    return frozenset(STOPWORDS) | _COMMON_VERBS
+    return ENGLISH_WORDS | frozenset(STOPWORDS) | _COMMON_VERBS
 
 
 def contains_english_word(text: str) -> bool:
     """Any split token (lowercased, stripped to [a-z], len>1) found in
-    the engine's English lexicon — the reference's language sanity
-    check (text_type.py:190-205 over its nltk-derived list; the
-    stopword + common-verb lexicons serve as the word set here, same
-    substitution as the column form in functions/text_type.py)."""
+    the vendored common-English word list — the reference's language
+    sanity check (text_type.py:190-205 over its nltk-derived list;
+    functions/english_words.py documents the coverage contract, and
+    the column form in functions/text_type.py uses the same set)."""
     lexicon = _english_lexicon()
     for word in re.split(r"[\s\-,.!?_\/]+", text.lower()):
         word = re.sub(r"[^a-z]", "", word)
