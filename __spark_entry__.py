@@ -5407,13 +5407,13 @@ left join stats s using (doc_id)
         # them through cogroup + bucketing + difflib + rounding.
         "q_table_eval": """
             select cast(doc_id as varchar) as doc_id,
-                   1.0 as table_level_acc,
-                   1.0 as table_detection_f1,
-                   case when doc_id % 5 = 0 then 0.0 else 1.0 end
-                     as element_row_level_index_acc,
-                   1.0 as element_col_level_index_acc,
-                   case when doc_id % 5 = 0 then 0.5 else 1.0 end
-                     as composite_structure_acc
+                   cast(1.0 as double) as table_level_acc,
+                   cast(1.0 as double) as table_detection_f1,
+                   cast(case when doc_id % 5 = 0 then 0.0 else 1.0 end
+                        as double) as element_row_level_index_acc,
+                   cast(1.0 as double) as element_col_level_index_acc,
+                   cast(case when doc_id % 5 = 0 then 0.5 else 1.0 end
+                        as double) as composite_structure_acc
             from documents
         """,
         "q_partition_elements": _partition_elements_sql(),

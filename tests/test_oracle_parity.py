@@ -92,14 +92,11 @@ def test_entry_smoke(spark):
 
 
 def test_registry_consistency():
-    """Every oracle key maps to a registered query; the rows-only set
-    stays the small, justified list (difflib table eval, iterative box
-    merge — q_partition_elements and q_chunk_by_title graduated to
-    full SQL replays in round 5)."""
+    """Every oracle key maps to a registered query, and every query has
+    an oracle — the last two rows-only entries (difflib table eval,
+    iterative box merge) graduated to closed-form-fixture hash oracles
+    in round 8."""
     q = set(entry_mod.queries())
     o = set(entry_mod.oracle_sql())
     assert o <= q, f"oracles without queries: {sorted(o - q)}"
-    assert q - o == {
-        "q_table_eval",
-        "q_layout_merge",
-    }, f"unexpected rows-only queries: {sorted(q - o)}"
+    assert q - o == set(), f"unexpected rows-only queries: {sorted(q - o)}"
