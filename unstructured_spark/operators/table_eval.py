@@ -61,24 +61,29 @@ EVAL_SCHEMA = (
 
 def _tables(pdf: pd.DataFrame) -> list[list[dict[str, Any]]]:
     """cells → list of tables, each a list of cell dicts in (row, col)
-    order (the reference's "deckerd" table_data shape)."""
+    order (the reference's "deckerd" table_data shape).
+
+    Plain-Python tuple sort + manual grouping: document cell sets are
+    small (tens of rows), where pandas ``sort_values``+``groupby``
+    costs ~10× the actual work (it dominated the per-doc profile)."""
     out: list[list[dict[str, Any]]] = []
     if pdf.empty:
         return out
-    cells = pdf.loc[:, list(CELL_COLS)]
-    for _, grp in cells.sort_values(
-        ["table_id", "row_index", "col_index"]
-    ).groupby("table_id", sort=True):
-        out.append(
-            [
-                {
-                    "row_index": int(r),
-                    "col_index": int(c),
-                    "content": "" if txt is None else str(txt),
-                }
-                for _, r, c, txt in grp.itertuples(index=False, name=None)
-            ]
-        )
+    rows = sorted(
+        (
+            (t, int(r), int(c), "" if txt is None else str(txt))
+            for t, r, c, txt in pdf[list(CELL_COLS)].itertuples(
+                index=False, name=None
+            )
+        ),
+        key=lambda x: x[:3],  # stable on ties, like sort_values
+    )
+    cur_tid: Any = object()
+    for t, r, c, txt in rows:
+        if t != cur_tid:
+            out.append([])
+            cur_tid = t
+        out[-1].append({"row_index": r, "col_index": c, "content": txt})
     return out
 
 
@@ -112,12 +117,20 @@ def _index_acc(pred: list[dict], gt: list[dict], cutoff: float) -> tuple[float, 
     """(row_index_acc, col_index_acc) via duplicate-aware content
     matching (table_alignment.py:107-156)."""
     gt_contents = [d["content"].lower() for d in gt]
+    gt_set = set(gt_contents)
     used: set[int] = set()
     row_ok = col_ok = total = 0
     for cell in pred:
-        matches = difflib.get_close_matches(
-            cell["content"].lower(), gt_contents, cutoff=cutoff, n=1
-        )
+        content = cell["content"].lower()
+        # exact-match fast path: ratio 1.0 iff strings are equal, so an
+        # exact hit IS get_close_matches' answer — skip the O(|gt|)
+        # SequenceMatcher sweep (the common case in real tables)
+        if content in gt_set:
+            matches = [content]
+        else:
+            matches = difflib.get_close_matches(
+                content, gt_contents, cutoff=cutoff, n=1
+            )
         if not matches:
             continue
         cands = [
@@ -139,9 +152,15 @@ def _index_acc(pred: list[dict], gt: list[dict], cutoff: float) -> tuple[float, 
 def _eval_doc(doc_id, pred_pdf: pd.DataFrame, gt_pdf: pd.DataFrame, cutoff: float):
     pred, gt = _tables(pred_pdf), _tables(gt_pdf)
     gt_texts = [_content(td) for td in gt]
+    gt_text_set = set(gt_texts)
     matched = []
     for td in pred:
-        m = difflib.get_close_matches(_content(td), gt_texts, cutoff=0.1, n=1)
+        text = _content(td)
+        # same exact-match fast path as _index_acc
+        if text in gt_text_set:
+            m = [text]
+        else:
+            m = difflib.get_close_matches(text, gt_texts, cutoff=0.1, n=1)
         matched.append(gt_texts.index(m[0]) if m else -1)
 
     scores = [
