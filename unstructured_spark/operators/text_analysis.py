@@ -98,12 +98,14 @@ def fxln_select_sql(m: str, prefix: str, idiv: str = "//") -> str:
 
 def with_fxln(df: DataFrame, m: str, prefix: str) -> DataFrame:
     """Append the fixed-point ``ln`` chain for column-expression ``m``
-    to ``df`` as chained projections; result lands in ``{prefix}ln``.
-    Intermediates stay until the caller's next ``select`` prunes them
-    (Catalyst column-prunes unreferenced steps out of the final plan)."""
-    for name, expr in fxln_steps(m, prefix, "div"):
-        df = df.withColumn(name, F.expr(expr))
-    return df
+    to ``df`` in ONE SELECT using lateral column aliases (each step
+    references earlier aliases in the same list — Spark 3.4+ resolves
+    them natively). A chained-``withColumn`` form nests one Project per
+    step; at two 13-step chains per caller that plan depth dominated
+    toy-scale wall time through repeated analysis, not execution."""
+    cols = [F.col(c) for c in df.columns]
+    cols += [F.expr(expr).alias(name) for name, expr in fxln_steps(m, prefix, "div")]
+    return df.select(*cols)
 
 
 def bpe_ish_tokens(col: Column) -> Column:
@@ -461,36 +463,47 @@ def bigram_cross_entropy(
         .agg(F.countDistinct("t"))
         .collect()[0][0]
     )
-    # no broadcast hint on uni_counts: it is vocabulary-sized (10^7+ on
-    # a real web corpus) — a plain token-keyed shuffle join scales, AQE
-    # still broadcasts small vocabularies on its own
-    joined = (
-        bigrams.join(big_counts, ["w1", "w2"])
-        .join(uni_counts, "w1")
-        # -ln P = ln(c1+V) - ln(c12+1): both log arguments are INTEGERS,
-        # so the 1e-6-grid quantization runs through the fixed-point
-        # integer log (fxln_steps above) instead of libm — Spark and the
-        # DuckDB oracle compute bit-identical bigints, closing the
-        # r5-r7 cross-engine 1-ulp floor(+0.5) hash flips for good.
-        # Per-bigram it is ~26 codegen'd integer ops, no extra shuffle.
-        .select(
-            "doc",
-            (F.col("c1") + F.lit(int(v))).alias("_ma"),
-            (F.col("c12") + F.lit(1)).alias("_mb"),
-        )
+    # -ln P = ln(c1+V) - ln(c12+1): both log arguments are INTEGERS, so
+    # the 1e-6-grid quantization runs through the fixed-point integer
+    # log (fxln_steps above) instead of libm — Spark and the DuckDB
+    # oracle compute bit-identical bigints, closing the r5-r7
+    # cross-engine 1-ulp floor(+0.5) flips for good. The log is
+    # computed ONCE PER DISTINCT ARGUMENT — the distinct smoothed-count
+    # values, a table bounded by the number of distinct count values
+    # (O(√tokens) under Zipf: ~3·10⁶ rows even at 10¹³ tokens), far
+    # smaller than the bigram stream — then broadcast-joined back, so
+    # the per-bigram plan stays exactly as wide as the libm version
+    # and the ~30-step fxln expression is analyzed over a tiny side
+    # plan instead of riding every downstream consumer.
+    args = (
+        uni_counts.select((F.col("c1") + F.lit(int(v))).alias("m"))
+        .unionByName(big_counts.select((F.col("c12") + F.lit(1)).alias("m")))
+        .distinct()
     )
-    joined = with_fxln(joined, "_ma", "_a")
-    joined = with_fxln(joined, "_mb", "_b")
+    lns = with_fxln(args, "m", "_f").select("m", F.col("_fln").alias("_ln"))
+    la = F.broadcast(lns.select(F.col("m").alias("_ma"), F.col("_ln").alias("_aln")))
+    lb = F.broadcast(lns.select(F.col("m").alias("_mb"), F.col("_ln").alias("_bln")))
     # quantize each -ln P to a 1e-6 grid BEFORE aggregation: long sums
     # are order-independent under distributed partials, where a double
     # sum's rounding depends on partition order (the repo-wide
     # fixed-order-fold discipline; oracle replays the same quantization).
     # HALF_UP on the scale grid: (D·1e6 + 2^30) div 2^31, all integer.
-    scored = joined.select(
-        "doc",
-        F.expr(f"((_aln - _bln) * 1000000 + {FXLN_HALF}) div {FXLN_SCALE}").alias(
-            "_nlq"
-        ),
+    scored = (
+        bigrams.join(big_counts, ["w1", "w2"])
+        .join(uni_counts, "w1")
+        .select(
+            "doc",
+            (F.col("c1") + F.lit(int(v))).alias("_ma"),
+            (F.col("c12") + F.lit(1)).alias("_mb"),
+        )
+        .join(la, "_ma")
+        .join(lb, "_mb")
+        .select(
+            "doc",
+            F.expr(
+                f"((_aln - _bln) * 1000000 + {FXLN_HALF}) div {FXLN_SCALE}"
+            ).alias("_nlq"),
+        )
     )
     # integer HALF_UP average over grid units — (2·sum + n) div (2·n) —
     # then ONE IEEE division by 1e6: no double rounding step at all, so
