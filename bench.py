@@ -20,6 +20,7 @@ per-query timings as fit a 1900-char budget, plus a "full" pointer.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import statistics
@@ -64,6 +65,19 @@ def main() -> None:
     for wname in ("q05_region_revenue", "q_events_moving_avg", "q_gopher_quality"):
         if wname in all_q:
             all_q[wname](spark, sf_dir).count()
+    # Python-worker warm-up: pre-fork the worker pool and pay the
+    # numpy/pandas import once per worker BEFORE any timed query —
+    # otherwise the first mapInPandas query in registry order absorbs
+    # 32 × interpreter+import startup (~2s) that belongs to the
+    # environment, not the query.
+    import pandas as _pd
+
+    def _warm(batches):
+        import numpy  # noqa: F401 — worker-side import warm-up
+        for b in batches:
+            yield _pd.DataFrame({"n": [len(b)]})
+
+    spark.range(0, 256, 1, 64).mapInPandas(_warm, "n long").count()
 
     iters = int(os.environ.get("BENCH_ITERS", "3"))
     timings: dict[str, float] = {}
@@ -83,6 +97,13 @@ def main() -> None:
         timings[name] = round(dt, 3)
         total += dt
         print(f"# {name}: {dt:.3f}s median of {iters} ({n} rows)", file=sys.stderr)
+        # drop per-run DataFrame refs NOW: queries that localCheckpoint
+        # (kmeans, dedup, bigram LM) leave checkpoint RDD blocks pinned
+        # until Python GC releases the py4j handles — across 106×4 runs
+        # that accumulates into executor memory pressure that inflates
+        # every later query. Collect + JVM ContextCleaner keeps the
+        # session flat.
+        gc.collect()
 
     record = {
         "metric": "headline_queries_total_wall_clock",
