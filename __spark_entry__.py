@@ -835,6 +835,26 @@ def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_analysis.dsir_importance(docs, target, buckets=4096)
 
 
+def q_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Naive-Bayes corpus classifier (the CCNet/WebText quality-gate
+    shape): train on a deterministic seed slice (doc_id % 10 < 3) with
+    the ``source`` column as the label, score every document. Scores
+    are exact BIGINTs via the fixed-point integer log, so the full
+    train+score pipeline hash-checks against the SQL replay."""
+    from unstructured_spark.operators.classifier import nb_classify
+
+    docs = _t(spark, sf_dir, "documents")
+    seed = docs.filter(F.col("doc_id") % 10 < 3)
+    return nb_classify(
+        docs, seed, label="source", buckets=4096, max_tokens=64
+    ).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        "predicted",
+        "score_q",
+        "margin_q",
+    )
+
+
 def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style head/middle/tail perplexity bucketing over the
     corpus bigram LM — rank-quantile buckets on the 1e-6 score grid
@@ -2591,6 +2611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_semantic_dedup": q_semantic_dedup,
         "q_form_kv_pairs": q_form_kv_pairs,
         "q_drop_keep_best": q_drop_keep_best,
+        "q_nb_classify": q_nb_classify,  # new in r8
         # --- 39 r4-stale entries (rest of the r8 window) ---
         "q05_region_revenue": q05_region_revenue,
         "q06_forecast_revenue": q06_forecast_revenue,
@@ -4518,6 +4539,69 @@ left join stats s using (doc_id)
                         as double) / 1000000.0 as cross_entropy,
                    cast(count(*) as bigint) as n_bigrams
             from nll group by doc_id
+        """,
+        "q_nb_classify": f"""
+            with tok as (
+              select doc_id,
+                     list_filter(string_split(trim(text), ' '),
+                                 x -> x != '')[1:64] as w
+              from documents
+            ), feat as (
+              select doc_id,
+                     unnest(list_concat(w,
+                       case when len(w) >= 2
+                         then [w[i] || '_' || w[i+1] for i in range(1, len(w))]
+                         else [] end)) as g
+              from tok
+            ), bkt as (
+              select doc_id,
+                     cast(('0x' || substr(md5(g), 1, 15)) as bigint) % 4096 as b
+              from feat
+            ), dm as (
+              select doc_id, b, count(*) as cd from bkt group by doc_id, b
+            ), seed as (
+              select doc_id, source as cls from documents where doc_id % 10 < 3
+            ), counts as (
+              select s.cls, k.b, count(*) as cnt
+              from bkt k join seed s using (doc_id) group by s.cls, k.b
+            ), totals as (
+              select cls, sum(cnt) as n_c from counts group by cls
+            ), docsc as (
+              select cls, count(*) as docs_c from seed group by cls
+            ), grid as (
+              select t.cls, gb.b, t.n_c, d.docs_c,
+                     (select count(*) from seed) as nd,
+                     coalesce(c.cnt, 0) as cnt
+              from totals t
+              join docsc d using (cls)
+              cross join (select unnest(range(0, 4096)) as b) gb
+              left join counts c on c.cls = t.cls and c.b = gb.b
+            ), lng as (
+              select cls, b,
+                     {fxln_select_sql("(cnt + 1)", "p_")},
+                     {fxln_select_sql("(n_c + 4096)", "q_")},
+                     {fxln_select_sql("docs_c", "r_")},
+                     {fxln_select_sql("nd", "s_")}
+              from grid
+            ), model as (
+              select cls, b, p_ln - q_ln as lq, r_ln - s_ln as prior_q from lng
+            ), perclass as (
+              select dm.doc_id, m.cls,
+                     any_value(m.prior_q) + sum(dm.cd * m.lq) as score
+              from dm join model m using (b)
+              group by dm.doc_id, m.cls
+            ), ranked as (
+              select *, row_number() over (
+                partition by doc_id order by score desc, cls asc) as rn
+              from perclass
+            )
+            select cast(doc_id as varchar) as doc_id,
+                   max(case when rn = 1 then cls end) as predicted,
+                   max(case when rn = 1 then score end) as score_q,
+                   cast(coalesce(max(case when rn = 1 then score end)
+                          - max(case when rn = 2 then score end), 0) as bigint)
+                     as margin_q
+            from ranked group by doc_id
         """,
         "q_dsir_importance": """
             with feats as (
