@@ -191,6 +191,41 @@ class TestPretrainingCorpusE2E:
             seq0 = [r for r in prows if r["seq_id"] == min(p["seq_id"] for p in prows)]
             assert any(r["seq_token_start"] == 0 for r in seq0)
 
+    def test_classifier_gate_filters_predicted_class(self, spark):
+        from unstructured_spark.pipelines import pretraining_corpus_e2e
+
+        good = (
+            "Heading\n\n"
+            + ("a perfectly ordinary sentence with the usual english "
+               "stopwords in it keeps the quality gate happy. ") * 5
+        )
+        spammy = (
+            "Promo\n\n"
+            + ("casino bonus click the free pills offer and buy the "
+               "casino bonus again with one more free offer today. ") * 5
+        )
+        docs = spark.createDataFrame(
+            [(7, good.encode(), "a.txt"), (8, spammy.encode(), "b.txt")],
+            "doc_id long, content binary, path string",
+        )
+        seed = spark.createDataFrame(
+            [
+                (1, "ordinary english sentence with stopwords and prose", "keep"),
+                (2, "plain sentences keep the usual words happy", "keep"),
+                (3, "casino bonus click free pills offer buy today", "drop"),
+                (4, "free casino offer bonus pills click buy", "drop"),
+            ],
+            "doc_id long, text string, label string",
+        )
+        _, splits = pretraining_corpus_e2e(
+            docs, pack_tokens=None, classifier_seed=seed,
+            classifier_kwargs={"buckets": 512},
+        )
+        srows = splits.collect()
+        assert srows
+        kept_docs = {r["doc_id"] for r in srows}
+        assert "7" in kept_docs and "8" not in kept_docs
+
     def test_unpacked_returns_train_rows(self, spark):
         from unstructured_spark.pipelines import pretraining_corpus_e2e
 

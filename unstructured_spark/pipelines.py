@@ -203,12 +203,16 @@ def pretraining_corpus_e2e(
     dedup_kwargs: dict | None = None,
     split_fractions: tuple[float, ...] = (0.9, 0.05, 0.05),
     pack_tokens: int | None = 2048,
+    classifier_seed: DataFrame | None = None,
+    classifier_keep: tuple[str, ...] = ("keep",),
+    classifier_kwargs: dict | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """The single-job 100×-shape demo chain — every stage a real
     training-data run needs, composed as ONE lazy plan:
 
         partition → chunk(by_title) → hygiene (langid gate, PII
-        redact, Gopher quality) → one-call near-dup drop →
+        redact, Gopher quality) → [optional NB classifier gate,
+        trained on ``classifier_seed``] → one-call near-dup drop →
         leakage-safe split → sequence packing of the train split
 
     Returns ``(packed_or_train, splits)``: the train split's packing
@@ -257,6 +261,28 @@ def pretraining_corpus_e2e(
     stats = {**gopher_stats_exprs("text"), **line_repetition_exprs("text")}
     with_stats = chunks.select("*", *[c.alias(n) for n, c in stats.items()])
     chunks = with_stats.filter(gopher_keep_expr(**qkw)).drop(*stats.keys())
+
+    # optional model-based gate (the CCNet/WebText second stage after
+    # the heuristic filters): train NB on the labeled seed, keep chunks
+    # predicted into `classifier_keep` classes. Adds one broadcast-model
+    # join + doc-keyed aggregates — no corpus re-shuffle.
+    if classifier_seed is not None:
+        from unstructured_spark.operators.classifier import nb_score, nb_train
+
+        ckw = dict(classifier_kwargs or {})
+        label = ckw.pop("label", "label")
+        # seed keeps ITS OWN id/label columns; only the scoring side is
+        # keyed on the chunk table's element_id
+        model = nb_train(classifier_seed, label=label, **ckw)
+        verdicts = nb_score(chunks, model, doc_id="element_id", **ckw).select(
+            F.col("doc_id").alias("element_id"),
+            F.col("predicted").alias("_nb_predicted"),
+        )
+        chunks = (
+            chunks.join(verdicts, "element_id", "left")
+            .filter(F.col("_nb_predicted").isin(*classifier_keep))
+            .drop("_nb_predicted")
+        )
 
     dkw = {"n": 3, "threshold": 0.5}
     dkw.update(dedup_kwargs or {})
