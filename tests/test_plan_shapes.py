@@ -31,6 +31,10 @@ BNLJ_ALLOWED = {
     "q_semantic_dedup",   # same kmeans centroid frame (k rows); the
                           # pairwise sweep itself is an equi-join on
                           # cluster_id, never a crossjoin
+    "q_nb_classify",      # broadcast 1-row docs-total aggregate + the
+                          # `buckets`-row dense-grid range — both
+                          # bounded by construction; corpus scoring is
+                          # an equi-join on the bucket key
 }
 
 
