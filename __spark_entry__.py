@@ -2596,10 +2596,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # two rows-only→hash-oracle upgrades (table_eval, layout_merge),
         # the review-fixed q_remove_boilerplate, the re-planned kmeans/
         # semantic_dedup/form_kv, and q_drop_keep_best (parked r7,
-        # never externally checked). Slots 12-50 are ALL 39 queries
-        # whose last green row is r4 — after this window every entry's
-        # most recent green is r6+; the 16 r6-stale entries lead the
-        # tail for the r9 rotation.
+        # never externally checked), plus the new q_nb_classify (slot
+        # 12 — a brand-new query outranks refreshing an old green).
+        # Slots 13-50 take 38 of the 39 queries whose last green row
+        # is r4; the 39th (q19_bracket_revenue, displaced by
+        # q_nb_classify) leads the tail with the 16 r6-stale entries
+        # for the r9 rotation.
         "q_perplexity_buckets": q_perplexity_buckets,
         "q_bigram_cross_entropy": q_bigram_cross_entropy,
         "q_partition_elements": q_partition_elements,

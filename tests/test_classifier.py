@@ -66,6 +66,66 @@ class TestNbClassifier:
         out = nb_classify(corpus, _seed(spark), buckets=128).collect()
         assert [r["doc_id"] for r in out] == [10]
 
+    def test_stream_scorer_matches_batch(self, spark):
+        # the map-only streaming twin must be BIT-identical to the
+        # aggregation path — tricky inputs: unicode whitespace (Java \s
+        # is ASCII-only), leading tabs, multi-space runs, empty text
+        from unstructured_spark.operators.classifier import nb_score_stream
+
+        seed = _seed(spark)
+        corpus = spark.createDataFrame(
+            [
+                (10, "clean prose with data and science content"),
+                (11, "click here for free casino pills"),
+                (12, "\tdata  science\tprose "),
+                (13, ""),
+                (14, "casino casino casino data"),
+            ],
+            "doc_id long, text string",
+        )
+        model = nb_train(seed, buckets=256)
+        batch = sorted(
+            (str(r["doc_id"]), r["predicted"], r["score_q"], r["margin_q"])
+            for r in nb_score(corpus, model, buckets=256).collect()
+        )
+        stream_form = sorted(
+            tuple(r)
+            for r in nb_score_stream(corpus, model, buckets=256).collect()
+        )
+        assert stream_form == batch
+
+    def test_stream_scorer_runs_on_a_real_stream(self, spark, tmp_path):
+        import pyspark.sql.functions as SF
+
+        from unstructured_spark.operators.classifier import nb_score_stream
+
+        src = tmp_path / "src"
+        src.mkdir()
+        spark.createDataFrame(
+            [(10, "clean prose with data and science content"),
+             (11, "click here for free casino pills")],
+            "doc_id long, text string",
+        ).write.parquet(str(src), mode="overwrite")
+        model = nb_train(_seed(spark), buckets=256)
+        stream = spark.readStream.schema("doc_id long, text string").parquet(
+            str(src)
+        )
+        scored = nb_score_stream(stream, model, buckets=256)
+        assert scored.isStreaming
+        q = (
+            scored.writeStream.format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        out = {
+            r["doc_id"]: r["predicted"]
+            for r in spark.read.parquet(str(tmp_path / "out")).collect()
+        }
+        assert out == {"10": "keep", "11": "spam"}
+
     def test_deterministic_tie_breaks_to_smaller_label(self, spark):
         # identical class evidence: two single-doc classes with the SAME
         # text -> every score ties -> predicted must be the smaller label
