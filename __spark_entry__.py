@@ -855,6 +855,39 @@ def q_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer-training statistics (Sennrich et al.
+    2016): corpus → word-frequency table (the one corpus-wide shuffle)
+    → weighted adjacent-character-pair counts with the </w> end-of-word
+    marker — the exact argmax statistics of the first merge iteration.
+    Top-100 by (count desc, pair asc); all-integer, so the SQL replay
+    is bit-exact."""
+    from unstructured_spark.operators import tokenizer
+
+    docs = _t(spark, sf_dir, "documents")
+    wc = tokenizer.word_counts(docs)
+    return (
+        tokenizer.bpe_pair_counts(wc)
+        .orderBy(F.desc("pair_count"), F.asc("a"), F.asc("b"))
+        .limit(100)
+    )
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf coverage curve for vocabulary sizing: top-200 tokens with
+    exact integer cumulative counts and parts-per-million coverage of
+    the total token mass (truncating division — no float percentile to
+    diverge across engines). The global total rides in as a broadcast
+    one-row join; the ranking window touches only the k survivors of a
+    TakeOrdered."""
+    from unstructured_spark.operators import tokenizer
+
+    docs = _t(spark, sf_dir, "documents")
+    return tokenizer.vocab_coverage(docs, top_k=200).withColumn(
+        "rank", F.col("rank").cast("bigint")
+    )
+
+
 def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style head/middle/tail perplexity bucketing over the
     corpus bigram LM — rank-quantile buckets on the 1e-6 score grid
@@ -2596,12 +2629,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # two rows-only→hash-oracle upgrades (table_eval, layout_merge),
         # the review-fixed q_remove_boilerplate, the re-planned kmeans/
         # semantic_dedup/form_kv, and q_drop_keep_best (parked r7,
-        # never externally checked), plus the new q_nb_classify (slot
-        # 12 — a brand-new query outranks refreshing an old green).
-        # Slots 13-50 take 38 of the 39 queries whose last green row
-        # is r4; the 39th (q19_bracket_revenue, displaced by
-        # q_nb_classify) leads the tail with the 16 r6-stale entries
-        # for the r9 rotation.
+        # never externally checked), plus the three r8-new queries at
+        # slots 12-14 (q_nb_classify, q_bpe_top_pairs, q_vocab_coverage
+        # — a brand-new query outranks refreshing an old green).
+        # Slots 15-50 take 36 of the 39 queries whose last green row
+        # is r4; the displaced three (q12_late_lines, q14_promo_revenue,
+        # q19_bracket_revenue) lead the tail with the 16 r6-stale
+        # entries for the r9 rotation.
         "q_perplexity_buckets": q_perplexity_buckets,
         "q_bigram_cross_entropy": q_bigram_cross_entropy,
         "q_partition_elements": q_partition_elements,
@@ -2614,7 +2648,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_form_kv_pairs": q_form_kv_pairs,
         "q_drop_keep_best": q_drop_keep_best,
         "q_nb_classify": q_nb_classify,  # new in r8
-        # --- 39 r4-stale entries (rest of the r8 window) ---
+        "q_bpe_top_pairs": q_bpe_top_pairs,  # new in r8
+        "q_vocab_coverage": q_vocab_coverage,  # new in r8
+        # --- 36 r4-stale entries (rest of the r8 window) ---
         "q05_region_revenue": q05_region_revenue,
         "q06_forecast_revenue": q06_forecast_revenue,
         "q_top_customers": q_top_customers,
@@ -3468,6 +3504,60 @@ def oracle_sql() -> dict[str, str]:
               from documents
             )
             group by token
+        """,
+        "q_bpe_top_pairs": """
+            with words as (
+              select w as word, cast(count(*) as bigint) as n
+              from (
+                select unnest(list_filter(
+                  string_split_regex(trim(lower(text)), '\\s+'),
+                  x -> x != '')) as w
+                from documents
+              )
+              group by w
+            ), pos as (
+              select word, n,
+                     unnest(range(1, length(word) + 1)) as i
+              from words
+            )
+            select substr(word, cast(i as int), 1) as a,
+                   case when i < length(word)
+                        then substr(word, cast(i as int) + 1, 1)
+                        else '</w>' end as b,
+                   cast(sum(n) as bigint) as pair_count
+            from pos
+            group by a, b
+            order by pair_count desc, a, b
+            limit 100
+        """,
+        "q_vocab_coverage": """
+            with words as (
+              select w as token, cast(count(*) as bigint) as cnt
+              from (
+                select unnest(list_filter(
+                  string_split_regex(trim(lower(text)), '\\s+'),
+                  x -> x != '')) as w
+                from documents
+              )
+              group by w
+            ), tot as (
+              select cast(sum(cnt) as bigint) as total from words
+            ), top as (
+              select token, cnt from words
+              order by cnt desc, token asc limit 200
+            )
+            select token, cnt,
+                   cast(row_number() over
+                        (order by cnt desc, token asc) as bigint) as rank,
+                   cast(sum(cnt) over
+                        (order by cnt desc, token asc
+                         rows between unbounded preceding and current row)
+                        as bigint) as cum_cnt,
+                   (cast(sum(cnt) over
+                        (order by cnt desc, token asc
+                         rows between unbounded preceding and current row)
+                        as bigint) * 1000000) // total as coverage_ppm
+            from top, tot
         """,
         "q_gopher_quality": """
 with w as (

@@ -35,6 +35,8 @@ BNLJ_ALLOWED = {
                           # `buckets`-row dense-grid range — both
                           # bounded by construction; corpus scoring is
                           # an equi-join on the bucket key
+    "q_vocab_coverage",   # broadcast 1-row total-token-count aggregate
+                          # joined onto the k-bounded top-k table
 }
 
 

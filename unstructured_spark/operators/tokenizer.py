@@ -1,0 +1,267 @@
+"""Distributed tokenizer-training primitives: word frequencies, BPE
+merge learning (Sennrich et al. 2016, "Neural Machine Translation of
+Rare Words with Subword Units"), BPE encoding, and vocabulary-coverage
+curves.
+
+These are beyond-reference training-data-pipeline operators (the
+reference engine tokenizes for chunking but never TRAINS a tokenizer);
+at pre-training scale the expensive step is the corpus -> word-frequency
+shrink, and everything downstream is vocabulary-local.
+
+Scale shape
+-----------
+- ``word_counts``: ONE shuffle (hash partial aggregation with map-side
+  combine on the word). The output is vocabulary-sized - Zipf's law
+  means even a 100 TB corpus lands in the 10^7-10^8 distinct-word range,
+  orders of magnitude below the corpus.
+- ``bpe_pair_counts``: explodes character positions of the VOCABULARY
+  table, never the corpus; one further shuffle on the (a, b) pair key.
+- ``bpe_learn_merges``: collects only the top ``max_words`` rows via
+  TakeOrderedAndProject (no global sort) - the same driver-bounded
+  pattern as k-means centroids. Merge iterations then run driver-side
+  over the weighted word list; the corpus is never touched again. This
+  mirrors how SentencePiece/HF-tokenizers train: frequency table first,
+  merges on the table. Capping at ``max_words`` is standard (Zipf top-1M
+  words carry ~99.9% of token mass) and makes driver memory O(max_words).
+- ``bpe_encode``: map-only; the learned merge ranks are broadcast and
+  applied per Arrow batch - composes with Structured Streaming.
+- ``vocab_coverage``: one count shuffle, a scalar total via a broadcast
+  one-row join, and a single-partition window over only the top-k rows
+  (k-bounded by construction).
+
+Determinism: counts are exact BIGINTs; every ordering ties back to
+(count desc, token asc); coverage is integer parts-per-million
+(truncating division) - no floats anywhere, so DuckDB oracles replay
+bit-identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "word_counts",
+    "bpe_pair_counts",
+    "bpe_learn_merges",
+    "bpe_encode",
+    "vocab_coverage",
+]
+
+END_OF_WORD = "</w>"
+
+
+def _words(col: Column, lowercase: bool) -> Column:
+    base = F.lower(col) if lowercase else col
+    return F.filter(F.split(F.trim(base), "\\s+"), lambda w: w != "")
+
+
+def word_counts(
+    df: DataFrame, *, text: str = "text", lowercase: bool = True
+) -> DataFrame:
+    """Corpus -> (word, n) frequency table. The one corpus-wide shuffle
+    in tokenizer training; everything after runs on this table."""
+    return (
+        df.select(F.explode(_words(F.col(text), lowercase)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def bpe_pair_counts(
+    wc: DataFrame, *, marker: str = END_OF_WORD
+) -> DataFrame:
+    """Weighted adjacent-symbol-pair counts over a (word, n) frequency
+    table - the first BPE iteration's statistics. Characters are the
+    initial symbols; each word contributes its final character paired
+    with the end-of-word ``marker`` (so merges can learn suffixes),
+    weighted by the word's corpus frequency.
+
+    Runs on the vocabulary table (already corpus-shrunk), so the
+    position explode is cheap: sum(len(word)) rows, one pair shuffle.
+    """
+    return (
+        wc.select(
+            "word",
+            "n",
+            F.explode(F.sequence(F.lit(1), F.length("word"))).alias("i"),
+        )
+        .select(
+            F.expr("substring(word, i, 1)").alias("a"),
+            F.when(
+                F.col("i") < F.length("word"),
+                F.expr("substring(word, i + 1, 1)"),
+            )
+            .otherwise(F.lit(marker))
+            .alias("b"),
+            "n",
+        )
+        .groupBy("a", "b")
+        .agg(F.sum("n").cast("bigint").alias("pair_count"))
+    )
+
+
+def _merge_step(words: dict, a: str, b: str) -> dict:
+    ab = a + b
+    out: dict = {}
+    for syms, n in words.items():
+        i, buf, last = 0, [], len(syms) - 1
+        while i < len(syms):
+            if i < last and syms[i] == a and syms[i + 1] == b:
+                buf.append(ab)
+                i += 2
+            else:
+                buf.append(syms[i])
+                i += 1
+        out[tuple(buf)] = out.get(tuple(buf), 0) + n
+    return out
+
+
+def bpe_learn_merges(
+    df: DataFrame,
+    *,
+    text: str = "text",
+    num_merges: int = 100,
+    max_words: int = 1_000_000,
+    min_frequency: int = 1,
+    lowercase: bool = True,
+    marker: str = END_OF_WORD,
+) -> list[tuple[str, str, int]]:
+    """Learn BPE merges from a corpus: distributed word-frequency
+    aggregation, then exact greedy merges driver-side over the top
+    ``max_words`` (count desc, word asc) weighted words.
+
+    Returns ``[(left, right, pair_count), ...]`` in merge order. Ties on
+    pair_count break to the lexicographically smallest (left, right) -
+    fully deterministic, so two runs (or two clusters) learn the same
+    tokenizer. Stops early when the best pair's count falls below
+    ``min_frequency`` or no pairs remain.
+    """
+    top = (
+        word_counts(df, text=text, lowercase=lowercase)
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(int(max_words))
+        .collect()
+    )
+    words: dict = {}
+    for r in top:
+        syms = tuple(r["word"]) + (marker,)
+        words[syms] = words.get(syms, 0) + int(r["n"])
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(int(num_merges)):
+        counts: dict = {}
+        for syms, n in words.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + n
+        if not counts:
+            break
+        (a, b), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < int(min_frequency):
+            break
+        merges.append((a, b, cnt))
+        words = _merge_step(words, a, b)
+    return merges
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str, int]],
+    *,
+    text: str = "text",
+    doc_id: str = "doc_id",
+    lowercase: bool = True,
+    marker: str = END_OF_WORD,
+) -> DataFrame:
+    """Apply learned merges to a corpus: (doc_id, tokens array). Map-only
+    - the merge-rank table is broadcast once and each word is encoded by
+    repeatedly applying the lowest-rank applicable merge (the standard
+    BPE inference order). Works unchanged on streaming DataFrames."""
+    import pandas as pd
+
+    ranks = {(a, b): i for i, (a, b, _) in enumerate(merges)}
+    bc = df.sparkSession.sparkContext.broadcast(ranks)
+    lc = bool(lowercase)
+    mk = marker
+
+    def run(batches):
+        import re
+
+        ascii_ws = re.compile(r"[ \t\n\x0b\f\r]+")
+        rk = bc.value
+
+        def enc_word(w: str) -> list[str]:
+            syms = list(w) + [mk]
+            while len(syms) > 1:
+                best_i, best_r = -1, None
+                for i in range(len(syms) - 1):
+                    r = rk.get((syms[i], syms[i + 1]))
+                    if r is not None and (best_r is None or r < best_r):
+                        best_i, best_r = i, r
+                if best_r is None:
+                    break
+                syms[best_i : best_i + 2] = [
+                    syms[best_i] + syms[best_i + 1]
+                ]
+            return syms
+
+        for pdf in batches:
+            toks = []
+            for txt in pdf[text]:
+                s = "" if txt is None else str(txt)
+                if lc:
+                    s = s.lower()
+                ws = [w for w in ascii_ws.split(s.strip(" ")) if w != ""]
+                toks.append([t for w in ws for t in enc_word(w)])
+            yield pd.DataFrame(
+                {"doc_id": pdf[doc_id], "tokens": toks}
+            )
+
+    out_schema = (
+        df.select(F.col(doc_id).alias("doc_id")).schema[0].dataType.simpleString()
+    )
+    return df.select(
+        F.col(doc_id).alias(doc_id), F.col(text).alias(text)
+    ).mapInPandas(run, f"doc_id {out_schema}, tokens array<string>")
+
+
+def vocab_coverage(
+    df: DataFrame,
+    *,
+    text: str = "text",
+    top_k: int = 200,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Cumulative token-mass coverage of the top-k vocabulary: (token,
+    cnt, rank, cum_cnt, coverage_ppm). The Zipf curve that sizes a
+    vocabulary before training a tokenizer - coverage_ppm is the exact
+    integer parts-per-million of corpus tokens covered by ranks 1..r.
+
+    The global total rides in as a broadcast one-row join; the ranking
+    window runs over only the top-k survivors of a TakeOrdered, so the
+    single-partition exchange is k-bounded.
+    """
+    from pyspark.sql import Window
+
+    wc = word_counts(df, text=text, lowercase=lowercase)
+    total = wc.agg(F.sum("n").cast("bigint").alias("_total"))
+    top = wc.orderBy(F.desc("n"), F.asc("word")).limit(int(top_k))
+    w = Window.orderBy(F.desc("n"), F.asc("word"))
+    return (
+        top.join(F.broadcast(total))
+        .select(
+            F.col("word").alias("token"),
+            F.col("n").cast("bigint").alias("cnt"),
+            F.row_number().over(w).alias("rank"),
+            F.sum("n")
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("bigint")
+            .alias("cum_cnt"),
+            "_total",
+        )
+        .withColumn(
+            "coverage_ppm",
+            F.expr("cum_cnt * 1000000 div _total").cast("bigint"),
+        )
+        .drop("_total")
+    )
