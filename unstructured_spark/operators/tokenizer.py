@@ -117,6 +117,48 @@ def _merge_step(words: dict, a: str, b: str) -> dict:
     return out
 
 
+def _learn_merges_local(
+    words: dict, num_merges: int, min_frequency: int
+) -> tuple[list[tuple[str, str, int]], dict]:
+    """The driver-side greedy loop on a {symbol-tuple: count} table.
+    Returns (merges, final word table) — the final table is what the
+    property tests replay encode_word against."""
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(int(num_merges)):
+        counts: dict = {}
+        for syms, n in words.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + n
+        if not counts:
+            break
+        (a, b), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < int(min_frequency):
+            break
+        merges.append((a, b, cnt))
+        words = _merge_step(words, a, b)
+    return merges, words
+
+
+def encode_word(
+    word: str, ranks: dict, marker: str = END_OF_WORD
+) -> list[str]:
+    """Greedy lowest-rank-first BPE inference for one word — equivalent
+    to replaying the merges in learned order, so a training word always
+    reproduces the learner's final segmentation of it."""
+    syms = list(word) + [marker]
+    while len(syms) > 1:
+        best_i, best_r = -1, None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_r is None or r < best_r):
+                best_i, best_r = i, r
+        if best_r is None:
+            break
+        syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    return syms
+
+
 def bpe_learn_merges(
     df: DataFrame,
     *,
@@ -147,20 +189,7 @@ def bpe_learn_merges(
     for r in top:
         syms = tuple(r["word"]) + (marker,)
         words[syms] = words.get(syms, 0) + int(r["n"])
-    merges: list[tuple[str, str, int]] = []
-    for _ in range(int(num_merges)):
-        counts: dict = {}
-        for syms, n in words.items():
-            for i in range(len(syms) - 1):
-                p = (syms[i], syms[i + 1])
-                counts[p] = counts.get(p, 0) + n
-        if not counts:
-            break
-        (a, b), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
-        if cnt < int(min_frequency):
-            break
-        merges.append((a, b, cnt))
-        words = _merge_step(words, a, b)
+    merges, _ = _learn_merges_local(words, num_merges, min_frequency)
     return merges
 
 
@@ -187,23 +216,13 @@ def bpe_encode(
     def run(batches):
         import re
 
+        from unstructured_spark.operators.tokenizer import encode_word
+
         ascii_ws = re.compile(r"[ \t\n\x0b\f\r]+")
         rk = bc.value
 
         def enc_word(w: str) -> list[str]:
-            syms = list(w) + [mk]
-            while len(syms) > 1:
-                best_i, best_r = -1, None
-                for i in range(len(syms) - 1):
-                    r = rk.get((syms[i], syms[i + 1]))
-                    if r is not None and (best_r is None or r < best_r):
-                        best_i, best_r = i, r
-                if best_r is None:
-                    break
-                syms[best_i : best_i + 2] = [
-                    syms[best_i] + syms[best_i + 1]
-                ]
-            return syms
+            return encode_word(w, rk, mk)
 
         for pdf in batches:
             toks = []
