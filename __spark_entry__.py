@@ -888,6 +888,19 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-balanced shard assignment (the training data-loader
+    output shape): documents in doc_id order, a new shard every 2000
+    whitespace tokens, documents never split. Distributed prefix sum
+    (per-block totals → tiny block-offset window → broadcast join) —
+    no global window touches the corpus; all-integer so the SQL
+    window-cumsum replay is exact."""
+    from unstructured_spark.operators.sampling import assign_token_shards
+
+    docs = _t(spark, sf_dir, "documents")
+    return assign_token_shards(docs, 2000)
+
+
 def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style head/middle/tail perplexity bucketing over the
     corpus bigram LM — rank-quantile buckets on the 1e-6 score grid
@@ -2629,13 +2642,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # two rows-only→hash-oracle upgrades (table_eval, layout_merge),
         # the review-fixed q_remove_boilerplate, the re-planned kmeans/
         # semantic_dedup/form_kv, and q_drop_keep_best (parked r7,
-        # never externally checked), plus the three r8-new queries at
-        # slots 12-14 (q_nb_classify, q_bpe_top_pairs, q_vocab_coverage
-        # — a brand-new query outranks refreshing an old green).
-        # Slots 15-50 take 36 of the 39 queries whose last green row
-        # is r4; the displaced three (q12_late_lines, q14_promo_revenue,
-        # q19_bracket_revenue) lead the tail with the 16 r6-stale
-        # entries for the r9 rotation.
+        # never externally checked), plus the four r8-new queries at
+        # slots 12-15 (q_nb_classify, q_bpe_top_pairs, q_vocab_coverage,
+        # q_token_shards — a brand-new query outranks refreshing an old
+        # green; every displaced entry already has r1-r4 green rows).
+        # Slots 16-50 take 35 of the 39 queries whose last green row
+        # is r4; the displaced four (q12_late_lines, q14_promo_revenue,
+        # q19_bracket_revenue, q_od_map) lead the tail with the 16
+        # r6-stale entries for the r9 rotation.
         "q_perplexity_buckets": q_perplexity_buckets,
         "q_bigram_cross_entropy": q_bigram_cross_entropy,
         "q_partition_elements": q_partition_elements,
@@ -2650,7 +2664,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_nb_classify": q_nb_classify,  # new in r8
         "q_bpe_top_pairs": q_bpe_top_pairs,  # new in r8
         "q_vocab_coverage": q_vocab_coverage,  # new in r8
-        # --- 36 r4-stale entries (rest of the r8 window) ---
+        "q_token_shards": q_token_shards,  # new in r8
+        # --- 35 r4-stale entries (rest of the r8 window) ---
         "q05_region_revenue": q05_region_revenue,
         "q06_forecast_revenue": q06_forecast_revenue,
         "q_top_customers": q_top_customers,
@@ -3504,6 +3519,25 @@ def oracle_sql() -> dict[str, str]:
               from documents
             )
             group by token
+        """,
+        "q_token_shards": """
+            with t as (
+              select doc_id,
+                     cast(len(list_filter(
+                       string_split_regex(trim(coalesce(text, '')), '\\s+'),
+                       x -> x != '')) as bigint) as n_tokens
+              from documents
+            ), c as (
+              select doc_id, n_tokens,
+                     cast(coalesce(sum(n_tokens) over (
+                       order by doc_id
+                       rows between unbounded preceding and 1 preceding),
+                       0) as bigint) as off
+              from t
+            )
+            select doc_id, n_tokens,
+                   cast(off // 2000 as bigint) as shard_id
+            from c
         """,
         "q_bpe_top_pairs": """
             with words as (

@@ -1,5 +1,6 @@
 """Deterministic sampling, stratified mixing, sequence packing."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from unstructured_spark.operators.sampling import (
@@ -240,3 +241,78 @@ class TestTemperatureMix:
             [(i, None) for i in range(20)], "doc_id long, source string"
         )
         assert temperature_mix(docs, 10, seed="n2").count() == 0
+
+
+class TestTokenShards:
+    def test_assignment_matches_serial_prefix_sum(self, spark):
+        from unstructured_spark.operators.sampling import assign_token_shards
+
+        texts = {
+            0: "a b c",          # 3 tokens, start 0  -> shard 0
+            1: "d e",            # 2 tokens, start 3  -> shard 0
+            2: "",               # 0 tokens, start 5  -> shard 1
+            3: None,             # 0 tokens, start 5  -> shard 1
+            4: "f g h i",        # 4 tokens, start 5  -> shard 1
+            5: "j",              # 1 token,  start 9  -> shard 1 (9//5)
+            6: "k l",            # 2 tokens, start 10 -> shard 2
+        }
+        df = spark.createDataFrame(
+            list(texts.items()), "doc_id long, text string"
+        )
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["shard_id"])
+            for r in assign_token_shards(df, 5).collect()
+        }
+        assert got == {
+            0: (3, 0), 1: (2, 0), 2: (0, 1), 3: (0, 1),
+            4: (4, 1), 5: (1, 1), 6: (2, 2),
+        }
+
+    def test_blocks_do_not_change_assignment(self, spark):
+        from unstructured_spark.operators.sampling import assign_token_shards
+
+        df = spark.createDataFrame(
+            [(i, "w " * (i % 7)) for i in range(200)],
+            "doc_id long, text string",
+        )
+        a = sorted(map(tuple, assign_token_shards(df, 50, block_size=8).collect()))
+        b = sorted(map(tuple, assign_token_shards(df, 50, block_size=1024).collect()))
+        assert a == b
+
+    def test_string_ids_rejected(self, spark):
+        from unstructured_spark.operators.sampling import assign_token_shards
+
+        df = spark.createDataFrame([("x", "t")], "doc_id string, text string")
+        with pytest.raises(ValueError, match="numeric"):
+            assign_token_shards(df, 5)
+
+    def test_writer_round_trips_every_row(self, spark, tmp_path):
+        from unstructured_spark.operators.storage import write_token_shards
+
+        df = spark.createDataFrame(
+            [(i, "tok " * (1 + i % 5)) for i in range(60)] + [(60, None)],
+            "doc_id long, text string",
+        )
+        dest = str(tmp_path / "shards")
+        n = write_token_shards(df, dest, 30)
+        back = spark.read.parquet(dest)
+        assert back.count() == 61  # nothing dropped, null text included
+        assert back.select("shard_id").distinct().count() == n
+        # each shard's token mass stays near the budget: every shard
+        # except possibly the last holds >= the budget only via its
+        # final overshooting doc, i.e. (sum - last_doc) < budget
+        import pyspark.sql.functions as SF
+
+        tok = SF.size(
+            SF.filter(
+                SF.split(SF.trim(SF.coalesce("text", SF.lit(""))), r"\s+"),
+                lambda x: x != SF.lit(""),
+            )
+        )
+        per = (
+            back.withColumn("_n", tok)
+            .groupBy("shard_id")
+            .agg(SF.sum("_n").alias("s"), SF.max("_n").alias("m"))
+            .collect()
+        )
+        assert all(r["s"] - r["m"] < 30 for r in per)

@@ -211,6 +211,72 @@ def pack_sequences(
     )
 
 
+def assign_token_shards(
+    df: DataFrame,
+    tokens_per_shard: int,
+    *,
+    text: str = "text",
+    doc_id: str = "doc_id",
+    block_size: int = 1024,
+) -> DataFrame:
+    """Token-balanced shard assignment (the webdataset/output-file
+    shape): concatenate all documents in ``doc_id`` order and start a
+    new shard every ``tokens_per_shard`` tokens. Returns (doc_id,
+    n_tokens, shard_id); a document belongs to the shard its global
+    token offset STARTS in, so documents are never split and each
+    shard holds ~tokens_per_shard tokens (overshooting by at most one
+    document).
+
+    Same distributed prefix sum as :func:`pack_sequences` (per-block
+    totals → tiny block-offset window → broadcast join back): no
+    single-partition global window ever sees the corpus. Zero-token
+    and NULL-text documents keep their assignment (a shard writer must
+    not silently drop rows); they simply add no tokens.
+    """
+    id_type = dict(df.dtypes).get(doc_id, "")
+    if id_type not in ("tinyint", "smallint", "int", "bigint", "long"):
+        raise ValueError(
+            f"assign_token_shards needs a numeric, densely-ordered id "
+            f"column; {doc_id!r} is {id_type or 'missing'} — derive an "
+            "ordinal first"
+        )
+    ntok = F.size(
+        F.filter(
+            F.split(F.trim(F.coalesce(F.col(text), F.lit(""))), "\\s+"),
+            lambda x: x != F.lit(""),
+        )
+    )
+    base = df.select(
+        F.col(doc_id).alias("doc"),
+        (F.col(doc_id) / block_size).cast("bigint").alias("_blk"),
+        ntok.cast("bigint").alias("_n"),
+    )
+    blocks = base.groupBy("_blk").agg(F.sum("_n").alias("_bn"))
+    wb = Window.orderBy("_blk").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = blocks.withColumn(
+        "_boff", F.coalesce(F.sum("_bn").over(wb), F.lit(0))
+    )
+    wd = (
+        Window.partitionBy("_blk")
+        .orderBy("doc")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        base.join(F.broadcast(offsets.select("_blk", "_boff")), "_blk")
+        .withColumn(
+            "_gstart",
+            F.col("_boff") + F.coalesce(F.sum("_n").over(wd), F.lit(0)),
+        )
+        .select(
+            F.col("doc").alias(doc_id),
+            F.col("_n").alias("n_tokens"),
+            F.floor(F.col("_gstart") / int(tokens_per_shard))
+            .cast("bigint")
+            .alias("shard_id"),
+        )
+    )
+
+
 def weighted_sample(
     df: DataFrame,
     k: int,

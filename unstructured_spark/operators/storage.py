@@ -155,3 +155,42 @@ def compact_small_files(
         os.rename(dest, path)
         shutil.rmtree(backup)
     return n_files
+
+
+def write_token_shards(
+    df,
+    path: str,
+    tokens_per_shard: int,
+    *,
+    text: str = "text",
+    doc_id: str = "doc_id",
+    mode: str = "overwrite",
+) -> int:
+    """Write a corpus as token-balanced parquet shards (the training
+    data-loader shape: each shard_id=N/ directory holds ~
+    ``tokens_per_shard`` whitespace tokens of consecutive documents).
+    Returns the shard count.
+
+    The assignment comes from :func:`sampling.assign_token_shards`
+    (distributed prefix sum, no global window); the write repartitions
+    on shard_id so each shard's rows land in one task, then
+    partitionBy gives the per-shard directory layout a sequential
+    data loader expects. Every input row is written exactly once —
+    including zero-token documents.
+    """
+    from unstructured_spark.operators.sampling import assign_token_shards
+
+    assigned = assign_token_shards(
+        df, tokens_per_shard, text=text, doc_id=doc_id
+    )
+    out = df.join(assigned.select(doc_id, "shard_id"), doc_id)
+    out.repartition("shard_id").write.mode(mode).partitionBy(
+        "shard_id"
+    ).parquet(path)
+    import os
+
+    return sum(
+        1
+        for d in os.listdir(path)
+        if d.startswith("shard_id=")
+    )
