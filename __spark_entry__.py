@@ -5369,11 +5369,18 @@ left join stats s using (doc_id)
             )
             select doc_id,
               array_to_string(
+                -- the engine ships embeddings as float32 (Arrow wire);
+                -- replay that narrowing (cast ... as real) BEFORE the
+                -- round-to-4, or a double like 11/sqrt(445) =
+                -- 0.52145000094... rounds UP while its float32 image
+                -- 0.52144998... rounds DOWN (bit us at sf0.1, doc 2146)
                 case when nrm > 0
                      then list_transform(raw, x ->
-                       cast(cast(round(x / nrm, 4) as decimal(10,4)) as varchar))
+                       cast(cast(round(cast(cast(x / nrm as real) as double), 4)
+                            as decimal(10,4)) as varchar))
                      else list_transform(raw, x ->
-                       cast(cast(round(x, 4) as decimal(10,4)) as varchar)) end,
+                       cast(cast(round(cast(cast(x as real) as double), 4)
+                            as decimal(10,4)) as varchar)) end,
                 ',') as vec
             from normed
         """,
