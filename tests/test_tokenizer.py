@@ -154,3 +154,35 @@ class TestVocabCoverage:
         df = _corpus(spark, ["b a b a"])
         rows = sorted(vocab_coverage(df, top_k=2).collect(), key=lambda r: r["rank"])
         assert [r["token"] for r in rows] == ["a", "b"]
+
+
+class TestEncodeStreaming:
+    def test_bpe_encode_runs_on_a_real_stream(self, spark, tmp_path):
+        src = tmp_path / "src"
+        src.mkdir()
+        batch = spark.createDataFrame(
+            [(0, "aa aa bb"), (1, "aa bb bb")], "doc_id long, text string"
+        )
+        batch.write.parquet(str(src), mode="overwrite")
+        merges = bpe_learn_merges(batch, num_merges=4)
+        stream = spark.readStream.schema("doc_id long, text string").parquet(
+            str(src)
+        )
+        enc = bpe_encode(stream, merges)
+        assert enc.isStreaming
+        q = (
+            enc.writeStream.format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        out = {
+            r["doc_id"]: r["tokens"]
+            for r in spark.read.parquet(str(tmp_path / "out")).collect()
+        }
+        want = {
+            r["doc_id"]: r["tokens"] for r in bpe_encode(batch, merges).collect()
+        }
+        assert out == want and len(out) == 2
