@@ -186,3 +186,31 @@ class TestEncodeStreaming:
             r["doc_id"]: r["tokens"] for r in bpe_encode(batch, merges).collect()
         }
         assert out == want and len(out) == 2
+
+
+class TestVocab:
+    def test_vocab_layout_alphabet_then_merges(self, spark):
+        from unstructured_spark.operators.tokenizer import (
+            bpe_vocab,
+            corpus_alphabet,
+        )
+
+        df = _corpus(spark, ["ab ab b"])
+        alpha = corpus_alphabet(df)
+        assert alpha == ["a", "b"]
+        merges = bpe_learn_merges(df, num_merges=2)
+        vocab = bpe_vocab(merges, alpha)
+        # sorted base alphabet + marker first ('<' sorts before letters)
+        assert vocab[END_OF_WORD] == 0
+        assert vocab["a"] == 1 and vocab["b"] == 2
+        # then merge outputs in merge order, ids dense
+        assert sorted(vocab.values()) == list(range(len(vocab)))
+        assert len(vocab) == 3 + len(merges)
+
+    def test_duplicate_merge_output_keeps_first_id(self, spark):
+        from unstructured_spark.operators.tokenizer import bpe_vocab
+
+        vocab = bpe_vocab(
+            [("a", "b", 5), ("a", "b", 5)], ["a", "b"]
+        )
+        assert list(vocab) == [END_OF_WORD, "a", "b", "ab"]

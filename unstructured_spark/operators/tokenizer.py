@@ -193,6 +193,42 @@ def bpe_learn_merges(
     return merges
 
 
+def bpe_vocab(
+    merges: list[tuple[str, str, int]],
+    alphabet: list[str] | set[str],
+    *,
+    marker: str = END_OF_WORD,
+) -> dict[str, int]:
+    """Dense token→id table from a learned merge list: the sorted base
+    alphabet (plus the end-of-word marker) first, then each merge's
+    output symbol in merge order — the standard BPE vocab layout, so
+    ids are stable across runs (the learner is deterministic).
+    Duplicate merge outputs (possible when a later merge re-derives an
+    alphabet string) keep their first id."""
+    vocab: dict[str, int] = {}
+    for s in sorted(set(alphabet) | {marker}):
+        vocab.setdefault(s, len(vocab))
+    for a, b, _ in merges:
+        vocab.setdefault(a + b, len(vocab))
+    return vocab
+
+
+def corpus_alphabet(
+    df: DataFrame, *, text: str = "text", lowercase: bool = True
+) -> list[str]:
+    """Distinct characters of the corpus's words — the BPE base
+    alphabet. One explode over the (already corpus-shrunk) vocabulary
+    table; the result is character-set sized."""
+    wc = word_counts(df, text=text, lowercase=lowercase)
+    rows = (
+        wc.select(F.explode(F.split("word", "")).alias("c"))
+        .filter(F.col("c") != "")
+        .distinct()
+        .collect()
+    )
+    return sorted(r["c"] for r in rows)
+
+
 def bpe_encode(
     df: DataFrame,
     merges: list[tuple[str, str, int]],
