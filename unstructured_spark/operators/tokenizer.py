@@ -44,7 +44,10 @@ __all__ = [
     "word_counts",
     "bpe_pair_counts",
     "bpe_learn_merges",
+    "bpe_vocab",
+    "corpus_alphabet",
     "bpe_encode",
+    "encode_word",
     "vocab_coverage",
 ]
 
