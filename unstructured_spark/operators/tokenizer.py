@@ -254,14 +254,18 @@ def bpe_encode(
 
     def run(batches):
         import re
+        from functools import lru_cache
 
         from unstructured_spark.operators.tokenizer import encode_word
 
         ascii_ws = re.compile(r"[ \t\n\x0b\f\r]+")
         rk = bc.value
 
-        def enc_word(w: str) -> list[str]:
-            return encode_word(w, rk, mk)
+        # Zipf: most words repeat constantly — memoize per worker
+        # (bounded, so a 100 TB shard's long-tail vocab can't grow it)
+        @lru_cache(maxsize=65536)
+        def enc_word(w: str) -> tuple:
+            return tuple(encode_word(w, rk, mk))
 
         for pdf in batches:
             toks = []
