@@ -269,9 +269,17 @@ def nb_score_stream(
     def run(batches):
         import hashlib
         import re
+        from functools import lru_cache
 
         ascii_ws = re.compile(r"[ \t\n\x0b\f\r]+")
         lq_m, prior_m, classes_m = bc.value
+
+        # Zipf repetition: the same unigrams/bigrams recur constantly —
+        # memoize their md5 bucket per worker (bounded cache)
+        @lru_cache(maxsize=131072)
+        def bucket(g: str) -> int:
+            return int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % nb
+
         for pdf in batches:
             out = []
             for did, txt in zip(pdf[doc_id], pdf[text]):
@@ -289,7 +297,7 @@ def nb_score_stream(
                     continue
                 cd: dict = {}
                 for g in feats:
-                    b = int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % nb
+                    b = bucket(g)
                     cd[b] = cd.get(b, 0) + 1
                 scores = [
                     (
