@@ -316,3 +316,25 @@ class TestTokenShards:
             .collect()
         )
         assert all(r["s"] - r["m"] < 30 for r in per)
+
+
+class TestPackNullText:
+    def test_null_text_does_not_shift_offsets(self, spark):
+        # A NULL-text doc in the middle once contributed -1 to its block
+        # total (F.size of a null split), shifting every later doc's
+        # global offset; it must behave exactly like an empty doc.
+        base = [(0, "a b c"), (2, "d e f g")]
+        with_null = spark.createDataFrame(
+            base + [(1, None)], "doc_id long, text string"
+        )
+        with_empty = spark.createDataFrame(
+            base + [(1, "")], "doc_id long, text string"
+        )
+        a = sorted(map(tuple, pack_sequences(with_null, 4).collect()))
+        b = sorted(map(tuple, pack_sequences(with_empty, 4).collect()))
+        assert a == b
+        # doc 2 starts at global offset 3 -> sequence 0 gets 1 token,
+        # sequence 1 the remaining 3
+        rows = {(r["doc_id"], r["seq_id"]): r for r in pack_sequences(with_null, 4).collect()}
+        assert rows[(2, 0)]["doc_token_end"] == 1
+        assert rows[(2, 1)]["doc_token_start"] == 1

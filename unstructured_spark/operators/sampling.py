@@ -129,6 +129,65 @@ def temperature_mix(
     )
 
 
+def _global_token_offsets(
+    df: DataFrame,
+    *,
+    text: str,
+    doc_id: str,
+    block_size: int,
+    op_name: str,
+) -> DataFrame:
+    """Shared distributed prefix sum for token-stream operators
+    (packing, shard assignment): per-block totals (block = doc_id div
+    ``block_size``; ONE small aggregate), exclusive block offsets via a
+    window over the tiny per-block table, broadcast-joined back and
+    added to the within-block cumulative window. No stage sees a
+    single-partition global window. Returns (doc, _blk, _n, _boff,
+    _gstart).
+
+    NULL text coalesces to '' BEFORE the split: split of NULL would
+    make F.size return -1, and a -1 in a block total silently shifts
+    every later document's global offset. split('') yields [''], so
+    empties are filtered: a whitespace-only document contributes 0
+    tokens, not a phantom 1.
+    """
+    id_type = dict(df.dtypes).get(doc_id, "")
+    if id_type not in ("tinyint", "smallint", "int", "bigint", "long"):
+        # block = doc_id div block_size needs numeric ids; a string id
+        # would null the division and the block join would silently
+        # return an EMPTY result
+        raise ValueError(
+            f"{op_name} needs a numeric, densely-ordered id column; "
+            f"{doc_id!r} is {id_type or 'missing'} — derive an ordinal first"
+        )
+    ntok = F.size(
+        F.filter(
+            F.split(F.trim(F.coalesce(F.col(text), F.lit(""))), "\\s+"),
+            lambda x: x != F.lit(""),
+        )
+    )
+    base = df.select(
+        F.col(doc_id).alias("doc"),
+        (F.col(doc_id) / block_size).cast("bigint").alias("_blk"),
+        ntok.cast("bigint").alias("_n"),
+    )
+    blocks = base.groupBy("_blk").agg(F.sum("_n").alias("_bn"))
+    wb = Window.orderBy("_blk").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = blocks.withColumn(
+        "_boff", F.coalesce(F.sum("_bn").over(wb), F.lit(0))
+    )
+    wd = (
+        Window.partitionBy("_blk")
+        .orderBy("doc")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return base.join(
+        F.broadcast(offsets.select("_blk", "_boff")), "_blk"
+    ).withColumn(
+        "_gstart", F.col("_boff") + F.coalesce(F.sum("_n").over(wd), F.lit(0))
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     max_tokens: int,
@@ -155,40 +214,11 @@ def pack_sequences(
     back and added to the within-block cumulative window. No stage
     sees a single-partition global window.
     """
-    # split('') yields [''], so filter empties: a whitespace-only document
-    # must contribute 0 tokens, not a phantom 1 that shifts global offsets.
-    id_type = dict(df.dtypes).get(doc_id, "")
-    if id_type not in ("tinyint", "smallint", "int", "bigint", "long"):
-        # block = doc_id div block_size needs numeric ids; a string id
-        # would null the division and the block join would silently
-        # return an EMPTY result
-        raise ValueError(
-            f"pack_sequences needs a numeric, densely-ordered id column; "
-            f"{doc_id!r} is {id_type or 'missing'} — derive an ordinal first"
-        )
-    ntok = F.size(
-        F.filter(F.split(F.trim(F.col(text)), "\\s+"), lambda x: x != F.lit(""))
-    )
-    base = df.select(
-        F.col(doc_id).alias("doc"),
-        (F.col(doc_id) / block_size).cast("bigint").alias("_blk"),
-        ntok.cast("bigint").alias("_n"),
-    )
-    blocks = base.groupBy("_blk").agg(F.sum("_n").alias("_bn"))
-    wb = Window.orderBy("_blk").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = blocks.withColumn("_boff", F.coalesce(F.sum("_bn").over(wb), F.lit(0)))
-    wd = (
-        Window.partitionBy("_blk")
-        .orderBy("doc")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    placed = (
-        base.join(F.broadcast(offsets.select("_blk", "_boff")), "_blk")
-        .withColumn(
-            "_gstart", F.col("_boff") + F.coalesce(F.sum("_n").over(wd), F.lit(0))
-        )
-        .withColumn("_gend", F.col("_gstart") + F.col("_n"))
-        .filter(F.col("_n") > 0)
+    placed = _global_token_offsets(
+        df, text=text, doc_id=doc_id, block_size=block_size,
+        op_name="pack_sequences",
+    ).withColumn("_gend", F.col("_gstart") + F.col("_n")).filter(
+        F.col("_n") > 0
     )
     first_seq = F.floor(F.col("_gstart") / max_tokens)
     last_seq = F.floor((F.col("_gend") - 1) / max_tokens)
@@ -233,47 +263,15 @@ def assign_token_shards(
     and NULL-text documents keep their assignment (a shard writer must
     not silently drop rows); they simply add no tokens.
     """
-    id_type = dict(df.dtypes).get(doc_id, "")
-    if id_type not in ("tinyint", "smallint", "int", "bigint", "long"):
-        raise ValueError(
-            f"assign_token_shards needs a numeric, densely-ordered id "
-            f"column; {doc_id!r} is {id_type or 'missing'} — derive an "
-            "ordinal first"
-        )
-    ntok = F.size(
-        F.filter(
-            F.split(F.trim(F.coalesce(F.col(text), F.lit(""))), "\\s+"),
-            lambda x: x != F.lit(""),
-        )
-    )
-    base = df.select(
-        F.col(doc_id).alias("doc"),
-        (F.col(doc_id) / block_size).cast("bigint").alias("_blk"),
-        ntok.cast("bigint").alias("_n"),
-    )
-    blocks = base.groupBy("_blk").agg(F.sum("_n").alias("_bn"))
-    wb = Window.orderBy("_blk").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = blocks.withColumn(
-        "_boff", F.coalesce(F.sum("_bn").over(wb), F.lit(0))
-    )
-    wd = (
-        Window.partitionBy("_blk")
-        .orderBy("doc")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    return (
-        base.join(F.broadcast(offsets.select("_blk", "_boff")), "_blk")
-        .withColumn(
-            "_gstart",
-            F.col("_boff") + F.coalesce(F.sum("_n").over(wd), F.lit(0)),
-        )
-        .select(
-            F.col("doc").alias(doc_id),
-            F.col("_n").alias("n_tokens"),
-            F.floor(F.col("_gstart") / int(tokens_per_shard))
-            .cast("bigint")
-            .alias("shard_id"),
-        )
+    return _global_token_offsets(
+        df, text=text, doc_id=doc_id, block_size=block_size,
+        op_name="assign_token_shards",
+    ).select(
+        F.col("doc").alias(doc_id),
+        F.col("_n").alias("n_tokens"),
+        F.floor(F.col("_gstart") / int(tokens_per_shard))
+        .cast("bigint")
+        .alias("shard_id"),
     )
 
 
