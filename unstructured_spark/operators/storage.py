@@ -187,10 +187,8 @@ def write_token_shards(
     out.repartition("shard_id").write.mode(mode).partitionBy(
         "shard_id"
     ).parquet(path)
-    import os
-
-    return sum(
-        1
-        for d in os.listdir(path)
-        if d.startswith("shard_id=")
-    )
+    # count shards from the assignment, not a directory listing — works
+    # on object stores too. distinct, not max+1: a document longer than
+    # the budget jumps the running offset past whole shard indices, so
+    # ids can have gaps
+    return assigned.select("shard_id").distinct().count()
