@@ -1098,7 +1098,8 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 characteristic terms per doc by tf·ln(N/df): one
     word-count shuffle + broadcast vocabulary join + per-doc top-k
-    window."""
+    window. Scores are exact BIGINTs via the fixed-point integer log
+    (ln N − ln df: integer arguments) — no libm on either engine."""
     docs = _t(spark, sf_dir, "documents")
     return text_analysis.tfidf_top_terms(docs, k=3)
 
@@ -4501,7 +4502,7 @@ left join stats s using (doc_id)
             from fl2 f left join ngf g
               on f.doc_id = g.doc_id and f.ixa = g.ixa and f.ixb = g.ixb
         """,
-        "q_tfidf_top_terms": """
+        "q_tfidf_top_terms": f"""
             with tf as (
               select doc_id, unnest(string_split(trim(text), ' ')) as term
               from documents
@@ -4510,17 +4511,25 @@ left join stats s using (doc_id)
               from tf where term != '' group by doc_id, term
             ), dfreq as (
               select term, count(distinct doc_id) as df from tfc group by term
-            ), n as (
-              select cast(count(*) as double) as n from documents
+            ), lnn as (
+              -- fixed-point integer ln(N): same fxln chain as Spark's
+              -- driver-side fxln_int(N) literal (pinned equal by
+              -- tests/test_fxln.py), so no libm on either engine.
+              -- N rides in as a plain column: DuckDB's lateral aliases
+              -- reject expressions that still contain a subquery
+              select {fxln_select_sql("nv", "n_")}
+              from (select count(*) as nv from documents)
+            ), lnd as (
+              select term, df, {fxln_select_sql("df", "d_")} from dfreq
             ), scored as (
               select t.doc_id, t.term,
-                floor(t.tf * ln((select n from n) / cast(d.df as double))
-                      * 1000000 + 0.5) / 1000000 as tfidf
-              from tfc t join dfreq d on t.term = d.term
+                cast(t.tf * ((select n_ln from lnn) - d.d_ln)
+                     as bigint) as tfidf_q
+              from tfc t join lnd d on t.term = d.term
             )
-            select doc_id, term, tfidf, cast(rank as bigint) as rank from (
+            select doc_id, term, tfidf_q, cast(rank as bigint) as rank from (
               select *, row_number() over (
-                partition by doc_id order by tfidf desc, term asc) as rank
+                partition by doc_id order by tfidf_q desc, term asc) as rank
               from scored
             ) where rank <= 3
         """,

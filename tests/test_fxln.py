@@ -50,6 +50,14 @@ def test_python_replay_matches_libm():
         assert abs(py_fxln(m) / FXLN_SCALE - math.log(m)) < 1e-7, m
 
 
+def test_module_fxln_int_matches_replay():
+    # the driver-side literal path (tfidf's ln N) must be THE SAME
+    # integer the SQL chain produces
+    from unstructured_spark.operators.text_analysis import fxln_int
+
+    assert {m: fxln_int(m) for m in CASES} == {m: py_fxln(m) for m in CASES}
+
+
 def test_spark_matches_python_replay(spark):
     df = spark.createDataFrame([(m,) for m in CASES], "m bigint")
     out = with_fxln(df, "m", "f_").select("m", "f_ln").collect()

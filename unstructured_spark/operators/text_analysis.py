@@ -90,6 +90,23 @@ def fxln_steps(m: str, prefix: str, idiv: str) -> list[tuple[str, str]]:
     return steps
 
 
+def fxln_int(m: int) -> int:
+    """Driver-side twin of ``fxln_steps`` in plain Python ints — for
+    literals (e.g. the corpus size N) that both engines must share as
+    the SAME bigint. Bit-for-bit the SQL chain (pinned by
+    tests/test_fxln.py)."""
+    S = FXLN_SCALE
+    k = m.bit_length() - 1
+    x = m << (31 - k) if k <= 31 else m >> (k - 31)
+    z = ((x - S) * S) // (x + S)
+    z2 = (z * z) // S
+    t, total = z, 0
+    for d in (3, 5, 7, 9, 11, 13, 15, 17, 19):
+        t = (t * z2) // S
+        total += t // d
+    return k * _FXLN_LN2 + 2 * (z + total)
+
+
 def fxln_select_sql(m: str, prefix: str, idiv: str = "//") -> str:
     """The ``fxln_steps`` chain as one SELECT-list fragment relying on
     lateral column aliases (DuckDB + Spark both resolve them)."""
@@ -345,8 +362,14 @@ def tfidf_top_terms(
     ln(N/df), ties → lexicographic term) — the classic corpus-keyword
     primitive. One word-count shuffle on (doc, term), a broadcast-sized
     df join (vocabulary ≪ corpus), and a per-doc top-k window.
-    Returns (doc_id, term, tfidf, rank)."""
+    Returns (doc_id, term, tfidf_q, rank) — the score is the exact
+    BIGINT ``tf · (fxln(N) − fxln(df))`` in 2^-31 ln units (same
+    integer-log discipline as the bigram LM; ln N − ln df has integer
+    arguments, so no libm survives in this operator). Overflow-safe at
+    any corpus: tf < 2^40 tokens/doc and fxln < 44·2^31 keep the
+    product far under 2^63."""
     n = df.count()
+    ln_n = fxln_int(int(n)) if n > 0 else 0
     toks = F.explode(F.split(F.trim(F.col(text)), "\\s+")).alias("term")
     tf = (
         df.select(F.col(doc_id).alias("doc"), toks)
@@ -354,15 +377,19 @@ def tfidf_top_terms(
         .groupBy("doc", "term")
         .agg(F.count("*").alias("tf"))
     )
-    dfreq = tf.groupBy("term").agg(F.countDistinct("doc").alias("df"))
+    dfreq = with_fxln(
+        tf.groupBy("term").agg(F.countDistinct("doc").alias("df")),
+        "df",
+        "_d",
+    ).select("term", F.col("_dln").alias("_lndf"))
     scored = tf.join(F.broadcast(dfreq), "term").select(
         F.col("doc").alias(doc_id),
         "term",
-        F.round(
-            F.col("tf") * F.log(F.lit(float(n)) / F.col("df").cast("double")), 6
-        ).alias("tfidf"),
+        (F.col("tf") * (F.lit(ln_n) - F.col("_lndf")))
+        .cast("bigint")
+        .alias("tfidf_q"),
     )
-    w = Window.partitionBy(doc_id).orderBy(F.desc("tfidf"), F.asc("term"))
+    w = Window.partitionBy(doc_id).orderBy(F.desc("tfidf_q"), F.asc("term"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
