@@ -2645,12 +2645,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # semantic_dedup/form_kv, and q_drop_keep_best (parked r7,
         # never externally checked), plus the four r8-new queries at
         # slots 12-15 (q_nb_classify, q_bpe_top_pairs, q_vocab_coverage,
-        # q_token_shards — a brand-new query outranks refreshing an old
-        # green; every displaced entry already has r1-r4 green rows).
-        # Slots 16-50 take 35 of the 39 queries whose last green row
-        # is r4; the displaced four (q12_late_lines, q14_promo_revenue,
-        # q19_bracket_revenue, q_od_map) lead the tail with the 16
-        # r6-stale entries for the r9 rotation.
+        # q_token_shards) and the r8-CHANGED q_tfidf_top_terms at slot
+        # 16 (rewritten to exact fxln scores — a new/changed query
+        # outranks refreshing an old green; every displaced entry
+        # already has r1-r4 green rows). Slots 17-50 take 34 of the 39
+        # queries whose last green row is r4; the displaced five
+        # (q_range_join, q_od_map, q12_late_lines, q14_promo_revenue,
+        # q19_bracket_revenue) lead the tail with the 16 r6-stale
+        # entries for the r9 rotation.
         "q_perplexity_buckets": q_perplexity_buckets,
         "q_bigram_cross_entropy": q_bigram_cross_entropy,
         "q_partition_elements": q_partition_elements,
@@ -2666,7 +2668,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bpe_top_pairs": q_bpe_top_pairs,  # new in r8
         "q_vocab_coverage": q_vocab_coverage,  # new in r8
         "q_token_shards": q_token_shards,  # new in r8
-        # --- 35 r4-stale entries (rest of the r8 window) ---
+        "q_tfidf_top_terms": q_tfidf_top_terms,  # changed in r8 (exact fxln scores)
+        # --- 34 r4-stale entries (rest of the r8 window) ---
         "q05_region_revenue": q05_region_revenue,
         "q06_forecast_revenue": q06_forecast_revenue,
         "q_top_customers": q_top_customers,
@@ -2751,7 +2754,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_temperature_mix": q_temperature_mix,
         "q_pack_sequences": q_pack_sequences,
         "q_bm25_search": q_bm25_search,
-        "q_tfidf_top_terms": q_tfidf_top_terms,
         "q_readability": q_readability,
         "q_overlap_audit": q_overlap_audit,
         "q_funnel": q_funnel,
