@@ -846,7 +846,8 @@ def q_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     seed = docs.filter(F.col("doc_id") % 10 < 3)
     return nb_classify(
-        docs, seed, label="source", buckets=4096, max_tokens=64
+        docs, seed, label="source", buckets=4096, max_tokens=64,
+        seed_in_corpus=True,
     ).select(
         F.col("doc_id").cast("string").alias("doc_id"),
         "predicted",
@@ -2597,6 +2598,46 @@ def q_percent_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Channel probes (round 9, temporary) — the r5-r8 chronic red rows
+# passed bit-for-bit locally yet hashed red on the driver box. Local
+# bisection found the cause: they were the ONLY 2 of 110 oracles whose
+# output schema contained a DuckDB HUGEINT column (sum(bigint) /
+# least(bigint, hugeint)), and HUGEINT crosses a pandas/arrow fetch as
+# float64/decimal128 ("15.0" vs Spark's "15") while .fetchall() (our
+# local sim) yields exact Python ints — invisible locally, red on the
+# wire. These four probes validate that diagnosis END-TO-END through
+# the driver's own channel: expected r9 pattern is control=green,
+# bigint_wire=green, hugeint_wire=RED, version green iff the driver's
+# DuckDB is v1.0.0 like local. Retire from the window in r10.
+# ---------------------------------------------------------------------------
+
+
+def probe_wire_control(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Channel sanity: pure literals both sides; red here = broken channel."""
+    return spark.range(1, 4).select(
+        F.col("id").alias("k"), (F.col("id") * 7).alias("v")
+    )
+
+
+def probe_duckdb_version(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Green iff the driver box's DuckDB is v1.0.0 (the local version)."""
+    return spark.range(1).select(F.lit("v1.0.0").alias("duckdb_version"))
+
+
+def probe_hugeint_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPECTED RED: the oracle side emits an uncast sum() — HUGEINT in
+    DuckDB — carrying the same value 15. If the wire narrows HUGEINT to
+    float64/decimal this hashes "15.0"/"Decimal('15')" against our "15"."""
+    return spark.range(1, 6).agg(F.sum("id").cast("long").alias("s"))
+
+
+def probe_bigint_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Control for probe_hugeint_wire: identical math, oracle casts the
+    sum to BIGINT. Green everywhere = the cast is the complete fix."""
+    return spark.range(1, 6).agg(F.sum("id").cast("long").alias("s"))
+
+
+# ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
 
@@ -2636,24 +2677,69 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Registry order = driver correctness window (first 50 entries
-        # are hashed externally). Round 8 rotation: slots 1-11 are this
-        # round's changed or never-green queries — the fxln rewrite
-        # (q_perplexity_buckets, the only ever-red row, + bigram CE),
-        # the fused/optimized spine (partition, chunk_by_title), the
-        # two rows-only→hash-oracle upgrades (table_eval, layout_merge),
-        # the review-fixed q_remove_boilerplate, the re-planned kmeans/
-        # semantic_dedup/form_kv, and q_drop_keep_best (parked r7,
-        # never externally checked), plus the four r8-new queries at
-        # slots 12-15 (q_nb_classify, q_bpe_top_pairs, q_vocab_coverage,
-        # q_token_shards) and the r8-CHANGED q_tfidf_top_terms at slot
-        # 16 (rewritten to exact fxln scores — a new/changed query
-        # outranks refreshing an old green; every displaced entry
-        # already has r1-r4 green rows). Slots 17-50 take 34 of the 39
-        # queries whose last green row is r4; the displaced five
-        # (q_range_join, q_od_map, q12_late_lines, q14_promo_revenue,
-        # q19_bracket_revenue) lead the tail with the 16 r6-stale
-        # entries for the r9 rotation.
+        # are hashed externally). Round 9 rotation: slots 1-2 are the
+        # two chronic reds whose root cause round 9 found and fixed
+        # (HUGEINT oracle output columns narrowing to float64/decimal
+        # on the driver's fetch wire — cast to BIGINT now); slots 3-6
+        # are one-round channel probes that validate that diagnosis
+        # through the driver itself (expected: control/bigint green,
+        # hugeint RED, version green iff driver DuckDB = v1.0.0);
+        # slots 7-27 execute the planned rotation (5 displaced r1-r4
+        # greens + the 16 r6-stale entries); 28-29 are this round's
+        # perf-changed queries; 30-50 refresh the oldest r7 greens.
+        # After r9 no registry entry's last external green is older
+        # than r7. Probes retire from the window in r10.
         "q_perplexity_buckets": q_perplexity_buckets,
+        "q_nb_classify": q_nb_classify,
+        "probe_wire_control": probe_wire_control,
+        "probe_duckdb_version": probe_duckdb_version,
+        "probe_hugeint_wire": probe_hugeint_wire,
+        "probe_bigint_wire": probe_bigint_wire,
+        "q_range_join": q_range_join,
+        "q_od_map": q_od_map,
+        "q12_late_lines": q12_late_lines,
+        "q14_promo_revenue": q14_promo_revenue,
+        "q19_bracket_revenue": q19_bracket_revenue,
+        "q09_product_type_profit": q09_product_type_profit,
+        "q_box_dedup": q_box_dedup,
+        "q_clean_inner_boxes": q_clean_inner_boxes,
+        "q_embed_text_agg": q_embed_text_agg,
+        "q_ocr_supplement": q_ocr_supplement,
+        "q01_pricing_summary": q01_pricing_summary,
+        "q03_shipping_priority": q03_shipping_priority,
+        "q_ivfpq_topk": q_ivfpq_topk,
+        "q_salted_user_value": q_salted_user_value,
+        "q_weighted_sample": q_weighted_sample,
+        "q_cohort_retention": q_cohort_retention,
+        "q_value_outliers": q_value_outliers,
+        "q_metrics_grouped": q_metrics_grouped,
+        "q_quantized_codes": q_quantized_codes,
+        "q_random_projection": q_random_projection,
+        "q_pq_topk": q_pq_topk,
+        "q_drop_keep_best": q_drop_keep_best,
+        "q_shared_ngram_spans": q_shared_ngram_spans,
+        "q_dedup_incremental": q_dedup_incremental,
+        "q07_nation_volume": q07_nation_volume,
+        "q08_market_share": q08_market_share,
+        "q10_returned_items": q10_returned_items,
+        "q13_order_count_distribution": q13_order_count_distribution,
+        "q15_top_supplier": q15_top_supplier,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "q18_large_orders": q18_large_orders,
+        "q21_sole_late_supplier": q21_sole_late_supplier,
+        "q22_idle_customers": q22_idle_customers,
+        "q02_min_cost_supplier": q02_min_cost_supplier,
+        "q11_important_stock": q11_important_stock,
+        "q16_supplier_count": q16_supplier_count,
+        "q20_excess_stock_suppliers": q20_excess_stock_suppliers,
+        "q_dup_clusters": q_dup_clusters,
+        "q_drop_near_duplicates": q_drop_near_duplicates,
+        "q_remove_shared_spans": q_remove_shared_spans,
+        "q_contaminated_docs": q_contaminated_docs,
+        "q_pii_stats": q_pii_stats,
+        "q_redacted_docs": q_redacted_docs,
+        "q_dsir_importance": q_dsir_importance,
+        # --- tail: below the 50-slot external window ---
         "q_bigram_cross_entropy": q_bigram_cross_entropy,
         "q_partition_elements": q_partition_elements,
         "q_chunk_by_title": q_chunk_by_title,
@@ -2663,13 +2749,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kmeans_clusters": q_kmeans_clusters,
         "q_semantic_dedup": q_semantic_dedup,
         "q_form_kv_pairs": q_form_kv_pairs,
-        "q_drop_keep_best": q_drop_keep_best,
-        "q_nb_classify": q_nb_classify,  # new in r8
-        "q_bpe_top_pairs": q_bpe_top_pairs,  # new in r8
-        "q_vocab_coverage": q_vocab_coverage,  # new in r8
-        "q_token_shards": q_token_shards,  # new in r8
-        "q_tfidf_top_terms": q_tfidf_top_terms,  # changed in r8 (exact fxln scores)
-        # --- 34 r4-stale entries (rest of the r8 window) ---
+        "q_bpe_top_pairs": q_bpe_top_pairs,
+        "q_vocab_coverage": q_vocab_coverage,
+        "q_token_shards": q_token_shards,
+        "q_tfidf_top_terms": q_tfidf_top_terms,
         "q05_region_revenue": q05_region_revenue,
         "q06_forecast_revenue": q06_forecast_revenue,
         "q_top_customers": q_top_customers,
@@ -2704,51 +2787,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_percent_missing": q_percent_missing,
         "q_hash_embeddings": q_hash_embeddings,
         "q_asof_join": q_asof_join,
-        "q_range_join": q_range_join,
-        "q_od_map": q_od_map,
-        "q12_late_lines": q12_late_lines,
-        "q14_promo_revenue": q14_promo_revenue,
-        "q19_bracket_revenue": q19_bracket_revenue,
-        # --- tail: 16 r6-stale (r9 window candidates) ---
-        "q09_product_type_profit": q09_product_type_profit,
-        "q_box_dedup": q_box_dedup,
-        "q_clean_inner_boxes": q_clean_inner_boxes,
-        "q_embed_text_agg": q_embed_text_agg,
-        "q_ocr_supplement": q_ocr_supplement,
-        "q01_pricing_summary": q01_pricing_summary,
-        "q03_shipping_priority": q03_shipping_priority,
-        "q_ivfpq_topk": q_ivfpq_topk,
-        "q_salted_user_value": q_salted_user_value,
-        "q_weighted_sample": q_weighted_sample,
-        "q_cohort_retention": q_cohort_retention,
-        "q_value_outliers": q_value_outliers,
-        "q_metrics_grouped": q_metrics_grouped,
-        "q_quantized_codes": q_quantized_codes,
-        "q_random_projection": q_random_projection,
-        "q_pq_topk": q_pq_topk,
-        # --- tail: r7-green entries ---
-        "q_dedup_incremental": q_dedup_incremental,
-        "q07_nation_volume": q07_nation_volume,
-        "q08_market_share": q08_market_share,
-        "q10_returned_items": q10_returned_items,
-        "q13_order_count_distribution": q13_order_count_distribution,
-        "q15_top_supplier": q15_top_supplier,
-        "q17_small_quantity_revenue": q17_small_quantity_revenue,
-        "q18_large_orders": q18_large_orders,
-        "q21_sole_late_supplier": q21_sole_late_supplier,
-        "q22_idle_customers": q22_idle_customers,
-        "q02_min_cost_supplier": q02_min_cost_supplier,
-        "q11_important_stock": q11_important_stock,
-        "q16_supplier_count": q16_supplier_count,
-        "q20_excess_stock_suppliers": q20_excess_stock_suppliers,
-        "q_dup_clusters": q_dup_clusters,
-        "q_drop_near_duplicates": q_drop_near_duplicates,
-        "q_shared_ngram_spans": q_shared_ngram_spans,
-        "q_remove_shared_spans": q_remove_shared_spans,
-        "q_contaminated_docs": q_contaminated_docs,
-        "q_pii_stats": q_pii_stats,
-        "q_redacted_docs": q_redacted_docs,
-        "q_dsir_importance": q_dsir_importance,
         "q_leakage_split": q_leakage_split,
         "q_stratified_sample": q_stratified_sample,
         "q_temperature_mix": q_temperature_mix,
@@ -3015,6 +3053,21 @@ def _dhash_pairs_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # --- r9 channel probes (see probe_* docstrings) ---
+        "probe_wire_control": """
+            select r as k, r * 7 as v from range(1, 4) t(r)
+        """,
+        "probe_duckdb_version": """
+            select version() as duckdb_version
+        """,
+        # deliberately UNCAST sum() -> HUGEINT: expected red on a
+        # pandas/arrow fetch wire, green on .fetchall()
+        "probe_hugeint_wire": """
+            select sum(r) as s from range(1, 6) t(r)
+        """,
+        "probe_bigint_wire": """
+            select cast(sum(r) as bigint) as s from range(1, 6) t(r)
+        """,
         "q01_pricing_summary": """
             select l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) as sum_qty,
@@ -4723,8 +4776,14 @@ left join stats s using (doc_id)
             ), model as (
               select cls, b, p_ln - q_ln as lq, r_ln - s_ln as prior_q from lng
             ), perclass as (
+              -- r9 root-cause fix: sum(bigint) is HUGEINT in DuckDB and
+              -- a HUGEINT output column crosses the driver's fetch wire
+              -- as decimal/float64 — cast the score to bigint so
+              -- score_q ships as an exact integer (|score| < 2^41 by
+              -- the cd*lq bound, far inside bigint).
               select dm.doc_id, m.cls,
-                     any_value(m.prior_q) + sum(dm.cd * m.lq) as score
+                     any_value(m.prior_q)
+                       + cast(sum(dm.cd * m.lq) as bigint) as score
               from dm join model m using (b)
               group by dm.doc_id, m.cls
             ), ranked as (
@@ -4820,10 +4879,16 @@ left join stats s using (doc_id)
             ), hist as (
               select q, count(*) as cnt from qd group by q
             ), mapping as (
+              -- r9 root-cause fix: the window sum is HUGEINT in DuckDB,
+              -- and a HUGEINT output column crosses the driver's fetch
+              -- wire as decimal/float64 ("2.0" vs Spark's "2") — the
+              -- r5-r8 red was the WIRE TYPE, not the math. Cast the
+              -- cumsum to bigint (the proven-green q_token_shards
+              -- pattern) so bucket is BIGINT end-to-end.
               select q,
                 least(cast(3 as bigint),
-                  ((sum(cnt) over (order by q rows between unbounded
-                     preceding and current row) - cnt) * 3)
+                  ((cast(sum(cnt) over (order by q rows between unbounded
+                     preceding and current row) as bigint) - cnt) * 3)
                     // (select count(*) from qd) + 1) as bucket
               from hist
             )

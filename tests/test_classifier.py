@@ -59,6 +59,36 @@ class TestNbClassifier:
         b = nb_score(corpus, model, buckets=64).collect()
         assert [tuple(r) for r in a] == [tuple(r) for r in b]
 
+    def test_seed_in_corpus_bit_identical(self, spark):
+        # the fused single-tokenize-pass path (seed rows ARE corpus
+        # rows) must produce BIT-identical (predicted, score_q,
+        # margin_q) to the general two-pass form
+        corpus = spark.createDataFrame(
+            [
+                (1, "good clean prose about science and data", "keep"),
+                (2, "more well formed sentences with structure", "keep"),
+                (3, "buy cheap pills now click here casino", "spam"),
+                (4, "casino bonus click free pills buy now", "spam"),
+                (10, "clean prose with data and science content", None),
+                (11, "click here for free casino pills", None),
+                (12, "data data data click click", None),
+            ],
+            "doc_id long, text string, label string",
+        )
+        seed = corpus.filter(F.col("label").isNotNull())
+        two_pass = sorted(
+            tuple(r)
+            for r in nb_classify(corpus, seed, buckets=256, max_tokens=16)
+            .collect()
+        )
+        fused = sorted(
+            tuple(r)
+            for r in nb_classify(
+                corpus, seed, buckets=256, max_tokens=16, seed_in_corpus=True
+            ).collect()
+        )
+        assert fused == two_pass
+
     def test_empty_text_docs_dropped(self, spark):
         corpus = spark.createDataFrame(
             [(10, "science data"), (11, "   ")], "doc_id long, text string"

@@ -28,7 +28,7 @@ engine-portable for the oracle the same way dedup/DSIR are.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from unstructured_spark.operators.text_analysis import fxln_steps
@@ -197,24 +197,139 @@ def nb_classify(
     doc_id: str = "doc_id",
     buckets: int = 4096,
     max_tokens: int | None = None,
+    seed_in_corpus: bool = False,
 ) -> DataFrame:
     """One-call train-on-seed + score-corpus (the CCNet gate shape).
 
+    With ``seed_in_corpus=False`` (the general form — seed documents
+    may be disjoint from the corpus) this is ``nb_train`` +
+    ``nb_score``: the seed text is tokenized for training and the
+    corpus text for scoring, two independent feature passes.
+
+    With ``seed_in_corpus=True`` the caller asserts the seed rows ARE
+    corpus rows (same ``doc_id``, same ``text`` — the usual gate setup:
+    label a slice of the corpus, classify the rest). Then only
+    ``labeled``'s (doc_id, label) pairs are read and the per-document
+    bucket counts are computed ONCE over the corpus and shared by both
+    train and score: training counts come from a broadcast semi-join of
+    the label pairs against the shared counts instead of a second
+    corpus-scale tokenize+explode. The label-pair broadcast assumes
+    seed sets are labeling-budget-bounded (id + label only — far under
+    the broadcast ceiling for any human/model-labeled seed). Scores are
+    bit-identical to the two-pass form by construction.
+
     The model feeds exactly ONE consumer (the scoring broadcast join),
-    so it is deliberately NOT checkpointed: a lineage cut here would
+    so it is deliberately NOT checkpointed: a lineage cut there would
     route the training aggregation through the RDD path, which opts the
     whole train plan out of AQE (no runtime broadcast conversion, no
     partition coalescing) and measured ~4× slower than letting the
     scoring query embed the train plan directly. Callers reusing one
     model across MANY scoring passes should ``nb_train(...).persist()``
     themselves."""
-    model = nb_train(
-        labeled, label=label, text=text, doc_id=doc_id, buckets=buckets,
-        max_tokens=max_tokens,
+    if not seed_in_corpus:
+        model = nb_train(
+            labeled, label=label, text=text, doc_id=doc_id, buckets=buckets,
+            max_tokens=max_tokens,
+        )
+        return nb_score(
+            corpus, model, text=text, doc_id=doc_id, buckets=buckets,
+            max_tokens=max_tokens,
+        )
+    spark = corpus.sparkSession
+    # ONE tokenize+hash pass over the corpus. The (doc_id, b) groupBy
+    # keeps map-side combine on the exploded feature stream (the one
+    # corpus-scale shuffle); the lazy checkpoint lets train and score
+    # both consume the REDUCED table instead of re-tokenizing. (An
+    # upfront repartition(doc_id) to pre-satisfy the downstream
+    # aggregations doesn't help: the checkpoint's RDD scan reports
+    # unknown partitioning, so downstream re-shuffles regardless — and
+    # the repartition would forfeit map-side combine.)
+    dm = (
+        _doc_buckets(corpus, text, doc_id, buckets, max_tokens)
+        .groupBy("doc_id", "b")
+        .agg(F.count("*").alias("cd"))
+        .localCheckpoint(eager=False)
     )
-    return nb_score(
-        corpus, model, text=text, doc_id=doc_id, buckets=buckets,
-        max_tokens=max_tokens,
+    labels = labeled.select(
+        F.col(doc_id).alias("doc_id"), F.col(label).alias("cls")
+    )
+    # training counts from the SHARED counts: Σ_docs cd per (cls, b).
+    # Every aggregate below feeds exactly ONE consumer (n_c, nd, and
+    # the dense fill all ride windows over the grid instead of
+    # separate groupBy branches), so no tiny subtree is planned twice
+    # — that duplication is where the old 10-exchange census came from.
+    counts = (
+        dm.join(F.broadcast(labels), "doc_id")
+        .groupBy("cls", "b")
+        .agg(F.sum("cd").cast("bigint").alias("cnt"))
+    )
+    # nd as a window over the per-class doc counts: |classes| rows
+    # through a single-partition exchange — bounded by construction
+    doc_counts = (
+        labels.groupBy("cls")
+        .agg(F.count("*").alias("docs_c"))
+        .withColumn(
+            "nd",
+            F.sum("docs_c").over(
+                Window.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
+        )
+    )
+    # dense |classes| × buckets grid in ONE broadcast nested-loop
+    # build; n_c then falls out of a per-class window over the COMPLETE
+    # grid (every (cls, b) cell present exactly once, absent cells 0),
+    # which equals the former separate totals aggregation
+    grid = (
+        doc_counts.crossJoin(
+            F.broadcast(
+                spark.range(int(buckets)).select(
+                    F.col("id").cast("bigint").alias("b")
+                )
+            )
+        )
+        .join(F.broadcast(counts), ["cls", "b"], "left")
+        .fillna({"cnt": 0})
+        .withColumn(
+            "n_c", F.sum("cnt").over(Window.partitionBy("cls"))
+        )
+    )
+    sel = [F.col(c) for c in grid.columns]
+    for mexpr, p in (
+        ("(cnt + 1)", "_p"),
+        (f"(n_c + {int(buckets)})", "_q"),
+        ("docs_c", "_r"),
+        ("nd", "_s"),
+    ):
+        sel += [F.expr(e).alias(n) for n, e in fxln_steps(mexpr, p, "div")]
+    model = grid.select(*sel).select(
+        "cls",
+        "b",
+        (F.col("_pln") - F.col("_qln")).alias("lq"),
+        (F.col("_rln") - F.col("_sln")).alias("prior_q"),
+    )
+    per_class = (
+        dm.join(F.broadcast(model), "b")
+        .groupBy("doc_id", "cls")
+        .agg(
+            (F.first("prior_q") + F.sum(F.col("cd") * F.col("lq"))).alias(
+                "score_q"
+            )
+        )
+    )
+    return per_class.groupBy("doc_id").agg(
+        F.min_by(
+            "cls", F.struct((-F.col("score_q")).alias("ns"), F.col("cls").alias("c"))
+        ).alias("predicted"),
+        F.max("score_q").alias("score_q"),
+        F.when(F.count("*") < 2, F.lit(0))
+        .otherwise(
+            F.max("score_q")
+            - F.sort_array(F.collect_list("score_q"), asc=False).getItem(1)
+        )
+        .cast("bigint")
+        .alias("margin_q"),
     )
 
 
