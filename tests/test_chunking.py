@@ -226,6 +226,58 @@ class TestSparkChunking:
             map(tuple, unfused.collect())
         )
 
+    def test_fused_matches_unfused_under_capture(self, spark):
+        # on_error='capture' synthesizes type='Error' rows; both paths
+        # must pass them through VERBATIM (the unfused fold used to eat
+        # them into CompositeElements — round-9 advisory fix)
+        from unstructured_spark.operators.partition_auto import partition_and_chunk
+
+        docs = spark.createDataFrame(
+            [
+                ("good", b"Intro\n\nSome text about things.", "g.txt"),
+                ("bad", b"\xd0\xcf\x11\xe0 truncated cfb", "broken.doc"),
+            ],
+            "doc_id string, content binary, path string",
+        )
+        cols = ["doc_id", "element_index", "type", "text"]
+        fused = partition_and_chunk(
+            docs, chunking_strategy="by_title", on_error="capture"
+        ).select(*cols)
+        unfused = partition_and_chunk(
+            docs, chunking_strategy="by_title", on_error="capture", fused=False
+        ).select(*cols)
+        frows = sorted(map(tuple, fused.collect()))
+        urows = sorted(map(tuple, unfused.collect()))
+        assert frows == urows
+        assert any(t == "Error" for _, _, t, _ in frows)
+
+    def test_reregistered_builtin_not_bypassed_by_fusion(self, spark):
+        # register_chunking_strategy('basic', plug-in) must win over the
+        # fused built-in fold (round-9 advisory fix)
+        from unstructured_spark.operators.chunking import (
+            _STRATEGIES,
+            chunk_elements,
+            register_chunking_strategy,
+        )
+        from unstructured_spark.operators.partition_auto import partition_and_chunk
+
+        docs = spark.createDataFrame(
+            [("1", b"Hello world.\n\nMore text.", "d.txt")],
+            "doc_id string, content binary, path string",
+        )
+        calls = []
+
+        def plugin(df, **kwargs):
+            calls.append(1)
+            return chunk_elements(df, **kwargs)
+
+        register_chunking_strategy("basic", plugin)
+        try:
+            partition_and_chunk(docs, chunking_strategy="basic").collect()
+            assert calls, "plug-in strategy was silently bypassed by fusion"
+        finally:
+            _STRATEGIES["basic"] = chunk_elements
+
 
 class TestTokenMode:
     def test_token_window_respected(self):

@@ -649,6 +649,16 @@ def _sep_len(rows: list[dict], opts: ChunkingOptions) -> int:
 def _chunk_doc(rows: list[dict], opts: ChunkingOptions, by_title: bool) -> list[dict]:
     """The per-document chunk fold over ordered element rows."""
     doc_id = str(rows[0]["doc_id"])
+    # synthesized type='Error' rows (on_error='capture' diagnostics)
+    # pass through VERBATIM: folding a parse-failure marker into a
+    # CompositeElement would erase the one signal it exists to carry.
+    # This also keeps the fused parse+chunk path (which never routes
+    # capture rows through the fold) bit-identical to this operator
+    # path under capture mode.
+    errors = [r for r in rows if r.get("type") == "Error"]
+    rows = [r for r in rows if r.get("type") != "Error"]
+    if not rows:
+        return errors
     pre_chunks = list(_pre_chunk_fold(rows, opts, by_title))
     if by_title:
         pre_chunks = _combine_pre_chunks(pre_chunks, opts)
@@ -659,7 +669,7 @@ def _chunk_doc(rows: list[dict], opts: ChunkingOptions, by_title: bool) -> list[
         overlap_prefix = _form_chunks(
             pc, opts, doc_id, out, next_index, overlap_prefix
         )
-    return out
+    return errors + out
 
 
 def _make_batched_fold(opts: ChunkingOptions, by_title: bool):

@@ -403,7 +403,14 @@ def ngram_jaccard_pairs(
     )
     # build shingle arrays in parallel (small parquet inputs arrive as
     # one split; the array build is the CPU hot spot, so spread it),
-    # then ordinary shuffle joins — the arrays stay distributed.
+    # then ordinary shuffle joins — the arrays stay distributed. (An
+    # r9 experiment pruned the array build to candidate members via a
+    # broadcast semi-join on a persisted/checkpointed candidate set;
+    # both cut variants measurably REGRESSED: the lineage cut opts the
+    # LSH DAG out of AQE and the second candidate consumer serializes
+    # an extra job, costing more than the avoided array work. The
+    # single-consumer one-DAG form below keeps everything in one
+    # AQE-planned query.)
     par = df.sparkSession.sparkContext.defaultParallelism
     base = df.repartition(par) if df.rdd.getNumPartitions() < par else df
     sh = base.select(F.col(doc_id).alias("doc"), shingles(F.col(text), n).alias("sh"))
@@ -582,15 +589,11 @@ def drop_near_duplicates(
                 f"is {q_type or 'missing'}"
             )
 
-    # min over (-quality, doc) == quality desc, doc asc — negating the
-    # QUALITY (numeric by the guard above) instead of the doc id keeps
-    # the tie-break correct for string doc ids too, where a unary minus
-    # would cast to double, yield null, and pick an arbitrary survivor
-    def _best(doc_col: str, q_col: str):
-        return F.min_by(
-            F.col(doc_col),
-            F.struct((-F.col(q_col)).alias("nq"), F.col(doc_col).alias("d")),
-        )
+    # Both 'best' keeper picks below take min over struct(-quality,
+    # doc) == quality desc, doc asc — negating the QUALITY (numeric by
+    # the guard above) instead of the doc id keeps the tie-break
+    # correct for string doc ids too, where a unary minus would cast
+    # to double, yield null, and pick an arbitrary survivor.
 
     # exact groups: every doc whose group representative is another doc
     fp = F.md5(F.lower(F.trim(F.regexp_replace(F.col(text), "\\s+", " "))))
@@ -599,20 +602,35 @@ def drop_near_duplicates(
         exact_keep = exact_duplicates(df, text=text, doc_id=doc_id).select(
             "fingerprint", "keep_id"
         )
+        exact_drop = (
+            fps.join(exact_keep, "fingerprint")
+            .filter(F.col("doc") != F.col("keep_id"))
+            .select("doc")
+        )
     else:
         fps = df.select(
             F.col(doc_id).alias("doc"),
             fp.alias("fingerprint"),
             F.col(quality_col).alias("_q"),
         )
-        exact_keep = fps.groupBy("fingerprint").agg(
-            _best("doc", "_q").alias("keep_id")
+        # keeper via a window over ONE fingerprint partitioning instead
+        # of groupBy + join-back (which shuffles the corpus twice for
+        # the same grouping): min over (-quality, doc) == best. Group
+        # sizes are duplicate-group sizes — no skew hazard beyond what
+        # the data itself carries.
+        wfp = Window.partitionBy("fingerprint")
+        exact_drop = (
+            fps.withColumn(
+                "_keep",
+                F.min(
+                    F.struct(
+                        (-F.col("_q")).alias("nq"), F.col("doc").alias("d")
+                    )
+                ).over(wfp)["d"],
+            )
+            .filter(F.col("doc") != F.col("_keep"))
+            .select("doc")
         )
-    exact_drop = (
-        fps.join(exact_keep, "fingerprint")
-        .filter(F.col("doc") != F.col("keep_id"))
-        .select("doc")
-    )
     # persist: connected_components references the pairs in both
     # branches of its edge symmetrization — without this the whole
     # minhash+LSH+Jaccard DAG executes twice (same reason
@@ -627,16 +645,23 @@ def drop_near_duplicates(
             # the min-label IS the min cluster id — no extra pass
             near_drop = members.filter(F.col("doc") != F.col("label")).select("doc")
         else:
-            mq = members.join(
-                df.select(F.col(doc_id).alias("doc"), F.col(quality_col).alias("_q")),
-                "doc",
-            )
-            cluster_keep = mq.groupBy("label").agg(_best("doc", "_q").alias("_keep"))
-            # join keepers back onto members, not mq — the quality
-            # column is spent after the aggregate and re-deriving mq
-            # would run the corpus-projection join twice
+            # members is the duplicate set (tiny vs the corpus) —
+            # broadcast it into the quality projection so the corpus is
+            # probed, never shuffled; then one label-window picks the
+            # keeper (no groupBy + join-back pass over the same keys)
+            mq = df.select(
+                F.col(doc_id).alias("doc"), F.col(quality_col).alias("_q")
+            ).join(F.broadcast(members), "doc")
+            wl = Window.partitionBy("label")
             near_drop = (
-                members.join(cluster_keep, "label")
+                mq.withColumn(
+                    "_keep",
+                    F.min(
+                        F.struct(
+                            (-F.col("_q")).alias("nq"), F.col("doc").alias("d")
+                        )
+                    ).over(wl)["d"],
+                )
                 .filter(F.col("doc") != F.col("_keep"))
                 .select("doc")
             )

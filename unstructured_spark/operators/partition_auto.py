@@ -178,11 +178,27 @@ def partition_and_chunk(
     strategies (registered via ``register_chunking_strategy``) operate
     on DataFrames and always take the unfused path.
     """
-    from unstructured_spark.operators.chunking import ChunkingOptions, _chunk_doc, chunk
+    from unstructured_spark.operators.chunking import (
+        _STRATEGIES,
+        ChunkingOptions,
+        _chunk_doc,
+        chunk,
+        chunk_by_title,
+        chunk_elements,
+    )
 
     if chunking_strategy is None:
         return partition_documents(df, **partition_kwargs)
-    if fused and chunking_strategy in ("basic", "by_title"):
+    # fuse ONLY while the registered strategy is still the built-in
+    # function: a caller who re-registers 'basic'/'by_title' via
+    # register_chunking_strategy must get their plug-in, not a silent
+    # built-in fold
+    builtin = {"basic": chunk_elements, "by_title": chunk_by_title}
+    if (
+        fused
+        and chunking_strategy in builtin
+        and _STRATEGIES.get(chunking_strategy) is builtin[chunking_strategy]
+    ):
         opts = ChunkingOptions(**(chunk_kwargs or {}))
         by_title = chunking_strategy == "by_title"
 

@@ -480,15 +480,32 @@ def bigram_cross_entropy(
             F.expr("transform(slice(_t, 1, size(_t) - 1), (x, i) -> struct(x as w1, _t[i + 1] as w2))")
         ).alias("bg"),
     ).select("doc", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
-    big_counts = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
-    uni_counts = bigrams.groupBy("w1").agg(F.count("*").alias("c1"))
+    # the two LM count tables are vocab-sized (distinct bigram types /
+    # distinct prefixes), each with multiple consumers below (the
+    # scoring joins + the fxln argument union) — checkpoint them
+    # lazily so each aggregates the bigram stream exactly ONCE instead
+    # of once per broadcast build
+    big_counts = (
+        bigrams.groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
+        .localCheckpoint(eager=False)
+    )
     # V = distinct tokens anywhere in the corpus (first AND last
-    # positions participate: union of w1 and w2 vocabularies)
-    v = (
-        bigrams.select(F.col("w1").alias("t"))
-        .unionByName(bigrams.select(F.col("w2").alias("t")))
-        .agg(F.countDistinct("t"))
-        .collect()[0][0]
+    # positions participate: union of w1 and w2 vocabularies) —
+    # computed over the bigram TYPE table, not the occurrence stream
+    # (identical set, ~√ the rows), and kept as a broadcast one-row
+    # column instead of a driver collect: one fewer corpus-scale
+    # action per call
+    vdf = (
+        big_counts.select(F.col("w1").alias("t"))
+        .unionByName(big_counts.select(F.col("w2").alias("t")))
+        .agg(F.countDistinct("t").alias("_v"))
+    )
+    uni_counts = (
+        bigrams.groupBy("w1")
+        .agg(F.count("*").alias("c1"))
+        .crossJoin(F.broadcast(vdf))
+        .localCheckpoint(eager=False)
     )
     # -ln P = ln(c1+V) - ln(c12+1): both log arguments are INTEGERS, so
     # the 1e-6-grid quantization runs through the fixed-point integer
@@ -503,11 +520,13 @@ def bigram_cross_entropy(
     # and the ~30-step fxln expression is analyzed over a tiny side
     # plan instead of riding every downstream consumer.
     args = (
-        uni_counts.select((F.col("c1") + F.lit(int(v))).alias("m"))
+        uni_counts.select((F.col("c1") + F.col("_v")).alias("m"))
         .unionByName(big_counts.select((F.col("c12") + F.lit(1)).alias("m")))
         .distinct()
     )
-    lns = with_fxln(args, "m", "_f").select("m", F.col("_fln").alias("_ln"))
+    lns = with_fxln(args, "m", "_f").select(
+        "m", F.col("_fln").alias("_ln")
+    ).localCheckpoint(eager=False)
     la = F.broadcast(lns.select(F.col("m").alias("_ma"), F.col("_ln").alias("_aln")))
     lb = F.broadcast(lns.select(F.col("m").alias("_mb"), F.col("_ln").alias("_bln")))
     # quantize each -ln P to a 1e-6 grid BEFORE aggregation: long sums
@@ -520,7 +539,7 @@ def bigram_cross_entropy(
         .join(uni_counts, "w1")
         .select(
             "doc",
-            (F.col("c1") + F.lit(int(v))).alias("_ma"),
+            (F.col("c1") + F.col("_v")).alias("_ma"),
             (F.col("c12") + F.lit(1)).alias("_mb"),
         )
         .join(la, "_ma")
