@@ -86,5 +86,111 @@ def main() -> None:
     spark.stop()
 
 
+def main_streaming() -> None:
+    """--streaming: the data-loader story end-to-end on a LIVE stream —
+    documents arrive in a watched directory, each micro-batch is
+    parsed+chunked (zero-shuffle fused UDF), gated by the broadcast NB
+    model, and appended to token-balanced parquet shards whose
+    numbering continues across batches (streaming.pipeline.
+    stream_to_token_shards). Prints one JSON line with shard stats."""
+    import shutil
+    import tempfile
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    n_files = int(os.environ.get("SPARK_GRAFT_STREAM_DOCS", "200"))
+    spark = (
+        SparkSession.builder.appName("corpus-e2e-stream-demo")
+        .master(f"local[{cpus}]")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from unstructured_spark.operators.classifier import nb_train
+    from unstructured_spark.streaming.pipeline import (
+        partition_and_chunk_stream,
+        read_document_stream,
+        stream_to_token_shards,
+    )
+
+    work = tempfile.mkdtemp(prefix="stream_demo_")
+    in_dir = os.path.join(work, "in")
+    os.makedirs(in_dir)
+    try:
+        # spill a slice of the corpus into the watched directory (the
+        # demo's stand-in for a landing zone / object-store prefix)
+        rows = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text", "source")
+            .limit(n_files)
+            .collect()
+        )
+        for r in rows:
+            with open(os.path.join(in_dir, f"doc_{r['doc_id']}.txt"), "w") as f:
+                f.write(r["text"] or "")
+        # seed model: label a deterministic slice by its source column
+        seed = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .filter(F.col("doc_id") % 10 < 3)
+            .select("doc_id", "text", F.col("source").alias("label"))
+        )
+        model = nb_train(seed, buckets=4096, max_tokens=64)
+        keep = tuple(
+            r["cls"] for r in model.select("cls").distinct().collect()
+        ) + ("__unscored__",)
+
+        t0 = time.perf_counter()
+        chunks = partition_and_chunk_stream(
+            read_document_stream(spark, str(in_dir), max_files_per_trigger=64),
+            max_characters=1000,
+        )
+        q = stream_to_token_shards(
+            chunks,
+            model,
+            os.path.join(work, "shards"),
+            os.path.join(work, "ckpt"),
+            tokens_per_shard=2000,
+            keep=keep,
+            available_now=True,
+        )
+        q.awaitTermination(600)
+        wall = time.perf_counter() - t0
+        out = spark.read.parquet(os.path.join(work, "shards"))
+        stats = out.agg(
+            F.count("*").alias("chunks"),
+            F.countDistinct("shard_id").alias("shards"),
+            F.sum("n_tokens").alias("tokens"),
+        ).collect()[0]
+        per_shard = (
+            out.groupBy("shard_id").agg(F.sum("n_tokens").alias("t"))
+            .agg(F.min("t").alias("mn"), F.max("t").alias("mx"))
+            .collect()[0]
+        )
+        print(
+            json.dumps(
+                {
+                    "metric": "corpus_stream_to_shards_wall_clock",
+                    "value": round(wall, 2),
+                    "unit": "sec",
+                    "documents": n_files,
+                    "chunks": stats["chunks"],
+                    "shards": stats["shards"],
+                    "tokens": int(stats["tokens"]),
+                    "shard_tokens_min_max": [int(per_shard["mn"]), int(per_shard["mx"])],
+                },
+                separators=(",", ":"),
+            )
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        spark.stop()
+
+
 if __name__ == "__main__":
-    main()
+    if "--streaming" in sys.argv:
+        main_streaming()
+    else:
+        main()

@@ -163,6 +163,74 @@ class TestStreaming:
         assert any("c.txt" in r["doc_id"] for r in out2.collect())
 
 
+class TestStreamingDataLoader:
+    def test_stream_to_token_shards_e2e(self, spark, tmp_path):
+        # the full streaming data-loader tail: files → parse+chunk →
+        # NB gate → token-balanced shards, with shard numbering
+        # CONTINUING across a second availableNow drain
+        from unstructured_spark.operators.classifier import nb_train
+        from unstructured_spark.streaming.pipeline import (
+            partition_and_chunk_stream,
+            read_document_stream,
+            stream_to_token_shards,
+        )
+
+        in_dir = tmp_path / "in"
+        in_dir.mkdir()
+        for i in range(4):
+            (in_dir / f"doc{i}.txt").write_text(
+                f"Document {i} heading\n\n"
+                + f"good clean prose number {i} about science data. " * 6
+            )
+        (in_dir / "spam.txt").write_text(
+            "buy cheap pills now click here casino bonus free. " * 6
+        )
+        seed = spark.createDataFrame(
+            [
+                (1, "good clean prose about science and data", "keep"),
+                (2, "well formed sentences with science structure", "keep"),
+                (3, "buy cheap pills now click here casino", "drop"),
+                (4, "casino bonus click free pills buy now", "drop"),
+            ],
+            "doc_id long, text string, label string",
+        )
+        model = nb_train(seed, buckets=512)
+        out_dir, ckpt = str(tmp_path / "shards"), str(tmp_path / "ckpt")
+
+        def drain():
+            chunks = partition_and_chunk_stream(
+                read_document_stream(spark, str(in_dir)), max_characters=200
+            )
+            q = stream_to_token_shards(
+                chunks, model, out_dir, ckpt,
+                tokens_per_shard=30, buckets=512, available_now=True,
+            )
+            q.awaitTermination(120)
+
+        drain()
+        rows = spark.read.parquet(out_dir).collect()
+        assert rows, "no shards written"
+        # spam chunks were gated out, good docs survived
+        assert not any("casino" in (r["text"] or "") for r in rows)
+        assert any("science" in (r["text"] or "") for r in rows)
+        # shard ids are token-balanced: every shard except the last
+        # starts within tokens_per_shard of the previous boundary
+        max_shard_1 = max(r["shard_id"] for r in rows)
+        total_1 = sum(r["n_tokens"] for r in rows)
+        assert max_shard_1 <= total_1 // 30 + 1
+
+        # second drain: new arrival continues the token offset — its
+        # chunks land in shards AT OR AFTER the current boundary
+        (in_dir / "late.txt").write_text(
+            "late arriving science data prose paragraph. " * 6
+        )
+        drain()
+        rows2 = spark.read.parquet(out_dir).collect()
+        late = [r for r in rows2 if "late.txt" in r["doc_id"]]
+        assert late, "second drain wrote nothing for the new file"
+        assert min(r["shard_id"] for r in late) >= total_1 // 30
+
+
 class TestStreamingEvents:
     def _event_stream(self, spark, tmp_path, rows):
         import json

@@ -143,6 +143,13 @@ class TestClassify:
             ("Unstructured Technologies", True),
             ("1.A.RISKS", True),
             ("Big/Brown/Sheep", True),
+            # Unicode whitespace separators: Java \s is ASCII-only, so
+            # the column form spells the Unicode block out explicitly
+            # (r9 advisory) — both paths must split NBSP/EN-space/
+            # ideographic-space identically
+            ("zxqv\u00a0parrot", True),
+            ("zxqv\u2003beak\u3000zxqv", True),
+            ("zxqv\u00a0zxqv", False),
         ]
         for text, expected in cases:
             assert classify.contains_english_word(text) is expected, text

@@ -243,8 +243,16 @@ def contains_english_word(col: Column) -> Column:
     words = sorted(ENGLISH_WORDS | set(STOPWORDS) | set(_COMMON_VERBS))
     # same split class as the Python mirror (parsers/classify.py):
     # dots/slashes/dashes separate crammed-together words ("1.A.RISKS",
-    # "Big/Brown/Sheep" — reference test_text_type.py:190-215)
-    toks = F.split(F.lower(F.trim(col)), r"[\s\-,.!?_/]+")
+    # "Big/Brown/Sheep" — reference test_text_type.py:190-215). Java's
+    # \s is ASCII-only while Python's (the reference's) is
+    # Unicode-aware, so the Unicode whitespace block is spelled out —
+    # without it a text whose only English word borders a non-breaking
+    # space passes the Python predicate but fails this one.
+    toks = F.split(
+        F.lower(F.trim(col)),
+        "[\\s\\u001c-\\u001f\\u0085\\u00a0\\u1680\\u2000-\\u200a"
+        "\\u2028\\u2029\\u202f\\u205f\\u3000\\-,.!?_/]+",
+    )
     return F.exists(
         toks,
         lambda t: (F.length(F.regexp_replace(t, "[^a-z]", "")) > 1)

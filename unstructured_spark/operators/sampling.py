@@ -248,6 +248,7 @@ def assign_token_shards(
     text: str = "text",
     doc_id: str = "doc_id",
     block_size: int = 1024,
+    start_offset: int = 0,
 ) -> DataFrame:
     """Token-balanced shard assignment (the webdataset/output-file
     shape): concatenate all documents in ``doc_id`` order and start a
@@ -262,6 +263,12 @@ def assign_token_shards(
     single-partition global window ever sees the corpus. Zero-token
     and NULL-text documents keep their assignment (a shard writer must
     not silently drop rows); they simply add no tokens.
+
+    ``start_offset`` shifts the global token counter — the incremental
+    / streaming continuation hook: a micro-batch writer passes the
+    token total already written so shard boundaries continue across
+    batches as if the stream were one corpus
+    (streaming.pipeline.stream_to_token_shards).
     """
     return _global_token_offsets(
         df, text=text, doc_id=doc_id, block_size=block_size,
@@ -269,7 +276,10 @@ def assign_token_shards(
     ).select(
         F.col("doc").alias(doc_id),
         F.col("_n").alias("n_tokens"),
-        F.floor(F.col("_gstart") / int(tokens_per_shard))
+        F.floor(
+            (F.col("_gstart") + F.lit(int(start_offset)))
+            / int(tokens_per_shard)
+        )
         .cast("bigint")
         .alias("shard_id"),
     )

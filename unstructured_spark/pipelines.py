@@ -219,6 +219,12 @@ def pretraining_corpus_e2e(
     placements (or its chunk rows when ``pack_tokens`` is None) plus
     the full per-chunk split assignment table.
 
+    Classifier gate semantics: chunks the scorer cannot score
+    (zero-feature/whitespace-only text) carry the sentinel class
+    ``'__unscored__'`` — include it in ``classifier_keep`` to retain
+    them. ``classifier_kwargs['doc_id']`` names the SEED table's id
+    column; the scoring side is always keyed on ``element_id``.
+
     Shuffle bill (scripts/demo_corpus_e2e.py measures the realized
     exchange count; SCALING.md records it): partition and hygiene are
     map-only; chunking is one doc-clustered exchange; dedup/split are
@@ -272,15 +278,31 @@ def pretraining_corpus_e2e(
         ckw = dict(classifier_kwargs or {})
         label = ckw.pop("label", "label")
         # seed keeps ITS OWN id/label columns; only the scoring side is
-        # keyed on the chunk table's element_id
-        model = nb_train(classifier_seed, label=label, **ckw)
+        # keyed on the chunk table's element_id. 'doc_id' in
+        # classifier_kwargs names the SEED's id column only — popping
+        # it here keeps it from colliding with the scoring call's
+        # hardcoded doc_id='element_id' (a duplicate-kwarg TypeError).
+        # Shared knobs (text, buckets, max_tokens) forward to both.
+        seed_doc_id = ckw.pop("doc_id", "doc_id")
+        model = nb_train(classifier_seed, label=label, doc_id=seed_doc_id, **ckw)
         verdicts = nb_score(chunks, model, doc_id="element_id", **ckw).select(
             F.col("doc_id").alias("element_id"),
             F.col("predicted").alias("_nb_predicted"),
         )
+        # chunks with NO verdict (zero-feature text — nb_score drops
+        # them) surface as the explicit '__unscored__' class: by
+        # default they are filtered like any class outside
+        # classifier_keep, and a caller who wants to keep them adds
+        # '__unscored__' to classifier_keep. Without the coalesce the
+        # NULL from the left join would make isin() NULL and drop them
+        # SILENTLY, indistinguishable from a classifier rejection.
         chunks = (
             chunks.join(verdicts, "element_id", "left")
-            .filter(F.col("_nb_predicted").isin(*classifier_keep))
+            .filter(
+                F.coalesce(F.col("_nb_predicted"), F.lit("__unscored__")).isin(
+                    *classifier_keep
+                )
+            )
             .drop("_nb_predicted")
         )
 

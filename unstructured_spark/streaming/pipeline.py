@@ -16,7 +16,7 @@ same pass* (zero extra shuffle, stateless microbatches).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
@@ -83,6 +83,112 @@ def partition_and_chunk_stream(
     return elements.mapInPandas(
         _make_batched_fold(opts, by_title), schema=ELEMENT_SCHEMA
     )
+
+
+def stream_to_token_shards(
+    chunks: DataFrame,
+    model: DataFrame,
+    output_dir: str,
+    checkpoint_dir: str,
+    *,
+    tokens_per_shard: int,
+    keep: tuple[str, ...] = ("keep",),
+    buckets: int = 4096,
+    max_tokens: int | None = None,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """The streaming DATA-LOADER tail: chunk stream → NB classifier
+    gate → token-balanced shard assignment → parquet shards. The
+    round-8 streaming primitives (map-only NB scorer, distributed
+    prefix-sum sharding) composed end-to-end.
+
+    Runs as ``foreachBatch``: inside each micro-batch the chunks are
+    scored against the broadcast model (``nb_score`` — the batch twin;
+    identical integers to the streaming scorer), gated on ``keep``
+    (unscored zero-feature chunks carry the explicit ``__unscored__``
+    class, same contract as pipelines.pretraining_corpus_e2e), and
+    sharded with :func:`assign_token_shards` whose ``start_offset``
+    carries the cumulative token count — shard boundaries continue
+    across micro-batches exactly as if the stream were one corpus.
+
+    Restart semantics: the offset is re-derived from the sink
+    (sum of ``n_tokens`` already written) before the query starts, so
+    a restarted query continues numbering where the sink left off.
+    A batch replayed after a mid-write crash can duplicate rows
+    (standard foreachBatch at-least-once); idempotent sinks can key
+    on (batch_id) via the usual overwrite-partition pattern.
+
+    Scale shape: everything per-batch is the batch operators' own
+    shape — broadcast model join, block-prefix-sum sharding; the only
+    driver state is ONE integer (the running token total).
+    """
+    from unstructured_spark.operators.classifier import nb_score
+    from unstructured_spark.operators.sampling import assign_token_shards
+
+    spark = chunks.sparkSession
+    try:
+        prev = (
+            spark.read.parquet(output_dir)
+            .agg(F.sum("n_tokens").alias("s"))
+            .collect()[0]["s"]
+        )
+        offset = int(prev or 0)
+    except Exception:
+        offset = 0
+    state = {"offset": offset}
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        verdicts = nb_score(
+            batch_df, model, doc_id="element_id", buckets=buckets,
+            max_tokens=max_tokens,
+        ).select(
+            F.col("doc_id").alias("element_id"),
+            F.col("predicted").alias("_nb_predicted"),
+        )
+        kept = (
+            batch_df.join(verdicts, "element_id", "left")
+            .filter(
+                F.coalesce(
+                    F.col("_nb_predicted"), F.lit("__unscored__")
+                ).isin(*keep)
+            )
+            .drop("_nb_predicted")
+        )
+        # the prefix-sum sharder needs a numeric densely-ordered id;
+        # element ids are strings, so derive a per-batch ordinal in
+        # the stream's natural order. The row_number window is global
+        # but MICRO-BATCH-bounded (maxFilesPerTrigger caps it) — the
+        # corpus-scale prefix sum inside assign_token_shards stays
+        # distributed.
+        kept = kept.withColumn(
+            "_ord",
+            F.row_number().over(
+                Window.orderBy("doc_id", "element_index")
+            ).cast("bigint"),
+        )
+        shards = assign_token_shards(
+            kept,
+            tokens_per_shard,
+            doc_id="_ord",
+            start_offset=state["offset"],
+        )
+        out = kept.join(shards, "_ord").select(
+            "element_id", "doc_id", "text", "n_tokens", "shard_id"
+        )
+        out.write.mode("append").parquet(output_dir)
+        added = shards.agg(F.sum("n_tokens").alias("s")).collect()[0]["s"]
+        state["offset"] += int(added or 0)
+
+    writer = (
+        chunks.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def write_elements_stream(
