@@ -911,6 +911,41 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_analysis.perplexity_buckets(docs, buckets=3)
 
 
+def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dolma-style keep-first paragraph dedup (new in r9): over a
+    deterministic paragraph-structured view of the corpus (15-token
+    groups joined by blank lines — the flat synthetic texts carry no
+    newlines of their own), drop every occurrence of a paragraph
+    except the globally first (min (doc_id, position)) and reassemble.
+    Exercises the content-preserving corpus dedup pass
+    (operators/dedup.py dedup_paragraphs) end-to-end."""
+    docs = _t(spark, sf_dir, "documents")
+    pdocs = docs.select(
+        "doc_id",
+        F.filter(
+            F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), "\\s+"),
+            lambda x: x != F.lit(""),
+        ).alias("_t"),
+    ).select(
+        "doc_id",
+        F.expr(
+            "case when size(_t) = 0 then '' else array_join(transform("
+            "sequence(0, (size(_t) + 14) div 15 - 1), "
+            "i -> concat_ws(' ', slice(_t, i * 15 + 1, 15))), '\\n\\n') end"
+        ).alias("text"),
+    )
+    return dedup.dedup_paragraphs(pdocs)
+
+
+def q_unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc Shannon entropy of the unigram distribution (new in
+    r9): the compressibility/diversity quality signal, integer-exact
+    through the fixed-point log so the SQL replay is bit-identical
+    (no libm — the same fxln discipline as the perplexity family)."""
+    docs = _t(spark, sf_dir, "documents")
+    return text_analysis.unigram_entropy(docs)
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: k-means-bucketed within-cluster cosine near-dup
     flagging over the embeddings table (k=8, 2 rounds, threshold 0.42
@@ -2804,6 +2839,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_gopher_quality": q_gopher_quality,
         "q_ngram_repetition": q_ngram_repetition,
         "q04_order_priority_check": q04_order_priority_check,
+        # --- new in r9 (tail this round; lead the r10 window when the
+        # channel probes retire) ---
+        "q_dedup_paragraphs": q_dedup_paragraphs,
+        "q_unigram_entropy": q_unigram_entropy,
     }
 
 
@@ -3067,6 +3106,84 @@ def oracle_sql() -> dict[str, str]:
         """,
         "probe_bigint_wire": """
             select cast(sum(r) as bigint) as s from range(1, 6) t(r)
+        """,
+        "q_dedup_paragraphs": """
+            with t as (
+              select doc_id,
+                     list_filter(string_split(trim(coalesce(text, '')), ' '),
+                                 x -> x != '') as w
+              from documents
+            ), pd as (
+              select doc_id,
+                     case when len(w) = 0 then '' else
+                       array_to_string(list_transform(
+                         range(0, (len(w) + 14) // 15),
+                         i -> array_to_string(w[i * 15 + 1 : i * 15 + 15], ' ')),
+                         chr(10) || chr(10)) end as text
+              from t
+            ), paras as (
+              select doc_id, i as pos, ps[i] as para,
+                     md5(lower(trim(regexp_replace(ps[i], '\\s+', ' ', 'g'))))
+                       as fp,
+                     trim(regexp_replace(ps[i], '\\s+', ' ', 'g')) != ''
+                       as nonblank
+              from (select doc_id,
+                           string_split(text, chr(10) || chr(10)) as ps
+                    from pd) x,
+                   unnest(range(1, len(ps) + 1)) as u(i)
+            ), ranked as (
+              select *, case when nonblank then
+                       row_number() over (partition by fp
+                                          order by doc_id, pos)
+                     else 1 end as rn
+              from paras
+            ), kept as (
+              select * from ranked where rn = 1
+            ), rebuilt as (
+              select doc_id,
+                     string_agg(para, chr(10) || chr(10) order by pos)
+                       as clean,
+                     count(*) as nkept
+              from kept group by doc_id
+            ), counts as (
+              select doc_id, count(*) as nparas from paras group by doc_id
+            )
+            select c.doc_id,
+                   coalesce(r.clean, '') as text,
+                   cast(c.nparas - coalesce(r.nkept, 0) as bigint)
+                     as removed_paragraphs
+            from counts c left join rebuilt r using (doc_id)
+        """,
+        "q_unigram_entropy": f"""
+            with tok as (
+              select doc_id,
+                     unnest(list_filter(string_split(trim(coalesce(text, '')),
+                                                     ' '), x -> x != '')) as t
+              from documents
+            ), cc as (
+              select doc_id, cast(count(*) as bigint) as c
+              from tok group by doc_id, t
+            ), nt as (
+              select doc_id, cast(sum(c) as bigint) as n
+              from cc group by doc_id
+            ), args as (
+              select distinct m from (
+                select c as m from cc union select n as m from nt)
+            ), lns as (
+              select m, {fxln_select_sql("m", "_f")} from args
+            ), s as (
+              select cc.doc_id,
+                     cast(sum(cc.c * l._fln) as bigint) as sv
+              from cc join lns l on cc.c = l.m
+              group by cc.doc_id
+            )
+            select nt.doc_id, nt.n as n_tokens,
+                   cast(((l2._fln - ((2 * s.sv + nt.n) // (2 * nt.n)))
+                         * 1000000 + 1073741824) // 2147483648 as double)
+                     / 1000000.0 as entropy
+            from nt
+            join s using (doc_id)
+            join lns l2 on nt.n = l2.m
         """,
         "q01_pricing_summary": """
             select l_returnflag, l_linestatus,

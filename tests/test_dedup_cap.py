@@ -497,6 +497,62 @@ class TestRemoveBoilerplateLines:
         assert out[1]["text"] == "alpha\r\n\r\nbeta one"
 
 
+class TestDedupParagraphs:
+    def test_keep_first_drop_rest(self, spark):
+        from unstructured_spark.operators.dedup import dedup_paragraphs
+
+        quote = "To be or not to be"
+        rows = [
+            (1, f"Intro one.\n\n{quote}\n\nOutro one."),
+            (2, f"{quote}\n\nFresh content two."),
+            (3, f"Unrelated three.\n\n{quote}"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r for r in dedup_paragraphs(docs).collect()}
+        # doc 1 holds the first occurrence (min (doc, pos)) — intact
+        assert out[1]["text"] == rows[0][1]
+        assert out[1]["removed_paragraphs"] == 0
+        # later occurrences dropped, surrounding content preserved
+        assert out[2]["text"] == "Fresh content two."
+        assert out[2]["removed_paragraphs"] == 1
+        assert out[3]["text"] == "Unrelated three."
+        assert out[3]["removed_paragraphs"] == 1
+
+    def test_first_within_one_doc_by_position(self, spark):
+        from unstructured_spark.operators.dedup import dedup_paragraphs
+
+        docs = spark.createDataFrame(
+            [(5, "dup para\n\nmiddle\n\ndup para")],
+            "doc_id long, text string",
+        )
+        [r] = dedup_paragraphs(docs).collect()
+        assert r["text"] == "dup para\n\nmiddle"
+        assert r["removed_paragraphs"] == 1
+
+    def test_blank_paragraphs_and_null_text(self, spark):
+        from unstructured_spark.operators.dedup import dedup_paragraphs
+
+        # blank (whitespace-only) paragraphs are structural — never
+        # deduped even though every doc has one
+        rows = [(1, "a\n\n \n\nb"), (2, "c\n\n \n\nd"), (3, None)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r for r in dedup_paragraphs(docs).collect()}
+        assert out[1]["text"] == "a\n\n \n\nb"
+        assert out[2]["text"] == "c\n\n \n\nd"
+        assert out[3]["text"] == "" and out[3]["removed_paragraphs"] == 0
+
+    def test_normalization_case_and_spaces(self, spark):
+        from unstructured_spark.operators.dedup import dedup_paragraphs
+
+        rows = [(1, "SAME   para"), (2, "same para")]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r for r in dedup_paragraphs(docs).collect()}
+        # doc 1 wins (lower doc_id); doc 2's variant is a dup under
+        # the case/whitespace normalization
+        assert out[1]["text"] == "SAME   para"
+        assert out[2]["text"] == "" and out[2]["removed_paragraphs"] == 1
+
+
 class TestIncrementalDedup:
     BASE = ("the quick brown fox jumps over the lazy dog and keeps "
             "running through the quiet forest for a long while today")

@@ -31,8 +31,10 @@ BNLJ_ALLOWED = {
     "q_semantic_dedup",   # same kmeans centroid frame (k rows); the
                           # pairwise sweep itself is an equi-join on
                           # cluster_id, never a crossjoin
-    "q_nb_classify",      # broadcast 1-row docs-total aggregate + the
-                          # `buckets`-row dense-grid range — both
+    "q_nb_classify",      # ONE broadcast `buckets`-row dense-grid
+                          # range crossed with the |classes|-row
+                          # doc-count frame (r9: nd/n_c ride windows,
+                          # so the former 1-row BNLJ is gone) —
                           # bounded by construction; corpus scoring is
                           # an equi-join on the bucket key
     "q_vocab_coverage",   # broadcast 1-row total-token-count aggregate

@@ -35,6 +35,37 @@ class TestBigramCrossEntropy:
         assert [r["doc_id"] for r in bigram_cross_entropy(df).collect()] == [2]
 
 
+class TestUnigramEntropy:
+    def test_hand_computed(self, spark):
+        import math as _m
+
+        from unstructured_spark.operators.text_analysis import unigram_entropy
+
+        # "a a b" → n=3, counts {a:2, b:1}
+        # H = ln 3 − (2·ln 2 + 1·ln 1)/3
+        df = spark.createDataFrame(
+            [(1, "a a b"), (2, "x x x x"), (3, "p q r s")],
+            "doc_id long, text string",
+        )
+        rows = {r["doc_id"]: r for r in unigram_entropy(df).collect()}
+        h1 = _m.log(3) - (2 * _m.log(2)) / 3
+        assert rows[1]["n_tokens"] == 3
+        assert abs(rows[1]["entropy"] - round(h1, 6)) < 2e-6
+        # degenerate distribution → exactly 0
+        assert rows[2]["entropy"] == 0.0
+        # uniform all-distinct → ln n
+        assert abs(rows[3]["entropy"] - round(_m.log(4), 6)) < 2e-6
+
+    def test_empty_docs_dropped(self, spark):
+        from unstructured_spark.operators.text_analysis import unigram_entropy
+
+        df = spark.createDataFrame(
+            [(1, "   "), (2, None), (3, "one token each here")],
+            "doc_id long, text string",
+        )
+        assert [r["doc_id"] for r in unigram_entropy(df).collect()] == [3]
+
+
 class TestTokenKlDrift:
     def test_identical_shards_near_zero(self, spark):
         # identical shard distributions → KL ~ 0 (not exactly 0: the

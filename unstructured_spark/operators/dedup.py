@@ -1204,6 +1204,93 @@ def remove_boilerplate_lines(
     )
 
 
+def dedup_paragraphs(
+    df: DataFrame,
+    *,
+    text: str = "text",
+    doc_id: str = "doc_id",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Dolma-style keep-FIRST paragraph dedup (Soldaini et al. 2024,
+    the `dedupe.paragraphs` pass): every occurrence of a paragraph
+    EXCEPT the globally first one (minimum ``(doc_id, position)``) is
+    removed, and each document is reassembled from its surviving
+    paragraphs in original order. Returns (doc_id, text,
+    removed_paragraphs).
+
+    Distinct from :func:`remove_boilerplate_lines` (CCNet semantics:
+    a frequent line is removed EVERYWHERE — destructive by design for
+    navigation chrome) — this pass is content-preserving: exactly one
+    copy of every paragraph survives corpus-wide, the standard
+    pre-training corpus treatment for duplicated quotes/licenses that
+    are still real content. First-occurrence order follows
+    ``(doc_id asc, position asc)``; string doc ids order
+    lexicographically (same contract as the span-dedup rewriters).
+
+    Scale shape: posexplode (map-only) → one min-aggregate shuffle
+    keyed on the paragraph fingerprint (uniform md5, map-side
+    partials) → one fingerprint-keyed join back → one groupBy(doc)
+    reassembly. The winner pick is an aggregate, NOT a row_number
+    window, so an ultra-frequent paragraph costs a combiner-friendly
+    min, never a single-partition sort.
+
+    Blank/whitespace-only paragraphs keep document structure: they are
+    exempt from dedup (all occurrences survive), mirroring the blank
+    exemption of the boilerplate pass.
+    """
+    src = df.withColumn(text, F.coalesce(F.col(text), F.lit("")))
+    paras = src.select(
+        F.col(doc_id).alias("doc"),
+        F.posexplode(F.split(F.col(text), sep)).alias("pos", "para"),
+    ).withColumn(
+        "_fp",
+        F.md5(F.lower(F.trim(F.regexp_replace(F.col("para"), "\\s+", " ")))),
+    )
+    norm_nonempty = (
+        F.trim(F.regexp_replace(F.col("para"), "\\s+", " ")) != ""
+    )
+    winners = (
+        paras.filter(norm_nonempty)
+        .groupBy("_fp")
+        .agg(
+            F.min(
+                F.struct(F.col("doc").alias("d"), F.col("pos").alias("p"))
+            ).alias("_w")
+        )
+    )
+    kept = (
+        paras.join(winners, "_fp", "left")
+        .filter(
+            F.col("_w").isNull()  # blank paragraphs: never deduped
+            | (
+                (F.col("doc") == F.col("_w.d"))
+                & (F.col("pos") == F.col("_w.p"))
+            )
+        )
+    )
+    rebuilt = kept.groupBy("doc").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s["para"],
+            ),
+            sep,
+        ).alias("_clean"),
+        F.count("*").alias("_nkept"),
+    )
+    counts = src.select(
+        F.col(doc_id).alias("doc"),
+        F.size(F.split(F.col(text), sep)).cast("bigint").alias("_nparas"),
+    )
+    return counts.join(rebuilt, "doc", "left").select(
+        F.col("doc").alias(doc_id),
+        F.coalesce(F.col("_clean"), F.lit("")).alias(text),
+        (F.col("_nparas") - F.coalesce(F.col("_nkept"), F.lit(0)))
+        .cast("bigint")
+        .alias("removed_paragraphs"),
+    )
+
+
 def leakage_safe_split(
     df: DataFrame,
     *,

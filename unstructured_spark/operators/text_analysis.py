@@ -565,6 +565,89 @@ def bigram_cross_entropy(
     )
 
 
+def unigram_entropy(
+    df: DataFrame,
+    *,
+    text: str = "text",
+    doc_id: str = "doc_id",
+) -> DataFrame:
+    """Per-document Shannon entropy of the unigram distribution (nats,
+    1e-6 grid) — the compressibility/diversity quality signal: spam
+    keyword stuffing and template boilerplate sit far below, and
+    random token soup far above, the prose band. The filter DSIR-style
+    pipelines apply before perplexity scoring.
+
+        H(d) = ln n − (Σ_t c_t · ln c_t) / n      (n = doc tokens)
+
+    Integer-exact: both log arguments are COUNTS, so every ln runs
+    through the fixed-point integer log (``fxln_steps``), evaluated
+    once per distinct count value (a table bounded by the largest
+    count, O(√tokens) distinct values under Zipf) and broadcast back;
+    the per-doc average is the (2·S + n) div (2·n) HALF_UP pattern.
+    Both engines replay identical BIGINTs — no libm anywhere.
+
+    Scale shape: explode → (doc, token) count shuffle → per-doc sum
+    shuffle; the fxln side table is tiny and broadcast. Docs with zero
+    tokens (empty/NULL text) are dropped — entropy of an empty
+    distribution is undefined, same drop contract as
+    ``bigram_cross_entropy``.
+
+    Returns (doc_id, n_tokens, entropy).
+    """
+    toks = F.filter(
+        F.split(F.trim(F.coalesce(F.col(text), F.lit(""))), "\\s+"),
+        lambda x: x != F.lit(""),
+    )
+    # (doc, count) rows — the token string is spent after the count
+    counts = (
+        df.select(F.col(doc_id).alias("doc"), F.explode(toks).alias("t"))
+        .groupBy("doc", "t")
+        .agg(F.count("*").alias("c"))
+        .select("doc", "c")
+        .localCheckpoint(eager=False)
+    )
+    # per-doc totals feed BOTH the fxln argument union and the final
+    # join — tiny (one row per doc), checkpoint to avoid re-aggregating
+    ntots = (
+        counts.groupBy("doc")
+        .agg(F.sum("c").cast("bigint").alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    args = (
+        counts.select(F.col("c").cast("bigint").alias("m"))
+        .unionByName(ntots.select(F.col("n").alias("m")))
+        .distinct()
+    )
+    lns = with_fxln(args, "m", "_f").select(
+        "m", F.col("_fln").alias("_ln")
+    )
+    lc = F.broadcast(lns.select(F.col("m").alias("c"), F.col("_ln").alias("_cln")))
+    ln_n = F.broadcast(lns.select(F.col("m").alias("n"), F.col("_ln").alias("_nln")))
+    s_per_doc = (
+        counts.join(lc, "c")
+        .groupBy("doc")
+        .agg(F.sum(F.col("c") * F.col("_cln")).cast("bigint").alias("_s"))
+    )
+    return (
+        ntots.join(s_per_doc, "doc")
+        .join(ln_n, "n")
+        .select(
+            F.col("doc").alias(doc_id),
+            F.col("n").alias("n_tokens"),
+            # H·2^31 = ln n − HALF_UP(S / n), then HALF_UP onto the
+            # 1e-6 grid; |H·2^31| ≤ ~31·2^31 so the 1e6 product stays
+            # far inside BIGINT
+            (
+                F.expr(
+                    f"((_nln - ((2 * _s + n) div (2 * n))) * 1000000 "
+                    f"+ {FXLN_HALF}) div {FXLN_SCALE}"
+                ).cast("double")
+                / F.lit(1e6)
+            ).alias("entropy"),
+        )
+    )
+
+
 def token_kl_drift(
     df: DataFrame,
     *,
