@@ -165,39 +165,3 @@ class TestConnectedComponents:
             for r in connected_components(pairs).collect()
         }
         assert set(labels.values()) == {"n00"}
-
-    def test_driver_fast_path_matches_distributed(self, spark):
-        # the small-graph union-find must be bit-identical to the
-        # min-label propagation loop: chains, stars, islands, numeric
-        # AND string ids, and reversed edge orientation
-        from unstructured_spark.operators.dedup import connected_components
-
-        edges_str = (
-            [(f"c{i}", f"c{i + 1}") for i in range(25)]  # long chain
-            + [("hub", f"s{i}") for i in range(10)]      # star
-            + [("i1", "i2"), ("aa", "ab")]               # islands
-            + [("c10", "hub")]                           # bridge
-        )
-        pairs = spark.createDataFrame(edges_str, "doc_a string, doc_b string")
-        fast = sorted(
-            map(tuple, connected_components(pairs).collect())
-        )
-        dist = sorted(
-            map(
-                tuple,
-                connected_components(pairs, driver_threshold=0).collect(),
-            )
-        )
-        assert fast == dist
-        nums = spark.createDataFrame(
-            [(5, 3), (3, 9), (100, 101), (9, 7)], "doc_a long, doc_b long"
-        )
-        fastn = sorted(map(tuple, connected_components(nums).collect()))
-        distn = sorted(
-            map(
-                tuple,
-                connected_components(nums, driver_threshold=0).collect(),
-            )
-        )
-        assert fastn == distn
-        assert dict(fastn)[5] == 3 and dict(fastn)[100] == 100

@@ -434,7 +434,6 @@ def connected_components(
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iterations: int = 20,
-    driver_threshold: int = 200_000,
 ) -> DataFrame:
     """Duplicate-cluster formation: connected components over candidate
     pairs via iterative min-label propagation (the standard large-graph
@@ -446,17 +445,6 @@ def connected_components(
     cluster_id is the minimum doc id reachable. Each round is one
     shuffle; iteration stops early when labels reach a fixpoint
     (checked with a cheap aggregate, not a collect of the data).
-
-    Small-graph fast path: at or below ``driver_threshold`` edges
-    (default 200k ≈ a few MB — the k-bounded-driver-state discipline
-    of the BPE merge table and k-means centroids, bounded here by the
-    branch condition itself) the component labels come from one
-    union-find over a single collect instead of 3-5 Spark jobs per
-    propagation round — identical labels by construction (min member
-    per component, string ids compare bytewise in both runtimes), and
-    the distributed loop remains the path for every larger graph.
-    LSH candidate graphs are near-linear in DUPLICATES, so production
-    corpora cross the threshold only when duplication is heavy.
     """
     edges = (
         pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -470,38 +458,6 @@ def connected_components(
     # data is thin. ~50k edges per partition keeps rounds single-digit
     # tasks at bench scale and thousands of tasks at 100 TB scale.
     n_edges = edges.count()
-    if n_edges <= int(driver_threshold):
-        rows = edges.collect()
-        parent: dict = {}
-
-        def find(x):
-            r = x
-            while parent[r] != r:
-                r = parent[r]
-            while parent[x] != r:  # path compression
-                parent[x], x = r, parent[x]
-            return r
-
-        for r in rows:
-            a, b = r["a"], r["b"]
-            parent.setdefault(a, a)
-            parent.setdefault(b, b)
-            ra, rb = find(a), find(b)
-            if ra != rb:
-                parent[rb] = ra
-        comp_min: dict = {}
-        for node in parent:
-            root = find(node)
-            cur = comp_min.get(root)
-            if cur is None or node < cur:
-                comp_min[root] = node
-        data = [(node, comp_min[find(node)]) for node in sorted(parent)]
-        id_type = dict(edges.dtypes)["a"]
-        out = pairs.sparkSession.createDataFrame(
-            data, f"doc {id_type}, label {id_type}"
-        )
-        edges.unpersist()
-        return out
     parts = int(max(1, min(n_edges // 50_000 + 1, 2048)))
     edges = edges.repartition(parts, "b")
     # initial label: min neighbor vs self
