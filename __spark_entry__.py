@@ -937,6 +937,20 @@ def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_paragraphs(pdocs)
 
 
+def q_interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted source interleave (new in r9): the
+    data-loader emit order for a 5:3:1 mixture of three sources —
+    low-discrepancy virtual-time schedule, all-integer, so the SQL
+    replay reproduces the exact permutation."""
+    from unstructured_spark.operators.sampling import interleave_by_weight
+
+    docs = _t(spark, sf_dir, "documents")
+    return interleave_by_weight(
+        docs.select("doc_id", "source"),
+        {"src0": 5, "src1": 3, "src2": 1},
+    ).select("doc_id", "source", "emit_order")
+
+
 def q_unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc Shannon entropy of the unigram distribution (new in
     r9): the compressibility/diversity quality signal, integer-exact
@@ -2843,6 +2857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # channel probes retire) ---
         "q_dedup_paragraphs": q_dedup_paragraphs,
         "q_unigram_entropy": q_unigram_entropy,
+        "q_interleave_sources": q_interleave_sources,
     }
 
 
@@ -3153,6 +3168,26 @@ def oracle_sql() -> dict[str, str]:
                    cast(c.nparas - coalesce(r.nkept, 0) as bigint)
                      as removed_paragraphs
             from counts c left join rebuilt r using (doc_id)
+        """,
+        "q_interleave_sources": """
+            with ranked as (
+              select doc_id, source,
+                     row_number() over (partition by source
+                                        order by doc_id) as k,
+                     case source when 'src0' then 5
+                                 when 'src1' then 3
+                                 else 1 end as w
+              from documents
+              where source in ('src0', 'src1', 'src2')
+            ), vt as (
+              select doc_id, source,
+                     ((2 * k - 1) * 1048576) // w as t, k
+              from ranked
+            )
+            select doc_id, source,
+                   cast(row_number() over (order by t, source, k) - 1
+                        as bigint) as emit_order
+            from vt
         """,
         "q_unigram_entropy": f"""
             with tok as (

@@ -338,3 +338,44 @@ class TestPackNullText:
         rows = {(r["doc_id"], r["seq_id"]): r for r in pack_sequences(with_null, 4).collect()}
         assert rows[(2, 0)]["doc_token_end"] == 1
         assert rows[(2, 1)]["doc_token_start"] == 1
+
+
+class TestInterleaveByWeight:
+    def test_smooth_two_to_one_pattern(self, spark):
+        from unstructured_spark.operators.sampling import interleave_by_weight
+
+        rows = [(i, "a") for i in range(6)] + [(10 + i, "b") for i in range(3)]
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        out = sorted(
+            interleave_by_weight(df, {"a": 2, "b": 1}).collect(),
+            key=lambda r: r["emit_order"],
+        )
+        # virtual times: a at (2k-1)/4, b at (2k-1)/2 -> a b a a b a a b a
+        assert [r["source"] for r in out] == [
+            "a", "b", "a", "a", "b", "a", "a", "b", "a"
+        ]
+        # dense 0-based rank, per-source order preserved
+        assert [r["emit_order"] for r in out] == list(range(9))
+        a_docs = [r["doc_id"] for r in out if r["source"] == "a"]
+        assert a_docs == sorted(a_docs)
+
+    def test_unlisted_and_null_sources_excluded(self, spark):
+        from unstructured_spark.operators.sampling import interleave_by_weight
+
+        df = spark.createDataFrame(
+            [(1, "a"), (2, "zz"), (3, None), (4, "a")],
+            "doc_id long, source string",
+        )
+        out = interleave_by_weight(df, {"a": 1}).collect()
+        assert sorted(r["doc_id"] for r in out) == [1, 4]
+
+    def test_rejects_bad_weights(self, spark):
+        from unstructured_spark.operators.sampling import interleave_by_weight
+
+        df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
+        with pytest.raises(ValueError):
+            interleave_by_weight(df, {})
+        with pytest.raises(ValueError):
+            interleave_by_weight(df, {"a": 0})
+        with pytest.raises(ValueError):
+            interleave_by_weight(df, {"a": 1.5})

@@ -285,6 +285,80 @@ def assign_token_shards(
     )
 
 
+def interleave_by_weight(
+    df: DataFrame,
+    weights: dict,
+    *,
+    strata_col: str = "source",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted source interleave — the data-loader EMIT
+    ORDER for a mixture schedule: source s with integer weight w_s
+    appears w_s times per Σw window of the global order, spread evenly
+    (the smooth round-robin a training run wants so no source arrives
+    in bursts). Returns the input keys plus ``emit_order`` (a dense
+    0-based BIGINT rank).
+
+    Classic low-discrepancy interleave: the k-th document of source s
+    (1-based, in ``key_col`` order) gets virtual time
+    (2k − 1) / (2·w_s); the global order sorts by virtual time. All
+    integer in-engine: the time is quantized to ``(2k − 1)·2^20 div
+    w_s`` (ties broken by source, then key), so Spark and a SQL replay
+    produce the identical permutation — no float comparison anywhere.
+
+    Sources absent from ``weights`` (and NULL strata) are EXCLUDED —
+    the schedule is exactly the caller's mixture. Weights must be
+    positive integers (ratios like 3:1 — scale rationals up).
+
+    Scale shape: one rank window per source partition (the per-source
+    rank), then the dense global rank via the block-prefix-sum idiom
+    shared with ``pack_sequences``/``assign_token_shards`` — per-block
+    counts (block = virtual time div 2^30, ~1024·Σw rows per block), a
+    tiny cumulative window over the block table, broadcast back, and a
+    per-BLOCK row_number. No single-partition window ever sees the
+    corpus.
+    """
+    if not weights:
+        raise ValueError("interleave_by_weight needs a non-empty weights dict")
+    for s, w in weights.items():
+        if int(w) != w or int(w) <= 0:
+            raise ValueError(
+                f"weights must be positive integers, got {w!r} for {s!r}"
+            )
+    wmap = F.create_map(
+        *[F.lit(x) for kv in weights.items() for x in (kv[0], int(kv[1]))]
+    )
+    ranked = (
+        df.filter(F.col(strata_col).isin(*[str(s) for s in weights]))
+        .withColumn(
+            "_k",
+            F.row_number().over(
+                Window.partitionBy(strata_col).orderBy(key_col)
+            ).cast("bigint"),
+        )
+        .withColumn("_w", wmap[F.col(strata_col)].cast("bigint"))
+        .withColumn("_vt", F.expr("((2 * _k - 1) * 1048576) div _w"))
+        .withColumn("_blk", F.expr("_vt div 1073741824"))
+    )
+    bcounts = ranked.groupBy("_blk").agg(F.count("*").alias("_bn"))
+    wb = Window.orderBy("_blk").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = bcounts.withColumn(
+        "_boff", F.coalesce(F.sum("_bn").over(wb), F.lit(0))
+    )
+    wd = (
+        Window.partitionBy("_blk")
+        .orderBy(F.col("_vt"), F.col(strata_col), F.col("_k"))
+    )
+    return (
+        ranked.join(F.broadcast(offsets.select("_blk", "_boff")), "_blk")
+        .withColumn(
+            "emit_order",
+            (F.col("_boff") + F.row_number().over(wd) - 1).cast("bigint"),
+        )
+        .drop("_k", "_w", "_vt", "_blk", "_boff")
+    )
+
+
 def weighted_sample(
     df: DataFrame,
     k: int,
