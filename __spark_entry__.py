@@ -937,6 +937,21 @@ def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_paragraphs(pdocs)
 
 
+def q_bloom_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter incremental dedup gate (new in r9): build the
+    compact membership filter over the even-doc history, probe the odd
+    half map-only — maybe_seen=false rows are guaranteed-new and skip
+    the exact history anti-join entirely. Filter and probe are
+    deterministic md5 bit positions, so the SQL replay reproduces the
+    filter AND every probe verdict bit-for-bit (false positives
+    included)."""
+    docs = _t(spark, sf_dir, "documents")
+    hist = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    bloom = dedup.bloom_fingerprint_index(hist, m_bits=1 << 16, k=4)
+    return dedup.bloom_probe_new(new, bloom, m_bits=1 << 16, k=4)
+
+
 def q_interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic weighted source interleave (new in r9): the
     data-loader emit order for a 5:3:1 mixture of three sources —
@@ -2858,6 +2873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_paragraphs": q_dedup_paragraphs,
         "q_unigram_entropy": q_unigram_entropy,
         "q_interleave_sources": q_interleave_sources,
+        "q_bloom_dedup_gate": q_bloom_dedup_gate,
     }
 
 
@@ -3168,6 +3184,45 @@ def oracle_sql() -> dict[str, str]:
                    cast(c.nparas - coalesce(r.nkept, 0) as bigint)
                      as removed_paragraphs
             from counts c left join rebuilt r using (doc_id)
+        """,
+        "q_bloom_dedup_gate": """
+            with hist as (
+              select distinct
+                md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) as fp
+              from documents
+              where doc_id % 2 = 0 and text is not null
+            ), hpos as (
+              select cast(('0x' || substr(md5(fp || ':' || j || ':bloom-v1'),
+                                          1, 15)) as bigint) % 65536 as pos
+              from hist, unnest(range(0, 4)) as u(j)
+            ), bloom as (
+              select pos // 32 as word,
+                     cast(bit_or(cast(1 as bigint) << cast(pos % 32 as int))
+                          as bigint) as bits
+              from hpos group by pos // 32
+            ), newdocs as (
+              select doc_id,
+                md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) as fp
+              from documents
+              where doc_id % 2 = 1
+            ), npos as (
+              select doc_id,
+                cast(('0x' || substr(md5(fp || ':' || j || ':bloom-v1'),
+                                     1, 15)) as bigint) % 65536 as pos
+              from newdocs, unnest(range(0, 4)) as u(j)
+              where fp is not null
+            ), hits as (
+              select n.doc_id,
+                     min(case when ((coalesce(b.bits, 0)
+                                     >> cast(n.pos % 32 as int)) & 1) = 1
+                              then 1 else 0 end) as allhit
+              from npos n left join bloom b on n.pos // 32 = b.word
+              group by n.doc_id
+            )
+            select nd.doc_id,
+                   coalesce(h.allhit, 0) = 1 as maybe_seen
+            from (select distinct doc_id from newdocs) nd
+            left join hits h using (doc_id)
         """,
         "q_interleave_sources": """
             with ranked as (

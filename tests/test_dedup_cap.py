@@ -684,3 +684,51 @@ class TestIncrementalDedup:
         # too short to shingle: no signature, survives the near-dup pass
         # (exact dedup vs history is the fingerprint store's job)
         assert dedup_against_index(new, index).count() == 1
+
+
+class TestBloomDedupGate:
+    def test_no_false_negatives_and_mostly_true_negatives(self, spark):
+        from unstructured_spark.operators.dedup import (
+            bloom_fingerprint_index,
+            bloom_probe_new,
+        )
+
+        hist = spark.createDataFrame(
+            [(i, f"history document number {i} body") for i in range(200)],
+            "doc_id long, text string",
+        )
+        bloom = bloom_fingerprint_index(hist, m_bits=1 << 14, k=4)
+        # every history doc re-probed MUST hit (Bloom one-sided error)
+        self_probe = bloom_probe_new(hist, bloom, m_bits=1 << 14, k=4)
+        assert all(r["maybe_seen"] for r in self_probe.collect())
+        # genuinely new docs: overwhelmingly maybe_seen=false at
+        # 16384 bits / 800 set-bits (FP rate ~ (800/16384)^4 ~ 6e-6)
+        fresh = spark.createDataFrame(
+            [(1000 + i, f"fresh unseen text {i} zzz") for i in range(200)],
+            "doc_id long, text string",
+        )
+        out = bloom_probe_new(fresh, bloom, m_bits=1 << 14, k=4).collect()
+        assert sum(r["maybe_seen"] for r in out) <= 2
+
+    def test_exact_duplicates_across_split_probe_true(self, spark):
+        from unstructured_spark.operators.dedup import (
+            bloom_fingerprint_index,
+            bloom_probe_new,
+        )
+
+        hist = spark.createDataFrame(
+            [(0, "shared body"), (2, "only in history")],
+            "doc_id long, text string",
+        )
+        new = spark.createDataFrame(
+            [(1, "shared body"), (3, "never seen anywhere"), (5, None)],
+            "doc_id long, text string",
+        )
+        bloom = bloom_fingerprint_index(hist, m_bits=1 << 14, k=4)
+        out = {
+            r["doc_id"]: r["maybe_seen"]
+            for r in bloom_probe_new(new, bloom, m_bits=1 << 14, k=4).collect()
+        }
+        assert out[1] is True       # exact dup of a history doc
+        assert out[3] is False      # definitively new
+        assert out[5] is False      # NULL text: no fingerprint, passes as new

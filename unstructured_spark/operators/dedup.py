@@ -1117,6 +1117,131 @@ def exact_dedup_against_index(
     return survivors.drop("_nfp")
 
 
+def _bloom_positions(key: Column, m_bits: int, k: int, seed: str) -> Column:
+    """The ``k`` bit positions of ``key`` in an ``m_bits`` Bloom
+    filter: independent md5 draws via hash-input suffixing —
+    engine-portable (DuckDB replays the identical positions)."""
+    return F.array(
+        *[
+            token_hash(F.concat_ws(":", key, F.lit(str(j)), F.lit(seed)))
+            % F.lit(int(m_bits))
+            for j in range(int(k))
+        ]
+    )
+
+
+def bloom_fingerprint_index(
+    df: DataFrame,
+    *,
+    text: str = "text",
+    doc_id: str = "doc_id",
+    m_bits: int = 1 << 20,
+    k: int = 4,
+    seed: str = "bloom-v1",
+) -> DataFrame:
+    """Compact PROBABILISTIC membership index over normalized-text
+    fingerprints: a Bloom filter as a sparse (word, bits) table —
+    32-bit words, so every bit op stays in positive BIGINT range in
+    both engines. At the default 2^20 bits / k=4 the whole filter is
+    ≤ 32k rows (~0.5 MB) regardless of corpus size — it broadcasts
+    where the exact :func:`fingerprint_index` (one row PER DOC) costs
+    an anti-join shuffle against history.
+
+    The probe (:func:`bloom_probe_new`) is then MAP-ONLY over the new
+    batch: no shuffle touches history at all, the right cost shape for
+    a 100 TB-history / small-batch incremental dedup gate. One-sided
+    error: ``maybe_seen=false`` is definitive (guaranteed-new docs can
+    skip the exact index entirely); ``maybe_seen=true`` rows — a
+    deterministic false-positive fraction ≈ (1−e^{−kn/m})^k of the
+    genuinely-new — are the only ones that still need the exact
+    anti-join. Size ``m_bits`` ≥ ~10 bits/doc for ~1% FP (2^20 bits →
+    ~100k docs; scale up for real history).
+
+    Deterministic end-to-end (md5 positions, integer bit ops), so the
+    DuckDB oracle replays the filter AND the probe bit-for-bit.
+    NULL-text docs contribute no bits (NULL fingerprint — same
+    exemption as the exact index).
+    """
+    from unstructured_spark.operators.text_analysis import fingerprint
+
+    pos = (
+        df.select(fingerprint(F.col(text)).alias("_fp"))
+        .filter(F.col("_fp").isNotNull())
+        .select(
+            F.explode(
+                _bloom_positions(F.col("_fp"), m_bits, k, seed)
+            ).alias("_pos")
+        )
+    )
+    return (
+        pos.select(
+            F.expr("_pos div 32").alias("word"),
+            F.expr("cast(1 as bigint) << cast(_pos % 32 as int)").alias("_bit"),
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(_bit)").cast("bigint").alias("bits"))
+    )
+
+
+def bloom_probe_new(
+    new_docs: DataFrame,
+    bloom: DataFrame,
+    *,
+    text: str = "text",
+    doc_id: str = "doc_id",
+    m_bits: int = 1 << 20,
+    k: int = 4,
+    seed: str = "bloom-v1",
+) -> DataFrame:
+    """Probe a batch against a :func:`bloom_fingerprint_index` built
+    with the SAME (m_bits, k, seed). Returns the batch keys plus
+    ``maybe_seen``: false = definitively new (safe to skip the exact
+    history anti-join), true = present in the filter (an exact check
+    decides). NULL-text docs probe as ``maybe_seen=false`` (they carry
+    no fingerprint; the exact path passes them through too).
+
+    Scale shape: the filter is broadcast (≤ m_bits/32 rows by
+    construction), the probe is explode → broadcast join → one
+    groupBy(doc) — the batch is shuffled once on its own doc ids,
+    history never.
+    """
+    from unstructured_spark.operators.text_analysis import fingerprint
+
+    staged = new_docs.select(
+        F.col(doc_id).alias("doc"), fingerprint(F.col(text)).alias("_fp")
+    )
+    probes = staged.filter(F.col("_fp").isNotNull()).select(
+        "doc",
+        F.explode(_bloom_positions(F.col("_fp"), m_bits, k, seed)).alias(
+            "_pos"
+        ),
+    )
+    hits = (
+        probes.select("doc", F.expr("_pos div 32").alias("word"),
+                      F.expr("cast(_pos % 32 as int)").alias("_b"))
+        .join(F.broadcast(bloom), "word", "left")
+        .select(
+            "doc",
+            (
+                F.expr("(coalesce(bits, 0) >> _b) & 1") == F.lit(1)
+            ).alias("_hit"),
+        )
+        .groupBy("doc")
+        .agg(F.min(F.col("_hit").cast("int")).alias("_all"))
+    )
+    return (
+        staged.select("doc")
+        .distinct()
+        .join(hits, "doc", "left")
+        .select(
+            F.col("doc").alias(doc_id),
+            (F.coalesce(F.col("_all"), F.lit(0)) == F.lit(1)).alias(
+                "maybe_seen"
+            ),
+        )
+    )
+
+
 def remove_boilerplate_lines(
     df: DataFrame,
     *,
