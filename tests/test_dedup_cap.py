@@ -732,3 +732,80 @@ class TestBloomDedupGate:
         assert out[1] is True       # exact dup of a history doc
         assert out[3] is False      # definitively new
         assert out[5] is False      # NULL text: no fingerprint, passes as new
+
+    def test_stream_probe_matches_batch(self, spark):
+        # map-only streaming twin must return bit-identical verdicts to
+        # the batch probe — tricky inputs: unicode NBSP (Java \s is
+        # ASCII-only), tabs/multi-space runs, NULL text, exact dup
+        from unstructured_spark.operators.dedup import (
+            bloom_fingerprint_index,
+            bloom_probe_new,
+            bloom_probe_stream,
+        )
+
+        hist = spark.createDataFrame(
+            [(0, "shared  body"), (2, "only\tin history"), (4, "nb sp")],
+            "doc_id long, text string",
+        )
+        new = spark.createDataFrame(
+            [
+                (1, "shared  body"),
+                (3, "never seen anywhere"),
+                (5, None),
+                (7, "nb sp"),
+                (9, "SHARED  BODY"),
+                (6, "\x01shared  body"),  # SQL trim keeps the control char
+            ],
+            "doc_id long, text string",
+        )
+        bloom = bloom_fingerprint_index(hist, m_bits=1 << 14, k=4)
+        batch = sorted(
+            (str(r["doc_id"]), r["maybe_seen"])
+            for r in bloom_probe_new(new, bloom, m_bits=1 << 14, k=4).collect()
+        )
+        stream_form = sorted(
+            tuple(r)
+            for r in bloom_probe_stream(
+                new, bloom, m_bits=1 << 14, k=4
+            ).collect()
+        )
+        assert stream_form == batch
+        verdicts = dict(stream_form)
+        assert verdicts["1"] is True and verdicts["9"] is True
+        assert verdicts["6"] is False  # neither path strips \x01: new fp
+        assert verdicts["3"] is False and verdicts["5"] is False
+
+    def test_stream_probe_runs_on_a_real_stream(self, spark, tmp_path):
+        from unstructured_spark.operators.dedup import (
+            bloom_fingerprint_index,
+            bloom_probe_stream,
+        )
+
+        src = tmp_path / "src"
+        src.mkdir()
+        spark.createDataFrame(
+            [(1, "shared body"), (3, "never seen anywhere")],
+            "doc_id long, text string",
+        ).write.parquet(str(src), mode="overwrite")
+        hist = spark.createDataFrame(
+            [(0, "shared body")], "doc_id long, text string"
+        )
+        bloom = bloom_fingerprint_index(hist, m_bits=1 << 14, k=4)
+        stream = spark.readStream.schema("doc_id long, text string").parquet(
+            str(src)
+        )
+        gated = bloom_probe_stream(stream, bloom, m_bits=1 << 14, k=4)
+        assert gated.isStreaming
+        q = (
+            gated.writeStream.format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        out = {
+            r["doc_id"]: r["maybe_seen"]
+            for r in spark.read.parquet(str(tmp_path / "out")).collect()
+        }
+        assert out == {"1": True, "3": False}

@@ -1242,6 +1242,80 @@ def bloom_probe_new(
     )
 
 
+def bloom_probe_stream(
+    new_docs: DataFrame,
+    bloom: DataFrame,
+    *,
+    text: str = "text",
+    doc_id: str = "doc_id",
+    m_bits: int = 1 << 20,
+    k: int = 4,
+    seed: str = "bloom-v1",
+) -> DataFrame:
+    """Map-only streaming twin of :func:`bloom_probe_new`: the sparse
+    (word, bits) filter — ≤ m_bits/32 rows by construction — is
+    collected once and broadcast; each Arrow batch probes in pure
+    Python integers. Stateless ``mapInPandas``, so it composes with
+    append sinks, watermarks, and availableNow drains (the aggregation
+    in the batch form does not). Bit-identical verdicts to the batch
+    probe by construction — same md5 positions, same bit tests —
+    pinned by ``tests/test_dedup_cap.py``.
+
+    The streaming incremental-dedup front door: stream → this gate →
+    only ``maybe_seen`` rows (a tiny fraction) proceed to the exact
+    index anti-join; guaranteed-new rows flow through shuffle-free.
+    Emits the batch's rows plus ``maybe_seen`` (doc_id as STRING — the
+    stream-stable schema, same convention as ``nb_score_stream``).
+    """
+    import pandas as pd
+
+    words = {int(r["word"]): int(r["bits"]) for r in bloom.collect()}
+    bc = new_docs.sparkSession.sparkContext.broadcast(words)
+    m, kk, sd = int(m_bits), int(k), str(seed)
+
+    def run(batches):
+        import hashlib
+        import re
+
+        # ASCII \s, matching the column path's Java regex semantics
+        # (same mirror discipline as nb_score_stream); SQL trim() strips
+        # ONLY the space char, so .strip(" ") — not Java String.trim
+        ws = re.compile(r"[ \t\n\x0b\f\r]+")
+        table = bc.value
+
+        def fp(txt):
+            if txt is None:
+                return None
+            norm = ws.sub(" ", str(txt)).strip(" ").lower()
+            return hashlib.md5(norm.encode()).hexdigest()
+
+        for pdf in batches:
+            out = []
+            for did, txt in zip(pdf[doc_id], pdf[text]):
+                f = fp(txt)
+                if f is None:
+                    out.append((str(did), False))
+                    continue
+                hit = True
+                for j in range(kk):
+                    pos = (
+                        int(
+                            hashlib.md5(f"{f}:{j}:{sd}".encode()).hexdigest()[:15],
+                            16,
+                        )
+                        % m
+                    )
+                    if not (table.get(pos // 32, 0) >> (pos % 32)) & 1:
+                        hit = False
+                        break
+                out.append((str(did), hit))
+            yield pd.DataFrame(out, columns=["doc_id", "maybe_seen"])
+
+    return new_docs.select(
+        F.col(doc_id).alias(doc_id), F.col(text).alias(text)
+    ).mapInPandas(run, "doc_id string, maybe_seen boolean")
+
+
 def remove_boilerplate_lines(
     df: DataFrame,
     *,
