@@ -28,7 +28,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from unstructured_spark.operators import dedup, similarity, text_analysis
-from unstructured_spark.operators.text_analysis import fxln_select_sql
+from unstructured_spark.operators.text_analysis import (
+    fxln_select_sql,
+    quality_q_sql,
+)
 
 SF_DEFAULT = "/root/testdata/sf0.001"
 
@@ -950,6 +953,73 @@ def q_bloom_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = docs.filter(F.col("doc_id") % 2 == 1)
     bloom = dedup.bloom_fingerprint_index(hist, m_bits=1 << 16, k=4)
     return dedup.bloom_probe_new(new, bloom, m_bits=1 << 16, k=4)
+
+
+def _quality_ntok_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared base for the budgeted-selection queries: per-doc integer
+    quality key (text_analysis.with_quality_q — exact BIGINT floor
+    divisions, no float anywhere) + whitespace token count."""
+    docs = _t(spark, sf_dir, "documents")
+    return text_analysis.with_quality_q(docs).select(
+        "doc_id",
+        "source",
+        "quality_q",
+        F.expr(
+            "cast(size(filter(split(trim(coalesce(text, '')), '\\\\s+'),"
+            " w -> w != '')) as bigint)"
+        ).alias("ntok"),
+    )
+
+
+_QUALITY_NTOK_BASE_SQL = """
+  select doc_id, source,
+         cast({qq} as bigint) as quality_q,
+         cast(len(list_filter(t, w -> w != '')) as bigint) as ntok
+  from (select doc_id, source,
+               string_split_regex(trim(coalesce(text, '')), '\\s+') as t
+        from documents)
+"""
+
+
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy token-budget data selection (new in r9): spend at most
+    800 tokens per source on that source's best documents (integer
+    quality key DESC, doc_id tie-break). Two-level decomposition —
+    level-table offsets + within-level cumsum — so no stratum ever
+    occupies one window partition; selection boundary all-integer."""
+    from unstructured_spark.operators.sampling import select_token_budget
+
+    base = _quality_ntok_base(spark, sf_dir)
+    return select_token_budget(base, 800).select(
+        "doc_id", "source", "quality_q", "ntok", "cum_tokens"
+    )
+
+
+def q_quality_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive per-source quality gate (new in r9): keep the top 2/5
+    of each source's documents by the integer quality key — the
+    threshold adapts to each source's own distribution. Exact integer
+    kept-count (n*2 div 5); rank via the shared level-table prefix
+    sum, never a per-source global window."""
+    from unstructured_spark.operators.sampling import quality_cutoff
+
+    base = _quality_ntok_base(spark, sf_dir)
+    return quality_cutoff(base, 2, 5).select(
+        "doc_id", "source", "quality_q", "q_rank"
+    )
+
+
+def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle (new in r9): exact global training
+    order md5(doc_id||':ep0'), reproducible across runs/engines/
+    partitionings. Rank by 256-bucket distributed prefix sum on the
+    key's own first hex byte — no global window, no orderBy(rand())."""
+    from unstructured_spark.operators.sampling import corpus_shuffle
+
+    docs = _t(spark, sf_dir, "documents")
+    return corpus_shuffle(docs.select("doc_id"), seed="ep0").select(
+        "doc_id", "shuffle_key", "shuffle_rank"
+    )
 
 
 def q_interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2874,6 +2944,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_unigram_entropy": q_unigram_entropy,
         "q_interleave_sources": q_interleave_sources,
         "q_bloom_dedup_gate": q_bloom_dedup_gate,
+        "q_token_budget": q_token_budget,
+        "q_quality_cutoff": q_quality_cutoff,
+        "q_corpus_shuffle": q_corpus_shuffle,
     }
 
 
@@ -3243,6 +3316,42 @@ def oracle_sql() -> dict[str, str]:
                    cast(row_number() over (order by t, source, k) - 1
                         as bigint) as emit_order
             from vt
+        """,
+        "q_token_budget": f"""
+            with b as ({_QUALITY_NTOK_BASE_SQL.format(qq=quality_q_sql())}),
+            c as (
+              select *,
+                     cast(sum(ntok) over (partition by source
+                          order by quality_q desc, doc_id asc
+                          rows between unbounded preceding and current row)
+                          as bigint) as cum_tokens
+              from b
+            )
+            select doc_id, source, quality_q, ntok, cum_tokens
+            from c where cum_tokens <= 800
+        """,
+        "q_quality_cutoff": f"""
+            with b as ({_QUALITY_NTOK_BASE_SQL.format(qq=quality_q_sql())}),
+            c as (
+              select doc_id, source, quality_q,
+                     cast(row_number() over (partition by source
+                          order by quality_q desc, doc_id asc)
+                          as bigint) as q_rank,
+                     cast(count(*) over (partition by source)
+                          as bigint) as nc
+              from b
+            )
+            select doc_id, source, quality_q, q_rank
+            from c where q_rank <= (nc * 2) // 5
+        """,
+        "q_corpus_shuffle": """
+            select doc_id,
+                   md5(cast(doc_id as varchar) || ':ep0') as shuffle_key,
+                   cast(row_number() over (
+                        order by md5(cast(doc_id as varchar) || ':ep0'),
+                                 doc_id) - 1
+                        as bigint) as shuffle_rank
+            from documents
         """,
         "q_unigram_entropy": f"""
             with tok as (

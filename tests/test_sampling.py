@@ -379,3 +379,138 @@ class TestInterleaveByWeight:
             interleave_by_weight(df, {"a": 0})
         with pytest.raises(ValueError):
             interleave_by_weight(df, {"a": 1.5})
+
+
+class TestSelectTokenBudget:
+    def _base(self, spark):
+        # two strata; quality levels with ties to exercise the
+        # level-table decomposition and doc_id tie-breaks
+        return spark.createDataFrame(
+            [
+                ("a", 1, 300, 40),
+                ("a", 2, 200, 50),
+                ("a", 3, 200, 30),   # same level as doc 2, later id
+                ("a", 4, 100, 100),
+                ("b", 5, 900, 80),
+                ("b", 6, 800, 10),
+            ],
+            "source string, doc_id long, quality_q long, ntok long",
+        )
+
+    def test_greedy_fill_semantics(self, spark):
+        from unstructured_spark.operators.sampling import select_token_budget
+
+        out = {
+            r["doc_id"]: r["cum_tokens"]
+            for r in select_token_budget(self._base(spark), 100).collect()
+        }
+        # stratum a: 40 (doc1), +50 (doc2) = 90, doc3 would hit 120 > 100
+        # stratum b: 80 (doc5), doc6 would hit 90 <= 100 -> kept
+        assert out == {1: 40, 2: 90, 5: 80, 6: 90}
+
+    def test_matches_single_window_form(self, spark):
+        # the two-level decomposition must equal the naive global
+        # per-stratum cumsum on a bigger random-ish frame
+        import pyspark.sql.functions as SF
+        from pyspark.sql.window import Window as W
+
+        from unstructured_spark.operators.sampling import select_token_budget
+
+        df = spark.range(400).select(
+            SF.concat(SF.lit("s"), (SF.col("id") % 7).cast("string")).alias(
+                "source"
+            ),
+            SF.col("id").alias("doc_id"),
+            ((SF.col("id") * 37) % 11).cast("long").alias("quality_q"),
+            ((SF.col("id") * 13) % 29 + 1).cast("long").alias("ntok"),
+        )
+        w = (
+            W.partitionBy("source")
+            .orderBy(SF.col("quality_q").desc(), SF.col("doc_id").asc())
+            .rowsBetween(W.unboundedPreceding, 0)
+        )
+        naive = (
+            df.withColumn("cum_tokens", SF.sum("ntok").over(w))
+            .filter(SF.col("cum_tokens") <= 150)
+        )
+        got = select_token_budget(df, 150)
+        key = lambda d: sorted((r["doc_id"], r["cum_tokens"]) for r in d.collect())  # noqa: E731
+        assert key(got) == key(naive)
+
+    def test_zero_token_doc_at_exact_budget_kept(self, spark):
+        from unstructured_spark.operators.sampling import select_token_budget
+
+        df = spark.createDataFrame(
+            [("a", 1, 5, 100), ("a", 2, 4, 0)],
+            "source string, doc_id long, quality_q long, ntok long",
+        )
+        out = select_token_budget(df, 100)
+        assert sorted(r["doc_id"] for r in out.collect()) == [1, 2]
+
+
+class TestQualityCutoff:
+    def test_exact_floor_count_per_stratum(self, spark):
+        from unstructured_spark.operators.sampling import quality_cutoff
+
+        df = spark.createDataFrame(
+            [("a", i, (i * 7) % 5) for i in range(10)]
+            + [("b", 100 + i, i % 3) for i in range(4)],
+            "source string, doc_id long, quality_q long",
+        )
+        out = quality_cutoff(df, 2, 5).collect()
+        by = {}
+        for r in out:
+            by.setdefault(r["source"], []).append(r["q_rank"])
+        # floor(10*2/5)=4 from a, floor(4*2/5)=1 from b; ranks 1..k
+        assert sorted(by["a"]) == [1, 2, 3, 4]
+        assert sorted(by["b"]) == [1]
+
+    def test_tie_break_is_doc_id_asc(self, spark):
+        from unstructured_spark.operators.sampling import quality_cutoff
+
+        df = spark.createDataFrame(
+            [("a", 3, 9), ("a", 1, 9), ("a", 2, 9), ("a", 4, 1)],
+            "source string, doc_id long, quality_q long",
+        )
+        kept = sorted(
+            r["doc_id"] for r in quality_cutoff(df, 2, 4).collect()
+        )
+        assert kept == [1, 2]  # floor(4*2/4)=2: the two smallest ids at q=9
+
+    def test_bad_fraction_rejected(self, spark):
+        import pytest
+
+        from unstructured_spark.operators.sampling import quality_cutoff
+
+        df = spark.createDataFrame([("a", 1, 1)], "source string, doc_id long, quality_q long")
+        with pytest.raises(ValueError):
+            quality_cutoff(df, 1, 0)
+
+
+class TestCorpusShuffle:
+    def test_rank_is_exact_permutation_of_key_order(self, spark):
+        from unstructured_spark.operators.sampling import corpus_shuffle
+
+        df = spark.range(500).withColumnRenamed("id", "doc_id")
+        out = corpus_shuffle(df, seed="e1").collect()
+        assert sorted(r["shuffle_rank"] for r in out) == list(range(500))
+        by_key = [r["shuffle_rank"] for r in sorted(out, key=lambda r: (r["shuffle_key"], r["doc_id"]))]
+        assert by_key == list(range(500))
+
+    def test_seed_changes_order_and_is_stable(self, spark):
+        from unstructured_spark.operators.sampling import corpus_shuffle
+
+        df = spark.range(200).withColumnRenamed("id", "doc_id")
+        a1 = {r["doc_id"]: r["shuffle_rank"] for r in corpus_shuffle(df, seed="e1").collect()}
+        a2 = {r["doc_id"]: r["shuffle_rank"] for r in corpus_shuffle(df, seed="e1").collect()}
+        b = {r["doc_id"]: r["shuffle_rank"] for r in corpus_shuffle(df, seed="e2").collect()}
+        assert a1 == a2
+        assert a1 != b
+
+    def test_repartitioning_does_not_change_ranks(self, spark):
+        from unstructured_spark.operators.sampling import corpus_shuffle
+
+        df = spark.range(300).withColumnRenamed("id", "doc_id")
+        one = {r["doc_id"]: r["shuffle_rank"] for r in corpus_shuffle(df.repartition(1), seed="x").collect()}
+        many = {r["doc_id"]: r["shuffle_rank"] for r in corpus_shuffle(df.repartition(17), seed="x").collect()}
+        assert one == many

@@ -401,3 +401,163 @@ def weighted_sample(
         .withColumn("_ws_key", F.round(F.col("_wsk"), 9))
         .drop("_wsk")
     )
+
+
+def select_token_budget(
+    df: DataFrame,
+    budget: int,
+    *,
+    strata: str = "source",
+    order_col: str = "quality_q",
+    token_col: str = "ntok",
+    doc_id: str = "doc_id",
+) -> DataFrame:
+    """Greedy token-budget data selection: within each stratum, rank
+    documents best-first (``order_col`` DESC, ``doc_id`` ASC tie-break)
+    and keep a document iff the inclusive running token total through
+    it is <= ``budget`` — "spend at most N tokens per source, on the
+    best documents". The data-mixture primitive behind budgeted corpus
+    assembly (cf. survey-of-data-selection practice: quality-ranked
+    greedy fill).
+
+    Scale shape: the naive form is one window per stratum — a single
+    partition per source, the canonical skew trap when one source is
+    half the corpus. Here the running total is decomposed on the
+    (strata, order) LEVEL table: per-level token sums (small aggregate),
+    exclusive level offsets via a window over that tiny table, then a
+    within-level cumulative window partitioned by (strata, order) —
+    the same key the level join uses, so the two stages share one
+    partitioning and no stage sees a whole stratum in one task.
+
+    ``order_col`` and ``token_col`` must be integers (see
+    ``text_analysis.with_quality_q``) — selection boundaries stay
+    bit-exact cross-engine. Emits the kept rows plus ``cum_tokens``.
+    """
+    d = df
+    lv = d.groupBy(strata, order_col).agg(
+        F.sum(F.col(token_col).cast("bigint")).alias("_lvl")
+    )
+    wlv = (
+        Window.partitionBy(strata)
+        .orderBy(F.col(order_col).desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = lv.select(
+        strata,
+        order_col,
+        F.coalesce(F.sum("_lvl").over(wlv), F.lit(0).cast("bigint")).alias(
+            "_prior"
+        ),
+    )
+    wd = (
+        Window.partitionBy(strata, order_col)
+        .orderBy(doc_id)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    j = d.join(F.broadcast(off), [strata, order_col])
+    cum = (
+        F.col("_prior") + F.sum(F.col(token_col).cast("bigint")).over(wd)
+    ).alias("cum_tokens")
+    return (
+        j.select(*df.columns, cum, F.col("_prior"))
+        .filter(F.col("cum_tokens") <= F.lit(int(budget)))
+        .drop("_prior")
+    )
+
+
+def quality_cutoff(
+    df: DataFrame,
+    keep_num: int,
+    keep_den: int,
+    *,
+    strata: str = "source",
+    order_col: str = "quality_q",
+    doc_id: str = "doc_id",
+) -> DataFrame:
+    """Adaptive per-stratum quality gate: keep the top
+    ``keep_num/keep_den`` fraction of each stratum's documents by
+    ``order_col`` (DESC, ``doc_id`` ASC tie-break) — thresholds adapt
+    to each source's own quality distribution instead of one global
+    constant. The kept count is the exact integer floor
+    ``(n * keep_num) div keep_den``; with an integer ``order_col``
+    the boundary can't flip cross-engine.
+
+    Same two-level decomposition as :func:`select_token_budget`
+    (level counts + within-level row_number), sharing the
+    (strata, order) partitioning. Emits kept rows plus ``q_rank``
+    (1-based, best first).
+    """
+    if keep_den <= 0 or keep_num < 0:
+        raise ValueError("keep_num/keep_den must be a nonneg fraction")
+    d = df
+    lv = d.groupBy(strata, order_col).agg(F.count("*").alias("_lc"))
+    wlv = (
+        Window.partitionBy(strata)
+        .orderBy(F.col(order_col).desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wall = Window.partitionBy(strata)
+    off = lv.select(
+        strata,
+        order_col,
+        F.coalesce(F.sum("_lc").over(wlv), F.lit(0).cast("bigint")).alias(
+            "_pc"
+        ),
+        F.sum("_lc").over(wall).cast("bigint").alias("_nc"),
+    )
+    wd = Window.partitionBy(strata, order_col).orderBy(doc_id)
+    j = d.join(F.broadcast(off), [strata, order_col])
+    rank = (F.col("_pc") + F.row_number().over(wd)).alias("q_rank")
+    keep_k = F.expr(f"(_nc * {int(keep_num)}L) div {int(keep_den)}L")
+    return (
+        j.select(*df.columns, rank, keep_k.alias("_kk"))
+        .filter(F.col("q_rank") <= F.col("_kk"))
+        .drop("_kk")
+    )
+
+
+def corpus_shuffle(
+    df: DataFrame,
+    *,
+    seed: str = "shuffle-v1",
+    doc_id: str = "doc_id",
+) -> DataFrame:
+    """Deterministic global training-order shuffle with an EXACT rank:
+    every document gets ``shuffle_rank`` = its position in the corpus
+    ordered by md5(doc_id||':'||seed) — reproducible across runs,
+    engines, and partitionings (unlike ``df.orderBy(rand())``), so a
+    training job can resume mid-epoch and a re-run reads the same
+    order. Different seed per epoch = a fresh permutation.
+
+    The rank is global, but no global window runs: documents bucket by
+    the key's first hex byte (256 buckets, uniform by construction),
+    bucket counts make a 256-row offset table (broadcast), and
+    row_number within each bucket finishes the rank — the distributed
+    prefix sum again, keyed on the hash prefix. Ordering by (bucket,
+    key) equals ordering by key because the bucket IS the key's prefix.
+    """
+    key = F.md5(
+        F.concat(F.col(doc_id).cast("string"), F.lit(":" + str(seed)))
+    )
+    d = df.withColumn("_skey", key).withColumn(
+        "_sb", F.conv(F.substring("_skey", 1, 2), 16, 10).cast("bigint")
+    )
+    counts = d.groupBy("_sb").agg(F.count("*").alias("_c"))
+    wb = Window.orderBy("_sb").rowsBetween(Window.unboundedPreceding, -1)
+    offs = counts.select(
+        "_sb",
+        F.coalesce(F.sum("_c").over(wb), F.lit(0).cast("bigint")).alias(
+            "_off"
+        ),
+    )
+    wr = Window.partitionBy("_sb").orderBy("_skey", doc_id)
+    return (
+        d.join(F.broadcast(offs), "_sb")
+        .select(
+            *df.columns,
+            F.col("_skey").alias("shuffle_key"),
+            (F.col("_off") + F.row_number().over(wr) - 1)
+            .cast("bigint")
+            .alias("shuffle_rank"),
+        )
+    )

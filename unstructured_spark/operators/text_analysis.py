@@ -177,6 +177,62 @@ def quality_score(col: Column) -> Column:
     return F.round((mwl_ok + swr_ok + utr) / F.lit(3.0), 6)
 
 
+def with_quality_q(
+    df: DataFrame, text: str = "text", out: str = "quality_q"
+) -> DataFrame:
+    """Append an INTEGER quality ordering key in [0, 3_000_000]: the
+    :func:`quality_score` heuristic with every ratio replaced by an
+    exact BIGINT floor-division, so aggregate-driven *selections*
+    (token budgets, top-fraction cuts) can never flip a boundary row
+    cross-engine — there is no float anywhere in the key. Terms:
+    mean-word-length window as an integer interval test
+    (3n <= sum_len <= 10n), stopword term least(5e6*stops div n, 1e6),
+    diversity term 1e6*distinct div n. One SELECT via lateral column
+    aliases; the token array is built once. Reference quality signals:
+    unstructured/metrics/text_extraction.py and the C4/Gopher filters
+    (quality_filters.py); the integer form is this repo's
+    cross-engine-determinism discipline (see fxln_steps above).
+    """
+    sw = "array(" + ",".join(f"'{s}'" for s in STOPWORDS) + ")"
+    steps = [
+        ("_qt", f"split(trim(coalesce({text}, ''))" + r", '\\s+')"),
+        ("_qn", "cast(size(_qt) as bigint)"),
+        ("_qsum", "aggregate(_qt, 0L, (a, w) -> a + length(w))"),
+        ("_qdis", "cast(size(array_distinct(_qt)) as bigint)"),
+        (
+            "_qstop",
+            f"cast(size(filter(_qt, w -> array_contains({sw}, lower(w))))"
+            " as bigint)",
+        ),
+        (
+            out,
+            "(case when _qsum between 3 * _qn and 10 * _qn"
+            " then 1000000L else 0L end)"
+            " + least((5000000L * _qstop) div _qn, 1000000L)"
+            " + (1000000L * _qdis) div _qn",
+        ),
+    ]
+    cols = [F.col(c) for c in df.columns]
+    laterals = [F.expr(e).alias(n) for n, e in steps]
+    return df.select(*cols, *laterals).drop(
+        "_qt", "_qn", "_qsum", "_qdis", "_qstop"
+    )
+
+
+def quality_q_sql(text: str = "text") -> str:
+    """The DuckDB mirror of :func:`with_quality_q`'s key as one scalar
+    expression over a pre-split token list column ``t`` (callers bind
+    ``t`` in a WITH step). Same integer floor-divisions — bit-exact."""
+    sw = "[" + ",".join(f"'{s}'" for s in STOPWORDS) + "]"
+    return (
+        "(case when list_aggregate(list_transform(t, w -> length(w)), 'sum')"
+        " between 3 * len(t) and 10 * len(t) then 1000000 else 0 end)"
+        f" + least((5000000::bigint * len(list_filter(t, w -> list_contains({sw},"
+        " lower(w))))) // len(t), 1000000)"
+        " + (1000000::bigint * len(list_distinct(t))) // len(t)"
+    )
+
+
 def fingerprint(col: Column) -> Column:
     """Deterministic document fingerprint: md5 of
     whitespace/case-normalized text. Exact-dup key."""
