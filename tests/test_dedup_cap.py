@@ -763,11 +763,11 @@ class TestBloomDedupGate:
             (str(r["doc_id"]), r["maybe_seen"])
             for r in bloom_probe_new(new, bloom, m_bits=1 << 14, k=4).collect()
         )
+        gated = bloom_probe_stream(new, bloom, m_bits=1 << 14, k=4)
+        # pass-through gate: input schema preserved, verdict appended
+        assert gated.columns == new.columns + ["maybe_seen"]
         stream_form = sorted(
-            tuple(r)
-            for r in bloom_probe_stream(
-                new, bloom, m_bits=1 << 14, k=4
-            ).collect()
+            (str(r["doc_id"]), r["maybe_seen"]) for r in gated.collect()
         )
         assert stream_form == batch
         verdicts = dict(stream_form)
@@ -808,4 +808,4 @@ class TestBloomDedupGate:
             r["doc_id"]: r["maybe_seen"]
             for r in spark.read.parquet(str(tmp_path / "out")).collect()
         }
-        assert out == {"1": True, "3": False}
+        assert out == {1: True, 3: False}

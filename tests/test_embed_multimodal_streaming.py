@@ -888,3 +888,84 @@ class TestStreamingHygieneChain:
         assert "jane.doe@example.com" not in got[0]["text"]
         assert "[EMAIL]" in got[0]["text"] or "EMAIL" in got[0]["text"]
         assert got[0]["languages"] == ["eng"]
+
+
+class TestBloomGatedStreamDedup:
+    def _hist(self, spark):
+        return spark.createDataFrame(
+            [(i, f"history document number {i} body") for i in range(50)],
+            "doc_id long, text string",
+        )
+
+    def test_equals_plain_anti_join(self, spark):
+        # Bloom error is one-sided: the gated form must emit EXACTLY
+        # the rows the plain exact anti-join emits, on a batch frame
+        from unstructured_spark.operators.dedup import (
+            bloom_fingerprint_index,
+            exact_dedup_against_index,
+            fingerprint_index,
+        )
+        from unstructured_spark.streaming.dedup import (
+            exact_dedup_stream_against_index,
+        )
+
+        hist = self._hist(spark)
+        new = spark.createDataFrame(
+            [(100, "history document number 7 body"),   # exact dup
+             (101, "a genuinely new document body"),
+             (102, None),
+             (103, "History   document number 7 BODY")],  # normalized dup
+            "doc_id long, text string",
+        )
+        bloom = bloom_fingerprint_index(hist, m_bits=1 << 14, k=4)
+        index = fingerprint_index(hist)
+        gated = sorted(
+            r["doc_id"]
+            for r in exact_dedup_stream_against_index(
+                new, bloom, index, m_bits=1 << 14, k=4
+            ).collect()
+        )
+        plain = sorted(
+            r["doc_id"]
+            for r in exact_dedup_against_index(
+                new, index, intra_batch=False
+            ).collect()
+        )
+        assert gated == plain == [101, 102]
+
+    def test_runs_on_a_real_stream(self, spark, tmp_path):
+        from unstructured_spark.operators.dedup import (
+            bloom_fingerprint_index,
+            fingerprint_index,
+        )
+        from unstructured_spark.streaming.dedup import (
+            exact_dedup_stream_against_index,
+        )
+
+        hist = self._hist(spark)
+        bloom = bloom_fingerprint_index(hist, m_bits=1 << 14, k=4)
+        index = fingerprint_index(hist)
+        src = tmp_path / "src"
+        src.mkdir()
+        spark.createDataFrame(
+            [(100, "history document number 3 body"),
+             (101, "fresh text the history never saw")],
+            "doc_id long, text string",
+        ).write.parquet(str(src), mode="overwrite")
+        stream = spark.readStream.schema("doc_id long, text string").parquet(
+            str(src)
+        )
+        novel = exact_dedup_stream_against_index(
+            stream, bloom, index, m_bits=1 << 14, k=4
+        )
+        assert novel.isStreaming
+        q = (
+            novel.writeStream.format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        out = spark.read.parquet(str(tmp_path / "out")).collect()
+        assert [r["doc_id"] for r in out] == [101]

@@ -1247,7 +1247,6 @@ def bloom_probe_stream(
     bloom: DataFrame,
     *,
     text: str = "text",
-    doc_id: str = "doc_id",
     m_bits: int = 1 << 20,
     k: int = 4,
     seed: str = "bloom-v1",
@@ -1263,15 +1262,24 @@ def bloom_probe_stream(
 
     The streaming incremental-dedup front door: stream → this gate →
     only ``maybe_seen`` rows (a tiny fraction) proceed to the exact
-    index anti-join; guaranteed-new rows flow through shuffle-free.
-    Emits the batch's rows plus ``maybe_seen`` (doc_id as STRING — the
-    stream-stable schema, same convention as ``nb_score_stream``).
+    index anti-join; guaranteed-new rows flow through shuffle-free
+    (see ``streaming.dedup.exact_dedup_stream_against_index``). A
+    pass-through gate: emits every input column unchanged plus
+    ``maybe_seen``.
     """
     import pandas as pd
+    from pyspark.sql.types import BooleanType, StructField, StructType
 
     words = {int(r["word"]): int(r["bits"]) for r in bloom.collect()}
     bc = new_docs.sparkSession.sparkContext.broadcast(words)
     m, kk, sd = int(m_bits), int(k), str(seed)
+    # copy the field list: StructType.add MUTATES, and new_docs.schema
+    # is the DataFrame's cached schema object — mutating it makes the
+    # source frame claim a column it doesn't have
+    out_schema = StructType(
+        list(new_docs.schema.fields)
+        + [StructField("maybe_seen", BooleanType())]
+    )
 
     def run(batches):
         import hashlib
@@ -1289,31 +1297,28 @@ def bloom_probe_stream(
             norm = ws.sub(" ", str(txt)).strip(" ").lower()
             return hashlib.md5(norm.encode()).hexdigest()
 
-        for pdf in batches:
-            out = []
-            for did, txt in zip(pdf[doc_id], pdf[text]):
-                f = fp(txt)
-                if f is None:
-                    out.append((str(did), False))
-                    continue
-                hit = True
-                for j in range(kk):
-                    pos = (
-                        int(
-                            hashlib.md5(f"{f}:{j}:{sd}".encode()).hexdigest()[:15],
-                            16,
-                        )
-                        % m
+        def probe(txt):
+            f = fp(txt)
+            if f is None:
+                return False
+            for j in range(kk):
+                pos = (
+                    int(
+                        hashlib.md5(f"{f}:{j}:{sd}".encode()).hexdigest()[:15],
+                        16,
                     )
-                    if not (table.get(pos // 32, 0) >> (pos % 32)) & 1:
-                        hit = False
-                        break
-                out.append((str(did), hit))
-            yield pd.DataFrame(out, columns=["doc_id", "maybe_seen"])
+                    % m
+                )
+                if not (table.get(pos // 32, 0) >> (pos % 32)) & 1:
+                    return False
+            return True
 
-    return new_docs.select(
-        F.col(doc_id).alias(doc_id), F.col(text).alias(text)
-    ).mapInPandas(run, "doc_id string, maybe_seen boolean")
+        for pdf in batches:
+            res = pdf.copy()
+            res["maybe_seen"] = [probe(t) for t in pdf[text]]
+            yield res
+
+    return new_docs.mapInPandas(run, out_schema)
 
 
 def remove_boilerplate_lines(

@@ -271,3 +271,52 @@ def near_dedup_stream(
         )
     )
     return counts.filter(F.col("is_novel")) if emit == "novel" else counts
+
+
+def exact_dedup_stream_against_index(
+    docs: DataFrame,
+    bloom: DataFrame,
+    index: DataFrame,
+    *,
+    text: str = "text",
+    m_bits: int = 1 << 20,
+    k: int = 4,
+    seed: str = "bloom-v1",
+) -> DataFrame:
+    """Exact incremental dedup vs a persisted corpus with a Bloom
+    front door — the streaming data-loader's cheapest history check.
+
+    ``bloom`` is a :func:`operators.dedup.bloom_fingerprint_index`
+    (read as a batch DataFrame) over the SAME history as ``index``
+    (a :func:`operators.dedup.fingerprint_index`). The map-only
+    stream probe marks guaranteed-new rows (``maybe_seen=false`` —
+    the vast majority on a typical ingest day), which pass through
+    with no join at all; only suspects anti-join the exact
+    fingerprint index (stream-static, history never shuffled into
+    the stream). Bloom error is one-sided, so the output row set is
+    EXACTLY the plain anti-join of the whole stream — the filter only
+    removes join work, never changes the answer (pinned by the
+    equivalence test in tests/test_dedup_cap.py).
+
+    Emits the novel rows with the input schema. Within-stream
+    duplicates are not collapsed — chain :func:`dedup_stream`
+    upstream, same contract as the near-dup form above.
+    """
+    from unstructured_spark.operators.dedup import bloom_probe_stream
+
+    gated = bloom_probe_stream(
+        docs, bloom, text=text, m_bits=m_bits, k=k, seed=seed
+    )
+    definite = gated.filter(~F.col("maybe_seen")).drop("maybe_seen")
+    suspects = (
+        gated.filter(F.col("maybe_seen"))
+        .drop("maybe_seen")
+        .withColumn("_fp", fingerprint(F.col(text)))
+        .join(
+            index.select(F.col("fingerprint").alias("_fp")).distinct(),
+            "_fp",
+            "left_anti",
+        )
+        .drop("_fp")
+    )
+    return definite.unionByName(suspects)
