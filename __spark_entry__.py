@@ -1022,6 +1022,21 @@ def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index-quality gate (new in r9): recall@5 of the IVF index
+    (nlist=16, nprobe=4) against exact brute-force cosine, per query —
+    the QA step before trusting an index configuration at scale.
+    Integer ppm recall; both searches are the already-oracled
+    q_embed_topk / q_ivf_ann_topk shapes."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    qs = emb.filter(F.col("vec_id") < 10)
+    exact = similarity.cosine_topk(emb, qs, k=5)
+    approx = similarity.ivf_topk(emb, qs, k=5, nlist=16, nprobe=4)
+    return similarity.ann_recall(exact, approx, k=5)
+
+
 def q_interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic weighted source interleave (new in r9): the
     data-loader emit order for a 5:3:1 mixture of three sources —
@@ -2947,6 +2962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_token_budget": q_token_budget,
         "q_quality_cutoff": q_quality_cutoff,
         "q_corpus_shuffle": q_corpus_shuffle,
+        "q_ann_recall": q_ann_recall,
     }
 
 
@@ -3194,6 +3210,75 @@ def _dhash_pairs_sql() -> str:
     """
 
 
+# ANN oracle chains, hoisted so q_ann_recall can compose them as CTEs
+_ORACLE_EMBED_TOPK = """
+            with q as (
+              select vec_id as query_id, embedding::double[] as qv
+              from embeddings where vec_id < 10
+            ), c as (
+              select vec_id as neighbor_id, embedding::double[] as cv
+              from embeddings
+            ), scored as (
+              select query_id, neighbor_id,
+                     round(
+                       list_aggregate(list_transform(range(1, 65),
+                         i -> qv[i] * cv[i]), 'sum')
+                       / (sqrt(list_aggregate(list_transform(qv, x -> x * x), 'sum'))
+                          * sqrt(list_aggregate(list_transform(cv, x -> x * x), 'sum'))),
+                       6) as cosine_sim
+              from c cross join q
+              where neighbor_id <> query_id
+            )
+            select query_id, neighbor_id, cosine_sim, cast(rank as bigint) as rank from (
+              select *, row_number() over (partition by query_id
+                                           order by cosine_sim desc, neighbor_id asc) as rank
+              from scored
+            ) where rank <= 5
+        """
+
+_ORACLE_IVF_TOPK = """
+            with base as (
+              select vec_id, list_transform(embedding, x -> cast(x as double)) as e
+              from embeddings
+            ), normed as (
+              select vec_id, e,
+                sqrt(list_aggregate(list_transform(e, x -> x * x), 'sum')) as nrm
+              from base
+            ), seeds as (
+              select vec_id as list_id, e as ce, nrm as cn
+              from normed order by vec_id limit 16
+            ), assign as (
+              select vec_id, e, nrm, list_id from (
+                select n.vec_id, n.e, n.nrm, s.list_id,
+                  row_number() over (partition by n.vec_id order by
+                    list_aggregate(list_transform(range(1, 65), i -> n.e[i] * s.ce[i]), 'sum')
+                      / (n.nrm * s.cn) desc, s.list_id desc) as rn
+                from normed n cross join seeds s
+              ) where rn = 1
+            ), probes as (
+              select vec_id as query_id, e as qe, nrm as qn, list_id from (
+                select n.vec_id, n.e, n.nrm, s.list_id,
+                  row_number() over (partition by n.vec_id order by
+                    list_aggregate(list_transform(range(1, 65), i -> n.e[i] * s.ce[i]), 'sum')
+                      / (n.nrm * s.cn) desc, s.list_id desc) as rn
+                from normed n cross join seeds s
+                where n.vec_id < 10
+              ) where rn <= 4
+            ), scored as (
+              select p.query_id, a.vec_id as neighbor_id,
+                round(list_aggregate(list_transform(range(1, 65), i -> p.qe[i] * a.e[i]), 'sum')
+                      / (p.qn * a.nrm), 6) as cosine_sim
+              from probes p join assign a on p.list_id = a.list_id
+              where a.vec_id <> p.query_id
+            )
+            select query_id, neighbor_id, cosine_sim, cast(rank as bigint) as rank from (
+              select *, row_number() over (partition by query_id
+                order by cosine_sim desc, neighbor_id asc) as rank
+              from scored
+            ) where rank <= 5
+        """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         # --- r9 channel probes (see probe_* docstrings) ---
@@ -3343,6 +3428,24 @@ def oracle_sql() -> dict[str, str]:
             )
             select doc_id, source, quality_q, q_rank
             from c where q_rank <= (nc * 2) // 5
+        """,
+        "q_ann_recall": f"""
+            with exact as (select * from ({_ORACLE_EMBED_TOPK})),
+            approx as (select * from ({_ORACLE_IVF_TOPK})),
+            hits as (
+              select e.query_id, count(*) as c
+              from exact e
+              join approx a
+                on e.query_id = a.query_id
+               and e.neighbor_id = a.neighbor_id
+              group by e.query_id
+            )
+            select q.query_id,
+                   cast(coalesce(c, 0) as bigint) as hits,
+                   cast((1000000 * coalesce(c, 0)) // 5 as bigint)
+                     as recall_ppm
+            from (select distinct query_id from exact) q
+            left join hits on q.query_id = hits.query_id
         """,
         "q_corpus_shuffle": """
             select doc_id,
@@ -4137,30 +4240,7 @@ left join stats s using (doc_id)
                    cast(length(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) as bigint) as clean_len
             from documents
         """,
-        "q_embed_topk": """
-            with q as (
-              select vec_id as query_id, embedding::double[] as qv
-              from embeddings where vec_id < 10
-            ), c as (
-              select vec_id as neighbor_id, embedding::double[] as cv
-              from embeddings
-            ), scored as (
-              select query_id, neighbor_id,
-                     round(
-                       list_aggregate(list_transform(range(1, 65),
-                         i -> qv[i] * cv[i]), 'sum')
-                       / (sqrt(list_aggregate(list_transform(qv, x -> x * x), 'sum'))
-                          * sqrt(list_aggregate(list_transform(cv, x -> x * x), 'sum'))),
-                       6) as cosine_sim
-              from c cross join q
-              where neighbor_id <> query_id
-            )
-            select query_id, neighbor_id, cosine_sim, cast(rank as bigint) as rank from (
-              select *, row_number() over (partition by query_id
-                                           order by cosine_sim desc, neighbor_id asc) as rank
-              from scored
-            ) where rank <= 5
-        """,
+        "q_embed_topk": _ORACLE_EMBED_TOPK,
         "q_embed_centroids": """
             with vals as (
               select label,
@@ -4379,47 +4459,7 @@ left join stats s using (doc_id)
               from scored
             ) where rank <= 5
         """,
-        "q_ivf_ann_topk": """
-            with base as (
-              select vec_id, list_transform(embedding, x -> cast(x as double)) as e
-              from embeddings
-            ), normed as (
-              select vec_id, e,
-                sqrt(list_aggregate(list_transform(e, x -> x * x), 'sum')) as nrm
-              from base
-            ), seeds as (
-              select vec_id as list_id, e as ce, nrm as cn
-              from normed order by vec_id limit 16
-            ), assign as (
-              select vec_id, e, nrm, list_id from (
-                select n.vec_id, n.e, n.nrm, s.list_id,
-                  row_number() over (partition by n.vec_id order by
-                    list_aggregate(list_transform(range(1, 65), i -> n.e[i] * s.ce[i]), 'sum')
-                      / (n.nrm * s.cn) desc, s.list_id desc) as rn
-                from normed n cross join seeds s
-              ) where rn = 1
-            ), probes as (
-              select vec_id as query_id, e as qe, nrm as qn, list_id from (
-                select n.vec_id, n.e, n.nrm, s.list_id,
-                  row_number() over (partition by n.vec_id order by
-                    list_aggregate(list_transform(range(1, 65), i -> n.e[i] * s.ce[i]), 'sum')
-                      / (n.nrm * s.cn) desc, s.list_id desc) as rn
-                from normed n cross join seeds s
-                where n.vec_id < 10
-              ) where rn <= 4
-            ), scored as (
-              select p.query_id, a.vec_id as neighbor_id,
-                round(list_aggregate(list_transform(range(1, 65), i -> p.qe[i] * a.e[i]), 'sum')
-                      / (p.qn * a.nrm), 6) as cosine_sim
-              from probes p join assign a on p.list_id = a.list_id
-              where a.vec_id <> p.query_id
-            )
-            select query_id, neighbor_id, cosine_sim, cast(rank as bigint) as rank from (
-              select *, row_number() over (partition by query_id
-                order by cosine_sim desc, neighbor_id asc) as rank
-              from scored
-            ) where rank <= 5
-        """,
+        "q_ivf_ann_topk": _ORACLE_IVF_TOPK,
         # q_partition_elements / q_chunk_by_title: per-format parsing +
         # order-sensitive chunk fold → rows-only check.
         "q_metrics_grouped": """

@@ -226,3 +226,43 @@ class TestSemanticDedup:
             self._corpus(spark), k=2, iterations=1
         )._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
+
+
+class TestAnnRecall:
+    def test_counts_hits_and_zero_fills_missing_queries(self, spark):
+        from unstructured_spark.operators.similarity import ann_recall
+
+        exact = spark.createDataFrame(
+            [(1, 10), (1, 11), (1, 12), (2, 20), (2, 21), (2, 22)],
+            "query_id long, neighbor_id long",
+        )
+        approx = spark.createDataFrame(
+            # query 1: 2 of 3 right; query 2: absent from approx output
+            [(1, 10), (1, 12), (1, 99)],
+            "query_id long, neighbor_id long",
+        )
+        out = {
+            r["query_id"]: (r["hits"], r["recall_ppm"])
+            for r in ann_recall(exact, approx, k=3).collect()
+        }
+        assert out == {1: (2, 666666), 2: (0, 0)}
+
+    def test_perfect_index_scores_one(self, spark):
+        from unstructured_spark.operators.similarity import (
+            ann_recall,
+            cosine_topk,
+            ivf_topk,
+        )
+
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        ).withColumn(
+            "embedding",
+            __import__("pyspark.sql.functions", fromlist=["transform"]).transform(
+                "embedding", lambda x: x.cast("double")
+            ),
+        )
+        qs = emb.filter("vec_id < 3")
+        exact = cosine_topk(emb, qs, k=4)
+        self_recall = ann_recall(exact, exact, k=4).collect()
+        assert all(r["recall_ppm"] == 1000000 for r in self_recall)

@@ -687,3 +687,48 @@ def ivfpq_topk(
         scored.orderBy(*order).limit(k)
         .withColumn("rank", F.row_number().over(w).cast("bigint"))
     )
+
+
+def ann_recall(
+    exact: DataFrame,
+    approx: DataFrame,
+    *,
+    k: int,
+    query_col: str = "query_id",
+    neighbor_col: str = "neighbor_id",
+) -> DataFrame:
+    """Recall@k of an approximate neighbor list against the exact one —
+    the standard ANN index-quality gate (run it before trusting an
+    IVF/PQ configuration at corpus scale; reference embeds but never
+    evaluates, this is the QA step a 100 TB index build needs).
+
+    ``exact`` and ``approx`` are top-k result frames shaped like
+    :func:`cosine_topk` output (query, neighbor, ...). Emits one row
+    per exact-side query: ``hits`` (matched neighbors, BIGINT) and
+    ``recall_ppm`` = 1e6 * hits div k — integer parts per million, no
+    float division to diverge cross-engine. Queries the approx side
+    missed entirely score 0, so a too-aggressive prune is visible.
+
+    Shape: one equi-join on (query, neighbor) + one groupBy(query) —
+    both sides are already k-bounded per query, so this is tiny next
+    to the searches it grades.
+    """
+    e = exact.select(query_col, neighbor_col)
+    a = approx.select(query_col, neighbor_col)
+    hits = (
+        e.join(a, [query_col, neighbor_col])
+        .groupBy(query_col)
+        .agg(F.count("*").cast("bigint").alias("hits"))
+    )
+    return (
+        e.select(query_col)
+        .distinct()
+        .join(hits, query_col, "left")
+        .select(
+            query_col,
+            F.coalesce(F.col("hits"), F.lit(0).cast("bigint")).alias("hits"),
+            F.expr(f"(1000000L * coalesce(hits, 0L)) div {int(k)}L").alias(
+                "recall_ppm"
+            ),
+        )
+    )
