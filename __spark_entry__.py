@@ -1022,6 +1022,15 @@ def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datasheet-for-datasets rollup (new in r9): per (source, lang)
+    volumes, exact-dup ppm, HALF_UP mean integer quality — the
+    composition table a corpus release ships with. One strata groupBy
+    + the exact distinct-fingerprint count; all-integer outputs."""
+    docs = _t(spark, sf_dir, "documents")
+    return text_analysis.corpus_datasheet(docs)
+
+
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN index-quality gate (new in r9): recall@5 of the IVF index
     (nlist=16, nprobe=4) against exact brute-force cosine, per query —
@@ -2963,6 +2972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quality_cutoff": q_quality_cutoff,
         "q_corpus_shuffle": q_corpus_shuffle,
         "q_ann_recall": q_ann_recall,
+        "q_datasheet": q_datasheet,
     }
 
 
@@ -3428,6 +3438,33 @@ def oracle_sql() -> dict[str, str]:
             )
             select doc_id, source, quality_q, q_rank
             from c where q_rank <= (nc * 2) // 5
+        """,
+        "q_datasheet": f"""
+            with toks as (
+              select source, lang,
+                     string_split_regex(trim(coalesce(text, '')),
+                                        '\\s+') as t,
+                     cast(length(coalesce(text, '')) as bigint) as c,
+                     md5(lower(trim(regexp_replace(coalesce(text, ''),
+                                                   '\\s+', ' ', 'g')))) as fp
+              from documents
+            ), per as (
+              select source, lang, c, fp,
+                     cast(len(list_filter(t, w -> w != '')) as bigint) as n,
+                     cast({quality_q_sql()} as bigint) as q
+              from toks
+            )
+            select source, lang,
+                   cast(count(*) as bigint) as docs,
+                   cast(sum(n) as bigint) as tokens,
+                   cast(sum(c) as bigint) as chars,
+                   cast(count(distinct fp) as bigint) as uniq_docs,
+                   cast((1000000 * (count(*) - count(distinct fp)))
+                        // count(*) as bigint) as dup_ppm,
+                   cast((2 * sum(q) + count(*)) // (2 * count(*))
+                        as bigint) as avg_quality_q
+            from per
+            group by source, lang
         """,
         "q_ann_recall": f"""
             with exact as (select * from ({_ORACLE_EMBED_TOPK})),

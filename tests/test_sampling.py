@@ -514,3 +514,51 @@ class TestCorpusShuffle:
         one = {r["doc_id"]: r["shuffle_rank"] for r in corpus_shuffle(df.repartition(1), seed="x").collect()}
         many = {r["doc_id"]: r["shuffle_rank"] for r in corpus_shuffle(df.repartition(17), seed="x").collect()}
         assert one == many
+
+
+class TestCorpusDatasheet:
+    def test_volumes_dups_and_mean_quality(self, spark):
+        from unstructured_spark.operators.text_analysis import (
+            corpus_datasheet,
+        )
+
+        df = spark.createDataFrame(
+            [
+                ("w", "en", 1, "the cat sat on the mat"),
+                ("w", "en", 2, "the cat sat on the mat"),   # exact dup
+                ("w", "en", 3, "THE  cat sat on the MAT"),  # normalized dup
+                ("w", "en", 4, None),                       # null text
+                ("b", "de", 5, "ein ganz anderer text hier"),
+            ],
+            "source string, lang string, doc_id long, text string",
+        )
+        out = {
+            (r["source"], r["lang"]): r
+            for r in corpus_datasheet(df).collect()
+        }
+        w = out[("w", "en")]
+        assert w["docs"] == 4
+        assert w["tokens"] == 6 + 6 + 6 + 0
+        # 3 texts normalize to one fingerprint + the null-as-empty one
+        assert w["uniq_docs"] == 2
+        assert w["dup_ppm"] == (1_000_000 * 2) // 4
+        b = out[("b", "de")]
+        assert b["docs"] == 1 and b["uniq_docs"] == 1 and b["dup_ppm"] == 0
+
+    def test_mean_quality_is_half_up_integer(self, spark):
+        from unstructured_spark.operators.text_analysis import (
+            corpus_datasheet,
+            with_quality_q,
+        )
+
+        df = spark.createDataFrame(
+            [("s", "en", 1, "alpha beta gamma delta"),
+             ("s", "en", 2, "alpha alpha alpha alpha")],
+            "source string, lang string, doc_id long, text string",
+        )
+        qs = [
+            r["quality_q"] for r in with_quality_q(df).collect()
+        ]
+        want = (2 * sum(qs) + len(qs)) // (2 * len(qs))
+        got = corpus_datasheet(df).collect()[0]["avg_quality_q"]
+        assert got == want

@@ -975,3 +975,62 @@ def dsir_importance(
             "weight"
         ),
     )
+
+
+def corpus_datasheet(
+    df: DataFrame,
+    *,
+    strata: tuple[str, ...] = ("source", "lang"),
+    text: str = "text",
+) -> DataFrame:
+    """Datasheet-for-datasets rollup (Gebru et al. 2021): one row per
+    stratum with the release-note numbers — document/token/char
+    volumes, exact-duplicate rate, and mean quality — so a corpus drop
+    ships with its composition table instead of a guess.
+
+    All-integer outputs: dup rate as ppm (1e6*(docs-uniq) div docs),
+    mean quality via the HALF_UP integer average ((2*sum+n) div (2n))
+    over the :func:`with_quality_q` key. One groupBy over the strata
+    (map-side partials) plus the exact distinct-fingerprint count
+    (one more shuffle on (strata, fp) — approx_count_distinct would
+    be cheaper but breaks replay determinism; at 100 TB swap in a
+    datasketches rollup consciously, not silently).
+    """
+    d = with_quality_q(df, text=text)
+    ntok = F.expr(
+        f"cast(size(filter(split(trim(coalesce({text}, '')), '\\\\s+'),"
+        " w -> w != '')) as bigint)"
+    )
+    keys = [F.col(c) for c in strata]
+    return (
+        d.select(
+            *keys,
+            ntok.alias("_n"),
+            F.length(F.coalesce(F.col(text), F.lit(""))).cast("bigint").alias(
+                "_c"
+            ),
+            fingerprint(F.coalesce(F.col(text), F.lit(""))).alias("_fp"),
+            F.col("quality_q").alias("_q"),
+        )
+        .groupBy(*strata)
+        .agg(
+            F.count("*").cast("bigint").alias("docs"),
+            F.sum("_n").cast("bigint").alias("tokens"),
+            F.sum("_c").cast("bigint").alias("chars"),
+            F.countDistinct("_fp").cast("bigint").alias("uniq_docs"),
+            F.sum("_q").cast("bigint").alias("_qsum"),
+        )
+        .select(
+            *strata,
+            "docs",
+            "tokens",
+            "chars",
+            "uniq_docs",
+            F.expr("(1000000L * (docs - uniq_docs)) div docs").alias(
+                "dup_ppm"
+            ),
+            F.expr("(2L * _qsum + docs) div (2L * docs)").alias(
+                "avg_quality_q"
+            ),
+        )
+    )
