@@ -1022,6 +1022,22 @@ def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic-balanced selection (new in r9): cap each k-means cluster
+    at 20 vectors chosen by a deterministic md5 draw — the curation
+    step that stops a dominant topic from dominating the sample.
+    Ranks via a per-cluster hash-prefix prefix sum (16 sub-buckets),
+    so a huge cluster never lands in one window partition."""
+    from unstructured_spark.operators.clustering import (
+        cluster_balanced_sample,
+        kmeans_clusters,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    asg = kmeans_clusters(emb, k=8, iterations=2)
+    return cluster_balanced_sample(asg, 20, seed="bal")
+
+
 def q_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Datasheet-for-datasets rollup (new in r9): per (source, lang)
     volumes, exact-dup ppm, HALF_UP mean integer quality — the
@@ -2973,6 +2989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_corpus_shuffle": q_corpus_shuffle,
         "q_ann_recall": q_ann_recall,
         "q_datasheet": q_datasheet,
+        "q_cluster_balance": q_cluster_balance,
     }
 
 
@@ -4802,6 +4819,19 @@ left join stats s using (doc_id)
             from aug
         """,
         "q_kmeans_clusters": _kmeans_oracle(k=8, iters=2, dim=64),
+        "q_cluster_balance": f"""
+            with asg as (select * from (
+              {_kmeans_oracle(k=8, iters=2, dim=64)}
+            )), r as (
+              select vec_id, cluster_id, cluster_size,
+                     cast(row_number() over (partition by cluster_id
+                          order by md5(cast(vec_id as varchar) || ':bal'),
+                                   vec_id) as bigint) as bal_rank
+              from asg
+            )
+            select vec_id, cluster_id, cluster_size, bal_rank
+            from r where bal_rank <= 20
+        """,
         "q_semantic_dedup": _semantic_dedup_oracle(
             k=8, iters=2, dim=64, threshold=0.42
         ),

@@ -266,3 +266,45 @@ class TestAnnRecall:
         exact = cosine_topk(emb, qs, k=4)
         self_recall = ann_recall(exact, exact, k=4).collect()
         assert all(r["recall_ppm"] == 1000000 for r in self_recall)
+
+
+class TestClusterBalancedSample:
+    def test_cap_and_rank_match_naive_window(self, spark):
+        import pyspark.sql.functions as SF
+        from pyspark.sql.window import Window as W
+
+        from unstructured_spark.operators.clustering import (
+            cluster_balanced_sample,
+        )
+
+        asg = spark.range(300).select(
+            SF.col("id").alias("vec_id"),
+            (SF.col("id") % 3).cast("bigint").alias("cluster_id"),
+        )
+        got = cluster_balanced_sample(asg, 7, seed="s")
+        rows = got.collect()
+        per = {}
+        for r in rows:
+            per.setdefault(r["cluster_id"], []).append(r["bal_rank"])
+        assert all(sorted(v) == list(range(1, 8)) for v in per.values())
+        # equals the naive single-window form
+        key = SF.md5(SF.concat(SF.col("vec_id").cast("string"), SF.lit(":s")))
+        w = W.partitionBy("cluster_id").orderBy(key, "vec_id")
+        naive = (
+            asg.withColumn("bal_rank", SF.row_number().over(w).cast("bigint"))
+            .filter(SF.col("bal_rank") <= 7)
+        )
+        assert sorted((r["vec_id"], r["bal_rank"]) for r in rows) == sorted(
+            (r["vec_id"], r["bal_rank"]) for r in naive.collect()
+        )
+
+    def test_small_cluster_kept_whole(self, spark):
+        from unstructured_spark.operators.clustering import (
+            cluster_balanced_sample,
+        )
+
+        asg = spark.createDataFrame(
+            [(1, 0), (2, 0), (3, 1)], "vec_id long, cluster_id long"
+        )
+        out = cluster_balanced_sample(asg, 10).collect()
+        assert sorted(r["vec_id"] for r in out) == [1, 2, 3]

@@ -266,3 +266,60 @@ def semantic_dedup(
         assign.join(dups, "vec_id", "left")
         .withColumn("is_duplicate", F.coalesce("is_duplicate", F.lit(False)))
     )
+
+
+def cluster_balanced_sample(
+    assignments: DataFrame,
+    cap: int,
+    *,
+    cluster_col: str = "cluster_id",
+    key_col: str = "vec_id",
+    seed: str = "balance-v1",
+) -> DataFrame:
+    """Topic-balanced selection: keep at most ``cap`` rows per cluster,
+    chosen by a deterministic md5 draw (so the within-cluster sample is
+    uniform, reproducible, and engine-replayable — not head-of-cluster
+    biased). The curation step after :func:`kmeans_clusters` /
+    SemDeDup: caps over-represented topics instead of sampling the raw
+    corpus where one dominant cluster keeps its dominance.
+
+    Scale shape: ranks come from the hash-prefix prefix sum (compare
+    ``sampling.corpus_shuffle``) — rows bucket by the draw's first hex
+    char (16 sub-buckets per cluster), (cluster, bucket) counts make a
+    16k-row offset table (broadcast), row_number finishes within
+    (cluster, bucket) — so a dominant cluster is split 16 ways instead
+    of landing in one window partition. Emits the kept rows plus
+    ``bal_rank`` (1-based within cluster).
+    """
+    from pyspark.sql.window import Window
+
+    key = F.md5(
+        F.concat(F.col(key_col).cast("string"), F.lit(":" + str(seed)))
+    )
+    d = assignments.withColumn("_bkey", key).withColumn(
+        "_bb", F.conv(F.substring("_bkey", 1, 1), 16, 10).cast("bigint")
+    )
+    counts = d.groupBy(cluster_col, "_bb").agg(F.count("*").alias("_c"))
+    wb = (
+        Window.partitionBy(cluster_col)
+        .orderBy("_bb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = counts.select(
+        cluster_col,
+        "_bb",
+        F.coalesce(F.sum("_c").over(wb), F.lit(0).cast("bigint")).alias(
+            "_off"
+        ),
+    )
+    wr = Window.partitionBy(cluster_col, "_bb").orderBy("_bkey", key_col)
+    return (
+        d.join(F.broadcast(offs), [cluster_col, "_bb"])
+        .select(
+            *assignments.columns,
+            (F.col("_off") + F.row_number().over(wr))
+            .cast("bigint")
+            .alias("bal_rank"),
+        )
+        .filter(F.col("bal_rank") <= F.lit(int(cap)))
+    )
