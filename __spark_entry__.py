@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from unstructured_spark.operators import dedup, similarity, text_analysis
+from unstructured_spark.operators.storage import zorder_key_sql
 from unstructured_spark.operators.text_analysis import (
     fxln_select_sql,
     quality_q_sql,
@@ -1020,6 +1021,27 @@ def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_shuffle(docs.select("doc_id"), seed="ep0").select(
         "doc_id", "shuffle_key", "shuffle_rank"
     )
+
+
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order storage layout key (new in r9): Morton-interleave
+    (o_custkey, o_orderkey) low 16 bits so files hold hyper-rectangles
+    of the 2-D key space and parquet min/max stats prune on EITHER
+    column (storage.write_zordered does the layout; this emits the
+    key). Pure integer arithmetic — one generator serves both
+    dialects, the fxln discipline applied to storage layout."""
+    from unstructured_spark.operators.storage import with_zorder_key
+
+    orders = _t(spark, sf_dir, "orders")
+    return with_zorder_key(
+        orders.select(
+            "o_orderkey",
+            F.expr("o_custkey % 65536").alias("_a"),
+            F.expr("o_orderkey % 65536").alias("_b"),
+        ),
+        ["_a", "_b"],
+        bits=16,
+    ).select("o_orderkey", "zorder_key")
 
 
 def q_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2990,6 +3012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_recall": q_ann_recall,
         "q_datasheet": q_datasheet,
         "q_cluster_balance": q_cluster_balance,
+        "q_zorder_key": q_zorder_key,
     }
 
 
@@ -4819,6 +4842,15 @@ left join stats s using (doc_id)
             from aug
         """,
         "q_kmeans_clusters": _kmeans_oracle(k=8, iters=2, dim=64),
+        "q_zorder_key": f"""
+            select o_orderkey,
+                   cast({zorder_key_sql(["_a", "_b"], 16, "//")} as bigint)
+                     as zorder_key
+            from (select o_orderkey,
+                         o_custkey % 65536 as _a,
+                         o_orderkey % 65536 as _b
+                  from orders)
+        """,
         "q_cluster_balance": f"""
             with asg as (select * from (
               {_kmeans_oracle(k=8, iters=2, dim=64)}

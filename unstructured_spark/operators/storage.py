@@ -30,6 +30,7 @@ one side).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_bucketed(
@@ -192,3 +193,66 @@ def write_token_shards(
     # the budget jumps the running offset past whole shard indices, so
     # ids can have gaps
     return assigned.select("shard_id").distinct().count()
+
+
+def zorder_key_sql(cols: list[str], bits: int = 16, idiv: str = "div") -> str:
+    """Z-order (Morton) key as ONE portable SQL expression: interleave
+    the low ``bits`` bits of each column expression so rows close in
+    EVERY dimension get close keys. Pure integer arithmetic — bit i of
+    column c is ``(c div 2^i) % 2`` — so the same generator serves the
+    Spark plan (``idiv='div'``) and a DuckDB replay (``idiv='//'``),
+    the fxln_steps discipline applied to storage layout.
+
+    Inputs must be nonnegative integer expressions already quantized
+    to < 2^bits (rank, bucket id, or value % 2^bits); total key width
+    len(cols)*bits must stay < 63.
+    """
+    n = len(cols)
+    if n < 2:
+        raise ValueError("z-order needs >= 2 columns")
+    if n * bits > 62:
+        raise ValueError(f"{n} cols x {bits} bits overflows BIGINT")
+    terms = []
+    for i in range(bits):
+        for j, c in enumerate(cols):
+            # bit i of column j lands at interleaved position
+            # i*n + (n-1-j): column 0 takes the most-significant slot
+            pos = i * n + (n - 1 - j)
+            terms.append(
+                f"((({c}) {idiv} {1 << i}) % 2) * cast({1 << pos} as bigint)"
+            )
+    return " + ".join(terms)
+
+
+def with_zorder_key(
+    df: DataFrame, cols: list[str], *, bits: int = 16, out: str = "zorder_key"
+) -> DataFrame:
+    """Append the Morton key for ``cols`` (see :func:`zorder_key_sql`)."""
+    return df.withColumn(out, F.expr(zorder_key_sql(cols, bits, "div")))
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    *,
+    bits: int = 16,
+    num_files: int = 32,
+) -> None:
+    """Persist parquet Z-ORDERED on ``cols``: range-partition by the
+    Morton key, sort within files, drop the key. Every file then holds
+    a compact hyper-rectangle of the key space, so parquet row-group
+    min/max statistics prune scans filtered on ANY of the interleaved
+    columns — the multi-dimensional generalization of a single-column
+    sort (which prunes only its leading column). The standard lakehouse
+    layout move (Delta/Iceberg OPTIMIZE ZORDER BY) built from plain
+    repartitionByRange + sortWithinPartitions.
+    """
+    keyed = with_zorder_key(df, cols, bits=bits, out="_zkey")
+    (
+        keyed.repartitionByRange(num_files, "_zkey")
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
