@@ -1023,6 +1023,15 @@ def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-source token-length quantiles (new in r9): discrete
+    lower quantiles by integer rank test (100*cum >= p*n) over a
+    (source, length) level table — aggregate-only, no corpus sort, no
+    per-row window, no float percentile interpolation."""
+    docs = _t(spark, sf_dir, "documents")
+    return text_analysis.token_length_quantiles(docs)
+
+
 def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order storage layout key (new in r9): Morton-interleave
     (o_custkey, o_orderkey) low 16 bits so files hold hyper-rectangles
@@ -3013,6 +3022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_datasheet": q_datasheet,
         "q_cluster_balance": q_cluster_balance,
         "q_zorder_key": q_zorder_key,
+        "q_length_quantiles": q_length_quantiles,
     }
 
 
@@ -4842,6 +4852,37 @@ left join stats s using (doc_id)
             from aug
         """,
         "q_kmeans_clusters": _kmeans_oracle(k=8, iters=2, dim=64),
+        "q_length_quantiles": """
+            with lv as (
+              select source,
+                     cast(len(list_filter(string_split_regex(
+                          trim(coalesce(text, '')), '\\s+'),
+                          w -> w != '')) as bigint) as len_,
+                     cast(count(*) as bigint) as c
+              from documents
+              group by 1, 2
+            ), cum as (
+              select source, len_,
+                     cast(sum(c) over (partition by source order by len_
+                          rows between unbounded preceding and current row)
+                          as bigint) as cum,
+                     cast(sum(c) over (partition by source)
+                          as bigint) as n
+              from lv
+            )
+            select source,
+                   max(n) as docs,
+                   min(case when 100 * cum >= 25 * n then len_ end)
+                     as p25_tokens,
+                   min(case when 100 * cum >= 50 * n then len_ end)
+                     as p50_tokens,
+                   min(case when 100 * cum >= 75 * n then len_ end)
+                     as p75_tokens,
+                   min(case when 100 * cum >= 95 * n then len_ end)
+                     as p95_tokens
+            from cum
+            group by source
+        """,
         "q_zorder_key": f"""
             select o_orderkey,
                    cast({zorder_key_sql(["_a", "_b"], 16, "//")} as bigint)

@@ -562,3 +562,34 @@ class TestCorpusDatasheet:
         want = (2 * sum(qs) + len(qs)) // (2 * len(qs))
         got = corpus_datasheet(df).collect()[0]["avg_quality_q"]
         assert got == want
+
+
+class TestTokenLengthQuantiles:
+    def test_discrete_lower_quantile_semantics(self, spark):
+        from unstructured_spark.operators.text_analysis import (
+            token_length_quantiles,
+        )
+
+        # 10 docs with 1..10 tokens: p25 -> rank ceil(2.5)=3 -> 3 tokens,
+        # p50 -> rank 5, p75 -> rank ceil(7.5)=8, p95 -> rank ceil(9.5)=10
+        rows = [("s", " ".join(["w"] * k)) for k in range(1, 11)]
+        df = spark.createDataFrame(rows, "source string, text string")
+        r = token_length_quantiles(df).collect()[0]
+        assert (r["docs"], r["p25_tokens"], r["p50_tokens"],
+                r["p75_tokens"], r["p95_tokens"]) == (10, 3, 5, 8, 10)
+
+    def test_matches_python_reference_on_ties(self, spark):
+        import math
+
+        from unstructured_spark.operators.text_analysis import (
+            token_length_quantiles,
+        )
+
+        lens = [5, 5, 5, 7, 7, 9, 11, 11, 11, 11, 2]
+        rows = [("s", " ".join(["t"] * k)) for k in lens]
+        df = spark.createDataFrame(rows, "source string, text string")
+        r = token_length_quantiles(df).collect()[0]
+        srt = sorted(lens)
+        for p in (25, 50, 75, 95):
+            want = srt[math.ceil(p * len(lens) / 100) - 1]
+            assert r[f"p{p}_tokens"] == want, p

@@ -1034,3 +1034,56 @@ def corpus_datasheet(
             ),
         )
     )
+
+
+def token_length_quantiles(
+    df: DataFrame,
+    *,
+    strata: str = "source",
+    text: str = "text",
+    probs: tuple[int, ...] = (25, 50, 75, 95),
+) -> DataFrame:
+    """Exact per-stratum token-length quantiles (the release-table
+    companion to :func:`corpus_datasheet`): for each percentile p the
+    DISCRETE lower quantile — the smallest length whose cumulative doc
+    count reaches rank ceil(p*n/100). Integer test throughout
+    (100*cum >= p*n, no float percentile interpolation), so the values
+    replay exactly in any engine.
+
+    Scale shape: aggregate-only — counts per (strata, length) LEVEL
+    (lengths are few thousand distinct values), a cumulative window
+    over that tiny level table, then one min-CASE rollup per
+    percentile. No per-row window, no sort of the corpus; the heavy
+    stage is the first groupBy with map-side partials.
+    """
+    ntok = F.expr(
+        f"cast(size(filter(split(trim(coalesce({text}, ''))" + r", '\\s+'),"
+        " w -> w != '')) as bigint)"
+    )
+    lv = (
+        df.select(F.col(strata), ntok.alias("_len"))
+        .groupBy(strata, "_len")
+        .agg(F.count("*").cast("bigint").alias("_c"))
+    )
+    w = (
+        Window.partitionBy(strata)
+        .orderBy("_len")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy(strata)
+    cum = lv.select(
+        strata,
+        "_len",
+        F.sum("_c").over(w).cast("bigint").alias("_cum"),
+        F.sum("_c").over(wall).cast("bigint").alias("_n"),
+    )
+    aggs = [F.max("_n").alias("docs")] + [
+        F.min(
+            F.when(
+                F.lit(100) * F.col("_cum") >= F.lit(int(p)) * F.col("_n"),
+                F.col("_len"),
+            )
+        ).alias(f"p{p}_tokens")
+        for p in probs
+    ]
+    return cum.groupBy(strata).agg(*aggs)
