@@ -39,6 +39,12 @@ BNLJ_ALLOWED = {
                           # an equi-join on the bucket key
     "q_vocab_coverage",   # broadcast 1-row total-token-count aggregate
                           # joined onto the k-bounded top-k table
+    "q_ann_recall",       # inherits the two searches it grades:
+                          # q_embed_topk's broadcast query vectors
+                          # (<=10 rows) and q_ivf_ann_topk's broadcast
+                          # seed-centroid frame (nlist rows) — the
+                          # recall join itself is an equi-join on
+                          # (query, neighbor)
 }
 
 
