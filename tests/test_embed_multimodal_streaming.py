@@ -969,3 +969,80 @@ class TestBloomGatedStreamDedup:
         q.awaitTermination(120)
         out = spark.read.parquet(str(tmp_path / "out")).collect()
         assert [r["doc_id"] for r in out] == [101]
+
+
+class TestCorpusStatsStream:
+    def test_windowed_stats_on_a_real_stream(self, spark, tmp_path):
+        import json
+
+        from unstructured_spark.streaming.pipeline import corpus_stats_stream
+
+        src = tmp_path / "src"
+        src.mkdir()
+        rows = [
+            {"ingest_ts": "2024-01-01T00:10:00", "source": "web",
+             "text": "alpha beta gamma"},
+            {"ingest_ts": "2024-01-01T00:20:00", "source": "web",
+             "text": "delta epsilon"},
+            {"ingest_ts": "2024-01-01T00:30:00", "source": "book",
+             "text": "zeta"},
+            {"ingest_ts": "2024-01-01T01:30:00", "source": "web",
+             "text": "eta theta iota kappa"},
+            {"ingest_ts": "2024-01-01T00:40:00", "source": "web",
+             "text": None},
+            # watermark flush: append mode only emits a window once the
+            # watermark passes its end, so a far-future row finalizes
+            # the hour-0 and hour-1 windows under availableNow
+            {"ingest_ts": "2024-01-01T09:00:00", "source": "web",
+             "text": "flush"},
+        ]
+        with open(src / "b1.json", "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        stream = spark.readStream.schema(
+            "ingest_ts timestamp, source string, text string"
+        ).json(str(src))
+        stats = corpus_stats_stream(stream, window="1 hour", watermark="2 hours")
+        assert stats.isStreaming
+        q = (
+            stats.writeStream.format("memory").queryName("cstats")
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (str(r["window_start"]), r["source"]): (
+                r["docs"], r["tokens"], r["chars"])
+            for r in spark.sql("select * from cstats").collect()
+        }
+        # hour 0: web = 2 text docs + 1 NULL doc (counts, 0 tokens/chars)
+        assert got[("2024-01-01 00:00:00", "web")] == (3, 5, 16 + 13)
+        assert got[("2024-01-01 00:00:00", "book")] == (1, 1, 4)
+        assert got[("2024-01-01 01:00:00", "web")] == (1, 4, 20)
+
+    def test_matches_batch_datasheet_volumes(self, spark):
+        # the stream aggregation's volume columns must equal the batch
+        # datasheet's on the same frame (same token/char/quality defs)
+        import pyspark.sql.functions as SF
+
+        from unstructured_spark.operators.text_analysis import (
+            corpus_datasheet,
+        )
+        from unstructured_spark.streaming.pipeline import corpus_stats_stream
+
+        df = spark.createDataFrame(
+            [("2024-01-01 00:05:00", "w", "en", "one two three"),
+             ("2024-01-01 00:15:00", "w", "en", "four"),
+             ("2024-01-01 00:25:00", "b", "en", None)],
+            "ingest_ts string, source string, lang string, text string",
+        ).withColumn("ingest_ts", SF.to_timestamp("ingest_ts"))
+        stream_form = {
+            r["source"]: (r["docs"], r["tokens"], r["chars"],
+                          r["quality_q_sum"])
+            for r in corpus_stats_stream(df, window="1 day").collect()
+        }
+        batch = {
+            r["source"]: (r["docs"], r["tokens"], r["chars"])
+            for r in corpus_datasheet(df).collect()
+        }
+        for src, (docs, toks, chars, _qs) in stream_form.items():
+            assert batch[src] == (docs, toks, chars)

@@ -211,3 +211,56 @@ def write_elements_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def corpus_stats_stream(
+    docs: DataFrame,
+    *,
+    ts_col: str = "ingest_ts",
+    strata: str = "source",
+    text: str = "text",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Live corpus-composition monitor — the streaming face of
+    ``text_analysis.corpus_datasheet``: per (event-time window, source)
+    document/token/char volumes plus the integer quality_q sum, so an
+    ingest dashboard sees mixture drift as it happens instead of at
+    the next batch rollup. Watermarked tumbling-window aggregation:
+    state is bounded by the horizon, output mode append (a window
+    finalizes when the watermark passes it).
+
+    Exact-dup rate is deliberately absent: streaming distinct-count
+    needs either unbounded state or a sketch — route dedup monitoring
+    through the Bloom gate's maybe_seen rate instead
+    (``streaming.dedup``). Quality mean = quality_q_sum/docs at the
+    consumer; shipping the sum keeps every column an exact BIGINT.
+    """
+    from unstructured_spark.operators.text_analysis import with_quality_q
+
+    ntok = F.expr(
+        f"cast(size(filter(split(trim(coalesce({text}, '')), '\\\\s+'),"
+        " w -> w != '')) as bigint)"
+    )
+    d = with_quality_q(docs, text=text)
+    return (
+        d.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window), F.col(strata))
+        .agg(
+            F.count("*").cast("bigint").alias("docs"),
+            F.sum(ntok).cast("bigint").alias("tokens"),
+            F.sum(F.length(F.coalesce(F.col(text), F.lit(""))))
+            .cast("bigint")
+            .alias("chars"),
+            F.sum("quality_q").cast("bigint").alias("quality_q_sum"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            strata,
+            "docs",
+            "tokens",
+            "chars",
+            "quality_q_sum",
+        )
+    )
