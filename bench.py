@@ -16,6 +16,13 @@ BENCH_FULL.json next to this script (the driver's stdout tail is
 truncated at ~2000 chars, which silently broke parsing for three
 rounds). The stdout line carries the summary + as many of the slowest
 per-query timings as fit a 1900-char budget, plus a "full" pointer.
+
+Host-variance caveat (measured r9): three same-code uncontended runs
+hours apart spanned 81 -> 92 -> 105 s total (uniform ~25% per-query
+inflation, identical rankings, no stray processes, load < 1) — the
+container's underlying CPU allocation drifts. Compare per-query
+RANKINGS and round-over-round ratios of the SAME run, not absolute
+seconds across rounds.
 """
 
 from __future__ import annotations
