@@ -454,7 +454,13 @@ def select_token_budget(
         .orderBy(doc_id)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    j = d.join(F.broadcast(off), [strata, order_col])
+    # plain equi-join, NOT a forced broadcast: with a fine-grained
+    # order key the level table is #distinct(strata, order) rows —
+    # small for bucketed keys (planner broadcasts it on its own) but
+    # potentially huge for quality_q's 1e-6 granularity at corpus
+    # scale. The join key equals the window's partitioning key, so the
+    # shuffle path shares ONE exchange with the cumsum below.
+    j = d.join(off, [strata, order_col])
     cum = (
         F.col("_prior") + F.sum(F.col(token_col).cast("bigint")).over(wd)
     ).alias("cum_tokens")
@@ -506,7 +512,10 @@ def quality_cutoff(
         F.sum("_lc").over(wall).cast("bigint").alias("_nc"),
     )
     wd = Window.partitionBy(strata, order_col).orderBy(doc_id)
-    j = d.join(F.broadcast(off), [strata, order_col])
+    # plain equi-join (see select_token_budget): level-table size
+    # scales with key granularity; the join key = window partitioning
+    # key, so the non-broadcast path shares one exchange
+    j = d.join(off, [strata, order_col])
     rank = (F.col("_pc") + F.row_number().over(wd)).alias("q_rank")
     keep_k = F.expr(f"(_nc * {int(keep_num)}L) div {int(keep_den)}L")
     return (
