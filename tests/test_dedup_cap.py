@@ -809,3 +809,49 @@ class TestBloomDedupGate:
             for r in spark.read.parquet(str(tmp_path / "out")).collect()
         }
         assert out == {1: True, 3: False}
+
+    def test_merged_filters_equal_filter_of_union(self, spark):
+        # Bloom union is exact: merge(bloom(A), bloom(B)) must be
+        # bit-for-bit bloom(A ∪ B) — the no-rebuild maintenance claim
+        from unstructured_spark.operators.dedup import (
+            bloom_fingerprint_index,
+            bloom_probe_new,
+            merge_bloom_indexes,
+        )
+
+        a = spark.createDataFrame(
+            [(i, f"corpus alpha doc {i}") for i in range(60)],
+            "doc_id long, text string",
+        )
+        b = spark.createDataFrame(
+            [(100 + i, f"corpus beta doc {i}") for i in range(40)],
+            "doc_id long, text string",
+        )
+        kw = dict(m_bits=1 << 14, k=4)
+        merged = {
+            r["word"]: r["bits"]
+            for r in merge_bloom_indexes(
+                bloom_fingerprint_index(a, **kw),
+                bloom_fingerprint_index(b, **kw),
+            ).collect()
+        }
+        whole = {
+            r["word"]: r["bits"]
+            for r in bloom_fingerprint_index(a.unionByName(b), **kw).collect()
+        }
+        assert merged == whole
+        # and the merged filter answers probes like the whole-corpus one
+        probes = a.limit(5).unionByName(b.limit(5))
+        m_df = spark.createDataFrame(
+            [(w, bits) for w, bits in merged.items()], "word long, bits long"
+        )
+        out = bloom_probe_new(probes, m_df, **kw).collect()
+        assert all(r["maybe_seen"] for r in out)
+
+    def test_merge_requires_input(self, spark):
+        import pytest
+
+        from unstructured_spark.operators.dedup import merge_bloom_indexes
+
+        with pytest.raises(ValueError):
+            merge_bloom_indexes()

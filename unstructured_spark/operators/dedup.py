@@ -1183,6 +1183,25 @@ def bloom_fingerprint_index(
     )
 
 
+def merge_bloom_indexes(*blooms: DataFrame) -> DataFrame:
+    """Union Bloom filters EXACTLY: same (m_bits, k, seed) filters
+    merge by OR-ing their words — merge(bloom(A), bloom(B)) equals
+    bloom(A ∪ B) bit-for-bit, because positions are a pure function of
+    the fingerprint. The incremental-index maintenance op: day-N
+    history filter = merge(day N-1 filter, filter(new survivors)) —
+    never a rebuild over 100 TB of history, and the merge input is
+    filters (≤ m_bits/32 rows each), not documents. One small groupBy.
+    """
+    if not blooms:
+        raise ValueError("need at least one bloom index")
+    u = blooms[0]
+    for b in blooms[1:]:
+        u = u.unionByName(b)
+    return u.groupBy("word").agg(
+        F.expr("bit_or(bits)").cast("bigint").alias("bits")
+    )
+
+
 def bloom_probe_new(
     new_docs: DataFrame,
     bloom: DataFrame,
