@@ -855,3 +855,38 @@ class TestBloomDedupGate:
 
         with pytest.raises(ValueError):
             merge_bloom_indexes()
+
+    def test_fingerprint_index_merge_is_idempotent_keep_first(self, spark):
+        from unstructured_spark.operators.dedup import (
+            fingerprint_index,
+            merge_fingerprint_indexes,
+        )
+
+        day1 = spark.createDataFrame(
+            [(5, "shared body"), (2, "only day one")],
+            "doc_id long, text string",
+        )
+        day2 = spark.createDataFrame(
+            [(9, "shared body"), (7, "new on day two")],
+            "doc_id long, text string",
+        )
+        i1, i2 = fingerprint_index(day1), fingerprint_index(day2)
+        merged = {
+            r["fingerprint"]: r["doc_id"]
+            for r in merge_fingerprint_indexes(i1, i2).collect()
+        }
+        whole = {
+            r["fingerprint"]: r["doc_id"]
+            for r in fingerprint_index(day1.unionByName(day2))
+            .groupBy("fingerprint")
+            .agg(F.min("doc_id").alias("doc_id"))
+            .collect()
+        }
+        assert merged == whole and len(merged) == 3
+        again = {
+            r["fingerprint"]: r["doc_id"]
+            for r in merge_fingerprint_indexes(
+                merge_fingerprint_indexes(i1, i2), i1
+            ).collect()
+        }
+        assert again == merged

@@ -1074,6 +1074,23 @@ def fingerprint_index(
     )
 
 
+def merge_fingerprint_indexes(*indexes: DataFrame) -> DataFrame:
+    """Union exact-dup indexes: one (fingerprint, doc_id) row per
+    fingerprint survives the merge, keeping the SMALLEST doc_id (the
+    canonical first owner — merging is therefore idempotent and
+    order-independent). The exact-index twin of
+    :func:`merge_bloom_indexes` for the day-over-day incremental
+    cycle: merged = merge(yesterday, fingerprint_index(survivors)).
+    One groupBy on the fingerprint key.
+    """
+    if not indexes:
+        raise ValueError("need at least one fingerprint index")
+    u = indexes[0]
+    for i in indexes[1:]:
+        u = u.unionByName(i)
+    return u.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
+
+
 def exact_dedup_against_index(
     new_docs: DataFrame,
     index: DataFrame,
