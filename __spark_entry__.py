@@ -1076,6 +1076,22 @@ def q_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_balanced_sample(asg, 20, seed="bal")
 
 
+def q_bloom_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom index maintenance (new in r9): merge the even-doc and
+    odd-doc half-corpus filters by OR-ing their sparse word tables —
+    the no-rebuild incremental cycle. The oracle builds the
+    WHOLE-corpus filter directly, so an external hash-green proves
+    merge(bloom(A), bloom(B)) = bloom(A ∪ B) bit-for-bit."""
+    docs = _t(spark, sf_dir, "documents")
+    even = dedup.bloom_fingerprint_index(
+        docs.filter(F.col("doc_id") % 2 == 0), m_bits=1 << 16, k=4
+    )
+    odd = dedup.bloom_fingerprint_index(
+        docs.filter(F.col("doc_id") % 2 == 1), m_bits=1 << 16, k=4
+    )
+    return dedup.merge_bloom_indexes(even, odd)
+
+
 def q_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Datasheet-for-datasets rollup (new in r9): per (source, lang)
     volumes, exact-dup ppm, HALF_UP mean integer quality — the
@@ -3030,6 +3046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cluster_balance": q_cluster_balance,
         "q_zorder_key": q_zorder_key,
         "q_length_quantiles": q_length_quantiles,
+        "q_bloom_merge": q_bloom_merge,
     }
 
 
@@ -3495,6 +3512,22 @@ def oracle_sql() -> dict[str, str]:
             )
             select doc_id, source, quality_q, q_rank
             from c where q_rank <= (nc * 2) // 5
+        """,
+        "q_bloom_merge": """
+            with fps as (
+              select distinct
+                md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) as fp
+              from documents
+              where text is not null
+            ), pos as (
+              select cast(('0x' || substr(md5(fp || ':' || j || ':bloom-v1'),
+                                          1, 15)) as bigint) % 65536 as pos
+              from fps, unnest(range(0, 4)) as u(j)
+            )
+            select pos // 32 as word,
+                   cast(bit_or(cast(1 as bigint) << cast(pos % 32 as int))
+                        as bigint) as bits
+            from pos group by pos // 32
         """,
         "q_datasheet": f"""
             with toks as (
