@@ -2917,6 +2917,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # perf-changed queries; 30-50 refresh the oldest r7 greens.
         # After r9 no registry entry's last external green is older
         # than r7. Probes retire from the window in r10.
+        #
+        # r10 rotation plan: (1) retire the 4 probes to pytest-only
+        # (the wire-type guard test keeps the bug class dead); (2) the
+        # 10 r9-new tail queries lead the window (q_token_budget,
+        # q_quality_cutoff, q_corpus_shuffle, q_ann_recall,
+        # q_datasheet, q_cluster_balance, q_zorder_key,
+        # q_length_quantiles, q_bloom_merge, q_dedup_paragraphs/
+        # q_interleave_sources/q_bloom_dedup_gate if not green in r9);
+        # (3) fill the rest with the oldest r8 greens.
         "q_perplexity_buckets": q_perplexity_buckets,
         "q_nb_classify": q_nb_classify,
         "probe_wire_control": probe_wire_control,
