@@ -593,3 +593,54 @@ class TestTokenLengthQuantiles:
         for p in (25, 50, 75, 95):
             want = srt[math.ceil(p * len(lens) / 100) - 1]
             assert r[f"p{p}_tokens"] == want, p
+
+
+class TestQualityQCrossEngine:
+    def test_randomized_parity_with_duckdb(self, spark, tmp_path):
+        # one batched run over ~300 adversarial texts: the integer
+        # quality key must be bit-identical across engines (this is
+        # the key selections order by - a single divergence flips a
+        # budget/cutoff boundary)
+        import random
+
+        import duckdb
+
+        from unstructured_spark.operators.text_analysis import (
+            quality_q_sql,
+            with_quality_q,
+        )
+
+        rng = random.Random(99)
+        words = ["the", "and", "alpha", "Beta", "GAMMA", "x", "yz",
+                 "supercalifragilistic", "data", "1234", "a,b;c",
+                 "café", "über", "not", "but", "it"]
+        seps = [" ", "  ", "\t", "\n", " \t "]
+        texts = []
+        for i in range(300):
+            n = rng.randint(0, 40)
+            t = "".join(
+                rng.choice(words) + rng.choice(seps) for _ in range(n)
+            )
+            texts.append((i, t if rng.random() > 0.05 else None))
+        texts += [(1000, ""), (1001, "   "), (1002, "\t\n"),
+                  (1003, "one"), (1004, None)]
+        df = spark.createDataFrame(texts, "doc_id long, text string")
+        got = {
+            r["doc_id"]: r["quality_q"]
+            for r in with_quality_q(df).collect()
+        }
+        pq = str(tmp_path / "texts.parquet")
+        df.write.parquet(pq, mode="overwrite")
+        con = duckdb.connect()
+        want = dict(
+            con.sql(
+                f"""
+                select doc_id, cast({quality_q_sql()} as bigint)
+                from (select doc_id,
+                             string_split_regex(trim(coalesce(text, '')),
+                                                '\\s+') as t
+                      from '{pq}/*.parquet')
+                """
+            ).fetchall()
+        )
+        assert got == want
