@@ -1036,32 +1036,30 @@ def corpus_datasheet(
     )
 
 
-def token_length_quantiles(
+def grouped_integer_quantiles(
     df: DataFrame,
+    value: Column,
     *,
     strata: str = "source",
-    text: str = "text",
     probs: tuple[int, ...] = (25, 50, 75, 95),
+    suffix: str = "",
 ) -> DataFrame:
-    """Exact per-stratum token-length quantiles (the release-table
-    companion to :func:`corpus_datasheet`): for each percentile p the
-    DISCRETE lower quantile — the smallest length whose cumulative doc
-    count reaches rank ceil(p*n/100). Integer test throughout
-    (100*cum >= p*n, no float percentile interpolation), so the values
-    replay exactly in any engine.
+    """Exact per-stratum DISCRETE lower quantiles of any integer
+    expression: for each percentile p, the smallest value whose
+    cumulative row count reaches rank ceil(p*n/100). Integer test
+    throughout (100*cum >= p*n — no float percentile interpolation),
+    so the values replay exactly in any engine.
 
-    Scale shape: aggregate-only — counts per (strata, length) LEVEL
-    (lengths are few thousand distinct values), a cumulative window
-    over that tiny level table, then one min-CASE rollup per
-    percentile. No per-row window, no sort of the corpus; the heavy
-    stage is the first groupBy with map-side partials.
+    Scale shape: aggregate-only — counts per (strata, value) LEVEL
+    (bounded by the value's distinct-cardinality, not the corpus), a
+    cumulative window over that tiny level table, then one min-CASE
+    rollup per percentile. No per-row window, no sort of the corpus;
+    the heavy stage is the first groupBy with map-side partials.
+
+    Output columns: ``docs`` + one ``p{p}{suffix}`` per percentile.
     """
-    ntok = F.expr(
-        f"cast(size(filter(split(trim(coalesce({text}, ''))" + r", '\\s+'),"
-        " w -> w != '')) as bigint)"
-    )
     lv = (
-        df.select(F.col(strata), ntok.alias("_len"))
+        df.select(F.col(strata), value.cast("bigint").alias("_len"))
         .groupBy(strata, "_len")
         .agg(F.count("*").cast("bigint").alias("_c"))
     )
@@ -1083,7 +1081,28 @@ def token_length_quantiles(
                 F.lit(100) * F.col("_cum") >= F.lit(int(p)) * F.col("_n"),
                 F.col("_len"),
             )
-        ).alias(f"p{p}_tokens")
+        ).alias(f"p{p}{suffix}")
         for p in probs
     ]
     return cum.groupBy(strata).agg(*aggs)
+
+
+def token_length_quantiles(
+    df: DataFrame,
+    *,
+    strata: str = "source",
+    text: str = "text",
+    probs: tuple[int, ...] = (25, 50, 75, 95),
+) -> DataFrame:
+    """Exact per-stratum token-length quantiles (the release-table
+    companion to :func:`corpus_datasheet`) — the whitespace token
+    count run through :func:`grouped_integer_quantiles`. Same exact
+    rank semantics; columns ``docs`` + ``p{p}_tokens``.
+    """
+    ntok = F.expr(
+        f"cast(size(filter(split(trim(coalesce({text}, ''))" + r", '\\s+'),"
+        " w -> w != '')) as bigint)"
+    )
+    return grouped_integer_quantiles(
+        df, ntok, strata=strata, probs=probs, suffix="_tokens"
+    )
