@@ -1032,6 +1032,18 @@ def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_analysis.token_length_quantiles(docs)
 
 
+def q_quality_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality distribution bands (new in r9): exact
+    discrete quantiles of the integer quality key through the same
+    grouped_integer_quantiles machinery as q_length_quantiles —
+    release-table numbers for 'how good is each source'."""
+    docs = _t(spark, sf_dir, "documents")
+    base = text_analysis.with_quality_q(docs)
+    return text_analysis.grouped_integer_quantiles(
+        base, F.col("quality_q"), probs=(10, 50, 90), suffix="_quality_q"
+    )
+
+
 def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order storage layout key (new in r9): Morton-interleave
     (o_custkey, o_orderkey) low 16 bits so files hold hyper-rectangles
@@ -3055,6 +3067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cluster_balance": q_cluster_balance,
         "q_zorder_key": q_zorder_key,
         "q_length_quantiles": q_length_quantiles,
+        "q_quality_quantiles": q_quality_quantiles,
         "q_bloom_merge": q_bloom_merge,
     }
 
@@ -4929,6 +4942,36 @@ left join stats s using (doc_id)
                      as p75_tokens,
                    min(case when 100 * cum >= 95 * n then len_ end)
                      as p95_tokens
+            from cum
+            group by source
+        """,
+        "q_quality_quantiles": f"""
+            with q as (
+              select source, cast({quality_q_sql()} as bigint) as v
+              from (select source,
+                           string_split_regex(trim(coalesce(text, '')),
+                                              '\\s+') as t
+                    from documents)
+            ), lv as (
+              select source, v, cast(count(*) as bigint) as c
+              from q group by 1, 2
+            ), cum as (
+              select source, v,
+                     cast(sum(c) over (partition by source order by v
+                          rows between unbounded preceding and current row)
+                          as bigint) as cum,
+                     cast(sum(c) over (partition by source)
+                          as bigint) as n
+              from lv
+            )
+            select source,
+                   max(n) as docs,
+                   min(case when 100 * cum >= 10 * n then v end)
+                     as p10_quality_q,
+                   min(case when 100 * cum >= 50 * n then v end)
+                     as p50_quality_q,
+                   min(case when 100 * cum >= 90 * n then v end)
+                     as p90_quality_q
             from cum
             group by source
         """,
