@@ -264,3 +264,62 @@ class TestBoilerplateStage:
         texts = {r["doc_id"]: r["text"] for r in out.collect()}
         assert all(banner not in t for t in texts.values())
         assert len(texts) == 2
+
+
+class TestBudgetAndShuffleStages:
+    def test_token_budget_keeps_best_within_cap(self, spark):
+        from unstructured_spark.pipelines import prepare_training_corpus
+
+        good = ("the quick brown fox jumps over the lazy dog and then "
+                "walks on through the forest looking for more of it. ")
+        rows = [
+            # web: two high-quality docs (~20 tokens each) + one junk
+            (1, good, "web"),
+            (2, good + "with a slightly different healthy ending here", "web"),
+            (3, "zz qq ww " * 7, "web"),   # low quality, 21 tokens
+            (4, good, "books"),
+        ]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        )
+        out = prepare_training_corpus(
+            docs,
+            redact=False,
+            quality_filter=False,
+            near_dedup=False,
+            token_budget=50,
+        )
+        kept = sorted(r["doc_id"] for r in out.collect())
+        # web: best-first fill (docs 1+2 ~ 41 tokens; junk would
+        # exceed 50); books: doc 4 fits
+        assert kept == [1, 2, 4]
+        assert set(out.columns) == {"doc_id", "text", "source"}
+
+    def test_epoch_shuffle_appends_rank(self, spark):
+        from unstructured_spark.pipelines import prepare_training_corpus
+
+        docs = spark.createDataFrame(
+            [(i, f"document body number {i} with the usual words", "w")
+             for i in range(20)],
+            "doc_id long, text string, source string",
+        )
+        out = prepare_training_corpus(
+            docs,
+            redact=False,
+            quality_filter=False,
+            near_dedup=False,
+            epoch_shuffle_seed="ep1",
+        )
+        rows = out.collect()
+        assert sorted(r["shuffle_rank"] for r in rows) == list(range(20))
+        again = {
+            r["doc_id"]: r["shuffle_rank"]
+            for r in prepare_training_corpus(
+                docs,
+                redact=False,
+                quality_filter=False,
+                near_dedup=False,
+                epoch_shuffle_seed="ep1",
+            ).collect()
+        }
+        assert again == {r["doc_id"]: r["shuffle_rank"] for r in rows}

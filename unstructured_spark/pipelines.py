@@ -118,6 +118,8 @@ def prepare_training_corpus(
     contamination_threshold: float = 0.05,
     sample_fractions: dict[str, float] | None = None,
     strata_col: str = "source",
+    token_budget: int | None = None,
+    epoch_shuffle_seed: str | None = None,
     pack_tokens: int | None = None,
 ) -> DataFrame:
     """Raw text corpus (doc_id, text[, source]) → training-ready rows:
@@ -125,21 +127,28 @@ def prepare_training_corpus(
 
         boilerplate line removal (CCNet, opt-in) → PII redact →
         quality gate → near-dup drop → benchmark decontamination →
-        stratified source mixing → sequence packing
+        stratified source mixing → per-source token budget →
+        epoch shuffle → sequence packing
 
     Every stage is optional. With ``pack_tokens`` set the output is
     packing placements (doc_id, seq_id, token ranges); otherwise the
     filtered document rows. ``boilerplate_lines=True`` runs CCNet's
     corpus-level duplicated-line removal FIRST (their §3.1 order:
     structural dedup before any scoring), rejoining the cleaned text
-    onto the remaining columns.
+    onto the remaining columns. ``token_budget`` greedily keeps each
+    stratum's best documents (integer quality key) up to that many
+    tokens; ``epoch_shuffle_seed`` appends a deterministic
+    ``shuffle_rank`` training order (unpacked path — packing orders by
+    doc_id, so combine shuffle with packing by re-deriving ordinals
+    from the rank first).
 
     Shuffle bill: redact/quality/sampling are MAP-ONLY; boilerplate is
     one line-fingerprint count + anti-join + per-doc reassembly; dedup
     is the bucket-keyed dedup sub-pipeline + a broadcast anti-join;
-    decontamination is a broadcast join + per-doc agg; packing is the
-    distributed prefix sum. Nothing here is all-pairs or
-    single-partition.
+    decontamination is a broadcast join + per-doc agg; budget is the
+    two-level (strata, quality-level) decomposition; shuffle is the
+    256-bucket prefix sum; packing is the distributed prefix sum.
+    Nothing here is all-pairs or single-partition.
     """
     from unstructured_spark.operators.dedup import (
         contaminated_docs,
@@ -188,6 +197,24 @@ def prepare_training_corpus(
     if sample_fractions:
         out = stratified_sample(
             out, sample_fractions, strata_col=strata_col, default_fraction=1.0
+        )
+    if token_budget:
+        from unstructured_spark.operators.sampling import select_token_budget
+        from unstructured_spark.operators.text_analysis import with_quality_q
+
+        ntok = F.expr(
+            "cast(size(filter(split(trim(coalesce(text, '')), '\\\\s+'),"
+            " w -> w != '')) as bigint)"
+        )
+        keyed = with_quality_q(out).withColumn("_ntok", ntok)
+        out = select_token_budget(
+            keyed, token_budget, strata=strata_col, token_col="_ntok"
+        ).drop("quality_q", "_ntok", "cum_tokens")
+    if epoch_shuffle_seed is not None:
+        from unstructured_spark.operators.sampling import corpus_shuffle
+
+        out = corpus_shuffle(out, seed=epoch_shuffle_seed).drop(
+            "shuffle_key"
         )
     if pack_tokens:
         return pack_sequences(out, pack_tokens)
