@@ -644,3 +644,38 @@ class TestQualityQCrossEngine:
             ).fetchall()
         )
         assert got == want
+
+
+class TestInterleaveShuffleSeed:
+    def test_schedule_preserved_order_reshuffled(self, spark):
+        from unstructured_spark.operators.sampling import interleave_by_weight
+
+        docs = spark.createDataFrame(
+            [(i, "a" if i % 2 == 0 else "b") for i in range(40)],
+            "doc_id long, source string",
+        )
+        w = {"a": 3, "b": 1}
+        plain = interleave_by_weight(docs, w)
+        shuf = interleave_by_weight(docs, w, shuffle_seed="e1")
+        # the SCHEDULE (source at each emit position) is identical —
+        # only which document of the source fills the slot changes
+        sched = lambda d: [  # noqa: E731
+            r["source"]
+            for r in d.orderBy("emit_order").collect()
+        ]
+        assert sched(plain) == sched(shuf)
+        order = lambda d: [  # noqa: E731
+            r["doc_id"] for r in d.orderBy("emit_order").collect()
+        ]
+        assert order(plain) != order(shuf)
+        # deterministic: same seed = same permutation; new seed differs
+        assert order(shuf) == order(
+            interleave_by_weight(docs, w, shuffle_seed="e1")
+        )
+        assert order(shuf) != order(
+            interleave_by_weight(docs, w, shuffle_seed="e2")
+        )
+        # still a dense 0-based rank
+        assert sorted(r["emit_order"] for r in shuf.collect()) == list(
+            range(40)
+        )

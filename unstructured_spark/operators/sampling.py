@@ -291,6 +291,7 @@ def interleave_by_weight(
     *,
     strata_col: str = "source",
     key_col: str = "doc_id",
+    shuffle_seed: str | None = None,
 ) -> DataFrame:
     """Deterministic weighted source interleave — the data-loader EMIT
     ORDER for a mixture schedule: source s with integer weight w_s
@@ -309,6 +310,12 @@ def interleave_by_weight(
     Sources absent from ``weights`` (and NULL strata) are EXCLUDED —
     the schedule is exactly the caller's mixture. Weights must be
     positive integers (ratios like 3:1 — scale rationals up).
+
+    ``shuffle_seed`` (optional) reshuffles WITHIN each source by a
+    deterministic md5 draw while keeping the weighted schedule: the
+    per-source rank k orders by md5(key||':'||seed) instead of key —
+    the per-epoch "shuffle within source, preserve the mixture" a
+    training loader wants. Same seed = same permutation.
 
     Scale shape: one rank window per source partition (the per-source
     rank), then the dense global rank via the block-prefix-sum idiom
@@ -331,9 +338,20 @@ def interleave_by_weight(
     ranked = (
         df.filter(F.col(strata_col).isin(*[str(s) for s in weights]))
         .withColumn(
+            "_ko",
+            F.md5(
+                F.concat(
+                    F.col(key_col).cast("string"),
+                    F.lit(":" + str(shuffle_seed)),
+                )
+            )
+            if shuffle_seed is not None
+            else F.col(key_col),
+        )
+        .withColumn(
             "_k",
             F.row_number().over(
-                Window.partitionBy(strata_col).orderBy(key_col)
+                Window.partitionBy(strata_col).orderBy("_ko", key_col)
             ).cast("bigint"),
         )
         .withColumn("_w", wmap[F.col(strata_col)].cast("bigint"))
@@ -355,7 +373,7 @@ def interleave_by_weight(
             "emit_order",
             (F.col("_boff") + F.row_number().over(wd) - 1).cast("bigint"),
         )
-        .drop("_k", "_w", "_vt", "_blk", "_boff")
+        .drop("_k", "_ko", "_w", "_vt", "_blk", "_boff")
     )
 
 
