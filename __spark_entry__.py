@@ -1032,6 +1032,15 @@ def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_analysis.token_length_quantiles(docs)
 
 
+def q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source 3-gram diversity (new in r9): distinct grams as ppm
+    of total gram positions — the cross-document template-ness signal
+    per-doc quality scores miss. One totals aggregate + one
+    (source, gram)-keyed distinct count; all-integer output."""
+    docs = _t(spark, sf_dir, "documents")
+    return text_analysis.ngram_diversity(docs, n=3)
+
+
 def q_quality_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source quality distribution bands (new in r9): exact
     discrete quantiles of the integer quality key through the same
@@ -3068,6 +3077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_zorder_key": q_zorder_key,
         "q_length_quantiles": q_length_quantiles,
         "q_quality_quantiles": q_quality_quantiles,
+        "q_ngram_diversity": q_ngram_diversity,
         "q_bloom_merge": q_bloom_merge,
     }
 
@@ -4944,6 +4954,35 @@ left join stats s using (doc_id)
                      as p95_tokens
             from cum
             group by source
+        """,
+        "q_ngram_diversity": """
+            with t as (
+              select source,
+                     string_split_regex(trim(coalesce(text, '')),
+                                        '\\s+') as toks
+              from documents
+            ), tot as (
+              select source,
+                     cast(sum(greatest(len(toks) - 2, 0)) as bigint)
+                       as total_grams
+              from t group by 1
+            ), g as (
+              select distinct source,
+                     unnest([toks[i] || '_' || toks[i+1] || '_' || toks[i+2]
+                             for i in range(1, len(toks) - 1)]) as gram
+              from t where len(toks) >= 3
+            ), d as (
+              select source, cast(count(*) as bigint) as distinct_grams
+              from g group by 1
+            )
+            select tot.source,
+                   total_grams,
+                   cast(coalesce(distinct_grams, 0) as bigint)
+                     as distinct_grams,
+                   cast(case when total_grams = 0 then 0
+                        else (1000000 * coalesce(distinct_grams, 0))
+                             // total_grams end as bigint) as diversity_ppm
+            from tot left join d on tot.source = d.source
         """,
         "q_quality_quantiles": f"""
             with q as (

@@ -679,3 +679,34 @@ class TestInterleaveShuffleSeed:
         assert sorted(r["emit_order"] for r in shuf.collect()) == list(
             range(40)
         )
+
+
+class TestNgramDiversity:
+    def test_template_source_scores_low(self, spark):
+        from unstructured_spark.operators.text_analysis import ngram_diversity
+
+        template = [("tpl", "click here to buy now " + str(i % 2))
+                    for i in range(20)]
+        varied = [("var", f"document {i} talks about topic {i * 7} today")
+                  for i in range(20)]
+        df = spark.createDataFrame(
+            template + varied, "source string, text string"
+        )
+        out = {r["source"]: r for r in ngram_diversity(df, n=3).collect()}
+        # tpl: 20 docs x 4 positions = 80 total; the two variants share
+        # their first 3 grams and differ only in (buy, now, i%2) -> 5
+        assert out["tpl"]["total_grams"] == 80
+        assert out["tpl"]["distinct_grams"] == 5
+        assert out["tpl"]["diversity_ppm"] == (1_000_000 * 5) // 80
+        assert out["var"]["diversity_ppm"] > out["tpl"]["diversity_ppm"]
+
+    def test_short_and_null_docs_contribute_nothing(self, spark):
+        from unstructured_spark.operators.text_analysis import ngram_diversity
+
+        df = spark.createDataFrame(
+            [("s", "one two"), ("s", None), ("s", "")],
+            "source string, text string",
+        )
+        [r] = ngram_diversity(df, n=3).collect()
+        assert (r["total_grams"], r["distinct_grams"],
+                r["diversity_ppm"]) == (0, 0, 0)

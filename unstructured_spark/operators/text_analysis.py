@@ -1106,3 +1106,52 @@ def token_length_quantiles(
     return grouped_integer_quantiles(
         df, ntok, strata=strata, probs=probs, suffix="_tokens"
     )
+
+
+def ngram_diversity(
+    df: DataFrame,
+    *,
+    n: int = 3,
+    strata: str = "source",
+    text: str = "text",
+) -> DataFrame:
+    """Per-stratum n-gram diversity: distinct n-grams as integer ppm of
+    total n-gram positions — the type-token ratio lifted to n-grams.
+    Low values expose template-generated or heavily boilerplated
+    sources (few patterns, endlessly repeated) that per-document
+    quality scores miss because every individual document looks fine.
+    The curation companion to the repetition metrics in
+    quality_filters (those are within-document; this is ACROSS the
+    stratum).
+
+    Scale shape: one strata aggregate for position totals (map-side
+    partials) + one explode→distinct count keyed on (strata, gram) —
+    both shuffles on uniform keys; nothing all-pairs. All-integer
+    output (1e6*distinct div total, 0 when a stratum has no grams).
+    """
+    from unstructured_spark.operators.dedup import shingles
+
+    c = F.coalesce(F.col(text), F.lit(""))
+    toks = F.split(F.trim(c), "\\s+")
+    npos = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0)).cast("bigint")
+    tot = (
+        df.select(F.col(strata), npos.alias("_np"))
+        .groupBy(strata)
+        .agg(F.sum("_np").cast("bigint").alias("total_grams"))
+    )
+    dis = (
+        df.select(F.col(strata), F.explode(shingles(c, n)).alias("_g"))
+        .groupBy(strata)
+        .agg(F.countDistinct("_g").cast("bigint").alias("distinct_grams"))
+    )
+    return tot.join(dis, strata, "left").select(
+        strata,
+        "total_grams",
+        F.coalesce(F.col("distinct_grams"), F.lit(0).cast("bigint")).alias(
+            "distinct_grams"
+        ),
+        F.expr(
+            "case when total_grams = 0 then 0L else"
+            " (1000000L * coalesce(distinct_grams, 0L)) div total_grams end"
+        ).alias("diversity_ppm"),
+    )
