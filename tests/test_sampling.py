@@ -710,3 +710,30 @@ class TestNgramDiversity:
         [r] = ngram_diversity(df, n=3).collect()
         assert (r["total_grams"], r["distinct_grams"],
                 r["diversity_ppm"]) == (0, 0, 0)
+
+    def test_global_budget_without_strata(self, spark):
+        import pyspark.sql.functions as SF
+        from pyspark.sql.window import Window as W
+
+        from unstructured_spark.operators.sampling import select_token_budget
+
+        df = spark.range(100).select(
+            SF.col("id").alias("doc_id"),
+            ((SF.col("id") * 31) % 13).cast("long").alias("quality_q"),
+            ((SF.col("id") * 7) % 17 + 1).cast("long").alias("ntok"),
+        )
+        got = select_token_budget(df, 120, strata=None)
+        assert set(got.columns) == {"doc_id", "quality_q", "ntok",
+                                    "cum_tokens"}
+        w = (
+            W.orderBy(SF.col("quality_q").desc(), SF.col("doc_id").asc())
+            .rowsBetween(W.unboundedPreceding, 0)
+        )
+        naive = (
+            df.withColumn("cum_tokens", SF.sum("ntok").over(w))
+            .filter(SF.col("cum_tokens") <= 120)
+        )
+        key = lambda d: sorted(  # noqa: E731
+            (r["doc_id"], r["cum_tokens"]) for r in d.collect()
+        )
+        assert key(got) == key(naive)

@@ -450,8 +450,17 @@ def select_token_budget(
     ``order_col`` and ``token_col`` must be integers (see
     ``text_analysis.with_quality_q``) — selection boundaries stay
     bit-exact cross-engine. Emits the kept rows plus ``cum_tokens``.
+    ``strata=None`` spends ONE global budget over the whole corpus
+    (the level decomposition then carries the entire scale burden —
+    exactly why the naive global window was never an option).
     """
     d = df
+    if strata is None:
+        strata = "_one"
+        d = d.withColumn("_one", F.lit(1))
+        df_cols = df.columns
+    else:
+        df_cols = df.columns
     lv = d.groupBy(strata, order_col).agg(
         F.sum(F.col(token_col).cast("bigint")).alias("_lvl")
     )
@@ -483,7 +492,7 @@ def select_token_budget(
         F.col("_prior") + F.sum(F.col(token_col).cast("bigint")).over(wd)
     ).alias("cum_tokens")
     return (
-        j.select(*df.columns, cum, F.col("_prior"))
+        j.select(*df_cols, cum, F.col("_prior"))
         .filter(F.col("cum_tokens") <= F.lit(int(budget)))
         .drop("_prior")
     )
