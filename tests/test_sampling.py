@@ -737,3 +737,15 @@ class TestNgramDiversity:
             (r["doc_id"], r["cum_tokens"]) for r in d.collect()
         )
         assert key(got) == key(naive)
+
+    def test_global_cutoff_without_strata(self, spark):
+        from unstructured_spark.operators.sampling import quality_cutoff
+
+        df = spark.createDataFrame(
+            [("a", i, (i * 7) % 5) for i in range(10)],
+            "source string, doc_id long, quality_q long",
+        )
+        out = quality_cutoff(df, 3, 10, strata=None)
+        assert set(out.columns) == {"source", "doc_id", "quality_q",
+                                    "q_rank"}
+        assert sorted(r["q_rank"] for r in out.collect()) == [1, 2, 3]

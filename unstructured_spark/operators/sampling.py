@@ -518,11 +518,16 @@ def quality_cutoff(
     Same two-level decomposition as :func:`select_token_budget`
     (level counts + within-level row_number), sharing the
     (strata, order) partitioning. Emits kept rows plus ``q_rank``
-    (1-based, best first).
+    (1-based, best first). ``strata=None`` keeps the top fraction of
+    the WHOLE corpus.
     """
     if keep_den <= 0 or keep_num < 0:
         raise ValueError("keep_num/keep_den must be a nonneg fraction")
     d = df
+    df_cols = df.columns
+    if strata is None:
+        strata = "_one"
+        d = d.withColumn("_one", F.lit(1))
     lv = d.groupBy(strata, order_col).agg(F.count("*").alias("_lc"))
     wlv = (
         Window.partitionBy(strata)
@@ -546,7 +551,7 @@ def quality_cutoff(
     rank = (F.col("_pc") + F.row_number().over(wd)).alias("q_rank")
     keep_k = F.expr(f"(_nc * {int(keep_num)}L) div {int(keep_den)}L")
     return (
-        j.select(*df.columns, rank, keep_k.alias("_kk"))
+        j.select(*df_cols, rank, keep_k.alias("_kk"))
         .filter(F.col("q_rank") <= F.col("_kk"))
         .drop("_kk")
     )
