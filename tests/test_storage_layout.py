@@ -289,3 +289,46 @@ class TestZorder:
         # correctness of the filtered reads over the re-laid-out data
         assert len(files_touched("x = 3")) == 64
         assert len(files_touched("y = 5")) == 64
+
+
+class TestDatasetManifest:
+    def test_write_and_validate_roundtrip(self, spark, tmp_path):
+        import json
+        import os
+
+        from unstructured_spark.operators.storage import (
+            validate_dataset,
+            write_dataset_manifest,
+            write_token_shards,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, " ".join(["w"] * ((i % 5) + 1))) for i in range(40)],
+            "doc_id long, text string",
+        )
+        path = str(tmp_path / "shards")
+        n = write_token_shards(docs, path, 20)
+        manifest = write_dataset_manifest(spark, path)
+        assert len(manifest["shards"]) == n
+        assert manifest["total_rows"] == 40
+        assert manifest["total_tokens"] == sum((i % 5) + 1 for i in range(40))
+        assert os.path.exists(os.path.join(path, "_manifest.json"))
+        assert validate_dataset(spark, path)["ok"]
+        # corrupt: delete one shard directory -> named mismatch
+        import shutil
+
+        victim = next(
+            d for d in os.listdir(path) if d.startswith("shard_id=")
+        )
+        shutil.rmtree(os.path.join(path, victim))
+        report = validate_dataset(spark, path)
+        assert not report["ok"]
+        assert victim.split("=")[1] in report["mismatches"]
+        # and a stale manifest (manual edit) is also caught
+        with open(os.path.join(path, "_manifest.json")) as f:
+            m = json.load(f)
+        k = next(iter(m["shards"]))
+        m["shards"][k]["rows"] += 1
+        with open(os.path.join(path, "_manifest.json"), "w") as f:
+            json.dump(m, f)
+        assert k in validate_dataset(spark, path)["mismatches"]

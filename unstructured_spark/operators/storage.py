@@ -256,3 +256,85 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def write_dataset_manifest(
+    spark: SparkSession,
+    path: str,
+    *,
+    text: str = "text",
+) -> dict:
+    """Write ``_manifest.json`` next to a shard directory tree produced
+    by :func:`write_token_shards`: per-shard row and whitespace-token
+    counts plus totals. The consistency contract a training job checks
+    BEFORE burning GPU-hours on a partially-written or stale corpus —
+    object stores have no transactional rename, so "the write job
+    exited 0" is not the same claim as "every shard is fully there".
+    Returns the manifest dict. One scan, one small aggregate.
+    """
+    import json
+
+    df = spark.read.parquet(path)
+    ntok = F.expr(
+        f"cast(size(filter(split(trim(coalesce({text}, '')), '\\\\s+'),"
+        " w -> w != '')) as bigint)"
+    )
+    per = (
+        df.groupBy("shard_id")
+        .agg(
+            F.count("*").cast("bigint").alias("rows"),
+            F.sum(ntok).cast("bigint").alias("tokens"),
+        )
+        .collect()
+    )
+    manifest = {
+        "shards": {
+            str(int(r["shard_id"])): {
+                "rows": int(r["rows"]),
+                "tokens": int(r["tokens"]),
+            }
+            for r in per
+        },
+        "total_rows": int(sum(r["rows"] for r in per)),
+        "total_tokens": int(sum(r["tokens"] for r in per)),
+    }
+    with open(f"{path.rstrip('/')}/_manifest.json", "w") as f:
+        json.dump(manifest, f, sort_keys=True, indent=1)
+    return manifest
+
+
+def validate_dataset(spark: SparkSession, path: str, *, text: str = "text") -> dict:
+    """Recompute the :func:`write_dataset_manifest` counts and compare:
+    returns ``{"ok": bool, "mismatches": {...}}`` naming every shard
+    whose row/token counts drifted from the manifest (plus shards
+    missing from either side). The read-side half of the consistency
+    contract — run it at loader startup, fail fast instead of training
+    on a hole.
+    """
+    import json
+
+    with open(f"{path.rstrip('/')}/_manifest.json") as f:
+        manifest = json.load(f)
+    # recompute without rewriting the manifest file
+    df = spark.read.parquet(path)
+    ntok = F.expr(
+        f"cast(size(filter(split(trim(coalesce({text}, '')), '\\\\s+'),"
+        " w -> w != '')) as bigint)"
+    )
+    per = {
+        str(int(r["shard_id"])): (int(r["rows"]), int(r["tokens"]))
+        for r in df.groupBy("shard_id")
+        .agg(
+            F.count("*").cast("bigint").alias("rows"),
+            F.sum(ntok).cast("bigint").alias("tokens"),
+        )
+        .collect()
+    }
+    want = {
+        k: (v["rows"], v["tokens"]) for k, v in manifest["shards"].items()
+    }
+    mismatches = {}
+    for k in set(per) | set(want):
+        if per.get(k) != want.get(k):
+            mismatches[k] = {"manifest": want.get(k), "actual": per.get(k)}
+    return {"ok": not mismatches, "mismatches": mismatches}
