@@ -1046,3 +1046,22 @@ class TestCorpusStatsStream:
         }
         for src, (docs, toks, chars, _qs) in stream_form.items():
             assert batch[src] == (docs, toks, chars)
+
+    def test_approx_uniques_column_opt_in(self, spark):
+        import pyspark.sql.functions as SF
+
+        from unstructured_spark.streaming.pipeline import corpus_stats_stream
+
+        df = spark.createDataFrame(
+            [("2024-01-01 00:05:00", "w", "same text"),
+             ("2024-01-01 00:15:00", "w", "same text"),
+             ("2024-01-01 00:25:00", "w", "different text")],
+            "ingest_ts string, source string, text string",
+        ).withColumn("ingest_ts", SF.to_timestamp("ingest_ts"))
+        plain = corpus_stats_stream(df, window="1 day")
+        assert "approx_unique_fps" not in plain.columns
+        [r] = corpus_stats_stream(
+            df, window="1 day", approx_uniques=True
+        ).collect()
+        # HLL is exact at this cardinality: 2 distinct fingerprints
+        assert r["approx_unique_fps"] == 2 and r["docs"] == 3

@@ -221,6 +221,7 @@ def corpus_stats_stream(
     text: str = "text",
     window: str = "1 hour",
     watermark: str = "2 hours",
+    approx_uniques: bool = False,
 ) -> DataFrame:
     """Live corpus-composition monitor — the streaming face of
     ``text_analysis.corpus_datasheet``: per (event-time window, source)
@@ -230,37 +231,54 @@ def corpus_stats_stream(
     state is bounded by the horizon, output mode append (a window
     finalizes when the watermark passes it).
 
-    Exact-dup rate is deliberately absent: streaming distinct-count
-    needs either unbounded state or a sketch — route dedup monitoring
-    through the Bloom gate's maybe_seen rate instead
-    (``streaming.dedup``). Quality mean = quality_q_sum/docs at the
-    consumer; shipping the sum keeps every column an exact BIGINT.
+    EXACT dup rate is deliberately absent: streaming distinct-count
+    needs unbounded state — route exact dedup monitoring through the
+    Bloom gate's maybe_seen rate instead (``streaming.dedup``).
+    ``approx_uniques=True`` adds an HLL++ sketch column
+    (``approx_unique_fps``, bounded state, NOT replay-exact — a
+    monitoring number, never a selection input). Quality mean =
+    quality_q_sum/docs at the consumer; every other column stays an
+    exact BIGINT.
     """
-    from unstructured_spark.operators.text_analysis import with_quality_q
+    from unstructured_spark.operators.text_analysis import (
+        fingerprint,
+        with_quality_q,
+    )
 
     ntok = F.expr(
         f"cast(size(filter(split(trim(coalesce({text}, '')), '\\\\s+'),"
         " w -> w != '')) as bigint)"
     )
     d = with_quality_q(docs, text=text)
+    aggs = [
+        F.count("*").cast("bigint").alias("docs"),
+        F.sum(ntok).cast("bigint").alias("tokens"),
+        F.sum(F.length(F.coalesce(F.col(text), F.lit(""))))
+        .cast("bigint")
+        .alias("chars"),
+        F.sum("quality_q").cast("bigint").alias("quality_q_sum"),
+    ]
+    out_cols = [
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        strata,
+        "docs",
+        "tokens",
+        "chars",
+        "quality_q_sum",
+    ]
+    if approx_uniques:
+        aggs.append(
+            F.approx_count_distinct(
+                fingerprint(F.coalesce(F.col(text), F.lit("")))
+            )
+            .cast("bigint")
+            .alias("approx_unique_fps")
+        )
+        out_cols.append(F.col("approx_unique_fps"))
     return (
         d.withWatermark(ts_col, watermark)
         .groupBy(F.window(F.col(ts_col), window), F.col(strata))
-        .agg(
-            F.count("*").cast("bigint").alias("docs"),
-            F.sum(ntok).cast("bigint").alias("tokens"),
-            F.sum(F.length(F.coalesce(F.col(text), F.lit(""))))
-            .cast("bigint")
-            .alias("chars"),
-            F.sum("quality_q").cast("bigint").alias("quality_q_sum"),
-        )
-        .select(
-            F.col("window.start").alias("window_start"),
-            F.col("window.end").alias("window_end"),
-            strata,
-            "docs",
-            "tokens",
-            "chars",
-            "quality_q_sum",
-        )
+        .agg(*aggs)
+        .select(*out_cols)
     )
