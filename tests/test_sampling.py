@@ -749,3 +749,31 @@ class TestNgramDiversity:
         assert set(out.columns) == {"source", "doc_id", "quality_q",
                                     "q_rank"}
         assert sorted(r["q_rank"] for r in out.collect()) == [1, 2, 3]
+
+
+class TestShuffledShards:
+    def test_epoch_shuffle_feeds_shard_assignment(self, spark):
+        # the composition the loader runs per epoch: shuffle_rank is a
+        # dense numeric id, so it drops straight into the shard
+        # assigner's prefix sum - shards then follow the epoch order
+        from unstructured_spark.operators.sampling import (
+            assign_token_shards,
+            corpus_shuffle,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, " ".join(["w"] * 10)) for i in range(40)],
+            "doc_id long, text string",
+        )
+        shuffled = corpus_shuffle(docs, seed="ep3").select(
+            F.col("shuffle_rank"), F.col("doc_id").alias("orig_id"), "text"
+        )
+        assigned = assign_token_shards(
+            shuffled, 100, doc_id="shuffle_rank"
+        )
+        rows = {r["shuffle_rank"]: r["shard_id"] for r in assigned.collect()}
+        # 40 docs x 10 tokens / 100 per shard = 4 shards of 10 docs,
+        # in SHUFFLE order: ranks 0-9 -> shard 0, ..., 30-39 -> shard 3
+        assert len(rows) == 40
+        for rank, shard in rows.items():
+            assert shard == rank // 10
