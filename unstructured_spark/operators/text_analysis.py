@@ -206,10 +206,14 @@ def with_quality_q(
         ),
         (
             out,
-            "(case when _qsum between 3 * _qn and 10 * _qn"
+            # empty/whitespace-only text scores 0 outright: the split
+            # of '' is [''], whose diversity term (1e6*1 div 1) would
+            # otherwise rank an EMPTY document above mediocre real ones
+            f"case when trim(coalesce({text}, '')) = '' then 0L else"
+            " (case when _qsum between 3 * _qn and 10 * _qn"
             " then 1000000L else 0L end)"
             " + least((5000000L * _qstop) div _qn, 1000000L)"
-            " + (1000000L * _qdis) div _qn",
+            " + (1000000L * _qdis) div _qn end",
         ),
     ]
     cols = [F.col(c) for c in df.columns]
@@ -225,11 +229,14 @@ def quality_q_sql(text: str = "text") -> str:
     ``t`` in a WITH step). Same integer floor-divisions — bit-exact."""
     sw = "[" + ",".join(f"'{s}'" for s in STOPWORDS) + "]"
     return (
-        "(case when list_aggregate(list_transform(t, w -> length(w)), 'sum')"
+        # the empty-text zero guard mirrors with_quality_q: split('')
+        # is [''] in both engines (DuckDB lists are 1-based)
+        "case when len(t) = 1 and t[1] = '' then 0 else"
+        " (case when list_aggregate(list_transform(t, w -> length(w)), 'sum')"
         " between 3 * len(t) and 10 * len(t) then 1000000 else 0 end)"
         f" + least((5000000::bigint * len(list_filter(t, w -> list_contains({sw},"
         " lower(w))))) // len(t), 1000000)"
-        " + (1000000::bigint * len(list_distinct(t))) // len(t)"
+        " + (1000000::bigint * len(list_distinct(t))) // len(t) end"
     )
 
 
