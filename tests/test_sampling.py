@@ -777,3 +777,13 @@ class TestShuffledShards:
         assert len(rows) == 40
         for rank, shard in rows.items():
             assert shard == rank // 10
+
+    def test_null_ids_excluded_explicitly(self, spark):
+        from unstructured_spark.operators.sampling import corpus_shuffle
+
+        df = spark.createDataFrame(
+            [(1,), (None,), (3,)], "doc_id long"
+        )
+        out = corpus_shuffle(df, seed="n")
+        assert sorted(r["doc_id"] for r in out.collect()) == [1, 3]
+        assert sorted(r["shuffle_rank"] for r in out.collect()) == [0, 1]

@@ -296,7 +296,12 @@ def cluster_balanced_sample(
     key = F.md5(
         F.concat(F.col(key_col).cast("string"), F.lit(":" + str(seed)))
     )
-    d = assignments.withColumn("_bkey", key).withColumn(
+    # NULL keys would silently vanish at the offset join — exclude
+    # them explicitly so the contract is visible (same convention as
+    # sampling.corpus_shuffle)
+    d = assignments.filter(
+        F.col(key_col).isNotNull()
+    ).withColumn("_bkey", key).withColumn(
         "_bb", F.conv(F.substring("_bkey", 1, 1), 16, 10).cast("bigint")
     )
     counts = d.groupBy(cluster_col, "_bb").agg(F.count("*").alias("_c"))

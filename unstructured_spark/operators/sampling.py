@@ -570,6 +570,11 @@ def corpus_shuffle(
     training job can resume mid-epoch and a re-run reads the same
     order. Different seed per epoch = a fresh permutation.
 
+    Rows with a NULL ``doc_id`` are excluded up front (a NULL id has
+    no identity to permute; silently NULLed hash keys would otherwise
+    drop them at the bucket join, which LOOKS the same but hides the
+    data problem — the explicit filter makes the contract visible).
+
     The rank is global, but no global window runs: documents bucket by
     the key's first hex byte (256 buckets, uniform by construction),
     bucket counts make a 256-row offset table (broadcast), and
@@ -580,7 +585,7 @@ def corpus_shuffle(
     key = F.md5(
         F.concat(F.col(doc_id).cast("string"), F.lit(":" + str(seed)))
     )
-    d = df.withColumn("_skey", key).withColumn(
+    d = df.filter(F.col(doc_id).isNotNull()).withColumn("_skey", key).withColumn(
         "_sb", F.conv(F.substring("_skey", 1, 2), 16, 10).cast("bigint")
     )
     counts = d.groupBy("_sb").agg(F.count("*").alias("_c"))
