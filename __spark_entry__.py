@@ -965,10 +965,7 @@ def _quality_ntok_base(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "source",
         "quality_q",
-        F.expr(
-            "cast(size(filter(split(trim(coalesce(text, '')), '\\\\s+'),"
-            " w -> w != '')) as bigint)"
-        ).alias("ntok"),
+        text_analysis.ntok_expr("text").alias("ntok"),
     )
 
 

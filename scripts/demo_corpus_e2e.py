@@ -154,6 +154,9 @@ def main_streaming() -> None:
             os.path.join(work, "ckpt"),
             tokens_per_shard=2000,
             keep=keep,
+            # featurize scoring EXACTLY like training: the model was
+            # fit on 64-token heads, so the scorer must hash the same
+            max_tokens=64,
             available_now=True,
         )
         q.awaitTermination(600)

@@ -59,6 +59,17 @@ def test_query_matches_oracle(spark, name):
     oracles = entry_mod.oracle_sql()
     sdf = q(spark, SF_DIR)
     scols = sdf.columns
+    bad_types = [
+        (f.name, f.dataType.simpleString())
+        for f in sdf.schema.fields
+        if f.dataType.simpleString()
+        not in {"string", "bigint", "int", "double", "boolean",
+                "date", "timestamp"}
+    ]
+    assert not bad_types, (
+        f"{name} emits wire-unsafe Spark output types (arrays/structs "
+        f"break the driver row-hash, float narrows): {bad_types}"
+    )
     srows = [tuple(r) for r in sdf.collect()]
     if name not in oracles:
         # rows-only contract: must run and have a stable schema

@@ -35,7 +35,20 @@ def duck():
     return con
 
 
-def test_no_hugeint_oracle_outputs(duck):
+import re
+
+# Arrow types that cross a pandas fetch wire with a stable repr that
+# matches Spark's collect() repr for the same logical value. Anything
+# outside this set either narrows (decimal128 from HUGEINT, float16),
+# reprs differently (float32 '0.1' -> 0.10000000149, list/struct as
+# numpy arrays), or is ambiguous across pandas versions (time types).
+_WIRE_SAFE = re.compile(
+    r"^(bool|u?int(8|16|32|64)|double|string|large_string|utf8"
+    r"|date32\[day\]|timestamp\[(us|ns)(, tz=UTC)?\])$"
+)
+
+
+def test_oracle_outputs_wire_safe(duck):
     offenders = []
     for name, sql in entry_mod.oracle_sql().items():
         if name in ALLOWED_HUGEINT:
@@ -45,11 +58,12 @@ def test_no_hugeint_oracle_outputs(duck):
         ).fetch_arrow_table().schema
         for field in schema:
             ts = str(field.type)
-            if "decimal" in ts or "halffloat" in ts:
+            if not _WIRE_SAFE.match(ts):
                 offenders.append((name, field.name, ts))
     assert not offenders, (
-        "oracle output columns that will narrow on the driver's fetch "
-        f"wire (cast them to BIGINT/DOUBLE in the SQL): {offenders}"
+        "oracle output columns that will narrow or re-repr on the "
+        "driver's fetch wire (cast to BIGINT/DOUBLE/VARCHAR in the "
+        f"SQL): {offenders}"
     )
 
 

@@ -294,6 +294,12 @@ def nb_classify(
         .withColumn(
             "n_c", F.sum("cnt").over(Window.partitionBy("cls"))
         )
+        # nb_train builds its grid from `totals` (classes with >=1
+        # feature), so a class whose seed docs are all empty can never
+        # be predicted there; drop the same classes here (n_c == 0)
+        # AFTER the nd window so the prior denominator still counts
+        # every labeled doc — bit-identical to the two-pass form
+        .filter(F.col("n_c") > 0)
     )
     sel = [F.col(c) for c in grid.columns]
     for mexpr, p in (

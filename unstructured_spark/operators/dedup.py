@@ -539,6 +539,7 @@ def drop_near_duplicates(
     bands: int = 8,
     keep: str = "min_id",
     quality_col: str | None = None,
+    broadcast_drops: bool = True,
 ) -> DataFrame:
     """One-call corpus dedup — the full pipeline a training-data run
     applies, returning the corpus with non-canonical duplicates REMOVED:
@@ -566,13 +567,20 @@ def drop_near_duplicates(
       don't, so an exact group of CASE-variants can straddle clusters
       — each path then keeps its own representative independently.
 
-    Scale shape: the drop set is a tiny fraction of the corpus (the
-    duplicates), so the final filter is a broadcast anti-join — the
-    corpus itself is never shuffled. The ``'best'`` keeper choice is
-    one ``max_by`` hash-aggregate per group (map-side partials, no
-    window sort); the quality lookup joins only the duplicate members,
-    never the corpus. Steps 1-3 are the oracle-checked operators
-    above, composed.
+    Scale shape: with ``broadcast_drops=True`` (default) the member set
+    and the final drop set are broadcast — the corpus is probed, never
+    shuffled. That assumes duplicates are a SMALL fraction of the
+    corpus (the usual case; FineWeb-class web dumps dedup away ~10-30%
+    of docs but the *member id+quality* rows are a few bytes each).
+    On a pathologically duplicated corpus where even the id set
+    overflows the broadcast ceiling, pass ``broadcast_drops=False``:
+    plain joins let the planner/AQE pick shuffle strategies that
+    degrade gracefully instead of OOMing the driver. The ``'best'``
+    keeper picks ride ONE window per grouping (exact groups on the
+    fingerprint partitioning, clusters on the label partitioning) —
+    min over ``struct(-quality, doc)`` = quality desc, doc asc — so no
+    groupBy + join-back shuffles the same keys twice. Steps 1-3 are
+    the oracle-checked operators above, composed.
     """
     if keep not in ("min_id", "best"):
         raise ValueError(f"keep must be 'min_id' or 'best', got {keep!r}")
@@ -649,9 +657,10 @@ def drop_near_duplicates(
             # broadcast it into the quality projection so the corpus is
             # probed, never shuffled; then one label-window picks the
             # keeper (no groupBy + join-back pass over the same keys)
+            msmall = F.broadcast(members) if broadcast_drops else members
             mq = df.select(
                 F.col(doc_id).alias("doc"), F.col(quality_col).alias("_q")
-            ).join(F.broadcast(members), "doc")
+            ).join(msmall, "doc")
             wl = Window.partitionBy("label")
             near_drop = (
                 mq.withColumn(
@@ -666,9 +675,10 @@ def drop_near_duplicates(
                 .select("doc")
             )
         drops = exact_drop.union(near_drop).distinct()
-        return df.join(
-            F.broadcast(drops.withColumnRenamed("doc", doc_id)), doc_id, "left_anti"
-        )
+        drops = drops.withColumnRenamed("doc", doc_id)
+        if broadcast_drops:
+            drops = F.broadcast(drops)
+        return df.join(drops, doc_id, "left_anti")
     finally:
         pairs.unpersist()
 
@@ -1478,10 +1488,14 @@ def dedup_paragraphs(
     exempt from dedup (all occurrences survive), mirroring the blank
     exemption of the boilerplate pass.
     """
+    # F.split takes a Java REGEX but array_join rebuilds with the
+    # LITERAL separator — quote the separator (Pattern.quote \Q..\E)
+    # so a metachar sep ('|', '.') splits exactly where it rejoins
+    sep_re = "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
     src = df.withColumn(text, F.coalesce(F.col(text), F.lit("")))
     paras = src.select(
         F.col(doc_id).alias("doc"),
-        F.posexplode(F.split(F.col(text), sep)).alias("pos", "para"),
+        F.posexplode(F.split(F.col(text), sep_re)).alias("pos", "para"),
     ).withColumn(
         "_fp",
         F.md5(F.lower(F.trim(F.regexp_replace(F.col("para"), "\\s+", " ")))),
@@ -1520,7 +1534,7 @@ def dedup_paragraphs(
     )
     counts = src.select(
         F.col(doc_id).alias("doc"),
-        F.size(F.split(F.col(text), sep)).cast("bigint").alias("_nparas"),
+        F.size(F.split(F.col(text), sep_re)).cast("bigint").alias("_nparas"),
     )
     return counts.join(rebuilt, "doc", "left").select(
         F.col("doc").alias(doc_id),

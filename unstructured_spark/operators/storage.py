@@ -258,6 +258,49 @@ def write_zordered(
     )
 
 
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for ``path`` via Spark's Hadoop conf — the
+    manifest must live NEXT TO the shards on whatever filesystem the
+    shards are on (s3a/gs/abfs/hdfs/file), so plain ``open()`` is
+    wrong everywhere except local runs."""
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(
+        spark.sparkContext._jsc.hadoopConfiguration()
+    )
+    # the manifest is a small HUMAN-EDITABLE json whose integrity
+    # check is validate_dataset itself — Hadoop's client-side .crc
+    # sidecar (local fs only) would brick reads after any out-of-band
+    # edit, so skip it where the scheme supports the toggle
+    for setter in ("setWriteChecksum", "setVerifyChecksum"):
+        try:
+            getattr(fs, setter)(False)
+        except Exception:
+            pass
+    return fs, jpath
+
+
+def _fs_write_text(spark: SparkSession, path: str, data: str) -> None:
+    fs, jpath = _hadoop_fs(spark, path)
+    out = fs.create(jpath, True)
+    try:
+        out.write(bytearray(data.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _fs_read_text(spark: SparkSession, path: str) -> str:
+    fs, jpath = _hadoop_fs(spark, path)
+    jvm = spark.sparkContext._jvm
+    stream = fs.open(jpath)
+    try:
+        sink = jvm.java.io.ByteArrayOutputStream()
+        jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, sink, 8192, False)
+        return bytes(sink.toByteArray()).decode("utf-8")
+    finally:
+        stream.close()
+
+
 def write_dataset_manifest(
     spark: SparkSession,
     path: str,
@@ -274,11 +317,10 @@ def write_dataset_manifest(
     """
     import json
 
+    from unstructured_spark.operators.text_analysis import ntok_expr
+
     df = spark.read.parquet(path)
-    ntok = F.expr(
-        f"cast(size(filter(split(trim(coalesce({text}, '')), '\\\\s+'),"
-        " w -> w != '')) as bigint)"
-    )
+    ntok = ntok_expr(text)
     per = (
         df.groupBy("shard_id")
         .agg(
@@ -298,8 +340,11 @@ def write_dataset_manifest(
         "total_rows": int(sum(r["rows"] for r in per)),
         "total_tokens": int(sum(r["tokens"] for r in per)),
     }
-    with open(f"{path.rstrip('/')}/_manifest.json", "w") as f:
-        json.dump(manifest, f, sort_keys=True, indent=1)
+    _fs_write_text(
+        spark,
+        f"{path.rstrip('/')}/_manifest.json",
+        json.dumps(manifest, sort_keys=True, indent=1),
+    )
     return manifest
 
 
@@ -313,14 +358,14 @@ def validate_dataset(spark: SparkSession, path: str, *, text: str = "text") -> d
     """
     import json
 
-    with open(f"{path.rstrip('/')}/_manifest.json") as f:
-        manifest = json.load(f)
+    from unstructured_spark.operators.text_analysis import ntok_expr
+
+    manifest = json.loads(
+        _fs_read_text(spark, f"{path.rstrip('/')}/_manifest.json")
+    )
     # recompute without rewriting the manifest file
     df = spark.read.parquet(path)
-    ntok = F.expr(
-        f"cast(size(filter(split(trim(coalesce({text}, '')), '\\\\s+'),"
-        " w -> w != '')) as bigint)"
-    )
+    ntok = ntok_expr(text)
     per = {
         str(int(r["shard_id"])): (int(r["rows"]), int(r["tokens"]))
         for r in df.groupBy("shard_id")

@@ -25,6 +25,24 @@ def tokens(col: Column) -> Column:
     return F.split(F.trim(col), "\\s+")
 
 
+def ntok_expr(text: str = "text") -> Column:
+    """Whitespace token count of a (possibly NULL) text column, as a
+    BIGINT column. The ONE definition of "how many tokens does this
+    document have" shared by every operator that prices documents in
+    tokens — shard assignment, dataset manifest/validate, datasheet,
+    length quantiles, streaming corpus stats — so a tokenization tweak
+    can never leave two operators disagreeing about corpus size.
+
+    DuckDB oracle equivalent (parity-pinned by the registered queries):
+    ``cast(len(list_filter(string_split_regex(trim(coalesce(text,'')),
+    '\\s+'), w -> w != '')) as bigint)``.
+    """
+    return F.expr(
+        f"cast(size(filter(split(trim(coalesce({text}, '')), '\\\\s+'),"
+        " w -> w != '')) as bigint)"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Fixed-point integer logarithm — the cross-engine determinism primitive.
 #
@@ -1004,10 +1022,7 @@ def corpus_datasheet(
     datasketches rollup consciously, not silently).
     """
     d = with_quality_q(df, text=text)
-    ntok = F.expr(
-        f"cast(size(filter(split(trim(coalesce({text}, '')), '\\\\s+'),"
-        " w -> w != '')) as bigint)"
-    )
+    ntok = ntok_expr(text)
     keys = [F.col(c) for c in strata]
     return (
         d.select(
@@ -1106,10 +1121,7 @@ def token_length_quantiles(
     count run through :func:`grouped_integer_quantiles`. Same exact
     rank semantics; columns ``docs`` + ``p{p}_tokens``.
     """
-    ntok = F.expr(
-        f"cast(size(filter(split(trim(coalesce({text}, ''))" + r", '\\s+'),"
-        " w -> w != '')) as bigint)"
-    )
+    ntok = ntok_expr(text)
     return grouped_integer_quantiles(
         df, ntok, strata=strata, probs=probs, suffix="_tokens"
     )

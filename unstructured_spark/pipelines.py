@@ -200,13 +200,12 @@ def prepare_training_corpus(
         )
     if token_budget:
         from unstructured_spark.operators.sampling import select_token_budget
-        from unstructured_spark.operators.text_analysis import with_quality_q
-
-        ntok = F.expr(
-            "cast(size(filter(split(trim(coalesce(text, '')), '\\\\s+'),"
-            " w -> w != '')) as bigint)"
+        from unstructured_spark.operators.text_analysis import (
+            ntok_expr,
+            with_quality_q,
         )
-        keyed = with_quality_q(out).withColumn("_ntok", ntok)
+
+        keyed = with_quality_q(out).withColumn("_ntok", ntok_expr("text"))
         out = select_token_budget(
             keyed, token_budget, strata=strata_col, token_col="_ntok"
         ).drop("quality_q", "_ntok", "cum_tokens")

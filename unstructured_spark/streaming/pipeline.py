@@ -125,6 +125,8 @@ def stream_to_token_shards(
     from unstructured_spark.operators.classifier import nb_score
     from unstructured_spark.operators.sampling import assign_token_shards
 
+    from pyspark.errors import AnalysisException
+
     spark = chunks.sparkSession
     try:
         prev = (
@@ -133,7 +135,13 @@ def stream_to_token_shards(
             .collect()[0]["s"]
         )
         offset = int(prev or 0)
-    except Exception:
+    except AnalysisException as e:
+        # ONLY an absent sink means "start from zero". A transient
+        # read error (throttle, eventual consistency) must propagate —
+        # silently resetting the offset would re-issue shard_ids that
+        # collide with already-full shards.
+        if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+            raise
         offset = 0
     state = {"offset": offset}
 
@@ -177,8 +185,14 @@ def stream_to_token_shards(
         out = kept.join(shards, "_ord").select(
             "element_id", "doc_id", "text", "n_tokens", "shard_id"
         )
-        out.write.mode("append").parquet(output_dir)
-        added = shards.agg(F.sum("n_tokens").alias("s")).collect()[0]["s"]
+        # persist so the write and the offset-advance sum run the
+        # score/gate/shard DAG once, not twice per trigger
+        out.persist()
+        try:
+            out.write.mode("append").parquet(output_dir)
+            added = out.agg(F.sum("n_tokens").alias("s")).collect()[0]["s"]
+        finally:
+            out.unpersist()
         state["offset"] += int(added or 0)
 
     writer = (
@@ -242,13 +256,11 @@ def corpus_stats_stream(
     """
     from unstructured_spark.operators.text_analysis import (
         fingerprint,
+        ntok_expr,
         with_quality_q,
     )
 
-    ntok = F.expr(
-        f"cast(size(filter(split(trim(coalesce({text}, '')), '\\\\s+'),"
-        " w -> w != '')) as bigint)"
-    )
+    ntok = ntok_expr(text)
     d = with_quality_q(docs, text=text)
     aggs = [
         F.count("*").cast("bigint").alias("docs"),
