@@ -893,6 +893,43 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Frozen BPE merge table (learned once from the sf0.01 corpus, then
+# shipped like trained weights — production encodes with a FROZEN
+# tokenizer, it never relearns per batch). Counts kept for provenance;
+# only the (left, right) order matters at inference.
+_FROZEN_MERGES = [
+    ("e", "r", 4568), ("e", "</w>", 4473), ("n", "</w>", 2834),
+    ("er", "</w>", 2779), ("o", "w", 2747), ("ow", "</w>", 2747),
+    ("o", "r", 2696), ("s", "t", 2676), ("h", "</w>", 1884),
+    ("a", "t", 1845), ("l", "u", 1831), ("i", "n", 1796),
+    ("a", "</w>", 1788), ("g", "</w>", 1777), ("y", "</w>", 1767),
+    ("a", "r", 1758), ("p", "ar", 1758), ("t", "</w>", 1750),
+    ("i", "n</w>", 964), ("j", "o", 964), ("jo", "in</w>", 964),
+    ("a", "s", 947), ("as", "h</w>", 947), ("h", "ash</w>", 947),
+    ("r", "ow</w>", 943), ("at", "c", 937), ("atc", "h</w>", 937),
+    ("b", "atch</w>", 937), ("a", "n</w>", 936), ("c", "an</w>", 936),
+    ("s", "can</w>", 936), ("c", "o", 934),
+]
+
+
+def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per source with the frozen 32-merge BPE
+    table: exact integer (words, bpe_tokens, fertility_ppm) per
+    stratum. The Python encoder touches only the VOCABULARY (one
+    corpus shuffle for the (source, word) counts, Zipf-bounded UDF
+    input); the oracle replays the encoder as 32 chained replace()
+    calls over delimiter-wrapped symbol strings — greedy
+    lowest-rank-first inference provably equals exhaustive merge
+    application in learned order (see fertility_by_stratum docstring),
+    so both engines produce identical token counts symbol-for-symbol."""
+    from unstructured_spark.operators import tokenizer
+
+    docs = _t(spark, sf_dir, "documents")
+    return tokenizer.fertility_by_stratum(
+        docs, _FROZEN_MERGES, strata="source"
+    )
+
+
 def q_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-balanced shard assignment (the training data-loader
     output shape): documents in doc_id order, a new shard every 2000
@@ -3076,6 +3113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quality_quantiles": q_quality_quantiles,
         "q_ngram_diversity": q_ngram_diversity,
         "q_bloom_merge": q_bloom_merge,
+        "q_bpe_fertility": q_bpe_fertility,
     }
 
 
@@ -3392,8 +3430,61 @@ _ORACLE_IVF_TOPK = """
         """
 
 
+def _bpe_fertility_oracle() -> str:
+    """Generate the q_bpe_fertility oracle: replay the frozen-merge BPE
+    encoder as chained replace() steps over \\x01-wrapped symbol
+    strings (each symbol is ``\\x01sym\\x01``, so adjacent symbols
+    share no delimiter characters and one non-overlapping replace pass
+    per merge is exhaustive — see fertility_by_stratum's determinism
+    note), then weight each vocabulary word's token count by its
+    per-source frequency."""
+
+    def esc(s: str) -> str:
+        return s.replace("\\", "\\\\").replace("'", "''")
+
+    steps, prev = [], "e0"
+    for i, (a, b, _) in enumerate(_FROZEN_MERGES):
+        cur = f"e{i + 1}"
+        pat = f"e'\\x01{esc(a)}\\x01\\x01{esc(b)}\\x01'"
+        rep = f"e'\\x01{esc(a)}{esc(b)}\\x01'"
+        steps.append(
+            f"{cur} as (select word, replace(s, {pat}, {rep}) as s from {prev})"
+        )
+        prev = cur
+    chain = ",\n            ".join(steps)
+    return f"""
+            with wc as (
+              select source, w as word, cast(count(*) as bigint) as cnt
+              from (
+                select source, unnest(list_filter(
+                  string_split_regex(trim(lower(coalesce(text, ''))), '\\s+'),
+                  x -> x != '')) as w
+                from documents
+              )
+              group by source, w
+            ),
+            words as (select distinct word from wc),
+            e0 as (select word,
+                   e'\\x01' || regexp_replace(word, '(.)', e'\\\\1\\x01\\x01', 'g')
+                   || '</w>' || e'\\x01' as s
+                   from words),
+            {chain},
+            tok as (select word,
+                    (length(s) - length(replace(s, e'\\x01', ''))) // 2 as ntok
+                    from {prev})
+            select wc.source,
+                   cast(sum(wc.cnt) as bigint) as words,
+                   cast(sum(wc.cnt * tok.ntok) as bigint) as bpe_tokens,
+                   (cast(sum(wc.cnt * tok.ntok) as bigint) * 1000000)
+                     // cast(sum(wc.cnt) as bigint) as fertility_ppm
+            from wc join tok using (word)
+            group by wc.source
+        """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "q_bpe_fertility": _bpe_fertility_oracle(),
         # --- r9 channel probes (see probe_* docstrings) ---
         "probe_wire_control": """
             select r as k, r * 7 as v from range(1, 4) t(r)

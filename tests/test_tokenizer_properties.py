@@ -79,3 +79,40 @@ def test_merge_step_preserves_total_weight(corpus, a, b):
     assert {"".join(s): n for s, n in merged.items()} == {
         "".join(s): n for s, n in words.items()
     }
+
+
+def _encode_by_sequential_replace(word, merges, marker=END_OF_WORD):
+    """The q_bpe_fertility ORACLE's algorithm, in Python: wrap every
+    symbol as \\x01sym\\x01 and apply one non-overlapping left-to-right
+    replace per merge, in learned order."""
+    d = "\x01"
+    s = "".join(f"{d}{c}{d}" for c in list(word) + [marker])
+    for a, b, _ in merges:
+        s = s.replace(f"{d}{a}{d}{d}{b}{d}", f"{d}{a}{b}{d}")
+    return tuple(tok[1:-1] for tok in _split_wrapped(s, d))
+
+
+def _split_wrapped(s, d):
+    out, i = [], 0
+    while i < len(s):
+        j = s.index(d, i + 1)
+        out.append(s[i : j + 1])
+        i = j + 1
+    return out
+
+
+@settings(max_examples=200, deadline=None)
+@given(_CORPUS, _WORD)
+def test_sequential_replace_equals_greedy_encode(corpus, probe):
+    """Pins the cross-engine determinism claim behind q_bpe_fertility:
+    chained replace() in learned order (what the DuckDB oracle runs)
+    equals greedy lowest-rank-first inference (what bpe_encode runs) —
+    for every learned merge table and for words NEVER seen in
+    training (the probe), not just training words."""
+    words = _table(corpus)
+    merges, _ = _learn_merges_local(dict(words), 20, 1)
+    ranks = {(a, b): i for i, (a, b, _) in enumerate(merges)}
+    for w in list(corpus) + [probe]:
+        assert _encode_by_sequential_replace(w, merges) == tuple(
+            encode_word(w, ranks)
+        ), (w, merges)

@@ -48,6 +48,7 @@ __all__ = [
     "corpus_alphabet",
     "bpe_encode",
     "encode_word",
+    "fertility_by_stratum",
     "vocab_coverage",
 ]
 
@@ -285,6 +286,95 @@ def bpe_encode(
     return df.select(
         F.col(doc_id).alias(doc_id), F.col(text).alias(text)
     ).mapInPandas(run, f"doc_id {out_schema}, tokens array<string>")
+
+
+def fertility_by_stratum(
+    df: DataFrame,
+    merges: list[tuple[str, str, int]],
+    *,
+    strata: str = "source",
+    text: str = "text",
+    lowercase: bool = True,
+    marker: str = END_OF_WORD,
+) -> DataFrame:
+    """Tokenizer fertility per stratum: how many subword tokens the
+    (frozen) BPE tokenizer spends per whitespace word, the standard
+    tokenizer-evaluation statistic for comparing how well one vocab
+    serves different languages/sources (high fertility = the stratum
+    pays more sequence length for the same text). Returns one row per
+    stratum: ``(strata, words, bpe_tokens, fertility_ppm)`` with
+    ``fertility_ppm = 1e6 * bpe_tokens div words`` — exact integers,
+    no float ratio to diverge across engines.
+
+    Scale shape: ONE corpus-wide shuffle (the (stratum, word) count —
+    map-side combine on the exploded stream), then the Python encoder
+    runs over the VOCABULARY (Zipf-bounded, lru-memoized per worker),
+    never the corpus: cost O(|vocab| · |word|), not O(corpus tokens).
+    The final per-stratum rollup shuffles rows bounded by
+    |strata| × |vocab|.
+
+    Cross-engine determinism: greedy lowest-rank-first inference
+    (``encode_word``) equals exhaustive merge application in learned
+    order — a merge can only create pairs containing its OWN new
+    symbol, and merge ``i`` references only symbols built by merges
+    ``< i``, so no lower-rank pair ever (re)appears after its pass;
+    and since a merged symbol never equals either operand, one
+    left-to-right ``replace`` pass per merge is exhaustive. That lets
+    a SQL oracle replay the encoder exactly as |merges| chained
+    ``replace`` calls over delimiter-wrapped symbol strings
+    (``tests/test_tokenizer_properties.py`` pins the equivalence).
+    """
+    import pandas as pd
+
+    ranks = {(a, b): i for i, (a, b, _) in enumerate(merges)}
+    bc = df.sparkSession.sparkContext.broadcast(ranks)
+    mk = marker
+    wc = (
+        df.select(
+            F.col(strata).alias("stratum"),
+            F.explode(_words(F.col(text), lowercase)).alias("word"),
+        )
+        .groupBy("stratum", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+    def run(batches):
+        from functools import lru_cache
+
+        rk = bc.value
+
+        @lru_cache(maxsize=65536)
+        def ntok(w: str) -> int:
+            return len(encode_word(w, rk, mk))
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "stratum": pdf["stratum"],
+                    "cnt": pdf["cnt"],
+                    "ntok": [ntok(w) for w in pdf["word"]],
+                }
+            )
+
+    stype = (
+        df.select(F.col(strata).alias("stratum")).schema[0].dataType.simpleString()
+    )
+    return (
+        wc.mapInPandas(run, f"stratum {stype}, cnt bigint, ntok bigint")
+        .groupBy("stratum")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("words"),
+            F.sum(F.col("cnt") * F.col("ntok")).cast("bigint").alias("bpe_tokens"),
+        )
+        .select(
+            F.col("stratum").alias(strata),
+            "words",
+            "bpe_tokens",
+            F.expr("bpe_tokens * 1000000 div words").cast("bigint").alias(
+                "fertility_ppm"
+            ),
+        )
+    )
 
 
 def vocab_coverage(
