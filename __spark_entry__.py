@@ -930,6 +930,20 @@ def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch error audit (new r9): build a 4×1024 CMS over
+    the corpus vocabulary (md5-derived hash family — deterministic
+    cell-for-cell across engines), probe it for the top-50 tokens, and
+    report the integer-exact overcount vs the true counts. The
+    conscious-swap story for exact count tables at 100 TB: the sketch
+    is d·w-bounded and broadcastable, and this audit is how a user
+    sizes (d, w) against their corpus's skew."""
+    from unstructured_spark.operators import sketches
+
+    docs = _t(spark, sf_dir, "documents")
+    return sketches.cms_error_audit(docs, top_k=50, d=4, w=1024)
+
+
 def q_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-balanced shard assignment (the training data-loader
     output shape): documents in doc_id order, a new shard every 2000
@@ -2975,10 +2989,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #
         # r10 rotation plan: (1) retire the 4 probes to pytest-only
         # (the wire-type guard test keeps the bug class dead); (2) the
-        # 10 r9-new tail queries lead the window (q_token_budget,
+        # r9-new tail queries lead the window (q_token_budget,
         # q_quality_cutoff, q_corpus_shuffle, q_ann_recall,
         # q_datasheet, q_cluster_balance, q_zorder_key,
-        # q_length_quantiles, q_bloom_merge, q_dedup_paragraphs/
+        # q_length_quantiles, q_bloom_merge, q_bpe_fertility,
+        # q_cms_heavy_hitters, plus q_dedup_paragraphs/
         # q_interleave_sources/q_bloom_dedup_gate if not green in r9);
         # (3) fill the rest with the oldest r8 greens.
         "q_perplexity_buckets": q_perplexity_buckets,
@@ -3114,6 +3129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ngram_diversity": q_ngram_diversity,
         "q_bloom_merge": q_bloom_merge,
         "q_bpe_fertility": q_bpe_fertility,
+        "q_cms_heavy_hitters": q_cms_heavy_hitters,
     }
 
 
@@ -3485,6 +3501,42 @@ def _bpe_fertility_oracle() -> str:
 def oracle_sql() -> dict[str, str]:
     return {
         "q_bpe_fertility": _bpe_fertility_oracle(),
+        "q_cms_heavy_hitters": """
+            with words as (
+              select w as token, cast(count(*) as bigint) as n
+              from (
+                select unnest(list_filter(
+                  string_split_regex(trim(lower(coalesce(text, ''))), '\\s+'),
+                  x -> x != '')) as w
+                from documents
+              )
+              group by w
+            ),
+            grid(r) as (values (0), (1), (2), (3)),
+            sk as (
+              select g.r,
+                     cast(('0x' || substr(md5('cms' || g.r || ':' || w.token),
+                                          1, 15)) as bigint) % 1024 as b,
+                     cast(sum(w.n) as bigint) as cnt
+              from words w cross join grid g
+              group by 1, 2
+            ),
+            top as (
+              select token, n from words
+              order by n desc, token asc limit 50
+            )
+            select t.token,
+                   t.n as exact_cnt,
+                   cast(min(sk.cnt) as bigint) as cms_est,
+                   ((cast(min(sk.cnt) as bigint) - t.n) * 1000000) // t.n
+                     as overcount_ppm
+            from top t
+            cross join grid g
+            join sk on sk.r = g.r
+                   and sk.b = cast(('0x' || substr(md5('cms' || g.r || ':'
+                                   || t.token), 1, 15)) as bigint) % 1024
+            group by t.token, t.n
+        """,
         # --- r9 channel probes (see probe_* docstrings) ---
         "probe_wire_control": """
             select r as k, r * 7 as v from range(1, 4) t(r)
