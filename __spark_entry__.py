@@ -930,6 +930,54 @@ def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_filter_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document filter WHY table (new r9): every hygiene gate's
+    verdict per doc plus the first failing gate in the documented
+    cheap-to-expensive order (gopher → c4 → pii → exact_dup). Runs on
+    an augmented corpus view that makes every gate reachable (the
+    synthetic corpus has no PII, no code braces, and no exact dups):
+    exact duplicates injected by copying the doc_id%31 slice, a PII
+    contact line appended on one TEXT-derived hash slice and a C4
+    code-brace marker on a disjoint second slice — text-derived
+    (never doc_id), so duplicate groups receive identical
+    augmentation and the dup gate still fires behind the earlier
+    gates. Gopher thresholds tuned to the corpus shape (20+ words,
+    1+ stopword). ONE shuffle total: every gate but exact-dup is a
+    pure expression in one projection; the dup flag rides a window
+    over the fingerprint partitioning."""
+    from unstructured_spark.pipelines import filter_attribution
+
+    docs = _t(spark, sf_dir, "documents")
+    dups = docs.filter(F.col("doc_id") % 31 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    base = docs.unionByName(dups)
+    h = F.conv(
+        F.substring(F.md5(F.col("text")), 1, 15), 16, 10
+    ).cast("bigint")
+    aug = base.withColumn(
+        "text",
+        F.when(
+            h % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact admin@example.com tel (555) 123-4567"),
+            ),
+        )
+        .when(
+            h % 13 == 1,
+            F.concat(F.col("text"), F.lit(" {var x = 1;}")),
+        )
+        .otherwise(F.col("text")),
+    )
+    return filter_attribution(
+        aug,
+        pii_max=0,
+        c4_min_sentences=1,
+        gopher_kwargs={"min_words": 20, "min_stopwords": 1},
+    )
+
+
 def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch error audit (new r9): build a 4×1024 CMS over
     the corpus vocabulary (md5-derived hash family — deterministic
@@ -2993,7 +3041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # q_quality_cutoff, q_corpus_shuffle, q_ann_recall,
         # q_datasheet, q_cluster_balance, q_zorder_key,
         # q_length_quantiles, q_bloom_merge, q_bpe_fertility,
-        # q_cms_heavy_hitters, plus q_dedup_paragraphs/
+        # q_cms_heavy_hitters, q_filter_attribution, plus q_dedup_paragraphs/
         # q_interleave_sources/q_bloom_dedup_gate if not green in r9);
         # (3) fill the rest with the oldest r8 greens.
         "q_perplexity_buckets": q_perplexity_buckets,
@@ -3130,6 +3178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bloom_merge": q_bloom_merge,
         "q_bpe_fertility": q_bpe_fertility,
         "q_cms_heavy_hitters": q_cms_heavy_hitters,
+        "q_filter_attribution": q_filter_attribution,
     }
 
 
@@ -3501,6 +3550,114 @@ def _bpe_fertility_oracle() -> str:
 def oracle_sql() -> dict[str, str]:
     return {
         "q_bpe_fertility": _bpe_fertility_oracle(),
+        "q_filter_attribution": """
+            with base as (
+              select doc_id, text from documents
+              union all
+              select doc_id + 1000000 as doc_id, text
+              from documents where doc_id % 31 = 0
+            ), aug as (
+              select doc_id,
+                case when cast(('0x' || substr(md5(text), 1, 15)) as bigint)
+                          % 7 = 0
+                     then text || ' contact admin@example.com'
+                               || ' tel (555) 123-4567'
+                     when cast(('0x' || substr(md5(text), 1, 15)) as bigint)
+                          % 13 = 1
+                     then text || ' {var x = 1;}'
+                     else text end as text
+              from base
+            ), w as (
+              select doc_id, text,
+                list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                            x -> x <> '') as ws,
+                list_filter(list_transform(string_split(text, chr(10)),
+                                           x -> trim(x)), x -> x <> '') as ls
+              from aug
+            ), s as (
+              select doc_id, text,
+                len(ws) as wc, len(ls) as lc,
+                coalesce(list_aggregate(list_transform(ws, x -> length(x)),
+                                        'sum'), 0) as wchars,
+                len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))
+                  as alpha,
+                len(list_filter(ws, x -> list_contains(
+                  ['the','be','to','of','and','that','have','with','a','in',
+                   'it','on'], lower(x)))) as stop_cnt,
+                length(text) - length(replace(text, '#', '')) as hash_cnt,
+                len(string_split(text, '...')) - 1 as ell_cnt,
+                len(list_filter(ls, x -> regexp_matches(x, '^[-*•‣⁃]')))
+                  as bullet_lines,
+                len(list_filter(ls, x -> regexp_matches(x, '\\.\\.\\.$')))
+                  as ell_lines
+              from w
+            ), g as (
+              select doc_id, text,
+                ((wc between 20 and 100000)
+                 and ((case when wc > 0 then wchars / wc else 0.0 end)
+                      between 3.0 and 10.0)
+                 and ((case when wc > 0 then (hash_cnt + ell_cnt) / wc
+                            else 0.0 end) <= 0.1)
+                 and ((case when lc > 0 then bullet_lines / lc
+                            else 0.0 end) <= 0.9)
+                 and ((case when lc > 0 then ell_lines / lc
+                            else 0.0 end) <= 0.3)
+                 and ((case when wc > 0 then alpha / wc
+                            else 0.0 end) >= 0.8)
+                 and (stop_cnt >= 1)) as gopher_keep,
+                ((lower(text) not like '%lorem ipsum%')
+                 and (strpos(text, '{') = 0)
+                 and (len(list_filter(string_split_regex(text, '[.!?]'),
+                                      s2 -> trim(s2) <> '')) >= 1))
+                  as c4_keep
+              from s
+            ), cands as (
+              select doc_id, unnest(regexp_extract_all(text, '""" + _P_CC + """'))
+                as c
+              from aug
+            ), rd as (
+              select doc_id,
+                     reverse(regexp_replace(c, '[^0-9]', '', 'g')) as rd
+              from cands
+            ), lu as (
+              select doc_id from rd where
+                list_sum([case when i % 2 = 0 then
+                    case when cast(rd[i] as int) * 2 > 9
+                         then cast(rd[i] as int) * 2 - 9
+                         else cast(rd[i] as int) * 2 end
+                  else cast(rd[i] as int) end
+                  for i in range(1, length(rd) + 1)]) % 10 = 0
+            ), cc as (
+              select doc_id, cast(count(*) as bigint) as credit_cards
+              from lu group by doc_id
+            ), p as (
+              select a.doc_id,
+                cast(len(regexp_extract_all(a.text, '""" + _P_EMAIL + """'))
+                     as bigint)
+                + cast(len(regexp_extract_all(a.text, '""" + _P_PHONE + """'))
+                       as bigint)
+                + cast(len(regexp_extract_all(a.text, '""" + _P_IP + """'))
+                       as bigint)
+                + cast(len(regexp_extract_all(a.text, '""" + _P_SSN + """'))
+                       as bigint)
+                + coalesce(cc.credit_cards, 0) as pii_total
+              from aug a left join cc using (doc_id)
+            ), d as (
+              select doc_id,
+                doc_id <> min(doc_id) over (partition by
+                  md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))))
+                  as is_exact_dup
+              from aug
+            )
+            select g.doc_id, g.gopher_keep, g.c4_keep,
+                   cast(p.pii_total as bigint) as pii_total, d.is_exact_dup,
+                   case when not g.gopher_keep then 'gopher'
+                        when not g.c4_keep then 'c4'
+                        when p.pii_total > 0 then 'pii'
+                        when d.is_exact_dup then 'exact_dup'
+                        else 'keep' end as verdict
+            from g join p using (doc_id) join d using (doc_id)
+        """,
         "q_cms_heavy_hitters": """
             with words as (
               select w as token, cast(count(*) as bigint) as n

@@ -323,3 +323,67 @@ class TestBudgetAndShuffleStages:
             ).collect()
         }
         assert again == {r["doc_id"]: r["shuffle_rank"] for r in rows}
+
+
+class TestFilterAttribution:
+    def test_each_gate_attributed_in_order(self, spark):
+        from unstructured_spark.pipelines import filter_attribution
+
+        good = (
+            "the quick brown fox jumps over the lazy dog and then it "
+            "runs on to the next field with a friend of the family. "
+            "it was a good day to be out in the sun with all of that."
+        )
+        docs = spark.createDataFrame(
+            [
+                (1, good),                              # keep
+                (2, "short"),                           # gopher (word count)
+                (3, good + " {code}"),                  # c4 (brace)
+                (4, good + " mail me a@b.com"),         # pii
+                (5, good),                              # exact dup of 1
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: r
+            for r in filter_attribution(
+                docs, gopher_kwargs={"min_words": 10, "min_stopwords": 1},
+                c4_min_sentences=1,
+            ).collect()
+        }
+        assert out[1]["verdict"] == "keep"
+        assert out[2]["verdict"] == "gopher" and not out[2]["gopher_keep"]
+        assert out[3]["verdict"] == "c4" and not out[3]["c4_keep"]
+        assert out[4]["verdict"] == "pii" and out[4]["pii_total"] >= 1
+        assert out[5]["verdict"] == "exact_dup" and out[5]["is_exact_dup"]
+        # first-gate-wins: a doc failing gopher AND containing a brace
+        # is attributed to gopher, the earlier gate
+        both = spark.createDataFrame(
+            [(9, "x {y}")], "doc_id long, text string"
+        )
+        v = filter_attribution(both).collect()[0]
+        assert v["verdict"] == "gopher" and not v["c4_keep"]
+
+    def test_pii_max_threshold(self, spark):
+        from unstructured_spark.pipelines import filter_attribution
+
+        good = (
+            "the quick brown fox jumps over the lazy dog and then it "
+            "runs on to the next field with a friend of the family. "
+            "it was a good day to be out in the sun with all of that."
+        )
+        docs = spark.createDataFrame(
+            [(1, good + " mail a@b.com")], "doc_id long, text string"
+        )
+        kw = dict(
+            gopher_kwargs={"min_words": 10, "min_stopwords": 1},
+            c4_min_sentences=1,
+        )
+        assert (
+            filter_attribution(docs, pii_max=0, **kw).collect()[0]["verdict"]
+            == "pii"
+        )
+        assert (
+            filter_attribution(docs, pii_max=1, **kw).collect()[0]["verdict"]
+            == "keep"
+        )

@@ -69,6 +69,24 @@ def credit_card_count(col: Column) -> Column:
     return F.size(F.filter(cands, luhn_valid)).cast("bigint")
 
 
+def pii_total_expr(col: Column) -> Column:
+    """Total PII hits in one text column as a single BIGINT expression
+    (emails + strict phones + IPv4 + SSNs + Luhn-valid cards) — the
+    column form of :func:`pii_stats`'s ``pii_total``, for composing a
+    PII gate into a wider projection without a join."""
+
+    def _n(p: str) -> Column:
+        return F.size(F.regexp_extract_all(col, F.lit(p), 0)).cast("bigint")
+
+    return (
+        _n(patterns.EMAIL_ADDRESS)
+        + _n(patterns.US_PHONE_STRICT)
+        + _n(patterns.IP_ADDRESS)
+        + _n(patterns.SSN)
+        + credit_card_count(col)
+    ).cast("bigint")
+
+
 def pii_stats(
     df: DataFrame, *, text: str = "text", doc_id: str = "doc_id"
 ) -> DataFrame:

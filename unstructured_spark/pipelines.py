@@ -363,3 +363,70 @@ def pretraining_corpus_e2e(
         doc_id="pack_id",
     )
     return packed, splits
+
+
+def filter_attribution(
+    df: DataFrame,
+    *,
+    text: str = "text",
+    doc_id: str = "doc_id",
+    pii_max: int = 0,
+    c4_min_sentences: int = 5,
+    gopher_kwargs: dict | None = None,
+) -> DataFrame:
+    """Per-document WHY table for the corpus hygiene gates: every doc's
+    verdict under each filter plus the first gate that would drop it —
+    the observability report a pipeline owner reads before trusting a
+    "we filtered 34% of the crawl" number, and the regression diff when
+    a threshold change suddenly drops a different 34%.
+
+    Output: ``(doc_id, gopher_keep, c4_keep, pii_total,
+    is_exact_dup, verdict)`` where verdict is ``'keep'`` or the FIRST
+    failing gate in the documented cheap-to-expensive order
+    ``gopher → c4 → pii → exact_dup`` (map-only predicates before the
+    one gate that needs a shuffle, the same order a short-circuiting
+    production pipeline would evaluate them in).
+
+    Scale shape: every gate except exact-dup is a pure expression in
+    ONE projection over the corpus — no joins between per-gate frames.
+    The exact-dup flag rides a single window over the normalized-text
+    fingerprint partitioning (``doc != min(doc) over fp``), so the
+    whole report costs exactly one shuffle.
+    """
+    from unstructured_spark.operators.pii import pii_total_expr
+    from unstructured_spark.operators.quality_filters import (
+        c4_doc_keep_expr,
+        gopher_keep_expr,
+        gopher_stats_exprs,
+    )
+
+    fp = F.md5(
+        F.lower(F.trim(F.regexp_replace(F.col(text), "\\s+", " ")))
+    )
+    staged = df.select(
+        F.col(doc_id).alias("doc_id"),
+        *[c.alias(n) for n, c in gopher_stats_exprs(text).items()],
+        c4_doc_keep_expr(text, min_sentences=c4_min_sentences).alias(
+            "c4_keep"
+        ),
+        pii_total_expr(F.col(text)).alias("pii_total"),
+        fp.alias("_fp"),
+    ).withColumn("gopher_keep", gopher_keep_expr(**(gopher_kwargs or {})))
+    flagged = staged.withColumn(
+        "is_exact_dup",
+        F.col("doc_id")
+        != F.min("doc_id").over(Window.partitionBy("_fp")),
+    )
+    return flagged.select(
+        "doc_id",
+        "gopher_keep",
+        "c4_keep",
+        F.col("pii_total").cast("bigint").alias("pii_total"),
+        "is_exact_dup",
+        F.when(~F.col("gopher_keep"), F.lit("gopher"))
+        .when(~F.col("c4_keep"), F.lit("c4"))
+        .when(F.col("pii_total") > int(pii_max), F.lit("pii"))
+        .when(F.col("is_exact_dup"), F.lit("exact_dup"))
+        .otherwise(F.lit("keep"))
+        .alias("verdict"),
+    )
