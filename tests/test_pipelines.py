@@ -387,3 +387,90 @@ class TestFilterAttribution:
             filter_attribution(docs, pii_max=1, **kw).collect()[0]["verdict"]
             == "keep"
         )
+
+
+class TestAttributionStream:
+    GOOD = (
+        "the quick brown fox jumps over the lazy dog and then it "
+        "runs on to the next field with a friend of the family. "
+        "it was a good day to be out in the sun with all of that."
+    )
+
+    def test_streaming_verdicts_match_batch_gates(self, spark, tmp_path):
+        from unstructured_spark.operators.dedup import bloom_fingerprint_index
+        from unstructured_spark.streaming.pipeline import attribution_stream
+
+        src = tmp_path / "src"
+        src.mkdir()
+        spark.createDataFrame(
+            [
+                (1, self.GOOD),                       # keep
+                (2, "short"),                         # gopher
+                (3, self.GOOD + " {code}"),           # c4
+                (4, self.GOOD + " mail me a@b.com"),  # pii
+                (5, "seen before in history it was"),  # maybe_dup
+            ],
+            "doc_id long, text string",
+        ).write.parquet(str(src), mode="overwrite")
+        hist = spark.createDataFrame(
+            [(0, "seen before in history it was")], "doc_id long, text string"
+        )
+        bloom = bloom_fingerprint_index(hist, m_bits=1 << 14, k=4)
+        stream = spark.readStream.schema("doc_id long, text string").parquet(
+            str(src)
+        )
+        out_df = attribution_stream(
+            stream,
+            bloom=bloom,
+            gopher_kwargs={"min_words": 5, "min_stopwords": 1},
+            c4_min_sentences=1,
+            m_bits=1 << 14,
+            k=4,
+        )
+        assert out_df.isStreaming
+        q = (
+            out_df.writeStream.format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        out = {
+            r["doc_id"]: r
+            for r in spark.read.parquet(str(tmp_path / "out")).collect()
+        }
+        assert out[1]["verdict"] == "keep"
+        assert out[2]["verdict"] == "gopher"
+        assert out[3]["verdict"] == "c4"
+        assert out[4]["verdict"] == "pii"
+        assert out[5]["verdict"] == "maybe_dup" and out[5]["maybe_dup"]
+        # a definitive-new doc (Bloom false) can never be flagged
+        assert not out[1]["maybe_dup"]
+
+    def test_without_bloom_dup_gate_skipped(self, spark, tmp_path):
+        from unstructured_spark.streaming.pipeline import attribution_stream
+
+        src = tmp_path / "src2"
+        src.mkdir()
+        spark.createDataFrame(
+            [(1, self.GOOD), (2, self.GOOD)], "doc_id long, text string"
+        ).write.parquet(str(src), mode="overwrite")
+        stream = spark.readStream.schema("doc_id long, text string").parquet(
+            str(src)
+        )
+        out_df = attribution_stream(
+            stream,
+            gopher_kwargs={"min_words": 5, "min_stopwords": 1},
+            c4_min_sentences=1,
+        )
+        q = (
+            out_df.writeStream.format("parquet")
+            .option("path", str(tmp_path / "out2"))
+            .option("checkpointLocation", str(tmp_path / "ckpt2"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.read.parquet(str(tmp_path / "out2")).collect()
+        assert all(r["verdict"] == "keep" and not r["maybe_dup"] for r in rows)

@@ -294,3 +294,75 @@ def corpus_stats_stream(
         .agg(*aggs)
         .select(*out_cols)
     )
+
+
+def attribution_stream(
+    docs: DataFrame,
+    *,
+    bloom: DataFrame | None = None,
+    text: str = "text",
+    doc_id: str = "doc_id",
+    pii_max: int = 0,
+    c4_min_sentences: int = 5,
+    gopher_kwargs: dict | None = None,
+    m_bits: int = 1 << 20,
+    k: int = 4,
+    seed: str = "bloom-v1",
+) -> DataFrame:
+    """Streaming twin of :func:`pipelines.filter_attribution`: the
+    per-document gate-verdict table over a live ingest stream. The
+    gopher/C4/PII gates are pure expressions, so they run unchanged on
+    a streaming DataFrame; the batch form's exact-dup window (stateful,
+    not append-safe) is replaced by the map-only Bloom probe against a
+    persisted history index (``dedup.bloom_fingerprint_index``) — the
+    same swap ``exact_dedup_stream_against_index`` makes. The dup
+    column is honestly named ``maybe_dup``: a Bloom hit can be a false
+    positive, so a 'maybe_dup' verdict routes to an exact confirm
+    downstream, while ``maybe_dup=false`` is DEFINITIVE (never seen).
+    Without a ``bloom`` index the dup gate is skipped
+    (``maybe_dup=false`` everywhere).
+
+    Fully stateless map-only plan: composes with append sinks,
+    watermarks, and availableNow drains; per-batch cost is one scan.
+    """
+    from unstructured_spark.operators.pii import pii_total_expr
+    from unstructured_spark.operators.quality_filters import (
+        c4_doc_keep_expr,
+        gopher_keep_expr,
+        gopher_stats_exprs,
+    )
+
+    src = docs
+    if bloom is not None:
+        from unstructured_spark.operators.dedup import bloom_probe_stream
+
+        src = bloom_probe_stream(
+            docs, bloom, text=text, m_bits=m_bits, k=k, seed=seed
+        )
+    dup_col = (
+        F.coalesce(F.col("maybe_seen"), F.lit(False))
+        if bloom is not None
+        else F.lit(False)
+    )
+    staged = src.select(
+        F.col(doc_id).alias("doc_id"),
+        *[c.alias(n) for n, c in gopher_stats_exprs(text).items()],
+        c4_doc_keep_expr(text, min_sentences=c4_min_sentences).alias(
+            "c4_keep"
+        ),
+        pii_total_expr(F.col(text)).alias("pii_total"),
+        dup_col.alias("maybe_dup"),
+    ).withColumn("gopher_keep", gopher_keep_expr(**(gopher_kwargs or {})))
+    return staged.select(
+        "doc_id",
+        "gopher_keep",
+        "c4_keep",
+        F.col("pii_total").cast("bigint").alias("pii_total"),
+        "maybe_dup",
+        F.when(~F.col("gopher_keep"), F.lit("gopher"))
+        .when(~F.col("c4_keep"), F.lit("c4"))
+        .when(F.col("pii_total") > int(pii_max), F.lit("pii"))
+        .when(F.col("maybe_dup"), F.lit("maybe_dup"))
+        .otherwise(F.lit("keep"))
+        .alias("verdict"),
+    )
