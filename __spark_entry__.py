@@ -1119,6 +1119,25 @@ def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum/annealing training order (new r9): exact global rank
+    ordered by (quality band ASC, md5 shuffle key) — each band is one
+    contiguous internally-shuffled block, so 'best data last'
+    annealing is ORDER BY curriculum_rank on the loader side. Band =
+    quality_q div 1e6 (≈ how many of the integer key's three signal
+    terms the doc earns). Same distributed prefix sum as the epoch
+    shuffle with the band prepended to the bucket key — no global
+    window."""
+    from unstructured_spark.operators.sampling import curriculum_order
+
+    docs = _t(spark, sf_dir, "documents")
+    banded = text_analysis.with_quality_q(docs).select(
+        "doc_id",
+        F.expr("quality_q div 1000000").cast("bigint").alias("band"),
+    )
+    return curriculum_order(banded, "band", seed="curriculum-v1")
+
+
 def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-source token-length quantiles (new in r9): discrete
     lower quantiles by integer rank test (100*cum >= p*n) over a
@@ -3179,6 +3198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bpe_fertility": q_bpe_fertility,
         "q_cms_heavy_hitters": q_cms_heavy_hitters,
         "q_filter_attribution": q_filter_attribution,
+        "q_curriculum_order": q_curriculum_order,
     }
 
 
@@ -3911,6 +3931,19 @@ def oracle_sql() -> dict[str, str]:
                                  doc_id) - 1
                         as bigint) as shuffle_rank
             from documents
+        """,
+        "q_curriculum_order": f"""
+            with b as ({_QUALITY_NTOK_BASE_SQL.format(qq=quality_q_sql())}),
+            bd as (
+              select doc_id,
+                     cast(quality_q // 1000000 as bigint) as band,
+                     md5(cast(doc_id as varchar) || ':curriculum-v1') as k
+              from b
+            )
+            select doc_id, band,
+                   cast(row_number() over (order by band, k, doc_id) - 1
+                        as bigint) as curriculum_rank
+            from bd
         """,
         "q_unigram_entropy": f"""
             with tok as (

@@ -787,3 +787,52 @@ class TestShuffledShards:
         out = corpus_shuffle(df, seed="n")
         assert sorted(r["doc_id"] for r in out.collect()) == [1, 3]
         assert sorted(r["shuffle_rank"] for r in out.collect()) == [0, 1]
+
+
+class TestCurriculumOrder:
+    def test_bands_contiguous_and_shuffled_within(self, spark):
+        from unstructured_spark.operators.sampling import (
+            corpus_shuffle,
+            curriculum_order,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, i % 3) for i in range(90)], "doc_id long, band long"
+        )
+        out = curriculum_order(docs, "band", seed="s1").collect()
+        assert sorted(r["curriculum_rank"] for r in out) == list(range(90))
+        # band blocks are contiguous and ascending
+        by_rank = sorted(out, key=lambda r: r["curriculum_rank"])
+        bands = [r["band"] for r in by_rank]
+        assert bands == sorted(bands)
+        # within a band the order is the seed permutation, not doc_id
+        band0 = [r["doc_id"] for r in by_rank if r["band"] == 0]
+        assert band0 != sorted(band0)
+        # same seed reproduces; new seed re-permutes within bands only
+        again = curriculum_order(docs, "band", seed="s1").collect()
+        assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+        other = sorted(
+            curriculum_order(docs, "band", seed="s2").collect(),
+            key=lambda r: r["curriculum_rank"],
+        )
+        assert [r["band"] for r in other] == bands
+        assert [r["doc_id"] for r in other] != [r["doc_id"] for r in by_rank]
+        # within-band order IS the epoch-shuffle order for that band
+        shuf = {
+            r["doc_id"]: r["shuffle_rank"]
+            for r in corpus_shuffle(
+                docs.filter("band = 0").select("doc_id"), seed="s1"
+            ).collect()
+        }
+        assert band0 == sorted(band0, key=lambda d: shuf[d])
+
+    def test_null_band_and_id_excluded(self, spark):
+        from unstructured_spark.operators.sampling import curriculum_order
+
+        docs = spark.createDataFrame(
+            [(1, 0), (None, 0), (3, None), (4, 1)],
+            "doc_id long, band long",
+        )
+        out = curriculum_order(docs, "band").collect()
+        assert sorted(r["doc_id"] for r in out) == [1, 4]
+        assert sorted(r["curriculum_rank"] for r in out) == [0, 1]
