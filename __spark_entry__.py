@@ -1119,6 +1119,35 @@ def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff (new r9): per-(source, status) counts
+    between the documents table and a synthetic v2 (doc_id%13 slice
+    removed, doc_id%7==3 texts revised, doc_id%11==5 docs re-added
+    under new ids) — the release audit a dataset v2 ships with.
+    Fingerprint comparison matches exact-dedup semantics
+    (whitespace-normalized, case-folded md5); the only corpus shuffle
+    is the full outer join on doc_id."""
+    from unstructured_spark.operators.storage import corpus_diff_summary
+
+    old = _t(spark, sf_dir, "documents")
+    new = (
+        old.filter(F.col("doc_id") % 13 != 0)
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 7 == 3,
+                F.concat(F.col("text"), F.lit(" v2-rev")),
+            ).otherwise(F.col("text")),
+        )
+        .unionByName(
+            old.filter(F.col("doc_id") % 11 == 5).withColumn(
+                "doc_id", F.col("doc_id") + 2_000_000
+            )
+        )
+    )
+    return corpus_diff_summary(old, new)
+
+
 def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curriculum/annealing training order (new r9): exact global rank
     ordered by (quality band ASC, md5 shuffle key) — each band is one
@@ -3199,6 +3228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cms_heavy_hitters": q_cms_heavy_hitters,
         "q_filter_attribution": q_filter_attribution,
         "q_curriculum_order": q_curriculum_order,
+        "q_corpus_diff": q_corpus_diff,
     }
 
 
@@ -3931,6 +3961,37 @@ def oracle_sql() -> dict[str, str]:
                                  doc_id) - 1
                         as bigint) as shuffle_rank
             from documents
+        """,
+        "q_corpus_diff": """
+            with old as (
+              select doc_id, source,
+                     md5(lower(trim(regexp_replace(coalesce(text, ''),
+                                                   '\\s+', ' ', 'g')))) as fp
+              from documents
+            ), newv as (
+              select doc_id, source,
+                case when doc_id % 7 = 3 then text || ' v2-rev'
+                     else text end as text
+              from documents where doc_id % 13 != 0
+              union all
+              select doc_id + 2000000 as doc_id, source, text
+              from documents where doc_id % 11 = 5
+            ), newfp as (
+              select doc_id, source,
+                     md5(lower(trim(regexp_replace(coalesce(text, ''),
+                                                   '\\s+', ' ', 'g')))) as fp
+              from newv
+            ), d as (
+              select coalesce(n.doc_id, o.doc_id) as doc_id,
+                     coalesce(n.source, o.source) as source,
+                case when o.fp is null then 'added'
+                     when n.fp is null then 'removed'
+                     when o.fp != n.fp then 'changed'
+                     else 'unchanged' end as status
+              from old o full outer join newfp n using (doc_id)
+            )
+            select source, status, cast(count(*) as bigint) as docs
+            from d group by source, status
         """,
         "q_curriculum_order": f"""
             with b as ({_QUALITY_NTOK_BASE_SQL.format(qq=quality_q_sql())}),

@@ -332,3 +332,49 @@ class TestDatasetManifest:
         with open(os.path.join(path, "_manifest.json"), "w") as f:
             json.dump(m, f)
         assert k in validate_dataset(spark, path)["mismatches"]
+
+
+class TestCorpusDiff:
+    def test_statuses_and_normalized_compare(self, spark):
+        from unstructured_spark.operators.storage import (
+            corpus_diff,
+            corpus_diff_summary,
+        )
+
+        old = spark.createDataFrame(
+            [(1, "alpha beta", "a"), (2, "gamma", "a"), (3, "delta", "b")],
+            "doc_id long, text string, source string",
+        )
+        new = spark.createDataFrame(
+            [
+                (1, "  ALPHA   beta ", "a"),  # normalization: unchanged
+                (2, "gamma prime", "a"),      # changed
+                (4, "epsilon", "b"),          # added
+            ],
+            "doc_id long, text string, source string",
+        )
+        d = {r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()}
+        assert d == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+        s = {
+            (r["source"], r["status"]): r["docs"]
+            for r in corpus_diff_summary(old, new).collect()
+        }
+        assert s == {
+            ("a", "unchanged"): 1,
+            ("a", "changed"): 1,
+            ("b", "removed"): 1,
+            ("b", "added"): 1,
+        }
+
+    def test_source_move_reports_under_new_home(self, spark):
+        from unstructured_spark.operators.storage import corpus_diff_summary
+
+        old = spark.createDataFrame(
+            [(1, "same text", "old_src")], "doc_id long, text string, source string"
+        )
+        new = spark.createDataFrame(
+            [(1, "same text", "new_src")], "doc_id long, text string, source string"
+        )
+        s = corpus_diff_summary(old, new).collect()
+        assert len(s) == 1 and s[0]["source"] == "new_src"
+        assert s[0]["status"] == "unchanged"

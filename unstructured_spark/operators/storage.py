@@ -383,3 +383,81 @@ def validate_dataset(spark: SparkSession, path: str, *, text: str = "text") -> d
         if per.get(k) != want.get(k):
             mismatches[k] = {"manifest": want.get(k), "actual": per.get(k)}
     return {"ok": not mismatches, "mismatches": mismatches}
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    *,
+    doc_id: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """Document-level diff between two corpus snapshots: one row per
+    doc id present in either side with ``status`` ∈ ``added`` (new
+    only), ``removed`` (old only), ``changed`` (both, normalized text
+    differs), ``unchanged``. The release audit a dataset v2 ships
+    with — "what exactly moved since v1" — and the input to
+    incremental reprocessing (partition/embed only ``added|changed``).
+
+    Comparison is by the same whitespace-normalized case-folded md5
+    fingerprint the dedup family uses, so a formatting-only rewrite
+    counts as ``unchanged`` exactly when exact-dedup would merge the
+    two versions.
+
+    Scale shape: fingerprints are map-side expressions; the only
+    shuffle is the full outer join on ``doc_id`` (uniform key). No
+    text leaves the wire — both sides project to (id, 32-byte fp)
+    before the join.
+    """
+    fp = F.md5(
+        F.lower(F.trim(F.regexp_replace(F.coalesce(F.col(text), F.lit("")),
+                                        "\\s+", " ")))
+    )
+    o = old.select(F.col(doc_id).alias("doc_id"), fp.alias("_ofp"))
+    n = new.select(F.col(doc_id).alias("doc_id"), fp.alias("_nfp"))
+    return o.join(n, "doc_id", "full_outer").select(
+        "doc_id",
+        F.when(F.col("_ofp").isNull(), F.lit("added"))
+        .when(F.col("_nfp").isNull(), F.lit("removed"))
+        .when(F.col("_ofp") != F.col("_nfp"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+    )
+
+
+def corpus_diff_summary(
+    old: DataFrame,
+    new: DataFrame,
+    *,
+    doc_id: str = "doc_id",
+    text: str = "text",
+    strata: str = "source",
+) -> DataFrame:
+    """Per-stratum rollup of :func:`corpus_diff`:
+    ``(strata, status, docs)``. Stratum is read from the side that has
+    the document (new wins for docs present in both — a doc that moved
+    sources reports under its new home)."""
+    d = corpus_diff(old, new, doc_id=doc_id, text=text)
+    # deterministic label pick: new side wins via an explicit priority
+    # (F.first over a union is partition-order-dependent)
+    labels = (
+        new.select(
+            F.col(doc_id).alias("doc_id"),
+            F.col(strata).alias("_s"),
+            F.lit(0).alias("_p"),
+        )
+        .unionByName(
+            old.select(
+                F.col(doc_id).alias("doc_id"),
+                F.col(strata).alias("_s"),
+                F.lit(1).alias("_p"),
+            )
+        )
+        .groupBy("doc_id")
+        .agg(F.min_by("_s", "_p").alias(strata))
+    )
+    return (
+        d.join(labels, "doc_id")
+        .groupBy(strata, "status")
+        .agg(F.count("*").cast("bigint").alias("docs"))
+    )
