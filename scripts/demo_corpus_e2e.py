@@ -192,8 +192,80 @@ def main_streaming() -> None:
         spark.stop()
 
 
+def main_governance() -> None:
+    """--govern: the release-governance tables a corpus version ships
+    with — the per-gate filter-attribution verdict rollup ("WHY was
+    each fraction dropped"), the v1→v2 snapshot diff (what moved), and
+    the per-source datasheet. One JSON line."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.appName("corpus-governance-demo")
+        .master(f"local[{cpus}]")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from unstructured_spark.operators.storage import corpus_diff_summary
+    from unstructured_spark.operators.text_analysis import corpus_datasheet
+    from unstructured_spark.pipelines import filter_attribution
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t0 = time.perf_counter()
+    verdicts = {
+        r["verdict"]: r["n"]
+        for r in filter_attribution(
+            docs,
+            gopher_kwargs={"min_words": 20, "min_stopwords": 1},
+            c4_min_sentences=1,
+        )
+        .groupBy("verdict")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    # synthetic v2: one slice dropped, one revised — the diff a real
+    # release would run against its previous published snapshot
+    v2 = docs.filter(F.col("doc_id") % 13 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 3, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    diff = {
+        f"{r['source']}/{r['status']}": r["docs"]
+        for r in corpus_diff_summary(docs, v2).collect()
+    }
+    sheet = {
+        r["source"]: {"docs": r["docs"], "tokens": r["tokens"]}
+        for r in corpus_datasheet(docs, strata=("source",)).select(
+            "source", "docs", "tokens"
+        ).collect()
+    }
+    wall = time.perf_counter() - t0
+    print(
+        json.dumps(
+            {
+                "metric": "corpus_governance_wall_clock",
+                "value": round(wall, 2),
+                "unit": "sec",
+                "verdicts": verdicts,
+                "diff": diff,
+                "datasheet": sheet,
+            },
+            separators=(",", ":"),
+            sort_keys=True,
+        )
+    )
+    spark.stop()
+
+
 if __name__ == "__main__":
     if "--streaming" in sys.argv:
         main_streaming()
+    elif "--govern" in sys.argv:
+        main_governance()
     else:
         main()
