@@ -92,7 +92,16 @@ def main() -> None:
     for name, fn in all_q.items():
         def run() -> int:
             df = fn(spark, sf_dir)
-            return df.count() if name not in _COLLECT_FULL else len(df.collect())
+            if name in _COLLECT_FULL:
+                return len(df.collect())
+            # noop sink, not count(): count() lets Catalyst prune every
+            # column the cardinality doesn't need, so a map-only query's
+            # expensive expression columns (regex gates, hashes) were
+            # silently skipped — the r9 harness change that made
+            # expression-heavy map-only rows HONEST (and slower on
+            # paper); numbers are not comparable to r8 for those rows
+            df.write.format("noop").mode("overwrite").save()
+            return 0
 
         n = run()  # warm-up: codegen compile, broadcast build
         samples = []

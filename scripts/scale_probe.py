@@ -49,6 +49,9 @@ PROBE_QUERIES = [
     "q_bpe_fertility",         # vocab-bounded Python encoder
     "q_cms_heavy_hitters",     # sketch build + probe
     "q_perplexity_buckets",    # bigram LM + fxln + histogram buckets
+    "q_filter_attribution",    # all hygiene gates + dup window, 1 shuffle
+    "q_curriculum_order",      # banded prefix-sum global rank
+    "q_corpus_diff",           # snapshot diff full-outer join
 ]
 
 
@@ -139,7 +142,12 @@ def main() -> None:
             ts = []
             for _ in range(max(1, args.iters)):
                 t0 = time.perf_counter()
-                q(spark, dirs[k]).count()
+                # noop sink forces EVERY output column; count() would
+                # let Catalyst prune expression columns the cardinality
+                # doesn't need (see bench.py)
+                q(spark, dirs[k]).write.format("noop").mode(
+                    "overwrite"
+                ).save()
                 ts.append(time.perf_counter() - t0)
             med = sorted(ts)[len(ts) // 2]
             results[name][str(k)] = round(med, 3)

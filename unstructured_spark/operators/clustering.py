@@ -254,12 +254,21 @@ def semantic_dedup(
         F.col("nrm").alias("bn"),
     )
     cos = F.round(dot(F.col("av"), F.col("bv")) / (F.col("an") * F.col("bn")), 6)
+    # LEFT SEMI, not inner + distinct: the question per vector is
+    # EXISTS(lower-id neighbor with cos >= t) — the semi join stops
+    # probing a vector at its FIRST qualifying match instead of
+    # materializing every qualifying pair and deduplicating them with
+    # an extra shuffle. On dup-heavy clusters (the SemDeDup target)
+    # that skips most of the dot products. Identical output.
     dups = (
-        a.join(b, "cluster_id")
-        .where(F.col("a_id") < F.col("b_id"))
-        .where(cos >= F.lit(float(threshold)))
+        b.join(
+            a,
+            on=(b["cluster_id"] == a["cluster_id"])
+            & (F.col("a_id") < F.col("b_id"))
+            & (cos >= F.lit(float(threshold))),
+            how="left_semi",
+        )
         .select(F.col("b_id").alias("vec_id"))
-        .distinct()
         .withColumn("is_duplicate", F.lit(True))
     )
     return (

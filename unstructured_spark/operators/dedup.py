@@ -37,11 +37,14 @@ def token_hash(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
 
 
-def shingles(col: Column, n: int = 3) -> Column:
-    """Distinct n-word shingles of a whitespace-tokenized text.
-    Texts shorter than ``n`` words yield an empty array (the sequence
-    guard matters: Spark's ``sequence(0, -k)`` counts DOWN)."""
-    toks = F.split(F.trim(col), "\\s+")
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles over a token-array column. Pass a
+    BOUND column (stage the split in its own projection first):
+    codegen subexpression elimination skips lambda-bearing
+    expressions, so an inline split here would re-tokenize the text
+    once per element_at — O(tokens²) per document. Texts shorter than
+    ``n`` words yield an empty array (the sequence guard matters:
+    Spark's ``sequence(0, -k)`` counts DOWN)."""
     idx = F.sequence(F.lit(0), F.size(toks) - n)
     return F.when(F.size(toks) >= n, F.array_distinct(
         F.transform(
@@ -51,6 +54,13 @@ def shingles(col: Column, n: int = 3) -> Column:
             ),
         )
     )).otherwise(F.array().cast("array<string>"))
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles of a whitespace-tokenized text (the
+    one-expression convenience form — when computing over a whole
+    DataFrame, stage the split and use :func:`shingles_from_tokens`)."""
+    return shingles_from_tokens(F.split(F.trim(col), "\\s+"), n)
 
 
 def rowwise_token_hashes(grams: Column) -> Column:
@@ -227,26 +237,47 @@ def _simhash_from_hashes(hashes: Column, bits: int) -> Column:
     array once per bit and measured 2.6× slower at sf0.1. Identical
     integers: the ±1 vote sum is ``2·cnt1 − n``, so ``vote > 0`` ⟺
     ``2·cnt1 > n`` (and an empty array still yields fp = 0)."""
-    masks = F.array(*[F.lit(1 << b).cast("bigint") for b in range(bits)])
-    zero = F.array_repeat(F.lit(0).cast("bigint"), bits)
+    # The merge masks carry a trailing 0 slot whose counter gains +1
+    # per token — the token count rides the SAME fold — and the
+    # majority vote runs in the fold's FINISH lambda, where the final
+    # accumulator is a bound variable. Both choices exist so `hashes`
+    # is evaluated exactly once even when it is an inline transform:
+    # codegen subexpression elimination skips lambda-bearing
+    # expressions, so a separate F.size(hashes) or a second reference
+    # to the fold would re-run the whole token-hash expression.
+    masks = F.array(
+        *[F.lit(1 << b).cast("bigint") for b in range(bits)],
+        F.lit(0).cast("bigint"),
+    )
+    vote_masks = F.array(
+        *[F.lit(1 << b).cast("bigint") for b in range(bits)]
+    )
+    zero = F.array_repeat(F.lit(0).cast("bigint"), bits + 1)
     one = F.lit(1).cast("bigint")
     nil = F.lit(0).cast("bigint")
-    cnts = F.aggregate(
+
+    def _finish(acc: Column) -> Column:
+        n = F.element_at(acc, bits + 1)
+        return F.aggregate(
+            F.zip_with(
+                F.slice(acc, 1, bits),
+                vote_masks,
+                lambda c, m: F.when(c * 2 > n, m).otherwise(nil),
+            ),
+            nil,
+            lambda a, x: a + x,
+        )
+
+    return F.aggregate(
         hashes,
         zero,
         lambda acc, h: F.zip_with(
             acc,
             masks,
-            lambda a, m: a + F.when(h.bitwiseAND(m) != 0, one).otherwise(nil),
+            lambda a, m: a
+            + F.when((h.bitwiseAND(m) != 0) | (m == nil), one).otherwise(nil),
         ),
-    )
-    n = F.size(hashes).cast("bigint")
-    return F.aggregate(
-        F.zip_with(
-            cnts, masks, lambda c, m: F.when(c * 2 > n, m).otherwise(nil)
-        ),
-        nil,
-        lambda a, x: a + x,
+        _finish,
     )
 
 
@@ -701,8 +732,17 @@ def drop_near_duplicates(
 def _gram_hashes(toks: Column, k: int) -> Column:
     """60-bit md5 hash of each k-token window (position-ordered).
     Portable: DuckDB replays it as
-    ``cast('0x'||substr(md5(array_to_string(t[i+1:i+k],' ')),1,15) as bigint)``."""
-    return F.transform(
+    ``cast('0x'||substr(md5(array_to_string(t[i+1:i+k],' ')),1,15) as bigint)``.
+
+    TOTAL on any input: arrays shorter than ``k`` yield an empty
+    array. Callers filter ``size >= k`` anyway, but the expression
+    itself must be safe to evaluate on unfiltered rows — the optimizer
+    is free to push an inferred explode-input predicate below the
+    caller's size filter (conjunct order in a scan Filter is
+    arbitrary), and ``sequence(0, size-k)`` runs DESCENDING when
+    ``size < k``, feeding slice() a zero start and failing the whole
+    stage."""
+    grams = F.transform(
         F.sequence(F.lit(0), F.size(toks) - k),
         lambda i: F.conv(
             F.substring(
@@ -711,6 +751,9 @@ def _gram_hashes(toks: Column, k: int) -> Column:
             16,
             10,
         ).cast("bigint"),
+    )
+    return F.when(F.size(toks) >= k, grams).otherwise(
+        F.array().cast("array<bigint>")
     )
 
 
@@ -830,11 +873,23 @@ def contaminated_docs(
     # gram count too — a raw window count would understate contamination
     # for repetitive docs (one benchmark gram repeated 10x would read as
     # ~11% contaminated instead of 100%)
+    # bind the gram array ONCE before exploding: deriving size() and
+    # explode() from the raw expression would place the size-Project
+    # AFTER the Generate, re-evaluating the whole hash array once per
+    # exploded row (~window-count× per doc — measured 25s vs 1.3s at
+    # sf0.1). Two chained selects keep it one evaluation: CollapseProject
+    # won't inline an expensive alias referenced twice.
+    # explode_OUTER, not explode: the optimizer infers a
+    # ``size(arr) > 0`` input filter for plain explode and inlines the
+    # WHOLE gram expression into the scan filter — hashing every
+    # window twice. outer generates a null row for empty arrays
+    # instead (no inferred filter), and the inner join on gh drops
+    # those rows anyway — identical output, half the hashing.
     distinct_grams = F.array_distinct(_gram_hashes(F.col("_t"), k))
-    grams = base.select(
+    grams = base.select("doc", distinct_grams.alias("_dg")).select(
         "doc",
-        F.size(distinct_grams).alias("_ntok_d"),
-        F.explode(distinct_grams).alias("gh"),
+        F.size("_dg").alias("_ntok_d"),
+        F.explode_outer("_dg").alias("gh"),
     )
     btoks = F.split(F.trim(F.col(bench_text)), "\\s+")
     bench_grams = (

@@ -1148,7 +1148,7 @@ def ngram_diversity(
     both shuffles on uniform keys; nothing all-pairs. All-integer
     output (1e6*distinct div total, 0 when a stratum has no grams).
     """
-    from unstructured_spark.operators.dedup import shingles
+    from unstructured_spark.operators.dedup import shingles_from_tokens
 
     c = F.coalesce(F.col(text), F.lit(""))
     toks = F.split(F.trim(c), "\\s+")
@@ -1158,8 +1158,19 @@ def ngram_diversity(
         .groupBy(strata)
         .agg(F.sum("_np").cast("bigint").alias("total_grams"))
     )
+    # stage the split as a bound column (the lambda in shingles would
+    # otherwise re-tokenize per element — no CSE across lambdas), and
+    # explode_OUTER so no inferred size>0 filter re-inlines the
+    # shingle expression below this projection; countDistinct ignores
+    # the null rows outer emits for empty arrays
     dis = (
-        df.select(F.col(strata), F.explode(shingles(c, n)).alias("_g"))
+        df.select(F.col(strata), toks.alias("_tk"))
+        .select(
+            F.col(strata),
+            F.explode_outer(shingles_from_tokens(F.col("_tk"), n)).alias(
+                "_g"
+            ),
+        )
         .groupBy(strata)
         .agg(F.countDistinct("_g").cast("bigint").alias("distinct_grams"))
     )
