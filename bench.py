@@ -87,6 +87,15 @@ def main() -> None:
     spark.range(0, 256, 1, 64).mapInPandas(_warm, "n long").count()
 
     iters = int(os.environ.get("BENCH_ITERS", "3"))
+    # BENCH_ONLY=q_a,q_b restricts the run to the named queries — the
+    # bench-gate workflow (SCALING.md: any commit touching an operator
+    # behind a top-10-slowest query re-benches that query and pastes
+    # before/after in the commit message) needs a targeted mode that
+    # doesn't pay the full 134-query sweep.
+    only = os.environ.get("BENCH_ONLY")
+    if only:
+        wanted = {q.strip() for q in only.split(",") if q.strip()}
+        all_q = {k: v for k, v in all_q.items() if k in wanted}
     timings: dict[str, float] = {}
     total = 0.0
     for name, fn in all_q.items():
@@ -112,7 +121,11 @@ def main() -> None:
         dt = statistics.median(samples)
         timings[name] = round(dt, 3)
         total += dt
-        print(f"# {name}: {dt:.3f}s median of {iters} ({n} rows)", file=sys.stderr)
+        # noop-sink queries return n=0 by construction — logging
+        # "(0 rows)" there would read as an empty result; label the
+        # sink instead and keep real counts only for collect queries
+        rows = f"{n} rows" if name in _COLLECT_FULL else "noop sink"
+        print(f"# {name}: {dt:.3f}s median of {iters} ({rows})", file=sys.stderr)
         # drop per-run DataFrame refs NOW: queries that localCheckpoint
         # (kmeans, dedup, bigram LM) leave checkpoint RDD blocks pinned
         # until Python GC releases the py4j handles — across 106×4 runs

@@ -170,23 +170,19 @@ def kmeans_clusters(
         .select("vec_id", "cluster_id")
         .localCheckpoint(eager=False)
     )
-    # cluster_size via one k-row collect + literal map, NOT a window: a
-    # window partitioned by cluster_id funnels the whole corpus into k
-    # sort tasks (12.5M rows/task at 100M vectors, k=8). The count
-    # aggregate is map-side partial with k shuffled rows (the same
-    # k-bounded driver fetch as the iteration updates), and the
-    # returned plan stays map-only over the checkpoint.
-    size_rows = final.groupBy("cluster_id").agg(F.count("*").alias("n")).collect()
-    # cast both arrays: literals type by magnitude (int under 2^31),
-    # which would make the output schema data-dependent
-    size_map = F.map_from_arrays(
-        F.array(*[F.lit(int(r["cluster_id"])) for r in size_rows]).cast(
-            "array<bigint>"
-        ),
-        F.array(*[F.lit(int(r["n"])) for r in size_rows]).cast("array<bigint>"),
+    # cluster_size via a broadcast join of the k-row count aggregate,
+    # NOT a window: a window partitioned by cluster_id funnels the
+    # whole corpus into k sort tasks (12.5M rows/task at 100M vectors,
+    # k=8). The aggregate is map-side partial with k shuffled rows,
+    # its broadcast build reads the SAME checkpoint as the main
+    # branch, and — unlike the earlier collect-into-literal-map form —
+    # it adds no extra driver action: the consumer's single action
+    # materializes the checkpoint once and both branches reuse it.
+    sizes = final.groupBy("cluster_id").agg(
+        F.count("*").cast("bigint").alias("cluster_size")
     )
-    return final.withColumn(
-        "cluster_size", F.element_at(size_map, F.col("cluster_id"))
+    return final.join(F.broadcast(sizes), "cluster_id").select(
+        "vec_id", "cluster_id", "cluster_size"
     )
 
 
@@ -199,6 +195,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     assignments: DataFrame | None = None,
+    pair_salt: int = 16,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
     at web-scale through semantic deduplication"): cluster embeddings
@@ -215,6 +212,20 @@ def semantic_dedup(
     the join; the join stage does only the dot product. Cosine is
     rounded to 6dp before the threshold compare (cross-engine-stable,
     same discipline as cosine_topk).
+
+    ``pair_salt`` flattens per-cluster serialization: with only k
+    distinct join keys a dominant cluster's |c|² dot products land on
+    ONE task (and AQE, seeing only the tiny map-side bytes — 3 longs +
+    one vector per row — coalesces the whole exchange to a single
+    partition; the r9 bench measured this as 6.8 s of a 7.9 s query).
+    The a-side carries ``a_id % S``; the b-side duplicates each row
+    across all S salts; the join keys on (cluster_id, salt), so each
+    (a, b) pair still meets exactly once but a cluster's pair space is
+    split S ways. Both sides are repartitioned by NUM on the join keys
+    — a user-specified exchange AQE will not re-coalesce. The b-side
+    row duplication costs S× shuffle volume on vectors; for the
+    CPU-bound pair sweep that trade is ~S× wall-clock (measured
+    7.9 s → 0.9 s at sf0.1, identical hash).
 
     Returns (vec_id, cluster_id, cluster_size, is_duplicate).
 
@@ -241,34 +252,39 @@ def semantic_dedup(
         F.col(vec_col).cast("array<double>").alias("v"),
     ).withColumn("nrm", l2_norm(F.col("v")))
     av = assign.select("vec_id", "cluster_id").join(vecs, "vec_id")
+    nparts = int(
+        corpus.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    salt = max(1, int(pair_salt))
     a = av.select(
         F.col("cluster_id"),
+        F.pmod(F.col("vec_id"), F.lit(salt)).cast("int").alias("_salt"),
         F.col("vec_id").alias("a_id"),
         F.col("v").alias("av"),
         F.col("nrm").alias("an"),
-    )
+    ).repartition(nparts, "cluster_id", "_salt")
     b = av.select(
         F.col("cluster_id"),
+        F.explode(F.sequence(F.lit(0), F.lit(salt - 1))).alias("_salt"),
         F.col("vec_id").alias("b_id"),
         F.col("v").alias("bv"),
         F.col("nrm").alias("bn"),
-    )
+    ).repartition(nparts, "cluster_id", "_salt")
     cos = F.round(dot(F.col("av"), F.col("bv")) / (F.col("an") * F.col("bn")), 6)
-    # LEFT SEMI, not inner + distinct: the question per vector is
-    # EXISTS(lower-id neighbor with cos >= t) — the semi join stops
-    # probing a vector at its FIRST qualifying match instead of
-    # materializing every qualifying pair and deduplicating them with
-    # an extra shuffle. On dup-heavy clusters (the SemDeDup target)
-    # that skips most of the dot products. Identical output.
+    # inner join + distinct, NOT a left-semi carrying the cosine
+    # predicate inside the join condition: a non-equi conjunct in the
+    # semi form evaluates the full zip_with dot product inside the
+    # SMJ's buffered inner loop and drops the pair stream out of
+    # whole-stage codegen. The equi-join + post-filter keeps the dot
+    # product in a codegen'd Filter over the joined stream; distinct()
+    # costs one extra shuffle on a frame already reduced to the (rare)
+    # dup ids.
     dups = (
-        b.join(
-            a,
-            on=(b["cluster_id"] == a["cluster_id"])
-            & (F.col("a_id") < F.col("b_id"))
-            & (cos >= F.lit(float(threshold))),
-            how="left_semi",
-        )
+        a.join(b, ["cluster_id", "_salt"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .where(cos >= F.lit(float(threshold)))
         .select(F.col("b_id").alias("vec_id"))
+        .distinct()
         .withColumn("is_duplicate", F.lit(True))
     )
     return (
