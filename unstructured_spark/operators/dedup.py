@@ -922,15 +922,26 @@ def remove_shared_spans(
     higher). Returns (doc_id, text, removed_tokens).
 
     Shape on top of ``shared_ngram_spans``: spans explode to a distinct
-    (doc, position) removal set; the corpus explodes to (doc, position,
-    token); a left-anti join drops removed positions and an ordered
-    per-doc aggregate rebuilds the text. Token-position volume equals
-    the tokenization volume the span finder already processes — no new
-    asymptotic cost, and every stage is keyed on uniform (doc, pos).
+    (doc, position) removal set; ONLY the affected documents (those
+    with at least one removed position — the dup set, tiny vs the
+    corpus) take the explode → anti-join → ordered-rebuild path. Clean
+    documents are rewritten map-only (``array_join(split(...))`` — the
+    same whitespace normalization the rebuild applies, byte-identical
+    output) and never enter a shuffle: the groupBy volume is
+    DUP-sized, not corpus-sized. The affected-id set is broadcast into
+    both the semi and anti probes (bounded by the span finder's
+    max_gram_freq-capped output; at 100 TB a pathological
+    everything-is-duplicated corpus would need the broadcast dropped —
+    the joins degrade to shuffles, not to wrong answers).
     """
     spans = shared_ngram_spans(
         df, text=text, doc_id=doc_id, k=k, max_gram_freq=max_gram_freq
     )
+    # checkpoint the removal set: it feeds THREE plan branches (the
+    # affected-id broadcast, the clean-path anti probe, the position
+    # anti-join) and each would otherwise re-run the span finder's
+    # self-join. The checkpoint is (doc, pos) longs for removed
+    # positions only — dup-sized, tiny next to the corpus.
     removal = (
         spans.select(
             F.col("doc_b").alias("doc"),
@@ -942,8 +953,13 @@ def remove_shared_spans(
             ).alias("pos"),
         )
         .distinct()
+        .localCheckpoint(eager=False)
     )
-    toks = df.select(
+    affected_ids = F.broadcast(removal.select("doc").distinct())
+    aff = df.join(
+        affected_ids, F.col(doc_id) == F.col("doc"), "left_semi"
+    )
+    toks = aff.select(
         F.col(doc_id).alias("doc"),
         F.posexplode(F.split(F.trim(F.col(text)), "\\s+")).alias("pos", "tok"),
     )
@@ -962,7 +978,7 @@ def remove_shared_spans(
             F.count("*").alias("_kept"),
         )
     )
-    return (
+    affected_out = (
         n_tokens.join(rebuilt, "doc", "left")
         .select(
             F.col("doc").alias(doc_id),
@@ -972,6 +988,20 @@ def remove_shared_spans(
             .alias("removed_tokens"),
         )
     )
+    # NULL-text docs vanish in the explode path (posexplode of a NULL
+    # array generates no row) — the map-only path must drop them too
+    clean_out = (
+        df.join(affected_ids, F.col(doc_id) == F.col("doc"), "left_anti")
+        .where(F.col(text).isNotNull())
+        .select(
+            F.col(doc_id),
+            F.array_join(F.split(F.trim(F.col(text)), "\\s+"), " ").alias(
+                "text"
+            ),
+            F.lit(0).cast("bigint").alias("removed_tokens"),
+        )
+    )
+    return clean_out.unionByName(affected_out)
 
 
 def _band_key_structs(num_hashes: int, bands: int):
