@@ -582,9 +582,12 @@ def bigram_cross_entropy(
         .unionByName(big_counts.select(F.col("w2").alias("t")))
         .agg(F.countDistinct("t").alias("_v"))
     )
+    # c1 (prefix occurrence count) = Σ_w2 c12: fold the TYPE table,
+    # not the occurrence stream — the corpus is never re-shuffled for
+    # the unigram side (sum of exact integer counts, identical value)
     uni_counts = (
-        bigrams.groupBy("w1")
-        .agg(F.count("*").alias("c1"))
+        big_counts.groupBy("w1")
+        .agg(F.sum("c12").cast("bigint").alias("c1"))
         .crossJoin(F.broadcast(vdf))
         .localCheckpoint(eager=False)
     )
@@ -610,21 +613,25 @@ def bigram_cross_entropy(
     ).localCheckpoint(eager=False)
     la = F.broadcast(lns.select(F.col("m").alias("_ma"), F.col("_ln").alias("_aln")))
     lb = F.broadcast(lns.select(F.col("m").alias("_mb"), F.col("_ln").alias("_bln")))
+    # attach the logs to the VOCAB-sized count tables, not the bigram
+    # stream: the stream is the big side (corpus tokens), the count
+    # tables are type-bounded — two broadcast probes over types beat
+    # two over occurrences, and the stream-side plan stays two joins
+    # wide instead of four
+    big_ln = big_counts.select(
+        "w1", "w2", (F.col("c12") + F.lit(1)).alias("_mb")
+    ).join(lb, "_mb")
+    uni_ln = uni_counts.select(
+        "w1", (F.col("c1") + F.col("_v")).alias("_ma")
+    ).join(la, "_ma")
     # quantize each -ln P to a 1e-6 grid BEFORE aggregation: long sums
     # are order-independent under distributed partials, where a double
     # sum's rounding depends on partition order (the repo-wide
     # fixed-order-fold discipline; oracle replays the same quantization).
     # HALF_UP on the scale grid: (D·1e6 + 2^30) div 2^31, all integer.
     scored = (
-        bigrams.join(big_counts, ["w1", "w2"])
-        .join(uni_counts, "w1")
-        .select(
-            "doc",
-            (F.col("c1") + F.col("_v")).alias("_ma"),
-            (F.col("c12") + F.lit(1)).alias("_mb"),
-        )
-        .join(la, "_ma")
-        .join(lb, "_mb")
+        bigrams.join(big_ln, ["w1", "w2"])
+        .join(uni_ln, "w1")
         .select(
             "doc",
             F.expr(
@@ -848,17 +855,22 @@ def perplexity_buckets(
     scored = ce.withColumn(
         "_q", F.round(F.col("cross_entropy") * 1e6).cast("long")
     ).localCheckpoint(eager=False)
-    n = scored.count()
     hist = scored.groupBy("_q").agg(F.count("*").alias("_cnt"))
     # distributed prefix sum over the histogram: -ln P >= 0 so _q >= 0
     # and block ids order exactly like the scores they contain
     blocks = hist.groupBy(F.expr("_q div 65536").alias("_blk")).agg(
         F.sum("_cnt").alias("_bn")
     )
+    # n (total docs) rides the same tiny blocks table as an
+    # unbounded-window sum instead of a separate scored.count() — one
+    # fewer corpus-scale driver action per call, identical value
     wb = Window.orderBy("_blk").rowsBetween(Window.unboundedPreceding, -1)
+    wall = Window.orderBy("_blk").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     offsets = blocks.withColumn(
         "_boff", F.coalesce(F.sum("_bn").over(wb), F.lit(0))
-    )
+    ).withColumn("_n", F.sum("_bn").over(wall))
     wd = (
         Window.partitionBy("_blk")
         .orderBy("_q")
@@ -866,7 +878,7 @@ def perplexity_buckets(
     )
     mapping = (
         hist.withColumn("_blk", F.expr("_q div 65536"))
-        .join(F.broadcast(offsets.select("_blk", "_boff")), "_blk")
+        .join(F.broadcast(offsets.select("_blk", "_boff", "_n")), "_blk")
         .withColumn(
             "_below",
             F.col("_boff") + F.coalesce(F.sum("_cnt").over(wd), F.lit(0)),
@@ -875,7 +887,7 @@ def perplexity_buckets(
             "_q",
             F.least(
                 F.lit(buckets).cast("bigint"),
-                F.expr(f"(_below * {int(buckets)}) div {int(n)}") + 1,
+                F.expr(f"(_below * {int(buckets)}) div _n") + 1,
             ).alias("bucket"),
         )
     )
