@@ -2991,43 +2991,13 @@ def q_percent_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Channel probes (round 9, temporary) — the r5-r8 chronic red rows
-# passed bit-for-bit locally yet hashed red on the driver box. Local
-# bisection found the cause: they were the ONLY 2 of 110 oracles whose
-# output schema contained a DuckDB HUGEINT column (sum(bigint) /
-# least(bigint, hugeint)), and HUGEINT crosses a pandas/arrow fetch as
-# float64/decimal128 ("15.0" vs Spark's "15") while .fetchall() (our
-# local sim) yields exact Python ints — invisible locally, red on the
-# wire. These four probes validate that diagnosis END-TO-END through
-# the driver's own channel: expected r9 pattern is control=green,
-# bigint_wire=green, hugeint_wire=RED, version green iff the driver's
-# DuckDB is v1.0.0 like local. Retire from the window in r10.
+# The round-9 channel probes (probe_wire_control / probe_duckdb_version /
+# probe_hugeint_wire / probe_bigint_wire) are RETIRED: the r9 external
+# window validated the HUGEINT-wire diagnosis end-to-end (control and
+# BIGINT-cast rows green, the deliberate HUGEINT emitter red), and
+# tests/test_oracle_wire_types.py permanently pins every oracle output
+# schema hugeint/decimal-free, so the bug class cannot re-enter.
 # ---------------------------------------------------------------------------
-
-
-def probe_wire_control(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Channel sanity: pure literals both sides; red here = broken channel."""
-    return spark.range(1, 4).select(
-        F.col("id").alias("k"), (F.col("id") * 7).alias("v")
-    )
-
-
-def probe_duckdb_version(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Green iff the driver box's DuckDB is v1.0.0 (the local version)."""
-    return spark.range(1).select(F.lit("v1.0.0").alias("duckdb_version"))
-
-
-def probe_hugeint_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXPECTED RED: the oracle side emits an uncast sum() — HUGEINT in
-    DuckDB — carrying the same value 15. If the wire narrows HUGEINT to
-    float64/decimal this hashes "15.0"/"Decimal('15')" against our "15"."""
-    return spark.range(1, 6).agg(F.sum("id").cast("long").alias("s"))
-
-
-def probe_bigint_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Control for probe_hugeint_wire: identical math, oracle casts the
-    sum to BIGINT. Green everywhere = the cast is the complete fix."""
-    return spark.range(1, 6).agg(F.sum("id").cast("long").alias("s"))
 
 
 # ---------------------------------------------------------------------------
@@ -3069,35 +3039,79 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # Registry order = driver correctness window (first 50 entries
-        # are hashed externally). Round 9 rotation: slots 1-2 are the
-        # two chronic reds whose root cause round 9 found and fixed
-        # (HUGEINT oracle output columns narrowing to float64/decimal
-        # on the driver's fetch wire — cast to BIGINT now); slots 3-6
-        # are one-round channel probes that validate that diagnosis
-        # through the driver itself (expected: control/bigint green,
-        # hugeint RED, version green iff driver DuckDB = v1.0.0);
-        # slots 7-27 execute the planned rotation (5 displaced r1-r4
-        # greens + the 16 r6-stale entries); 28-29 are this round's
-        # perf-changed queries; 30-50 refresh the oldest r7 greens.
-        # After r9 no registry entry's last external green is older
-        # than r7. Probes retire from the window in r10.
-        #
-        # r10 rotation plan: (1) retire the 4 probes to pytest-only
-        # (the wire-type guard test keeps the bug class dead); (2) the
-        # r9-new tail queries lead the window (q_token_budget,
-        # q_quality_cutoff, q_corpus_shuffle, q_ann_recall,
-        # q_datasheet, q_cluster_balance, q_zorder_key,
-        # q_length_quantiles, q_bloom_merge, q_bpe_fertility,
-        # q_cms_heavy_hitters, q_filter_attribution, plus q_dedup_paragraphs/
-        # q_interleave_sources/q_bloom_dedup_gate if not green in r9);
-        # (3) fill the rest with the oldest r8 greens.
+
+        # ------------------------------------------------------------
+        # EXTERNAL WINDOW (first 50 entries = the driver's correctness
+        # window). Round-10 rotation, per the r9 plan:
+        #   slots 1-20: the 20 r9-new queries that have never been in
+        #     an external window (first external green due this round);
+        #   slots 21-25: queries whose operators changed in r10
+        #     (semantic_dedup pair-salt + kmeans size-join,
+        #     remove_shared_spans affected-only rebuild, bigram-LM
+        #     type-table fold) — externally re-proving hash stability;
+        #   slots 26-33: eight r8-floor greens rotated forward;
+        #   slots 34-50: ALL 17 remaining r7-floor greens, so after
+        #     this round no registry entry's last external green is
+        #     older than r8.
+        # The four channel probes are RETIRED from the registry (the
+        # r9 window proved the HUGEINT-wire diagnosis end-to-end;
+        # tests/test_oracle_wire_types.py pins the bug class dead).
+        # ------------------------------------------------------------
+        "q_dedup_paragraphs": q_dedup_paragraphs,
+        "q_unigram_entropy": q_unigram_entropy,
+        "q_interleave_sources": q_interleave_sources,
+        "q_bloom_dedup_gate": q_bloom_dedup_gate,
+        "q_token_budget": q_token_budget,
+        "q_quality_cutoff": q_quality_cutoff,
+        "q_corpus_shuffle": q_corpus_shuffle,
+        "q_ann_recall": q_ann_recall,
+        "q_datasheet": q_datasheet,
+        "q_cluster_balance": q_cluster_balance,
+        "q_zorder_key": q_zorder_key,
+        "q_length_quantiles": q_length_quantiles,
+        "q_quality_quantiles": q_quality_quantiles,
+        "q_ngram_diversity": q_ngram_diversity,
+        "q_bloom_merge": q_bloom_merge,
+        "q_bpe_fertility": q_bpe_fertility,
+        "q_cms_heavy_hitters": q_cms_heavy_hitters,
+        "q_filter_attribution": q_filter_attribution,
+        "q_curriculum_order": q_curriculum_order,
+        "q_corpus_diff": q_corpus_diff,
+        # --- slots 21-25: changed in r10 ---
         "q_perplexity_buckets": q_perplexity_buckets,
+        "q_remove_shared_spans": q_remove_shared_spans,
+        "q_semantic_dedup": q_semantic_dedup,
+        "q_kmeans_clusters": q_kmeans_clusters,
+        "q_bigram_cross_entropy": q_bigram_cross_entropy,
+        # --- slots 26-33: r8-floor rotation ---
+        "q_partition_elements": q_partition_elements,
+        "q_chunk_by_title": q_chunk_by_title,
+        "q_layout_merge": q_layout_merge,
+        "q_table_eval": q_table_eval,
+        "q_form_kv_pairs": q_form_kv_pairs,
+        "q_asof_join": q_asof_join,
+        "q_doc_stats": q_doc_stats,
+        "q_exact_dups": q_exact_dups,
+        # --- slots 34-50: the complete r7-floor cohort ---
+        "q04_order_priority_check": q04_order_priority_check,
+        "q_bm25_search": q_bm25_search,
+        "q_form_kv_text": q_form_kv_text,
+        "q_funnel": q_funnel,
+        "q_funnel_summary": q_funnel_summary,
+        "q_gopher_quality": q_gopher_quality,
+        "q_hybrid_rrf": q_hybrid_rrf,
+        "q_image_dhash_pairs": q_image_dhash_pairs,
+        "q_leakage_split": q_leakage_split,
+        "q_ngram_repetition": q_ngram_repetition,
+        "q_overlap_audit": q_overlap_audit,
+        "q_pack_sequences": q_pack_sequences,
+        "q_readability": q_readability,
+        "q_srp_ann_topk": q_srp_ann_topk,
+        "q_stratified_sample": q_stratified_sample,
+        "q_temperature_mix": q_temperature_mix,
+        "q_token_kl_drift": q_token_kl_drift,
+        # --- tail: below the 50-slot external window ---
         "q_nb_classify": q_nb_classify,
-        "probe_wire_control": probe_wire_control,
-        "probe_duckdb_version": probe_duckdb_version,
-        "probe_hugeint_wire": probe_hugeint_wire,
-        "probe_bigint_wire": probe_bigint_wire,
         "q_range_join": q_range_join,
         "q_od_map": q_od_map,
         "q12_late_lines": q12_late_lines,
@@ -3137,21 +3151,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_excess_stock_suppliers": q20_excess_stock_suppliers,
         "q_dup_clusters": q_dup_clusters,
         "q_drop_near_duplicates": q_drop_near_duplicates,
-        "q_remove_shared_spans": q_remove_shared_spans,
         "q_contaminated_docs": q_contaminated_docs,
         "q_pii_stats": q_pii_stats,
         "q_redacted_docs": q_redacted_docs,
         "q_dsir_importance": q_dsir_importance,
-        # --- tail: below the 50-slot external window ---
-        "q_bigram_cross_entropy": q_bigram_cross_entropy,
-        "q_partition_elements": q_partition_elements,
-        "q_chunk_by_title": q_chunk_by_title,
-        "q_table_eval": q_table_eval,
-        "q_layout_merge": q_layout_merge,
         "q_remove_boilerplate": q_remove_boilerplate,
-        "q_kmeans_clusters": q_kmeans_clusters,
-        "q_semantic_dedup": q_semantic_dedup,
-        "q_form_kv_pairs": q_form_kv_pairs,
         "q_bpe_top_pairs": q_bpe_top_pairs,
         "q_vocab_coverage": q_vocab_coverage,
         "q_token_shards": q_token_shards,
@@ -3167,13 +3171,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_sessionize": q_events_sessionize,
         "q_events_json": q_events_json,
         "q_events_moving_avg": q_events_moving_avg,
-        "q_doc_stats": q_doc_stats,
         "q_winnow_fingerprints": q_winnow_fingerprints,
         "q_simhash_pairs": q_simhash_pairs,
         "q_doc_quantiles": q_doc_quantiles,
         "q_element_type_match": q_element_type_match,
         "q_token_freq": q_token_freq,
-        "q_exact_dups": q_exact_dups,
         "q_minhash_signatures": q_minhash_signatures,
         "q_lsh_candidate_pairs": q_lsh_candidate_pairs,
         "q_ngram_jaccard_dups": q_ngram_jaccard_dups,
@@ -3189,46 +3191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_eval_summary": q_eval_summary,
         "q_percent_missing": q_percent_missing,
         "q_hash_embeddings": q_hash_embeddings,
-        "q_asof_join": q_asof_join,
-        "q_leakage_split": q_leakage_split,
-        "q_stratified_sample": q_stratified_sample,
-        "q_temperature_mix": q_temperature_mix,
-        "q_pack_sequences": q_pack_sequences,
-        "q_bm25_search": q_bm25_search,
-        "q_readability": q_readability,
-        "q_overlap_audit": q_overlap_audit,
-        "q_funnel": q_funnel,
-        "q_funnel_summary": q_funnel_summary,
-        "q_token_kl_drift": q_token_kl_drift,
-        "q_hybrid_rrf": q_hybrid_rrf,
-        "q_image_dhash_pairs": q_image_dhash_pairs,
-        "q_form_kv_text": q_form_kv_text,
-        "q_srp_ann_topk": q_srp_ann_topk,
-        "q_gopher_quality": q_gopher_quality,
-        "q_ngram_repetition": q_ngram_repetition,
-        "q04_order_priority_check": q04_order_priority_check,
-        # --- new in r9 (tail this round; lead the r10 window when the
-        # channel probes retire) ---
-        "q_dedup_paragraphs": q_dedup_paragraphs,
-        "q_unigram_entropy": q_unigram_entropy,
-        "q_interleave_sources": q_interleave_sources,
-        "q_bloom_dedup_gate": q_bloom_dedup_gate,
-        "q_token_budget": q_token_budget,
-        "q_quality_cutoff": q_quality_cutoff,
-        "q_corpus_shuffle": q_corpus_shuffle,
-        "q_ann_recall": q_ann_recall,
-        "q_datasheet": q_datasheet,
-        "q_cluster_balance": q_cluster_balance,
-        "q_zorder_key": q_zorder_key,
-        "q_length_quantiles": q_length_quantiles,
-        "q_quality_quantiles": q_quality_quantiles,
-        "q_ngram_diversity": q_ngram_diversity,
-        "q_bloom_merge": q_bloom_merge,
-        "q_bpe_fertility": q_bpe_fertility,
-        "q_cms_heavy_hitters": q_cms_heavy_hitters,
-        "q_filter_attribution": q_filter_attribution,
-        "q_curriculum_order": q_curriculum_order,
-        "q_corpus_diff": q_corpus_diff,
+
     }
 
 
@@ -3743,21 +3706,6 @@ def oracle_sql() -> dict[str, str]:
                    and sk.b = cast(('0x' || substr(md5('cms' || g.r || ':'
                                    || t.token), 1, 15)) as bigint) % 1024
             group by t.token, t.n
-        """,
-        # --- r9 channel probes (see probe_* docstrings) ---
-        "probe_wire_control": """
-            select r as k, r * 7 as v from range(1, 4) t(r)
-        """,
-        "probe_duckdb_version": """
-            select version() as duckdb_version
-        """,
-        # deliberately UNCAST sum() -> HUGEINT: expected red on a
-        # pandas/arrow fetch wire, green on .fetchall()
-        "probe_hugeint_wire": """
-            select sum(r) as s from range(1, 6) t(r)
-        """,
-        "probe_bigint_wire": """
-            select cast(sum(r) as bigint) as s from range(1, 6) t(r)
         """,
         "q_dedup_paragraphs": """
             with t as (

@@ -10,9 +10,11 @@ exactly the two chronically-red queries.
 Every integer aggregate in an oracle's final SELECT must be cast to
 BIGINT. This test limit-0-executes every oracle and asserts the arrow
 schema is free of decimal/hugeint columns, so the class of bug cannot
-re-enter the registry. (``probe_hugeint_wire`` is the one deliberate
-exception: it exists to validate the diagnosis through the external
-channel itself.)
+re-enter the registry. (The round-9 registry carried four live channel
+probes to validate the diagnosis through the external driver; the r9
+window confirmed it — control and BIGINT-cast rows green, the
+deliberate HUGEINT emitter red — so the probes are retired and the
+HUGEINT behavior is pinned here, pytest-only.)
 """
 
 from __future__ import annotations
@@ -22,9 +24,6 @@ import pytest
 
 import __spark_entry__ as entry_mod
 from tests.conftest import SF_DIR
-
-# The one intentional HUGEINT emitter (r9 channel probe).
-ALLOWED_HUGEINT = {"probe_hugeint_wire"}
 
 
 @pytest.fixture(scope="module")
@@ -51,8 +50,6 @@ _WIRE_SAFE = re.compile(
 def test_oracle_outputs_wire_safe(duck):
     offenders = []
     for name, sql in entry_mod.oracle_sql().items():
-        if name in ALLOWED_HUGEINT:
-            continue
         schema = duck.execute(
             f"select * from ({sql}) limit 0"
         ).fetch_arrow_table().schema
@@ -67,11 +64,12 @@ def test_oracle_outputs_wire_safe(duck):
     )
 
 
-def test_probe_hugeint_is_still_hugeint(duck):
-    """The diagnostic probe must keep emitting HUGEINT or it stops
-    probing anything."""
-    sql = entry_mod.oracle_sql()["probe_hugeint_wire"]
+def test_uncast_sum_is_still_hugeint(duck):
+    """The retired r9 channel probe, pinned pytest-only: an uncast
+    DuckDB ``sum(bigint)`` must still come back HUGEINT (arrow
+    decimal128). If a DuckDB upgrade ever changes that, the wire-safe
+    discipline above is re-auditable rather than silently moot."""
     schema = duck.execute(
-        f"select * from ({sql}) limit 0"
+        "select * from (select sum(r) as s from range(1, 6) t(r)) limit 0"
     ).fetch_arrow_table().schema
     assert "decimal" in str(schema.field("s").type)
