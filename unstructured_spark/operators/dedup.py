@@ -1587,7 +1587,22 @@ def dedup_paragraphs(
     Blank/whitespace-only paragraphs keep document structure: they are
     exempt from dedup (all occurrences survive), mirroring the blank
     exemption of the boilerplate pass.
+
+    ``sep`` is a LITERAL string, not a regex (contract since round 9:
+    the reassembly rejoins with the literal separator, so the split
+    must match it byte-for-byte). A regex separator like ``'\\n{2,}'``
+    matches nothing — pre-normalize variable-width separators to a
+    canonical literal first if you need that.
     """
+    if any(ch in sep for ch in "{}[]()*+?^$") and len(sep) > 1:
+        import warnings
+
+        warnings.warn(
+            "dedup_paragraphs treats sep as a LITERAL separator "
+            f"(got {sep!r}); regex patterns match nothing — "
+            "pre-normalize the text to a literal separator instead",
+            stacklevel=2,
+        )
     # F.split takes a Java REGEX but array_join rebuilds with the
     # LITERAL separator — quote the separator (Pattern.quote \Q..\E)
     # so a metachar sep ('|', '.') splits exactly where it rejoins

@@ -265,8 +265,14 @@ def _hadoop_fs(spark: SparkSession, path: str):
     wrong everywhere except local runs."""
     jvm = spark.sparkContext._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = jpath.getFileSystem(
-        spark.sparkContext._jsc.hadoopConfiguration()
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    # FileSystem.newInstance, NOT Path.getFileSystem: getFileSystem
+    # returns the JVM-wide CACHED FileSystem, so the checksum toggles
+    # below would leak to every other driver-side user of that scheme
+    # (parquet commits, checkpoint writes) for the rest of the session.
+    # An uncached instance scopes the toggle to manifest IO only.
+    fs = jvm.org.apache.hadoop.fs.FileSystem.newInstance(
+        jpath.toUri(), conf
     )
     # the manifest is a small HUMAN-EDITABLE json whose integrity
     # check is validate_dataset itself — Hadoop's client-side .crc
@@ -282,23 +288,30 @@ def _hadoop_fs(spark: SparkSession, path: str):
 
 def _fs_write_text(spark: SparkSession, path: str, data: str) -> None:
     fs, jpath = _hadoop_fs(spark, path)
-    out = fs.create(jpath, True)
     try:
-        out.write(bytearray(data.encode("utf-8")))
+        out = fs.create(jpath, True)
+        try:
+            out.write(bytearray(data.encode("utf-8")))
+        finally:
+            out.close()
     finally:
-        out.close()
+        # safe: _hadoop_fs hands out UNCACHED instances
+        fs.close()
 
 
 def _fs_read_text(spark: SparkSession, path: str) -> str:
     fs, jpath = _hadoop_fs(spark, path)
     jvm = spark.sparkContext._jvm
-    stream = fs.open(jpath)
     try:
-        sink = jvm.java.io.ByteArrayOutputStream()
-        jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, sink, 8192, False)
-        return bytes(sink.toByteArray()).decode("utf-8")
+        stream = fs.open(jpath)
+        try:
+            sink = jvm.java.io.ByteArrayOutputStream()
+            jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, sink, 8192, False)
+            return bytes(sink.toByteArray()).decode("utf-8")
+        finally:
+            stream.close()
     finally:
-        stream.close()
+        fs.close()
 
 
 def write_dataset_manifest(

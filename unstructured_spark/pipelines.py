@@ -400,8 +400,14 @@ def filter_attribution(
         gopher_stats_exprs,
     )
 
+    # coalesce NULL text before fingerprinting and PII counting (same
+    # discipline as corpus_diff): without it every NULL-text doc lands
+    # in one shared NULL-fp partition and reads as an exact dup of all
+    # the others, and pii_total goes NEGATIVE via size(NULL) = -1
+    # under the legacy sizeOfNull default
+    safe_text = F.coalesce(F.col(text), F.lit(""))
     fp = F.md5(
-        F.lower(F.trim(F.regexp_replace(F.col(text), "\\s+", " ")))
+        F.lower(F.trim(F.regexp_replace(safe_text, "\\s+", " ")))
     )
     staged = df.select(
         F.col(doc_id).alias("doc_id"),
@@ -409,7 +415,7 @@ def filter_attribution(
         c4_doc_keep_expr(text, min_sentences=c4_min_sentences).alias(
             "c4_keep"
         ),
-        pii_total_expr(F.col(text)).alias("pii_total"),
+        pii_total_expr(safe_text).alias("pii_total"),
         fp.alias("_fp"),
     ).withColumn("gopher_keep", gopher_keep_expr(**(gopher_kwargs or {})))
     flagged = staged.withColumn(

@@ -136,11 +136,21 @@ def stream_to_token_shards(
         )
         offset = int(prev or 0)
     except AnalysisException as e:
-        # ONLY an absent sink means "start from zero". A transient
-        # read error (throttle, eventual consistency) must propagate —
-        # silently resetting the offset would re-issue shard_ids that
-        # collide with already-full shards.
-        if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+        # ONLY "no prior sink data" means "start from zero": an absent
+        # path, or a path that exists but holds no files yet (infra
+        # pre-creates the dir, or an aborted first run left it empty —
+        # Spark then raises UNABLE_TO_INFER_SCHEMA instead of
+        # PATH_NOT_FOUND). A transient read error (throttle, eventual
+        # consistency) must still propagate — silently resetting the
+        # offset would re-issue shard_ids that collide with
+        # already-full shards.
+        cold_start_markers = (
+            "PATH_NOT_FOUND",
+            "Path does not exist",
+            "UNABLE_TO_INFER_SCHEMA",
+            "Unable to infer schema",
+        )
+        if not any(mk in str(e) for mk in cold_start_markers):
             raise
         offset = 0
     state = {"offset": offset}
