@@ -1033,7 +1033,11 @@ def corpus_datasheet(
     be cheaper but breaks replay determinism; at 100 TB swap in a
     datasketches rollup consciously, not silently).
     """
-    d = with_quality_q(df, text=text)
+    # private output name: the input may already carry a caller-level
+    # quality_q column (e.g. a released shard tree written by
+    # pipelines.release_corpus) — appending a second would make every
+    # reference ambiguous
+    d = with_quality_q(df, text=text, out="_ds_quality_q")
     ntok = ntok_expr(text)
     keys = [F.col(c) for c in strata]
     return (
@@ -1044,7 +1048,7 @@ def corpus_datasheet(
                 "_c"
             ),
             fingerprint(F.coalesce(F.col(text), F.lit(""))).alias("_fp"),
-            F.col("quality_q").alias("_q"),
+            F.col("_ds_quality_q").alias("_q"),
         )
         .groupBy(*strata)
         .agg(

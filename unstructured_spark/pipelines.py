@@ -436,3 +436,172 @@ def filter_attribution(
         .otherwise(F.lit("keep"))
         .alias("verdict"),
     )
+
+
+def release_corpus(
+    df: DataFrame,
+    out_dir: str,
+    *,
+    token_budget: int,
+    strata: str = "source",
+    prev: DataFrame | None = None,
+    bands: int = 4,
+    tokens_per_shard: int = 50_000,
+    zorder_cols: tuple[str, ...] = ("ntok", "quality_q"),
+    pii_max: int = 0,
+    c4_min_sentences: int = 5,
+    gopher_kwargs: dict | None = None,
+    text: str = "text",
+    doc_id: str = "doc_id",
+) -> dict:
+    """The full dataset-release governance chain as ONE pipeline run —
+    the composition of every individually-oracled release operator,
+    in the order a corpus version actually ships:
+
+    1. **filter attribution** (:func:`filter_attribution`): per-doc
+       verdict under every hygiene gate; the WHY table is persisted
+       with the release (``_attribution.parquet``) and only
+       ``verdict = 'keep'`` rows continue;
+    2. **token-budget selection** (``select_token_budget``): within
+       each stratum spend at most ``token_budget`` tokens on the
+       best documents by the integer quality key;
+    3. **curriculum order** (``curriculum_order``): quality-banded
+       annealing order (general data first, best band last), emitted
+       as a ``curriculum_rank`` column the loader sorts by;
+    4. **token-balanced shards in curriculum order**
+       (``assign_token_shards`` keyed on the rank): shard_id grows
+       with training order, so streaming shards 0,1,2,… replays the
+       curriculum;
+    5. **Z-ordered shard write**: within each shard file, rows sort
+       by the Morton key over ``zorder_cols`` so parquet min/max
+       stats prune analytic scans on any interleaved dimension;
+    6. **manifest + validation** (``write_dataset_manifest`` /
+       ``validate_dataset``): the consistency contract a training job
+       checks before burning GPU-hours;
+    7. **datasheet** (``corpus_datasheet``) over the released rows,
+       persisted as ``_datasheet.parquet``; and, when ``prev`` is
+       given, the **snapshot diff** (``corpus_diff_summary``)
+       against the previous release (``_diff.parquet``).
+
+    Returns a summary dict (verdict counts, released docs/tokens,
+    shard count, manifest totals, validation result).
+
+    Scale shape: every stage is one of the audited operators — no new
+    shuffles beyond their documented ones; the only driver-side state
+    is the manifest/validation collects (shard-count-bounded) and the
+    summary aggregates (strata-bounded).
+    """
+    from unstructured_spark.operators.sampling import (
+        assign_token_shards,
+        curriculum_order,
+        select_token_budget,
+    )
+    from unstructured_spark.operators.storage import (
+        validate_dataset,
+        with_zorder_key,
+        write_dataset_manifest,
+    )
+    from unstructured_spark.operators.text_analysis import (
+        corpus_datasheet,
+        ntok_expr,
+        with_quality_q,
+    )
+
+    spark = df.sparkSession
+    base = out_dir.rstrip("/")
+
+    # 1. attribution — write the WHY table, then re-read it so the
+    # keep-gate probe reads the persisted copy instead of re-running
+    # every gate expression a second time
+    filter_attribution(
+        df,
+        text=text,
+        doc_id=doc_id,
+        pii_max=pii_max,
+        c4_min_sentences=c4_min_sentences,
+        gopher_kwargs=gopher_kwargs,
+    ).write.mode("overwrite").parquet(f"{base}/_attribution.parquet")
+    attrib = spark.read.parquet(f"{base}/_attribution.parquet")
+    verdicts = {
+        r["verdict"]: int(r["n"])
+        for r in attrib.groupBy("verdict").agg(F.count("*").alias("n")).collect()
+    }
+    kept = df.join(
+        attrib.filter(F.col("verdict") == "keep").select(
+            F.col("doc_id").alias(doc_id)
+        ),
+        doc_id,
+        "left_semi",
+    )
+
+    # 2. integer quality key + token counts, then the budget fill
+    kq = with_quality_q(kept, text=text).withColumn(
+        "ntok", ntok_expr(text).cast("bigint")
+    )
+    sel = select_token_budget(
+        kq,
+        int(token_budget),
+        strata=strata,
+        order_col="quality_q",
+        token_col="ntok",
+        doc_id=doc_id,
+    )
+
+    # 3. annealing bands over the quality grid (quality_q in
+    # [0, 3e6]): band 0 = most-general data trains first, the top
+    # band last; curriculum_rank is the loader's ORDER BY
+    banded = sel.withColumn(
+        "band",
+        F.least(
+            F.lit(int(bands) - 1).cast("bigint"),
+            F.expr(f"(quality_q * {int(bands)}) div 3000001"),
+        ),
+    )
+    ordered = curriculum_order(banded, "band", doc_id=doc_id)
+
+    # 4. token-balanced shards keyed on the curriculum rank: shard_id
+    # is monotone in training order. The rank is already a dense
+    # global BIGINT, so it serves as the shard assigner's id column.
+    shards = assign_token_shards(
+        ordered.select("curriculum_rank", text),
+        int(tokens_per_shard),
+        text=text,
+        doc_id="curriculum_rank",
+    ).select("curriculum_rank", "shard_id")
+    released = ordered.join(shards, "curriculum_rank")
+
+    # 5. Z-ordered write: partition by shard (file = training unit),
+    # sort rows inside each shard file by the Morton key
+    (
+        with_zorder_key(released, list(zorder_cols), out="_zkey")
+        .repartition(F.col("shard_id"))
+        .sortWithinPartitions("shard_id", "_zkey")
+        .drop("_zkey")
+        .write.mode("overwrite")
+        .partitionBy("shard_id")
+        .parquet(f"{base}/shards")
+    )
+
+    # 6. manifest + read-back validation over the written tree
+    manifest = write_dataset_manifest(spark, f"{base}/shards", text=text)
+    check = validate_dataset(spark, f"{base}/shards", text=text)
+
+    # 7. datasheet over the RELEASED rows (+ optional snapshot diff)
+    released_disk = spark.read.parquet(f"{base}/shards")
+    corpus_datasheet(released_disk, strata=(strata,), text=text).write.mode(
+        "overwrite"
+    ).parquet(f"{base}/_datasheet.parquet")
+    if prev is not None:
+        from unstructured_spark.operators.storage import corpus_diff_summary
+
+        corpus_diff_summary(prev, released_disk).write.mode(
+            "overwrite"
+        ).parquet(f"{base}/_diff.parquet")
+
+    return {
+        "verdicts": verdicts,
+        "released_docs": int(manifest["total_rows"]),
+        "released_tokens": int(manifest["total_tokens"]),
+        "shards": len(manifest["shards"]),
+        "validation_ok": bool(check["ok"]),
+    }
