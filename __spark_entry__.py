@@ -2990,6 +2990,66 @@ def q_percent_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return metrics.percent_missing_text(out, src)
 
 
+def q_dedup_within_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document paragraph dedup (Dolma/Gopher repetition REMOVAL,
+    within-doc scope; new in r10): over the deterministic
+    paragraph-structured corpus view (15-token groups joined by blank
+    lines) with each multi-paragraph doc's FIRST paragraph re-appended
+    at its end (so every such doc carries exactly one within-doc
+    repeat), drop repeats of earlier paragraphs inside each document
+    and reassemble. ZERO-shuffle plan: one projection of higher-order
+    array expressions (operators/dedup.py dedup_within_doc)."""
+    docs = _t(spark, sf_dir, "documents")
+    pdocs = docs.select(
+        "doc_id",
+        F.filter(
+            F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), "\\s+"),
+            lambda x: x != F.lit(""),
+        ).alias("_t"),
+    ).select(
+        "doc_id",
+        F.expr(
+            "case when size(_t) = 0 then '' else array_join(transform("
+            "sequence(0, (size(_t) + 14) div 15 - 1), "
+            "i -> concat_ws(' ', slice(_t, i * 15 + 1, 15))), '\\n\\n') end"
+        ).alias("_pt"),
+        F.expr("concat_ws(' ', slice(_t, 1, 15))").alias("_p1"),
+        F.size("_t").alias("_nt"),
+    ).select(
+        "doc_id",
+        F.expr(
+            "case when _nt > 15 then concat(_pt, '\\n\\n', _p1) "
+            "else _pt end"
+        ).alias("text"),
+    )
+    return dedup.dedup_within_doc(pdocs)
+
+
+def q_mixture_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linearized DoReMi domain reweighting (new in r10): score every
+    document with the corpus bigram-LM cross-entropy (integer 1e-6
+    grid), then per SOURCE compute the token share, the mean score's
+    excess over the corpus mean, and the renormalized up/down-weighted
+    mixture — one exponentiated-gradient step, all-integer
+    (operators/sampling.py mixture_reweight). The oracle replays the
+    full LM scoring plus the ppm weight chain."""
+    from unstructured_spark.operators.sampling import mixture_reweight
+
+    docs = _t(spark, sf_dir, "documents")
+    ce = text_analysis.bigram_cross_entropy(docs)
+    scored = ce.join(docs.select("doc_id", "source"), "doc_id").select(
+        "source",
+        F.round(F.col("cross_entropy") * 1e6).cast("long").alias("score_q"),
+        "n_bigrams",
+    )
+    return mixture_reweight(
+        scored,
+        score_col="score_q",
+        token_col="n_bigrams",
+        strata_col="source",
+    )
+
+
 # ---------------------------------------------------------------------------
 # The round-9 channel probes (probe_wire_control / probe_duckdb_version /
 # probe_hugeint_wire / probe_bigint_wire) are RETIRED: the r9 external
@@ -3191,7 +3251,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_eval_summary": q_eval_summary,
         "q_percent_missing": q_percent_missing,
         "q_hash_embeddings": q_hash_embeddings,
-
+        # --- new in r10 (tail this round; lead the r11 window) ---
+        "q_dedup_within_doc": q_dedup_within_doc,
+        "q_mixture_reweight": q_mixture_reweight,
     }
 
 
@@ -3706,6 +3768,120 @@ def oracle_sql() -> dict[str, str]:
                    and sk.b = cast(('0x' || substr(md5('cms' || g.r || ':'
                                    || t.token), 1, 15)) as bigint) % 1024
             group by t.token, t.n
+        """,
+                "q_dedup_within_doc": """
+            with t as (
+              select doc_id,
+                     list_filter(string_split(trim(coalesce(text, '')), ' '),
+                                 x -> x != '') as w
+              from documents
+            ), pd0 as (
+              select doc_id, w,
+                     case when len(w) = 0 then '' else
+                       array_to_string(list_transform(
+                         range(0, (len(w) + 14) // 15),
+                         i -> array_to_string(w[i * 15 + 1 : i * 15 + 15], ' ')),
+                         chr(10) || chr(10)) end as pt
+              from t
+            ), pd as (
+              select doc_id,
+                     case when len(w) > 15 then
+                       pt || chr(10) || chr(10)
+                          || array_to_string(w[1:15], ' ')
+                     else pt end as text
+              from pd0
+            ), paras as (
+              select doc_id, i as pos, ps[i] as para,
+                     md5(lower(trim(regexp_replace(ps[i], '\\s+', ' ', 'g'))))
+                       as fp,
+                     trim(regexp_replace(ps[i], '\\s+', ' ', 'g')) != ''
+                       as nonblank
+              from (select doc_id,
+                           string_split(text, chr(10) || chr(10)) as ps
+                    from pd) x,
+                   unnest(range(1, len(ps) + 1)) as u(i)
+            ), ranked as (
+              select *, case when nonblank then
+                       row_number() over (partition by doc_id, fp
+                                          order by pos)
+                     else 1 end as rn
+              from paras
+            ), kept as (
+              select * from ranked where rn = 1
+            ), rebuilt as (
+              select doc_id,
+                     string_agg(para, chr(10) || chr(10) order by pos)
+                       as clean,
+                     count(*) as nkept
+              from kept group by doc_id
+            ), counts as (
+              select doc_id, count(*) as nparas from paras group by doc_id
+            )
+            select c.doc_id,
+                   coalesce(r.clean, '') as text,
+                   cast(c.nparas - coalesce(r.nkept, 0) as bigint)
+                     as removed_paragraphs
+            from counts c left join rebuilt r using (doc_id)
+        """,
+        "q_mixture_reweight": f"""
+            with t as (
+              select doc_id,
+                     list_filter(string_split(trim(text), ' '), x -> x != '') as w
+              from documents
+            ), tb as (
+              select doc_id, w from t where len(w) >= 2
+            ), b as (
+              select doc_id, w[i] as w1, w[i + 1] as w2
+              from tb, unnest(range(1, len(w))) as u(i)
+            ), bc as (
+              select w1, w2, count(*) as c12 from b group by w1, w2
+            ), uc as (
+              select w1, count(*) as c1 from b group by w1
+            ), vocab as (
+              select count(distinct t) as v from (
+                select w1 as t from b union select w2 as t from b)
+            ){_NLL_FX_CTE}, perdoc as (
+              select doc_id,
+                     (2 * sum(nlq) + count(*)) // (2 * count(*)) as score_q,
+                     count(*) as nb
+              from nll group by doc_id
+            ), dom as (
+              select d.source as strata,
+                     count(*) as docs,
+                     sum(p.nb) as tokens,
+                     sum(p.score_q) as ssum
+              from perdoc p join documents d using (doc_id)
+              group by d.source
+            ), tot as (
+              select sum(docs) as gdocs, sum(ssum) as gsum,
+                     sum(tokens) as gtok
+              from dom
+            ), enriched as (
+              select strata, docs, tokens,
+                     (2 * ssum + docs) // (2 * docs) as mean_score_q,
+                     (2 * gsum + gdocs) // (2 * gdocs) as gmean,
+                     (tokens * 1000000) // gtok as base_ppm
+              from dom cross join tot
+            ), mult as (
+              select *,
+                     greatest(0, 1000000 - 1000000 +
+                       (((mean_score_q * 1000000) // greatest(gmean, 1))
+                        * 1000000) // 1000000) as mult_ppm
+              from enriched
+            ), raws as (
+              select *, base_ppm * mult_ppm as raw,
+                     sum(base_ppm * mult_ppm) over () as rawsum
+              from mult
+            )
+            select strata as source,
+                   cast(docs as bigint) as docs,
+                   cast(tokens as bigint) as tokens,
+                   cast(mean_score_q as bigint) as mean_score_q,
+                   cast(base_ppm as bigint) as base_ppm,
+                   cast(mult_ppm as bigint) as mult_ppm,
+                   cast((raw * 1000000) // greatest(rawsum, 1) as bigint)
+                     as weight_ppm
+            from raws
         """,
         "q_dedup_paragraphs": """
             with t as (

@@ -890,3 +890,54 @@ class TestBloomDedupGate:
             ).collect()
         }
         assert again == merged
+
+
+class TestDedupWithinDoc:
+    def test_repeat_inside_doc_dropped_cross_doc_kept(self, spark):
+        from unstructured_spark.operators.dedup import dedup_within_doc
+
+        quote = "To be or not to be"
+        rows = [
+            (1, f"Intro.\n\n{quote}\n\nMiddle.\n\n{quote}"),
+            (2, f"{quote}\n\nFresh."),  # cross-doc repeat: untouched
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r for r in dedup_within_doc(docs).collect()}
+        assert out[1]["text"] == f"Intro.\n\n{quote}\n\nMiddle."
+        assert out[1]["removed_paragraphs"] == 1
+        # within-doc scope only — doc 2 keeps its copy
+        assert out[2]["text"] == rows[1][1]
+        assert out[2]["removed_paragraphs"] == 0
+
+    def test_normalized_compare_and_blank_exempt(self, spark):
+        from unstructured_spark.operators.dedup import dedup_within_doc
+
+        rows = [(1, "Same   PARA\n\n \n\nsame para\n\n \n\nother")]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        [r] = dedup_within_doc(docs).collect()
+        # normalized repeat dropped; BOTH blank paragraphs survive
+        assert r["text"] == "Same   PARA\n\n \n\n \n\nother"
+        assert r["removed_paragraphs"] == 1
+
+    def test_null_and_empty_text(self, spark):
+        from unstructured_spark.operators.dedup import dedup_within_doc
+
+        rows = [(1, None), (2, "")]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r for r in dedup_within_doc(docs).collect()}
+        assert out[1]["text"] == "" and out[1]["removed_paragraphs"] == 0
+        assert out[2]["text"] == "" and out[2]["removed_paragraphs"] == 0
+
+    def test_zero_shuffle_plan(self, spark):
+        from unstructured_spark.operators.dedup import dedup_within_doc
+
+        docs = spark.createDataFrame(
+            [(1, "a\n\nb")], "doc_id long, text string"
+        )
+        plan = (
+            dedup_within_doc(docs)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan

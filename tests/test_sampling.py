@@ -836,3 +836,82 @@ class TestCurriculumOrder:
         out = curriculum_order(docs, "band").collect()
         assert sorted(r["doc_id"] for r in out) == [1, 4]
         assert sorted(r["curriculum_rank"] for r in out) == [0, 1]
+
+
+class TestMixtureReweight:
+    def _frame(self, spark):
+        # domain A: low scores (easy), domain B: high scores (hard),
+        # equal token mass
+        rows = [
+            ("A", 100, 10),
+            ("A", 120, 10),
+            ("B", 300, 10),
+            ("B", 280, 10),
+        ]
+        return spark.createDataFrame(
+            rows, "source string, score_q long, ntok long"
+        )
+
+    def test_hard_domain_upweighted(self, spark):
+        from unstructured_spark.operators.sampling import mixture_reweight
+
+        out = {
+            r["source"]: r
+            for r in mixture_reweight(
+                self._frame(spark),
+                score_col="score_q",
+                token_col="ntok",
+            ).collect()
+        }
+        assert out["B"]["mean_score_q"] > out["A"]["mean_score_q"]
+        assert out["B"]["mult_ppm"] > 1_000_000 > out["A"]["mult_ppm"]
+        assert out["B"]["weight_ppm"] > out["A"]["weight_ppm"]
+        # equal token mass going in
+        assert out["A"]["base_ppm"] == out["B"]["base_ppm"] == 500_000
+        # normalized mixture sums to ~1e6 (floor-division slack < |domains|)
+        total = sum(r["weight_ppm"] for r in out.values())
+        assert 1_000_000 - 2 <= total <= 1_000_000
+
+    def test_step_zero_is_identity(self, spark):
+        from unstructured_spark.operators.sampling import mixture_reweight
+
+        out = {
+            r["source"]: r
+            for r in mixture_reweight(
+                self._frame(spark),
+                score_col="score_q",
+                token_col="ntok",
+                step_ppm=0,
+            ).collect()
+        }
+        # no step -> mixture equals the token share
+        for r in out.values():
+            assert r["mult_ppm"] == 1_000_000
+            assert abs(r["weight_ppm"] - r["base_ppm"]) <= 1
+
+    def test_uniform_scores_keep_shares(self, spark):
+        from unstructured_spark.operators.sampling import mixture_reweight
+
+        rows = [("A", 200, 30), ("B", 200, 10)]
+        df = spark.createDataFrame(
+            rows, "source string, score_q long, ntok long"
+        )
+        out = {
+            r["source"]: r
+            for r in mixture_reweight(
+                df, score_col="score_q", token_col="ntok"
+            ).collect()
+        }
+        assert out["A"]["base_ppm"] == 750_000
+        assert out["A"]["mult_ppm"] == out["B"]["mult_ppm"] == 1_000_000
+        assert abs(out["A"]["weight_ppm"] - 750_000) <= 1
+
+    def test_all_integer_schema(self, spark):
+        from unstructured_spark.operators.sampling import mixture_reweight
+
+        out = mixture_reweight(
+            self._frame(spark), score_col="score_q", token_col="ntok"
+        )
+        for f in out.schema.fields:
+            if f.name != "source":
+                assert f.dataType.simpleString() == "bigint", f.name

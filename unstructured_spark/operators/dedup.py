@@ -1660,6 +1660,66 @@ def dedup_paragraphs(
     )
 
 
+def dedup_within_doc(
+    df: DataFrame,
+    *,
+    text: str = "text",
+    doc_id: str = "doc_id",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Intra-document paragraph dedup (the Dolma/Gopher repetition
+    REMOVAL action, within-doc scope): inside each document, every
+    repeat of an earlier paragraph is dropped and the document is
+    reassembled from its surviving paragraphs in original order.
+    Returns (doc_id, text, removed_paragraphs). Complements
+    :func:`dedup_paragraphs` (corpus-wide keep-first — one shuffle on
+    the paragraph fingerprint): template spam that repeats WITHIN a
+    page needs no corpus statistics at all.
+
+    Comparison key matches :func:`dedup_paragraphs`: paragraphs are
+    compared whitespace-normalized + lowercased; blank/whitespace-only
+    paragraphs are exempt (all occurrences survive — they are document
+    structure, not content). ``sep`` is a LITERAL separator, same
+    contract as :func:`dedup_paragraphs`.
+
+    Scale shape: ZERO shuffles — one projection of higher-order array
+    expressions per document (split -> indexed filter against the
+    normalized prefix -> rejoin). The per-doc cost is O(paragraphs**2)
+    normalized-string compares, bounded by paragraph counts, not
+    corpus size; at 100 TB this runs entirely inside whole-stage
+    codegen with no exchange anywhere in the plan.
+    """
+    sep_re = "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+    norm = lambda c: F.lower(F.trim(F.regexp_replace(c, "\\s+", " ")))  # noqa: E731
+    src_df = df.withColumn(text, F.coalesce(F.col(text), F.lit("")))
+    paras = F.split(F.col(text), sep_re)
+    # keep paragraph i iff it is blank OR no earlier paragraph
+    # normalizes to the same string (F.filter's second lambda arg is
+    # the 0-based index; slice(paras, 1, i) is exactly the prefix)
+    kept = F.filter(
+        paras,
+        lambda p, i: (norm(p) == F.lit(""))
+        | ~F.exists(
+            F.slice(paras, F.lit(1), i), lambda q: norm(q) == norm(p)
+        ),
+    )
+    # staged select: bind paras/kept ONCE (CollapseProject will not
+    # inline an expensive alias referenced twice — same discipline as
+    # contaminated_docs)
+    staged = src_df.select(
+        F.col(doc_id),
+        paras.alias("_ps"),
+        kept.alias("_ks"),
+    )
+    return staged.select(
+        F.col(doc_id),
+        F.array_join("_ks", sep).alias(text),
+        (F.size("_ps") - F.size("_ks")).cast("bigint").alias(
+            "removed_paragraphs"
+        ),
+    )
+
+
 def leakage_safe_split(
     df: DataFrame,
     *,

@@ -667,3 +667,89 @@ def curriculum_order(
         .cast("bigint")
         .alias("curriculum_rank"),
     )
+
+
+def mixture_reweight(
+    df: DataFrame,
+    *,
+    score_col: str,
+    token_col: str,
+    strata_col: str = "source",
+    step_ppm: int = 1_000_000,
+) -> DataFrame:
+    """Domain mixture reweighting, the (linearized) DoReMi move (Xie et
+    al. 2023, "DoReMi: Optimizing Data Mixtures Speeds Up Language Model
+    Pretraining"): domains whose documents score WORSE than the corpus
+    average under a reference model's loss get UPWEIGHTED relative to
+    their token share — one exponentiated-gradient ascent step on the
+    domain weights, linearized so the whole update is exact integer
+    arithmetic (repo-wide cross-engine determinism discipline; the
+    exact-exp variant would need a libm call per domain).
+
+    Input: one row per document with an INTEGER ``score_col`` (higher =
+    harder/lossier; e.g. ``round(cross_entropy * 1e6)`` — the 1e-6 grid
+    :func:`~unstructured_spark.operators.text_analysis.bigram_cross_entropy`
+    already quantizes to), an integer ``token_col``, and the domain
+    column. Output: one row per domain —
+
+        (strata, docs, tokens, mean_score_q, base_ppm, mult_ppm,
+         weight_ppm)
+
+    where ``base_ppm`` is the domain's token share, ``mult_ppm`` is
+    ``1e6 · (1 + step · (mean_d − mean_corpus)/mean_corpus)`` clamped
+    at 0, and ``weight_ppm`` is the renormalized product — the new
+    sampling mixture. Every division has a NON-NEGATIVE numerator, so
+    Spark's truncating ``div`` and DuckDB's flooring ``//`` agree.
+
+    Scale shape: ONE groupBy(strata) over the corpus (map-side
+    partials); every subsequent step is a window/select over the
+    |domains|-row table. Corpus-level means come from the domain
+    partials (exact integer sums) — the corpus is read once.
+    """
+    d = df.groupBy(F.col(strata_col).alias("strata")).agg(
+        F.count("*").cast("bigint").alias("docs"),
+        F.sum(F.col(token_col).cast("bigint")).cast("bigint").alias("tokens"),
+        F.sum(F.col(score_col).cast("bigint")).cast("bigint").alias("_ssum"),
+    )
+    wall = Window.orderBy("strata").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    step = int(step_ppm)
+    enriched = (
+        d.withColumn("_gdocs", F.sum("docs").over(wall))
+        .withColumn("_gsum", F.sum("_ssum").over(wall))
+        .withColumn("_gtok", F.sum("tokens").over(wall))
+        # HALF_UP integer means on the score grid
+        .withColumn(
+            "mean_score_q", F.expr("(2 * _ssum + docs) div (2 * docs)")
+        )
+        .withColumn(
+            "_gmean", F.expr("(2 * _gsum + _gdocs) div (2 * _gdocs)")
+        )
+        .withColumn("base_ppm", F.expr("(tokens * 1000000) div _gtok"))
+        # m = 1e6 * mean_d / mean_corpus (non-negative), then
+        # mult = max(0, 1e6 - step + step*m/1e6) — algebraically
+        # 1e6 + step*(m - 1e6)/1e6 without a negative numerator
+        .withColumn(
+            "_m", F.expr("(mean_score_q * 1000000) div greatest(_gmean, 1)")
+        )
+        .withColumn(
+            "mult_ppm",
+            F.expr(
+                f"greatest(0, 1000000 - {step} + (_m * {step}) div 1000000)"
+            ).cast("bigint"),
+        )
+        .withColumn("_raw", F.expr("base_ppm * mult_ppm"))
+        .withColumn("_rawsum", F.sum("_raw").over(wall))
+    )
+    return enriched.select(
+        F.col("strata").alias(strata_col),
+        "docs",
+        "tokens",
+        "mean_score_q",
+        "base_ppm",
+        "mult_ppm",
+        F.expr("(_raw * 1000000) div greatest(_rawsum, 1)")
+        .cast("bigint")
+        .alias("weight_ppm"),
+    )
