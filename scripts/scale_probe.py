@@ -52,6 +52,8 @@ PROBE_QUERIES = [
     "q_filter_attribution",    # all hygiene gates + dup window, 1 shuffle
     "q_curriculum_order",      # banded prefix-sum global rank
     "q_corpus_diff",           # snapshot diff full-outer join
+    "q_dedup_within_doc",      # zero-shuffle map-side HOF dedup (r10)
+    "q_mixture_reweight",      # bigram LM + domain ppm weight chain (r10)
 ]
 
 
@@ -155,8 +157,27 @@ def main() -> None:
                 json.dumps({"query": name, "scale": k, "sec": round(med, 3)}),
                 flush=True,
             )
+    # MERGE into any existing record: a targeted probe run (--queries)
+    # must not wipe the accumulated sweep other rounds reference
+    out_path = os.path.join(REPO, "SCALE_PROBE.json")
     summary = {"src": SRC, "cpus": cpus, "scales": scales, "results": results}
-    with open(os.path.join(REPO, "SCALE_PROBE.json"), "w") as f:
+    if os.path.exists(out_path):
+        try:
+            with open(out_path) as f:
+                prior = json.load(f)
+            merged = prior.get("results", {})
+            for qname, vals in results.items():
+                merged.setdefault(qname, {}).update(vals)
+            prior["results"] = merged
+            prior["src"] = SRC
+            prior["cpus"] = cpus
+            prior["scales"] = sorted(
+                set(prior.get("scales", [])) | set(scales)
+            )
+            summary = prior
+        except (json.JSONDecodeError, OSError):
+            pass
+    with open(out_path, "w") as f:
         json.dump(summary, f, indent=1, sort_keys=True)
     print(json.dumps({"wrote": "SCALE_PROBE.json"}))
 
