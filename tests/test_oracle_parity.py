@@ -78,7 +78,15 @@ def test_query_matches_oracle(spark, name):
     con = _duck(SF_DIR)
     drel = con.sql(oracles[name])
     dcols = [d[0] for d in drel.description]
-    drows = drel.fetchall()
+    # fetch over ARROW, not .fetchall(): the external driver pulls
+    # oracle rows through an arrow wire, so the local gate must see
+    # the same representations (r5-r8 lesson: .fetchall() yields exact
+    # Python ints that MASKED the HUGEINT->decimal narrowing; a
+    # full-registry arrow wire-sim in r10 confirmed 0 mismatches under
+    # this fetch while a pandas fetch would flip nullable-bigint rows)
+    drows = [
+        tuple(row.values()) for row in drel.fetch_arrow_table().to_pylist()
+    ]
     assert sorted(scols) == sorted(dcols), f"{name} column mismatch: {scols} vs {dcols}"
     assert len(srows) == len(drows), f"{name} row count {len(srows)} vs {len(drows)}"
     # align spark row order of columns to oracle's by name
