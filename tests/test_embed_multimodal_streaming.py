@@ -1065,3 +1065,116 @@ class TestCorpusStatsStream:
         ).collect()
         # HLL is exact at this cardinality: 2 distinct fingerprints
         assert r["approx_unique_fps"] == 2 and r["docs"] == 3
+
+
+class TestMixtureStream:
+    def test_stream_partials_finalize_to_batch_weights(self, spark, tmp_path):
+        import json
+
+        import pyspark.sql.functions as SF
+
+        from unstructured_spark.operators.sampling import (
+            mixture_from_partials,
+            mixture_reweight,
+        )
+        from unstructured_spark.streaming.pipeline import (
+            mixture_partials_stream,
+        )
+
+        rows = [
+            {"ingest_ts": "2024-01-01T00:10:00", "source": "A",
+             "score_q": 100, "ntok": 10},
+            {"ingest_ts": "2024-01-01T00:20:00", "source": "A",
+             "score_q": 120, "ntok": 10},
+            {"ingest_ts": "2024-01-01T00:30:00", "source": "B",
+             "score_q": 300, "ntok": 10},
+            {"ingest_ts": "2024-01-01T00:40:00", "source": "B",
+             "score_q": 280, "ntok": 10},
+            # far-future flush row so the hour-0 window finalizes in
+            # append mode under availableNow
+            {"ingest_ts": "2024-01-01T09:00:00", "source": "A",
+             "score_q": 1, "ntok": 1},
+        ]
+        src = tmp_path / "src"
+        src.mkdir()
+        with open(src / "b1.json", "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        stream = spark.readStream.schema(
+            "ingest_ts timestamp, source string, score_q long, ntok long"
+        ).json(str(src))
+        partials = mixture_partials_stream(
+            stream, score_col="score_q", token_col="ntok",
+            window="1 hour", watermark="2 hours",
+        )
+        assert partials.isStreaming
+        q = (
+            partials.writeStream.format("memory").queryName("mixp")
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        emitted = spark.sql(
+            "select * from mixp where window_start = '2024-01-01 00:00:00'"
+        )
+        weights = {
+            r["source"]: r
+            for r in mixture_from_partials(
+                emitted, group_cols=("window_start", "window_end")
+            ).collect()
+        }
+        # batch twin over the same hour-0 rows
+        batch_rows = [
+            (r["source"], r["score_q"], r["ntok"]) for r in rows[:4]
+        ]
+        batch = {
+            r["source"]: r
+            for r in mixture_reweight(
+                spark.createDataFrame(
+                    batch_rows, "source string, score_q long, ntok long"
+                ),
+                score_col="score_q",
+                token_col="ntok",
+            ).collect()
+        }
+        for s in ("A", "B"):
+            for c in ("docs", "tokens", "mean_score_q", "base_ppm",
+                      "mult_ppm", "weight_ppm"):
+                assert weights[s][c] == batch[s][c], (s, c)
+
+    def test_partials_compose_across_batches(self, spark, tmp_path):
+        """Two micro-batches covering one window must finalize to the
+        same partials as one batch — exact integer sums compose."""
+        import json
+
+        from unstructured_spark.streaming.pipeline import (
+            mixture_partials_stream,
+        )
+
+        src = tmp_path / "src"
+        src.mkdir()
+        b1 = [{"ingest_ts": "2024-01-01T00:10:00", "source": "A",
+               "score_q": 7, "ntok": 3}]
+        b2 = [{"ingest_ts": "2024-01-01T00:50:00", "source": "A",
+               "score_q": 5, "ntok": 2},
+              {"ingest_ts": "2024-01-01T09:00:00", "source": "A",
+               "score_q": 1, "ntok": 1}]
+        for name, batch in (("b1.json", b1), ("b2.json", b2)):
+            with open(src / name, "w") as f:
+                for r in batch:
+                    f.write(json.dumps(r) + "\n")
+        stream = spark.readStream.schema(
+            "ingest_ts timestamp, source string, score_q long, ntok long"
+        ).option("maxFilesPerTrigger", 1).json(str(src))
+        partials = mixture_partials_stream(
+            stream, score_col="score_q", token_col="ntok",
+            window="1 hour", watermark="2 hours",
+        )
+        q = (
+            partials.writeStream.format("memory").queryName("mixp2")
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        [r] = spark.sql(
+            "select * from mixp2 where window_start = '2024-01-01 00:00:00'"
+        ).collect()
+        assert (r["docs"], r["tokens"], r["_ssum"]) == (2, 5, 12)

@@ -711,12 +711,39 @@ def mixture_reweight(
         F.sum(F.col(token_col).cast("bigint")).cast("bigint").alias("tokens"),
         F.sum(F.col(score_col).cast("bigint")).cast("bigint").alias("_ssum"),
     )
-    wall = Window.orderBy("strata").rowsBetween(
+    return mixture_from_partials(
+        d, strata_col=strata_col, step_ppm=step_ppm
+    )
+
+
+def mixture_from_partials(
+    partials: DataFrame,
+    *,
+    strata_col: str = "source",
+    step_ppm: int = 1_000_000,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """The :func:`mixture_reweight` ppm weight chain over a
+    pre-aggregated domain-partials frame shaped ``(strata, docs,
+    tokens, _ssum)`` [+ ``group_cols``] — the shared finalizer for the
+    batch operator and the streaming monitor: a watermarked windowed
+    aggregation emits exactly these partials per event-time window
+    (:func:`~unstructured_spark.streaming.pipeline.mixture_partials_stream`),
+    and finalizing a window through THIS function yields bit-identical
+    weights to running the batch operator on the same rows — exact
+    integer sums compose across micro-batches.
+
+    ``group_cols`` scopes the chain (corpus means, shares, the
+    renormalization) to each group — e.g. one mixture per event-time
+    window. Empty = one global mixture.
+    """
+    step = int(step_ppm)
+    gcols = list(group_cols)
+    wall = Window.partitionBy(*gcols).orderBy("strata").rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
-    step = int(step_ppm)
     enriched = (
-        d.withColumn("_gdocs", F.sum("docs").over(wall))
+        partials.withColumn("_gdocs", F.sum("docs").over(wall))
         .withColumn("_gsum", F.sum("_ssum").over(wall))
         .withColumn("_gtok", F.sum("tokens").over(wall))
         # HALF_UP integer means on the score grid
@@ -743,6 +770,7 @@ def mixture_reweight(
         .withColumn("_rawsum", F.sum("_raw").over(wall))
     )
     return enriched.select(
+        *gcols,
         F.col("strata").alias(strata_col),
         "docs",
         "tokens",

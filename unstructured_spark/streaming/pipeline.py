@@ -376,3 +376,54 @@ def attribution_stream(
         .otherwise(F.lit("keep"))
         .alias("verdict"),
     )
+
+
+def mixture_partials_stream(
+    docs: DataFrame,
+    *,
+    score_col: str,
+    token_col: str,
+    ts_col: str = "ingest_ts",
+    strata: str = "source",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming half of the DoReMi mixture monitor: per (event-time
+    window, domain) the EXACT integer partials the
+    :func:`~unstructured_spark.operators.sampling.mixture_from_partials`
+    weight chain consumes — ``(window_start, window_end, strata, docs,
+    tokens, _ssum)``. Watermarked tumbling-window aggregation (state
+    bounded by the horizon, append output); a window's finalized rows
+    run through ``mixture_from_partials(...,
+    group_cols=("window_start", "window_end"))`` at the consumer and
+    yield BIT-IDENTICAL weights to the batch
+    ``sampling.mixture_reweight`` over the same rows — integer sums
+    compose exactly across micro-batches, so streaming vs batch can
+    never disagree the way floating-point partials would.
+
+    The weight chain itself stays OUT of the stream: it needs
+    cross-domain totals (a second stateful aggregation per window),
+    and partial-window weights would be misleading anyway — a mixture
+    decision belongs on finalized windows.
+    """
+    return (
+        docs.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window), F.col(strata).alias("strata"))
+        .agg(
+            F.count("*").cast("bigint").alias("docs"),
+            F.sum(F.col(token_col).cast("bigint"))
+            .cast("bigint")
+            .alias("tokens"),
+            F.sum(F.col(score_col).cast("bigint"))
+            .cast("bigint")
+            .alias("_ssum"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "strata",
+            "docs",
+            "tokens",
+            "_ssum",
+        )
+    )
