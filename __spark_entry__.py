@@ -3050,6 +3050,26 @@ def q_mixture_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SoftDeDup per-document sampling weights (new in r10): exact-dup
+    group size -> 1e6 div size ppm weight, so a duplicate group's total
+    sampling mass equals one document and nothing is dropped. One
+    fingerprint-keyed window shuffle (operators/dedup.py
+    soft_dedup_weights)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.soft_dedup_weights(docs)
+
+
+def q_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix (new in r10): per unordered
+    source pair, the number of LSH near-dup candidate pairs straddling
+    them — the which-corpus-overlaps-which release diagnostic. Banded
+    LSH pairs + two id-keyed label joins + a |sources|^2 aggregate;
+    the oracle replays the full minhash/banding pipeline."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.cross_source_dup_matrix(docs)
+
+
 # ---------------------------------------------------------------------------
 # The round-9 channel probes (probe_wire_control / probe_duckdb_version /
 # probe_hugeint_wire / probe_bigint_wire) are RETIRED: the r9 external
@@ -3254,6 +3274,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in r10 (tail this round; lead the r11 window) ---
         "q_dedup_within_doc": q_dedup_within_doc,
         "q_mixture_reweight": q_mixture_reweight,
+        "q_soft_dedup_weights": q_soft_dedup_weights,
+        "q_cross_source_dups": q_cross_source_dups,
     }
 
 
@@ -3769,7 +3791,31 @@ def oracle_sql() -> dict[str, str]:
                                    || t.token), 1, 15)) as bigint) % 1024
             group by t.token, t.n
         """,
-                "q_dedup_within_doc": """
+                "q_soft_dedup_weights": """
+            with fp as (
+              select doc_id,
+                     md5(lower(trim(regexp_replace(coalesce(text, ''),
+                                                   '\\s+', ' ', 'g'))))
+                       as f
+              from documents
+            ), counts as (
+              select f, count(*) as n from fp group by f
+            )
+            select fp.doc_id,
+                   cast(c.n as bigint) as dup_count,
+                   cast(1000000 // c.n as bigint) as weight_ppm
+            from fp join counts c using (f)
+        """,
+        "q_cross_source_dups": _LSH_PAIRS_CTE + """
+            select least(da.source, db.source) as source_a,
+                   greatest(da.source, db.source) as source_b,
+                   cast(count(*) as bigint) as dup_pairs
+            from pairs p
+            join documents da on da.doc_id = p.doc_a
+            join documents db on db.doc_id = p.doc_b
+            group by 1, 2
+        """,
+        "q_dedup_within_doc": """
             with t as (
               select doc_id,
                      list_filter(string_split(trim(coalesce(text, '')), ' '),

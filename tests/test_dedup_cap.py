@@ -941,3 +941,63 @@ class TestDedupWithinDoc:
             .toString()
         )
         assert "Exchange" not in plan
+
+
+class TestSoftDedupWeights:
+    def test_group_mass_equals_one_doc(self, spark):
+        from unstructured_spark.operators.dedup import soft_dedup_weights
+
+        rows = [
+            (1, "same text"),
+            (2, "Same   TEXT"),   # normalized dup of 1
+            (3, "same text"),     # exact dup of 1
+            (4, "unique"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r for r in soft_dedup_weights(docs).collect()}
+        assert all(out[i]["dup_count"] == 3 for i in (1, 2, 3))
+        assert all(out[i]["weight_ppm"] == 333_333 for i in (1, 2, 3))
+        assert out[4]["dup_count"] == 1 and out[4]["weight_ppm"] == 1_000_000
+        # nothing dropped
+        assert len(out) == 4
+
+    def test_null_text_groups_together(self, spark):
+        from unstructured_spark.operators.dedup import soft_dedup_weights
+
+        docs = spark.createDataFrame(
+            [(1, None), (2, ""), (3, "  ")], "doc_id long, text string"
+        )
+        out = {r["doc_id"]: r for r in soft_dedup_weights(docs).collect()}
+        # NULL/empty/whitespace all normalize to '' — one group of 3
+        assert all(r["dup_count"] == 3 for r in out.values())
+
+
+class TestCrossSourceDupMatrix:
+    def test_pairs_attributed_to_source_pairs(self, spark):
+        from unstructured_spark.operators.dedup import (
+            cross_source_dup_matrix,
+            lsh_candidate_pairs,
+        )
+
+        base = ("the quick brown fox jumps over the lazy dog while the "
+                "rain keeps falling on the quiet empty street tonight")
+        rows = [
+            (1, base, "web"),
+            (2, base + " extra", "book"),   # near-dup straddling sources
+            (3, base + " extra", "web"),    # near-dup within+across
+            (4, "completely different text with no overlap at all "
+                "nothing shared here whatsoever in any shingle", "web"),
+        ]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        )
+        n_pairs = lsh_candidate_pairs(docs).count()
+        matrix = {
+            (r["source_a"], r["source_b"]): r["dup_pairs"]
+            for r in cross_source_dup_matrix(docs).collect()
+        }
+        # matrix total equals the pair count — every pair attributed once
+        assert sum(matrix.values()) == n_pairs
+        # the cross-source ("book","web") cell exists and keys are ordered
+        assert all(a <= b for a, b in matrix)
+        assert matrix.get(("book", "web"), 0) >= 1

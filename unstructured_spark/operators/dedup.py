@@ -225,6 +225,94 @@ def exact_duplicates(
     )
 
 
+def soft_dedup_weights(
+    df: DataFrame, *, text: str = "text", doc_id: str = "doc_id"
+) -> DataFrame:
+    """SoftDeDup-style per-document sampling weights (downweight, don't
+    drop — cf. "SoftDeDup: an efficient data reweighting method for
+    speeding up language model pretraining", ACL 2024): every member of
+    an exact-duplicate group keeps a weight of ``1e6 div group_size``
+    ppm, so the GROUP's total sampling mass equals one document's and
+    no copy is discarded. The gentler alternative to
+    :func:`drop_near_duplicates` when near-dup text still carries
+    unique long-tail spans a hard drop would lose.
+
+    Returns (doc_id, dup_count, weight_ppm) for every input document;
+    unique documents get weight 1e6. Integer ppm — engine-portable,
+    loader-side consumable as a sampling probability or a loss weight.
+
+    Scale shape: ONE shuffle — a count window over the normalized-text
+    fingerprint partitioning (uniform md5 keys, map-side-combine-free
+    but skew-free); no join-back pass.
+    """
+    fp = F.md5(
+        F.lower(
+            F.trim(
+                F.regexp_replace(
+                    F.coalesce(F.col(text), F.lit("")), "\\s+", " "
+                )
+            )
+        )
+    )
+    w = Window.partitionBy("_fp")
+    return (
+        df.select(F.col(doc_id), fp.alias("_fp"))
+        .withColumn("dup_count", F.count("*").over(w).cast("bigint"))
+        .select(
+            F.col(doc_id),
+            "dup_count",
+            F.expr("1000000 div dup_count").cast("bigint").alias(
+                "weight_ppm"
+            ),
+        )
+    )
+
+
+def cross_source_dup_matrix(
+    df: DataFrame,
+    *,
+    text: str = "text",
+    doc_id: str = "doc_id",
+    strata: str = "source",
+    **lsh_kwargs,
+) -> DataFrame:
+    """Cross-source duplication matrix — the release-diagnostics table
+    that answers "which corpora overlap with which": per unordered
+    source pair, how many LSH near-duplicate candidate pairs straddle
+    them (diagonal = within-source duplication). The triage table a
+    corpus owner reads before deciding which source to dedup AGAINST
+    which (CommonCrawl-vs-C4-style overlap audits).
+
+    Returns (source_a, source_b, dup_pairs) with source_a <= source_b
+    (lexicographic normalization — each unordered pair counted once).
+
+    Scale shape: the pair table is the banded LSH self-join's output
+    (bucket-capped, never all-pairs); attaching the two source labels
+    is two joins keyed on uniform doc ids; the matrix aggregate is
+    |sources|² rows.
+    """
+    pairs = lsh_candidate_pairs(
+        df, text=text, doc_id=doc_id, **lsh_kwargs
+    ).select("doc_a", "doc_b")
+    labels = df.select(
+        F.col(doc_id).alias("_d"), F.col(strata).alias("_s")
+    )
+    labeled = (
+        pairs.join(labels.withColumnRenamed("_d", "doc_a")
+                   .withColumnRenamed("_s", "_sa"), "doc_a")
+        .join(labels.withColumnRenamed("_d", "doc_b")
+              .withColumnRenamed("_s", "_sb"), "doc_b")
+    )
+    return (
+        labeled.select(
+            F.least("_sa", "_sb").alias("source_a"),
+            F.greatest("_sa", "_sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("bigint").alias("dup_pairs"))
+    )
+
+
 def _simhash_from_hashes(hashes: Column, bits: int) -> Column:
     """Per-bit majority vote over a (pre-materialized) token-hash
     array. Pass a BOUND column, not a nested transform: Catalyst does
