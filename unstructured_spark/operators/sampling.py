@@ -753,7 +753,18 @@ def mixture_from_partials(
         .withColumn(
             "_gmean", F.expr("(2 * _gsum + _gdocs) div (2 * _gdocs)")
         )
-        .withColumn("base_ppm", F.expr("(tokens * 1000000) div _gtok"))
+        # decimal(38,0) widening: tokens*1e6 overflows BIGINT once a
+        # domain holds >~9.2e12 tokens (a realistic 100 TB corpus), and
+        # ANSI mode would hard-error there. The oracle side computes in
+        # DuckDB HUGEINT natively; decimal div yields the identical
+        # integral quotient.
+        .withColumn(
+            "base_ppm",
+            F.expr(
+                "cast((cast(tokens as decimal(38,0)) * 1000000)"
+                " div _gtok as bigint)"
+            ),
+        )
         # m = 1e6 * mean_d / mean_corpus (non-negative), then
         # mult = max(0, 1e6 - step + step*m/1e6) — algebraically
         # 1e6 + step*(m - 1e6)/1e6 without a negative numerator
@@ -766,7 +777,13 @@ def mixture_from_partials(
                 f"greatest(0, 1000000 - {step} + (_m * {step}) div 1000000)"
             ).cast("bigint"),
         )
-        .withColumn("_raw", F.expr("base_ppm * mult_ppm"))
+        # _raw fits bigint for any bounded mult, but _raw*1e6 in the
+        # final normalization can cross 2^63 when one domain's mean is
+        # far above the corpus mean — stage both as decimal(38,0)
+        .withColumn(
+            "_raw",
+            F.expr("cast(base_ppm as decimal(38,0)) * mult_ppm"),
+        )
         .withColumn("_rawsum", F.sum("_raw").over(wall))
     )
     return enriched.select(
@@ -777,7 +794,7 @@ def mixture_from_partials(
         "mean_score_q",
         "base_ppm",
         "mult_ppm",
-        F.expr("(_raw * 1000000) div greatest(_rawsum, 1)")
-        .cast("bigint")
-        .alias("weight_ppm"),
+        F.expr(
+            "cast((_raw * 1000000) div greatest(_rawsum, 1) as bigint)"
+        ).alias("weight_ppm"),
     )
