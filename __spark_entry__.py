@@ -57,6 +57,73 @@ _NLL_FX_CTE = f""", margs as (
               from nllx
             )"""
 
+
+# Naive-Bayes train+score oracle chain (shared by q_nb_classify and
+# q_nb_confusion): tok -> features -> bucket hash -> seed counts ->
+# dense grid -> fxln log-probs -> per-(doc, class) scores -> rank.
+_NB_RANKED_CTE = f"""
+            with tok as (
+              select doc_id,
+                     list_filter(string_split(trim(text), ' '),
+                                 x -> x != '')[1:64] as w
+              from documents
+            ), feat as (
+              select doc_id,
+                     unnest(list_concat(w,
+                       case when len(w) >= 2
+                         then [w[i] || '_' || w[i+1] for i in range(1, len(w))]
+                         else [] end)) as g
+              from tok
+            ), bkt as (
+              select doc_id,
+                     cast(('0x' || substr(md5(g), 1, 15)) as bigint) % 4096 as b
+              from feat
+            ), dm as (
+              select doc_id, b, count(*) as cd from bkt group by doc_id, b
+            ), seed as (
+              select doc_id, source as cls from documents where doc_id % 10 < 3
+            ), counts as (
+              select s.cls, k.b, count(*) as cnt
+              from bkt k join seed s using (doc_id) group by s.cls, k.b
+            ), totals as (
+              select cls, sum(cnt) as n_c from counts group by cls
+            ), docsc as (
+              select cls, count(*) as docs_c from seed group by cls
+            ), grid as (
+              select t.cls, gb.b, t.n_c, d.docs_c,
+                     (select count(*) from seed) as nd,
+                     coalesce(c.cnt, 0) as cnt
+              from totals t
+              join docsc d using (cls)
+              cross join (select unnest(range(0, 4096)) as b) gb
+              left join counts c on c.cls = t.cls and c.b = gb.b
+            ), lng as (
+              select cls, b,
+                     {fxln_select_sql("(cnt + 1)", "p_")},
+                     {fxln_select_sql("(n_c + 4096)", "q_")},
+                     {fxln_select_sql("docs_c", "r_")},
+                     {fxln_select_sql("nd", "s_")}
+              from grid
+            ), model as (
+              select cls, b, p_ln - q_ln as lq, r_ln - s_ln as prior_q from lng
+            ), perclass as (
+              -- r9 root-cause fix: sum(bigint) is HUGEINT in DuckDB and
+              -- a HUGEINT output column crosses the driver's fetch wire
+              -- as decimal/float64 — cast the score to bigint so
+              -- score_q ships as an exact integer (|score| < 2^41 by
+              -- the cd*lq bound, far inside bigint).
+              select dm.doc_id, m.cls,
+                     any_value(m.prior_q)
+                       + cast(sum(dm.cd * m.lq) as bigint) as score
+              from dm join model m using (b)
+              group by dm.doc_id, m.cls
+            ), ranked as (
+              select *, row_number() over (
+                partition by doc_id order by score desc, cls asc) as rn
+              from perclass
+            )
+"""
+
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
@@ -3070,6 +3137,30 @@ def q_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.cross_source_dup_matrix(docs)
 
 
+def q_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier QA confusion matrix (new in r10): the NB quality
+    gate's predicted class vs each document's ACTUAL source — the
+    calibration table a pipeline owner reads before trusting the gate
+    as a filter (which sources leak into which predictions, per-class
+    support). Composes the oracled nb_classify with one (predicted,
+    actual) aggregate; |classes|^2 output rows."""
+    from unstructured_spark.operators.classifier import nb_classify
+
+    docs = _t(spark, sf_dir, "documents")
+    seed = docs.filter(F.col("doc_id") % 10 < 3)
+    scored = nb_classify(
+        docs, seed, label="source", buckets=4096, max_tokens=64,
+        seed_in_corpus=True,
+    ).select("doc_id", "predicted")
+    return (
+        scored.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy(
+            F.col("predicted"), F.col("source").alias("actual")
+        )
+        .agg(F.count("*").cast("bigint").alias("docs"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # The round-9 channel probes (probe_wire_control / probe_duckdb_version /
 # probe_hugeint_wire / probe_bigint_wire) are RETIRED: the r9 external
@@ -3276,6 +3367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mixture_reweight": q_mixture_reweight,
         "q_soft_dedup_weights": q_soft_dedup_weights,
         "q_cross_source_dups": q_cross_source_dups,
+        "q_nb_confusion": q_nb_confusion,
     }
 
 
@@ -3791,7 +3883,19 @@ def oracle_sql() -> dict[str, str]:
                                    || t.token), 1, 15)) as bigint) % 1024
             group by t.token, t.n
         """,
-                "q_soft_dedup_weights": """
+                "q_nb_confusion": _NB_RANKED_CTE + """
+            , pred as (
+              select doc_id,
+                     max(case when rn = 1 then cls end) as predicted
+              from ranked group by doc_id
+            )
+            select p.predicted,
+                   d.source as actual,
+                   cast(count(*) as bigint) as docs
+            from pred p join documents d using (doc_id)
+            group by 1, 2
+        """,
+        "q_soft_dedup_weights": """
             with fp as (
               select doc_id,
                      md5(lower(trim(regexp_replace(coalesce(text, ''),
@@ -5919,67 +6023,7 @@ left join stats s using (doc_id)
                    cast(count(*) as bigint) as n_bigrams
             from nll group by doc_id
         """,
-        "q_nb_classify": f"""
-            with tok as (
-              select doc_id,
-                     list_filter(string_split(trim(text), ' '),
-                                 x -> x != '')[1:64] as w
-              from documents
-            ), feat as (
-              select doc_id,
-                     unnest(list_concat(w,
-                       case when len(w) >= 2
-                         then [w[i] || '_' || w[i+1] for i in range(1, len(w))]
-                         else [] end)) as g
-              from tok
-            ), bkt as (
-              select doc_id,
-                     cast(('0x' || substr(md5(g), 1, 15)) as bigint) % 4096 as b
-              from feat
-            ), dm as (
-              select doc_id, b, count(*) as cd from bkt group by doc_id, b
-            ), seed as (
-              select doc_id, source as cls from documents where doc_id % 10 < 3
-            ), counts as (
-              select s.cls, k.b, count(*) as cnt
-              from bkt k join seed s using (doc_id) group by s.cls, k.b
-            ), totals as (
-              select cls, sum(cnt) as n_c from counts group by cls
-            ), docsc as (
-              select cls, count(*) as docs_c from seed group by cls
-            ), grid as (
-              select t.cls, gb.b, t.n_c, d.docs_c,
-                     (select count(*) from seed) as nd,
-                     coalesce(c.cnt, 0) as cnt
-              from totals t
-              join docsc d using (cls)
-              cross join (select unnest(range(0, 4096)) as b) gb
-              left join counts c on c.cls = t.cls and c.b = gb.b
-            ), lng as (
-              select cls, b,
-                     {fxln_select_sql("(cnt + 1)", "p_")},
-                     {fxln_select_sql("(n_c + 4096)", "q_")},
-                     {fxln_select_sql("docs_c", "r_")},
-                     {fxln_select_sql("nd", "s_")}
-              from grid
-            ), model as (
-              select cls, b, p_ln - q_ln as lq, r_ln - s_ln as prior_q from lng
-            ), perclass as (
-              -- r9 root-cause fix: sum(bigint) is HUGEINT in DuckDB and
-              -- a HUGEINT output column crosses the driver's fetch wire
-              -- as decimal/float64 — cast the score to bigint so
-              -- score_q ships as an exact integer (|score| < 2^41 by
-              -- the cd*lq bound, far inside bigint).
-              select dm.doc_id, m.cls,
-                     any_value(m.prior_q)
-                       + cast(sum(dm.cd * m.lq) as bigint) as score
-              from dm join model m using (b)
-              group by dm.doc_id, m.cls
-            ), ranked as (
-              select *, row_number() over (
-                partition by doc_id order by score desc, cls asc) as rn
-              from perclass
-            )
+        "q_nb_classify": _NB_RANKED_CTE + """
             select cast(doc_id as varchar) as doc_id,
                    max(case when rn = 1 then cls end) as predicted,
                    max(case when rn = 1 then score end) as score_q,
