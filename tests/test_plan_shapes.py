@@ -37,6 +37,9 @@ BNLJ_ALLOWED = {
                           # so the former 1-row BNLJ is gone) —
                           # bounded by construction; corpus scoring is
                           # an equi-join on the bucket key
+    "q_nb_confusion",     # inherits q_nb_classify's bounded dense-grid
+                          # BNLJ (buckets x |classes|); the confusion
+                          # rollup itself is an equi-join on doc_id
     "q_vocab_coverage",   # broadcast 1-row total-token-count aggregate
                           # joined onto the k-bounded top-k table
     "q_ann_recall",       # inherits the two searches it grades:
