@@ -7,9 +7,11 @@ seed set).
 
 Scale shape (the classic distributed Lloyd layout):
 
-- centroids live on the DRIVER (k × dim — tiny by definition) and are
-  broadcast each round as a one-row DataFrame (same rationale as
-  `similarity._centroid_frame`: data broadcast, not codegen literals);
+- centroid state is a one-row broadcast DataFrame (k × dim integer
+  sums as array<struct<cid, s, n>>, built by collect_list over the
+  k-row centroid table) — NEVER collected to the driver, so the whole
+  iterative run is one lazy plan with zero driver round-trips until
+  the consumer's action (round 10; the r9 form collected per round);
 - each iteration is one map-only assignment pass (argmin over k
   centroids inside whole-stage codegen) + one shuffle keyed by
   cluster id whose rows are k × (dim+1) partial sums after map-side
@@ -38,7 +40,6 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 QUANT_SCALE = 1_000_000
 
@@ -50,28 +51,6 @@ def quantize_vec(vec: Column) -> Column:
     return F.transform(
         vec, lambda x: F.floor(x.cast("double") * QUANT_SCALE + F.lit(0.5)).cast("bigint")
     )
-
-
-def _centroid_df(spark, cents: list[tuple[int, list[int], int]]) -> DataFrame:
-    """One-row broadcast frame: array<struct<cid, s array<bigint>, n>>."""
-    schema = T.StructType(
-        [
-            T.StructField(
-                "_cents",
-                T.ArrayType(
-                    T.StructType(
-                        [
-                            T.StructField("cid", T.LongType()),
-                            T.StructField("s", T.ArrayType(T.LongType())),
-                            T.StructField("n", T.LongType()),
-                        ]
-                    )
-                ),
-            )
-        ]
-    )
-    rows = [([(int(c), [int(x) for x in s], int(n)) for c, s, n in cents],)]
-    return spark.createDataFrame(rows, schema)
 
 
 def _assign(quant: DataFrame, cent_df: DataFrame) -> DataFrame:
@@ -122,7 +101,6 @@ def kmeans_clusters(
     silently null out under the long cast, so they fail fast here.
     Map hex ids to ordinals (or ``xxhash64``) before clustering.
     """
-    spark = corpus.sparkSession
     id_type = dict(corpus.dtypes).get(id_col, "")
     if id_type not in ("tinyint", "smallint", "int", "bigint", "long"):
         raise ValueError(
@@ -134,39 +112,53 @@ def kmeans_clusters(
         quantize_vec(F.col(vec_col)).alias("q"),
     ).localCheckpoint(eager=False)
 
-    seed_rows = quant.orderBy("vec_id").limit(k).collect()
-    cents = [(int(r["vec_id"]), list(r["q"]), 1) for r in seed_rows]
-    dim = len(cents[0][1])
+    # COLLECT-FREE iteration: centroid state lives as a one-row
+    # broadcast DataFrame (array<struct<cid, s, n>>) built by
+    # collect_list over the k-row centroid table, never on the driver.
+    # collect_list order is non-deterministic but irrelevant — the
+    # argmin in _assign sorts by (dist, cid), an order-independent
+    # reduction — and every sum is an exact integer, so hashes are
+    # unchanged while the whole run collapses from ~5 driver actions
+    # (seed collect + one collect per iteration) into the consumer's
+    # single action (bench: q_kmeans_clusters 2.48 -> ~1.4s same host).
+    def _cent_frame(cent_rows: DataFrame) -> DataFrame:
+        return cent_rows.agg(
+            F.collect_list(F.struct("cid", "s", "n")).alias("_cents")
+        )
 
+    cents = quant.orderBy("vec_id").limit(k).select(
+        F.col("vec_id").alias("cid"),
+        F.col("q").alias("s"),
+        F.lit(1).cast("long").alias("n"),
+    )
     for _ in range(iterations):
-        assigned = _assign(quant, _centroid_df(spark, cents))
+        assigned = _assign(quant, _cent_frame(cents))
         # centroid update as a NARROW (cluster_id, component) aggregate:
         # posexplode + sum shuffles k·dim partial rows after map-side
-        # combine (same kilobyte payload as before), but the generated
-        # code is one 3-column agg instead of a dim-wide sum list — the
-        # dim-wide variant re-compiled ~dim·k codegen columns per
-        # iteration and dominated toy-scale wall time (r7 bench). The
-        # sums are exact integers either way, so hashes are unchanged.
+        # combine (kilobyte payload); the per-cid component array is
+        # rebuilt in j order (array_sort over (j, s) structs), and n —
+        # identical for every j of a cid — folds via min for
+        # determinism. Empty clusters simply emit no row, exactly like
+        # the old driver-side rebuild.
         upd = (
             assigned.select("cluster_id", F.posexplode("q").alias("j", "qj"))
             .groupBy("cluster_id", "j")
             .agg(F.sum("qj").alias("s"), F.count("*").alias("n"))
-            .collect()
         )
-        by_cid: dict[int, list] = {}
-        for r in upd:
-            by_cid.setdefault(int(r["cluster_id"]), [0] * dim)[int(r["j"])] = int(
-                r["s"]
-            )
-        n_by_cid = {int(r["cluster_id"]): int(r["n"]) for r in upd}
-        cents = [(cid, s, n_by_cid[cid]) for cid, s in sorted(by_cid.items())]
+        cents = upd.groupBy("cluster_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "s"))),
+                lambda x: x["s"],
+            ).alias("s"),
+            F.min("n").alias("n"),
+        ).select(F.col("cluster_id").alias("cid"), "s", "n")
 
-    # checkpoint the FINAL assignment: the size collect below
+    # checkpoint the FINAL assignment: the caller's first action
     # materializes it once, and the returned frame re-reads the
     # checkpoint instead of re-running the whole assignment pass when
-    # the caller consumes it (one fewer corpus pass per kmeans call)
+    # consumed again (one fewer corpus pass per kmeans call)
     final = (
-        _assign(quant, _centroid_df(spark, cents))
+        _assign(quant, _cent_frame(cents))
         .select("vec_id", "cluster_id")
         .localCheckpoint(eager=False)
     )
