@@ -23,6 +23,17 @@ inflation, identical rankings, no stray processes, load < 1) — the
 container's underlying CPU allocation drifts. Compare per-query
 RANKINGS and round-over-round ratios of the SAME run, not absolute
 seconds across rounds.
+
+Round-10 addendum: the drift got WORSE late in the day — four
+same-code full runs spanned 126.6 -> 138.2 -> 160.1 -> 171.4 s
+(load < 0.2 before the last run started), and code untouched since
+round 2 (q_minhash_signatures: 0.85 s in the morning run, 5.1 s in
+the evening run, same commit) inflated ~6x. Absolute totals from a
+single run are NOT comparable across rounds; within-run rankings
+from the EARLIEST (least-throttled) run of a session are the
+meaningful signal. Morning-run rankings for r10: q_semantic_dedup
+3.26 s top (1.05x the #2 query; it was 2.5x the #2 in r9 before the
+pair-salt fix), 135 queries / 126.6 s total.
 """
 
 from __future__ import annotations
