@@ -3911,8 +3911,10 @@ def oracle_sql() -> dict[str, str]:
             from fp join counts c using (f)
         """,
         "q_cross_source_dups": _LSH_PAIRS_CTE + """
-            select least(da.source, db.source) as source_a,
-                   greatest(da.source, db.source) as source_b,
+            select least(coalesce(da.source, '__null__'),
+                         coalesce(db.source, '__null__')) as source_a,
+                   greatest(coalesce(da.source, '__null__'),
+                            coalesce(db.source, '__null__')) as source_b,
                    cast(count(*) as bigint) as dup_pairs
             from pairs p
             join documents da on da.doc_id = p.doc_a

@@ -929,18 +929,69 @@ class TestDedupWithinDoc:
         assert out[2]["text"] == "" and out[2]["removed_paragraphs"] == 0
 
     def test_zero_shuffle_plan(self, spark):
+        # giant_paragraphs=None = the pure projection form: the whole
+        # plan must be exchange-free. The default form adds a giant-doc
+        # branch whose (doc, norm)-keyed exchange only giant rows pay.
         from unstructured_spark.operators.dedup import dedup_within_doc
 
         docs = spark.createDataFrame(
             [(1, "a\n\nb")], "doc_id long, text string"
         )
         plan = (
-            dedup_within_doc(docs)
+            dedup_within_doc(docs, giant_paragraphs=None)
             ._jdf.queryExecution()
             .executedPlan()
             .toString()
         )
         assert "Exchange" not in plan
+
+    def test_giant_path_equivalence(self, spark):
+        # threshold 2 forces docs 1 and 3 through the window path;
+        # output must be identical to the pure-projection form.
+        from unstructured_spark.operators.dedup import dedup_within_doc
+
+        rows = [
+            (1, "a\n\nb\n\nA \n\nc\n\nb"),
+            (2, "x\n\nx"),
+            (3, "p\n\n\n\np\n\n \n\nq\n\nP"),
+            (4, ""),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["text"], r["removed_paragraphs"])
+            for r in dedup_within_doc(docs, giant_paragraphs=2).collect()
+        }
+        want = {
+            r["doc_id"]: (r["text"], r["removed_paragraphs"])
+            for r in dedup_within_doc(
+                docs, giant_paragraphs=None
+            ).collect()
+        }
+        assert got == want
+        assert got[1] == ("a\n\nb\n\nc", 2)
+
+    def test_giant_doc_bounded(self, spark):
+        # 20k-paragraph adversarial doc: the quadratic projection form
+        # would do 2·10⁸ normalized compares for this ONE row; the
+        # default giant branch routes it through the keep-first window
+        # and must finish in seconds.
+        import time
+
+        from unstructured_spark.operators.dedup import dedup_within_doc
+
+        n = 20_000
+        body = "\n\n".join(f"para {i % 37}" for i in range(n))
+        docs = spark.createDataFrame(
+            [(1, body)], "doc_id long, text string"
+        )
+        t0 = time.monotonic()
+        out = dedup_within_doc(docs).collect()
+        elapsed = time.monotonic() - t0
+        assert out[0]["removed_paragraphs"] == n - 37
+        assert out[0]["text"] == "\n\n".join(
+            f"para {i}" for i in range(37)
+        )
+        assert elapsed < 60, f"giant doc took {elapsed:.1f}s"
 
 
 class TestSoftDedupWeights:

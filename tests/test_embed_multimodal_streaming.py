@@ -1178,3 +1178,26 @@ class TestMixtureStream:
             "select * from mixp2 where window_start = '2024-01-01 00:00:00'"
         ).collect()
         assert (r["docs"], r["tokens"], r["_ssum"]) == (2, 5, 12)
+
+
+class TestSinkColdStartGuard:
+    def test_empty_or_absent_dir_is_cold_start(self, spark, tmp_path):
+        from unstructured_spark.streaming.pipeline import _sink_has_part_files
+
+        assert not _sink_has_part_files(spark, str(tmp_path / "absent"))
+        empty = tmp_path / "empty"
+        empty.mkdir()
+        assert not _sink_has_part_files(spark, str(empty))
+        # non-parquet leftovers (_SUCCESS, temp dirs) still count as
+        # cold start — only part- data files prove prior writes
+        (empty / "_SUCCESS").write_text("")
+        assert not _sink_has_part_files(spark, str(empty))
+
+    def test_part_files_block_offset_reset(self, spark, tmp_path):
+        from unstructured_spark.streaming.pipeline import _sink_has_part_files
+
+        sink = tmp_path / "sink"
+        nested = sink / "shard_id=0"
+        nested.mkdir(parents=True)
+        (nested / "part-00000-abc.snappy.parquet").write_bytes(b"x")
+        assert _sink_has_part_files(spark, str(sink))

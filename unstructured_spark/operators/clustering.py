@@ -118,9 +118,17 @@ def kmeans_clusters(
     # collect_list order is non-deterministic but irrelevant — the
     # argmin in _assign sorts by (dist, cid), an order-independent
     # reduction — and every sum is an exact integer, so hashes are
-    # unchanged while the whole run collapses from ~5 driver actions
-    # (seed collect + one collect per iteration) into the consumer's
-    # single action (bench: q_kmeans_clusters 2.48 -> ~1.4s same host).
+    # unchanged (bench: q_kmeans_clusters 2.48 -> ~1.4s same host).
+    #
+    # Each round's k-row centroid table is materialized with an EAGER
+    # localCheckpoint before it feeds the next broadcast build. The
+    # r10 fully-lazy form nested every full-corpus Lloyd pass inside a
+    # BroadcastExchange build — bounded by spark.sql.broadcastTimeout
+    # (300 s default), so at 100M-vector scale one slow pass would
+    # abort the job — and re-executed all PRIOR passes recursively
+    # (quadratic in `iterations`). With the eager k-row checkpoint,
+    # each corpus pass runs exactly once as a normal job (no broadcast
+    # deadline), and every broadcast build scans k checkpointed rows.
     def _cent_frame(cent_rows: DataFrame) -> DataFrame:
         return cent_rows.agg(
             F.collect_list(F.struct("cid", "s", "n")).alias("_cents")
@@ -130,7 +138,7 @@ def kmeans_clusters(
         F.col("vec_id").alias("cid"),
         F.col("q").alias("s"),
         F.lit(1).cast("long").alias("n"),
-    )
+    ).localCheckpoint(eager=True)
     for _ in range(iterations):
         assigned = _assign(quant, _cent_frame(cents))
         # centroid update as a NARROW (cluster_id, component) aggregate:
@@ -151,7 +159,9 @@ def kmeans_clusters(
                 lambda x: x["s"],
             ).alias("s"),
             F.min("n").alias("n"),
-        ).select(F.col("cluster_id").alias("cid"), "s", "n")
+        ).select(F.col("cluster_id").alias("cid"), "s", "n").localCheckpoint(
+            eager=True
+        )
 
     # checkpoint the FINAL assignment: the caller's first action
     # materializes it once, and the returned frame re-reads the

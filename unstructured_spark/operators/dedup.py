@@ -241,9 +241,14 @@ def soft_dedup_weights(
     unique documents get weight 1e6. Integer ppm — engine-portable,
     loader-side consumable as a sampling probability or a loss weight.
 
-    Scale shape: ONE shuffle — a count window over the normalized-text
-    fingerprint partitioning (uniform md5 keys, map-side-combine-free
-    but skew-free); no join-back pass.
+    Scale shape: group-size via ``groupBy(_fp).count()`` (map-side
+    combinable — a dominant duplicate group arrives at its reducer as
+    per-mapper partials, not raw rows) + a join back on the
+    fingerprint. Distinct fingerprints are ~corpus-cardinality, so the
+    join shuffles both sides; a mega-group still co-locates its member
+    rows in one probe partition, but the task streams them against a
+    single build row instead of buffering and sorting the whole group
+    the way a count window over the same partitioning would.
     """
     fp = F.md5(
         F.lower(
@@ -254,17 +259,14 @@ def soft_dedup_weights(
             )
         )
     )
-    w = Window.partitionBy("_fp")
-    return (
-        df.select(F.col(doc_id), fp.alias("_fp"))
-        .withColumn("dup_count", F.count("*").over(w).cast("bigint"))
-        .select(
-            F.col(doc_id),
-            "dup_count",
-            F.expr("1000000 div dup_count").cast("bigint").alias(
-                "weight_ppm"
-            ),
-        )
+    keyed = df.select(F.col(doc_id), fp.alias("_fp"))
+    counts = keyed.groupBy("_fp").agg(
+        F.count("*").cast("bigint").alias("dup_count")
+    )
+    return keyed.join(counts, "_fp").select(
+        F.col(doc_id),
+        "dup_count",
+        F.expr("1000000 div dup_count").cast("bigint").alias("weight_ppm"),
     )
 
 
@@ -285,6 +287,15 @@ def cross_source_dup_matrix(
 
     Returns (source_a, source_b, dup_pairs) with source_a <= source_b
     (lexicographic normalization — each unordered pair counted once).
+    A NULL strata label is coalesced to the sentinel ``'__null__'``
+    BEFORE the least/greatest normalization: F.least/F.greatest skip
+    NULLs, so without the sentinel a pair straddling a NULL-source doc
+    would collapse onto the (src, src) diagonal and be miscounted as
+    within-source duplication instead of surfacing as unknown-source.
+
+    Precondition: ``doc_id`` must be unique in ``df`` — the two label
+    joins are keyed on it, and duplicate ids would multiply every
+    candidate pair's count by the id's multiplicity.
 
     Scale shape: the pair table is the banded LSH self-join's output
     (bucket-capped, never all-pairs); attaching the two source labels
@@ -295,7 +306,8 @@ def cross_source_dup_matrix(
         df, text=text, doc_id=doc_id, **lsh_kwargs
     ).select("doc_a", "doc_b")
     labels = df.select(
-        F.col(doc_id).alias("_d"), F.col(strata).alias("_s")
+        F.col(doc_id).alias("_d"),
+        F.coalesce(F.col(strata), F.lit("__null__")).alias("_s"),
     )
     labeled = (
         pairs.join(labels.withColumnRenamed("_d", "doc_a")
@@ -1754,6 +1766,7 @@ def dedup_within_doc(
     text: str = "text",
     doc_id: str = "doc_id",
     sep: str = "\n\n",
+    giant_paragraphs: int | None = 4096,
 ) -> DataFrame:
     """Intra-document paragraph dedup (the Dolma/Gopher repetition
     REMOVAL action, within-doc scope): inside each document, every
@@ -1770,42 +1783,100 @@ def dedup_within_doc(
     structure, not content). ``sep`` is a LITERAL separator, same
     contract as :func:`dedup_paragraphs`.
 
-    Scale shape: ZERO shuffles — one projection of higher-order array
-    expressions per document (split -> indexed filter against the
-    normalized prefix -> rejoin). The per-doc cost is O(paragraphs**2)
-    normalized-string compares, bounded by paragraph counts, not
-    corpus size; at 100 TB this runs entirely inside whole-stage
-    codegen with no exchange anywhere in the plan.
+    Scale shape: TWO paths keyed on paragraph count.
+
+    - Normal docs (``size(paras) <= giant_paragraphs``): ZERO shuffles
+      — one projection of higher-order array expressions per document
+      (split -> indexed filter against the normalized prefix ->
+      rejoin). The per-doc cost is O(paragraphs²) normalized-string
+      compares — bounded by ``giant_paragraphs``², not corpus size —
+      running entirely inside whole-stage codegen with no exchange.
+    - Giant docs (rare template-spam outliers above the threshold,
+      where the quadratic prefix scan would take minutes for ONE row):
+      posexplode -> keep-first window on (doc, normalized paragraph)
+      -> ordered rebuild. O(paragraphs log paragraphs) per doc, one
+      (doc, norm)-keyed shuffle that only the giant subset pays.
+
+    Both paths compute the identical keep-first-with-blank-exemption
+    semantics, so results (and oracle hashes) are independent of the
+    threshold. ``giant_paragraphs=None`` disables the giant branch
+    entirely — the whole plan is then the exchange-free projection
+    (useful when the caller has already bounded paragraph counts and
+    wants the narrowest possible plan).
     """
     sep_re = "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
     norm = lambda c: F.lower(F.trim(F.regexp_replace(c, "\\s+", " ")))  # noqa: E731
     src_df = df.withColumn(text, F.coalesce(F.col(text), F.lit("")))
     paras = F.split(F.col(text), sep_re)
-    # keep paragraph i iff it is blank OR no earlier paragraph
-    # normalizes to the same string (F.filter's second lambda arg is
-    # the 0-based index; slice(paras, 1, i) is exactly the prefix)
+    staged0 = src_df.select(F.col(doc_id), paras.alias("_ps"))
+
+    # --- normal path: keep paragraph i iff it is blank OR no earlier
+    # paragraph normalizes to the same string (F.filter's second
+    # lambda arg is the 0-based index; slice(_ps, 1, i) is exactly the
+    # prefix). Staged select binds _ps/_ks ONCE (CollapseProject will
+    # not inline an expensive alias referenced twice — same discipline
+    # as contaminated_docs).
+    ps = F.col("_ps")
     kept = F.filter(
-        paras,
+        ps,
         lambda p, i: (norm(p) == F.lit(""))
         | ~F.exists(
-            F.slice(paras, F.lit(1), i), lambda q: norm(q) == norm(p)
+            F.slice(ps, F.lit(1), i), lambda q: norm(q) == norm(p)
         ),
     )
-    # staged select: bind paras/kept ONCE (CollapseProject will not
-    # inline an expensive alias referenced twice — same discipline as
-    # contaminated_docs)
-    staged = src_df.select(
-        F.col(doc_id),
-        paras.alias("_ps"),
-        kept.alias("_ks"),
+    small_src = (
+        staged0
+        if giant_paragraphs is None
+        else staged0.filter(F.size("_ps") <= int(giant_paragraphs))
     )
-    return staged.select(
-        F.col(doc_id),
-        F.array_join("_ks", sep).alias(text),
-        (F.size("_ps") - F.size("_ks")).cast("bigint").alias(
-            "removed_paragraphs"
-        ),
+    small = (
+        small_src
+        .select(F.col(doc_id), ps.alias("_p2"), kept.alias("_ks"))
+        .select(
+            F.col(doc_id),
+            F.array_join("_ks", sep).alias(text),
+            (F.size("_p2") - F.size("_ks")).cast("bigint").alias(
+                "removed_paragraphs"
+            ),
+        )
     )
+    if giant_paragraphs is None:
+        return small
+
+    # --- giant path: explode + keep-first window. Blank paragraphs
+    # are exempt from dedup (all survive), matching the filter above.
+    ex = staged0.filter(F.size("_ps") > int(giant_paragraphs)).select(
+        F.col(doc_id),
+        F.size("_ps").cast("bigint").alias("_n"),
+        F.posexplode("_ps").alias("_pos", "_para"),
+    )
+    wkeep = Window.partitionBy(doc_id, "_nm").orderBy("_pos")
+    giant = (
+        ex.withColumn("_nm", norm(F.col("_para")))
+        .withColumn("_rn", F.row_number().over(wkeep))
+        .filter((F.col("_nm") == "") | (F.col("_rn") == 1))
+        .groupBy(doc_id, "_n")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("_pos", "_para"))
+                    ),
+                    lambda s: s["_para"],
+                ),
+                sep,
+            ).alias(text),
+            F.count("*").alias("_nkept"),
+        )
+        .select(
+            F.col(doc_id),
+            F.col(text),
+            (F.col("_n") - F.col("_nkept")).cast("bigint").alias(
+                "removed_paragraphs"
+            ),
+        )
+    )
+    return small.unionByName(giant)
 
 
 def leakage_safe_split(

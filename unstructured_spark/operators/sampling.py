@@ -771,10 +771,18 @@ def mixture_from_partials(
         .withColumn(
             "_m", F.expr("(mean_score_q * 1000000) div greatest(_gmean, 1)")
         )
+        # _m * step is staged through decimal(38,0) like base_ppm/_raw:
+        # _m is a ratio on the ppm grid (up to ~2^61 for an extreme
+        # mean_d/gmean), so the BIGINT product with step could cross
+        # 2^63 and silently wrap under non-ANSI Spark while the DuckDB
+        # oracle computes in HUGEINT. The decimal div yields the same
+        # integral quotient, and the quotient is back in ppm range.
         .withColumn(
             "mult_ppm",
             F.expr(
-                f"greatest(0, 1000000 - {step} + (_m * {step}) div 1000000)"
+                f"greatest(0, 1000000 - {step} + cast("
+                f"(cast(_m as decimal(38,0)) * {step}) div 1000000"
+                " as bigint))"
             ).cast("bigint"),
         )
         # _raw fits bigint for any bounded mult, but _raw*1e6 in the

@@ -85,6 +85,32 @@ def partition_and_chunk_stream(
     )
 
 
+def _sink_has_part_files(spark: SparkSession, path: str) -> bool:
+    """True iff the sink directory exists AND holds at least one
+    ``part-`` data file (recursive Hadoop-FS listing, so it works on
+    any configured filesystem scheme, not just local). Used to tell a
+    genuine cold start apart from a transient empty LIST over a
+    non-empty sink. A listing failure returns True — fail toward
+    propagating the original read error, never toward resetting
+    offsets."""
+    try:
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(
+            spark._jsc.hadoopConfiguration()  # type: ignore[union-attr]
+        )
+        if not fs.exists(hpath):
+            return False
+        it = fs.listFiles(hpath, True)
+        while it.hasNext():
+            name = it.next().getPath().getName()
+            if name.startswith("part-"):
+                return True
+        return False
+    except Exception:
+        return True
+
+
 def stream_to_token_shards(
     chunks: DataFrame,
     model: DataFrame,
@@ -151,6 +177,17 @@ def stream_to_token_shards(
             "Unable to infer schema",
         )
         if not any(mk in str(e) for mk in cold_start_markers):
+            raise
+        # UNABLE_TO_INFER_SCHEMA is ambiguous: a genuinely-empty
+        # pre-created dir raises it, but so does a NON-empty sink
+        # whose LIST transiently returned no parquet files
+        # (eventually-consistent stores) — exactly the transient case
+        # that must propagate. Disambiguate with an explicit Hadoop-FS
+        # recursive listing: any part-file in the sink means data was
+        # written before, so the schema failure is a read fault, not a
+        # cold start, and resetting the offset would re-issue shard_ids
+        # that collide with already-full shards.
+        if _sink_has_part_files(spark, output_dir):
             raise
         offset = 0
     state = {"offset": offset}
