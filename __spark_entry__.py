@@ -3213,21 +3213,75 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         # ------------------------------------------------------------
         # EXTERNAL WINDOW (first 50 entries = the driver's correctness
-        # window). Round-10 rotation, per the r9 plan:
-        #   slots 1-20: the 20 r9-new queries that have never been in
+        # window). Round-11 rotation, per the r10 plan:
+        #   slots 1-5: the five r10-new queries that have never been in
         #     an external window (first external green due this round);
-        #   slots 21-25: queries whose operators changed in r10
-        #     (semantic_dedup pair-salt + kmeans size-join,
-        #     remove_shared_spans affected-only rebuild, bigram-LM
-        #     type-table fold) — externally re-proving hash stability;
-        #   slots 26-33: eight r8-floor greens rotated forward;
-        #   slots 34-50: ALL 17 remaining r7-floor greens, so after
-        #     this round no registry entry's last external green is
-        #     older than r8.
-        # The four channel probes are RETIRED from the registry (the
-        # r9 window proved the HUGEINT-wire diagnosis end-to-end;
-        # tests/test_oracle_wire_types.py pins the bug class dead).
+        #   slots 6-41: ALL 36 remaining r8-floor greens, so after this
+        #     round no registry entry's last external green is older
+        #     than r9;
+        #   slots 42-45: queries whose operators changed in r11
+        #     (clustering.py eager centroid checkpoints -> kmeans +
+        #     semantic_dedup; bigram-LM probe-join sharing ->
+        #     perplexity + bigram-CE) — externally re-proving hash
+        #     stability after the changes;
+        #   slots 46-50: five r9-floor greens rotated forward (the
+        #     remaining 39 rotate through the r12 window).
         # ------------------------------------------------------------
+        # --- slots 1-5: first-external-green leads (new in r10) ---
+        "q_dedup_within_doc": q_dedup_within_doc,
+        "q_mixture_reweight": q_mixture_reweight,
+        "q_soft_dedup_weights": q_soft_dedup_weights,
+        "q_cross_source_dups": q_cross_source_dups,
+        "q_nb_confusion": q_nb_confusion,
+        # --- slots 6-41: the complete r8-floor cohort ---
+        "q05_region_revenue": q05_region_revenue,
+        "q06_forecast_revenue": q06_forecast_revenue,
+        "q_bpe_top_pairs": q_bpe_top_pairs,
+        "q_chunk_fixed": q_chunk_fixed,
+        "q_cleaned_docs": q_cleaned_docs,
+        "q_doc_quantiles": q_doc_quantiles,
+        "q_edit_distance": q_edit_distance,
+        "q_element_type_match": q_element_type_match,
+        "q_embed_centroids": q_embed_centroids,
+        "q_embed_neardup": q_embed_neardup,
+        "q_embed_topk": q_embed_topk,
+        "q_eval_summary": q_eval_summary,
+        "q_events_daily": q_events_daily,
+        "q_events_json": q_events_json,
+        "q_events_last_per_user": q_events_last_per_user,
+        "q_events_moving_avg": q_events_moving_avg,
+        "q_events_sessionize": q_events_sessionize,
+        "q_hash_embeddings": q_hash_embeddings,
+        "q_ivf_ann_topk": q_ivf_ann_topk,
+        "q_langid": q_langid,
+        "q_lsh_candidate_pairs": q_lsh_candidate_pairs,
+        "q_minhash_signatures": q_minhash_signatures,
+        "q_nation_acctbal_rollup": q_nation_acctbal_rollup,
+        "q_ngram_jaccard_dups": q_ngram_jaccard_dups,
+        "q_order_priority": q_order_priority,
+        "q_part_brand_stats": q_part_brand_stats,
+        "q_percent_missing": q_percent_missing,
+        "q_remove_boilerplate": q_remove_boilerplate,
+        "q_simhash": q_simhash,
+        "q_simhash_pairs": q_simhash_pairs,
+        "q_tfidf_top_terms": q_tfidf_top_terms,
+        "q_token_freq": q_token_freq,
+        "q_token_shards": q_token_shards,
+        "q_top_customers": q_top_customers,
+        "q_vocab_coverage": q_vocab_coverage,
+        "q_winnow_fingerprints": q_winnow_fingerprints,
+        # --- slots 42-45: changed in r11 ---
+        "q_kmeans_clusters": q_kmeans_clusters,
+        "q_semantic_dedup": q_semantic_dedup,
+        "q_perplexity_buckets": q_perplexity_buckets,
+        "q_bigram_cross_entropy": q_bigram_cross_entropy,
+        # --- slots 46-50: r9-floor rotation ---
+        "q01_pricing_summary": q01_pricing_summary,
+        "q02_min_cost_supplier": q02_min_cost_supplier,
+        "q03_shipping_priority": q03_shipping_priority,
+        "q07_nation_volume": q07_nation_volume,
+        "q09_product_type_profit": q09_product_type_profit,
+        # --- tail: below the 50-slot external window ---
         "q_dedup_paragraphs": q_dedup_paragraphs,
         "q_unigram_entropy": q_unigram_entropy,
         "q_interleave_sources": q_interleave_sources,
@@ -3248,13 +3302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_filter_attribution": q_filter_attribution,
         "q_curriculum_order": q_curriculum_order,
         "q_corpus_diff": q_corpus_diff,
-        # --- slots 21-25: changed in r10 ---
-        "q_perplexity_buckets": q_perplexity_buckets,
         "q_remove_shared_spans": q_remove_shared_spans,
-        "q_semantic_dedup": q_semantic_dedup,
-        "q_kmeans_clusters": q_kmeans_clusters,
-        "q_bigram_cross_entropy": q_bigram_cross_entropy,
-        # --- slots 26-33: r8-floor rotation ---
         "q_partition_elements": q_partition_elements,
         "q_chunk_by_title": q_chunk_by_title,
         "q_layout_merge": q_layout_merge,
@@ -3263,7 +3311,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_asof_join": q_asof_join,
         "q_doc_stats": q_doc_stats,
         "q_exact_dups": q_exact_dups,
-        # --- slots 34-50: the complete r7-floor cohort ---
         "q04_order_priority_check": q04_order_priority_check,
         "q_bm25_search": q_bm25_search,
         "q_form_kv_text": q_form_kv_text,
@@ -3281,20 +3328,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stratified_sample": q_stratified_sample,
         "q_temperature_mix": q_temperature_mix,
         "q_token_kl_drift": q_token_kl_drift,
-        # --- tail: below the 50-slot external window ---
         "q_nb_classify": q_nb_classify,
         "q_range_join": q_range_join,
         "q_od_map": q_od_map,
         "q12_late_lines": q12_late_lines,
         "q14_promo_revenue": q14_promo_revenue,
         "q19_bracket_revenue": q19_bracket_revenue,
-        "q09_product_type_profit": q09_product_type_profit,
         "q_box_dedup": q_box_dedup,
         "q_clean_inner_boxes": q_clean_inner_boxes,
         "q_embed_text_agg": q_embed_text_agg,
         "q_ocr_supplement": q_ocr_supplement,
-        "q01_pricing_summary": q01_pricing_summary,
-        "q03_shipping_priority": q03_shipping_priority,
         "q_ivfpq_topk": q_ivfpq_topk,
         "q_salted_user_value": q_salted_user_value,
         "q_weighted_sample": q_weighted_sample,
@@ -3307,7 +3350,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_drop_keep_best": q_drop_keep_best,
         "q_shared_ngram_spans": q_shared_ngram_spans,
         "q_dedup_incremental": q_dedup_incremental,
-        "q07_nation_volume": q07_nation_volume,
         "q08_market_share": q08_market_share,
         "q10_returned_items": q10_returned_items,
         "q13_order_count_distribution": q13_order_count_distribution,
@@ -3316,7 +3358,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_large_orders": q18_large_orders,
         "q21_sole_late_supplier": q21_sole_late_supplier,
         "q22_idle_customers": q22_idle_customers,
-        "q02_min_cost_supplier": q02_min_cost_supplier,
         "q11_important_stock": q11_important_stock,
         "q16_supplier_count": q16_supplier_count,
         "q20_excess_stock_suppliers": q20_excess_stock_suppliers,
@@ -3326,48 +3367,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pii_stats": q_pii_stats,
         "q_redacted_docs": q_redacted_docs,
         "q_dsir_importance": q_dsir_importance,
-        "q_remove_boilerplate": q_remove_boilerplate,
-        "q_bpe_top_pairs": q_bpe_top_pairs,
-        "q_vocab_coverage": q_vocab_coverage,
-        "q_token_shards": q_token_shards,
-        "q_tfidf_top_terms": q_tfidf_top_terms,
-        "q05_region_revenue": q05_region_revenue,
-        "q06_forecast_revenue": q06_forecast_revenue,
-        "q_top_customers": q_top_customers,
-        "q_order_priority": q_order_priority,
-        "q_part_brand_stats": q_part_brand_stats,
-        "q_nation_acctbal_rollup": q_nation_acctbal_rollup,
-        "q_events_daily": q_events_daily,
-        "q_events_last_per_user": q_events_last_per_user,
-        "q_events_sessionize": q_events_sessionize,
-        "q_events_json": q_events_json,
-        "q_events_moving_avg": q_events_moving_avg,
-        "q_winnow_fingerprints": q_winnow_fingerprints,
-        "q_simhash_pairs": q_simhash_pairs,
-        "q_doc_quantiles": q_doc_quantiles,
-        "q_element_type_match": q_element_type_match,
-        "q_token_freq": q_token_freq,
-        "q_minhash_signatures": q_minhash_signatures,
-        "q_lsh_candidate_pairs": q_lsh_candidate_pairs,
-        "q_ngram_jaccard_dups": q_ngram_jaccard_dups,
-        "q_simhash": q_simhash,
-        "q_chunk_fixed": q_chunk_fixed,
-        "q_langid": q_langid,
-        "q_cleaned_docs": q_cleaned_docs,
-        "q_embed_topk": q_embed_topk,
-        "q_embed_centroids": q_embed_centroids,
-        "q_embed_neardup": q_embed_neardup,
-        "q_ivf_ann_topk": q_ivf_ann_topk,
-        "q_edit_distance": q_edit_distance,
-        "q_eval_summary": q_eval_summary,
-        "q_percent_missing": q_percent_missing,
-        "q_hash_embeddings": q_hash_embeddings,
-        # --- new in r10 (tail this round; lead the r11 window) ---
-        "q_dedup_within_doc": q_dedup_within_doc,
-        "q_mixture_reweight": q_mixture_reweight,
-        "q_soft_dedup_weights": q_soft_dedup_weights,
-        "q_cross_source_dups": q_cross_source_dups,
-        "q_nb_confusion": q_nb_confusion,
     }
 
 
