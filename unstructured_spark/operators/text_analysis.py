@@ -616,8 +616,7 @@ def bigram_cross_entropy(
     # attach the logs to the VOCAB-sized count tables, not the bigram
     # stream: the stream is the big side (corpus tokens), the count
     # tables are type-bounded — two broadcast probes over types beat
-    # two over occurrences, and the stream-side plan stays two joins
-    # wide instead of four
+    # two over occurrences
     big_ln = big_counts.select(
         "w1", "w2", (F.col("c12") + F.lit(1)).alias("_mb")
     ).join(lb, "_mb")
@@ -629,16 +628,25 @@ def bigram_cross_entropy(
     # sum's rounding depends on partition order (the repo-wide
     # fixed-order-fold discipline; oracle replays the same quantization).
     # HALF_UP on the scale grid: (D·1e6 + 2^30) div 2^31, all integer.
-    scored = (
-        bigrams.join(big_ln, ["w1", "w2"])
-        .join(uni_ln, "w1")
+    #
+    # -ln P depends only on the bigram TYPE, so the two type tables
+    # combine FIRST (a (w1)-keyed type-sized join) and the quantized
+    # score is computed once per distinct bigram — the occurrence
+    # stream then pays ONE (w1,w2) probe join instead of two (the r10
+    # form joined the stream against big_ln AND uni_ln; this r11 fold
+    # halves the stream-side join width and moves the quantization
+    # off the token-scale path entirely).
+    pair_nlq = (
+        big_ln.join(uni_ln, "w1")
         .select(
-            "doc",
+            "w1",
+            "w2",
             F.expr(
                 f"((_aln - _bln) * 1000000 + {FXLN_HALF}) div {FXLN_SCALE}"
             ).alias("_nlq"),
         )
     )
+    scored = bigrams.join(pair_nlq, ["w1", "w2"]).select("doc", "_nlq")
     # integer HALF_UP average over grid units — (2·sum + n) div (2·n) —
     # then ONE IEEE division by 1e6: no double rounding step at all, so
     # halfway averages (sum/n = k + 0.5 exactly) cannot split between
