@@ -3161,6 +3161,61 @@ def q_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC/WET source round trip (new in r11): serialize every
+    document as a WARC conversion record JVM-side (pure string
+    expressions — Content-Length framing via octet_length), pack the
+    records into 32 bucket archives, and run the distributed WARC
+    parser (sources/warc.py, the Common Crawl ingest path) over the
+    archive blobs. Output = one row per recovered record; the oracle
+    replays the round trip as the identity over documents, so any
+    framing/parse defect breaks the hash. Scale shape mirrors real
+    ingest: one map-only expansion task per archive, no shuffle after
+    the bucket pack."""
+    from unstructured_spark.sources.warc import parse_warc
+
+    docs = _t(spark, sf_dir, "documents")
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    rec = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: "
+              "http://corpus.local/doc/"),
+        F.col("doc_id").cast("string"),
+        F.lit("\r\nWARC-Record-ID: <urn:md5:"),
+        F.md5(F.col("doc_id").cast("string")),
+        F.lit(">\r\nWARC-Date: 2024-01-01T00:00:00Z\r\n"
+              "Content-Type: text/plain\r\nContent-Length: "),
+        F.octet_length(txt).cast("string"),
+        F.lit("\r\n\r\n"),
+        txt,
+        F.lit("\r\n\r\n"),
+    )
+    blobs = (
+        docs.select((F.col("doc_id") % 32).alias("_b"),
+                    F.struct(F.col("doc_id"), rec.alias("_r")).alias("_s"))
+        .groupBy("_b")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("_s")), lambda s: s["_r"]
+                ),
+                "",
+            ).alias("_arc")
+        )
+        .select(
+            F.concat(F.lit("mem://warc-"), F.col("_b")).alias("path"),
+            F.encode(F.col("_arc"), "UTF-8").alias("content"),
+        )
+    )
+    return parse_warc(blobs).select(
+        F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        "warc_type",
+        F.col("n_bytes"),
+        F.col("text"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # The round-9 channel probes (probe_wire_control / probe_duckdb_version /
 # probe_hugeint_wire / probe_bigint_wire) are RETIRED: the r9 external
@@ -3224,8 +3279,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     semantic_dedup; bigram-LM probe-join sharing ->
         #     perplexity + bigram-CE) — externally re-proving hash
         #     stability after the changes;
-        #   slots 46-50: five r9-floor greens rotated forward (the
-        #     remaining 39 rotate through the r12 window).
+        #   slots 46-49: four r9-floor greens rotated forward (the
+        #     remaining 40 rotate through the r12 window);
+        #   slot 50: q_warc_ingest, new in r11 (first green due).
         # ------------------------------------------------------------
         # --- slots 1-5: first-external-green leads (new in r10) ---
         "q_dedup_within_doc": q_dedup_within_doc,
@@ -3280,8 +3336,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q02_min_cost_supplier": q02_min_cost_supplier,
         "q03_shipping_priority": q03_shipping_priority,
         "q07_nation_volume": q07_nation_volume,
-        "q09_product_type_profit": q09_product_type_profit,
+        "q_warc_ingest": q_warc_ingest,
         # --- tail: below the 50-slot external window ---
+        "q09_product_type_profit": q09_product_type_profit,
         "q_dedup_paragraphs": q_dedup_paragraphs,
         "q_unigram_entropy": q_unigram_entropy,
         "q_interleave_sources": q_interleave_sources,
@@ -3893,6 +3950,15 @@ def oracle_sql() -> dict[str, str]:
                    cast(count(*) as bigint) as docs
             from pred p join documents d using (doc_id)
             group by 1, 2
+        """,
+        # round trip is the identity over documents: any framing or
+        # parse defect in the WARC source breaks this hash
+        "q_warc_ingest": """
+            select doc_id,
+                   'conversion' as warc_type,
+                   cast(strlen(coalesce(text, '')) as bigint) as n_bytes,
+                   coalesce(text, '') as text
+            from documents
         """,
         "q_soft_dedup_weights": """
             with fp as (

@@ -1,0 +1,142 @@
+"""WARC/WET source: stdlib framing parser + distributed ingest."""
+
+from __future__ import annotations
+
+import gzip
+
+from unstructured_spark.sources.warc import (
+    _split_http,
+    build_warc_bytes,
+    iter_warc_records,
+    parse_warc,
+    read_warc,
+)
+
+
+def _conv(uri: str, body: str) -> dict:
+    return {
+        "warc_type": "conversion",
+        "target_uri": uri,
+        "payload": body.encode("utf-8"),
+    }
+
+
+class TestFraming:
+    def test_round_trip_plain(self):
+        recs = [
+            _conv("http://a/1", "hello world"),
+            _conv("http://a/2", "body with\r\n\r\nblank lines inside"),
+            _conv("http://a/3", ""),
+        ]
+        out = list(iter_warc_records(build_warc_bytes(recs)))
+        assert len(out) == 3
+        assert [r["headers"]["warc-target-uri"] for r in out] == [
+            "http://a/1", "http://a/2", "http://a/3",
+        ]
+        # length framing survives embedded blank lines
+        assert out[1]["payload"] == recs[1]["payload"]
+        assert out[2]["payload"] == b""
+
+    def test_round_trip_gzip_members(self):
+        recs = [_conv(f"http://g/{i}", f"doc {i} text") for i in range(5)]
+        data = build_warc_bytes(recs, gzip_per_record=True)
+        # sanity: it really is multi-member gzip, not one stream
+        assert data.count(b"\x1f\x8b\x08") >= 5
+        out = list(iter_warc_records(data))
+        assert [r["payload"].decode() for r in out] == [
+            f"doc {i} text" for i in range(5)
+        ]
+
+    def test_whole_file_gzip(self):
+        recs = [_conv("http://w/1", "single member archive")]
+        data = gzip.compress(build_warc_bytes(recs))
+        [r] = iter_warc_records(data)
+        assert r["payload"] == b"single member archive"
+
+    def test_garbage_between_records_skipped(self):
+        recs = [_conv("http://x/1", "first"), _conv("http://x/2", "second")]
+        a, b = build_warc_bytes([recs[0]]), build_warc_bytes([recs[1]])
+        out = list(iter_warc_records(a + b"JUNKJUNKJUNK" + b))
+        assert [r["payload"] for r in out] == [b"first", b"second"]
+
+    def test_unframed_record_resyncs(self):
+        bad = b"WARC/1.0\r\nWARC-Type: metadata\r\n\r\n"
+        good = build_warc_bytes([_conv("http://y/1", "kept")])
+        out = list(iter_warc_records(bad + good))
+        assert [r["payload"] for r in out] == [b"kept"]
+
+    def test_http_response_split(self):
+        body = b"<html>hi</html>"
+        payload = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n"
+            b"Server: x\r\n\r\n" + body
+        )
+        status, ctype, got = _split_http(payload)
+        assert (status, ctype.split(";")[0], got) == (200, "text/html", body)
+        # non-HTTP payload passes through untouched
+        assert _split_http(b"plain") == (None, None, b"plain")
+
+
+class TestDistributedIngest:
+    def test_parse_warc_in_memory(self, spark):
+        recs = [_conv(f"http://m/{i}", f"text {i}") for i in range(4)]
+        blob = build_warc_bytes(recs)
+        df = spark.createDataFrame(
+            [("mem://a", bytearray(blob))], "path string, content binary"
+        )
+        out = parse_warc(df).collect()
+        assert len(out) == 4
+        assert sorted(r["text"] for r in out) == [f"text {i}" for i in range(4)]
+        assert all(r["warc_type"] == "conversion" for r in out)
+        assert all(r["n_bytes"] == len(f"text {i}") for i, r in
+                   enumerate(sorted(out, key=lambda r: r["target_uri"])))
+
+    def test_read_warc_directory(self, spark, tmp_path):
+        # one .warc.gz with response records, one .wet with conversions
+        html = b"<html><body>page one</body></html>"
+        resp_payload = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + html
+        )
+        responses = build_warc_bytes(
+            [
+                {"warc_type": "response", "target_uri": "http://s/1",
+                 "payload": resp_payload,
+                 "content_type": "application/http; msgtype=response"},
+                {"warc_type": "request", "target_uri": "http://s/1",
+                 "payload": b"GET / HTTP/1.1\r\n\r\n",
+                 "content_type": "application/http; msgtype=request"},
+            ],
+            gzip_per_record=True,
+        )
+        (tmp_path / "crawl-00000.warc.gz").write_bytes(responses)
+        wet = build_warc_bytes([_conv("http://s/1", "page one")])
+        (tmp_path / "crawl-00000.warc.wet").write_bytes(wet)
+
+        out = read_warc(spark, str(tmp_path)).collect()
+        # request records filtered by the default record_types
+        assert sorted(r["warc_type"] for r in out) == ["conversion", "response"]
+        by_type = {r["warc_type"]: r for r in out}
+        assert by_type["response"].http_status == 200
+        assert by_type["response"].content_type == "text/html"
+        assert by_type["response"].text == html.decode()
+        assert by_type["conversion"].text == "page one"
+        assert by_type["conversion"].n_bytes == len(b"page one")
+
+    def test_binary_content_has_null_text(self, spark):
+        png = {"warc_type": "resource", "target_uri": "http://b/i.png",
+               "payload": b"\x89PNG\x00\x01", "content_type": "image/png"}
+        df = spark.createDataFrame(
+            [("mem://b", bytearray(build_warc_bytes([png])))],
+            "path string, content binary",
+        )
+        [r] = parse_warc(df, record_types=None).collect()
+        assert r["text"] is None and r["n_bytes"] == 6
+
+    def test_conversion_text_starting_with_http_not_split(self, spark):
+        tricky = "HTTP/1.1 200 OK\r\n\r\nnot an envelope, just text"
+        df = spark.createDataFrame(
+            [("mem://t", bytearray(build_warc_bytes([_conv("http://t/1", tricky)])))],
+            "path string, content binary",
+        )
+        [r] = parse_warc(df).collect()
+        assert r["text"] == tricky and r["http_status"] is None
