@@ -3216,6 +3216,37 @@ def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-keyed exact dedup (new in r11): synthesize the classic crawl
+    URL variants deterministically from doc ids (case noise, www,
+    default ports, fragments, tracking params, unordered query params),
+    canonicalize (functions/urls.py — pure JVM regexp/array exprs), and
+    collapse to one row per canonical URL with keep-min + count. The
+    step-zero dedup pass of RefinedWeb/CCNet-style pipelines; the
+    oracle replays synthesis AND canonicalization in SQL."""
+    from unstructured_spark.functions.urls import dedup_by_url
+
+    docs = _t(spark, sf_dir, "documents")
+    base = (F.col("doc_id") % 100).cast("string")
+    v = F.col("doc_id") % 5
+    url = (
+        F.when(v == 0, F.concat(F.lit("http://Example.COM/page/"), base))
+        .when(v == 1, F.concat(
+            F.lit("http://www.example.com/page/"), base, F.lit("/")))
+        .when(v == 2, F.concat(
+            F.lit("https://example.com:443/page/"), base,
+            F.lit("?utm_source=feed&id="),
+            (F.col("doc_id") % 3).cast("string")))
+        .when(v == 3, F.concat(
+            F.lit("http://example.com:80/page/"), base,
+            F.lit("#sec-"), F.col("doc_id").cast("string")))
+        .otherwise(F.concat(
+            F.lit("http://example.com/page/"), base,
+            F.lit("?b=2&a=1&gclid=xyz")))
+    )
+    return dedup_by_url(docs.select("doc_id", url.alias("target_uri")))
+
+
 # ---------------------------------------------------------------------------
 # The round-9 channel probes (probe_wire_control / probe_duckdb_version /
 # probe_hugeint_wire / probe_bigint_wire) are RETIRED: the r9 external
@@ -3279,9 +3310,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     semantic_dedup; bigram-LM probe-join sharing ->
         #     perplexity + bigram-CE) — externally re-proving hash
         #     stability after the changes;
-        #   slots 46-49: four r9-floor greens rotated forward (the
-        #     remaining 40 rotate through the r12 window);
-        #   slot 50: q_warc_ingest, new in r11 (first green due).
+        #   slots 46-48: three r9-floor greens rotated forward (the
+        #     remaining 41 rotate through the r12 window);
+        #   slots 49-50: q_warc_ingest + q_url_dedup, new in r11
+        #     (first greens due).
         # ------------------------------------------------------------
         # --- slots 1-5: first-external-green leads (new in r10) ---
         "q_dedup_within_doc": q_dedup_within_doc,
@@ -3331,13 +3363,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_semantic_dedup": q_semantic_dedup,
         "q_perplexity_buckets": q_perplexity_buckets,
         "q_bigram_cross_entropy": q_bigram_cross_entropy,
-        # --- slots 46-50: r9-floor rotation ---
+        # --- slots 46-48: r9-floor rotation ---
         "q01_pricing_summary": q01_pricing_summary,
         "q02_min_cost_supplier": q02_min_cost_supplier,
         "q03_shipping_priority": q03_shipping_priority,
-        "q07_nation_volume": q07_nation_volume,
+        # --- slots 49-50: new in r11 (first green due) ---
         "q_warc_ingest": q_warc_ingest,
+        "q_url_dedup": q_url_dedup,
         # --- tail: below the 50-slot external window ---
+        "q07_nation_volume": q07_nation_volume,
         "q09_product_type_profit": q09_product_type_profit,
         "q_dedup_paragraphs": q_dedup_paragraphs,
         "q_unigram_entropy": q_unigram_entropy,
@@ -3950,6 +3984,63 @@ def oracle_sql() -> dict[str, str]:
                    cast(count(*) as bigint) as docs
             from pred p join documents d using (doc_id)
             group by 1, 2
+        """,
+        # full replay: the same deterministic URL-variant synthesis,
+        # then every canonicalization step with the same regexes
+        "q_url_dedup": r"""
+            with u as (
+              select doc_id,
+                     case doc_id % 5
+                       when 0 then 'http://Example.COM/page/'
+                                   || (doc_id % 100)
+                       when 1 then 'http://www.example.com/page/'
+                                   || (doc_id % 100) || '/'
+                       when 2 then 'https://example.com:443/page/'
+                                   || (doc_id % 100)
+                                   || '?utm_source=feed&id=' || (doc_id % 3)
+                       when 3 then 'http://example.com:80/page/'
+                                   || (doc_id % 100) || '#sec-' || doc_id
+                       else 'http://example.com/page/' || (doc_id % 100)
+                                   || '?b=2&a=1&gclid=xyz'
+                     end as url
+              from documents
+            ), s as (
+              select doc_id, regexp_replace(url, '#.*', '') as u1 from u
+            ), parts as (
+              select doc_id,
+                -- DuckDB regexp_extract is NULL on no match where
+                -- Spark's returns '' — coalesce to keep parity
+                coalesce(regexp_extract(u1,
+                  '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1), '') as host0,
+                coalesce(regexp_extract(u1,
+                  '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1), '')
+                  as path0,
+                coalesce(regexp_extract(u1, '\?([^#]*)', 1), '') as q
+              from s
+            ), norm as (
+              select doc_id,
+                regexp_replace(regexp_replace(lower(host0),
+                  '^www\.', ''), ':(80|443)$', '') as host,
+                regexp_replace(path0, '/+$', '') as path,
+                -- array_to_string of an EMPTY list is NULL in DuckDB
+                -- (Spark array_join gives '') — coalesce for parity
+                coalesce(array_to_string(list_sort(list_filter(
+                  string_split(q, '&'),
+                  p -> p != '' and not regexp_matches(p,
+                    '^(utm_[^=]*|fbclid|gclid|ref)(=.*)?$'))), '&'), '')
+                  as params
+              from parts
+            ), canon as (
+              select doc_id,
+                     'http://' || host || path
+                     || case when params = '' then ''
+                             else '?' || params end as canonical_url
+              from norm
+            )
+            select canonical_url,
+                   cast(min(doc_id) as bigint) as keep_id,
+                   cast(count(*) as bigint) as dup_count
+            from canon group by 1
         """,
         # round trip is the identity over documents: any framing or
         # parse defect in the WARC source breaks this hash

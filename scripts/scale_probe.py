@@ -52,8 +52,11 @@ PROBE_QUERIES = [
     "q_filter_attribution",    # all hygiene gates + dup window, 1 shuffle
     "q_curriculum_order",      # banded prefix-sum global rank
     "q_corpus_diff",           # snapshot diff full-outer join
-    "q_dedup_within_doc",      # zero-shuffle map-side HOF dedup (r10)
+    "q_dedup_within_doc",      # giant-gated map-side HOF dedup (r10)
     "q_mixture_reweight",      # bigram LM + domain ppm weight chain (r10)
+    "q_nb_confusion",          # NB train + corpus score + confusion agg (r10)
+    "q_cross_source_dups",     # LSH pair matrix + label joins (r10)
+    "q_warc_ingest",           # WARC pack + distributed parse round trip (r11)
 ]
 
 
