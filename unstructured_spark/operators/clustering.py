@@ -163,14 +163,17 @@ def kmeans_clusters(
             eager=True
         )
 
-    # checkpoint the FINAL assignment: the caller's first action
-    # materializes it once, and the returned frame re-reads the
-    # checkpoint instead of re-running the whole assignment pass when
-    # consumed again (one fewer corpus pass per kmeans call)
+    # checkpoint the FINAL assignment EAGERLY: the cluster_size branch
+    # below broadcasts an aggregate over it, and with a lazy checkpoint
+    # the broadcast build can win the materialization race and execute
+    # the whole corpus assignment pass inside the BroadcastExchange's
+    # spark.sql.broadcastTimeout deadline (the same hazard as the
+    # per-iteration centroid builds above). Eager = one normal job,
+    # then both branches read checkpoint blocks (2 longs per vector).
     final = (
         _assign(quant, _cent_frame(cents))
         .select("vec_id", "cluster_id")
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     # cluster_size via a broadcast join of the k-row count aggregate,
     # NOT a window: a window partitioned by cluster_id funnels the
