@@ -36,6 +36,15 @@ from unstructured_spark.operators.text_analysis import (
 
 SF_DEFAULT = "/root/testdata/sf0.001"
 
+# HLL oracle constants — the SAME integers the Spark estimator embeds
+# (operators/sketches.py): alpha_4096 in 2^-20 fixed point, ln(4096)
+# on the fxln 2^31 grid.
+from unstructured_spark.operators.sketches import hll_alpha_q20  # noqa: E402
+from unstructured_spark.operators.text_analysis import fxln_int  # noqa: E402
+
+_HLL_ALPHA_Q = hll_alpha_q20(4096)
+_HLL_LNM = fxln_int(4096)
+
 # Shared bigram-LM scoring tail for the bigram-CE / perplexity oracles:
 # -ln P through the fixed-point INTEGER log (text_analysis.fxln_steps) so
 # DuckDB reproduces Spark's bigints exactly — no libm ln(), no 1-ulp
@@ -3216,6 +3225,20 @@ def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-exact HyperLogLog audit (new in r11): per-source distinct
+    token estimate from 4096 integer registers vs the exact distinct
+    count, with signed error ppm. The whole estimator — rho via binary
+    digit counts, harmonic sum as exact power-of-two bigints, alpha in
+    2^-20 fixed point, linear counting through fxln — is integer
+    arithmetic, so the DuckDB oracle replays the ESTIMATE bit for bit
+    (not just the exact side). operators/sketches.py."""
+    from unstructured_spark.operators.sketches import hll_distinct_audit
+
+    docs = _t(spark, sf_dir, "documents")
+    return hll_distinct_audit(docs)
+
+
 def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL-keyed exact dedup (new in r11): synthesize the classic crawl
     URL variants deterministically from doc ids (case noise, www,
@@ -3310,10 +3333,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     semantic_dedup; bigram-LM probe-join sharing ->
         #     perplexity + bigram-CE) — externally re-proving hash
         #     stability after the changes;
-        #   slots 46-48: three r9-floor greens rotated forward (the
-        #     remaining 41 rotate through the r12 window);
-        #   slots 49-50: q_warc_ingest + q_url_dedup, new in r11
-        #     (first greens due).
+        #   slots 46-47: two r9-floor greens rotated forward (the
+        #     remaining 42 rotate through the r12 window);
+        #   slots 48-50: q_warc_ingest + q_url_dedup + q_hll_distinct,
+        #     new in r11 (first greens due).
         # ------------------------------------------------------------
         # --- slots 1-5: first-external-green leads (new in r10) ---
         "q_dedup_within_doc": q_dedup_within_doc,
@@ -3363,14 +3386,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_semantic_dedup": q_semantic_dedup,
         "q_perplexity_buckets": q_perplexity_buckets,
         "q_bigram_cross_entropy": q_bigram_cross_entropy,
-        # --- slots 46-48: r9-floor rotation ---
+        # --- slots 46-47: r9-floor rotation ---
         "q01_pricing_summary": q01_pricing_summary,
         "q02_min_cost_supplier": q02_min_cost_supplier,
-        "q03_shipping_priority": q03_shipping_priority,
-        # --- slots 49-50: new in r11 (first green due) ---
+        # --- slots 48-50: new in r11 (first greens due) ---
         "q_warc_ingest": q_warc_ingest,
         "q_url_dedup": q_url_dedup,
+        "q_hll_distinct": q_hll_distinct,
         # --- tail: below the 50-slot external window ---
+        "q03_shipping_priority": q03_shipping_priority,
         "q07_nation_volume": q07_nation_volume,
         "q09_product_type_profit": q09_product_type_profit,
         "q_dedup_paragraphs": q_dedup_paragraphs,
@@ -3984,6 +4008,68 @@ def oracle_sql() -> dict[str, str]:
                    cast(count(*) as bigint) as docs
             from pred p join documents d using (doc_id)
             group by 1, 2
+        """,
+        # the ESTIMATOR itself replays bit for bit: integer rho via
+        # bin(), exact power-of-two harmonic sum, fixed-point alpha,
+        # fxln linear counting — not just the exact side
+        "q_hll_distinct": f"""
+            with tok as (
+              select source,
+                     unnest(list_filter(
+                       string_split(trim(coalesce(text, '')), ' '),
+                       x -> x != '')) as token
+              from documents
+            ), h as (
+              select source,
+                     cast(('0x' || substr(md5(token), 1, 15)) as bigint)
+                       as hv
+              from tok
+            ), r as (
+              select source, hv % 4096 as j,
+                     case when hv // 4096 > 0
+                          then 49 - length(bin(hv // 4096))
+                          else 49 end as rho
+              from h
+            ), regs as (
+              select source, j, max(rho) as m_j from r group by source, j
+            ), agg as (
+              select source,
+                     count(*) as nregs,
+                     cast(sum(1::bigint << (49 - m_j)) as bigint)
+                       as spresent
+              from regs group by source
+            ), staged as (
+              select source,
+                     spresent + (4096 - nregs) * (1::bigint << 49) as s,
+                     4096 - nregs as v
+              from agg
+            ), rawd as (
+              select source, v,
+                     cast((cast({_HLL_ALPHA_Q} as hugeint) * 4096 * 4096
+                           * (1::bigint << 49)) // s // 1048576 as bigint)
+                       as raw
+              from staged
+            ), lined as (
+              select source, v, raw,
+                     {fxln_select_sql("greatest(v, 1)", "lv_")}
+              from rawd
+            ), est as (
+              select source,
+                     case when v > 0 and raw <= 10240
+                          then (4096 * ({_HLL_LNM} - lv_ln)) // 2147483648
+                          else raw end as de
+              from lined
+            ), exact as (
+              select source,
+                     cast(count(distinct token) as bigint) as exact_distinct
+              from tok group by source
+            )
+            select est.source,
+                   cast(est.de as bigint) as distinct_est,
+                   e.exact_distinct,
+                   cast((est.de - e.exact_distinct) * 1000000
+                        // e.exact_distinct as bigint) as err_ppm
+            from est join exact e using (source)
         """,
         # full replay: the same deterministic URL-variant synthesis,
         # then every canonicalization step with the same regexes

@@ -26,7 +26,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["cms_from_counts", "cms_error_audit"]
+__all__ = [
+    "cms_from_counts",
+    "cms_error_audit",
+    "hll_registers",
+    "hll_estimate",
+    "hll_distinct_audit",
+    "hll_alpha_q20",
+]
 
 
 def _cms_bucket(item: Column, row: int, width: int) -> Column:
@@ -115,4 +122,174 @@ def cms_error_audit(
                 "overcount_ppm"
             ),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog — engine-exact distinct-count sketch
+# ---------------------------------------------------------------------------
+#
+# Flajolet et al. 2007: hash every item, split the hash into a register
+# index (p bits) and a suffix; each register keeps the max "position of
+# the first 1-bit" (rho) seen; the harmonic mean of 2^-M_j estimates
+# the distinct count from m = 2^p integers, mergeable by register max.
+#
+# The repo's twist is that the WHOLE estimator is integer arithmetic,
+# so Spark and the DuckDB oracle produce the SAME estimate bit for bit:
+# - rho from the binary digit count (bin(), the fxln trick) — no
+#   floating leading-zero intrinsics;
+# - the harmonic sum staged as S = sum(2^(W+1-M_j)) — every term a
+#   power of two, summed exactly in BIGINT (<= m * 2^(W+1) = 2^61);
+# - alpha_m fixed-point at 2^-20, the division chain in decimal(38,0);
+# - the small-range linear-counting branch m*ln(m/V) through fxln
+#   (fixed-point integer ln, text_analysis.fxln_steps).
+
+HLL_P_DEFAULT = 12  # m = 4096 registers, ~1.6% standard error
+
+
+def hll_alpha_q20(m: int) -> int:
+    """floor(alpha_m * 2^20) — the fixed-point bias-correction constant
+    both engines must share as the same integer literal (m >= 128)."""
+    return int(0.7213 / (1.0 + 1.079 / m) * (1 << 20))
+
+
+def _hll_hash(item: Column) -> Column:
+    """60-bit md5 prefix — the same engine-portable hash family as the
+    CMS buckets and the minhash signatures."""
+    return F.conv(F.substring(F.md5(item), 1, 15), 16, 10).cast("bigint")
+
+
+def hll_registers(
+    df: DataFrame,
+    *,
+    item: str = "token",
+    group_cols: tuple[str, ...] = (),
+    p: int = HLL_P_DEFAULT,
+) -> DataFrame:
+    """Per-group HLL register table: (group..., j, M) with register
+    index j = h % m and M = max rho over the group's items. Long form
+    (<= m rows per group; absent registers are implicit zeros) — two
+    sketches merge by unionByName + groupBy max, so per-shard register
+    tables roll up to corpus sketches without touching raw data again.
+
+    Scale shape: ONE shuffle on (group, j) with map-side max partials;
+    at any corpus size the reduced table is |groups| * 4096 rows."""
+    m = 1 << int(p)
+    w = 60 - int(p)
+    gcols = list(group_cols)
+    h = _hll_hash(F.col(item))
+    suffix = F.expr(f"_h div {m}")
+    rho = F.when(suffix > 0, F.lit(w) + 1 - F.length(F.bin(suffix))).otherwise(
+        F.lit(w + 1)
+    )
+    return (
+        df.select(*gcols, h.alias("_h"))
+        .select(
+            *gcols,
+            F.expr(f"_h % {m}").alias("j"),
+            rho.cast("int").alias("_rho"),
+        )
+        .groupBy(*gcols, "j")
+        .agg(F.max("_rho").alias("M"))
+    )
+
+
+def hll_estimate(
+    regs: DataFrame,
+    *,
+    group_cols: tuple[str, ...] = (),
+    p: int = HLL_P_DEFAULT,
+) -> DataFrame:
+    """Collapse a register table to (group..., distinct_est):
+    raw = (alpha_q20 * m^2 * 2^(W+1)) div S div 2^20 with
+    S = sum(2^(W+1-M_j)) over all m registers (absent = M 0), then the
+    small-range linear-counting branch m*(ln m - ln V) div 2^31 when
+    V = empty registers > 0 and raw <= 5m/2. All integer; the oracle
+    replays every step."""
+    from unstructured_spark.operators.text_analysis import (
+        FXLN_SCALE,
+        fxln_int,
+        with_fxln,
+    )
+
+    m = 1 << int(p)
+    w = 60 - int(p)
+    alpha_q = hll_alpha_q20(m)
+    gcols = list(group_cols)
+    agg = regs.groupBy(*gcols).agg(
+        F.count("*").alias("_nregs"),
+        F.sum(F.expr(f"cast(1 as bigint) << ({w + 1} - M)"))
+        .cast("bigint")
+        .alias("_spresent"),
+    )
+    staged = (
+        agg.withColumn(
+            "_s",
+            F.expr(
+                f"_spresent + ({m} - _nregs) * (cast(1 as bigint) << {w + 1})"
+            ),
+        )
+        .withColumn("_v", F.expr(f"{m} - _nregs"))
+        .withColumn(
+            "_raw",
+            F.expr(
+                f"cast((cast({alpha_q} as decimal(38,0)) * {m} * {m}"
+                f" * (cast(1 as bigint) << {w + 1})) div _s"
+                f" div {1 << 20} as bigint)"
+            ),
+        )
+    )
+    lnm = fxln_int(m)
+    lined = with_fxln(staged, "greatest(_v, 1)", "_lv").withColumn(
+        "_lin", F.expr(f"({m} * ({lnm} - _lvln)) div {FXLN_SCALE}")
+    )
+    return lined.select(
+        *gcols,
+        F.when(
+            (F.col("_v") > 0) & (F.col("_raw") <= F.lit(5 * m // 2)),
+            F.col("_lin"),
+        )
+        .otherwise(F.col("_raw"))
+        .cast("bigint")
+        .alias("distinct_est"),
+    )
+
+
+def hll_distinct_audit(
+    df: DataFrame,
+    *,
+    text: str = "text",
+    strata: str = "source",
+    p: int = HLL_P_DEFAULT,
+) -> DataFrame:
+    """Exact-vs-sketch distinct-token audit per stratum — the
+    datasheet's "unique tokens per source" at sketch cost: tokenize
+    once (checkpointed), build per-source registers, estimate, join
+    the exact distinct count, report signed error ppm.
+
+    Returns (source, distinct_est, exact_distinct, err_ppm)."""
+    toks = F.filter(
+        F.split(F.trim(F.coalesce(F.col(text), F.lit(""))), "\\s+"),
+        lambda x: x != F.lit(""),
+    )
+    base = df.select(
+        F.col(strata).alias("source"), F.explode(toks).alias("token")
+    ).localCheckpoint(eager=False)
+    est = hll_estimate(
+        hll_registers(base, item="token", group_cols=("source",), p=p),
+        group_cols=("source",),
+        p=p,
+    )
+    exact = base.groupBy("source").agg(
+        F.countDistinct("token").cast("bigint").alias("exact_distinct")
+    )
+    return est.join(exact, "source").select(
+        "source",
+        "distinct_est",
+        "exact_distinct",
+        F.expr(
+            "(distinct_est - exact_distinct) * 1000000 div exact_distinct"
+        )
+        .cast("bigint")
+        .alias("err_ppm"),
     )
