@@ -110,3 +110,64 @@ class TestHllAudit:
             )
             # integer `div` truncates toward zero
             assert abs(r["err_ppm"] - expected_ppm) <= 25_000
+
+
+class TestHllStreaming:
+    def test_stream_partials_match_batch(self, spark, tmp_path):
+        import json
+
+        from unstructured_spark.streaming.pipeline import hll_partials_stream
+
+        rows = [
+            {"ingest_ts": "2024-01-01 00:10:00", "source": "a",
+             "text": "alpha beta gamma"},
+            {"ingest_ts": "2024-01-01 00:20:00", "source": "a",
+             "text": "beta delta"},
+            {"ingest_ts": "2024-01-01 00:40:00", "source": "b",
+             "text": "alpha alpha epsilon"},
+        ]
+        # second micro-batch far past the watermark horizon so the
+        # hour-0 windows FINALIZE (append mode emits nothing otherwise)
+        late = [{"ingest_ts": "2024-01-01 06:00:00", "source": "z",
+                 "text": "omega"}]
+        src = tmp_path / "in"
+        src.mkdir()
+        for name, batch in (("b1.json", rows), ("b2.json", late)):
+            with open(src / name, "w") as f:
+                for r in batch:
+                    f.write(json.dumps(r) + "\n")
+        stream = spark.readStream.schema(
+            "ingest_ts timestamp, source string, text string"
+        ).option("maxFilesPerTrigger", 1).json(str(src))
+        partials = hll_partials_stream(
+            stream, window="1 hour", watermark="2 hours"
+        )
+        q = (
+            partials.writeStream.format("memory").queryName("hllp")
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql(
+            "select * from hllp where window_start = '2024-01-01 00:00:00'"
+        )
+        est = {
+            (r["source"]): r["distinct_est"]
+            for r in hll_estimate(
+                got, group_cols=("window_start", "window_end", "source")
+            ).collect()
+        }
+        # batch twin over the same rows
+        batch = spark.createDataFrame(
+            [("a", t) for t in "alpha beta gamma beta delta".split()]
+            + [("b", t) for t in "alpha alpha epsilon".split()],
+            "source string, token string",
+        )
+        bexp = {
+            r["source"]: r["distinct_est"]
+            for r in hll_estimate(
+                hll_registers(batch, item="token", group_cols=("source",)),
+                group_cols=("source",),
+            ).collect()
+        }
+        assert est == bexp
+        assert abs(est["a"] - 4) <= 1 and abs(est["b"] - 2) <= 1

@@ -464,3 +464,71 @@ def mixture_partials_stream(
             "_ssum",
         )
     )
+
+
+def hll_partials_stream(
+    docs: DataFrame,
+    *,
+    text: str = "text",
+    ts_col: str = "ingest_ts",
+    strata: str = "source",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    p: int = 12,
+) -> DataFrame:
+    """Streaming half of the HLL distinct-token monitor: per
+    (event-time window, source) the register table
+    ``(window_start, window_end, source, j, M)`` that
+    :func:`~unstructured_spark.operators.sketches.hll_estimate`
+    finalizes into a distinct-count estimate — the "vocabulary growth
+    per source per hour" feed of a live ingest dashboard.
+
+    Register max is the canonical streaming aggregate: it composes
+    exactly across micro-batches AND across windows/sources (merge =
+    max again), so a finalized window's registers are BIT-IDENTICAL to
+    running :func:`hll_registers` over the same rows in batch, and
+    coarser rollups (per-day from per-hour, all-sources from
+    per-source) never need the raw stream. State is bounded by
+    |windows in horizon| × |sources| × 4096 register rows — constant
+    in corpus size, unlike exact distinct counting whose state is the
+    vocabulary itself.
+
+    Finalize at the consumer:
+    ``hll_estimate(partials, group_cols=("window_start", "window_end",
+    "source"), p=p)``.
+    """
+    from unstructured_spark.operators.sketches import _hll_hash
+
+    m = 1 << int(p)
+    w = 60 - int(p)
+    toks = F.filter(
+        F.split(F.trim(F.coalesce(F.col(text), F.lit(""))), "\\s+"),
+        lambda x: x != F.lit(""),
+    )
+    h = _hll_hash(F.col("token"))
+    suffix = F.expr(f"_h div {m}")
+    rho = F.when(
+        suffix > 0, F.lit(w) + 1 - F.length(F.bin(suffix))
+    ).otherwise(F.lit(w + 1))
+    return (
+        docs.select(
+            F.col(ts_col), F.col(strata).alias("source"),
+            F.explode(toks).alias("token"),
+        )
+        .withColumn("_h", h)
+        .select(
+            ts_col, "source",
+            F.expr(f"_h % {m}").alias("j"),
+            rho.cast("int").alias("_rho"),
+        )
+        .withWatermark(ts_col, watermark)
+        .groupBy(
+            F.window(F.col(ts_col), window), F.col("source"), F.col("j")
+        )
+        .agg(F.max("_rho").alias("M"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "source", "j", "M",
+        )
+    )
