@@ -4014,9 +4014,13 @@ def oracle_sql() -> dict[str, str]:
         # fxln linear counting — not just the exact side
         "q_hll_distinct": f"""
             with tok as (
+              -- regexp split matches Spark's \\s+ tokenizer exactly
+              -- (string_split ' ' would silently diverge on any tab /
+              -- newline / double space in a future fixture)
               select source,
                      unnest(list_filter(
-                       string_split(trim(coalesce(text, '')), ' '),
+                       regexp_split_to_array(trim(coalesce(text, '')),
+                                             '\\s+'),
                        x -> x != '')) as token
               from documents
             ), h as (

@@ -140,3 +140,14 @@ class TestDistributedIngest:
         )
         [r] = parse_warc(df).collect()
         assert r["text"] == tricky and r["http_status"] is None
+
+    def test_corrupt_gzip_tail_keeps_decoded_records(self):
+        recs = [_conv(f"http://c/{i}", f"kept {i}") for i in range(3)]
+        data = build_warc_bytes(recs, gzip_per_record=True)
+        out = list(iter_warc_records(data + b"\x00\x00JUNK"))
+        assert [r["payload"].decode() for r in out] == [
+            "kept 0", "kept 1", "kept 2",
+        ]
+        # corrupt member mid-stream: records before it survive
+        half = list(iter_warc_records(data[: len(data) // 2]))
+        assert all(r["payload"].decode().startswith("kept") for r in half)

@@ -292,6 +292,11 @@ def cross_source_dup_matrix(
     NULLs, so without the sentinel a pair straddling a NULL-source doc
     would collapse onto the (src, src) diagonal and be miscounted as
     within-source duplication instead of surfacing as unknown-source.
+    Caveat: a corpus that GENUINELY labels sources ``'__null__'`` (the
+    sentinel leaking back in from a prior run of this matrix) becomes
+    indistinguishable from NULL here — rename such a label before
+    calling, or pass a strata column pre-coalesced to a different
+    sentinel.
 
     Precondition: ``doc_id`` must be unique in ``df`` — the two label
     joins are keyed on it, and duplicate ids would multiply every

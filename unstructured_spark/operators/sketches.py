@@ -28,6 +28,8 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "cms_from_counts",
+    "hll_register_columns",
+    "hll_token_array",
     "cms_error_audit",
     "hll_registers",
     "hll_estimate",
@@ -159,6 +161,31 @@ def _hll_hash(item: Column) -> Column:
     return F.conv(F.substring(F.md5(item), 1, 15), 16, 10).cast("bigint")
 
 
+def hll_register_columns(p: int) -> "tuple[Column, Column]":
+    """(j, rho) expressions over a bound BIGINT hash column named
+    ``_h`` — THE single definition of the register split, shared by
+    the batch sketch and the streaming partials so the two can never
+    desynchronize (the bit-identical-merge guarantee rests on it):
+    j = h %% m, rho = (W+1) - bit_length(h div m) via bin(), W = 60-p,
+    with rho = W+1 for a zero suffix."""
+    m = 1 << int(p)
+    w = 60 - int(p)
+    suffix = F.expr(f"_h div {m}")
+    rho = F.when(
+        suffix > 0, F.lit(w) + 1 - F.length(F.bin(suffix))
+    ).otherwise(F.lit(w + 1))
+    return F.expr(f"_h % {m}"), rho.cast("int")
+
+
+def hll_token_array(text_col: Column) -> Column:
+    """Whitespace tokenization shared by the batch audit and the
+    streaming partials (regex \\s+, empty tokens dropped)."""
+    return F.filter(
+        F.split(F.trim(F.coalesce(text_col, F.lit(""))), "\\s+"),
+        lambda x: x != F.lit(""),
+    )
+
+
 def hll_registers(
     df: DataFrame,
     *,
@@ -174,21 +201,11 @@ def hll_registers(
 
     Scale shape: ONE shuffle on (group, j) with map-side max partials;
     at any corpus size the reduced table is |groups| * 4096 rows."""
-    m = 1 << int(p)
-    w = 60 - int(p)
     gcols = list(group_cols)
-    h = _hll_hash(F.col(item))
-    suffix = F.expr(f"_h div {m}")
-    rho = F.when(suffix > 0, F.lit(w) + 1 - F.length(F.bin(suffix))).otherwise(
-        F.lit(w + 1)
-    )
+    j, rho = hll_register_columns(p)
     return (
-        df.select(*gcols, h.alias("_h"))
-        .select(
-            *gcols,
-            F.expr(f"_h % {m}").alias("j"),
-            rho.cast("int").alias("_rho"),
-        )
+        df.select(*gcols, _hll_hash(F.col(item)).alias("_h"))
+        .select(*gcols, j.alias("j"), rho.alias("_rho"))
         .groupBy(*gcols, "j")
         .agg(F.max("_rho").alias("M"))
     )
@@ -268,13 +285,16 @@ def hll_distinct_audit(
     the exact distinct count, report signed error ppm.
 
     Returns (source, distinct_est, exact_distinct, err_ppm)."""
-    toks = F.filter(
-        F.split(F.trim(F.coalesce(F.col(text), F.lit(""))), "\\s+"),
-        lambda x: x != F.lit(""),
-    )
+    # EAGER checkpoint: the estimate/exact join below can plan the
+    # small post-agg side as a broadcast, and a lazy checkpoint would
+    # let that BroadcastExchange build win the materialization race
+    # and run the corpus tokenize+explode inside the
+    # spark.sql.broadcastTimeout deadline (same hazard class as the
+    # kmeans centroid builds — see clustering.py).
     base = df.select(
-        F.col(strata).alias("source"), F.explode(toks).alias("token")
-    ).localCheckpoint(eager=False)
+        F.col(strata).alias("source"),
+        F.explode(hll_token_array(F.col(text))).alias("token"),
+    ).localCheckpoint(eager=True)
     est = hll_estimate(
         hll_registers(base, item="token", group_cols=("source",), p=p),
         group_cols=("source",),

@@ -40,61 +40,105 @@ WARC_SCHEMA = (
 _GZIP_MAGIC = b"\x1f\x8b"
 
 
-def _gunzip_members(data: bytes) -> bytes:
-    """Decompress a concatenation of gzip members (the Common Crawl
-    .warc.gz layout: one member per record) into one byte stream."""
-    out = []
-    d = zlib.decompressobj(wbits=31)
+def _iter_gzip_members(data: bytes) -> Iterator[bytes]:
+    """Yield each gzip member of a concatenated stream (the Common
+    Crawl .warc.gz layout: one member per record) decompressed, ONE at
+    a time — the caller never holds the whole decompressed archive.
+    A corrupt member or trailing garbage ends the stream after the
+    bytes that decoded cleanly (torn archive loses the torn tail, not
+    the task)."""
     buf = data
     while buf:
-        out.append(d.decompress(buf))
+        d = zlib.decompressobj(wbits=31)
+        try:
+            chunk = d.decompress(buf)
+        except zlib.error:
+            return  # corrupt member / non-gzip padding: stop cleanly
+        if chunk:
+            yield chunk
+        if not d.eof:
+            return  # truncated final member: kept what decoded
         buf = d.unused_data
-        if not d.eof and not buf:
-            break  # truncated final member: keep what decoded
-        if buf:
-            d = zlib.decompressobj(wbits=31)
-    return b"".join(out)
+
+
+def _gunzip_members(data: bytes) -> bytes:
+    """Whole-archive form of :func:`_iter_gzip_members` for the
+    in-memory record iterator."""
+    return b"".join(_iter_gzip_members(data))
+
+
+def _iter_records_buffered(chunks: Iterator[bytes]) -> Iterator[dict]:
+    """Incremental record parser over a stream of decompressed chunks:
+    keeps only the bytes of the record currently being assembled (plus
+    one chunk) resident — this is what lets a 1 GiB .warc.gz shard
+    stream through a task without materializing the multi-GiB
+    decompressed archive. Tolerates LF-only header lines, missing
+    trailing CRLFs, and garbage between records (scan to the next
+    ``WARC/`` magic); a record torn at end-of-stream is dropped, not
+    raised."""
+    buf = bytearray()
+    exhausted = False
+    it = iter(chunks)
+    while True:
+        # parse as many complete records as the buffer holds
+        pos = 0
+        need_more_at = None
+        while True:
+            start = buf.find(b"WARC/", pos)
+            if start < 0:
+                # keep a tail in case the magic spans a chunk boundary
+                pos = max(0, len(buf) - 4)
+                break
+            hdr_end = buf.find(b"\r\n\r\n", start)
+            sep = 4
+            alt = buf.find(b"\n\n", start)
+            if hdr_end < 0 or (0 <= alt < hdr_end):
+                hdr_end, sep = alt, 2
+            if hdr_end < 0:
+                need_more_at = start
+                break
+            headers: dict[str, str] = {}
+            head_lines = bytes(buf[start:hdr_end]).decode("utf-8", "replace")
+            for line in head_lines.splitlines()[1:]:
+                if ":" not in line:
+                    continue
+                k, v = line.split(":", 1)
+                headers[k.strip().lower()] = v.strip()
+            try:
+                length = int(headers.get("content-length", ""))
+            except ValueError:
+                pos = hdr_end + sep  # unframed: resync past the header
+                continue
+            body_start = hdr_end + sep
+            if body_start + length > len(buf):
+                if exhausted:
+                    return  # torn final record: drop it
+                need_more_at = start
+                break
+            yield {
+                "headers": headers,
+                "payload": bytes(buf[body_start : body_start + length]),
+            }
+            pos = body_start + length
+        if exhausted:
+            return
+        keep_from = pos if need_more_at is None else need_more_at
+        del buf[:keep_from]
+        try:
+            buf += next(it)
+        except StopIteration:
+            exhausted = True
 
 
 def iter_warc_records(data: bytes) -> Iterator[dict]:
     """Yield ``{"headers": {lower-name: value}, "payload": bytes}`` per
     WARC record in ``data``. Accepts plain or gzipped (multi-member)
-    input; tolerates LF-only header lines and missing trailing CRLFs.
-    Garbage between records is skipped by scanning to the next
-    ``WARC/`` magic — a torn archive loses the torn record, not the
-    file."""
+    input; gzip members decompress ONE at a time (constant memory
+    beyond the record being assembled). Garbage between records and a
+    corrupt/truncated gzip tail lose the torn record, not the file."""
     if data[:2] == _GZIP_MAGIC:
-        data = _gunzip_members(data)
-    pos = 0
-    n = len(data)
-    while pos < n:
-        start = data.find(b"WARC/", pos)
-        if start < 0:
-            return
-        hdr_end = data.find(b"\r\n\r\n", start)
-        sep = 4
-        alt = data.find(b"\n\n", start)
-        if hdr_end < 0 or (0 <= alt < hdr_end):
-            hdr_end, sep = alt, 2
-        if hdr_end < 0:
-            return
-        headers: dict[str, str] = {}
-        head_lines = data[start:hdr_end].decode("utf-8", "replace")
-        for line in head_lines.splitlines()[1:]:
-            if ":" not in line:
-                continue
-            k, v = line.split(":", 1)
-            headers[k.strip().lower()] = v.strip()
-        try:
-            length = int(headers.get("content-length", ""))
-        except ValueError:
-            # unframed record: cannot trust the block — resync
-            pos = hdr_end + sep
-            continue
-        body_start = hdr_end + sep
-        payload = data[body_start : body_start + length]
-        yield {"headers": headers, "payload": payload}
-        pos = body_start + length
+        return _iter_records_buffered(_iter_gzip_members(data))
+    return _iter_records_buffered(iter((data,)))
 
 
 def _split_http(payload: bytes) -> tuple[int | None, str | None, bytes]:
@@ -168,31 +212,37 @@ def parse_warc(
     (request/metadata/warcinfo included).
 
     Scale shape: map-only — each input archive row expands in place
-    inside mapInPandas (Arrow-batched); filters on the output columns
-    are evaluated post-expansion but the per-file task never shuffles.
+    inside mapInPandas; records stream out in bounded Arrow batches
+    (~512 rows), and gzip members decompress one at a time, so the
+    task's resident set is one record + one member, never the
+    decompressed archive (a ~1 GiB Common Crawl shard inflates 4-5×;
+    32 concurrent whole-archive buffers would OOM the executor).
+    Filters on the output columns are evaluated post-expansion but the
+    per-file task never shuffles.
     """
     import pandas as pd
 
     wanted = tuple(t.lower() for t in record_types) if record_types else None
     src = archives.select(path_col, content_col)
+    cols = [
+        "path", "record_id", "warc_type", "target_uri",
+        "warc_date", "content_type", "http_status", "n_bytes", "text",
+    ]
+    flush_every = 512
 
     def expand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows: list[dict] = []
         for pdf in batches:
-            rows = []
             for path, content in zip(pdf[path_col], pdf[content_col]):
                 for rec in iter_warc_records(bytes(content)):
                     row = _record_row(path, rec)
                     if wanted and (row["warc_type"] or "").lower() not in wanted:
                         continue
                     rows.append(row)
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "path", "record_id", "warc_type", "target_uri",
-                    "warc_date", "content_type", "http_status", "n_bytes",
-                    "text",
-                ],
-            )
+                    if len(rows) >= flush_every:
+                        yield pd.DataFrame(rows, columns=cols)
+                        rows = []
+        yield pd.DataFrame(rows, columns=cols)
 
     return src.mapInPandas(expand, WARC_SCHEMA)
 

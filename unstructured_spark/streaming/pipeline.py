@@ -497,30 +497,20 @@ def hll_partials_stream(
     ``hll_estimate(partials, group_cols=("window_start", "window_end",
     "source"), p=p)``.
     """
-    from unstructured_spark.operators.sketches import _hll_hash
-
-    m = 1 << int(p)
-    w = 60 - int(p)
-    toks = F.filter(
-        F.split(F.trim(F.coalesce(F.col(text), F.lit(""))), "\\s+"),
-        lambda x: x != F.lit(""),
+    from unstructured_spark.operators.sketches import (
+        _hll_hash,
+        hll_register_columns,
+        hll_token_array,
     )
-    h = _hll_hash(F.col("token"))
-    suffix = F.expr(f"_h div {m}")
-    rho = F.when(
-        suffix > 0, F.lit(w) + 1 - F.length(F.bin(suffix))
-    ).otherwise(F.lit(w + 1))
+
+    j, rho = hll_register_columns(p)
     return (
         docs.select(
             F.col(ts_col), F.col(strata).alias("source"),
-            F.explode(toks).alias("token"),
+            F.explode(hll_token_array(F.col(text))).alias("token"),
         )
-        .withColumn("_h", h)
-        .select(
-            ts_col, "source",
-            F.expr(f"_h % {m}").alias("j"),
-            rho.cast("int").alias("_rho"),
-        )
+        .withColumn("_h", _hll_hash(F.col("token")))
+        .select(ts_col, "source", j.alias("j"), rho.alias("_rho"))
         .withWatermark(ts_col, watermark)
         .groupBy(
             F.window(F.col(ts_col), window), F.col("source"), F.col("j")
