@@ -173,6 +173,19 @@ def main() -> None:
         # session flat.
         gc.collect()
 
+    # calibration again at the END: throttle varies within one run
+    # (the first full r11 run calibrated 0.349s at start — a decaying
+    # post-test-suite load — while the sweep itself ran near-quiet,
+    # over-correcting the normalized total by ~2x). The MIN of the two
+    # samples is the least-throttled moment and the honest scaler.
+    cal_end, _ = _time_query(_CAL_QUERY, entry_mod.queries()[_CAL_QUERY])
+    cal_end = round(cal_end, 3)
+    cal_best = min(cal_sec, cal_end)
+    print(
+        f"# calibration(end) {_CAL_QUERY}: {cal_end:.3f}s"
+        f" (using min={cal_best:.3f}s)",
+        file=sys.stderr,
+    )
     record = {
         "metric": "headline_queries_total_wall_clock",
         "value": round(total, 3),
@@ -180,10 +193,11 @@ def main() -> None:
         # WOULD read on the pinned r9 quiet-host baseline. Compare
         # value_normalized across rounds, value only within a run.
         "value_normalized": round(
-            total * _CAL_REFERENCE_SEC / max(cal_sec, 1e-9), 3
+            total * _CAL_REFERENCE_SEC / max(cal_best, 1e-9), 3
         ),
         "calibration_query": _CAL_QUERY,
         "calibration_sec": cal_sec,
+        "calibration_end_sec": cal_end,
         "calibration_reference_sec": _CAL_REFERENCE_SEC,
         "loadavg": load_avg,
         "unit": "sec",
