@@ -39,6 +39,10 @@ WARC_SCHEMA = (
 
 _GZIP_MAGIC = b"\x1f\x8b"
 
+# WARC named headers are small; 1 MiB without a terminator means a
+# torn/malformed header block, not a real record
+_MAX_HEADER_BYTES = 1 << 20
+
 
 def _iter_gzip_members(data: bytes) -> Iterator[bytes]:
     """Yield each gzip member of a concatenated stream (the Common
@@ -47,18 +51,30 @@ def _iter_gzip_members(data: bytes) -> Iterator[bytes]:
     A corrupt member or trailing garbage ends the stream after the
     bytes that decoded cleanly (torn archive loses the torn tail, not
     the task)."""
-    buf = data
-    while buf:
+    # bounded-slice cursor, NOT `buf = d.unused_data` re-feeding: that
+    # form hands the decompressor the ENTIRE remaining archive per
+    # member and copies it back out as unused_data — O(members x
+    # archive bytes) in copies, hours on a 50k-member Common Crawl
+    # shard. Here every input byte is consumed exactly once.
+    mv = memoryview(data)
+    n = len(data)
+    pos = 0
+    step = 1 << 20
+    while pos < n:
         d = zlib.decompressobj(wbits=31)
-        try:
-            chunk = d.decompress(buf)
-        except zlib.error:
-            return  # corrupt member / non-gzip padding: stop cleanly
-        if chunk:
-            yield chunk
-        if not d.eof:
-            return  # truncated final member: kept what decoded
-        buf = d.unused_data
+        while True:
+            end = min(pos + step, n)
+            try:
+                chunk = d.decompress(mv[pos:end])
+            except zlib.error:
+                return  # corrupt member / non-gzip padding: stop cleanly
+            pos = end - len(d.unused_data)
+            if chunk:
+                yield chunk
+            if d.eof:
+                break
+            if end >= n:
+                return  # truncated final member: kept what decoded
 
 
 def _gunzip_members(data: bytes) -> bytes:
@@ -91,10 +107,25 @@ def _iter_records_buffered(chunks: Iterator[bytes]) -> Iterator[dict]:
                 break
             hdr_end = buf.find(b"\r\n\r\n", start)
             sep = 4
-            alt = buf.find(b"\n\n", start)
+            # the LF-only fallback search is BOUNDED: to hdr_end when
+            # the CRLF terminator exists (we only need to know which
+            # comes first), else to a max-header-size window. An
+            # unbounded find(b"\n\n") re-scanned the whole remaining
+            # archive for EVERY CRLF-framed record (no \n\n anywhere in
+            # \r\n-only data) — O(records x archive) bytes, measured as
+            # a 35-minute stall on a 512x probe blob.
+            alt_limit = hdr_end + 2 if hdr_end >= 0 else min(
+                len(buf), start + _MAX_HEADER_BYTES
+            )
+            alt = buf.find(b"\n\n", start, alt_limit)
             if hdr_end < 0 or (0 <= alt < hdr_end):
                 hdr_end, sep = alt, 2
             if hdr_end < 0:
+                if len(buf) - start > _MAX_HEADER_BYTES:
+                    # malformed giant header: resync past the magic so
+                    # neither the scan nor the buffer grows unbounded
+                    pos = start + 5
+                    continue
                 need_more_at = start
                 break
             headers: dict[str, str] = {}
