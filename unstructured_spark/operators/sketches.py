@@ -285,16 +285,19 @@ def hll_distinct_audit(
     the exact distinct count, report signed error ppm.
 
     Returns (source, distinct_est, exact_distinct, err_ppm)."""
-    # EAGER checkpoint: the estimate/exact join below can plan the
-    # small post-agg side as a broadcast, and a lazy checkpoint would
-    # let that BroadcastExchange build win the materialization race
-    # and run the corpus tokenize+explode inside the
-    # spark.sql.broadcastTimeout deadline (same hazard class as the
-    # kmeans centroid builds — see clustering.py).
+    # No checkpoint, and the estimate/exact join is pinned to
+    # sort-merge: each side then runs the corpus tokenize+explode as
+    # its own normal stage. A checkpoint of the exploded token stream
+    # dominated the audit at the 512x probe (it writes corpus x tokens
+    # rows to re-save one scan), and WITHOUT the hint the planner may
+    # broadcast the small post-agg estimate side — whose build would
+    # execute a corpus pass inside the spark.sql.broadcastTimeout
+    # deadline (the kmeans-centroid hazard class, clustering.py). The
+    # merge join shuffles |sources| rows per side — nothing.
     base = df.select(
         F.col(strata).alias("source"),
         F.explode(hll_token_array(F.col(text))).alias("token"),
-    ).localCheckpoint(eager=True)
+    )
     est = hll_estimate(
         hll_registers(base, item="token", group_cols=("source",), p=p),
         group_cols=("source",),
@@ -303,7 +306,7 @@ def hll_distinct_audit(
     exact = base.groupBy("source").agg(
         F.countDistinct("token").cast("bigint").alias("exact_distinct")
     )
-    return est.join(exact, "source").select(
+    return est.hint("merge").join(exact, "source").select(
         "source",
         "distinct_est",
         "exact_distinct",
