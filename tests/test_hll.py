@@ -89,6 +89,28 @@ class TestHllMerge:
         [row_w] = hll_estimate(hll_registers(whole, item="token")).collect()
         assert row_m["distinct_est"] == row_w["distinct_est"]
 
+    def test_unmerged_union_estimates_defensively(self, spark):
+        # r11 ADVICE: a caller unioning per-shard register tables
+        # WITHOUT the groupBy-max merge (the plausible misuse —
+        # hll_partials_stream emits per-window partials) must still get
+        # the correct estimate: hll_estimate re-merges internally, so
+        # duplicate (group, j) rows can no longer inflate the occupied
+        # count or corrupt the harmonic sum.
+        toks = [f"w{i}" for i in range(8_000)]
+        half_a = spark.createDataFrame(
+            [(t,) for t in toks[:5_000]], "token string"
+        )
+        half_b = spark.createDataFrame(
+            [(t,) for t in toks[3_000:]], "token string"
+        )
+        unmerged = hll_registers(half_a, item="token").unionByName(
+            hll_registers(half_b, item="token")
+        )
+        [row_u] = hll_estimate(unmerged).collect()
+        whole = spark.createDataFrame([(t,) for t in toks], "token string")
+        [row_w] = hll_estimate(hll_registers(whole, item="token")).collect()
+        assert row_u["distinct_est"] == row_w["distinct_est"]
+
 
 class TestHllAudit:
     def test_audit_shape_and_sign(self, spark):

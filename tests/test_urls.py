@@ -51,6 +51,34 @@ class TestCanonicalUrl:
         [c] = _canon(spark, ["http://a.com:8080/p"])
         assert c == "http://a.com:8080/p"
 
+    def test_non_http_scheme_not_folded(self, spark):
+        # ftp:// must NOT collapse onto the http:// dedup key — a
+        # document served over a different protocol is a different
+        # fetch (r11 ADVICE: the unconditional http:// rebuild merged
+        # and could silently drop one of them)
+        out = _canon(spark, [
+            "ftp://example.com/x",
+            "http://example.com/x",
+            "FTP://Example.COM/x/",
+        ])
+        assert out[0] == "ftp://example.com/x"
+        assert out[1] == "http://example.com/x"
+        assert out[0] != out[1]
+        # scheme+host still lower/casefold, path rules still apply
+        assert out[2] == "ftp://example.com/x"
+
+    def test_non_http_scheme_keeps_port_and_www(self, spark):
+        # :80/:443 and www. are http(s) conventions; other schemes
+        # pass their authority through (lowered only)
+        out = _canon(spark, [
+            "ftp://www.example.com:80/f",
+            "gopher://example.com:443/g",
+        ])
+        assert out == [
+            "ftp://www.example.com:80/f",
+            "gopher://example.com:443/g",
+        ]
+
 
 class TestDedupByUrl:
     def test_keep_min_and_counts(self, spark):

@@ -65,6 +65,60 @@ class TestFraming:
         out = list(iter_warc_records(bad + good))
         assert [r["payload"] for r in out] == [b"kept"]
 
+    def test_overstated_content_length_resyncs(self):
+        # r11 ADVICE (medium): a corrupt/overstated Content-Length must
+        # neither buffer the rest of the archive waiting for bytes that
+        # never come nor swallow the valid records after it — the bad
+        # header resyncs like the unframed case and every later record
+        # still parses.
+        bad = (
+            b"WARC/1.0\r\nWARC-Type: conversion\r\n"
+            b"WARC-Target-URI: http://bad/1\r\n"
+            b"Content-Length: 999999999999\r\n\r\nshort body\r\n\r\n"
+        )
+        good = build_warc_bytes(
+            [_conv("http://z/1", "after one"), _conv("http://z/2", "after two")]
+        )
+        out = list(iter_warc_records(bad + good))
+        assert [r["payload"] for r in out] == [b"after one", b"after two"]
+        # negative lengths are equally implausible
+        neg = bad.replace(b"999999999999", b"-5")
+        out = list(iter_warc_records(neg + good))
+        assert [r["payload"] for r in out] == [b"after one", b"after two"]
+
+    def test_content_length_cap_configurable(self):
+        # a record over the caller's max_record_bytes is dropped (its
+        # body is rescanned for the next magic), smaller ones parse
+        big = _conv("http://c/big", "x" * 100)
+        small = _conv("http://c/small", "tiny")
+        data = build_warc_bytes([big, small])
+        out = list(iter_warc_records(data, max_record_bytes=50))
+        assert [r["headers"]["warc-target-uri"] for r in out] == [
+            "http://c/small"
+        ]
+        out = list(iter_warc_records(data, max_record_bytes=200))
+        assert len(out) == 2
+
+    def test_bounded_buffer_with_bad_length_in_gzip_stream(self):
+        # the overstated length arrives mid-stream via per-member gzip:
+        # the buffered assembler must resync within the stream, keeping
+        # the later members' records
+        recs = [_conv(f"http://m/{i}", f"member {i}") for i in range(3)]
+        data = bytearray(build_warc_bytes(recs, gzip_per_record=True))
+        import gzip as _g
+        bad = _g.compress(
+            b"WARC/1.0\r\nWARC-Type: conversion\r\n"
+            b"WARC-Target-URI: http://m/bad\r\n"
+            b"Content-Length: 888888888888\r\n\r\noops\r\n\r\n"
+        )
+        # splice the bad member between members 0 and 1
+        first_end = data.find(b"\x1f\x8b\x08", 1)
+        spliced = bytes(data[:first_end]) + bad + bytes(data[first_end:])
+        out = list(iter_warc_records(spliced))
+        assert [r["payload"].decode() for r in out] == [
+            "member 0", "member 1", "member 2"
+        ]
+
     def test_http_response_split(self):
         body = b"<html>hi</html>"
         payload = (

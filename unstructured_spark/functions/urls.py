@@ -14,10 +14,14 @@ oracle possible.
 Canonical form (deliberately dedup-oriented, not RFC-strict):
 
 1. fragment stripped (``#…`` never reaches the server);
-2. scheme folded to ``http`` (http/https serve the same document in
-   any modern crawl) and lowered;
-3. host lowered, leading ``www.`` stripped, default ports ``:80`` /
-   ``:443`` stripped;
+2. scheme lowered; ``https`` folded to ``http`` (they serve the same
+   document in any modern crawl). The fold is gated on the scheme
+   actually being http/https — ``ftp://example.com/x`` keeps its own
+   scheme and must NOT collapse onto the http key (documents served
+   over different protocols are different fetches);
+3. host lowered; for http/https only, leading ``www.`` and the
+   default ports ``:80`` / ``:443`` stripped (other schemes have
+   different defaults, so their ports pass through);
 4. tracking query params dropped (``utm_*``, ``fbclid``, ``gclid``,
    ``ref``), the survivors sorted by full ``k=v`` text so param order
    never splits a key;
@@ -41,9 +45,17 @@ def canonical_url(url: Column | str) -> Column:
     u = F.col(url) if isinstance(url, str) else url
     u1 = F.regexp_replace(u, "#.*", "")
     scheme = F.lower(F.regexp_extract(u1, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    is_web = scheme.isin("http", "https")
     host = F.lower(F.regexp_extract(u1, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1))
-    host = F.regexp_replace(host, r"^www\.", "")
-    host = F.regexp_replace(host, r":(80|443)$", "")
+    # www / default-port folding is an http(s) convention — gated so
+    # ftp://example.com/x never collapses onto the http:// dedup key
+    host = F.when(
+        is_web,
+        F.regexp_replace(
+            F.regexp_replace(host, r"^www\.", ""), r":(80|443)$", ""
+        ),
+    ).otherwise(host)
+    out_scheme = F.when(is_web, F.lit("http")).otherwise(scheme)
     path = F.regexp_extract(u1, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
     path = F.regexp_replace(path, "/+$", "")
     query = F.regexp_extract(u1, r"\?([^#]*)", 1)
@@ -58,7 +70,7 @@ def canonical_url(url: Column | str) -> Column:
         "&",
     )
     tail = F.when(params == "", F.lit("")).otherwise(F.concat(F.lit("?"), params))
-    with_authority = F.concat(F.lit("http://"), host, path, tail)
+    with_authority = F.concat(out_scheme, F.lit("://"), host, path, tail)
     # no authority part: keep the (fragment-stripped) body, normalize
     # query/trailing-slash the same way
     bare = F.concat(

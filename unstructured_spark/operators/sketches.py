@@ -222,7 +222,18 @@ def hll_estimate(
     S = sum(2^(W+1-M_j)) over all m registers (absent = M 0), then the
     small-range linear-counting branch m*(ln m - ln V) div 2^31 when
     V = empty registers > 0 and raw <= 5m/2. All integer; the oracle
-    replays every step."""
+    replays every step.
+
+    Input tolerance: ``regs`` may be UN-merged — e.g. a unionByName of
+    per-shard register tables or the per-window partials that
+    ``hll_partials_stream`` emits — because the estimator re-applies
+    the groupBy-max merge defensively before the harmonic sum. Without
+    it, duplicate (group, j) rows would inflate the occupied-register
+    count and corrupt S silently. Cost: at most m=2^p rows per group
+    post-merge, and the merge keys extend the estimate's own grouping,
+    so on already-merged input (``hll_registers`` output, which is
+    partitioned by these very keys) Spark adds no exchange — just a
+    free re-aggregate."""
     from unstructured_spark.operators.text_analysis import (
         FXLN_SCALE,
         fxln_int,
@@ -233,7 +244,8 @@ def hll_estimate(
     w = 60 - int(p)
     alpha_q = hll_alpha_q20(m)
     gcols = list(group_cols)
-    agg = regs.groupBy(*gcols).agg(
+    merged = regs.groupBy(*gcols, "j").agg(F.max("M").alias("M"))
+    agg = merged.groupBy(*gcols).agg(
         F.count("*").alias("_nregs"),
         F.sum(F.expr(f"cast(1 as bigint) << ({w + 1} - M)"))
         .cast("bigint")

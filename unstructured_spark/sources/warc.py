@@ -43,6 +43,17 @@ _GZIP_MAGIC = b"\x1f\x8b"
 # torn/malformed header block, not a real record
 _MAX_HEADER_BYTES = 1 << 20
 
+# Sanity cap on an accepted Content-Length. A corrupt/overstated length
+# would otherwise make the record assembler buffer the ENTIRE remaining
+# decompressed archive waiting for bytes that never come (defeating the
+# one-record resident-set guarantee) and, at end-of-stream, silently
+# drop every valid record after the bad header — not just the torn
+# tail. Beyond the cap the header is treated as unframed: resync past
+# it and scan for the next record magic. 1 GiB comfortably exceeds any
+# real crawl record (Common Crawl truncates payloads at 1 MiB) while
+# keeping the buffer bound at "one plausible record", not "the shard".
+_MAX_RECORD_BYTES = 1 << 30
+
 
 def _iter_gzip_members(data: bytes) -> Iterator[bytes]:
     """Yield each gzip member of a concatenated stream (the Common
@@ -83,15 +94,20 @@ def _gunzip_members(data: bytes) -> bytes:
     return b"".join(_iter_gzip_members(data))
 
 
-def _iter_records_buffered(chunks: Iterator[bytes]) -> Iterator[dict]:
+def _iter_records_buffered(
+    chunks: Iterator[bytes], *, max_record_bytes: int = _MAX_RECORD_BYTES
+) -> Iterator[dict]:
     """Incremental record parser over a stream of decompressed chunks:
     keeps only the bytes of the record currently being assembled (plus
     one chunk) resident — this is what lets a 1 GiB .warc.gz shard
     stream through a task without materializing the multi-GiB
     decompressed archive. Tolerates LF-only header lines, missing
-    trailing CRLFs, and garbage between records (scan to the next
-    ``WARC/`` magic); a record torn at end-of-stream is dropped, not
-    raised."""
+    trailing CRLFs, garbage between records (scan to the next
+    ``WARC/`` magic), and a corrupt/overstated Content-Length (capped
+    at ``max_record_bytes``; an over-cap header is resynced past like
+    the unframed case, so one bad length can neither buffer the
+    archive nor swallow subsequent valid records); a record torn at
+    end-of-stream is dropped, not raised."""
     buf = bytearray()
     exhausted = False
     it = iter(chunks)
@@ -140,6 +156,9 @@ def _iter_records_buffered(chunks: Iterator[bytes]) -> Iterator[dict]:
             except ValueError:
                 pos = hdr_end + sep  # unframed: resync past the header
                 continue
+            if length < 0 or length > max_record_bytes:
+                pos = hdr_end + sep  # implausible length: same resync
+                continue
             body_start = hdr_end + sep
             if body_start + length > len(buf):
                 if exhausted:
@@ -161,15 +180,22 @@ def _iter_records_buffered(chunks: Iterator[bytes]) -> Iterator[dict]:
             exhausted = True
 
 
-def iter_warc_records(data: bytes) -> Iterator[dict]:
+def iter_warc_records(
+    data: bytes, *, max_record_bytes: int = _MAX_RECORD_BYTES
+) -> Iterator[dict]:
     """Yield ``{"headers": {lower-name: value}, "payload": bytes}`` per
     WARC record in ``data``. Accepts plain or gzipped (multi-member)
     input; gzip members decompress ONE at a time (constant memory
-    beyond the record being assembled). Garbage between records and a
-    corrupt/truncated gzip tail lose the torn record, not the file."""
+    beyond the record being assembled). Garbage between records, a
+    corrupt Content-Length (> ``max_record_bytes``), and a
+    corrupt/truncated gzip tail lose the bad record, not the file."""
     if data[:2] == _GZIP_MAGIC:
-        return _iter_records_buffered(_iter_gzip_members(data))
-    return _iter_records_buffered(iter((data,)))
+        return _iter_records_buffered(
+            _iter_gzip_members(data), max_record_bytes=max_record_bytes
+        )
+    return _iter_records_buffered(
+        iter((data,)), max_record_bytes=max_record_bytes
+    )
 
 
 def _split_http(payload: bytes) -> tuple[int | None, str | None, bytes]:
