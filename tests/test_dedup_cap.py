@@ -929,25 +929,28 @@ class TestDedupWithinDoc:
         assert out[2]["text"] == "" and out[2]["removed_paragraphs"] == 0
 
     def test_zero_shuffle_plan(self, spark):
-        # giant_paragraphs=None = the pure projection form: the whole
-        # plan must be exchange-free. The default form adds a giant-doc
-        # branch whose (doc, norm)-keyed exchange only giant rows pay.
+        # the single-pass O(n log n) form (r12): the whole plan is
+        # exchange-free for ALL documents — no giant-doc branch, no
+        # union, no second corpus scan.
         from unstructured_spark.operators.dedup import dedup_within_doc
 
         docs = spark.createDataFrame(
             [(1, "a\n\nb")], "doc_id long, text string"
         )
         plan = (
-            dedup_within_doc(docs, giant_paragraphs=None)
+            dedup_within_doc(docs)
             ._jdf.queryExecution()
             .executedPlan()
             .toString()
         )
         assert "Exchange" not in plan
+        # source appears exactly once: the r11 two-branch form's
+        # per-branch filters each re-read it
+        assert plan.count("ExistingRDD") + plan.count("LocalTableScan") == 1
 
     def test_giant_path_equivalence(self, spark):
-        # threshold 2 forces docs 1 and 3 through the window path;
-        # output must be identical to the pure-projection form.
+        # giant_paragraphs is retained for API compatibility and must
+        # not change results (it no longer routes anything).
         from unstructured_spark.operators.dedup import dedup_within_doc
 
         rows = [

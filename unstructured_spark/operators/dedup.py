@@ -1788,104 +1788,76 @@ def dedup_within_doc(
     structure, not content). ``sep`` is a LITERAL separator, same
     contract as :func:`dedup_paragraphs`.
 
-    Scale shape: TWO paths keyed on paragraph count.
+    Scale shape: ONE exchange-free projection for ALL documents — a
+    single pass over the corpus, zero shuffles, entirely inside
+    whole-stage codegen. The keep-first set is computed per row in
+    O(paragraphs log paragraphs), not the old O(paragraphs²) prefix
+    scan: sort (normalized, position) structs, mark an element dup iff
+    its sorted predecessor shares the normalization (equal norms are
+    adjacent after the sort, and the smallest position in a run is by
+    construction the first occurrence), then rebuild the document from
+    the surviving positions in original order. A 20k-paragraph
+    template-spam outlier costs ~20k·log compares instead of 2·10⁸ —
+    no giant-doc side branch (and therefore no second corpus scan, no
+    union, no window shuffle) is needed anymore; this replaced the r11
+    two-branch form whose per-branch pushed filters each re-read the
+    source (512× probe: 37 s two-branch vs 19 s single-path).
 
-    - Normal docs (``size(paras) <= giant_paragraphs``): ZERO shuffles
-      — one projection of higher-order array expressions per document
-      (split -> indexed filter against the normalized prefix ->
-      rejoin). The per-doc cost is O(paragraphs²) normalized-string
-      compares — bounded by ``giant_paragraphs``², not corpus size —
-      running entirely inside whole-stage codegen with no exchange.
-    - Giant docs (rare template-spam outliers above the threshold,
-      where the quadratic prefix scan would take minutes for ONE row):
-      posexplode -> keep-first window on (doc, normalized paragraph)
-      -> ordered rebuild. O(paragraphs log paragraphs) per doc, one
-      (doc, norm)-keyed shuffle that only the giant subset pays.
-
-    Both paths compute the identical keep-first-with-blank-exemption
-    semantics, so results (and oracle hashes) are independent of the
-    threshold. ``giant_paragraphs=None`` disables the giant branch
-    entirely — the whole plan is then the exchange-free projection
-    (useful when the caller has already bounded paragraph counts and
-    wants the narrowest possible plan).
+    ``giant_paragraphs`` is retained for API compatibility but no
+    longer affects the plan: every document takes the same
+    O(n log n) projection.
     """
+    del giant_paragraphs  # single-path form: threshold obsolete
     sep_re = "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
     norm = lambda c: F.lower(F.trim(F.regexp_replace(c, "\\s+", " ")))  # noqa: E731
     src_df = df.withColumn(text, F.coalesce(F.col(text), F.lit("")))
     paras = F.split(F.col(text), sep_re)
-    # routing predicate via regexp_count, NOT size(split(...)): the
-    # paragraph count is one regex pass evaluated at the scan, while a
-    # size-of-split filter re-ran the whole array construction in the
-    # pushed-down predicate AND again in each branch's projection —
-    # measured 19s -> 89s at the 512x probe before this form
-    n_paras = F.regexp_count(F.col(text), F.lit(sep_re)) + F.lit(1)
 
-    # --- normal path: keep paragraph i iff it is blank OR no earlier
-    # paragraph normalizes to the same string (F.filter's second
-    # lambda arg is the 0-based index; slice(paras, 1, i) is exactly
-    # the prefix). Staged select binds _ps/_ks ONCE (CollapseProject
-    # will not inline an expensive alias referenced twice — same
-    # discipline as contaminated_docs).
-    kept = F.filter(
-        paras,
-        lambda p, i: (norm(p) == F.lit(""))
-        | ~F.exists(
-            F.slice(paras, F.lit(1), i), lambda q: norm(q) == norm(p)
+    # (normalized, original position) structs, sorted: array_sort on
+    # structs orders by fields left-to-right, so equal normalizations
+    # are adjacent with their first occurrence leading the run.
+    srt = F.array_sort(
+        F.transform(
+            paras,
+            lambda p, i: F.struct(norm(p).alias("nm"), i.alias("pos")),
+        )
+    )
+    # Staged selects bind _ps/_srt/_kp ONCE each (CollapseProject will
+    # not inline an alias referenced more than once — same discipline
+    # as contaminated_docs), so neither the sort nor the split is
+    # recomputed.
+    staged = src_df.select(F.col(doc_id), paras.alias("_ps"), srt.alias("_srt"))
+    # element i of the sorted array is a duplicate iff it is non-blank
+    # (blank/whitespace-only paragraphs are structure, all survive) and
+    # its predecessor has the same normalization; survivors' positions,
+    # re-sorted, are the keep-first set in original order
+    flagged = F.transform(
+        F.col("_srt"),
+        lambda s, i: F.struct(
+            s["pos"].alias("pos"),
+            (
+                (i > 0)
+                & (s["nm"] != F.lit(""))
+                & (F.get(F.col("_srt"), i - 1)["nm"] == s["nm"])
+            ).alias("dup"),
         ),
     )
-    small_src = (
-        src_df
-        if giant_paragraphs is None
-        else src_df.filter(n_paras <= int(giant_paragraphs))
-    )
-    small = (
-        small_src
-        .select(F.col(doc_id), paras.alias("_ps"), kept.alias("_ks"))
-        .select(
-            F.col(doc_id),
-            F.array_join("_ks", sep).alias(text),
-            (F.size("_ps") - F.size("_ks")).cast("bigint").alias(
-                "removed_paragraphs"
-            ),
+    kept_pos = F.array_sort(
+        F.transform(
+            F.filter(flagged, lambda x: ~x["dup"]), lambda x: x["pos"]
         )
     )
-    if giant_paragraphs is None:
-        return small
-
-    # --- giant path: explode + keep-first window. Blank paragraphs
-    # are exempt from dedup (all survive), matching the filter above.
-    ex = src_df.filter(n_paras > int(giant_paragraphs)).select(
+    staged2 = staged.select(F.col(doc_id), "_ps", kept_pos.alias("_kp"))
+    return staged2.select(
         F.col(doc_id),
-        n_paras.cast("bigint").alias("_n"),
-        F.posexplode(paras).alias("_pos", "_para"),
+        F.array_join(
+            F.transform(F.col("_kp"), lambda p: F.get(F.col("_ps"), p)),
+            sep,
+        ).alias(text),
+        (F.size("_ps") - F.size("_kp")).cast("bigint").alias(
+            "removed_paragraphs"
+        ),
     )
-    wkeep = Window.partitionBy(doc_id, "_nm").orderBy("_pos")
-    giant = (
-        ex.withColumn("_nm", norm(F.col("_para")))
-        .withColumn("_rn", F.row_number().over(wkeep))
-        .filter((F.col("_nm") == "") | (F.col("_rn") == 1))
-        .groupBy(doc_id, "_n")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("_pos", "_para"))
-                    ),
-                    lambda s: s["_para"],
-                ),
-                sep,
-            ).alias(text),
-            F.count("*").alias("_nkept"),
-        )
-        .select(
-            F.col(doc_id),
-            F.col(text),
-            (F.col("_n") - F.col("_nkept")).cast("bigint").alias(
-                "removed_paragraphs"
-            ),
-        )
-    )
-    return small.unionByName(giant)
 
 
 def leakage_safe_split(

@@ -17,8 +17,10 @@ Spark mapping
 ingest). Each task streams records out of its archive inside
 ``mapInPandas`` (Arrow batches out; one record resident at a time
 beyond the decompressed member). binaryFile caps a row at 2 GB —
-for larger archives stage a paths table and open on the executor
-(``sources.files`` docstring), the parse loop is identical.
+for larger archives use :func:`read_warc_paths`: a paths table +
+executor-side open (``sources.files.read_paths``) feeding the SAME
+record assembler from a streaming file handle, so the archive bytes
+never exist in memory at all.
 
 Determinism: record order within an archive is preserved; all derived
 columns are pure functions of the record bytes.
@@ -92,6 +94,47 @@ def _gunzip_members(data: bytes) -> bytes:
     """Whole-archive form of :func:`_iter_gzip_members` for the
     in-memory record iterator."""
     return b"".join(_iter_gzip_members(data))
+
+
+def _iter_gzip_members_stream(
+    chunks: Iterator[bytes], *, step: int = 1 << 20
+) -> Iterator[bytes]:
+    """Streaming twin of :func:`_iter_gzip_members`: decompress a
+    concatenated gzip-member stream arriving as raw CHUNKS (e.g.
+    file reads) instead of one in-memory blob. Same bounded-slice
+    cursor discipline — every compressed byte is fed at most
+    ceil(step / member_size) extra times (the re-fed ``unused_data``
+    tail is capped at ``step``), never O(archive); resident set is one
+    raw chunk + one ``step`` window + the decompressor state."""
+    it = iter(chunks)
+    buf = bytearray()
+    pos = 0
+    exhausted = False
+    d = zlib.decompressobj(wbits=31)
+    while True:
+        if pos >= len(buf):
+            if exhausted:
+                return  # clean end, or truncated final member
+            del buf[:pos]
+            pos = 0
+            try:
+                buf += next(it)
+            except StopIteration:
+                exhausted = True
+            continue
+        end = min(pos + step, len(buf))
+        mv = memoryview(buf)
+        try:
+            out = d.decompress(mv[pos:end])
+        except zlib.error:
+            return  # corrupt member / non-gzip padding: stop cleanly
+        finally:
+            mv.release()
+        pos = end - len(d.unused_data)
+        if out:
+            yield out
+        if d.eof:
+            d = zlib.decompressobj(wbits=31)
 
 
 def _iter_records_buffered(
@@ -196,6 +239,40 @@ def iter_warc_records(
     return _iter_records_buffered(
         iter((data,)), max_record_bytes=max_record_bytes
     )
+
+
+def _file_chunks(fh, chunk_bytes: int) -> Iterator[bytes]:
+    while True:
+        b = fh.read(chunk_bytes)
+        if not b:
+            return
+        yield b
+
+
+def iter_warc_records_stream(
+    fh,
+    *,
+    chunk_bytes: int = 1 << 20,
+    max_record_bytes: int = _MAX_RECORD_BYTES,
+) -> Iterator[dict]:
+    """File-handle twin of :func:`iter_warc_records`: stream records
+    out of an OPEN binary file object without ever materializing the
+    archive bytes — the executor-side-open path that removes the
+    binaryFile 2 GB row cap entirely. Resident set: one raw chunk +
+    the record currently being assembled (+ one gzip window when the
+    archive is member-compressed). Accepts plain or .warc.gz input,
+    sniffed from the first two bytes."""
+    first = fh.read(chunk_bytes)
+    if not first:
+        return iter(())
+    import itertools
+
+    chunks: Iterator[bytes] = itertools.chain(
+        (first,), _file_chunks(fh, chunk_bytes)
+    )
+    if first[:2] == _GZIP_MAGIC:
+        chunks = _iter_gzip_members_stream(chunks)
+    return _iter_records_buffered(chunks, max_record_bytes=max_record_bytes)
 
 
 def _split_http(payload: bytes) -> tuple[int | None, str | None, bytes]:
