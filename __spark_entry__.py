@@ -3184,8 +3184,19 @@ def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from unstructured_spark.sources.warc import parse_warc
 
     docs = _t(spark, sf_dir, "documents")
+    blobs = _warc_record_buckets(docs).select(
+        F.concat(F.lit("mem://warc-"), F.col("_b")).alias("path"),
+        F.encode(F.array_join("_recs", ""), "UTF-8").alias("content"),
+    )
+    return _warc_rows_projection(parse_warc(blobs))
+
+
+def _warc_record_expr():
+    """The shared JVM-side WARC conversion-record synthesis used by all
+    three ingest round-trip queries (plain blob, gzip blob, paths):
+    pure string expressions, Content-Length framed via octet_length."""
     txt = F.coalesce(F.col("text"), F.lit(""))
-    rec = F.concat(
+    return F.concat(
         F.lit("WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: "
               "http://corpus.local/doc/"),
         F.col("doc_id").cast("string"),
@@ -3198,24 +3209,31 @@ def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         txt,
         F.lit("\r\n\r\n"),
     )
-    blobs = (
-        docs.select((F.col("doc_id") % 32).alias("_b"),
-                    F.struct(F.col("doc_id"), rec.alias("_r")).alias("_s"))
+
+
+def _warc_record_buckets(docs: DataFrame, buckets: int = 32) -> DataFrame:
+    """(_b, _recs): per-bucket doc_id-ordered arrays of serialized WARC
+    records — the staging both compressed-ingest queries share. One
+    map-side-combinable groupBy; bucket count fixed at 32 so each
+    archive stays a bounded build unit."""
+    return (
+        docs.select(
+            (F.col("doc_id") % buckets).alias("_b"),
+            F.struct(F.col("doc_id"), _warc_record_expr().alias("_r")).alias(
+                "_s"
+            ),
+        )
         .groupBy("_b")
         .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list("_s")), lambda s: s["_r"]
-                ),
-                "",
-            ).alias("_arc")
-        )
-        .select(
-            F.concat(F.lit("mem://warc-"), F.col("_b")).alias("path"),
-            F.encode(F.col("_arc"), "UTF-8").alias("content"),
+            F.transform(
+                F.array_sort(F.collect_list("_s")), lambda s: s["_r"]
+            ).alias("_recs")
         )
     )
-    return parse_warc(blobs).select(
+
+
+def _warc_rows_projection(parsed: DataFrame) -> DataFrame:
+    return parsed.select(
         F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
         .cast("bigint")
         .alias("doc_id"),
@@ -3223,6 +3241,95 @@ def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_bytes"),
         F.col("text"),
     )
+
+
+def q_warc_ingest_gz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gzip WARC round trip (new in r12): same record synthesis as
+    q_warc_ingest, but each record becomes its own gzip MEMBER — the
+    Common Crawl .warc.gz layout — before the archives hit the
+    distributed parser. This puts the member decoder
+    (sources/warc.py _iter_gzip_members, where both r11 quadratics
+    lived) behind a DuckDB hash oracle, not just unit tests: the
+    oracle replays the round trip as the identity over documents, so
+    any member-boundary or framing defect after decompression breaks
+    the hash. Scale shape: one groupBy pack + one map-only
+    compress+parse task per archive, no further shuffle."""
+    import gzip as _gz
+
+    import pandas as pd
+
+    from unstructured_spark.sources.warc import parse_warc
+
+    docs = _t(spark, sf_dir, "documents")
+    staged = _warc_record_buckets(docs)
+
+    def pack(batches):
+        for pdf in batches:
+            out = []
+            for b, recs in zip(pdf["_b"], pdf["_recs"]):
+                content = b"".join(
+                    _gz.compress(r.encode("utf-8"), mtime=0) for r in recs
+                )
+                out.append({"path": f"mem://warc-gz-{b}", "content": content})
+            yield pd.DataFrame(out, columns=["path", "content"])
+
+    blobs = staged.mapInPandas(pack, "path string, content binary")
+    return _warc_rows_projection(parse_warc(blobs))
+
+
+def q_warc_paths_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paths-table WARC ingest (new in r12) — the 100 TB shape,
+    end-to-end: pack documents into archive FILES on disk (even
+    buckets per-record-gzip, odd buckets plain, so BOTH streaming
+    decoders are oracled), then ingest via read_warc_paths: a paths
+    table whose files are opened ON THE EXECUTOR and parsed from a
+    streaming file handle (sources/files.py read_paths +
+    sources/warc.py iter_warc_records_stream). Archive bytes never
+    ride a DataFrame row — no 2 GB binaryFile cap, one-chunk resident
+    set. The write stage and the open stage are separated by the
+    ``tasks`` exchange, so files are complete before any open.
+    Fixture writes are executor-local (valid on local[*]; on a real
+    cluster the paths table points at shared storage and the write
+    stage doesn't exist). Oracle: identity over documents."""
+    import gzip as _gz
+    import os as _os
+    import tempfile
+
+    import pandas as pd
+
+    from unstructured_spark.sources.warc import read_warc_paths
+
+    docs = _t(spark, sf_dir, "documents")
+    staged = _warc_record_buckets(docs)
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    out_dir = _os.path.join(
+        tempfile.gettempdir(), f"uspark_warc_paths_{sf_tag}"
+    )
+
+    def write(batches):
+        _os.makedirs(out_dir, exist_ok=True)
+        for pdf in batches:
+            rows = []
+            for b, recs in zip(pdf["_b"], pdf["_recs"]):
+                if int(b) % 2 == 0:
+                    content = b"".join(
+                        _gz.compress(r.encode("utf-8"), mtime=0)
+                        for r in recs
+                    )
+                    name = f"bucket-{int(b):02d}.warc.gz"
+                else:
+                    content = "".join(recs).encode("utf-8")
+                    name = f"bucket-{int(b):02d}.warc"
+                final = _os.path.join(out_dir, name)
+                tmp = final + f".tmp{_os.getpid()}"
+                with open(tmp, "wb") as fh:
+                    fh.write(content)
+                _os.replace(tmp, final)  # atomic: readers see whole files
+                rows.append({"path": final})
+            yield pd.DataFrame(rows, columns=["path"])
+
+    paths = staged.mapInPandas(write, "path string")
+    return _warc_rows_projection(read_warc_paths(paths, tasks=8))
 
 
 def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3391,6 +3498,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q02_min_cost_supplier": q02_min_cost_supplier,
         # --- slots 48-50: new in r11 (first greens due) ---
         "q_warc_ingest": q_warc_ingest,
+        "q_warc_ingest_gz": q_warc_ingest_gz,
+        "q_warc_paths_ingest": q_warc_paths_ingest,
         "q_url_dedup": q_url_dedup,
         "q_hll_distinct": q_hll_distinct,
         # --- tail: below the 50-slot external window ---
@@ -4135,6 +4244,24 @@ def oracle_sql() -> dict[str, str]:
         # round trip is the identity over documents: any framing or
         # parse defect in the WARC source breaks this hash
         "q_warc_ingest": """
+            select doc_id,
+                   'conversion' as warc_type,
+                   cast(strlen(coalesce(text, '')) as bigint) as n_bytes,
+                   coalesce(text, '') as text
+            from documents
+        """,
+        # gzip/paths round trips recover the identical record set: the
+        # oracle is the same identity over documents — any defect in
+        # the gzip member decoder or the streaming file-handle
+        # assembler surfaces as a hash break against it
+        "q_warc_ingest_gz": """
+            select doc_id,
+                   'conversion' as warc_type,
+                   cast(strlen(coalesce(text, '')) as bigint) as n_bytes,
+                   coalesce(text, '') as text
+            from documents
+        """,
+        "q_warc_paths_ingest": """
             select doc_id,
                    'conversion' as warc_type,
                    cast(strlen(coalesce(text, '')) as bigint) as n_bytes,

@@ -397,6 +397,49 @@ def read_warc(
     return parse_warc(reader.load(path), record_types=record_types)
 
 
+def read_warc_paths(
+    paths: DataFrame,
+    *,
+    path_col: str = "path",
+    tasks: int | None = None,
+    opener=None,
+    record_types: tuple[str, ...] | None = ("response", "conversion"),
+    chunk_bytes: int = 1 << 20,
+) -> DataFrame:
+    """Paths-table WARC ingest — the 100 TB shape. ``paths`` is any
+    DataFrame with a column of archive paths (e.g. Common Crawl's
+    ``warc.paths`` manifest staged as parquet, or
+    ``sources.files.paths_table``); each path is opened ON THE
+    EXECUTOR and records stream out of :func:`iter_warc_records_stream`
+    straight into Arrow batches. Unlike :func:`read_warc`, archive
+    bytes never ride a DataFrame row: no 2 GB binaryFile cap, no
+    double-buffered whole-file materialization — resident set per task
+    is one read chunk + the record being assembled. ``opener`` plugs
+    remote filesystems (fsspec ``open(path, "rb")`` contract); default
+    handles local paths and file:// URIs.
+
+    Scale shape: map-only, one task per archive after the ``tasks``
+    rebalance (set ~4x total cores for a 100k-shard manifest so the
+    single-split manifest parquet doesn't serialize opens), zero
+    shuffle anywhere in the ingest."""
+    from unstructured_spark.sources.files import open_path, read_paths
+
+    opn = opener or open_path
+    wanted = tuple(t.lower() for t in record_types) if record_types else None
+
+    def expand(path: str) -> Iterator[dict]:
+        with opn(path) as fh:
+            for rec in iter_warc_records_stream(fh, chunk_bytes=chunk_bytes):
+                row = _record_row(path, rec)
+                if wanted and (row["warc_type"] or "").lower() not in wanted:
+                    continue
+                yield row
+
+    return read_paths(
+        paths, expand, WARC_SCHEMA, path_col=path_col, tasks=tasks
+    )
+
+
 def build_warc_bytes(
     records: list[dict],
     *,
