@@ -3332,6 +3332,69 @@ def q_warc_paths_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _warc_rows_projection(read_warc_paths(paths, tasks=8))
 
 
+def q_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML main-content extraction / boilerplate removal (new in r12)
+    — the WARC→text step of a crawl pipeline (CCNet / RefinedWeb /
+    Dolma run exactly this between ingest and quality filtering).
+    Wrap each document in a realistic page: header/nav, breadcrumbs, a
+    headline, the doc's 15-word paragraph chunks with short "Note i."
+    metadata lines interleaved, a link farm, sidebar, cookie banner
+    and footer — then run the jusText-shaped block classifier
+    (parsers/main_content.py: integer link density, 40-char short
+    threshold, nearest-decided-neighbor smoothing, headline promotion)
+    distributed via operators/main_content.py. The oracle replays the
+    ENTIRE decision procedure in SQL: chrome blocks are bad by
+    construction (ancestor hints / 100% link density), content blocks
+    classify by integer lengths + the two smoothing window rules.
+    Scale shape: map-only, zero shuffle — synthesis, parse and
+    per-doc rollup all happen in one projection + one mapInPandas."""
+    from unstructured_spark.operators.main_content import (
+        extract_main_content,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    esc = (
+        "replace(replace(replace({x}, '&', '&amp;'), '<', '&lt;'),"
+        " '>', '&gt;')"
+    )
+    pages = docs.select(
+        "doc_id",
+        F.filter(
+            F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), "\\s+"),
+            lambda x: x != F.lit(""),
+        ).alias("_t"),
+    ).select(
+        "doc_id",
+        F.expr(
+            "concat("
+            "'<html><body>',"
+            "'<header><div class=\"logo\">Corpus</div>"
+            "<nav><a href=\"/\">Home</a> <a href=\"/about\">About</a>"
+            "</nav></header>',"
+            "'<div class=\"breadcrumbs\"><a href=\"/\">Home</a> &gt; Doc ',"
+            " doc_id, '</div>',"
+            "'<main><h1>Record ', doc_id, ' overview</h1>',"
+            "case when size(_t) = 0 then '' else array_join("
+            "  transform(sequence(0, (size(_t) + 14) div 15 - 1),"
+            "    i -> concat('<p>', "
+            + esc.format(x="concat_ws(' ', slice(_t, i * 15 + 1, 15))")
+            + ", '</p>',"
+            "      case when i < (size(_t) + 14) div 15 - 1"
+            "           then concat('<p>Note ', i, '.</p>') else '' end)),"
+            "  '') end,"
+            "'</main>',"
+            "'<div class=\"readmore\"><a href=\"/n\">continue reading one"
+            "</a> <a href=\"/p\">continue reading two</a></div>',"
+            "'<aside class=\"sidebar\"><h3>Related</h3>"
+            "<a href=\"/r\">Other doc</a></aside>',"
+            "'<div class=\"cookie-banner\">We use cookies. "
+            "<a href=\"/priv\">Learn more</a></div>',"
+            "'<footer><p>Copyright Corpus</p></footer></body></html>')"
+        ).alias("text"),
+    )
+    return extract_main_content(pages)
+
+
 def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Engine-exact HyperLogLog audit (new in r11): per-source distinct
     token estimate from 4096 integer registers vs the exact distinct
@@ -3500,6 +3563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_warc_ingest": q_warc_ingest,
         "q_warc_ingest_gz": q_warc_ingest_gz,
         "q_warc_paths_ingest": q_warc_paths_ingest,
+        "q_main_content": q_main_content,
         "q_url_dedup": q_url_dedup,
         "q_hll_distinct": q_hll_distinct,
         # --- tail: below the 50-slot external window ---
@@ -4267,6 +4331,68 @@ def oracle_sql() -> dict[str, str]:
                    cast(strlen(coalesce(text, '')) as bigint) as n_bytes,
                    coalesce(text, '') as text
             from documents
+        """,
+        # replays the WHOLE main-content decision procedure: the 8
+        # chrome blocks are bad by construction (ancestor hint / 100%
+        # link density), so only the content sequence (heading, chunk,
+        # note) needs classifying — long (norm >= 40 chars) = decided
+        # good; heading good iff any long follows (headline
+        # promotion); other shorts good iff a long exists on BOTH
+        # sides (nearest decided neighbor elsewhere is page chrome =
+        # bad). Seqs: heading 0, chunk i at 2i+1, note i at 2i+2.
+        "q_main_content": """
+            with t as (
+              select doc_id,
+                     list_filter(string_split(trim(coalesce(text, '')),
+                                              ' '), x -> x != '') as w
+              from documents
+            ), c as (
+              select doc_id, 0 as seq,
+                     'Record ' || doc_id || ' overview' as btext
+              from t
+              union all
+              select doc_id, 2 * i + 1,
+                     array_to_string(w[15 * i + 1 : 15 * i + 15], ' ')
+              from t, unnest(range(0, (len(w) + 14) // 15)) as u(i)
+              union all
+              select doc_id, 2 * i + 2, 'Note ' || i || '.'
+              from t, unnest(range(0, (len(w) + 14) // 15 - 1)) as u(i)
+            ), g as (
+              select doc_id, seq, btext, length(btext) >= 40 as is_long
+              from c
+            ), cls as (
+              select doc_id, seq, btext,
+                     is_long
+                     or (seq = 0 and coalesce(
+                          bool_or(is_long) over (
+                            partition by doc_id order by seq
+                            rows between 1 following
+                                     and unbounded following),
+                          false))
+                     or (seq > 0
+                         and coalesce(bool_or(is_long) over (
+                               partition by doc_id order by seq
+                               rows between unbounded preceding
+                                        and 1 preceding), false)
+                         and coalesce(bool_or(is_long) over (
+                               partition by doc_id order by seq
+                               rows between 1 following
+                                        and unbounded following), false))
+                       as good
+              from g
+            )
+            select doc_id,
+                   cast(8 + count(*) as int) as n_blocks,
+                   cast(count(*) filter (where good) as int) as n_good,
+                   cast(length(coalesce(string_agg(btext,
+                          chr(10) || chr(10) order by seq)
+                          filter (where good), '')) as bigint)
+                     as main_chars,
+                   coalesce(string_agg(btext, chr(10) || chr(10)
+                          order by seq) filter (where good), '')
+                     as main_text
+            from cls
+            group by doc_id
         """,
         "q_soft_dedup_weights": """
             with fp as (

@@ -1,0 +1,125 @@
+"""Spark plumbing for HTML main-content extraction (boilerplate
+removal) — parsers/main_content.py distributed over a corpus: the
+WARC→text step of a crawl pipeline (read_warc emits raw HTML as
+``text`` for text/html records; this turns it into article text).
+
+Scale shape: map-only. Each document classifies independently inside
+mapInPandas (Arrow batches, bounded flush); no shuffle anywhere —
+composes with read_warc / read_warc_paths into a zero-shuffle
+crawl-to-corpus ingest. Per-row cost is linear in page size.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+
+BLOCK_SCHEMA = (
+    "doc_id bigint, seq int, tag string, text string, chars int,"
+    " link_chars int, heading boolean, hint boolean, cls string"
+)
+
+MAIN_SCHEMA = (
+    "doc_id bigint, n_blocks int, n_good int, main_chars bigint,"
+    " main_text string"
+)
+
+
+def extract_blocks(
+    df: DataFrame,
+    *,
+    html_col: str = "text",
+    doc_id: str = "doc_id",
+    short_chars: int = 40,
+    max_link_pct: int = 33,
+    flush_every: int = 2048,
+) -> DataFrame:
+    """One row per visible block with its classification — the audit
+    view (which blocks died, and why, via chars/link_chars/hint)."""
+    import pandas as pd
+
+    from unstructured_spark.parsers.main_content import (
+        classify_blocks,
+        segment_blocks,
+    )
+
+    src = df.select(doc_id, html_col)
+    cols = [f.strip().split()[0] for f in BLOCK_SCHEMA.split(",")]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows: list[dict] = []
+        for pdf in batches:
+            for did, html in zip(pdf[doc_id], pdf[html_col]):
+                blocks = classify_blocks(
+                    segment_blocks(html if html is not None else ""),
+                    short_chars=short_chars,
+                    max_link_pct=max_link_pct,
+                )
+                for b in blocks:
+                    rows.append({
+                        "doc_id": did,
+                        "seq": b["seq"],
+                        "tag": b["tag"],
+                        "text": b["text"],
+                        "chars": b["chars"],
+                        "link_chars": b["link_chars"],
+                        "heading": b["heading"],
+                        "hint": b["hint"],
+                        "cls": b["cls"],
+                    })
+                    if len(rows) >= flush_every:
+                        yield pd.DataFrame(rows, columns=cols)
+                        rows = []
+        yield pd.DataFrame(rows, columns=cols)
+
+    return src.mapInPandas(gen, BLOCK_SCHEMA)
+
+
+def extract_main_content(
+    df: DataFrame,
+    *,
+    html_col: str = "text",
+    doc_id: str = "doc_id",
+    short_chars: int = 40,
+    max_link_pct: int = 33,
+    flush_every: int = 512,
+) -> DataFrame:
+    """One row per document: good blocks joined by blank lines, plus
+    the block counts a filter-attribution audit wants. The per-doc
+    rollup happens INSIDE the UDF (block lists are page-bounded), so
+    the plan stays exchange-free — no groupBy."""
+    import pandas as pd
+
+    from unstructured_spark.parsers.main_content import (
+        classify_blocks,
+        segment_blocks,
+    )
+
+    src = df.select(doc_id, html_col)
+    cols = [f.strip().split()[0] for f in MAIN_SCHEMA.split(",")]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows: list[dict] = []
+        for pdf in batches:
+            for did, html in zip(pdf[doc_id], pdf[html_col]):
+                blocks = classify_blocks(
+                    segment_blocks(html if html is not None else ""),
+                    short_chars=short_chars,
+                    max_link_pct=max_link_pct,
+                )
+                good = [b["text"] for b in blocks if b["cls"] == "good"]
+                main = "\n\n".join(good)
+                rows.append({
+                    "doc_id": did,
+                    "n_blocks": len(blocks),
+                    "n_good": len(good),
+                    "main_chars": len(main),
+                    "main_text": main,
+                })
+                if len(rows) >= flush_every:
+                    yield pd.DataFrame(rows, columns=cols)
+                    rows = []
+        yield pd.DataFrame(rows, columns=cols)
+
+    return src.mapInPandas(gen, MAIN_SCHEMA)
