@@ -35,12 +35,22 @@ meaningful signal. Morning-run rankings for r10: q_semantic_dedup
 3.26 s top (1.05x the #2 query; it was 2.5x the #2 in r9 before the
 pair-salt fix), 135 queries / 126.6 s total.
 
-Round-11 calibration (makes the artifact throttle-proof): before the
-timed sweep the harness times q_token_freq — code untouched since
-round 1 — with the standard protocol, snapshots os.getloadavg(), and
-emits "value_normalized" = total x (pinned r9 quiet-host reference /
-observed calibration). Cross-round comparisons should read
-value_normalized; "value" remains the raw wall clock of THIS run.
+Round-11 calibration (makes the artifact throttle-proof): the harness
+times q_token_freq — code untouched since round 1 — with the standard
+protocol and scales totals by the ratio to a pinned quiet-host
+reference.
+
+Round-12 refinement (per-query calibration — the r11 two-endpoint
+scheme couldn't attribute a 2.1x intra-run load swing to specific
+queries): the calibration query now runs INTERLEAVED every
+CAL_INTERVAL (default 20) queries. Each query is normalized by the
+MIN of its two bracketing calibration samples (min = the
+least-throttled nearby moment, so normalization never over-corrects),
+emitted per-query as "queries_normalized"; "value_normalized" is
+their sum and "calibration_samples" the full trace (position, sec,
+1-min loadavg). Cross-round comparisons should read
+queries_normalized / value_normalized; "value" and "queries" remain
+the raw wall clock of THIS run.
 """
 
 from __future__ import annotations
@@ -137,14 +147,24 @@ def main() -> None:
     # 1, pure JVM scan+agg — is timed FIRST with the standard protocol;
     # its ratio to the pinned quiet-host reference scales the total
     # into "value_normalized", and loadavg snapshots ambient load.
-    cal_med, _ = _time_query(_CAL_QUERY, entry_mod.queries()[_CAL_QUERY])
-    cal_sec = round(cal_med, 3)
+    cal_interval = int(os.environ.get("CAL_INTERVAL", "20"))
+    cal_fn = entry_mod.queries()[_CAL_QUERY]
+    # calibration trace: (queries-timed-so-far, cal_sec, load1)
+    cal_samples: list[tuple[int, float, float]] = []
+
+    def _calibrate(at: int) -> None:
+        med, _ = _time_query(_CAL_QUERY, cal_fn)
+        load1 = round(os.getloadavg()[0], 2)
+        cal_samples.append((at, round(med, 3), load1))
+        print(
+            f"# calibration[{at}] {_CAL_QUERY}: {med:.3f}s"
+            f" (reference {_CAL_REFERENCE_SEC}s, load1 {load1})",
+            file=sys.stderr,
+        )
+
+    _calibrate(0)
+    cal_sec = cal_samples[0][1]
     load_avg = [round(x, 2) for x in os.getloadavg()]
-    print(
-        f"# calibration {_CAL_QUERY}: {cal_sec:.3f}s"
-        f" (reference {_CAL_REFERENCE_SEC}s, load {load_avg})",
-        file=sys.stderr,
-    )
     # BENCH_ONLY=q_a,q_b restricts the run to the named queries — the
     # bench-gate workflow (SCALING.md: any commit touching an operator
     # behind a top-10-slowest query re-benches that query and pastes
@@ -155,8 +175,13 @@ def main() -> None:
         wanted = {q.strip() for q in only.split(",") if q.strip()}
         all_q = {k: v for k, v in all_q.items() if k in wanted}
     timings: dict[str, float] = {}
+    # position of each query in the sweep, for bracketing calibration
+    positions: dict[str, int] = {}
     total = 0.0
     for name, fn in all_q.items():
+        if timings and len(timings) % cal_interval == 0:
+            _calibrate(len(timings))
+        positions[name] = len(timings)
         dt, n = _time_query(name, fn)
         timings[name] = round(dt, 3)
         total += dt
@@ -173,35 +198,46 @@ def main() -> None:
         # session flat.
         gc.collect()
 
-    # calibration again at the END: throttle varies within one run
-    # (the first full r11 run calibrated 0.349s at start — a decaying
-    # post-test-suite load — while the sweep itself ran near-quiet,
-    # over-correcting the normalized total by ~2x). The MIN of the two
-    # samples is the least-throttled moment and the honest scaler.
-    cal_end, _ = _time_query(_CAL_QUERY, entry_mod.queries()[_CAL_QUERY])
-    cal_end = round(cal_end, 3)
-    cal_best = min(cal_sec, cal_end)
-    print(
-        f"# calibration(end) {_CAL_QUERY}: {cal_end:.3f}s"
-        f" (using min={cal_best:.3f}s)",
-        file=sys.stderr,
-    )
+    # closing calibration sample, then per-query normalization: each
+    # query scales by reference / min(bracketing samples) — the min is
+    # the least-throttled nearby moment, so a load spike that hit the
+    # calibration but not the query never over-corrects, while a
+    # sustained throttle (both brackets slow) is fully compensated.
+    _calibrate(len(timings))
+    cal_end = cal_samples[-1][1]
+
+    def _bracket_min(pos: int) -> float:
+        prev = max(a for a, _, _ in cal_samples if a <= pos)
+        nxt = min((a for a, _, _ in cal_samples if a > pos),
+                  default=prev)
+        by_at = {a: s for a, s, _ in cal_samples}
+        return min(by_at[prev], by_at[nxt])
+
+    queries_norm = {
+        name: round(t * _CAL_REFERENCE_SEC
+                    / max(_bracket_min(positions[name]), 1e-9), 3)
+        for name, t in timings.items()
+    }
+    total_norm = round(sum(queries_norm.values()), 3)
     record = {
         "metric": "headline_queries_total_wall_clock",
         "value": round(total, 3),
-        # total scaled by the calibration ratio: what this run's total
-        # WOULD read on the pinned r9 quiet-host baseline. Compare
-        # value_normalized across rounds, value only within a run.
-        "value_normalized": round(
-            total * _CAL_REFERENCE_SEC / max(cal_best, 1e-9), 3
-        ),
+        # sum of per-query normalized times: what this run WOULD read
+        # on the pinned r9 quiet-host baseline. Compare
+        # value_normalized / queries_normalized across rounds, value
+        # only within a run.
+        "value_normalized": total_norm,
         "calibration_query": _CAL_QUERY,
         "calibration_sec": cal_sec,
         "calibration_end_sec": cal_end,
         "calibration_reference_sec": _CAL_REFERENCE_SEC,
+        "calibration_samples": [
+            {"at": a, "sec": s, "load1": l} for a, s, l in cal_samples
+        ],
         "loadavg": load_avg,
         "unit": "sec",
         "queries": timings,
+        "queries_normalized": queries_norm,
         "sf": sf,
         "cpus": int(cpus),
         "iters": iters,
