@@ -3489,35 +3489,81 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-
         # ------------------------------------------------------------
         # EXTERNAL WINDOW (first 50 entries = the driver's correctness
-        # window). Round-11 rotation, per the r10 plan:
-        #   slots 1-5: the five r10-new queries that have never been in
-        #     an external window (first external green due this round);
-        #   slots 6-41: ALL 36 remaining r8-floor greens, so after this
-        #     round no registry entry's last external green is older
-        #     than r9;
-        #   slots 42-45: queries whose operators changed in r11
-        #     (clustering.py eager centroid checkpoints -> kmeans +
-        #     semantic_dedup; bigram-LM probe-join sharing ->
-        #     perplexity + bigram-CE) — externally re-proving hash
-        #     stability after the changes;
-        #   slots 46-47: two r9-floor greens rotated forward (the
-        #     remaining 42 rotate through the r12 window);
-        #   slots 48-50: q_warc_ingest + q_url_dedup + q_hll_distinct,
-        #     new in r11 (first greens due).
+        # window). Round-12 rotation, per the r11 plan:
+        #   slots 1-3: the three r12-new queries (gzip WARC round
+        #     trip, paths-table executor-open ingest, HTML
+        #     main-content extraction) — first external greens due;
+        #   slots 4-5: queries whose code changed in r12
+        #     (dedup_within_doc single-pass rewrite; q_warc_ingest's
+        #     synthesis refactored into shared helpers) — externally
+        #     re-proving hash stability;
+        #   slots 6-47: the COMPLETE r9-floor cohort (42 entries), so
+        #     after this round no registry entry's last external green
+        #     is older than r10;
+        #   slots 48-50: three r10-floor entries rotated forward (the
+        #     r10 cohort starts rotating through r13+ windows).
         # ------------------------------------------------------------
-        # --- slots 1-5: first-external-green leads (new in r10) ---
+        # --- slots 1-3: new in r12 (first greens due) ---
+        "q_warc_ingest_gz": q_warc_ingest_gz,
+        "q_warc_paths_ingest": q_warc_paths_ingest,
+        "q_main_content": q_main_content,
+        # --- slots 4-5: changed in r12 ---
         "q_dedup_within_doc": q_dedup_within_doc,
+        "q_warc_ingest": q_warc_ingest,
+        # --- slots 6-47: the complete r9-floor cohort ---
+        "q03_shipping_priority": q03_shipping_priority,
+        "q07_nation_volume": q07_nation_volume,
+        "q09_product_type_profit": q09_product_type_profit,
+        "q_nb_classify": q_nb_classify,
+        "q_range_join": q_range_join,
+        "q_od_map": q_od_map,
+        "q12_late_lines": q12_late_lines,
+        "q14_promo_revenue": q14_promo_revenue,
+        "q19_bracket_revenue": q19_bracket_revenue,
+        "q_box_dedup": q_box_dedup,
+        "q_clean_inner_boxes": q_clean_inner_boxes,
+        "q_embed_text_agg": q_embed_text_agg,
+        "q_ocr_supplement": q_ocr_supplement,
+        "q_ivfpq_topk": q_ivfpq_topk,
+        "q_salted_user_value": q_salted_user_value,
+        "q_weighted_sample": q_weighted_sample,
+        "q_cohort_retention": q_cohort_retention,
+        "q_value_outliers": q_value_outliers,
+        "q_metrics_grouped": q_metrics_grouped,
+        "q_quantized_codes": q_quantized_codes,
+        "q_random_projection": q_random_projection,
+        "q_pq_topk": q_pq_topk,
+        "q_drop_keep_best": q_drop_keep_best,
+        "q_shared_ngram_spans": q_shared_ngram_spans,
+        "q_dedup_incremental": q_dedup_incremental,
+        "q08_market_share": q08_market_share,
+        "q10_returned_items": q10_returned_items,
+        "q13_order_count_distribution": q13_order_count_distribution,
+        "q15_top_supplier": q15_top_supplier,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "q18_large_orders": q18_large_orders,
+        "q21_sole_late_supplier": q21_sole_late_supplier,
+        "q22_idle_customers": q22_idle_customers,
+        "q11_important_stock": q11_important_stock,
+        "q16_supplier_count": q16_supplier_count,
+        "q20_excess_stock_suppliers": q20_excess_stock_suppliers,
+        "q_dup_clusters": q_dup_clusters,
+        "q_drop_near_duplicates": q_drop_near_duplicates,
+        "q_contaminated_docs": q_contaminated_docs,
+        "q_pii_stats": q_pii_stats,
+        "q_redacted_docs": q_redacted_docs,
+        "q_dsir_importance": q_dsir_importance,
+        # --- slots 48-50: r10-floor rotation begins ---
+        "q05_region_revenue": q05_region_revenue,
+        "q06_forecast_revenue": q06_forecast_revenue,
+        "q_bpe_top_pairs": q_bpe_top_pairs,
+        # --- tail: below the 50-slot external window ---
         "q_mixture_reweight": q_mixture_reweight,
         "q_soft_dedup_weights": q_soft_dedup_weights,
         "q_cross_source_dups": q_cross_source_dups,
         "q_nb_confusion": q_nb_confusion,
-        # --- slots 6-41: the complete r8-floor cohort ---
-        "q05_region_revenue": q05_region_revenue,
-        "q06_forecast_revenue": q06_forecast_revenue,
-        "q_bpe_top_pairs": q_bpe_top_pairs,
         "q_chunk_fixed": q_chunk_fixed,
         "q_cleaned_docs": q_cleaned_docs,
         "q_doc_quantiles": q_doc_quantiles,
@@ -3551,25 +3597,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_top_customers": q_top_customers,
         "q_vocab_coverage": q_vocab_coverage,
         "q_winnow_fingerprints": q_winnow_fingerprints,
-        # --- slots 42-45: changed in r11 ---
         "q_kmeans_clusters": q_kmeans_clusters,
         "q_semantic_dedup": q_semantic_dedup,
         "q_perplexity_buckets": q_perplexity_buckets,
         "q_bigram_cross_entropy": q_bigram_cross_entropy,
-        # --- slots 46-47: r9-floor rotation ---
         "q01_pricing_summary": q01_pricing_summary,
         "q02_min_cost_supplier": q02_min_cost_supplier,
-        # --- slots 48-50: new in r11 (first greens due) ---
-        "q_warc_ingest": q_warc_ingest,
-        "q_warc_ingest_gz": q_warc_ingest_gz,
-        "q_warc_paths_ingest": q_warc_paths_ingest,
-        "q_main_content": q_main_content,
         "q_url_dedup": q_url_dedup,
         "q_hll_distinct": q_hll_distinct,
-        # --- tail: below the 50-slot external window ---
-        "q03_shipping_priority": q03_shipping_priority,
-        "q07_nation_volume": q07_nation_volume,
-        "q09_product_type_profit": q09_product_type_profit,
         "q_dedup_paragraphs": q_dedup_paragraphs,
         "q_unigram_entropy": q_unigram_entropy,
         "q_interleave_sources": q_interleave_sources,
@@ -3616,45 +3651,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stratified_sample": q_stratified_sample,
         "q_temperature_mix": q_temperature_mix,
         "q_token_kl_drift": q_token_kl_drift,
-        "q_nb_classify": q_nb_classify,
-        "q_range_join": q_range_join,
-        "q_od_map": q_od_map,
-        "q12_late_lines": q12_late_lines,
-        "q14_promo_revenue": q14_promo_revenue,
-        "q19_bracket_revenue": q19_bracket_revenue,
-        "q_box_dedup": q_box_dedup,
-        "q_clean_inner_boxes": q_clean_inner_boxes,
-        "q_embed_text_agg": q_embed_text_agg,
-        "q_ocr_supplement": q_ocr_supplement,
-        "q_ivfpq_topk": q_ivfpq_topk,
-        "q_salted_user_value": q_salted_user_value,
-        "q_weighted_sample": q_weighted_sample,
-        "q_cohort_retention": q_cohort_retention,
-        "q_value_outliers": q_value_outliers,
-        "q_metrics_grouped": q_metrics_grouped,
-        "q_quantized_codes": q_quantized_codes,
-        "q_random_projection": q_random_projection,
-        "q_pq_topk": q_pq_topk,
-        "q_drop_keep_best": q_drop_keep_best,
-        "q_shared_ngram_spans": q_shared_ngram_spans,
-        "q_dedup_incremental": q_dedup_incremental,
-        "q08_market_share": q08_market_share,
-        "q10_returned_items": q10_returned_items,
-        "q13_order_count_distribution": q13_order_count_distribution,
-        "q15_top_supplier": q15_top_supplier,
-        "q17_small_quantity_revenue": q17_small_quantity_revenue,
-        "q18_large_orders": q18_large_orders,
-        "q21_sole_late_supplier": q21_sole_late_supplier,
-        "q22_idle_customers": q22_idle_customers,
-        "q11_important_stock": q11_important_stock,
-        "q16_supplier_count": q16_supplier_count,
-        "q20_excess_stock_suppliers": q20_excess_stock_suppliers,
-        "q_dup_clusters": q_dup_clusters,
-        "q_drop_near_duplicates": q_drop_near_duplicates,
-        "q_contaminated_docs": q_contaminated_docs,
-        "q_pii_stats": q_pii_stats,
-        "q_redacted_docs": q_redacted_docs,
-        "q_dsir_importance": q_dsir_importance,
     }
 
 
