@@ -208,10 +208,13 @@ def _iter_records_buffered(
                     return  # torn final record: drop it
                 need_more_at = start
                 break
-            yield {
-                "headers": headers,
-                "payload": bytes(buf[body_start : body_start + length]),
-            }
+            # memoryview: one copy (view -> bytes), not two (bytearray
+            # slice -> bytes); released immediately so the buffer can
+            # keep resizing
+            mv = memoryview(buf)
+            payload = bytes(mv[body_start : body_start + length])
+            mv.release()
+            yield {"headers": headers, "payload": payload}
             pos = body_start + length
         if exhausted:
             return

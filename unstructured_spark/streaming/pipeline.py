@@ -522,3 +522,85 @@ def hll_partials_stream(
             "source", "j", "M",
         )
     )
+
+
+def warc_record_stream(
+    spark: SparkSession,
+    manifest_dir: str,
+    *,
+    glob: str = "*",
+    max_files_per_trigger: int | None = None,
+    opener=None,
+    record_types: tuple[str, ...] | None = ("response", "conversion"),
+) -> DataFrame:
+    """Continuous crawl ingest over a watched MANIFEST directory — the
+    streaming twin of ``sources.warc.read_warc_paths`` and exactly the
+    Common Crawl operational shape: each arriving text file lists
+    archive paths (one per line, the ``warc.paths`` convention), and
+    every listed shard is opened ON THE EXECUTOR and streamed through
+    the record assembler. Archive bytes never ride a stream row, so
+    the binaryFile 2 GB cap and whole-file inlining don't apply; the
+    text-source checkpoint tracks which manifests are done, giving
+    exactly-once shard ingest across restarts at manifest granularity.
+
+    Stateless mapInPandas — works unchanged under micro-batch
+    triggers; compose with ``main_content_stream`` and the dedup /
+    quality / partial-aggregate twins downstream."""
+    from unstructured_spark.sources.files import open_path
+    from unstructured_spark.sources.warc import (
+        WARC_SCHEMA,
+        _record_row,
+        iter_warc_records_stream,
+    )
+
+    reader = (
+        spark.readStream.format("text")
+        .option("pathGlobFilter", glob)
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    paths = reader.load(manifest_dir).select(
+        F.trim(F.col("value")).alias("path")
+    ).filter(F.col("path") != "")
+
+    opn = opener or open_path
+    wanted = tuple(t.lower() for t in record_types) if record_types else None
+    import pandas as pd
+
+    def gen(batches):
+        rows: list[dict] = []
+        cols = [f.strip().split()[0] for f in WARC_SCHEMA.split(",")]
+        for pdf in batches:
+            for path in pdf["path"]:
+                with opn(str(path)) as fh:
+                    for rec in iter_warc_records_stream(fh):
+                        row = _record_row(str(path), rec)
+                        if wanted and (
+                            row["warc_type"] or ""
+                        ).lower() not in wanted:
+                            continue
+                        rows.append(row)
+                        if len(rows) >= 512:
+                            yield pd.DataFrame(rows, columns=cols)
+                            rows = []
+        yield pd.DataFrame(rows, columns=cols)
+
+    return paths.mapInPandas(gen, WARC_SCHEMA)
+
+
+def main_content_stream(records: DataFrame) -> DataFrame:
+    """Boilerplate removal on a stream of WARC records: text/html
+    records pass through the jusText-shaped block classifier
+    (operators/main_content.py) keyed by record id; non-HTML records
+    are dropped. Stateless — composes directly after
+    :func:`warc_record_stream` for the full crawl-to-corpus live
+    pipeline (ingest → main text → downstream dedup/quality twins)."""
+    from unstructured_spark.operators.main_content import (
+        extract_main_content,
+    )
+
+    html = records.filter(
+        F.col("content_type").startswith("text/html")
+        & F.col("text").isNotNull()
+    ).select(F.xxhash64("record_id").alias("doc_id"), "text")
+    return extract_main_content(html)
