@@ -149,18 +149,31 @@ def main() -> None:
     # into "value_normalized", and loadavg snapshots ambient load.
     cal_interval = int(os.environ.get("CAL_INTERVAL", "20"))
     cal_fn = entry_mod.queries()[_CAL_QUERY]
+    cal2_fn = entry_mod.queries().get(_CAL2_QUERY)
     # calibration trace: (queries-timed-so-far, cal_sec, load1)
     cal_samples: list[tuple[int, float, float]] = []
+    # second, SHUFFLE-SHAPED canary (r12): the scan-shaped primary
+    # missed a throttle mode that inflated multi-stage join queries
+    # 5-8x while scans ran near-normal. Trace-only — normalization
+    # stays on the conservative scan canary — but the pair lets a
+    # reader attribute an outlier cell to host state: if cal2 spikes
+    # while cal doesn't, the slowdown is in shuffle/alloc paths, not
+    # the query's own code.
+    cal2_samples: list[tuple[int, float]] = []
 
     def _calibrate(at: int) -> None:
         med, _ = _time_query(_CAL_QUERY, cal_fn)
         load1 = round(os.getloadavg()[0], 2)
         cal_samples.append((at, round(med, 3), load1))
-        print(
+        line = (
             f"# calibration[{at}] {_CAL_QUERY}: {med:.3f}s"
-            f" (reference {_CAL_REFERENCE_SEC}s, load1 {load1})",
-            file=sys.stderr,
+            f" (reference {_CAL_REFERENCE_SEC}s, load1 {load1})"
         )
+        if cal2_fn is not None:
+            med2, _ = _time_query(_CAL2_QUERY, cal2_fn)
+            cal2_samples.append((at, round(med2, 3)))
+            line += f"; {_CAL2_QUERY}: {med2:.3f}s"
+        print(line, file=sys.stderr)
 
     _calibrate(0)
     cal_sec = cal_samples[0][1]
@@ -234,6 +247,10 @@ def main() -> None:
         "calibration_samples": [
             {"at": a, "sec": s, "load1": l} for a, s, l in cal_samples
         ],
+        "calibration2_query": _CAL2_QUERY,
+        "calibration2_samples": [
+            {"at": a, "sec": s} for a, s in cal2_samples
+        ],
         "loadavg": load_avg,
         "unit": "sec",
         "queries": timings,
@@ -278,6 +295,11 @@ _COLLECT_FULL = {"q03_shipping_priority", "q_top_customers"}
 # apparent evening "regressions" on untouched code).
 _CAL_QUERY = "q_token_freq"
 _CAL_REFERENCE_SEC = 0.147
+
+# Shuffle-shaped canary: q08_market_share (8-table TPC-H join chain,
+# untouched since round 2; r11 quiet-host median 0.95 s). Trace-only —
+# see the _calibrate docnote.
+_CAL2_QUERY = "q08_market_share"
 
 
 if __name__ == "__main__":
