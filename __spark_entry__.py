@@ -3191,10 +3191,11 @@ def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _warc_rows_projection(parse_warc(blobs))
 
 
-def _warc_record_expr():
-    """The shared JVM-side WARC conversion-record synthesis used by all
-    three ingest round-trip queries (plain blob, gzip blob, paths):
-    pure string expressions, Content-Length framed via octet_length."""
+def _warc_record_expr(content_type: str = "text/plain"):
+    """The shared JVM-side WARC conversion-record synthesis used by
+    the ingest round-trip queries (plain blob, gzip blob, paths, e2e
+    crawl): pure string expressions, Content-Length framed via
+    octet_length."""
     txt = F.coalesce(F.col("text"), F.lit(""))
     return F.concat(
         F.lit("WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: "
@@ -3203,7 +3204,7 @@ def _warc_record_expr():
         F.lit("\r\nWARC-Record-ID: <urn:md5:"),
         F.md5(F.col("doc_id").cast("string")),
         F.lit(">\r\nWARC-Date: 2024-01-01T00:00:00Z\r\n"
-              "Content-Type: text/plain\r\nContent-Length: "),
+              f"Content-Type: {content_type}\r\nContent-Length: "),
         F.octet_length(txt).cast("string"),
         F.lit("\r\n\r\n"),
         txt,
@@ -3211,7 +3212,9 @@ def _warc_record_expr():
     )
 
 
-def _warc_record_buckets(docs: DataFrame) -> DataFrame:
+def _warc_record_buckets(
+    docs: DataFrame, *, content_type: str = "text/plain"
+) -> DataFrame:
     """(_b, _recs): per-bucket doc_id-ordered arrays of serialized WARC
     records — the staging all three ingest round-trip queries share.
     One map-side-combinable groupBy. Bucket id = (doc_id % 32) + 32 *
@@ -3223,9 +3226,10 @@ def _warc_record_buckets(docs: DataFrame) -> DataFrame:
     return (
         docs.select(
             F.expr("doc_id % 32 + 32 * (doc_id div 16000)").alias("_b"),
-            F.struct(F.col("doc_id"), _warc_record_expr().alias("_r")).alias(
-                "_s"
-            ),
+            F.struct(
+                F.col("doc_id"),
+                _warc_record_expr(content_type).alias("_r"),
+            ).alias("_s"),
         )
         .groupBy("_b")
         .agg(
@@ -3368,11 +3372,22 @@ def q_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
+    return extract_main_content(_synth_crawl_pages(docs))
+
+
+def _synth_crawl_pages(docs: DataFrame) -> DataFrame:
+    """(doc_id, text=page html): the deterministic realistic-page
+    synthesis shared by q_main_content and the e2e crawl pipeline —
+    chrome (header/nav, breadcrumbs, link farm, sidebar, cookie
+    banner, footer) around a headline + the doc's 15-word paragraph
+    chunks with short "Note i." metadata lines interleaved. Pure JVM
+    string/array expressions; paragraphs are HTML-escaped so the
+    parse round trip is the identity."""
     esc = (
         "replace(replace(replace({x}, '&', '&amp;'), '<', '&lt;'),"
         " '>', '&gt;')"
     )
-    pages = docs.select(
+    return docs.select(
         "doc_id",
         F.filter(
             F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), "\\s+"),
@@ -3407,7 +3422,56 @@ def q_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
             "'<footer><p>Copyright Corpus</p></footer></body></html>')"
         ).alias("text"),
     )
-    return extract_main_content(pages)
+
+
+def q_crawl_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl-to-corpus chain END TO END, hash-oracled as one query
+    (new in r12): synthesize realistic HTML pages → serialize them as
+    WARC response archives in-engine → run the distributed WARC parser
+    (sources/warc.py) → filter text/html records → strip boilerplate
+    with the jusText-shaped classifier (operators/main_content.py) →
+    emit per-document corpus stats (blocks, good blocks, main chars,
+    main words) and the keep flag a minimum-content quality gate would
+    apply. Every stage that CCNet/RefinedWeb/Dolma-style pipelines run
+    between "crawl shard" and "quality filtering" executes in the one
+    plan, and the DuckDB oracle replays the composed result — the WARC
+    layer contributes the identity, the classifier its full decision
+    procedure, the stats plain arithmetic. Scale shape: one bounded
+    groupBy pack (fixture synthesis only; real ingest reads existing
+    shards) + map-only parse/classify; no other shuffle."""
+    from unstructured_spark.operators.main_content import (
+        extract_main_content,
+    )
+    from unstructured_spark.sources.warc import parse_warc
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = _synth_crawl_pages(docs)
+    blobs = _warc_record_buckets(
+        pages, content_type="text/html"
+    ).select(
+        F.concat(F.lit("mem://crawl-"), F.col("_b")).alias("path"),
+        F.encode(F.array_join("_recs", ""), "UTF-8").alias("content"),
+    )
+    recovered = parse_warc(blobs).filter(
+        F.col("content_type") == "text/html"
+    ).select(
+        F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        "text",
+    )
+    main = extract_main_content(recovered)
+    words = F.when(F.col("main_chars") == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.regexp_replace("main_text", "\n+", " "), " "))
+    )
+    return main.select(
+        "doc_id",
+        "n_blocks",
+        "n_good",
+        "main_chars",
+        words.cast("bigint").alias("main_words"),
+        (F.col("main_chars") >= 100).alias("kept"),
+    )
 
 
 def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3666,6 +3730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stratified_sample": q_stratified_sample,
         "q_temperature_mix": q_temperature_mix,
         "q_token_kl_drift": q_token_kl_drift,
+        "q_crawl_e2e": q_crawl_e2e,
     }
 
 
@@ -4342,6 +4407,67 @@ def oracle_sql() -> dict[str, str]:
                    cast(strlen(coalesce(text, '')) as bigint) as n_bytes,
                    coalesce(text, '') as text
             from documents
+        """,
+        # the composed crawl chain: WARC layer = identity, classifier
+        # = the same decision procedure as q_main_content's oracle,
+        # stats = plain arithmetic over the good blocks
+        "q_crawl_e2e": """
+            with t as (
+              select doc_id,
+                     list_filter(string_split(trim(coalesce(text, '')),
+                                              ' '), x -> x != '') as w
+              from documents
+            ), c as (
+              select doc_id, 0 as seq,
+                     'Record ' || doc_id || ' overview' as btext
+              from t
+              union all
+              select doc_id, 2 * i + 1,
+                     array_to_string(w[15 * i + 1 : 15 * i + 15], ' ')
+              from t, unnest(range(0, (len(w) + 14) // 15)) as u(i)
+              union all
+              select doc_id, 2 * i + 2, 'Note ' || i || '.'
+              from t, unnest(range(0, (len(w) + 14) // 15 - 1)) as u(i)
+            ), g as (
+              select doc_id, seq, btext, length(btext) >= 40 as is_long
+              from c
+            ), cls as (
+              select doc_id, seq, btext,
+                     is_long
+                     or (seq = 0 and coalesce(
+                          bool_or(is_long) over (
+                            partition by doc_id order by seq
+                            rows between 1 following
+                                     and unbounded following),
+                          false))
+                     or (seq > 0
+                         and coalesce(bool_or(is_long) over (
+                               partition by doc_id order by seq
+                               rows between unbounded preceding
+                                        and 1 preceding), false)
+                         and coalesce(bool_or(is_long) over (
+                               partition by doc_id order by seq
+                               rows between 1 following
+                                        and unbounded following), false))
+                       as good
+              from g
+            ), agg as (
+              select doc_id,
+                     cast(8 + count(*) as int) as n_blocks,
+                     cast(count(*) filter (where good) as int) as n_good,
+                     cast(length(coalesce(string_agg(btext,
+                            chr(10) || chr(10) order by seq)
+                            filter (where good), '')) as bigint)
+                       as main_chars,
+                     cast(coalesce(sum(len(string_split(btext, ' ')))
+                            filter (where good), 0) as bigint)
+                       as main_words
+              from cls
+              group by doc_id
+            )
+            select doc_id, n_blocks, n_good, main_chars, main_words,
+                   main_chars >= 100 as kept
+            from agg
         """,
         # replays the WHOLE main-content decision procedure: the 8
         # chrome blocks are bad by construction (ancestor hint / 100%
