@@ -3365,13 +3365,19 @@ def q_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     ENTIRE decision procedure in SQL: chrome blocks are bad by
     construction (ancestor hints / 100% link density), content blocks
     classify by integer lengths + the two smoothing window rules.
-    Scale shape: map-only, zero shuffle — synthesis, parse and
-    per-doc rollup all happen in one projection + one mapInPandas."""
+    Scale shape: synthesis, parse and per-doc rollup all happen in one
+    projection + one mapInPandas; the leading repartition is a
+    SMALL-FIXTURE rebalance only (the sf parquet is one input split,
+    which serialized the whole Python classify stage onto one core —
+    measured 2.5s -> 0.35s; a real corpus arrives in many splits and
+    needs no shuffle anywhere)."""
     from unstructured_spark.operators.main_content import (
         extract_main_content,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return extract_main_content(_synth_crawl_pages(docs))
 
 
