@@ -3480,6 +3480,68 @@ def q_crawl_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ROBOTS_TXT = (
+    "# corpus crawler policy\n"
+    "User-agent: googlebot\n"
+    "Disallow: /nogoogle/\n"
+    "\n"
+    "User-agent: *\n"
+    "Disallow: /private/\n"
+    "Allow: /private/pub/\n"
+    "Disallow: /tmp/*\n"
+    "Disallow: /*.exe$\n"
+)
+
+
+def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt politeness gate (new in r12) — the filter between a
+    crawl frontier and fetching, and the retroactive opt-out pass a
+    corpus build re-runs. Synthesize a 20-host frontier (six URL-path
+    shapes per doc: plain page, /private/, /private/pub/, /tmp/
+    wildcard, .exe$-anchored, googlebot-only-disallowed), parse one
+    realistic robots.txt per host for agent "corpusbot"
+    (functions/robots.py: group selection, wildcard + $-anchor rules),
+    and decide per RFC 9309 longest-match (Allow wins length ties).
+    Scale shape: rules = map-only parse of per-host files; decision =
+    ONE broadcast host-join + JVM rlike per pair + one groupBy on the
+    URL key — no window, no Python per URL. The oracle replays the
+    MECHANICS: the same five star-group rules as a VALUES table,
+    regex-matched per URL, winner by arg_max over the identical
+    (2·len + allow) ordering."""
+    from unstructured_spark.functions.robots import (
+        apply_robots,
+        robots_rules,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    host = F.concat(
+        F.lit("h"), (F.col("doc_id") % 20).cast("string"),
+        F.lit(".corpus.local"),
+    )
+    path = F.expr(
+        "case doc_id % 6"
+        " when 0 then concat('/a/doc', doc_id, '.html')"
+        " when 1 then concat('/private/doc', doc_id, '.html')"
+        " when 2 then concat('/private/pub/doc', doc_id, '.html')"
+        " when 3 then concat('/tmp/t', doc_id)"
+        " when 4 then concat('/bin/t', doc_id, '.exe')"
+        " else concat('/nogoogle/doc', doc_id, '.html') end"
+    )
+    urls = docs.select(
+        "doc_id",
+        F.concat(F.lit("http://"), host, path).alias("url"),
+    )
+    robots = (
+        docs.select(host.alias("host"))
+        .distinct()
+        .withColumn("robots_txt", F.lit(_ROBOTS_TXT))
+    )
+    rules = robots_rules(robots, agent="corpusbot")
+    return apply_robots(urls, rules, broadcast_rules=True).select(
+        "doc_id", "url", "allowed", "matched_rule"
+    )
+
+
 def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Engine-exact HyperLogLog audit (new in r11): per-source distinct
     token estimate from 4096 integer registers vs the exact distinct
@@ -3737,6 +3799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_temperature_mix": q_temperature_mix,
         "q_token_kl_drift": q_token_kl_drift,
         "q_crawl_e2e": q_crawl_e2e,
+        "q_robots_filter": q_robots_filter,
     }
 
 
@@ -4413,6 +4476,40 @@ def oracle_sql() -> dict[str, str]:
                    cast(strlen(coalesce(text, '')) as bigint) as n_bytes,
                    coalesce(text, '') as text
             from documents
+        """,
+        # replays the robots MECHANICS: the five star-group rules as a
+        # VALUES table, regex-matched per URL path, winner by arg_max
+        # over the same (2*len + allow) ordering, no-match => allowed
+        "q_robots_filter": """
+            with u as (
+              select doc_id,
+                     'http://h' || (doc_id % 20) || '.corpus.local' as base,
+                     case doc_id % 6
+                       when 0 then '/a/doc' || doc_id || '.html'
+                       when 1 then '/private/doc' || doc_id || '.html'
+                       when 2 then '/private/pub/doc' || doc_id || '.html'
+                       when 3 then '/tmp/t' || doc_id
+                       when 4 then '/bin/t' || doc_id || '.exe'
+                       else '/nogoogle/doc' || doc_id || '.html'
+                     end as path
+              from documents
+            ), r(pattern, rx, rlen, allow) as (
+              values ('/private/',     '^/private/',      9,  false),
+                     ('/private/pub/', '^/private/pub/',  13, true),
+                     ('/tmp/*',        '^/tmp/.*',        6,  false),
+                     ('/*.exe$',       '^/.*\\.exe$',     7,  false)
+            ), m as (
+              select u.doc_id, u.base || u.path as url,
+                     arg_max(struct_pack(allow := r.allow,
+                                         pattern := r.pattern),
+                             r.rlen * 2 + cast(r.allow as int)) as w
+              from u left join r on regexp_matches(u.path, r.rx)
+              group by u.doc_id, u.base || u.path
+            )
+            select doc_id, url,
+                   coalesce(w.allow, true) as allowed,
+                   w.pattern as matched_rule
+            from m
         """,
         # the composed crawl chain: WARC layer = identity, classifier
         # = the same decision procedure as q_main_content's oracle,

@@ -205,3 +205,67 @@ class TestDistributedIngest:
         # corrupt member mid-stream: records before it survive
         half = list(iter_warc_records(data[: len(data) // 2]))
         assert all(r["payload"].decode().startswith("kept") for r in half)
+
+
+class TestCharsetDecode:
+    def _row(self, payload: bytes, ctype: str):
+        from unstructured_spark.sources.warc import _record_row
+
+        rec = {
+            "headers": {
+                "warc-type": "response",
+                "content-type": ctype,
+                "warc-target-uri": "http://c/x",
+            },
+            "payload": payload,
+        }
+        return _record_row("p", rec)
+
+    def test_declared_latin1(self):
+        row = self._row("café «señor»".encode("latin-1"),
+                        "text/html; charset=ISO-8859-1")
+        assert row["text"] == "café «señor»"
+        assert row["encoding"] == "latin-1"
+        assert row["content_type"] == "text/html"  # param stripped
+
+    def test_meta_charset_sniff(self):
+        body = ('<html><head><meta charset="windows-1252"></head>'
+                '<body>dash – quote “q”</body></html>'
+                ).encode("cp1252")
+        row = self._row(body, "text/html")
+        assert row["encoding"] == "cp1252"
+        assert "–" in row["text"] and "“" in row["text"]
+
+    def test_bom_wins_over_wrong_declaration(self):
+        body = b"\xef\xbb\xbf" + "résumé".encode("utf-8")
+        row = self._row(body, "text/plain; charset=utf-16")
+        assert row["text"] == "résumé"
+        assert row["encoding"] == "utf-8"
+
+    def test_utf16_le_bom(self):
+        body = "﻿hello ünïcode".encode("utf-16-le")
+        row = self._row(body, "text/plain")
+        assert row["text"] == "hello ünïcode"
+        assert row["encoding"] == "utf-16-le"
+
+    def test_lying_charset_falls_through(self):
+        # declared utf-8 but bytes are invalid utf-8: strict decode of
+        # the declared codec fails -> strict utf-8 fails -> cp1252
+        body = b"caf\xe9 and more"
+        row = self._row(body, "text/plain; charset=utf-8")
+        assert row["text"] == "café and more"
+        assert row["encoding"] == "cp1252"
+
+    def test_plain_utf8_default(self):
+        row = self._row("日本語テキスト".encode("utf-8"), "text/plain")
+        assert row["text"] == "日本語テキスト"
+        assert row["encoding"] == "utf-8"
+
+    def test_unknown_codec_name_ignored(self):
+        row = self._row(b"plain ascii", "text/plain; charset=x-bogus-enc")
+        assert row["text"] == "plain ascii"
+        assert row["encoding"] == "utf-8"
+
+    def test_binary_types_not_decoded(self):
+        row = self._row(b"\x89PNG...", "image/png")
+        assert row["text"] is None and row["encoding"] is None

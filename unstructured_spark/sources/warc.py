@@ -28,6 +28,7 @@ columns are pure functions of the record bytes.
 
 from __future__ import annotations
 
+import re
 import zlib
 from typing import Iterator
 
@@ -36,7 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 WARC_SCHEMA = (
     "path string, record_id string, warc_type string, target_uri string,"
     " warc_date string, content_type string, http_status int,"
-    " n_bytes bigint, text string"
+    " n_bytes bigint, text string, encoding string"
 )
 
 _GZIP_MAGIC = b"\x1f\x8b"
@@ -307,6 +308,67 @@ def _split_http(payload: bytes) -> tuple[int | None, str | None, bytes]:
 _TEXTUAL_TYPES = ("text/", "application/json", "application/xhtml")
 
 
+_CHARSET_PARAM = re.compile(rb"charset\s*=\s*[\"']?([\w.:\-]+)", re.I)
+_META_CHARSET = re.compile(
+    rb"<meta[^>]+charset\s*=\s*[\"']?([\w.:\-]+)", re.I
+)
+
+#: encoding-label aliases (WHATWG-ish subset): crawled pages declare
+#: these spellings constantly; everything else goes through Python's
+#: own codec alias table
+_ENC_ALIASES = {
+    "iso-8859-1": "latin-1",
+    "iso8859-1": "latin-1",
+    "latin1": "latin-1",
+    "l1": "latin-1",
+    "win-1252": "cp1252",
+    "windows-1252": "cp1252",
+    "x-sjis": "shift_jis",
+    "unicode-1-1-utf-8": "utf-8",
+    "utf8": "utf-8",
+}
+
+
+def _decode_payload(body: bytes, declared: str | None) -> tuple[str, str]:
+    """(text, encoding_used) for a textual payload — the real-crawl
+    decode ladder (Common Crawl response bodies are NOT all UTF-8):
+
+    1. a BOM wins outright (UTF-8 / UTF-16 LE/BE);
+    2. the Content-Type ``charset=`` parameter, if the codec exists;
+    3. an HTML ``<meta charset>`` / http-equiv declaration in the
+       first 1024 bytes;
+    4. strict UTF-8;
+    5. cp1252 (the web's de-facto latin-1 superset — never fails,
+       every byte maps).
+
+    A declared/sniffed codec that raises falls through to the next
+    rung, so a lying charset header degrades to the fallback instead
+    of corrupting the decode with 'replace' noise."""
+    if body.startswith(b"\xef\xbb\xbf"):
+        return body[3:].decode("utf-8", "replace"), "utf-8"
+    if body.startswith(b"\xff\xfe"):
+        # the endian-agnostic codec consumes the BOM
+        return body.decode("utf-16", "replace"), "utf-16-le"
+    if body.startswith(b"\xfe\xff"):
+        return body.decode("utf-16", "replace"), "utf-16-be"
+    candidates: list[str] = []
+    if declared:
+        candidates.append(declared)
+    m = _META_CHARSET.search(body[:1024])
+    if m:
+        candidates.append(m.group(1).decode("ascii", "ignore"))
+    for raw in candidates:
+        name = _ENC_ALIASES.get(raw.strip().lower(), raw.strip().lower())
+        try:
+            return body.decode(name), name
+        except (LookupError, ValueError):
+            continue
+    try:
+        return body.decode("utf-8"), "utf-8"
+    except UnicodeDecodeError:
+        return body.decode("cp1252", "replace"), "cp1252"
+
+
 def _record_row(path: str, rec: dict) -> dict:
     h = rec["headers"]
     payload = rec["payload"]
@@ -319,10 +381,14 @@ def _record_row(path: str, rec: dict) -> dict:
         http_status, http_ctype, body = _split_http(payload)
     else:
         http_status, http_ctype, body = None, None, payload
-    ctype = (http_ctype or h.get("content-type") or "").split(";")[0].strip().lower()
+    full_ctype = http_ctype or h.get("content-type") or ""
+    ctype = full_ctype.split(";")[0].strip().lower()
     text = None
+    encoding = None
     if not ctype or any(ctype.startswith(t) for t in _TEXTUAL_TYPES):
-        text = body.decode("utf-8", "replace")
+        cm = _CHARSET_PARAM.search(full_ctype.encode("ascii", "ignore"))
+        declared = cm.group(1).decode("ascii", "ignore") if cm else None
+        text, encoding = _decode_payload(body, declared)
     return {
         "path": path,
         "record_id": h.get("warc-record-id"),
@@ -333,6 +399,7 @@ def _record_row(path: str, rec: dict) -> dict:
         "http_status": http_status,
         "n_bytes": len(body),
         "text": text,
+        "encoding": encoding,
     }
 
 
@@ -364,6 +431,7 @@ def parse_warc(
     cols = [
         "path", "record_id", "warc_type", "target_uri",
         "warc_date", "content_type", "http_status", "n_bytes", "text",
+        "encoding",
     ]
     flush_every = 512
 
