@@ -3480,6 +3480,51 @@ def q_crawl_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_page_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """<head> metadata extraction (new in r12): synthesize pages with
+    deterministic head sections — title, meta description (first ten
+    words of the doc), optional robots noindex directive (doc_id%4),
+    optional canonical link (absent when doc_id%5=0), optional lang
+    attr (doc_id%3: en / de / absent) — and run the head-only parser
+    (parsers/page_meta.py via operators/main_content.py). The
+    canonical URL is the key dedup_by_url collapses syndicated copies
+    on; noindex is the C4/RefinedWeb drop flag. Map-only after a
+    small-fixture rebalance; head-only parse bounds per-row cost by
+    head size. Oracle replays the synthesis field-for-field."""
+    from unstructured_spark.operators.main_content import (
+        extract_page_metadata,
+    )
+
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    pages = docs.select(
+        "doc_id",
+        F.filter(
+            F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), "\\s+"),
+            lambda x: x != F.lit(""),
+        ).alias("_t"),
+    ).select(
+        "doc_id",
+        F.expr(
+            "concat("
+            "'<html', case doc_id % 3 when 0 then ' lang=\"en\"'"
+            " when 1 then ' lang=\"de\"' else '' end, '><head>',"
+            "'<title>Record ', doc_id, ' overview - Corpus</title>',"
+            "'<meta name=\"description\" content=\"',"
+            " concat_ws(' ', slice(_t, 1, 10)), '\">',"
+            "case when doc_id % 4 = 0 then"
+            " '<meta name=\"robots\" content=\"noindex, follow\">'"
+            " else '' end,"
+            "case when doc_id % 5 != 0 then concat("
+            " '<link rel=\"canonical\" href=\"http://pub.corpus.local/doc/',"
+            " doc_id, '\">') else '' end,"
+            "'</head><body><p>body</p></body></html>')"
+        ).alias("text"),
+    )
+    return extract_page_metadata(pages)
+
+
 _ROBOTS_TXT = (
     "# corpus crawler policy\n"
     "User-agent: googlebot\n"
@@ -3800,6 +3845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_token_kl_drift": q_token_kl_drift,
         "q_crawl_e2e": q_crawl_e2e,
         "q_robots_filter": q_robots_filter,
+        "q_page_metadata": q_page_metadata,
     }
 
 
@@ -4476,6 +4522,28 @@ def oracle_sql() -> dict[str, str]:
                    cast(strlen(coalesce(text, '')) as bigint) as n_bytes,
                    coalesce(text, '') as text
             from documents
+        """,
+        # head-synthesis replay: every field is a deterministic
+        # function of (doc_id, first ten words)
+        "q_page_metadata": """
+            with t as (
+              select doc_id,
+                     list_filter(string_split(trim(coalesce(text, '')),
+                                              ' '), x -> x != '') as w
+              from documents
+            )
+            select doc_id,
+                   'Record ' || doc_id || ' overview - Corpus' as title,
+                   array_to_string(w[1:10], ' ') as description,
+                   case when doc_id % 5 != 0 then
+                     'http://pub.corpus.local/doc/' || doc_id end
+                     as canonical_url,
+                   case doc_id % 3 when 0 then 'en' when 1 then 'de' end
+                     as lang,
+                   case when doc_id % 4 = 0 then 'noindex, follow' end
+                     as robots_meta,
+                   doc_id % 4 = 0 as noindex
+            from t
         """,
         # replays the robots MECHANICS: the five star-group rules as a
         # VALUES table, regex-matched per URL path, winner by arg_max

@@ -123,3 +123,52 @@ def extract_main_content(
         yield pd.DataFrame(rows, columns=cols)
 
     return src.mapInPandas(gen, MAIN_SCHEMA)
+
+
+PAGE_META_SCHEMA = (
+    "doc_id bigint, title string, description string,"
+    " canonical_url string, lang string, robots_meta string,"
+    " noindex boolean"
+)
+
+
+def extract_page_metadata(
+    df: DataFrame,
+    *,
+    html_col: str = "text",
+    doc_id: str = "doc_id",
+    flush_every: int = 2048,
+) -> DataFrame:
+    """Per-page <head> metadata (parsers/page_meta.py) distributed:
+    title / description / canonical URL / lang / robots directives +
+    the noindex drop flag. Map-only; the head-only parse bounds
+    per-row cost by head size, not page size. Feed ``canonical_url``
+    into functions/urls.py dedup_by_url to collapse syndicated
+    copies onto the publisher's key."""
+    import pandas as pd
+
+    from unstructured_spark.parsers.page_meta import page_metadata
+
+    src = df.select(doc_id, html_col)
+    cols = [f.strip().split()[0] for f in PAGE_META_SCHEMA.split(",")]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows: list[dict] = []
+        for pdf in batches:
+            for did, html in zip(pdf[doc_id], pdf[html_col]):
+                m = page_metadata(html if html is not None else "")
+                rows.append({
+                    "doc_id": did,
+                    "title": m["title"],
+                    "description": m["description"],
+                    "canonical_url": m["canonical_url"],
+                    "lang": m["lang"],
+                    "robots_meta": m["robots_meta"],
+                    "noindex": m["noindex"],
+                })
+                if len(rows) >= flush_every:
+                    yield pd.DataFrame(rows, columns=cols)
+                    rows = []
+        yield pd.DataFrame(rows, columns=cols)
+
+    return src.mapInPandas(gen, PAGE_META_SCHEMA)
