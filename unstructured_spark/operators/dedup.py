@@ -439,7 +439,19 @@ def simhash_pairs(
       candidate stream would dwarf the banded join itself.
     """
     toks = F.array_distinct(F.split(F.trim(F.col(text)), "\\s+"))
-    staged = df.select(
+    # small-file inputs arrive as 1 split (single-row-group parquet):
+    # the per-token fold below (49-counter accumulator per token) is the
+    # dominant cost and would run on ONE core while the cluster idles.
+    # Same scale-adaptive rebalance as minhash_signatures: identity (no
+    # exchange) whenever the scan already parallelizes — at corpus
+    # scale the condition is false and the plan is unchanged.
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    base_df = (
+        df.repartition(parallelism)
+        if df.rdd.getNumPartitions() < parallelism
+        else df
+    )
+    staged = base_df.select(
         F.col(doc_id).alias("doc"), F.transform(toks, token_hash).alias("_h")
     )
     base = staged.select(
@@ -909,6 +921,14 @@ def shared_ngram_spans(
     # O(tokens). The md5 gram hashing re-runs per side — map-only CPU,
     # the right trade at 100 TB where a token-sized localCheckpoint is
     # a non-replicated single-point-of-failure materialization.
+    # small-file inputs arrive as 1 split, and the checkpoint blocks
+    # inherit that partitioning — the md5 gram hashing (k-token concat
+    # + hash per token position, re-run per self-join side) would run
+    # on ONE core. Scale-adaptive rebalance before the checkpoint:
+    # identity (no exchange) when the scan already parallelizes.
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parallelism:
+        df = df.repartition(parallelism)
     base = (
         df.select(F.col(doc_id).alias("doc"), toks.alias("_t"))
         .filter(F.size("_t") >= k)

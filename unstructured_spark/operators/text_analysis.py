@@ -458,8 +458,11 @@ def tfidf_top_terms(
         .groupBy("doc", "term")
         .agg(F.count("*").alias("tf"))
     )
+    # tf is one row per (doc, term) by construction, so the document
+    # frequency is a plain count(*) — countDistinct(doc) computed the
+    # same integer through an extra distinct-aggregate exchange pair
     dfreq = with_fxln(
-        tf.groupBy("term").agg(F.countDistinct("doc").alias("df")),
+        tf.groupBy("term").agg(F.count("*").alias("df")),
         "df",
         "_d",
     ).select("term", F.col("_dln").alias("_lndf"))
