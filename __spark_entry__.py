@@ -157,6 +157,23 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Scale-adaptive rebalance for a compute-heavy map stage above a
+    small-fixture scan: the bench parquet files are single-row-group
+    (one split), so scan-stage work — filters, projections, partial
+    aggregation, per-row expression trees — runs on ONE core while the
+    rest of local[32] idles. When the physical scan yields fewer splits
+    than the cluster's parallelism, round-robin repartition; at real
+    corpus scale the scan has >= cores splits and this is an identity
+    (no exchange enters the plan). Same discipline as
+    dedup.minhash_signatures / operators.main_content."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() >= sc.defaultParallelism:
+        return df
+    return df.repartition(sc.defaultParallelism)
+
+
 # ---------------------------------------------------------------------------
 # Relational surface (SURVEY §2.10) — TPC-H-ish analytics
 # ---------------------------------------------------------------------------
@@ -1235,7 +1252,7 @@ def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     window."""
     from unstructured_spark.operators.sampling import curriculum_order
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     banded = text_analysis.with_quality_q(docs).select(
         "doc_id",
         F.expr("quality_q div 1000000").cast("bigint").alias("band"),
