@@ -3383,18 +3383,16 @@ def q_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction (ancestor hints / 100% link density), content blocks
     classify by integer lengths + the two smoothing window rules.
     Scale shape: synthesis, parse and per-doc rollup all happen in one
-    projection + one mapInPandas; the leading repartition is a
+    projection + one mapInPandas; the leading _spread is a
     SMALL-FIXTURE rebalance only (the sf parquet is one input split,
     which serialized the whole Python classify stage onto one core —
-    measured 2.5s -> 0.35s; a real corpus arrives in many splits and
-    needs no shuffle anywhere)."""
+    measured 2.5s -> 0.35s; a real corpus arrives in many splits, the
+    rebalance skips itself, and no shuffle remains anywhere)."""
     from unstructured_spark.operators.main_content import (
         extract_main_content,
     )
 
-    docs = _t(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = _spread(_t(spark, sf_dir, "documents"))
     return extract_main_content(_synth_crawl_pages(docs))
 
 
@@ -3506,15 +3504,14 @@ def q_page_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     (parsers/page_meta.py via operators/main_content.py). The
     canonical URL is the key dedup_by_url collapses syndicated copies
     on; noindex is the C4/RefinedWeb drop flag. Map-only after a
-    small-fixture rebalance; head-only parse bounds per-row cost by
+    scale-adaptive small-fixture rebalance (_spread: an identity at
+    real corpus scan widths); head-only parse bounds per-row cost by
     head size. Oracle replays the synthesis field-for-field."""
     from unstructured_spark.operators.main_content import (
         extract_page_metadata,
     )
 
-    docs = _t(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = _spread(_t(spark, sf_dir, "documents"))
     pages = docs.select(
         "doc_id",
         F.filter(
