@@ -295,3 +295,51 @@ def test_remove_duplicate_boxes_dense_page_not_decimated(spark):
     rows.append(("d1", 1, 2500, "pdfminer", "Text", 0.0, 0.0, 10.0, 10.0, "dup", None))
     df = spark.createDataFrame(rows, COLS)
     assert lm.remove_duplicate_boxes(df).count() == 2500
+
+
+def test_merge_batch_invariant_page_walk(spark):
+    # the mapInPandas page walk detects group boundaries on raw arrays
+    # and carries the tail key across Arrow batches; forcing tiny
+    # batches makes nearly every page straddle a batch boundary, so
+    # the result must be identical to the one-batch-per-partition run
+    def build(n_docs=3, pages_per_doc=8):
+        inf, ext = [], []
+        for d in range(n_docs):
+            for p in range(1, pages_per_doc + 1):
+                did = f"doc{d}"
+                for i in range(3):
+                    inf.append((did, p, i, "inferred", "NarrativeText",
+                                50.0, 100.0 * i + 10, 500.0, 100.0 * i + 60,
+                                None, None))
+                for i in range(2):
+                    ext.append((did, p, i, "pdfminer", "Text",
+                                60.0, 100.0 * i + 20, 490.0, 100.0 * i + 50,
+                                f"text {d}/{p}/{i}", "true"))
+        return (spark.createDataFrame(inf, COLS),
+                spark.createDataFrame(ext, COLS))
+
+    inf, ext = build()
+    key = ["doc_id", "page_number", "box_id"]
+    conf = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(conf, None)
+    try:
+        spark.conf.set(conf, "10000")
+        big = [tuple(r) for r in
+               lm.merge_inferred_with_extracted(inf, ext, 1000.0, 1000.0)
+               .orderBy(*key).collect()]
+        spark.conf.set(conf, "7")
+        tiny = [tuple(r) for r in
+                lm.merge_inferred_with_extracted(inf, ext, 1000.0, 1000.0)
+                .orderBy(*key).collect()]
+    finally:
+        if old is None:
+            spark.conf.unset(conf)
+        else:
+            spark.conf.set(conf, old)
+    # rule 3 merges each page's extracted lines into the inferred
+    # blocks; what matters here is batch-size invariance, not the
+    # merge outcome itself (pinned by the rule tests above)
+    assert {(r[0], r[1]) for r in big} == {
+        (f"doc{d}", p) for d in range(3) for p in range(1, 9)
+    }
+    assert big == tiny

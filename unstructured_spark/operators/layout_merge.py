@@ -472,13 +472,28 @@ def merge_inferred_with_extracted(
     )
 
     def _process(group: pd.DataFrame) -> pd.DataFrame:
-        inf = group[group["_side"] == 0].drop(columns="_side").reset_index(drop=True)
-        ext = group[group["_side"] == 1].drop(columns="_side").reset_index(drop=True)
+        # rows within a key arrive sorted by (_side, box_id) — the
+        # sortWithinPartitions above — so the side split is a binary
+        # search, not two boolean-mask scans of the page
+        split = int(np.searchsorted(group["_side"].to_numpy(), 1))
+        inf = group.iloc[:split].drop(columns="_side").reset_index(drop=True)
+        ext = group.iloc[split:].drop(columns="_side").reset_index(drop=True)
         doc, page = group["doc_id"].iloc[0], group["page_number"].iloc[0]
         out = _merge_page_arrays(inf, ext, p_w, p_h, s_t, sub_t)
         if len(out) == 0:
             return out[BOX_COLS]
-        out = out.sort_values(["y1", "x1", "y2", "x2"], kind="stable").reset_index(drop=True)
+        # stable reading-order sort via one numpy lexsort (primary key
+        # last): identical order to
+        # sort_values(["y1","x1","y2","x2"], kind="stable")
+        order = np.lexsort(
+            (
+                out["x2"].to_numpy(),
+                out["y2"].to_numpy(),
+                out["x1"].to_numpy(),
+                out["y1"].to_numpy(),
+            )
+        )
+        out = out.take(order).reset_index(drop=True)
         out["doc_id"], out["page_number"] = doc, page
         out["box_id"] = np.arange(len(out), dtype="int32")
         return out[BOX_COLS]
@@ -500,12 +515,20 @@ def merge_inferred_with_extracted(
             if pending is not None:
                 pdf = pd.concat([pending, pdf], ignore_index=True)
                 pending = None
-            gkey = pdf["doc_id"].astype(str) + "\x00" + pdf["page_number"].astype(str)
-            groups = [g for _, g in pdf.groupby(gkey, sort=False)]
+            # page groups are contiguous runs of the partition sort key;
+            # boundary detection on the raw arrays replaces the
+            # string-concat + hash groupby over every row
+            doc_a = pdf["doc_id"].to_numpy()
+            page_a = pdf["page_number"].to_numpy()
+            change = np.empty(len(pdf), dtype=bool)
+            change[0] = True
+            change[1:] = (doc_a[1:] != doc_a[:-1]) | (page_a[1:] != page_a[:-1])
+            starts = np.flatnonzero(change)
             # the last key may continue into the next Arrow batch
-            pending = groups.pop()
-            for g in groups:
-                out = _process(g)
+            pending = pdf.iloc[starts[-1]:]
+            ends = starts[1:]
+            for s, e in zip(starts[:-1], ends):
+                out = _process(pdf.iloc[s:e])
                 if len(out):
                     done.append(out)
                     done_rows += len(out)
