@@ -709,26 +709,29 @@ def ann_recall(
     float division to diverge cross-engine. Queries the approx side
     missed entirely score 0, so a too-aggressive prune is visible.
 
-    Shape: one equi-join on (query, neighbor) + one groupBy(query) —
-    both sides are already k-bounded per query, so this is tiny next
-    to the searches it grades.
+    Shape: ONE left join on (query, neighbor) + one groupBy(query)
+    counting the matches (count of the non-null marker = hits; a query
+    the approx side missed keeps its k exact rows and counts 0). Each
+    search subtree is referenced exactly ONCE — the r12-before form
+    referenced the exact search twice (hits join + distinct spine) and
+    the executed plan carried ZERO ReusedExchange nodes, so the full
+    exact search ran twice per action: a genuine 2x corpus-pass cost
+    at index-build scale. The join is deliberately NOT hint-broadcast:
+    both sides are q*k rows, so AQE converts the materialized shuffle
+    stages to a broadcast join at runtime for free, whereas a planner
+    broadcast hint would execute the whole approx search inside the
+    BroadcastExchange's broadcastTimeout deadline (the hazard class
+    fixed in the kmeans centroid builds).
     """
     e = exact.select(query_col, neighbor_col)
-    a = approx.select(query_col, neighbor_col)
-    hits = (
-        e.join(a, [query_col, neighbor_col])
-        .groupBy(query_col)
-        .agg(F.count("*").cast("bigint").alias("hits"))
-    )
+    a = approx.select(query_col, neighbor_col).withColumn("_m", F.lit(1))
     return (
-        e.select(query_col)
-        .distinct()
-        .join(hits, query_col, "left")
+        e.join(a, [query_col, neighbor_col], "left")
+        .groupBy(query_col)
+        .agg(F.count("_m").cast("bigint").alias("hits"))
         .select(
             query_col,
-            F.coalesce(F.col("hits"), F.lit(0).cast("bigint")).alias("hits"),
-            F.expr(f"(1000000L * coalesce(hits, 0L)) div {int(k)}L").alias(
-                "recall_ppm"
-            ),
+            "hits",
+            F.expr(f"(1000000L * hits) div {int(k)}L").alias("recall_ppm"),
         )
     )
