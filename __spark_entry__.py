@@ -1710,20 +1710,26 @@ def q_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust per-user outlier detection on event values: median /
     MAD (sort-based statistics — deterministic across engines, unlike
     mean/stdev whose distributed summation order varies), flagging
-    |value − median| > 3·MAD. Two grouped percentile aggregates and
-    shuffle-aligned joins on user_id."""
-    ev = _t(spark, sf_dir, "events")
-    med = ev.groupBy("user_id").agg(
-        F.percentile("value", F.lit(0.5)).alias("med")
-    )
-    j = ev.join(med, "user_id").withColumn(
-        "absdev", F.abs(F.col("value") - F.col("med"))
-    )
-    mad = j.groupBy("user_id").agg(
-        F.percentile("absdev", F.lit(0.5)).alias("mad")
-    )
+    |value − median| > 3·MAD.
+
+    Shape (r12): both percentiles ride aggregate-WINDOWS over the same
+    user_id partitioning — one scan, ONE exchange, two Window operators
+    (the second consumes the first's column, same partition key, no
+    re-shuffle). The r12-before form was two grouped percentile
+    aggregates joined back onto the event rows, and its mid frame
+    ``j = ev JOIN med`` was referenced twice (MAD aggregate + final
+    join) with zero ReusedExchange in the executed plan — 4 FileScans
+    and 4 shuffles for the same result. Per-partition state is bounded
+    by a user's event count either way (exact percentile buffers the
+    group in both forms). The explicit user_id IS NOT NULL filter
+    replicates the old inner-join-on-key semantics for NULL keys."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    w = Window.partitionBy("user_id")
+    j = ev.withColumn(
+        "med", F.percentile("value", F.lit(0.5)).over(w)
+    ).withColumn("absdev", F.abs(F.col("value") - F.col("med")))
     return (
-        j.join(mad, "user_id")
+        j.withColumn("mad", F.percentile("absdev", F.lit(0.5)).over(w))
         .filter(F.col("absdev") > 3.0 * F.col("mad"))
         .select("user_id", "event_id", F.round("value", 6).alias("value"))
     )

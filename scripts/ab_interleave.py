@@ -83,8 +83,15 @@ def main() -> None:
             registry[wname](spark, args.sf_dir).count()
 
     def swap(variant_file: str) -> None:
+        # refresh the registry after every swap: queries() returns
+        # function objects bound at module-exec time, so swapping
+        # __spark_entry__.py itself (entry-level changes) needs the
+        # entry module reloaded and the registry rebuilt — otherwise
+        # the captured dict keeps serving the pre-swap functions.
+        nonlocal registry
         shutil.copyfile(variant_file, target)
         importlib.reload(importlib.import_module(mod_name))
+        registry = importlib.reload(entry_mod).queries()
 
     def time_one(qname: str) -> float:
         fn = registry[qname]

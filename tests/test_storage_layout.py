@@ -378,3 +378,29 @@ class TestCorpusDiff:
         s = corpus_diff_summary(old, new).collect()
         assert len(s) == 1 and s[0]["source"] == "new_src"
         assert s[0]["status"] == "unchanged"
+
+    def test_null_strata_priority_and_null_text(self, spark):
+        """Pins the r12 single-pass rewrite against the old min_by form:
+        the NEW side's stratum wins even when it is NULL (doc 1), the
+        old stratum is used only when the doc is absent from new
+        (doc 2), and NULL text folds to the empty-string fingerprint on
+        both sides (doc 3: NULL vs "" compares unchanged)."""
+        from unstructured_spark.operators.storage import corpus_diff_summary
+
+        old = spark.createDataFrame(
+            [(1, "t", "a"), (2, "u", None), (3, None, "b")],
+            "doc_id long, text string, source string",
+        )
+        new = spark.createDataFrame(
+            [(1, "t", None), (3, "", "b")],
+            "doc_id long, text string, source string",
+        )
+        s = {
+            (r["source"], r["status"]): r["docs"]
+            for r in corpus_diff_summary(old, new).collect()
+        }
+        assert s == {
+            (None, "unchanged"): 1,  # doc 1: new side present, NULL src wins
+            (None, "removed"): 1,    # doc 2: only old side, its NULL src
+            ("b", "unchanged"): 1,   # doc 3: NULL text == "" after coalesce
+        }

@@ -713,10 +713,13 @@ def ann_recall(
     counting the matches (count of the non-null marker = hits; a query
     the approx side missed keeps its k exact rows and counts 0). Each
     search subtree is referenced exactly ONCE — the r12-before form
-    referenced the exact search twice (hits join + distinct spine) and
-    the executed plan carried ZERO ReusedExchange nodes, so the full
-    exact search ran twice per action: a genuine 2x corpus-pass cost
-    at index-build scale. The join is deliberately NOT hint-broadcast:
+    referenced the exact search twice (hits join + distinct spine):
+    AQE stage reuse deduplicated the search's exchanges at runtime
+    (final plan: 2 ReusedExchange), but the distinct spine, its two
+    extra sorts, and the second join still executed, and the
+    leaf-to-first-exchange map work is only shared BECAUSE the two
+    references stay byte-identical — a fragile invariant this form
+    does not need. The join is deliberately NOT hint-broadcast:
     both sides are q*k rows, so AQE converts the materialized shuffle
     stages to a broadcast join at runtime for free, whereas a planner
     broadcast hint would execute the whole approx search inside the

@@ -398,6 +398,17 @@ def validate_dataset(spark: SparkSession, path: str, *, text: str = "text") -> d
     return {"ok": not mismatches, "mismatches": mismatches}
 
 
+def _diff_fp(text: str):
+    """The snapshot-diff fingerprint: whitespace-normalized case-folded
+    md5, NULL text folded to the empty string — shared by
+    :func:`corpus_diff` and :func:`corpus_diff_summary` so the two can
+    never drift apart."""
+    return F.md5(
+        F.lower(F.trim(F.regexp_replace(F.coalesce(F.col(text), F.lit("")),
+                                        "\\s+", " ")))
+    )
+
+
 def corpus_diff(
     old: DataFrame,
     new: DataFrame,
@@ -422,10 +433,7 @@ def corpus_diff(
     text leaves the wire — both sides project to (id, 32-byte fp)
     before the join.
     """
-    fp = F.md5(
-        F.lower(F.trim(F.regexp_replace(F.coalesce(F.col(text), F.lit("")),
-                                        "\\s+", " ")))
-    )
+    fp = _diff_fp(text)
     o = old.select(F.col(doc_id).alias("doc_id"), fp.alias("_ofp"))
     n = new.select(F.col(doc_id).alias("doc_id"), fp.alias("_nfp"))
     return o.join(n, "doc_id", "full_outer").select(
@@ -449,28 +457,42 @@ def corpus_diff_summary(
     """Per-stratum rollup of :func:`corpus_diff`:
     ``(strata, status, docs)``. Stratum is read from the side that has
     the document (new wins for docs present in both — a doc that moved
-    sources reports under its new home)."""
-    d = corpus_diff(old, new, doc_id=doc_id, text=text)
-    # deterministic label pick: new side wins via an explicit priority
-    # (F.first over a union is partition-order-dependent)
-    labels = (
-        new.select(
-            F.col(doc_id).alias("doc_id"),
-            F.col(strata).alias("_s"),
-            F.lit(0).alias("_p"),
-        )
-        .unionByName(
-            old.select(
-                F.col(doc_id).alias("doc_id"),
-                F.col(strata).alias("_s"),
-                F.lit(1).alias("_p"),
-            )
-        )
-        .groupBy("doc_id")
-        .agg(F.min_by("_s", "_p").alias(strata))
+    sources reports under its new home).
+
+    Scale shape (r12): the stratum column rides THROUGH the same
+    full-outer join :func:`corpus_diff` performs, so each snapshot is
+    referenced exactly once — the r12-before form computed a separate
+    union + min_by labels table and joined it back, which executed
+    every upstream scan twice (q_corpus_diff: 6 FileScans, zero
+    ReusedExchange) and paid a second corpus-scale shuffle join. The
+    "new wins" pick is ``when(_nfp IS NOT NULL, new.src).else(old.src)``
+    — _nfp is non-NULL exactly when the new side has the doc (md5 of a
+    coalesced text is never NULL), so the priority semantics of the old
+    min_by(_s, _p) form are preserved bit-for-bit, including NULL
+    strata values on either side."""
+    fp = _diff_fp(text)
+    o = old.select(
+        F.col(doc_id).alias("doc_id"),
+        fp.alias("_ofp"),
+        F.col(strata).alias("_osrc"),
+    )
+    n = new.select(
+        F.col(doc_id).alias("doc_id"),
+        fp.alias("_nfp"),
+        F.col(strata).alias("_nsrc"),
     )
     return (
-        d.join(labels, "doc_id")
+        o.join(n, "doc_id", "full_outer")
+        .select(
+            F.when(F.col("_ofp").isNull(), F.lit("added"))
+            .when(F.col("_nfp").isNull(), F.lit("removed"))
+            .when(F.col("_ofp") != F.col("_nfp"), F.lit("changed"))
+            .otherwise(F.lit("unchanged"))
+            .alias("status"),
+            F.when(F.col("_nfp").isNotNull(), F.col("_nsrc"))
+            .otherwise(F.col("_osrc"))
+            .alias(strata),
+        )
         .groupBy(strata, "status")
         .agg(F.count("*").cast("bigint").alias("docs"))
     )
