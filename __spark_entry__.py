@@ -797,14 +797,24 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_drop_near_duplicates already benches + oracles on its own, and
     chaining it here would triple-count three already-measured
     operators in one timing. The chained intra_batch=True contract is
-    unit-tested (tests/test_dedup_cap.py)."""
+    unit-tested (tests/test_dedup_cap.py).
+
+    Both sides derive from one table here, so the band rows are built
+    in ONE signature pass over the full corpus and split by parity
+    afterwards — identical rows (signatures are per-doc), half the
+    explode+md5+aggregate work, and the history side no longer executes
+    a corpus pass inside its BroadcastExchange build. The lazy
+    checkpoint stops the parity predicates pushing below the aggregate
+    and re-splitting the shared subtree (tests/test_dedup_cap.py pins
+    band-then-split == split-then-band)."""
     docs = _t(spark, sf_dir, "documents")
-    hist = docs.filter(F.col("doc_id") % 2 == 0)
     new = docs.filter(F.col("doc_id") % 2 == 1)
-    index = dedup.minhash_band_index(hist)
-    return dedup.dedup_against_index(new, index, intra_batch=False).select(
-        "doc_id", "text"
-    )
+    banded = dedup.minhash_band_index(docs).localCheckpoint(eager=False)
+    index = banded.filter(F.col("doc_id") % 2 == 0)
+    new_banded = banded.filter(F.col("doc_id") % 2 == 1)
+    return dedup.dedup_against_index(
+        new, index, new_index=new_banded, intra_batch=False
+    ).select("doc_id", "text")
 
 
 def q_drop_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:

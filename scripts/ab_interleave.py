@@ -38,19 +38,25 @@ sys.path.insert(0, REPO)
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--module", required=True, help="repo-relative module file to swap")
-    ap.add_argument("--a", required=True, help="arm A (old) variant file")
-    ap.add_argument("--b", required=True, help="arm B (new) variant file")
+    ap.add_argument(
+        "--module", required=True, action="append",
+        help="repo-relative module file to swap (repeatable; --a/--b "
+             "must be given once per --module, in the same order)",
+    )
+    ap.add_argument("--a", required=True, action="append",
+                    help="arm A (old) variant file")
+    ap.add_argument("--b", required=True, action="append",
+                    help="arm B (new) variant file")
     ap.add_argument("--control", default="q01_pricing_summary")
     ap.add_argument("--pairs", type=int, default=3)
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("queries", nargs="+")
     args = ap.parse_args()
 
-    target = os.path.join(REPO, args.module)
-    mod_name = (
-        args.module.replace("/", ".").removesuffix(".py")
-    )
+    if not (len(args.module) == len(args.a) == len(args.b)):
+        ap.error("--module/--a/--b counts must match")
+    targets = [os.path.join(REPO, m) for m in args.module]
+    mod_names = [m.replace("/", ".").removesuffix(".py") for m in args.module]
 
     from pyspark.sql import SparkSession
 
@@ -82,15 +88,22 @@ def main() -> None:
         if wname in registry:
             registry[wname](spark, args.sf_dir).count()
 
-    def swap(variant_file: str) -> None:
+    def swap(variant_files: list[str]) -> None:
         # refresh the registry after every swap: queries() returns
         # function objects bound at module-exec time, so swapping
         # __spark_entry__.py itself (entry-level changes) needs the
         # entry module reloaded and the registry rebuilt — otherwise
         # the captured dict keeps serving the pre-swap functions.
+        # (importlib.reload mutates the module object in place, so
+        # module-level `from ... import dedup` style references in the
+        # entry see the swapped operator code either way.)
         nonlocal registry
-        shutil.copyfile(variant_file, target)
-        importlib.reload(importlib.import_module(mod_name))
+        for variant_file, target, mod_name in zip(
+            variant_files, targets, mod_names
+        ):
+            shutil.copyfile(variant_file, target)
+            if mod_name != "__spark_entry__":
+                importlib.reload(importlib.import_module(mod_name))
         registry = importlib.reload(entry_mod).queries()
 
     def time_one(qname: str) -> float:
@@ -110,8 +123,8 @@ def main() -> None:
     control_by_arm: dict[str, list[float]] = {"A": [], "B": []}
     try:
         for pair in range(args.pairs):
-            for arm, variant in (("A", args.a), ("B", args.b)):
-                swap(variant)
+            for arm, variants in (("A", args.a), ("B", args.b)):
+                swap(variants)
                 load1 = os.getloadavg()[0]
                 for q in args.queries:
                     dt = time_one(q)
@@ -121,7 +134,8 @@ def main() -> None:
                 control_by_arm[arm].append(cdt)
                 print(f"pair {pair} arm {arm} CONTROL {args.control}: {cdt:.3f}s", flush=True)
     finally:
-        shutil.copyfile(args.b, target)
+        for variant_file, target in zip(args.b, targets):
+            shutil.copyfile(variant_file, target)
 
     out = {"queries": {}, "control": {}}
     for q in args.queries:

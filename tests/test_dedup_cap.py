@@ -604,6 +604,58 @@ class TestIncrementalDedup:
         }
         assert got2 == {11, 13, 15}
 
+    def test_precomputed_new_index_single_banded_pass(self, spark):
+        # q_dedup_incremental's single-pass shape: band rows are
+        # per-doc, so banding the FULL table then splitting by parity
+        # must equal splitting then banding — and feeding the split
+        # halves through new_index= must match the default two-pass
+        # path exactly.
+        from pyspark.sql import functions as F
+
+        from unstructured_spark.operators.dedup import (
+            dedup_against_index,
+            minhash_band_index,
+        )
+
+        other = ("an unrelated brand new document with plenty of words "
+                 "to shingle properly")
+        rows = [(2, self.BASE), (4, other), (11, self.BASE), (13, "short"),
+                (15, "completely different content about spark physical plans")]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        hist = docs.filter(F.col("doc_id") % 2 == 0)
+        new = docs.filter(F.col("doc_id") % 2 == 1)
+
+        # band-then-split == split-then-band, row for row
+        banded = minhash_band_index(docs).localCheckpoint(eager=False)
+        split_hist = banded.filter(F.col("doc_id") % 2 == 0)
+        split_new = banded.filter(F.col("doc_id") % 2 == 1)
+        two_pass_hist = minhash_band_index(hist)
+        two_pass_new = minhash_band_index(new)
+
+        def key(df):
+            return {
+                (r["doc_id"], tuple(r["sig"]), r["band"], r["key"])
+                for r in df.collect()
+            }
+
+        assert key(split_hist) == key(two_pass_hist)
+        assert key(split_new) == key(two_pass_new)
+
+        # survivors via new_index= match the default path
+        default = {
+            r["doc_id"]
+            for r in dedup_against_index(
+                new, two_pass_hist, intra_batch=False
+            ).collect()
+        }
+        single = {
+            r["doc_id"]
+            for r in dedup_against_index(
+                new, split_hist, new_index=split_new, intra_batch=False
+            ).collect()
+        }
+        assert single == default == {13, 15}
+
     def test_mismatched_index_params_fail_fast(self, spark):
         # an index built with other num_hashes/bands would never
         # key-match — history dedup silently becomes a no-op — so the

@@ -651,7 +651,11 @@ def connected_components(
         # one aggregation folds self + neighbor + doubled candidates.
         # localCheckpoint truncates lineage — the self-join would
         # otherwise double the logical plan every round (exponential
-        # planning cost, the classic iterative-algorithm trap)
+        # planning cost, the classic iterative-algorithm trap). LAZY:
+        # the convergence aggregate right below is the round's first
+        # action, so it materializes + stores the checkpoint blocks in
+        # the same job — one job per round instead of an eager
+        # materialization job followed by the signature job.
         new_labels = (
             labels.select("doc", "label")
             .union(neighbor_labels)
@@ -659,12 +663,13 @@ def connected_components(
             .repartition(parts, "doc")  # groupBy reuses this exchange
             .groupBy("doc")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         # convergence: labels are monotonically non-increasing, so the
         # assignment is a fixpoint iff the label set is unchanged — one
         # cheap aggregate instead of a join (bit_xor: order-independent,
-        # overflow-free under ANSI mode)
+        # overflow-free under ANSI mode). Doubles as the lazy
+        # checkpoint's materializing action.
         sig = new_labels.agg(
             F.expr("bit_xor(xxhash64(doc, label))").alias("s")
         ).collect()[0]["s"]
@@ -1234,6 +1239,7 @@ def dedup_against_index(
     bands: int = 8,
     shingle_size: int = 3,
     intra_batch: bool = True,
+    new_index: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental near-dedup — the production shape at 100 TB: dedup
     each day's NEW batch against the historical corpus's persisted
@@ -1258,8 +1264,16 @@ def dedup_against_index(
     — so every index row is guarded with a ``raise_error`` check on
     signature length and band range (map-side, no extra action: it
     rides the join's own scan).
+
+    ``new_index`` optionally supplies precomputed
+    :func:`minhash_band_index` rows for ``new_docs`` (same schema:
+    doc_id, sig, band, key). When the batch's band rows already exist —
+    e.g. one banded pass over a combined table split into history and
+    batch afterwards (band rows are per-doc, so banding then splitting
+    is identical to splitting then banding) — passing them avoids a
+    second full signature pass over the batch.
     """
-    new_banded = minhash_band_index(
+    new_banded = new_index if new_index is not None else minhash_band_index(
         new_docs, text=text, doc_id=doc_id, num_hashes=num_hashes,
         bands=bands, shingle_size=shingle_size,
     )
