@@ -3713,120 +3713,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ------------------------------------------------------------
         # EXTERNAL WINDOW (first 50 entries = the driver's correctness
-        # window). Round-12 rotation, per the r11 plan:
-        #   slots 1-3: the three r12-new queries (gzip WARC round
-        #     trip, paths-table executor-open ingest, HTML
-        #     main-content extraction) — first external greens due;
-        #   slots 4-5: queries whose code changed in r12
-        #     (dedup_within_doc single-pass rewrite; q_warc_ingest's
-        #     synthesis refactored into shared helpers) — externally
-        #     re-proving hash stability;
-        #   slots 6-47: the COMPLETE r9-floor cohort (42 entries), so
-        #     after this round no registry entry's last external green
-        #     is older than r10;
-        #   slots 48-50: three r10-floor entries rotated forward (the
-        #     r10 cohort starts rotating through r13+ windows).
+        # window). Round-13 rotation, per the r12 verdict item 7:
+        #   slots 1-3: the three queries with NO external green yet
+        #     (r12-new crawl chain) — first greens due;
+        #   slots 4-49: the COMPLETE r10-floor cohort (46 entries),
+        #     so after this round no registry entry's last external
+        #     green is older than r11;
+        #   slot 50: q_ngram_jaccard_dups — the minhash+shingle
+        #     staged-projection rewrite (this round's headline
+        #     change) externally re-proves hash stability.
         # ------------------------------------------------------------
-        # --- slots 1-3: new in r12 (first greens due) ---
-        "q_warc_ingest_gz": q_warc_ingest_gz,
-        "q_warc_paths_ingest": q_warc_paths_ingest,
-        "q_main_content": q_main_content,
-        # --- slots 4-5: changed in r12 ---
-        "q_dedup_within_doc": q_dedup_within_doc,
-        "q_warc_ingest": q_warc_ingest,
-        # --- slots 6-47: the complete r9-floor cohort ---
-        "q03_shipping_priority": q03_shipping_priority,
-        "q07_nation_volume": q07_nation_volume,
-        "q09_product_type_profit": q09_product_type_profit,
-        "q_nb_classify": q_nb_classify,
-        "q_range_join": q_range_join,
-        "q_od_map": q_od_map,
-        "q12_late_lines": q12_late_lines,
-        "q14_promo_revenue": q14_promo_revenue,
-        "q19_bracket_revenue": q19_bracket_revenue,
-        "q_box_dedup": q_box_dedup,
-        "q_clean_inner_boxes": q_clean_inner_boxes,
-        "q_embed_text_agg": q_embed_text_agg,
-        "q_ocr_supplement": q_ocr_supplement,
-        "q_ivfpq_topk": q_ivfpq_topk,
-        "q_salted_user_value": q_salted_user_value,
-        "q_weighted_sample": q_weighted_sample,
-        "q_cohort_retention": q_cohort_retention,
-        "q_value_outliers": q_value_outliers,
-        "q_metrics_grouped": q_metrics_grouped,
-        "q_quantized_codes": q_quantized_codes,
-        "q_random_projection": q_random_projection,
-        "q_pq_topk": q_pq_topk,
-        "q_drop_keep_best": q_drop_keep_best,
-        "q_shared_ngram_spans": q_shared_ngram_spans,
-        "q_dedup_incremental": q_dedup_incremental,
-        "q08_market_share": q08_market_share,
-        "q10_returned_items": q10_returned_items,
-        "q13_order_count_distribution": q13_order_count_distribution,
-        "q15_top_supplier": q15_top_supplier,
-        "q17_small_quantity_revenue": q17_small_quantity_revenue,
-        "q18_large_orders": q18_large_orders,
-        "q21_sole_late_supplier": q21_sole_late_supplier,
-        "q22_idle_customers": q22_idle_customers,
-        "q11_important_stock": q11_important_stock,
-        "q16_supplier_count": q16_supplier_count,
-        "q20_excess_stock_suppliers": q20_excess_stock_suppliers,
-        "q_dup_clusters": q_dup_clusters,
-        "q_drop_near_duplicates": q_drop_near_duplicates,
-        "q_contaminated_docs": q_contaminated_docs,
-        "q_pii_stats": q_pii_stats,
-        "q_redacted_docs": q_redacted_docs,
-        "q_dsir_importance": q_dsir_importance,
-        # --- slots 48-50: r10-floor rotation begins ---
-        "q05_region_revenue": q05_region_revenue,
-        "q06_forecast_revenue": q06_forecast_revenue,
-        "q_bpe_top_pairs": q_bpe_top_pairs,
-        # --- tail: below the 50-slot external window ---
-        "q_mixture_reweight": q_mixture_reweight,
-        "q_soft_dedup_weights": q_soft_dedup_weights,
-        "q_cross_source_dups": q_cross_source_dups,
-        "q_nb_confusion": q_nb_confusion,
-        "q_chunk_fixed": q_chunk_fixed,
-        "q_cleaned_docs": q_cleaned_docs,
-        "q_doc_quantiles": q_doc_quantiles,
-        "q_edit_distance": q_edit_distance,
-        "q_element_type_match": q_element_type_match,
-        "q_embed_centroids": q_embed_centroids,
-        "q_embed_neardup": q_embed_neardup,
-        "q_embed_topk": q_embed_topk,
-        "q_eval_summary": q_eval_summary,
-        "q_events_daily": q_events_daily,
-        "q_events_json": q_events_json,
-        "q_events_last_per_user": q_events_last_per_user,
-        "q_events_moving_avg": q_events_moving_avg,
-        "q_events_sessionize": q_events_sessionize,
-        "q_hash_embeddings": q_hash_embeddings,
-        "q_ivf_ann_topk": q_ivf_ann_topk,
-        "q_langid": q_langid,
-        "q_lsh_candidate_pairs": q_lsh_candidate_pairs,
-        "q_minhash_signatures": q_minhash_signatures,
-        "q_nation_acctbal_rollup": q_nation_acctbal_rollup,
-        "q_ngram_jaccard_dups": q_ngram_jaccard_dups,
-        "q_order_priority": q_order_priority,
-        "q_part_brand_stats": q_part_brand_stats,
-        "q_percent_missing": q_percent_missing,
-        "q_remove_boilerplate": q_remove_boilerplate,
-        "q_simhash": q_simhash,
-        "q_simhash_pairs": q_simhash_pairs,
-        "q_tfidf_top_terms": q_tfidf_top_terms,
-        "q_token_freq": q_token_freq,
-        "q_token_shards": q_token_shards,
-        "q_top_customers": q_top_customers,
-        "q_vocab_coverage": q_vocab_coverage,
-        "q_winnow_fingerprints": q_winnow_fingerprints,
-        "q_kmeans_clusters": q_kmeans_clusters,
-        "q_semantic_dedup": q_semantic_dedup,
-        "q_perplexity_buckets": q_perplexity_buckets,
-        "q_bigram_cross_entropy": q_bigram_cross_entropy,
-        "q01_pricing_summary": q01_pricing_summary,
-        "q02_min_cost_supplier": q02_min_cost_supplier,
-        "q_url_dedup": q_url_dedup,
-        "q_hll_distinct": q_hll_distinct,
+        # --- slots 1-3: first external greens due ---
+        "q_crawl_e2e": q_crawl_e2e,
+        "q_page_metadata": q_page_metadata,
+        "q_robots_filter": q_robots_filter,
+        # --- slots 4-49: the complete r10-floor cohort ---
         "q_dedup_paragraphs": q_dedup_paragraphs,
         "q_unigram_entropy": q_unigram_entropy,
         "q_interleave_sources": q_interleave_sources,
@@ -3873,9 +3774,103 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stratified_sample": q_stratified_sample,
         "q_temperature_mix": q_temperature_mix,
         "q_token_kl_drift": q_token_kl_drift,
-        "q_crawl_e2e": q_crawl_e2e,
-        "q_robots_filter": q_robots_filter,
-        "q_page_metadata": q_page_metadata,
+        # --- slot 50: changed in r13 (hash-stability re-proof) ---
+        "q_ngram_jaccard_dups": q_ngram_jaccard_dups,
+        # --- tail: below the 50-slot external window ---
+        "q_warc_ingest_gz": q_warc_ingest_gz,
+        "q_warc_paths_ingest": q_warc_paths_ingest,
+        "q_main_content": q_main_content,
+        "q_dedup_within_doc": q_dedup_within_doc,
+        "q_warc_ingest": q_warc_ingest,
+        "q03_shipping_priority": q03_shipping_priority,
+        "q07_nation_volume": q07_nation_volume,
+        "q09_product_type_profit": q09_product_type_profit,
+        "q_nb_classify": q_nb_classify,
+        "q_range_join": q_range_join,
+        "q_od_map": q_od_map,
+        "q12_late_lines": q12_late_lines,
+        "q14_promo_revenue": q14_promo_revenue,
+        "q19_bracket_revenue": q19_bracket_revenue,
+        "q_box_dedup": q_box_dedup,
+        "q_clean_inner_boxes": q_clean_inner_boxes,
+        "q_embed_text_agg": q_embed_text_agg,
+        "q_ocr_supplement": q_ocr_supplement,
+        "q_ivfpq_topk": q_ivfpq_topk,
+        "q_salted_user_value": q_salted_user_value,
+        "q_weighted_sample": q_weighted_sample,
+        "q_cohort_retention": q_cohort_retention,
+        "q_value_outliers": q_value_outliers,
+        "q_metrics_grouped": q_metrics_grouped,
+        "q_quantized_codes": q_quantized_codes,
+        "q_random_projection": q_random_projection,
+        "q_pq_topk": q_pq_topk,
+        "q_drop_keep_best": q_drop_keep_best,
+        "q_shared_ngram_spans": q_shared_ngram_spans,
+        "q_dedup_incremental": q_dedup_incremental,
+        "q08_market_share": q08_market_share,
+        "q10_returned_items": q10_returned_items,
+        "q13_order_count_distribution": q13_order_count_distribution,
+        "q15_top_supplier": q15_top_supplier,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "q18_large_orders": q18_large_orders,
+        "q21_sole_late_supplier": q21_sole_late_supplier,
+        "q22_idle_customers": q22_idle_customers,
+        "q11_important_stock": q11_important_stock,
+        "q16_supplier_count": q16_supplier_count,
+        "q20_excess_stock_suppliers": q20_excess_stock_suppliers,
+        "q_dup_clusters": q_dup_clusters,
+        "q_drop_near_duplicates": q_drop_near_duplicates,
+        "q_contaminated_docs": q_contaminated_docs,
+        "q_pii_stats": q_pii_stats,
+        "q_redacted_docs": q_redacted_docs,
+        "q_dsir_importance": q_dsir_importance,
+        "q05_region_revenue": q05_region_revenue,
+        "q06_forecast_revenue": q06_forecast_revenue,
+        "q_bpe_top_pairs": q_bpe_top_pairs,
+        "q_mixture_reweight": q_mixture_reweight,
+        "q_soft_dedup_weights": q_soft_dedup_weights,
+        "q_cross_source_dups": q_cross_source_dups,
+        "q_nb_confusion": q_nb_confusion,
+        "q_chunk_fixed": q_chunk_fixed,
+        "q_cleaned_docs": q_cleaned_docs,
+        "q_doc_quantiles": q_doc_quantiles,
+        "q_edit_distance": q_edit_distance,
+        "q_element_type_match": q_element_type_match,
+        "q_embed_centroids": q_embed_centroids,
+        "q_embed_neardup": q_embed_neardup,
+        "q_embed_topk": q_embed_topk,
+        "q_eval_summary": q_eval_summary,
+        "q_events_daily": q_events_daily,
+        "q_events_json": q_events_json,
+        "q_events_last_per_user": q_events_last_per_user,
+        "q_events_moving_avg": q_events_moving_avg,
+        "q_events_sessionize": q_events_sessionize,
+        "q_hash_embeddings": q_hash_embeddings,
+        "q_ivf_ann_topk": q_ivf_ann_topk,
+        "q_langid": q_langid,
+        "q_lsh_candidate_pairs": q_lsh_candidate_pairs,
+        "q_minhash_signatures": q_minhash_signatures,
+        "q_nation_acctbal_rollup": q_nation_acctbal_rollup,
+        "q_order_priority": q_order_priority,
+        "q_part_brand_stats": q_part_brand_stats,
+        "q_percent_missing": q_percent_missing,
+        "q_remove_boilerplate": q_remove_boilerplate,
+        "q_simhash": q_simhash,
+        "q_simhash_pairs": q_simhash_pairs,
+        "q_tfidf_top_terms": q_tfidf_top_terms,
+        "q_token_freq": q_token_freq,
+        "q_token_shards": q_token_shards,
+        "q_top_customers": q_top_customers,
+        "q_vocab_coverage": q_vocab_coverage,
+        "q_winnow_fingerprints": q_winnow_fingerprints,
+        "q_kmeans_clusters": q_kmeans_clusters,
+        "q_semantic_dedup": q_semantic_dedup,
+        "q_perplexity_buckets": q_perplexity_buckets,
+        "q_bigram_cross_entropy": q_bigram_cross_entropy,
+        "q01_pricing_summary": q01_pricing_summary,
+        "q02_min_cost_supplier": q02_min_cost_supplier,
+        "q_url_dedup": q_url_dedup,
+        "q_hll_distinct": q_hll_distinct,
     }
 
 

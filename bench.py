@@ -48,9 +48,28 @@ MIN of its two bracketing calibration samples (min = the
 least-throttled nearby moment, so normalization never over-corrects),
 emitted per-query as "queries_normalized"; "value_normalized" is
 their sum and "calibration_samples" the full trace (position, sec,
-1-min loadavg). Cross-round comparisons should read
-queries_normalized / value_normalized; "value" and "queries" remain
-the raw wall clock of THIS run.
+1-min loadavg).
+
+Round-13 measurement fixes (both mandated by the r12 verdict, item 2;
+declared in OPTIMIZATION_r13.md):
+
+- UNTIMED BURN-IN: the first calibration sample of a session read
+  2-5x high (r12 measured 0.998 s vs 0.261 s ten queries later on
+  identical code) — JIT compilation of the shuffle/codegen machinery
+  outlasts the fixed warm-ups, so every query timed in the first ~20
+  positions absorbed environment cost that belongs to the JVM, not
+  the query. The harness now repeats the two canaries untimed until
+  the scan canary's median stabilizes (consecutive medians within
+  12%, bounded at 6 rounds) BEFORE calibration[0].
+- The stdout JSON's "queries" field now carries the slowest
+  NORMALIZED per-query seconds (the cross-round comparator the
+  per-query calibration exists to produce) instead of raw wall-clock
+  of this run's throttle window; the raw values stay in "value"
+  (raw total), in the best-effort "queries_raw" stdout field, and —
+  complete and untruncated — in BENCH_FULL.json's "queries". The
+  r12 verdict's PERF comparison was poisoned by exactly this: a
+  host-throttle window manufactured a phantom 2x "regression" on
+  code-identical queries because stdout carried raw seconds.
 """
 
 from __future__ import annotations
@@ -161,6 +180,23 @@ def main() -> None:
     # the query's own code.
     cal2_samples: list[tuple[int, float]] = []
 
+    # ---- untimed burn-in (r13): run the canary pair with the full
+    # timing protocol but DISCARD the numbers, until the scan canary
+    # stabilizes — the first timed query then starts outside the JIT
+    # window instead of absorbing one-off shuffle/codegen compilation.
+    prev_burn: float | None = None
+    for burn_round in range(int(os.environ.get("BENCH_BURNIN_MAX", "6"))):
+        burn_med, _ = _time_query(_CAL_QUERY, cal_fn)
+        if cal2_fn is not None:
+            _time_query(_CAL2_QUERY, cal2_fn)
+        print(
+            f"# burn-in[{burn_round}] {_CAL_QUERY}: {burn_med:.3f}s",
+            file=sys.stderr,
+        )
+        if prev_burn is not None and abs(burn_med - prev_burn) <= 0.12 * prev_burn:
+            break
+        prev_burn = burn_med
+
     def _calibrate(at: int) -> None:
         med, _ = _time_query(_CAL_QUERY, cal_fn)
         load1 = round(os.getloadavg()[0], 2)
@@ -266,19 +302,32 @@ def main() -> None:
         json.dump(record, f, separators=(",", ":"))
 
     # stdout line: summary + slowest-first per-query timings packed
-    # into a 1900-char budget (the driver keeps only a ~2000-char tail)
+    # into a 1900-char budget (the driver keeps only a ~2000-char tail).
+    # r13: "queries" carries NORMALIZED seconds (the throttle-proof
+    # cross-round comparator); as many of the slowest RAW values as
+    # still fit ride in "queries_raw"; the complete raw map is always
+    # in BENCH_FULL.json.
     head = {k: record[k] for k in
             ("metric", "value", "value_normalized", "calibration_sec",
              "loadavg", "unit", "sf", "cpus", "iters", "n_queries")}
     head["full"] = "BENCH_FULL.json"
+    head["queries_unit"] = "sec_normalized"
     shown: dict[str, float] = {}
-    for name, t in sorted(timings.items(), key=lambda kv: -kv[1]):
+    for name, t in sorted(queries_norm.items(), key=lambda kv: -kv[1]):
         trial = dict(head)
         trial["queries"] = {**shown, name: t}
-        if len(json.dumps(trial, separators=(",", ":"))) > 1900:
+        if len(json.dumps(trial, separators=(",", ":"))) > 1600:
             break
         shown[name] = t
     head["queries"] = shown
+    shown_raw: dict[str, float] = {}
+    for name, t in sorted(timings.items(), key=lambda kv: -kv[1]):
+        trial = dict(head)
+        trial["queries_raw"] = {**shown_raw, name: t}
+        if len(json.dumps(trial, separators=(",", ":"))) > 1900:
+            break
+        shown_raw[name] = t
+    head["queries_raw"] = shown_raw
     print(json.dumps(head, separators=(",", ":")))
     spark.stop()
 
