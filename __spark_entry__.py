@@ -802,11 +802,15 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     Both sides derive from one table here, so the band rows are built
     in ONE signature pass over the full corpus and split by parity
     afterwards — identical rows (signatures are per-doc), half the
-    explode+md5+aggregate work, and the history side no longer executes
-    a corpus pass inside its BroadcastExchange build. The lazy
-    checkpoint stops the parity predicates pushing below the aggregate
-    and re-splitting the shared subtree (tests/test_dedup_cap.py pins
-    band-then-split == split-then-band)."""
+    explode+md5+aggregate work: one corpus pass instead of two. (With
+    the lazy checkpoint that one pass is still first materialized by
+    whichever consumer job runs first — which can be the history
+    side's BroadcastExchange build, so the pass runs under
+    spark.sql.broadcastTimeout once; eager=True would trade that for
+    a separate always-run job.) The lazy checkpoint stops the parity
+    predicates pushing below the aggregate and re-splitting the
+    shared subtree (tests/test_dedup_cap.py pins band-then-split ==
+    split-then-band)."""
     docs = _t(spark, sf_dir, "documents")
     new = docs.filter(F.col("doc_id") % 2 == 1)
     banded = dedup.minhash_band_index(docs).localCheckpoint(eager=False)
@@ -3255,7 +3259,22 @@ def _warc_record_buckets(
     ~500 docs per archive regardless of corpus size — real crawls ship
     MORE fixed-size shards, not bigger ones, and a corpus-scale
     collect_list row would make the synthesis stage (not the parser
-    under test) the probe bottleneck."""
+    under test) the probe bottleneck.
+
+    The pack shuffle is a USER-SPECIFIED ``repartition(par, "_b")``
+    that the groupBy reuses (same key, same count — one exchange
+    either way, guide §2.4), not the aggregation's own implicit
+    exchange, because AQE coalesces implicit exchanges BY BYTES: the
+    packed archives are kilobytes at bench scale, so every downstream
+    consumer — the WARC parser, the main-content classifier — was
+    funneled onto ONE task (r13 census: q_crawl_e2e ran 3 jobs / 3
+    tasks total on local[32]) while 31 cores idled. Byte-based
+    coalescing is the wrong cost model for expression-heavy blob
+    parsing; a user repartition is exactly the AQE-exempt mechanism
+    Spark provides for that. At 100 TB the bucket count is huge and
+    the exchange carries the same corpus bytes the pack always
+    shuffled — no extra pass at any scale."""
+    par = docs.sparkSession.sparkContext.defaultParallelism
     return (
         docs.select(
             F.expr("doc_id % 32 + 32 * (doc_id div 16000)").alias("_b"),
@@ -3264,6 +3283,7 @@ def _warc_record_buckets(
                 _warc_record_expr(content_type).alias("_r"),
             ).alias("_s"),
         )
+        .repartition(par, "_b")
         .groupBy("_b")
         .agg(
             F.transform(

@@ -97,13 +97,20 @@ def main() -> None:
         # (importlib.reload mutates the module object in place, so
         # module-level `from ... import dedup` style references in the
         # entry see the swapped operator code either way.)
+        #
+        # MULTI-MODULE CAVEAT: non-entry modules reload in CLI order.
+        # If swapped module A does `from B import f` on swapped module
+        # B, A must be listed AFTER B or A keeps the pre-swap function
+        # object for the whole arm. Belt-and-braces: reload the
+        # non-entry modules TWICE (two passes), so cross-references
+        # settle regardless of the order given.
         nonlocal registry
-        for variant_file, target, mod_name in zip(
-            variant_files, targets, mod_names
-        ):
+        for variant_file, target in zip(variant_files, targets):
             shutil.copyfile(variant_file, target)
-            if mod_name != "__spark_entry__":
-                importlib.reload(importlib.import_module(mod_name))
+        for _pass in range(2):
+            for mod_name in mod_names:
+                if mod_name != "__spark_entry__":
+                    importlib.reload(importlib.import_module(mod_name))
         registry = importlib.reload(entry_mod).queries()
 
     def time_one(qname: str) -> float:

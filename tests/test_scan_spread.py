@@ -69,3 +69,33 @@ def test_nb_classify_results_identical_across_input_splits(spark):
             seed_in_corpus=True,
         )
     assert _rows(run(1)) == _rows(run(8))
+
+
+# --- r13: ngram_jaccard_pairs staged shingle projection -------------------
+
+
+def test_staged_sigs_equal_minhash_signatures(spark):
+    """The staged-shingle signature build (r13: one tokenize pass
+    shared by the LSH chain and both Jaccard join sides) must produce
+    component-identical signatures to the public minhash_signatures
+    operator — the LSH band keys, est_jaccard, and every downstream
+    oracle hash depend on it."""
+    docs = _docs(spark, 4)
+    ref = {
+        r["doc_id"]: list(r["sig"])
+        for r in dedup.minhash_signatures(docs, num_hashes=16, shingle_size=3).collect()
+    }
+    sh = docs.select(
+        F.col("doc_id").alias("doc"), dedup.shingles(F.col("text"), 3).alias("sh")
+    )
+    staged = {
+        r["doc"]: list(r["sig"])
+        for r in dedup._minhash_sigs_from_shingles(sh, 16).collect()
+    }
+    assert ref == staged
+
+
+def test_ngram_jaccard_results_identical_across_input_splits(spark):
+    one = dedup.ngram_jaccard_pairs(_docs(spark, 1), n=3, threshold=0.1)
+    many = dedup.ngram_jaccard_pairs(_docs(spark, 8), n=3, threshold=0.1)
+    assert _rows(one) == _rows(many)

@@ -154,6 +154,49 @@ def lsh_candidate_pairs(
     docs anyway, so exact-dup hashing catches them far cheaper. Default
     None (exhaustive) keeps the oracle contract exact.
     """
+    sigs = minhash_signatures(
+        df, text=text, doc_id=doc_id, num_hashes=num_hashes, shingle_size=shingle_size
+    ).select(F.col(doc_id).alias("doc"), "sig")
+    return _lsh_pairs_from_sigs(
+        sigs, num_hashes=num_hashes, bands=bands,
+        max_bucket_size=max_bucket_size,
+    )
+
+
+def _minhash_sigs_from_shingles(sh_df: DataFrame, num_hashes: int) -> DataFrame:
+    """Signatures from a pre-staged ``(doc, sh)`` shingle-array frame —
+    the same explode → hash-once → k ``min`` aggregates as
+    :func:`minhash_signatures` (bit-identical components: the staged
+    array IS the distinct shingle set that function explodes), for
+    callers that also need the arrays themselves and must not pay a
+    second tokenize pass. Returns (doc, sig)."""
+    ex = sh_df.select(
+        F.col("doc"), F.explode("sh").alias("_s")
+    ).select(F.col("doc"), (token_hash(F.col("_s")) % F.lit(MERSENNE31)).alias("_h"))
+    aggs = [
+        F.min(
+            (
+                F.lit(HASH_A + 2 * h) * F.col("_h")
+                + F.lit(HASH_B + HASH_STEP * h)
+            )
+            % F.lit(MERSENNE31)
+        ).alias(f"_mh{h}")
+        for h in range(num_hashes)
+    ]
+    return (
+        ex.groupBy("doc")
+        .agg(*aggs)
+        .select(F.col("doc"), F.array(*[f"_mh{h}" for h in range(num_hashes)]).alias("sig"))
+    )
+
+
+def _lsh_pairs_from_sigs(
+    sigs: DataFrame, *, num_hashes: int, bands: int,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Banded self-join over a ``(doc, sig)`` signature frame — the
+    pair-building half of :func:`lsh_candidate_pairs`, shared with
+    callers that build signatures from a staged shingle projection."""
     if bands < 1 or bands > num_hashes or num_hashes % bands != 0:
         # bands > num_hashes would make every band key the empty string
         # (the self-join degenerates to all-pairs); a non-dividing count
@@ -162,11 +205,8 @@ def lsh_candidate_pairs(
             f"bands must divide num_hashes (got bands={bands}, "
             f"num_hashes={num_hashes})"
         )
-    sigs = minhash_signatures(
-        df, text=text, doc_id=doc_id, num_hashes=num_hashes, shingle_size=shingle_size
-    )
     banded = sigs.select(
-        F.col(doc_id).alias("doc"),
+        F.col("doc"),
         F.col("sig"),
         F.explode(_band_key_structs(num_hashes, bands)).alias("bk"),
     ).select("doc", "sig", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
@@ -561,22 +601,27 @@ def ngram_jaccard_pairs(
     """Exact n-gram Jaccard on LSH candidates (two-phase near-dup):
     LSH prunes to near-linear candidates, exact set intersection
     verifies. Returns (doc_a, doc_b, jaccard) ≥ threshold."""
-    cands = lsh_candidate_pairs(
-        df, text=text, doc_id=doc_id, num_hashes=num_hashes, bands=bands, shingle_size=n
-    )
-    # build shingle arrays in parallel (small parquet inputs arrive as
-    # one split; the array build is the CPU hot spot, so spread it),
-    # then ordinary shuffle joins — the arrays stay distributed. (An
-    # r9 experiment pruned the array build to candidate members via a
-    # broadcast semi-join on a persisted/checkpointed candidate set;
-    # both cut variants measurably REGRESSED: the lineage cut opts the
-    # LSH DAG out of AQE and the second candidate consumer serializes
-    # an extra job, costing more than the avoided array work. The
-    # single-consumer one-DAG form below keeps everything in one
-    # AQE-planned query.)
+    # ONE tokenize+shingle pass (r13; guide §2.4/§3.3 duplicated
+    # subtrees): the signature build and both Jaccard join sides all
+    # consume the SAME staged shingle projection, materialized once by
+    # the hash-repartition exchange below — the planner's ReuseExchange
+    # collapses the three references onto one shuffle write, so the
+    # text is tokenized/shingled once per action instead of three
+    # times. Checkpoint-free: everything stays in one AQE-planned
+    # query (an r9 experiment that cut lineage with a checkpoint
+    # REGRESSED — the cut opts the LSH DAG out of AQE and serializes
+    # an extra job). The round-robin spread first keeps the shingle
+    # build parallel on small single-split inputs (identity at corpus
+    # scan widths); the by-doc hash exchange it feeds is work the
+    # signature aggregation needed anyway, so at scale this adds no
+    # shuffle that wasn't already fundamental.
     par = df.sparkSession.sparkContext.defaultParallelism
     base = df.repartition(par) if df.rdd.getNumPartitions() < par else df
-    sh = base.select(F.col(doc_id).alias("doc"), shingles(F.col(text), n).alias("sh"))
+    sh = base.select(
+        F.col(doc_id).alias("doc"), shingles(F.col(text), n).alias("sh")
+    ).repartition(par, "doc")
+    sigs = _minhash_sigs_from_shingles(sh, num_hashes)
+    cands = _lsh_pairs_from_sigs(sigs, num_hashes=num_hashes, bands=bands)
     joined = (
         cands.join(sh.withColumnRenamed("doc", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
         .join(sh.withColumnRenamed("doc", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
@@ -1271,12 +1316,29 @@ def dedup_against_index(
     e.g. one banded pass over a combined table split into history and
     batch afterwards (band rows are per-doc, so banding then splitting
     is identical to splitting then banding) — passing them avoids a
-    second full signature pass over the batch.
+    second full signature pass over the batch. The rows ride the same
+    map-side ``raise_error`` guard as the history index (a
+    ``new_index`` built with other ``num_hashes``/``bands`` would
+    silently under-count matches: ``zip_with`` over mismatched
+    signature lengths yields nulls the filter drops). Coverage is the
+    caller's contract and CANNOT be checked cheaply: a ``new_docs``
+    row with no ``new_index`` rows is never hit-checked against
+    history and silently survives — pass band rows for exactly the
+    batch being deduped.
     """
-    new_banded = new_index if new_index is not None else minhash_band_index(
-        new_docs, text=text, doc_id=doc_id, num_hashes=num_hashes,
-        bands=bands, shingle_size=shingle_size,
-    )
+    if new_index is not None:
+        missing = {"doc_id", "sig", "band", "key"} - set(new_index.columns)
+        if missing:
+            raise ValueError(
+                "new_index must carry minhash_band_index columns "
+                f"(doc_id, sig, band, key); missing {sorted(missing)}"
+            )
+        new_banded = _guarded_index(new_index, num_hashes, bands)
+    else:
+        new_banded = minhash_band_index(
+            new_docs, text=text, doc_id=doc_id, num_hashes=num_hashes,
+            bands=bands, shingle_size=shingle_size,
+        )
     idx = _guarded_index(index, num_hashes, bands).select(
         F.col("sig").alias("_old_sig"), F.col("band"), F.col("key")
     )
