@@ -3,6 +3,11 @@
 from pyspark.sql import functions as F
 
 from unstructured_spark.operators.dedup import lsh_candidate_pairs
+import pytest
+
+# long-running suite: deselected from the default fast tier (pytest.ini);
+# runs in the round-end full pass with -m "slow or not slow"
+pytestmark = pytest.mark.slow
 
 
 def test_bucket_cap_drops_degenerate_buckets(spark):

@@ -13,6 +13,10 @@ from pyspark.sql import functions as F
 from tests import fixtures as fx
 from unstructured_spark.operators import embed, multimodal
 
+# long-running suite: deselected from the default fast tier (pytest.ini);
+# runs in the round-end full pass with -m "slow or not slow"
+pytestmark = pytest.mark.slow
+
 
 def _png(width: int, height: int) -> bytes:
     def chunk(tag: bytes, payload: bytes) -> bytes:

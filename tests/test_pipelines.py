@@ -4,6 +4,10 @@ streaming compatibility of the quality gate."""
 import pytest
 from pyspark.sql import functions as F
 
+# long-running suite: deselected from the default fast tier (pytest.ini);
+# runs in the round-end full pass with -m "slow or not slow"
+pytestmark = pytest.mark.slow
+
 
 def _docs(spark):
     body = (

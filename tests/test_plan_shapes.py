@@ -13,6 +13,10 @@ import sys
 
 import pytest
 
+# long-running suite: deselected from the default fast tier (pytest.ini);
+# runs in the round-end full pass with -m "slow or not slow"
+pytestmark = pytest.mark.slow
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")

@@ -27,6 +27,11 @@ from unstructured_spark.operators.chunking import (
     _split_oversized,
 )
 from unstructured_spark.operators.metadata import py_finalize_doc
+import pytest
+
+# long-running suite: deselected from the default fast tier (pytest.ini);
+# runs in the round-end full pass with -m "slow or not slow"
+pytestmark = pytest.mark.slow
 
 _WORD = st.text(
     alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd")),

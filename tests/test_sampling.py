@@ -10,6 +10,10 @@ from unstructured_spark.operators.sampling import (
     stratified_sample,
 )
 
+# long-running suite: deselected from the default fast tier (pytest.ini);
+# runs in the round-end full pass with -m "slow or not slow"
+pytestmark = pytest.mark.slow
+
 
 class TestHashSample:
     def test_deterministic_and_seed_sensitive(self, spark):
