@@ -86,23 +86,36 @@ def form_kv_pairs(
     value_text, relation, gap, confidence) — value columns NULL for
     unpaired keys.
     """
-    # ONE doc-keyed exchange for the whole operator: every downstream
-    # clustering requirement — the candidate join (doc,page), both
-    # windows (doc,page,key_box)/(doc,page,value_box), the final key
-    # join (doc,page,box) — is a SUPERSET of {doc_id}, so Spark's
-    # subset rule lets HashPartitioning(doc_id) satisfy them all and no
-    # further hash exchanges are planned (r7 audit: 4 exchanges when
-    # each window/join repartitioned on its own key set). doc_id alone
-    # — not (doc_id, page_number) — because a constant page column
-    # (single-page corpora) is constant-folded out of window specs,
-    # which would defeat the subset match. The lazy checkpoint stops
-    # Catalyst pushing the k/v/table filters below the repartition,
-    # which would split the shared exchange into per-branch copies;
-    # partitioning survives it (LogicalRDD preserves outputPartitioning).
-    # Skew bound: one partition holds whole documents — boxes per doc,
-    # never corpus-sized.
-    detections = detections.repartition("doc_id").localCheckpoint(eager=False)
-    keys = detections.filter(F.col("kind") == key_kind)
+    # TWO page-keyed exchanges for the whole operator (r13 rework; the
+    # r7 "one shared doc_id exchange" premise was dead code): under AQE
+    # a localCheckpoint's LogicalRDD reports UnknownPartitioning (the
+    # adaptive plan's final partitioning isn't known at checkpoint
+    # time), so the old repartition-then-checkpoint order silently fed
+    # every downstream join/window an unpartitioned scan — the "shared"
+    # exchange ran as a wasted full shuffle plus FOUR
+    # ENSURE_REQUIREMENTS exchanges (measured in the r13 plan dump).
+    # Now only the KEY branch is repartitioned, ABOVE the checkpoint
+    # (filters cannot push below it, so the exchange stays put), on
+    # (doc_id, page_number) EXACTLY: join co-partitioning requires the
+    # full equi-key set by default
+    # (spark.sql.requireAllClusterKeysForCoPartition), so (doc, page)
+    # is the spine everything rides — the anti joins and the candidate
+    # join take it as the left side, while the subset rule lets both
+    # windows — (doc,page,key_box) / (doc,page,value_box) — ride the
+    # same partitioning with zero further exchanges. The value and
+    # table branches are left to ENSURE_REQUIREMENTS: at bench widths
+    # they broadcast with no exchange at all; at scale the planner
+    # inserts exactly one (doc,page) exchange per branch where a
+    # sort-merge join demands it (ReuseExchange shares the table one
+    # across both anti joins). page_number is a genuine RDD attribute
+    # below the checkpoint, so a constant page column can't
+    # constant-fold out of the window specs and defeat the subset
+    # match. Skew bound: one partition holds whole pages — boxes per
+    # page, never corpus-sized.
+    detections = detections.localCheckpoint(eager=False)
+    keys = detections.filter(F.col("kind") == key_kind).repartition(
+        "doc_id", "page_number"
+    )
     vals = detections.filter(F.col("kind") == value_kind)
     if skip_table_regions:
         tables = detections.filter(F.col("kind") == table_kind)
@@ -136,8 +149,15 @@ def form_kv_pairs(
         & (gap_y <= max_gap)
         & (overlap_w > below_overlap * min_width)
     )
+    # LEFT candidate join (r13): orphan keys (no geometric candidate)
+    # ride through as one NULL-value row instead of being resurrected
+    # by a second corpus-scale (doc,page,box) join at the end — the
+    # old `keys LEFT JOIN won` re-shuffled BOTH sides on the full key
+    # triple (requireAllClusterKeysForCoPartition). The NULL guards on
+    # relation/gap keep orphan rows NULL (an unguarded
+    # when(inline).otherwise('below') would label them 'below').
     cand = (
-        k.join(v, _same_page("k", "v") & (inline | below))
+        k.join(v, _same_page("k", "v") & (inline | below), "left")
         .select(
             F.col("k.doc_id").alias("doc_id"),
             F.col("k.page_number").alias("page_number"),
@@ -146,9 +166,10 @@ def form_kv_pairs(
             F.col("v.box_id").alias("value_box_id"),
             F.col("v.text").alias("value_text"),
             # inline wins over below when a candidate satisfies both
-            F.when(inline, F.lit("inline")).otherwise(F.lit("below")).alias(
-                "relation"
-            ),
+            F.when(F.col("v.box_id").isNull(), F.lit(None).cast("string"))
+            .when(inline, F.lit("inline"))
+            .otherwise(F.lit("below"))
+            .alias("relation"),
             F.when(inline, gap_x).otherwise(gap_y).cast("double").alias("gap"),
         )
     )
@@ -159,34 +180,37 @@ def form_kv_pairs(
     best = cand.withColumn("_rk", F.row_number().over(per_key)).filter(
         F.col("_rk") == 1
     )
+    # value-conflict resolution WITHOUT the old drop-then-rejoin: a
+    # per-key winner that loses its value to a closer key keeps its
+    # row and NULLs the value columns — bit-identical output to
+    # `keys LEFT JOIN won` (the join produced exactly one row per key,
+    # NULL-extended for orphans and conflict losers). Orphan rows
+    # (value_box_id NULL) share the NULL partition of this window;
+    # their rank is irrelevant because their value columns are NULL
+    # either way.
     per_value = Window.partitionBy(
         "doc_id", "page_number", "value_box_id"
     ).orderBy(rel_rank, F.col("gap").asc(), F.col("key_box_id").asc())
-    won = (
-        best.withColumn("_rv", F.row_number().over(per_value))
-        .filter(F.col("_rv") == 1)
-        .drop("_rk", "_rv")
+    wv = F.col("value_box_id").isNotNull() & (
+        F.row_number().over(per_value) == 1
     )
-    out = keys.alias("k").join(
-        won.alias("w"),
-        (F.col("k.doc_id") == F.col("w.doc_id"))
-        & (F.col("k.page_number") == F.col("w.page_number"))
-        & (F.col("k.box_id") == F.col("w.key_box_id")),
-        "left",
-    )
-    return out.select(
-        F.col("k.doc_id").alias("doc_id"),
-        F.col("k.page_number").alias("page_number"),
-        F.col("k.box_id").alias("key_box_id"),
-        F.col("k.text").alias("key_text"),
-        F.col("w.value_box_id").alias("value_box_id"),
-        F.col("w.value_text").alias("value_text"),
-        F.col("w.relation").alias("relation"),
-        F.col("w.gap").alias("gap"),
-        F.round(
-            F.lit(1.0) / (F.lit(1.0) + F.col("w.gap") / F.lit(100.0)), 6
+    out = best.select(
+        "doc_id",
+        "page_number",
+        "key_box_id",
+        "key_text",
+        F.when(wv, F.col("value_box_id")).alias("value_box_id"),
+        F.when(wv, F.col("value_text")).alias("value_text"),
+        F.when(wv, F.col("relation")).alias("relation"),
+        F.when(wv, F.col("gap")).alias("gap"),
+        F.when(
+            wv,
+            F.round(
+                F.lit(1.0) / (F.lit(1.0) + F.col("gap") / F.lit(100.0)), 6
+            ),
         ).alias("confidence"),
     )
+    return out
 
 
 def form_elements(pairs: DataFrame) -> DataFrame:
