@@ -540,11 +540,11 @@ def bigram_cross_entropy(
                    (per-bigram quantize, integer HALF_UP average)
 
     Scale shape: one map-side bigram explode, one (w1,w2) count
-    shuffle, a (w1) count shuffle off the same exploded base, then a
-    join back keyed on the bigram — every shuffle keys on uniform
-    token hashes, the corpus text itself is never re-shuffled. V and
-    corpus totals are scalar literals. Docs with <2 tokens are dropped
-    (no bigrams to score).
+    shuffle, one (w1) re-shuffle of the TYPE table for the prefix-sum
+    window, then a probe join back keyed on the bigram — every shuffle
+    keys on uniform token hashes, the corpus text itself is never
+    re-shuffled. V and corpus totals are scalar literals. Docs with <2
+    tokens are dropped (no bigrams to score).
     """
     toks = F.filter(
         F.split(F.trim(F.col(text)), "\\s+"), lambda x: x != F.lit("")
@@ -564,14 +564,24 @@ def bigram_cross_entropy(
             F.expr("transform(slice(_t, 1, size(_t) - 1), (x, i) -> struct(x as w1, _t[i + 1] as w2))")
         ).alias("bg"),
     ).select("doc", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
-    # the two LM count tables are vocab-sized (distinct bigram types /
-    # distinct prefixes), each with multiple consumers below (the
-    # scoring joins + the fxln argument union) — checkpoint them
-    # lazily so each aggregates the bigram stream exactly ONCE instead
-    # of once per broadcast build
-    big_counts = (
+    # ONE vocab-sized LM count table (r13: was big_counts + a separate
+    # uni_counts built by a groupBy(w1) + a (w1)-keyed sort-merge join
+    # back — two extra exchanges, two sorts and one checkpoint
+    # materialization job per call): c1 (prefix occurrence count,
+    # = Σ_w2 c12) rides a window over the SAME type table the pair
+    # counts live in, so the (w1) exchange that used to feed the
+    # unigram aggregate now directly produces the joined layout and
+    # the big_ln ⋈ uni_ln join disappears. Window sum over exact
+    # bigints — identical values to the old groupBy+join by
+    # construction. Multiple consumers below (V, the fxln argument
+    # union ×2, the scoring probe) — checkpoint lazily so the bigram
+    # stream aggregates exactly once.
+    bigw = (
         bigrams.groupBy("w1", "w2")
         .agg(F.count("*").alias("c12"))
+        .withColumn(
+            "c1", F.sum("c12").over(Window.partitionBy("w1")).cast("bigint")
+        )
         .localCheckpoint(eager=False)
     )
     # V = distinct tokens anywhere in the corpus (first AND last
@@ -581,18 +591,9 @@ def bigram_cross_entropy(
     # column instead of a driver collect: one fewer corpus-scale
     # action per call
     vdf = (
-        big_counts.select(F.col("w1").alias("t"))
-        .unionByName(big_counts.select(F.col("w2").alias("t")))
+        bigw.select(F.col("w1").alias("t"))
+        .unionByName(bigw.select(F.col("w2").alias("t")))
         .agg(F.countDistinct("t").alias("_v"))
-    )
-    # c1 (prefix occurrence count) = Σ_w2 c12: fold the TYPE table,
-    # not the occurrence stream — the corpus is never re-shuffled for
-    # the unigram side (sum of exact integer counts, identical value)
-    uni_counts = (
-        big_counts.groupBy("w1")
-        .agg(F.sum("c12").cast("bigint").alias("c1"))
-        .crossJoin(F.broadcast(vdf))
-        .localCheckpoint(eager=False)
     )
     # -ln P = ln(c1+V) - ln(c12+1): both log arguments are INTEGERS, so
     # the 1e-6-grid quantization runs through the fixed-point integer
@@ -607,8 +608,9 @@ def bigram_cross_entropy(
     # and the ~30-step fxln expression is analyzed over a tiny side
     # plan instead of riding every downstream consumer.
     args = (
-        uni_counts.select((F.col("c1") + F.col("_v")).alias("m"))
-        .unionByName(big_counts.select((F.col("c12") + F.lit(1)).alias("m")))
+        bigw.crossJoin(F.broadcast(vdf))
+        .select((F.col("c1") + F.col("_v")).alias("m"))
+        .unionByName(bigw.select((F.col("c12") + F.lit(1)).alias("m")))
         .distinct()
     )
     lns = with_fxln(args, "m", "_f").select(
@@ -616,31 +618,30 @@ def bigram_cross_entropy(
     ).localCheckpoint(eager=False)
     la = F.broadcast(lns.select(F.col("m").alias("_ma"), F.col("_ln").alias("_aln")))
     lb = F.broadcast(lns.select(F.col("m").alias("_mb"), F.col("_ln").alias("_bln")))
-    # attach the logs to the VOCAB-sized count tables, not the bigram
-    # stream: the stream is the big side (corpus tokens), the count
-    # tables are type-bounded — two broadcast probes over types beat
-    # two over occurrences
-    big_ln = big_counts.select(
-        "w1", "w2", (F.col("c12") + F.lit(1)).alias("_mb")
-    ).join(lb, "_mb")
-    uni_ln = uni_counts.select(
-        "w1", (F.col("c1") + F.col("_v")).alias("_ma")
-    ).join(la, "_ma")
     # quantize each -ln P to a 1e-6 grid BEFORE aggregation: long sums
     # are order-independent under distributed partials, where a double
     # sum's rounding depends on partition order (the repo-wide
     # fixed-order-fold discipline; oracle replays the same quantization).
     # HALF_UP on the scale grid: (D·1e6 + 2^30) div 2^31, all integer.
     #
-    # -ln P depends only on the bigram TYPE, so the two type tables
-    # combine FIRST (a (w1)-keyed type-sized join) and the quantized
-    # score is computed once per distinct bigram — the occurrence
-    # stream then pays ONE (w1,w2) probe join instead of two (the r10
-    # form joined the stream against big_ln AND uni_ln; this r11 fold
-    # halves the stream-side join width and moves the quantization
-    # off the token-scale path entirely).
+    # -ln P depends only on the bigram TYPE, so the quantized score is
+    # computed once per distinct bigram over the unified type table —
+    # two broadcast log probes back-to-back on the same map stage (the
+    # logs attach to the VOCAB-sized table, never the occurrence
+    # stream) — and the occurrence stream then pays ONE (w1,w2) probe
+    # join (the r10 form joined the stream against big_ln AND uni_ln;
+    # the r11 fold halved the stream-side join width; this r13 form
+    # removes the big_ln ⋈ uni_ln type join itself).
     pair_nlq = (
-        big_ln.join(uni_ln, "w1")
+        bigw.crossJoin(F.broadcast(vdf))
+        .select(
+            "w1",
+            "w2",
+            (F.col("c12") + F.lit(1)).alias("_mb"),
+            (F.col("c1") + F.col("_v")).alias("_ma"),
+        )
+        .join(lb, "_mb")
+        .join(la, "_ma")
         .select(
             "w1",
             "w2",
