@@ -261,13 +261,6 @@ def semantic_dedup(
         corpus.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
     )
     salt = max(1, int(pair_salt))
-    a = av.select(
-        F.col("cluster_id"),
-        F.pmod(F.col("vec_id"), F.lit(salt)).cast("int").alias("_salt"),
-        F.col("vec_id").alias("a_id"),
-        F.col("v").alias("av"),
-        F.col("nrm").alias("an"),
-    ).repartition(nparts, "cluster_id", "_salt")
     b = av.select(
         F.col("cluster_id"),
         F.explode(F.sequence(F.lit(0), F.lit(salt - 1))).alias("_salt"),
@@ -275,6 +268,23 @@ def semantic_dedup(
         F.col("v").alias("bv"),
         F.col("nrm").alias("bn"),
     ).repartition(nparts, "cluster_id", "_salt")
+    # the a-side is the b-side row whose salt equals the vector's own
+    # (vec_id % S): a FILTER over the already-exploded, already-
+    # shuffled b frame instead of a second repartition of the
+    # unexploded vectors — the two join inputs then reference the SAME
+    # exchange subtree and ReuseExchange collapses them, so the pair
+    # join shuffles the vector payload ONCE (r13; was twice: n rows
+    # a-side + n·S rows b-side). Row set identical by construction:
+    # each vec_id appears exactly once on the a-side, at its own salt.
+    a = b.filter(
+        F.col("_salt") == F.pmod(F.col("b_id"), F.lit(salt)).cast("int")
+    ).select(
+        F.col("cluster_id"),
+        F.col("_salt"),
+        F.col("b_id").alias("a_id"),
+        F.col("bv").alias("av"),
+        F.col("bn").alias("an"),
+    )
     cos = F.round(dot(F.col("av"), F.col("bv")) / (F.col("an") * F.col("bn")), 6)
     # inner join + distinct, NOT a left-semi carrying the cosine
     # predicate inside the join condition: a non-equi conjunct in the
