@@ -436,6 +436,152 @@ def _merge_page_arrays(
     return pd.concat([out_ext, out_inf], ignore_index=True)
 
 
+def _merge_page_cols(
+    kind: np.ndarray,
+    text: np.ndarray,
+    isext: np.ndarray,
+    coords: np.ndarray,
+    s: int,
+    m: int,
+    e: int,
+    page_width: float,
+    page_height: float,
+    same_t: float,
+    sub_t: float,
+    max_rounds: int = 5,
+):
+    """Columnar twin of :func:`_merge_page_arrays` (r13): identical
+    rules 0-5 over batch-level numpy column arrays — rows [s, m) are
+    the page's inferred side, [m, e) the extracted side. Returns
+    (ext_keep_abs, inf_keep_abs, inf_coords, inf_text, inf_isext):
+    ABSOLUTE batch indices of surviving extracted rows (page order)
+    and surviving inferred rows, plus the inferred side's (possibly
+    rule-2/3 mutated) coords/text/is_extracted. The pandas version
+    spent ~80% of its 5ms/page in DataFrame take/getitem/concat
+    (profiled r13); this form does the same arithmetic on slices."""
+    ni, ne = m - s, e - m
+    if ne == 0:
+        return (
+            np.empty(0, dtype=np.int64),
+            np.arange(s, m),
+            coords[s:m],
+            text[s:m],
+            isext[s:m],
+        )
+    if ni == 0:
+        return (
+            np.arange(m, e),
+            np.empty(0, dtype=np.int64),
+            coords[m:m],
+            text[m:m],
+            isext[m:m],
+        )
+    icoords = coords[s:m].copy()
+    ecoords = coords[m:e]
+    ekinds = kind[m:e]
+    e_is_img = np.isin(ekinds, IMAGE_KINDS)
+
+    # RULE 0: drop full-page extracted images
+    img_keep = np.where(e_is_img)[0]
+    if len(img_keep):
+        full_page = np.array([[0.0, 0.0, float(page_width), float(page_height)]])
+        is_full = _np_iou_gt(
+            ecoords[img_keep], full_page, FULL_PAGE_REGION_THRESHOLD
+        ).sum(axis=1).astype(bool)
+        img_keep = img_keep[~is_full]
+
+    # RULE 1: inferred ≈ extracted image → drop inferred
+    inf_same_as_img = (
+        _np_iou_gt(icoords, ecoords[img_keep], same_t).sum(axis=1).astype(bool)
+        if len(img_keep)
+        else np.zeros(ni, dtype=bool)
+    )
+    inf_idx = np.arange(s, m)[~inf_same_as_img]  # absolute
+    icoords = icoords[~inf_same_as_img]
+    inf_keep = np.ones(len(inf_idx), dtype=bool)
+
+    text_idx = np.where(~e_is_img)[0]
+    if len(text_idx) == 0:
+        return (img_keep + m, inf_idx, icoords, text[inf_idx], isext[inf_idx])
+    if len(inf_idx) == 0:
+        kept = np.concatenate([img_keep, text_idx]) + m
+        return (
+            kept,
+            inf_idx,
+            icoords,
+            text[inf_idx],
+            isext[inf_idx],
+        )
+
+    etext_coords = ecoords[text_idx]
+    etext_abs = text_idx + m
+
+    # RULE 2: extracted text ≈ inferred → keep inferred box (expanded),
+    # take extracted text/is_extracted, drop extracted
+    same = _np_iou_gt(etext_coords, icoords, same_t)
+    e_same = same.any(axis=1)
+    first_match = same.argmax(axis=1)
+    inf_texts = text[inf_idx].copy()
+    inf_isext = isext[inf_idx].copy()
+    for e_i in np.where(e_same)[0]:
+        i_i = first_match[e_i]
+        inf_texts[i_i] = text[etext_abs[e_i]]
+        inf_isext[i_i] = isext[etext_abs[e_i]]
+        icoords[i_i : i_i + 1] = _expand(
+            icoords[i_i : i_i + 1], etext_coords[e_i : e_i + 1]
+        )
+
+    # RULE 3: extracted subregion of inferred TEXT region → merge into
+    # inferred (expand box), iterate to fixpoint
+    inf_is_text = ~np.isin(kind[inf_idx], NON_TEXT_INFERRED_KINDS)
+    inf_proc = inf_is_text.copy()
+    ext_proc = ~e_same
+    rounds = 0
+    while rounds < max_rounds and inf_proc.any() and ext_proc.any():
+        rounds += 1
+        inf_proc_start, ext_proc_start = inf_proc.copy(), ext_proc.copy()
+        sub = _np_subregion(etext_coords, icoords, sub_t)
+        for i_i in np.where(inf_proc_start)[0]:
+            matches = np.where(sub[:, i_i] & ext_proc)[0]
+            if not matches.size:
+                continue
+            ext_proc[matches] = False
+            inf_proc[i_i] = False
+            icoords[i_i : i_i + 1] = _expand(
+                icoords[i_i : i_i + 1], etext_coords[matches]
+            )
+        if np.array_equal(inf_proc_start, inf_proc) and np.array_equal(
+            ext_proc_start, ext_proc
+        ):
+            break
+
+    # RULE 4: subregion relationship in either direction between kept
+    # extracted and still-unmatched (or image-like) inferred → drop
+    # inferred, trust extracted; inferred Tables are exempt
+    kept_ext_idx = np.concatenate([img_keep, text_idx[ext_proc]])
+    if kept_ext_idx.size:
+        inf_imglike = np.isin(kind[inf_idx], ("Figure", "Image", "Picture"))
+        cand = np.where(np.logical_or(inf_proc, inf_imglike))[0]
+        if cand.size:
+            kept_ecoords = ecoords[np.sort(kept_ext_idx)]
+            i_sub_e = _np_subregion(icoords[cand], kept_ecoords, sub_t)
+            e_sub_i = _np_subregion(kept_ecoords, icoords[cand], sub_t)
+            remove = (i_sub_e | e_sub_i.T).sum(axis=1).astype(bool)
+            inf_keep[cand[remove]] = False
+
+    # RULE 5: kept extracted (page order) + kept inferred
+    ext_keep_abs = np.sort(kept_ext_idx) + m if kept_ext_idx.size else np.empty(
+        0, dtype=np.int64
+    )
+    return (
+        ext_keep_abs,
+        inf_idx[inf_keep],
+        icoords[inf_keep],
+        inf_texts[inf_keep],
+        inf_isext[inf_keep],
+    )
+
+
 def merge_inferred_with_extracted(
     inferred: DataFrame,
     extracted: DataFrame,
@@ -471,43 +617,86 @@ def merge_inferred_with_extracted(
         "doc_id", "page_number", "_side", "box_id"
     )
 
-    def _process(group: pd.DataFrame) -> pd.DataFrame:
-        # rows within a key arrive sorted by (_side, box_id) — the
-        # sortWithinPartitions above — so the side split is a binary
-        # search, not two boolean-mask scans of the page
-        split = int(np.searchsorted(group["_side"].to_numpy(), 1))
-        inf = group.iloc[:split].drop(columns="_side").reset_index(drop=True)
-        ext = group.iloc[split:].drop(columns="_side").reset_index(drop=True)
-        doc, page = group["doc_id"].iloc[0], group["page_number"].iloc[0]
-        out = _merge_page_arrays(inf, ext, p_w, p_h, s_t, sub_t)
-        if len(out) == 0:
-            return out[BOX_COLS]
-        # stable reading-order sort via one numpy lexsort (primary key
-        # last): identical order to
-        # sort_values(["y1","x1","y2","x2"], kind="stable")
-        order = np.lexsort(
-            (
-                out["x2"].to_numpy(),
-                out["y2"].to_numpy(),
-                out["x1"].to_numpy(),
-                out["y1"].to_numpy(),
-            )
-        )
-        out = out.take(order).reset_index(drop=True)
-        out["doc_id"], out["page_number"] = doc, page
-        out["box_id"] = np.arange(len(out), dtype="int32")
-        return out[BOX_COLS]
-
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        pending: pd.DataFrame | None = None  # rows of the (possibly unfinished) tail key
-        done: list[pd.DataFrame] = []
-        done_rows = 0
+        # COLUMNAR page walk (r13): the former per-page pandas path
+        # (iloc slice → _merge_page_arrays → take → column assigns →
+        # per-page DataFrame, pd.concat at flush) spent ~80% of its
+        # ~5ms/page inside DataFrame take/getitem/setitem/concat
+        # (profiled; the numpy geometry itself was ~0.4ms). Here every
+        # Arrow batch is decomposed ONCE into numpy column arrays, each
+        # page is merged by _merge_page_cols on index ranges, survivors
+        # are gathered per column, and exactly ONE DataFrame is built
+        # per output flush.
+        pending: pd.DataFrame | None = None  # rows of the unfinished tail key
+        acc: dict[str, list[np.ndarray]] = {c: [] for c in BOX_COLS}
+        acc_rows = 0
 
-        def flush_done(force: bool = False):
-            nonlocal done, done_rows
-            if done and (force or done_rows >= 4096):
-                yield pd.concat(done, ignore_index=True)
-                done, done_rows = [], 0
+        def merge_batch(pdf: pd.DataFrame) -> None:
+            nonlocal acc_rows
+            doc_a = pdf["doc_id"].to_numpy()
+            page_a = pdf["page_number"].to_numpy()
+            kind_a = pdf["kind"].to_numpy()
+            src_a = pdf["source"].to_numpy()
+            text_a = pdf["text"].to_numpy()
+            isx_a = pdf["is_extracted"].to_numpy()
+            coords = np.column_stack(
+                [pdf[c].to_numpy(dtype=float) for c in ("x1", "y1", "x2", "y2")]
+            )
+            side_a = pdf["_side"].to_numpy()
+            n = len(pdf)
+            change = np.empty(n, dtype=bool)
+            change[0] = True
+            change[1:] = (doc_a[1:] != doc_a[:-1]) | (page_a[1:] != page_a[:-1])
+            starts = np.flatnonzero(change)
+            bounds = np.append(starts, n)
+            for gi in range(len(starts)):
+                s, e = int(bounds[gi]), int(bounds[gi + 1])
+                # rows within a key arrive sorted by (_side, box_id) —
+                # the sortWithinPartitions above — so the side split is
+                # a binary search, not two boolean-mask scans
+                m = s + int(np.searchsorted(side_a[s:e], 1))
+                ext_i, inf_i, inf_c, inf_t, inf_x = _merge_page_cols(
+                    kind_a, text_a, isx_a, coords, s, m, e, p_w, p_h, s_t, sub_t
+                )
+                n_ext, n_inf = len(ext_i), len(inf_i)
+                n_out = n_ext + n_inf
+                if n_out == 0:
+                    continue
+                # extracted rows first, then inferred — the stable
+                # reading-order lexsort below matches the pandas path's
+                # concat order (full-coord ties across the two groups
+                # are impossible: rule 1 drops any inferred box whose
+                # IoU with a kept extracted image exceeds the
+                # threshold, and identical coords are IoU 1.0)
+                o_x = np.concatenate([coords[ext_i], inf_c]) if n_inf else coords[ext_i]
+                o_text = np.concatenate([text_a[ext_i], inf_t])
+                o_isx = np.concatenate([isx_a[ext_i], inf_x])
+                all_i = np.concatenate([ext_i, inf_i])
+                # stable reading-order sort, primary key LAST:
+                # identical order to sort_values(["y1","x1","y2","x2"],
+                # kind="stable")
+                order = np.lexsort((o_x[:, 2], o_x[:, 3], o_x[:, 0], o_x[:, 1]))
+                acc["doc_id"].append(np.repeat(doc_a[s], n_out))
+                acc["page_number"].append(np.repeat(page_a[s], n_out))
+                acc["box_id"].append(np.arange(n_out, dtype="int32"))
+                acc["source"].append(src_a[all_i][order])
+                acc["kind"].append(kind_a[all_i][order])
+                o_x = o_x[order]
+                acc["x1"].append(o_x[:, 0])
+                acc["y1"].append(o_x[:, 1])
+                acc["x2"].append(o_x[:, 2])
+                acc["y2"].append(o_x[:, 3])
+                acc["text"].append(o_text[order])
+                acc["is_extracted"].append(o_isx[order])
+                acc_rows += n_out
+
+        def flush(force: bool = False):
+            nonlocal acc, acc_rows
+            if acc_rows and (force or acc_rows >= 4096):
+                yield pd.DataFrame(
+                    {c: np.concatenate(acc[c]) for c in BOX_COLS}, copy=False
+                )
+                acc, acc_rows = {c: [] for c in BOX_COLS}, 0
 
         for pdf in batches:
             if len(pdf) == 0:
@@ -515,28 +704,18 @@ def merge_inferred_with_extracted(
             if pending is not None:
                 pdf = pd.concat([pending, pdf], ignore_index=True)
                 pending = None
-            # page groups are contiguous runs of the partition sort key;
-            # boundary detection on the raw arrays replaces the
-            # string-concat + hash groupby over every row
+            # page groups are contiguous runs of the partition sort
+            # key; the last key may continue into the next Arrow batch
             doc_a = pdf["doc_id"].to_numpy()
             page_a = pdf["page_number"].to_numpy()
-            change = np.empty(len(pdf), dtype=bool)
-            change[0] = True
-            change[1:] = (doc_a[1:] != doc_a[:-1]) | (page_a[1:] != page_a[:-1])
-            starts = np.flatnonzero(change)
-            # the last key may continue into the next Arrow batch
+            change = (doc_a[1:] != doc_a[:-1]) | (page_a[1:] != page_a[:-1])
+            starts = np.flatnonzero(np.concatenate([[True], change]))
             pending = pdf.iloc[starts[-1]:]
-            ends = starts[1:]
-            for s, e in zip(starts[:-1], ends):
-                out = _process(pdf.iloc[s:e])
-                if len(out):
-                    done.append(out)
-                    done_rows += len(out)
-            yield from flush_done()
+            if starts[-1] > 0:
+                merge_batch(pdf.iloc[: starts[-1]])
+            yield from flush()
         if pending is not None and len(pending):
-            out = _process(pending)
-            if len(out):
-                done.append(out)
-        yield from flush_done(force=True)
+            merge_batch(pending)
+        yield from flush(force=True)
 
     return pre.mapInPandas(run, BOX_SCHEMA)
