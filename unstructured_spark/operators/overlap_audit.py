@@ -91,8 +91,13 @@ def overlap_diagnostics(
     total_area (areas rounded to 2, percentages reference-rounded).
     """
     cols = ["doc_id", "page", "ix", "etype", "text", "x1", "y1", "x2", "y2"]
-    a = boxes.select(*cols).alias("a")
-    b = boxes.select(*cols).alias("b")
+    # both self-join sides re-execute the caller's upstream (for the
+    # registered audit query: tokenize + slice synthesis over the
+    # corpus, twice — r13 plan dump shows two scan+generate subtrees);
+    # the lineage cut bounds that at one pass of page-bounded rows
+    boxes = boxes.select(*cols).localCheckpoint(eager=False)
+    a = boxes.alias("a")
+    b = boxes.alias("b")
     j = a.join(
         b,
         (F.col("a.doc_id") == F.col("b.doc_id"))

@@ -165,7 +165,10 @@ def ngram_repetition(
     Plan: build gram arrays natively (slice + concat_ws — no Python),
     explode, count per (doc, n, gram) with map-side partials, then
     reduce per doc. Shuffle keys are uniform; word-count-shaped at any
-    scale.
+    scale. Zero-gram documents survive via explode_outer (a NULL gram
+    row per empty (doc, n) that the aggregates ignore) — r13; the old
+    all-docs distinct + left join cost a second corpus scan, a
+    distinct exchange and a sort-merge join for the same rows.
     """
     words = _words(F.col(text)).alias("ws")
     base = df.select(
@@ -196,18 +199,33 @@ def ngram_repetition(
                 ]
             )
         ).alias("e"),
-    ).select("doc_id", "text_len", F.col("e.n").alias("n"), F.explode("e.grams").alias("gram"))
+    ).select(
+        "doc_id",
+        "text_len",
+        F.col("e.n").alias("n"),
+        F.explode_outer("e.grams").alias("gram"),
+    )
     counts = stacked.groupBy("doc_id", "text_len", "n", "gram").agg(
         F.count("*").alias("cnt")
     )
+    # every (doc, n) group exists (explode_outer keeps a NULL-gram row
+    # for docs too short for this n); the aggregates treat that row as
+    # zero grams, so total=0 → 0/0 → NULL stats, identical to the
+    # missing-group NULLs the old pivot-then-left-join produced
     per_n = counts.groupBy("doc_id", "text_len", "n").agg(
-        F.sum("cnt").alias("total"),
-        F.count("*").alias("distinct_grams"),
+        F.sum(
+            F.when(F.col("gram").isNotNull(), F.col("cnt")).otherwise(0)
+        ).alias("total"),
+        F.count("gram").alias("distinct_grams"),
         F.max(F.col("cnt") * F.length("gram")).alias("top_chars"),
         F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)).alias("dup_occurrences"),
     )
     out = per_n.groupBy("doc_id").pivot("n", list(ns)).agg(
-        F.round(F.first(F.col("dup_occurrences") / F.col("total")), 6).alias("dup_frac"),
+        # nullif: a zero-gram (doc, n) group has total=0 and must yield
+        # NULL, not an ANSI DIVIDE_BY_ZERO
+        F.round(
+            F.first(F.col("dup_occurrences") / F.nullif("total", F.lit(0))), 6
+        ).alias("dup_frac"),
         F.round(
             F.first(F.col("top_chars") / F.greatest(F.col("text_len"), F.lit(1))), 6
         ).alias("top_char_frac"),
@@ -218,11 +236,11 @@ def ngram_repetition(
         renames[f"{n}_top_char_frac"] = f"top_{n}gram_char_frac"
     for old, new in renames.items():
         out = out.withColumnRenamed(old, new)
-    # keep zero-gram documents (too short for even the smallest n): a
-    # row with all-null stats, same convention as a doc too short for
-    # one particular n — callers never lose documents to the explode
-    all_docs = df.select(F.col(doc_id).alias("doc_id")).distinct()
-    return all_docs.join(out, "doc_id", "left")
+    # zero-gram documents (too short for even the smallest n) are
+    # already present with all-null stats: the explode_outer keeps one
+    # NULL-gram row per (doc, n), so no doc is ever lost and no
+    # re-scan/join is needed to resurrect them
+    return out
 
 
 # ---------------------------------------------------------------------------

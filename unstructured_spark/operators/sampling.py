@@ -461,6 +461,13 @@ def select_token_budget(
         df_cols = df.columns
     else:
         df_cols = df.columns
+    # d feeds TWO plan branches (the level aggregate and the join probe
+    # side); without a lineage cut each branch re-executes the caller's
+    # upstream — for the registered budget queries that is the
+    # regex-heavy quality scan over the whole corpus, twice (r13 plan
+    # dump: two parquet scans). The checkpoint is the narrow selection
+    # base (id, stratum, order, tokens), tiny next to the corpus.
+    d = d.localCheckpoint(eager=False)
     lv = d.groupBy(strata, order_col).agg(
         F.sum(F.col(token_col).cast("bigint")).alias("_lvl")
     )
@@ -528,6 +535,10 @@ def quality_cutoff(
     if strata is None:
         strata = "_one"
         d = d.withColumn("_one", F.lit(1))
+    # same two-consumer lineage cut as select_token_budget: the level
+    # aggregate and the join probe otherwise each re-run the caller's
+    # upstream (the quality scan) over the whole corpus
+    d = d.localCheckpoint(eager=False)
     lv = d.groupBy(strata, order_col).agg(F.count("*").alias("_lc"))
     wlv = (
         Window.partitionBy(strata)
