@@ -50,6 +50,17 @@ def main() -> None:
     ap.add_argument("--control", default="q01_pricing_summary")
     ap.add_argument("--pairs", type=int, default=3)
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument(
+        "--fresh-workers", action="store_true",
+        help="disable spark.python.worker.reuse: REQUIRED when the A/B "
+             "touches module-level helpers called from worker-side "
+             "closures (mapInPandas bodies resolve module globals "
+             "against the worker's CACHED import of whichever arm ran "
+             "first on that worker — r13 found arm-B tasks failing on "
+             "a helper only arm B defines, i.e. earlier worker-side "
+             "A/Bs could silently run both arms on one variant). "
+             "Worker fork+import cost is paid per task, equally in "
+             "both arms.")
     ap.add_argument("queries", nargs="+")
     args = ap.parse_args()
 
@@ -70,6 +81,8 @@ def main() -> None:
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.driver.memory", "16g")
         .config("spark.ui.enabled", "false")
+        .config("spark.python.worker.reuse",
+                "false" if args.fresh_workers else "true")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
