@@ -170,9 +170,24 @@ def _minhash_sigs_from_shingles(sh_df: DataFrame, num_hashes: int) -> DataFrame:
     array IS the distinct shingle set that function explodes), for
     callers that also need the arrays themselves and must not pay a
     second tokenize pass. Returns (doc, sig)."""
-    ex = sh_df.select(
-        F.col("doc"), F.explode("sh").alias("_s")
-    ).select(F.col("doc"), (token_hash(F.col("_s")) % F.lit(MERSENNE31)).alias("_h"))
+    # explode_OUTER + explicit null filter, NOT a plain explode: for a
+    # plain explode over a staged array COLUMN, InferFiltersFromGenerate
+    # adds `size(sh) > 0 AND isnotnull(sh)` and predicate pushdown
+    # substitutes the full shingle-build expression through the staging
+    # exchanges into the SCAN-side filter — at bench that evaluated the
+    # whole array_distinct(transform(...)) chain twice per row inside
+    # the one-task parquet scan (measured 18 s vs 2.1 s for the query)
+    # and, worse, made the two signature subtrees canonically different
+    # from the Jaccard sides, so ReuseExchange never collapsed the
+    # staged projection at all. The outer explode infers nothing; the
+    # `_s IS NOT NULL` filter keys on the generated attribute, which
+    # cannot push below the Generate, and drops exactly the rows the
+    # plain explode never emitted (empty/null shingle arrays).
+    ex = (
+        sh_df.select(F.col("doc"), F.explode_outer("sh").alias("_s"))
+        .filter(F.col("_s").isNotNull())
+        .select(F.col("doc"), (token_hash(F.col("_s")) % F.lit(MERSENNE31)).alias("_h"))
+    )
     aggs = [
         F.min(
             (
