@@ -46,6 +46,15 @@ BNLJ_ALLOWED = {
                           # rollup itself is an equi-join on doc_id
     "q_vocab_coverage",   # broadcast 1-row total-token-count aggregate
                           # joined onto the k-bounded top-k table
+    "q_bigram_cross_entropy",  # broadcast 1-row vocabulary-size (V)
+                          # aggregate crossed onto the type table —
+                          # r13: the window-based c1 removed the
+                          # uni_counts checkpoint the crossJoin used
+                          # to hide below, so the (bounded-by-
+                          # construction) 1-row BNLJ is now visible
+    "q_mixture_reweight", # inherits q_bigram_cross_entropy's 1-row
+                          # V-aggregate BNLJ; the reweight chain's own
+                          # joins are equi-joins on doc_id/source
     "q_ann_recall",       # inherits the two searches it grades:
                           # q_embed_topk's broadcast query vectors
                           # (<=10 rows) and q_ivf_ann_topk's broadcast
