@@ -100,7 +100,11 @@ def extract_main_content(
     cols = [f.strip().split()[0] for f in MAIN_SCHEMA.split(",")]
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        rows: list[dict] = []
+        # columnar accumulation (r13): one list per output column and
+        # one DataFrame per flush — the former per-page dict rows paid
+        # a dict build per document plus the slow from-records
+        # DataFrame constructor
+        out: list[list] = [[] for _ in cols]
         for pdf in batches:
             for did, html in zip(pdf[doc_id], pdf[html_col]):
                 blocks = classify_blocks(
@@ -110,17 +114,15 @@ def extract_main_content(
                 )
                 good = [b["text"] for b in blocks if b["cls"] == "good"]
                 main = "\n\n".join(good)
-                rows.append({
-                    "doc_id": did,
-                    "n_blocks": len(blocks),
-                    "n_good": len(good),
-                    "main_chars": len(main),
-                    "main_text": main,
-                })
-                if len(rows) >= flush_every:
-                    yield pd.DataFrame(rows, columns=cols)
-                    rows = []
-        yield pd.DataFrame(rows, columns=cols)
+                out[0].append(did)
+                out[1].append(len(blocks))
+                out[2].append(len(good))
+                out[3].append(len(main))
+                out[4].append(main)
+                if len(out[0]) >= flush_every:
+                    yield pd.DataFrame(dict(zip(cols, out)))
+                    out = [[] for _ in cols]
+        yield pd.DataFrame(dict(zip(cols, out)), columns=cols)
 
     return src.mapInPandas(gen, MAIN_SCHEMA)
 
@@ -153,22 +155,19 @@ def extract_page_metadata(
     cols = [f.strip().split()[0] for f in PAGE_META_SCHEMA.split(",")]
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        rows: list[dict] = []
+        # columnar accumulation (r13) — see extract_main_content
+        out: list[list] = [[] for _ in cols]
+        keys = ("title", "description", "canonical_url", "lang",
+                "robots_meta", "noindex")
         for pdf in batches:
             for did, html in zip(pdf[doc_id], pdf[html_col]):
                 m = page_metadata(html if html is not None else "")
-                rows.append({
-                    "doc_id": did,
-                    "title": m["title"],
-                    "description": m["description"],
-                    "canonical_url": m["canonical_url"],
-                    "lang": m["lang"],
-                    "robots_meta": m["robots_meta"],
-                    "noindex": m["noindex"],
-                })
-                if len(rows) >= flush_every:
-                    yield pd.DataFrame(rows, columns=cols)
-                    rows = []
-        yield pd.DataFrame(rows, columns=cols)
+                out[0].append(did)
+                for i, k in enumerate(keys, start=1):
+                    out[i].append(m[k])
+                if len(out[0]) >= flush_every:
+                    yield pd.DataFrame(dict(zip(cols, out)))
+                    out = [[] for _ in cols]
+        yield pd.DataFrame(dict(zip(cols, out)), columns=cols)
 
     return src.mapInPandas(gen, PAGE_META_SCHEMA)
